@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Loaders for the driver testdata tables (TESTDATA.md): TPC-H-ish star
+  * schema + `events` stream table + `documents`/`embeddings` for the
+  * LLM-data-pipeline operators. All parquet; explicit paths, no globbing
+  * so partition pruning / schema discovery stays trivial at scale.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read it as raw nanos (legacy long) and truncate to microsecond
+    * TimestampType — the same precision DuckDB/pandas effectively compare at
+    * for the week/date-grain derivations the declared queries use. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: double division of epoch-nanos (~1.7e18,
+        // beyond 2^53) would silently corrupt the microseconds
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Session settings every declared query relies on, applied defensively in
+    * case the driver created the session with different defaults:
+    *  - ANSI off: the reference's pandas semantics are coerce-to-null
+    *    (`pd.to_datetime(errors='coerce')`, codes.py:28; `NaN > 0 == False`,
+    *    codes.py:50) and the DuckDB oracle SQL uses TRY_CAST to match.
+    *  - UTC: keeps date-part extraction stable vs the oracle.
+    */
+  def prep(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

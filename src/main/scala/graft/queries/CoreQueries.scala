@@ -1,0 +1,556 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** SURVEY.md §2 relational operator inventory (categories A–F), each
+  * re-expressed Spark-first over the driver testdata and hash-matched
+  * against DuckDB. Reference behaviors cited as codes.py:NN.
+  */
+object CoreQueries {
+
+  // ---------------------------------------------------------------- A. scans
+
+  /** A1+A2 (codes.py:21, 176-177): CSV sink + CSV scan with explicit schema
+    * (never inferSchema — one pass, deterministic types). Round-trips the
+    * region table through CSV and returns it; oracle reads the parquet. */
+  val a1_csv_roundtrip = Q(
+    "a1_csv_roundtrip",
+    "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey"
+  ) { (s, d) =>
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_region"
+    region(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", LongType),
+      StructField("r_name", StringType)))
+    s.read.schema(schema).option("header", "true").csv(tmp).orderBy("r_regionkey")
+  }
+
+  /** A3: parquet scan (TESTDATA.md). */
+  val a3_parquet_scan = Q(
+    "a3_parquet_scan",
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+  ) { (s, d) => nation(s, d).orderBy("n_nationkey") }
+
+  /** A4 (codes.py:28): date parse with coercion — `to_datetime(errors='coerce')`;
+    * with ANSI off Spark's to_date yields null on malformed, like TRY_CAST. */
+  val a4_date_parse = Q(
+    "a4_date_parse",
+    """SELECT o_orderkey,
+      |       CAST(TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS VARCHAR) AS d,
+      |       CAST((TRY_CAST('x' || strftime(o_orderdate, '%Y-%m-%d') AS DATE) IS NULL) AS BIGINT) AS bad_is_null
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val str = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    orders(s, d).select(
+      col("o_orderkey"),
+      date_format(to_date(str), "yyyy-MM-dd").as("d"),
+      to_date(concat(lit("x"), str)).isNull.as("bad_is_null")
+    ).orderBy("o_orderkey")
+  }
+
+  // ----------------------------------------------- B. projections / scalars
+
+  /** B1 (codes.py:72-79): column projection/drop — pruned at the scan. */
+  val b1_projection = Q(
+    "b1_projection",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** B2/B8 (codes.py:29-109): derived columns / arithmetic interactions —
+    * per-row IEEE ops, bit-identical across engines. */
+  val b2_derived = Q(
+    "b2_derived",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       l_extendedprice * (1 - l_discount) AS revenue,
+      |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+      |       l_quantity * l_extendedprice AS qty_x_price
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+      (col("l_quantity") * col("l_extendedprice")).as("qty_x_price")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** B3 (codes.py:144,169): predicate filter — pushed to the parquet scan. */
+  val b3_filter = Q(
+    "b3_filter",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+      |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** B4/C4 (codes.py:34,40): null test → 0/1 indicator column. Testdata has
+    * no nulls, so nulls are manufactured with NULLIF — same trick the oracle
+    * uses, keeping both engines on identical inputs. */
+  val b4_null_flag = Q(
+    "b4_null_flag",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       NULLIF(l_discount, 0.0) AS disc_or_null,
+      |       CAST((NULLIF(l_discount, 0.0) IS NULL) AS BIGINT) AS disc_missing
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val x = nullif(col("l_discount"), lit(0.0))
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      x.as("disc_or_null"), x.isNull.as("disc_missing")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** B5 (codes.py:46-51): log1p transform. */
+  val b5_log1p = Q(
+    "b5_log1p",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       round(ln(1 + l_extendedprice), 6) AS log_price,
+      |       round(ln(1 + l_quantity), 6) AS log_qty
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(log1p(col("l_extendedprice")), 6).as("log_price"),
+      round(log1p(col("l_quantity")), 6).as("log_qty")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** B6 (codes.py:90): clip/cap — np.clip ≡ least/greatest. */
+  val b6_clip = Q(
+    "b6_clip",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       least(l_quantity, 25.0) AS qty_capped,
+      |       greatest(least(l_quantity, 25.0), 5.0) AS qty_clipped
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      least(col("l_quantity"), lit(25.0)).as("qty_capped"),
+      greatest(least(col("l_quantity"), lit(25.0)), lit(5.0)).as("qty_clipped")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** B7 (codes.py:50, §1.4-1): threshold → binary label with pandas
+    * `NaN > 0 == False` semantics: null input must yield 0, not null. */
+  val b7_threshold_label = Q(
+    "b7_threshold_label",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       CAST(coalesce(CAST(NULLIF(l_discount, 0.0) > 0.02 AS BIGINT), 0) AS BIGINT) AS detected
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val x = nullif(col("l_discount"), lit(0.0))
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      coalesce((x > 0.02).cast(LongType), lit(0L)).as("detected")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** B10/B11/B12 (codes.py:29-31): date parts. weekday() is Mon=0 like
+    * pandas `.dt.dayofweek` (≡ DuckDB isodow-1); NOT dayofweek() (Sun=1).
+    * ISO week null-coalesces to -1 (codes.py:30, §1.4-2). */
+  val b10_date_parts = Q(
+    "b10_date_parts",
+    """SELECT o_orderkey,
+      |       CAST(month(o_orderdate) AS BIGINT) AS cmonth,
+      |       CAST(coalesce(weekofyear(o_orderdate), -1) AS BIGINT) AS cweek,
+      |       CAST(isodow(o_orderdate) - 1 AS BIGINT) AS cdow
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    orders(s, d).select(
+      col("o_orderkey"),
+      month(col("o_orderdate")).as("cmonth"),
+      coalesce(weekofyear(col("o_orderdate")), lit(-1)).as("cweek"),
+      weekday(col("o_orderdate")).as("cdow")
+    ).orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------ C. imputation / cleaning
+
+  /** C1 (codes.py:30,58,69): fillna with a constant. */
+  val c1_fill_const = Q(
+    "c1_fill_const",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       coalesce(NULLIF(l_tax, 0.0), 0.5) AS tax_filled
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      coalesce(nullif(col("l_tax"), lit(0.0)), lit(0.5)).as("tax_filled")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** C2 (codes.py:35-39,85): fillna(median) — EXACT interpolated median
+    * (pandas semantics), never percentile_approx (§4.3-8). The scalar agg is
+    * collected to the driver and folded into the plan as a literal, exactly
+    * the reference's two-pass shape. */
+  val c2_fill_median = Q(
+    "c2_fill_median",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       round(coalesce(NULLIF(l_discount, 0.0),
+      |                      (SELECT median(NULLIF(l_discount, 0.0)) FROM lineitem)), 6) AS disc_filled
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val li = lineitem(s, d)
+    val x = nullif(col("l_discount"), lit(0.0))
+    val med = li.select(median(x).as("m")).first().getDouble(0)
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(coalesce(x, lit(med)), 6).as("disc_filled")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** C3 (codes.py:83-87): fillna(mode) with pandas' `mode()[0]` tie-break =
+    * SMALLEST value — explicit count-then-min, never Spark's unspecified
+    * `mode()` tie-break (§4.3-7). */
+  val c3_fill_mode = Q(
+    "c3_fill_mode",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       coalesce(NULLIF(l_returnflag, 'N'),
+      |                (SELECT x FROM (SELECT NULLIF(l_returnflag, 'N') AS x, count(*) AS c
+      |                                FROM lineitem WHERE NULLIF(l_returnflag, 'N') IS NOT NULL
+      |                                GROUP BY 1 ORDER BY c DESC, x LIMIT 1))) AS flag_filled
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val li = lineitem(s, d)
+    val x = nullif(col("l_returnflag"), lit("N"))
+    val m = li.select(x.as("x")).filter(col("x").isNotNull)
+      .groupBy("x").count()
+      .orderBy(desc("count"), asc("x")).limit(1)
+      .first().getString(0)
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      coalesce(x, lit(m)).as("flag_filled")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** C5 (codes.py:96): deduplication over a column subset — rows fully equal,
+    * so "keep first" vs "keep arbitrary" is immaterial (§2.C5). */
+  val c5_dedup_exact = Q(
+    "c5_dedup_exact",
+    """SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_suppkey, l_returnflag, l_linestatus""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d).select("l_suppkey", "l_returnflag", "l_linestatus")
+      .dropDuplicates()
+      .orderBy("l_suppkey", "l_returnflag", "l_linestatus")
+  }
+
+  /** C6 (codes.py:61-63,99-104): pd.cut binning (right=False ⇒ left-closed)
+    * + ordinal codes with out-of-range/null → -1. */
+  val c6_binning = Q(
+    "c6_binning",
+    """SELECT c_custkey,
+      |       CASE WHEN c_acctbal < 0 THEN NULL
+      |            WHEN c_acctbal < 1000 THEN 'Small'
+      |            WHEN c_acctbal < 5000 THEN 'Medium'
+      |            ELSE 'Large' END AS bal_group,
+      |       CAST(CASE WHEN c_acctbal < 0 THEN -1
+      |            WHEN c_acctbal < 1000 THEN 0
+      |            WHEN c_acctbal < 5000 THEN 1
+      |            ELSE 2 END AS BIGINT) AS bal_code
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val b = col("c_acctbal")
+    customer(s, d).select(
+      col("c_custkey"),
+      when(b < 0, lit(null).cast(StringType))
+        .when(b < 1000, "Small").when(b < 5000, "Medium")
+        .otherwise("Large").as("bal_group"),
+      when(b < 0, -1L).when(b < 1000, 0L).when(b < 5000, 1L)
+        .otherwise(2L).as("bal_code")
+    ).orderBy("c_custkey")
+  }
+
+  /** C7 (codes.py:117,141,195): drop rows with nulls in a column subset. */
+  val c7_dropna_subset = Q(
+    "c7_dropna_subset",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_tax, l_discount
+      |FROM lineitem
+      |WHERE NULLIF(l_tax, 0.0) IS NOT NULL AND NULLIF(l_discount, 0.0) IS NOT NULL
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d)
+      .withColumn("x", nullif(col("l_tax"), lit(0.0)))
+      .withColumn("y", nullif(col("l_discount"), lit(0.0)))
+      .na.drop(Seq("x", "y"))
+      .select("l_orderkey", "l_linenumber", "l_tax", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ------------------------------------------------------- D. aggregations
+
+  /** D1 (codes.py:67): group-by mean — partial/final hash aggregate. */
+  val d1_group_mean = Q(
+    "d1_group_mean",
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |       round(avg(c_acctbal), 4) AS avg_bal, count(*) AS n
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    customer(s, d).groupBy("c_nationkey")
+      .agg(round(avg("c_acctbal"), 4).as("avg_bal"), count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  /** D2 (codes.py:143-144): group-by count (pandas .size()). */
+  val d2_group_count = Q(
+    "d2_group_count",
+    """SELECT CAST(month(o_orderdate) AS BIGINT) AS cmonth, count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    orders(s, d).groupBy(month(col("o_orderdate")).as("cmonth"))
+      .agg(count(lit(1)).as("n")).orderBy("cmonth")
+  }
+
+  /** D3 (codes.py:35,83-87): global scalar aggregates — mean / exact median /
+    * min-tie-break mode / count. Double sums ride as DECIMAL so summation
+    * order can't shift the hash. */
+  val d3_global_aggs = Q(
+    "d3_global_aggs",
+    """SELECT round(avg(l_quantity), 6) AS avg_qty,
+      |       median(l_quantity) AS med_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       (SELECT x FROM (SELECT l_returnflag AS x, count(*) AS c FROM lineitem
+      |                       GROUP BY 1 ORDER BY c DESC, x LIMIT 1)) AS mode_flag,
+      |       count(*) AS n
+      |FROM lineitem""".stripMargin
+  ) { (s, d) =>
+    val li = lineitem(s, d)
+    val modeFlag = li.groupBy("l_returnflag").count()
+      .orderBy(desc("count"), asc("l_returnflag")).limit(1)
+      .first().getString(0)
+    li.agg(
+      round(avg("l_quantity"), 6).as("avg_qty"),
+      median(col("l_quantity")).as("med_qty"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+      count(lit(1)).as("n")
+    ).withColumn("mode_flag", lit(modeFlag))
+  }
+
+  /** D4/E2/B13 (codes.py:67-69): target encoding — group mean broadcast-joined
+    * back onto every row, default 0.5 for unseen keys. The 0/1 sum is exact in
+    * doubles, so no rounding hazard. */
+  val d4_target_encode = Q(
+    "d4_target_encode",
+    """SELECT c.c_custkey, round(coalesce(m.nat_mean, 0.5), 6) AS nation_enc
+      |FROM customer c
+      |LEFT JOIN (SELECT c_nationkey, avg(CAST(c_acctbal > 0 AS DOUBLE)) AS nat_mean
+      |           FROM customer GROUP BY 1) m
+      |  ON c.c_nationkey = m.c_nationkey
+      |ORDER BY c.c_custkey""".stripMargin
+  ) { (s, d) =>
+    val c = customer(s, d)
+    val means = c.groupBy("c_nationkey")
+      .agg(avg((col("c_acctbal") > 0).cast(DoubleType)).as("nat_mean"))
+    c.join(broadcast(means), Seq("c_nationkey"), "left")
+      .select(col("c_custkey"), round(coalesce(col("nat_mean"), lit(0.5)), 6).as("nation_enc"))
+      .orderBy("c_custkey")
+  }
+
+  /** D5 (codes.py:119, §4.3-5): weekly resample, pandas `resample('W')` =
+    * W-SUN right-closed/right-labeled ⇒ label = Sunday ending the Mon..Sun
+    * week = ISO week start + 6 days. Closed-form group key: one shuffle. */
+  val d5_weekly_resample = Q(
+    "d5_weekly_resample",
+    """SELECT CAST(CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE) AS VARCHAR) AS week_ending,
+      |       round(avg(value), 4) AS avg_value, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy(date_format(date_add(date_trunc("week", col("ts")).cast(DateType), 6), "yyyy-MM-dd").as("week_ending"))
+      .agg(round(avg("value"), 4).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy("week_ending")
+  }
+
+  /** D5 windowed variant: same Mon..Sun tumbling weeks via time window()
+    * (startTime "4 days" realigns the Thursday epoch to Monday); identical
+    * result to the closed form, and the spec is batch/streaming-portable. */
+  val d5_weekly_window = Q(
+    "d5_weekly_window",
+    """SELECT CAST(CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE) AS VARCHAR) AS week_ending,
+      |       round(avg(value), 4) AS avg_value, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"))
+      .agg(round(avg("value"), 4).as("avg_value"), count(lit(1)).as("n"))
+      .select(date_format(date_add(col("w.end").cast(DateType), -1), "yyyy-MM-dd").as("week_ending"),
+        col("avg_value"), col("n"))
+      .orderBy("week_ending")
+  }
+
+  /** D6 (codes.py:141-147, §4.3-3): monthly detection rate — reference does
+    * two group-bys + index-aligned merge; single-pass conditional aggregate
+    * is semantically identical with one shuffle. Flagship `entry` query. */
+  val d6_monthly_rate = Q(
+    "d6_monthly_rate",
+    """SELECT CAST(month(o_orderdate) AS BIGINT) AS cmonth,
+      |       count(*) AS n_orders,
+      |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_detected,
+      |       round(100.0 * count(*) FILTER (WHERE o_orderstatus = 'F') / count(*), 4) AS detection_rate
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val det = sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+    orders(s, d)
+      .groupBy(month(col("o_orderdate")).as("cmonth"))
+      .agg(count(lit(1)).as("n_orders"), det.as("n_detected"),
+        round(lit(100.0) * det / count(lit(1)), 4).as("detection_rate"))
+      .orderBy("cmonth")
+  }
+
+  /** D7/F3 (codes.py:168): value_counts + top-k → TakeOrderedAndProject;
+    * count ties broken by key for cross-engine determinism. */
+  val d7_topk_counts = Q(
+    "d7_topk_counts",
+    """SELECT o_custkey, count(*) AS n FROM orders
+      |GROUP BY 1 ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("o_custkey")).limit(10)
+  }
+
+  /** D8 (codes.py:296): confusion-matrix shape — label × predicted counts as
+    * conditional aggregation (deterministic column names, unlike pivot). */
+  val d8_confusion_pivot = Q(
+    "d8_confusion_pivot",
+    """SELECT CAST(l_discount > 0.05 AS BIGINT) AS label,
+      |       CAST(count(*) FILTER (WHERE NOT l_tax > 0.04) AS BIGINT) AS pred_0,
+      |       CAST(count(*) FILTER (WHERE l_tax > 0.04) AS BIGINT) AS pred_1
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val pred = col("l_tax") > 0.04
+    lineitem(s, d)
+      .groupBy((col("l_discount") > 0.05).cast(LongType).as("label"))
+      .agg(sum(when(!pred, 1L).otherwise(0L)).as("pred_0"),
+        sum(when(pred, 1L).otherwise(0L)).as("pred_1"))
+      .orderBy("label")
+  }
+
+  /** F3 variant: top-k by a DECIMAL-exact revenue sum, so the ranking itself
+    * cannot flip on float summation order. */
+  val f3_topk_sum = Q(
+    "f3_topk_sum",
+    """SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_suppkey LIMIT 5""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d).groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_suppkey")).limit(5)
+  }
+
+  // -------------------------------------------------------------- E. joins
+
+  /** E1 (codes.py:145): left equi-join of two aggregates (both tiny →
+    * broadcast-hash under AQE). */
+  val e1_left_join = Q(
+    "e1_left_join",
+    """SELECT t.cmonth, t.n_orders, CAST(coalesce(p.n_p, 0) AS BIGINT) AS n_p
+      |FROM (SELECT CAST(month(o_orderdate) AS BIGINT) AS cmonth, count(*) AS n_orders
+      |      FROM orders GROUP BY 1) t
+      |LEFT JOIN (SELECT CAST(month(o_orderdate) AS BIGINT) AS cmonth, count(*) AS n_p
+      |           FROM orders WHERE o_orderstatus = 'P' GROUP BY 1) p
+      |  ON t.cmonth = p.cmonth
+      |ORDER BY t.cmonth""".stripMargin
+  ) { (s, d) =>
+    val o = orders(s, d)
+    val total = o.groupBy(month(col("o_orderdate")).as("cmonth"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ps = o.filter(col("o_orderstatus") === "P")
+      .groupBy(month(col("o_orderdate")).as("cmonth"))
+      .agg(count(lit(1)).as("n_p"))
+    total.join(ps, Seq("cmonth"), "left")
+      .select(col("cmonth"), col("n_orders"), coalesce(col("n_p"), lit(0L)).as("n_p"))
+      .orderBy("cmonth")
+  }
+
+  /** E2 (codes.py:68): broadcast dimension joins — explicit broadcast() of the
+    * small sides; at 100 TB fact scale these stay map-side. */
+  val e2_broadcast_join = Q(
+    "e2_broadcast_join",
+    """SELECT c.c_custkey, n.n_name, r.r_name
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY c.c_custkey""".stripMargin
+  ) { (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+      .orderBy("c_custkey")
+  }
+
+  /** E3 (codes.py:169): dynamic isin → left-semi join against a top-k list. */
+  val e3_semi_join = Q(
+    "e3_semi_join",
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey IN (SELECT o_custkey FROM
+      |  (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+      |   ORDER BY n DESC, o_custkey LIMIT 10))
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val o = orders(s, d)
+    val top10 = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("o_custkey")).limit(10)
+      .select("o_custkey")
+    o.join(broadcast(top10), Seq("o_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------- F. sort / window
+
+  /** F1 (codes.py:55): multi-key sort with a unique tiebreaker. */
+  val f1_multi_sort = Q(
+    "f1_multi_sort",
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal
+      |FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin
+  ) { (s, d) =>
+    customer(s, d).select("c_nationkey", "c_custkey", "c_acctbal")
+      .orderBy(asc("c_nationkey"), desc("c_acctbal"), asc("c_custkey"))
+  }
+
+  /** F2 (codes.py:56-59, §4.3-1): per-group lag with default 0 — the window
+    * order includes the unique o_orderkey tiebreaker so date ties cannot make
+    * the result nondeterministic (pandas relied on stable row order). */
+  val f2_group_lag = Q(
+    "f2_group_lag",
+    """SELECT o_orderkey,
+      |       lag(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev1,
+      |       lag(o_totalprice, 2, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev2
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d).select(
+      col("o_orderkey"),
+      lag(col("o_totalprice"), 1, 0.0).over(w).as("prev1"),
+      lag(col("o_totalprice"), 2, 0.0).over(w).as("prev2")
+    ).orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(
+    a1_csv_roundtrip, a3_parquet_scan, a4_date_parse,
+    b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
+    b7_threshold_label, b10_date_parts,
+    c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,
+    c7_dropna_subset,
+    d1_group_mean, d2_group_count, d3_global_aggs, d4_target_encode,
+    d5_weekly_resample, d5_weekly_window, d6_monthly_rate, d7_topk_counts,
+    d8_confusion_pivot, f3_topk_sum,
+    e1_left_join, e2_broadcast_join, e3_semi_join,
+    f1_multi_sort, f2_group_lag
+  )
+}
