@@ -26,7 +26,12 @@ def cell_eq(a, b) -> bool:
         return True
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return float(a) == float(b)
+            # Exact first; fall back to a tight relative tolerance so a
+            # round(x, 6) landing exactly on a rounding boundary (computed
+            # from order-dependent double summation) can't flake the gate.
+            import math
+            af, bf = float(a), float(b)
+            return af == bf or math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-12)
         except (TypeError, ValueError):
             return False
     return str(a) == str(b)

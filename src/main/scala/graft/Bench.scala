@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line with per-query wall seconds.
+  *
+  * Execution is a noop-format write, NOT `.count()`: Catalyst's
+  * EliminateSorts would strip the top-level ORDER BY under a count's
+  * aggregate, so count() under-measures every query whose cost includes the
+  * verification sort. The noop sink executes exactly the verified plan.
+  *
+  * Failures are NOT swallowed: a broken query must fail the bench run
+  * loudly (nonzero exit), never "benchmark faster" by erroring instantly.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +24,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query $name FAILED: $e")
+        spark.stop()
+        sys.exit(1)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

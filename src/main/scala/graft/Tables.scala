@@ -23,6 +23,11 @@ object Tables {
     * TimestampType — the same precision DuckDB/pandas effectively compare at
     * for the week/date-grain derivations the declared queries use. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // NOTE (ADVICE r01): nanosAsLong must stay set for as long as this
+    // DataFrame may be (re)scanned — plans are lazy, so restoring the conf
+    // here would break later executions. The session-global effect is
+    // deliberate and documented: any other nanos-timestamp parquet read in
+    // the same session also comes back as raw longs.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {

@@ -16,12 +16,18 @@ object CoreQueries {
 
   /** A1+A2 (codes.py:21, 176-177): CSV sink + CSV scan with explicit schema
     * (never inferSchema — one pass, deterministic types). Round-trips the
-    * region table through CSV and returns it; oracle reads the parquet. */
+    * region table through CSV and returns it; oracle reads the parquet.
+    * Scratch dir comes from spark.graft.scratchDir (MUST be a shared
+    * filesystem on a real cluster — executors commit the CSV there) with a
+    * per-invocation unique suffix so concurrent runs at different scale
+    * factors can't clobber each other. */
   val a1_csv_roundtrip = Q(
     "a1_csv_roundtrip",
     "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey"
   ) { (s, d) =>
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_region"
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val tmp = s"$base/graft_csv_region_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
     region(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
       StructField("r_regionkey", LongType),
@@ -194,9 +200,11 @@ object CoreQueries {
   }
 
   /** C2 (codes.py:35-39,85): fillna(median) — EXACT interpolated median
-    * (pandas semantics), never percentile_approx (§4.3-8). The scalar agg is
-    * collected to the driver and folded into the plan as a literal, exactly
-    * the reference's two-pass shape. */
+    * (pandas semantics), never percentile_approx (§4.3-8). The scalar is
+    * computed by Stats.exactMedian (distributed sort + global-index pick —
+    * no whole-column aggregation buffer, scale-safe at 100 TB) and folded
+    * into the plan as a literal, exactly the reference's two-pass shape.
+    * Intentionally two-pass/eager; empty input degrades to no fill. */
   val c2_fill_median = Q(
     "c2_fill_median",
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -206,10 +214,13 @@ object CoreQueries {
   ) { (s, d) =>
     val li = lineitem(s, d)
     val x = nullif(col("l_discount"), lit(0.0))
-    val med = li.select(median(x).as("m")).first().getDouble(0)
+    val filled = graft.ops.Stats.exactMedian(li, x) match {
+      case Some(m) => coalesce(x, lit(m))
+      case None    => x
+    }
     li.select(
       col("l_orderkey"), col("l_linenumber"),
-      round(coalesce(x, lit(med)), 6).as("disc_filled")
+      round(filled, 6).as("disc_filled")
     ).orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -227,13 +238,13 @@ object CoreQueries {
   ) { (s, d) =>
     val li = lineitem(s, d)
     val x = nullif(col("l_returnflag"), lit("N"))
-    val m = li.select(x.as("x")).filter(col("x").isNotNull)
-      .groupBy("x").count()
-      .orderBy(desc("count"), asc("x")).limit(1)
-      .first().getString(0)
+    val filled = graft.ops.Stats.exactModeString(li, x) match {
+      case Some(m) => coalesce(x, lit(m))
+      case None    => x
+    }
     li.select(
       col("l_orderkey"), col("l_linenumber"),
-      coalesce(x, lit(m)).as("flag_filled")
+      filled.as("flag_filled")
     ).orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -317,7 +328,9 @@ object CoreQueries {
 
   /** D3 (codes.py:35,83-87): global scalar aggregates — mean / exact median /
     * min-tie-break mode / count. Double sums ride as DECIMAL so summation
-    * order can't shift the hash. */
+    * order can't shift the hash. Median/mode via the scale-safe Stats
+    * helpers (no whole-column aggregation buffer), folded in as literals —
+    * the reference's two-pass shape, intentionally eager. */
   val d3_global_aggs = Q(
     "d3_global_aggs",
     """SELECT round(avg(l_quantity), 6) AS avg_qty,
@@ -329,15 +342,15 @@ object CoreQueries {
       |FROM lineitem""".stripMargin
   ) { (s, d) =>
     val li = lineitem(s, d)
-    val modeFlag = li.groupBy("l_returnflag").count()
-      .orderBy(desc("count"), asc("l_returnflag")).limit(1)
-      .first().getString(0)
+    val modeFlag = graft.ops.Stats.exactModeString(li, col("l_returnflag")).orNull
+    val medQty = graft.ops.Stats.exactMedian(li, col("l_quantity"))
+      .map(lit(_)).getOrElse(lit(null).cast(DoubleType))
     li.agg(
       round(avg("l_quantity"), 6).as("avg_qty"),
-      median(col("l_quantity")).as("med_qty"),
       sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
       count(lit(1)).as("n")
-    ).withColumn("mode_flag", lit(modeFlag))
+    ).withColumn("med_qty", medQty)
+      .withColumn("mode_flag", lit(modeFlag))
   }
 
   /** D4/E2/B13 (codes.py:67-69): target encoding — group mean broadcast-joined
