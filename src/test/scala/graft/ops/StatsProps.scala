@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.TestSpark
+
+/** Property laws for the scale-safe scalar statistics (SURVEY §5.2-3):
+  *  - exactMedian ≡ the naive interpolated median (pandas Series.median)
+  *    computed in plain Scala on the same values;
+  *  - mode tie-breaks to the SMALLEST value (pandas mode()[0], codes.py:83-87);
+  *  - both return None (never throw) on empty / all-null input (ADVICE r02).
+  * Each check runs real Spark jobs, so case counts are kept deliberately low.
+  */
+object StatsProps extends Properties("Stats") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12).withMaxDiscardRatio(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** pandas Series.median: mean of the two middle order statistics. */
+  private def naiveMedian(xs: Seq[Double]): Option[Double] =
+    if (xs.isEmpty) None
+    else {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) Some(s(n / 2))
+      else Some((s(n / 2 - 1) + s(n / 2)) / 2.0)
+    }
+
+  private val values: Gen[List[Double]] =
+    Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v) / 8.0)))
+
+  property("exactMedian == naive interpolated median") = Prop.forAll(values) { xs =>
+    val withNulls = xs.map(Option(_)) ++ List(None, None) // nulls must be ignored
+    val df = withNulls.toDF("v")
+    val got = Stats.exactMedian(df, col("v"))
+    val want = naiveMedian(xs)
+    (got, want) match {
+      case (None, None)         => Prop.passed
+      case (Some(g), Some(w))   => Prop(math.abs(g - w) < 1e-9) :| s"got $g want $w"
+      case other                => Prop.falsified :| s"mismatch $other"
+    }
+  }
+
+  property("exactMedian is None on empty and all-null input") = {
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val nulls = Seq[Option[Double]](None, None, None).toDF("v")
+    Prop(Stats.exactMedian(empty, col("v")).isEmpty) &&
+      Prop(Stats.exactMedian(nulls, col("v")).isEmpty)
+  }
+
+  private val words: Gen[List[String]] =
+    Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e")))
+
+  property("exactModeString == most frequent, ties to smallest") = Prop.forAll(words) { ws =>
+    val df = (ws.map(Option(_)) :+ None).toDF("v")
+    val got = Stats.exactModeString(df, col("v"))
+    val want =
+      if (ws.isEmpty) None
+      else {
+        val counts = ws.groupBy(identity).view.mapValues(_.size).toMap
+        val top = counts.values.max
+        Some(counts.filter(_._2 == top).keys.min) // tie → smallest value
+      }
+    Prop(got == want) :| s"got $got want $want counts=${ws.groupBy(identity).view.mapValues(_.size).toMap}"
+  }
+
+  property("exactModeString is None on empty / all-null input") = {
+    val nulls = Seq[Option[String]](None, None).toDF("v")
+    Prop(Stats.exactModeString(nulls, col("v")).isEmpty)
+  }
+}
