@@ -204,13 +204,118 @@ object Features {
     .withColumn("pop_x_flow", col("log_population_served") * col("log_flow_rate"))
     .withColumn("pop_x_rec_eff", col("log_population_served") * col("rec_eff_percent"))
 
+  // --- single-pass scalar prepass -------------------------------------------
+  /** All six EP1 scalar statistics. Every one is a function of the RAW frame:
+    * nothing upstream of each fill mutates its column (flow median codes.py:35,
+    * flowpop median :39, modes+lod median :82-87 all read untouched columns,
+    * and dedup at :96 runs after the fills). That invariant is what lets the
+    * composed pipeline collect them in ≤4 jobs up front instead of 8-11
+    * scattered ones (round-2 verdict, Next-round #9). */
+  final case class Ep1Scalars(
+      flowMedian: Option[Double],
+      flowpopMedian: Option[Double],
+      lodMedian: Option[Double],
+      modes: Map[String, String])
+
+  object Ep1Scalars {
+    /** Action 1: non-null count + min/max for every median column AND the
+      * min-tie-break mode of every mode column, in ONE collect (explode →
+      * groupBy → top-1 per column, unioned with the stats aggregate).
+      * Actions 2-3: the shared histogram + bucket-pick jobs inside
+      * Stats.mediansFromStats, for all median columns at once. ≤4 eager
+      * actions total, vs 8-11 when each stage collects its own. */
+    def compute(df: DataFrame): Ep1Scalars = {
+      import org.apache.spark.sql.expressions.Window
+      val medianCols = Seq("flow_rate", "pcr_target_flowpop_lin", "lod_sewage")
+        .filter(df.columns.contains)
+      val modeCols = Seq("pasteurized", "counties_served", "pcr_gene_target_agg")
+        .filter(df.columns.contains)
+
+      val stats = df
+        .agg(count(col(medianCols.head).cast(DoubleType)).as(s"n_${medianCols.head}"),
+          medianCols.tail.map(c => count(col(c).cast(DoubleType)).as(s"n_$c")) ++
+          medianCols.flatMap(c => Seq(
+            min(col(c).cast(DoubleType)).as(s"lo_$c"),
+            max(col(c).cast(DoubleType)).as(s"hi_$c"))): _*)
+        .select(explode(array(medianCols.map(c =>
+          struct(lit(c).as("name"), lit(null).cast(StringType).as("value"),
+            col(s"n_$c").as("n"), col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"))): _*)).as("r"))
+        .select("r.name", "r.value", "r.n", "r.lo", "r.hi")
+
+      val modes = df
+        .select(explode(array(modeCols.map(c =>
+          struct(lit(c).as("name"), col(c).cast(StringType).as("value"))): _*)).as("p"))
+        .select("p.name", "p.value")
+        .filter(col("value").isNotNull)
+        .groupBy("name", "value").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("name").orderBy(desc("n"), asc("value"))))
+        .filter(col("rn") === 1)
+        .select(col("name"), col("value"), col("n"),
+          lit(null).cast(DoubleType).as("lo"), lit(null).cast(DoubleType).as("hi"))
+
+      val rows = stats.unionByName(modes).collect() // ONE action for all of it
+      val modeVals = rows.filter(!_.isNullAt(1)).map(r => r.getString(0) -> r.getString(1)).toMap
+      val specs = rows.filter(_.isNullAt(1)).filter(_.getLong(2) > 0L).map(r =>
+        Stats.MedianSpec(r.getString(0), col(r.getString(0)), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+
+      val medians =
+        if (specs.isEmpty) Map.empty[String, Double]
+        else Stats.mediansFromStats(df, specs.toSeq)
+      Ep1Scalars(medians.get("flow_rate"), medians.get("pcr_target_flowpop_lin"),
+        medians.get("lod_sewage"), modeVals)
+    }
+  }
+
+  /** Stage 2 with a precomputed median. */
+  def imputeFlowWith(median: Option[Double])(df: DataFrame): DataFrame = {
+    val flagged = df.withColumn("flow_rate_missing",
+      col("flow_rate").isNull.cast(IntegerType))
+    median.fold(flagged)(m =>
+      flagged.withColumn("flow_rate", coalesce(col("flow_rate"), lit(m))))
+  }
+
+  /** Stage 3 with a precomputed median (None also covers the absent-column
+    * B9 branch, where the flag is a constant 0). */
+  def imputeFlowpopWith(median: Option[Double])(df: DataFrame): DataFrame =
+    if (df.columns.contains("pcr_target_flowpop_lin")) {
+      val filled = median.fold(df)(m =>
+        df.withColumn("pcr_target_flowpop_lin", coalesce(col("pcr_target_flowpop_lin"), lit(m))))
+      filled.withColumn("flowpop_lin_missing",
+        col("pcr_target_flowpop_lin").isNull.cast(IntegerType))
+    } else df.withColumn("flowpop_lin_missing", lit(0))
+
+  /** Stage 9 with precomputed scalars. */
+  def imputeModesWith(s: Ep1Scalars)(df: DataFrame): DataFrame = {
+    def fill(d: DataFrame, c: String, v: Option[String]): DataFrame =
+      if (!d.columns.contains(c)) d
+      else v.fold(d)(m => d.withColumn(c, coalesce(col(c), lit(m))))
+    var out = fill(df, "pasteurized", s.modes.get("pasteurized"))
+    out = fill(out, "counties_served", s.modes.get("counties_served"))
+    out = s.lodMedian.fold(out)(m =>
+      out.withColumn("lod_sewage", coalesce(col("lod_sewage"), lit(m))))
+    fill(out, "pcr_gene_target_agg", s.modes.get("pcr_gene_target_agg"))
+  }
+
   /** The full EP1 composition in reference order (codes.py:21-177 minus the
     * CSV endpoints). `tiebreak` totalizes the lag window order; pass the
-    * source's unique row key. */
-  def pipeline(tiebreak: Seq[Column])(df: DataFrame): DataFrame =
+    * source's unique row key.
+    *
+    * `cache=true` persists the input around the scalar prepass so the 4
+    * scalar jobs don't re-read the source (right call for CSV input, whose
+    * parse dominates). For columnar sources at very large scale prefer
+    * `cache=false`: each scalar job then prunes to its own 1-3 columns at
+    * the scan. Caller unpersists after the composed plan has executed. */
+  def pipeline(tiebreak: Seq[Column], cache: Boolean = true)(df: DataFrame): DataFrame = {
+    val base =
+      if (cache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val s = Ep1Scalars.compute(base)
     Seq[DataFrame => DataFrame](
-      dateParts, imputeFlow, imputeFlowpop, logsAndLabel,
-      lagFeaturesScalable(tiebreak), binPopulation, targetEncode, dropCols,
-      imputeModes, clipRecEff, dedup, encodeOrdinal, interactions
-    ).foldLeft(df)((d, stage) => stage(d))
+      dateParts, imputeFlowWith(s.flowMedian), imputeFlowpopWith(s.flowpopMedian),
+      logsAndLabel, lagFeaturesScalable(tiebreak), binPopulation, targetEncode,
+      dropCols, imputeModesWith(s), clipRecEff, dedup, encodeOrdinal, interactions
+    ).foldLeft(base)((d, stage) => stage(d))
+  }
 }

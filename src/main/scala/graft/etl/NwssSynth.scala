@@ -1,0 +1,188 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic synthetic generator for the NWSS input CSV shape
+  * (FIXTURES.md §1: 35 columns, ipynb:38-80 value domains). The real blob was
+  * stripped from the reference repo (.MISSING_LARGE_BLOBS:1), so golden tests
+  * replay EP1/EP3 on this instead.
+  *
+  * Every value derives from `xxhash64(id, seed, tag)` — NO rand(): results
+  * are identical under any partitioning / core count / execution order, which
+  * is what makes golden assertions on row counts and model metrics possible.
+  *
+  * The label's latent structure is tunable so the ML golden test (SURVEY §5.2-2)
+  * can be calibrated to the notebook's published metrics (BASELINE.md):
+  *  - `jurSd`    per-jurisdiction base rate  → linear signal via target encoding;
+  *  - `waveAmp`  per-jurisdiction epidemic wave → signal via the lag features;
+  *  - `seasonAmp` calendar-month cosine and `popNl` non-monotone population
+  *    response → NON-linear signal a depth-3 GBT captures but OLS cannot,
+  *    which is what opens the reference's GBT-vs-OLS metric gap;
+  *  - `noise`    logistic noise → overall AUC level;
+  *  - `threshold` → class balance (reference: 58/42, ipynb:483-489).
+  */
+object NwssSynth {
+
+  final case class Config(
+      rows: Long = 265000L,
+      nJurisdictions: Int = 57,
+      nSites: Int = 420,
+      days: Int = 730, // 2022-01-01 .. 2023-12-31
+      // latent-label knobs (calibrated against BASELINE.md by GoldenSpec)
+      noise: Double = 1.0,
+      jurSd: Double = 0.9,
+      waveAmp: Double = 1.0,
+      seasonAmp: Double = 0.8,
+      popLin: Double = 0.35,
+      popNl: Double = 0.8,
+      recLin: Double = 0.15,
+      threshold: Double = 0.25,
+      concSd: Double = 0.6,
+      // missingness / dirtiness (exercises every §1.4 edge)
+      pBadDate: Double = 0.010,
+      pNullDate: Double = 0.005,
+      pFlowNullSmall: Double = 0.15, // small plants miss flow more often:
+      pFlowNullBig: Double = 0.05,   //  ties flow_rate_missing to the pop factor
+      pConcNull: Double = 0.06,      // null conc → label 0 (codes.py:50)
+      pFlowpopNull: Double = 0.25,
+      pLodNull: Double = 0.30,
+      pPastNull: Double = 0.10,
+      pCountyNull: Double = 0.05,
+      pGeneNull: Double = 0.08,
+      pRecNull: Double = 0.05,
+      pDup: Double = 0.002, // exact duplicate rows (dedup, codes.py:96)
+      seed: Long = 42L)
+
+  /** 35-column DataFrame matching schema.Nwss.raw exactly. */
+  def generate(spark: SparkSession, cfg: Config, numPartitions: Int = 32): DataFrame = {
+    val big = 1L << 40
+
+    // uniform in (0,1) from a hash of (expr, seed, tag) — partitioning-proof
+    def uOf(e: Column, tag: String): Column =
+      (pmod(xxhash64(e, lit(cfg.seed), lit(tag)), lit(big)).cast(DoubleType) + 0.5) / big.toDouble
+    // standard normal via Box-Muller on two independent hashes
+    def zOf(e: Column, tag: String): Column =
+      sqrt(lit(-2.0) * log(uOf(e, tag + "~1"))) * cos(lit(2.0 * math.Pi) * uOf(e, tag + "~2"))
+
+    val df0 = spark.range(0L, cfg.rows, 1L, numPartitions)
+    // duplicate rows: a pDup fraction of ids clone their predecessor entirely
+    val base = when(uOf(col("id"), "dup") < cfg.pDup && col("id") > 0, col("id") - 1)
+      .otherwise(col("id"))
+
+    def u(tag: String): Column = uOf(base, tag)
+    def z(tag: String): Column = zOf(base, tag)
+
+    // --- entities: sewershed site → jurisdiction (sites nest in states) ----
+    val sid = pmod(xxhash64(base, lit(cfg.seed), lit("site")), lit(cfg.nSites.toLong))
+    val jid = pmod(xxhash64(sid, lit(cfg.seed), lit("jur")), lit(cfg.nJurisdictions.toLong))
+    val jurBase = lit(cfg.jurSd) * zOf(jid, "jbase")
+    val jurPhase = pmod(xxhash64(jid, lit(cfg.seed), lit("phase")), lit(52L)).cast(DoubleType)
+
+    // population per site, log-normal-ish; pinned bin-edge sites (FIXTURES §1)
+    val popRaw = round(exp(lit(8.2) + lit(1.6) * zOf(sid, "pop")))
+    val pop = when(sid === 0, 20000L).when(sid === 1, 50000L).when(sid === 2, 200000L)
+      .otherwise(greatest(least(popRaw, lit(5000000.0)), lit(800.0)).cast(LongType))
+    val logPop = log1p(pop.cast(DoubleType))
+
+    // --- time ---------------------------------------------------------------
+    val dayIdx = pmod(xxhash64(base, lit(cfg.seed), lit("day")), lit(cfg.days.toLong))
+    val date = date_add(to_date(lit("2022-01-01")), dayIdx.cast(IntegerType))
+    val weekIdx = floor(dayIdx / 7).cast(DoubleType)
+    val monthNo = month(date).cast(DoubleType)
+    val dateStr = date_format(date, "yyyy-MM-dd")
+    val collectDate = when(u("nulldate") < cfg.pNullDate, lit(null).cast(StringType))
+      .when(u("baddate") < cfg.pBadDate, concat(lit("x"), dateStr)) // leading junk → NaT
+      .otherwise(dateStr)
+
+    // --- auxiliary measures -------------------------------------------------
+    val flowVal = round(lit(0.004) * pow(pop.cast(DoubleType), 0.92) * exp(lit(0.25) * z("flow")), 3)
+    val pFlowNull = when(pop < 20000L, cfg.pFlowNullSmall).otherwise(cfg.pFlowNullBig)
+    val flow = when(u("flownull") < pFlowNull, lit(null).cast(DoubleType)).otherwise(flowVal)
+
+    val recZ = lit(0.5) * zOf(sid, "pop") + lit(math.sqrt(0.75)) * z("rec")
+    val recVal = round(lit(55.0) + lit(22.0) * recZ, 2) // tail crosses 100 → clip bites
+    val rec = when(u("recnull") < cfg.pRecNull, lit(null).cast(DoubleType)).otherwise(recVal)
+
+    // --- latent detection propensity ---------------------------------------
+    val wave = sin(lit(2.0 * math.Pi) * (weekIdx + jurPhase) / 52.0)
+    val season = cos(lit(2.0 * math.Pi) * (monthNo - 1.0) / 12.0)
+    val popDev = (logPop - 10.5) / 1.2
+    val latent = jurBase +
+      lit(cfg.waveAmp) * wave +
+      lit(cfg.seasonAmp) * season +
+      lit(cfg.popLin) * (logPop - 10.0) +
+      lit(cfg.popNl) * (exp(lit(-0.5) * popDev * popDev) - 0.5) +
+      lit(cfg.recLin) * coalesce((recVal - 55.0) / 22.0, lit(0.0)) +
+      lit(cfg.noise) * z("eps")
+    val pDet = lit(1.0) / (lit(1.0) + exp(lit(-1.0) * (latent - cfg.threshold)))
+    val detected = u("det") < pDet
+    val conc = when(u("concnull") < cfg.pConcNull, lit(null).cast(DoubleType))
+      .when(detected, round(exp(lit(2.0) + lit(0.9) * latent + lit(cfg.concSd) * z("conc")), 4))
+      .otherwise(lit(0.0))
+
+    val flowpop = when(u("fpnull") < cfg.pFlowpopNull, lit(null).cast(DoubleType))
+      .otherwise(round(coalesce(conc, lit(0.0)) * lit(1000.0) + lit(860.0), 3))
+    val lod = when(u("lodnull") < cfg.pLodNull, lit(null).cast(DoubleType))
+      .otherwise(round(exp(lit(1.0) + lit(0.5) * z("lod")), 4))
+
+    // --- categorical / string columns --------------------------------------
+    def pick(tag: String, vs: Seq[String]): Column =
+      vs.zipWithIndex.foldLeft(lit(vs.head)) { case (acc, (v, i)) =>
+        when(pmod(xxhash64(base, lit(cfg.seed), lit(tag)), lit(vs.size.toLong)) === i, v).otherwise(acc)
+      }
+    val jurName = concat(lit("J"), lpad(jid.cast(StringType), 2, "0"))
+    val pasteurized = when(u("pastnull") < cfg.pPastNull, lit(null).cast(StringType))
+      .when(u("past") < 0.85, "No").otherwise("Yes")
+    val counties = when(u("ctynull") < cfg.pCountyNull, lit(null).cast(StringType))
+      .otherwise(concat(lit("County"), lpad(pmod(sid, lit(97L)).cast(StringType), 2, "0")))
+    val gene = when(u("genenull") < cfg.pGeneNull, lit(null).cast(StringType))
+      .otherwise(pick("gene", Seq("n1", "n2", "n1/n2")))
+
+    df0.select(
+      sid.cast(IntegerType).as("sewershed_id"),
+      jurName.as("wwtp_jurisdiction"),
+      lpad(pmod(xxhash64(sid, lit(cfg.seed), lit("fips")), lit(99999L)).cast(StringType), 5, "0").as("county_fips"),
+      counties.as("counties_served"),
+      pop.as("population_served"),
+      md5(concat(lit("s"), base.cast(StringType), lit(cfg.seed))).as("sample_id"),
+      collectDate.as("sample_collect_date"),
+      pick("stype", Seq("24-hr time-weighted composite", "grab")).as("sample_type"),
+      pick("smatrix", Seq("raw wastewater", "post grit removal")).as("sample_matrix"),
+      lit("wwtp").as("sample_location"),
+      flow.as("flow_rate"),
+      lit("flu a").as("pcr_target"),
+      conc.as("pcr_target_avg_conc"),
+      flowpop.as("pcr_target_flowpop_lin"),
+      round(u("mic") / 10000.0, 8).as("pcr_target_mic_lin"),
+      gene.as("pcr_gene_target_agg"),
+      lod.as("lod_sewage"),
+      pick("ntc", Seq("no", "yes")).as("ntc_amplify"),
+      pick("inhib", Seq("none", "dilution")).as("inhibition_adjust"),
+      pasteurized.as("pasteurized"),
+      lit("pepper mild mottle virus").as("hum_frac_target_mic"),
+      round(exp(lit(19.0) + z("hum")), 2).as("hum_frac_mic_conc"),
+      lit("copies/l wastewater").as("hum_frac_mic_unit"),
+      rec.as("rec_eff_percent"),
+      lit("bcov vaccine").as("rec_eff_target_name"),
+      lit("raw sample").as("rec_eff_spike_matrix"),
+      round(lit(5.0) * u("spike"), 3).as("rec_eff_spike_conc"),
+      lit("09/26/2025 10:40:00 AM").as("date_updated"),
+      pick("f1", Seq("a", "b", "c")).as("filler_01"),
+      pick("f2", Seq("a", "b")).as("filler_02"),
+      pick("f3", Seq("x", "y", "z")).as("filler_03"),
+      lit("const").as("filler_04"),
+      pick("f5", Seq("p", "q")).as("filler_05"),
+      pick("f6", Seq("m", "n")).as("filler_06"),
+      lit("tail").as("filler_07"))
+  }
+
+  /** Round-trip through an on-disk CSV so tests exercise the real A1 scan
+    * path (header + explicit schema, codes.py:21). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(graft.schema.Nwss.raw).option("header", "true").csv(path)
+}

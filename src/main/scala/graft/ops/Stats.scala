@@ -9,33 +9,138 @@ import org.apache.spark.sql.types.DoubleType
   * Spark's exact `median()`/`percentile()` is a TypedImperativeAggregate that
   * buffers EVERY value in a single aggregation buffer — a multi-GB buffer and
   * an executor OOM at 100× data, impossible at 100 TB. These helpers keep the
-  * exact (pandas-interpolating, codes.py:35) semantics with distributed plans:
-  * a count job plus a range-partitioned sort, picking the middle one/two rows
-  * by global index. No step holds more than a partition in memory.
+  * exact (pandas-interpolating, codes.py:35) semantics with distributed
+  * plans, via iterative histogram refinement: bucket-count the value range
+  * (one shared aggregation job for ANY number of columns), locate the
+  * bucket(s) holding the middle order statistics from the cumulative counts,
+  * then either group-collect that bucket (bounded rows) or recurse into it.
+  * Each level shrinks the range 8192×, so real data resolves in one level and
+  * even adversarial data exhausts double precision within ~6. No step ships
+  * more than `maxCollect` distinct values to the driver.
   */
 object Stats {
 
-  /** Exact interpolated median of a column: (n odd) the middle value,
+  /** One column whose exact interpolated median is wanted, with its non-null
+    * count and min/max — callers fold these into an existing aggregation job
+    * (Features.Ep1Scalars) or use [[exactMedian]] which computes them. */
+  final case class MedianSpec(name: String, c: Column, n: Long, lo: Double, hi: Double)
+
+  /** Exact interpolated median of one column: (n odd) the middle value,
     * (n even) the mean of the two middle values — pandas `Series.median`.
-    * Returns None when there are no non-null values (ADVICE: never throw on
-    * empty/all-null input). Two jobs: count, then sort + zipWithIndex filter.
-    */
+    * None on empty/all-null input (never throws, ADVICE r02). Typical cost:
+    * 3 jobs — stats agg, histogram, bucket pick — independent of data size. */
   def exactMedian(df: DataFrame, c: Column): Option[Double] = {
-    val vals = df.select(c.cast(DoubleType).as("v")).filter(col("v").isNotNull)
-    val n = vals.count()
-    if (n == 0L) None
-    else {
-      val mid = (n - 1L) / 2L                  // lower middle index, 0-based
-      val take = if (n % 2L == 0L) 2 else 1
-      // RDD zipWithIndex preserves the range-partitioned sort order and
-      // assigns global indices without collecting anything to the driver.
-      val middle = vals.sort("v").rdd
-        .zipWithIndex()
-        .filter { case (_, i) => i >= mid && i < mid + take }
-        .map(_._1.getDouble(0))
-        .collect()
-      Some(middle.sum / take)
+    val r = df.agg(
+      count(c.cast(DoubleType)).as("n"),
+      min(c.cast(DoubleType)).as("lo"),
+      max(c.cast(DoubleType)).as("hi")).collect()(0)
+    if (r.getLong(0) == 0L) None
+    else
+      Some(mediansFromStats(df,
+        Seq(MedianSpec("m", c, r.getLong(0), r.getDouble(1), r.getDouble(2))))("m"))
+  }
+
+  /** Exact medians for many columns in shared jobs (one histogram job + one
+    * pick job per refinement level, regardless of column count).
+    * `nb`/`maxCollect` are exposed for tests to force deep recursion. */
+  def mediansFromStats(
+      df: DataFrame,
+      specs: Seq[MedianSpec],
+      nb: Int = 8192,
+      maxCollect: Long = 1L << 20): Map[String, Double] = {
+    require(specs.forall(_.n > 0L))
+    val maxDepth = 6
+
+    // (spec name, which of the 1-2 middle order statistics) -> value
+    val resolved = scala.collection.mutable.Map.empty[(String, Int), Double]
+    // ks: (statistic tag, 0-based index within rows matching pred, asc order)
+    final case class P(spec: MedianSpec, pred: Column, lo: Double, hi: Double,
+        ks: Seq[(Int, Long)], depth: Int)
+    final case class G(spec: MedianSpec, pred: Column, ks: Seq[(Int, Long)])
+
+    var pending: Seq[P] = specs.map { s =>
+      val mid = (s.n - 1L) / 2L
+      val ks = if (s.n % 2L == 0L) Seq(0 -> mid, 1 -> (mid + 1L)) else Seq(0 -> mid)
+      P(s, s.c.cast(DoubleType).isNotNull, s.lo, s.hi, ks, 0)
     }
+
+    while (pending.nonEmpty) {
+      val (trivial, rest) = pending.partition(p => !(p.lo < p.hi))
+      trivial.foreach(p => p.ks.foreach { case (oi, _) => resolved((p.spec.name, oi)) = p.lo })
+
+      var toGroup = Seq.empty[G]
+      var recursions = Seq.empty[P]
+      if (rest.nonEmpty) {
+        // ONE histogram job for every still-active column
+        def bucketOf(p: P): Column = {
+          val w = (p.hi - p.lo) / nb
+          least(greatest(floor((p.spec.c.cast(DoubleType) - p.lo) / w), lit(0.0)), lit((nb - 1).toDouble))
+            .cast("long")
+        }
+        val entries = rest.zipWithIndex.map { case (p, i) =>
+          struct(lit(i).as("tag"), when(p.pred, bucketOf(p)).otherwise(lit(null)).as("bucket"))
+        }
+        val hist = df.select(explode(array(entries: _*)).as("e"))
+          .select(col("e.tag").as("tag"), col("e.bucket").as("bucket"))
+          .filter(col("bucket").isNotNull)
+          .groupBy("tag", "bucket").count()
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+        rest.zipWithIndex.foreach { case (p, i) =>
+          val counts = (0 until nb).map(b => hist.getOrElse((i, b.toLong), 0L))
+          val cumBefore = counts.scanLeft(0L)(_ + _) // cumBefore(b) = rows in buckets < b
+          // group this column's wanted order statistics by containing bucket
+          val byBucket = p.ks.groupBy { case (_, k) =>
+            var b = 0
+            while (b < nb - 1 && cumBefore(b + 1) <= k) b += 1
+            b
+          }
+          byBucket.foreach { case (b, ksHere) =>
+            val localKs = ksHere.map { case (oi, k) => (oi, k - cumBefore(b)) }
+            val w = (p.hi - p.lo) / nb
+            val bLo = p.lo + b * w
+            val bHi = if (b == nb - 1) p.hi else p.lo + (b + 1) * w
+            val pred2 = p.pred && bucketOf(p) === b.toLong
+            val cnt = counts(b)
+            if (cnt <= maxCollect || p.depth + 1 >= maxDepth || !(bLo < bHi))
+              toGroup :+= G(p.spec, pred2, localKs)
+            else
+              recursions :+= P(p.spec, pred2, bLo, bHi, localKs, p.depth + 1)
+          }
+        }
+      }
+
+      if (toGroup.nonEmpty) {
+        // ONE pick job: group-collect each target bucket's distinct values.
+        // Bounded: either ≤ maxCollect rows, or the range is so narrow that
+        // distinct doubles are ulp-limited.
+        val entries = toGroup.zipWithIndex.map { case (g, i) =>
+          struct(lit(i).as("tag"),
+            when(g.pred, g.spec.c.cast(DoubleType)).otherwise(lit(null)).as("value"))
+        }
+        val grouped = df.select(explode(array(entries: _*)).as("e"))
+          .select(col("e.tag").as("tag"), col("e.value").as("value"))
+          .filter(col("value").isNotNull)
+          .groupBy("tag", "value").count()
+          .collect()
+          .groupBy(_.getInt(0))
+        toGroup.zipWithIndex.foreach { case (g, i) =>
+          val vals = grouped(i).map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+          g.ks.foreach { case (oi, k) =>
+            var cum = 0L
+            val v = vals.collectFirst { case (value, c) if { cum += c; cum > k } => value }.get
+            resolved((g.spec.name, oi)) = v
+          }
+        }
+      }
+      pending = recursions
+    }
+
+    specs.map { s =>
+      val mids = (0 until (if (s.n % 2L == 0L) 2 else 1)).map(oi => resolved((s.name, oi)))
+      s.name -> mids.sum / mids.size
+    }.toMap
   }
 
   /** Mode with pandas' `mode()[0]` tie-break: the SMALLEST value among the

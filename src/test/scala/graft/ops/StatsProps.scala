@@ -45,6 +45,19 @@ object StatsProps extends Properties("Stats") {
     }
   }
 
+  property("mediansFromStats survives deep histogram recursion (tiny buckets)") =
+    Prop.forAll(values) { xs =>
+      if (xs.size < 2) Prop.passed else {
+        val df = xs.map(Option(_)).toDF("v")
+        // nb=4 / maxCollect=1 forces many refinement levels + the grouped
+        // terminal pick; result must still be the exact interpolated median
+        val spec = Stats.MedianSpec("m", col("v"), xs.size.toLong, xs.min, xs.max)
+        val got = Stats.mediansFromStats(df, Seq(spec), nb = 4, maxCollect = 1L)("m")
+        val want = naiveMedian(xs).get
+        Prop(math.abs(got - want) < 1e-9) :| s"got $got want $want"
+      }
+    }
+
   property("exactMedian is None on empty and all-null input") = {
     val empty = Seq.empty[Option[Double]].toDF("v")
     val nulls = Seq[Option[Double]](None, None, None).toDF("v")
