@@ -1,0 +1,143 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** H8-H11 — evaluation metrics as DataFrame aggregates over a scored frame
+  * with columns `label` (0/1), `prediction` (0/1), `score` (higher ⇒ more
+  * positive). All exact, all distributed:
+  *
+  * The threshold sweep (ROC, PR, AUC, AP) derives from ONE per-distinct-score
+  * cumulative frame. The cumulative is computed scale-safely: group by score,
+  * range-partition DESCENDING, per-partition running sums via a window keyed
+  * by partition id, plus driver-computed partition offsets (one tiny collect
+  * of ≤P rows) — never a single-task global sort, so a billion-row scored set
+  * sweeps fine (SURVEY §2.H9-H10).
+  *
+  * sklearn parity notes: ROC-AUC via trapezoid over all distinct thresholds
+  * equals the tie-corrected Mann-Whitney statistic — the formula used here.
+  * Average precision is sklearn's STEP-WISE Σ(Rₙ−Rₙ₋₁)·Pₙ, NOT Spark's
+  * interpolated areaUnderPR (SURVEY H10).
+  */
+object Metrics {
+
+  /** H8: accuracy = mean(label == prediction). */
+  def accuracy(scored: DataFrame): Double =
+    scored.agg(avg((col("label") === col("prediction")).cast(DoubleType)))
+      .head().getDouble(0)
+
+  /** Per-distinct-score cumulative confusion counts, score DESCENDING:
+    * (s, np, nn, tp, fp) — np/nn = positives/negatives AT s, tp/fp =
+    * positives/negatives with score ≥ s. */
+  def binaryStats(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    val g = scored
+      .groupBy(col("score").cast(DoubleType).as("s"))
+      .agg(sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("n"))
+      .withColumn("nn", col("n") - col("np"))
+    val p = math.max(spark.sparkContext.defaultParallelism, 2)
+    val parts = g.repartitionByRange(p, col("s").desc).withColumn("pid", spark_partition_id())
+
+    // tiny collect: per-partition totals → exclusive prefix offsets
+    val totals = parts.groupBy("pid")
+      .agg(sum("np").as("tnp"), sum("nn").as("tnn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L, 0L)) { case ((_, anp, ann), (pid, tnp, tnn)) =>
+      (pid + 1, anp + tnp, ann + tnn)
+    }.init.zip(totals).map { case ((_, onp, onn), (pid, _, _)) => Row(pid, onp, onn) }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("onp", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("onn", org.apache.spark.sql.types.LongType))))
+
+    val w = Window.partitionBy("pid").orderBy(col("s").desc)
+    parts
+      .withColumn("cnp", sum("np").over(w))
+      .withColumn("cnn", sum("nn").over(w))
+      .join(broadcast(offDf), Seq("pid"))
+      .select(col("s"), col("np"), col("nn"),
+        (col("cnp") + col("onp")).as("tp"),
+        (col("cnn") + col("onn")).as("fp"))
+  }
+
+  /** H9: exact ROC-AUC (trapezoid ≡ tie-corrected Mann-Whitney):
+    * Σ np_s·(negBelow_s + nn_s/2) / (P·N), negBelow = N − fp. */
+  def rocAuc(scored: DataFrame): Double = {
+    val stats = binaryStats(scored).cache()
+    try {
+      val t = stats.agg(sum("np").as("P"), sum("nn").as("N")).head()
+      val (pos, neg) = (t.getLong(0), t.getLong(1))
+      if (pos == 0L || neg == 0L) Double.NaN
+      else {
+        val s = stats.agg(sum(col("np") * (lit(neg) - col("fp") + col("nn") / lit(2.0))))
+          .head().getDouble(0)
+        s / (pos.toDouble * neg.toDouble)
+      }
+    } finally { stats.unpersist(); () }
+  }
+
+  /** H10: sklearn step-wise average precision Σ (np_s/P)·(tp_s/(tp_s+fp_s))
+    * over thresholds descending. */
+  def averagePrecision(scored: DataFrame): Double = {
+    val stats = binaryStats(scored).cache()
+    try {
+      val pos = stats.agg(sum("np")).head().getLong(0)
+      if (pos == 0L) Double.NaN
+      else
+        stats.agg(sum(col("np") / lit(pos.toDouble) * col("tp") / (col("tp") + col("fp"))))
+          .head().getDouble(0)
+    } finally { stats.unpersist(); () }
+  }
+
+  /** PR curve points (recall, precision) at each threshold, descending. */
+  def prCurve(scored: DataFrame): DataFrame = {
+    val stats = binaryStats(scored)
+    val pos = stats.agg(sum("np")).head().getLong(0)
+    stats.select(col("s").as("threshold"),
+      (col("tp") / lit(pos.toDouble)).as("recall"),
+      (col("tp") / (col("tp") + col("fp"))).as("precision"))
+  }
+
+  /** ROC curve points (fpr, tpr) at each threshold, descending. */
+  def rocCurve(scored: DataFrame): DataFrame = {
+    val stats = binaryStats(scored).cache()
+    val t = stats.agg(sum("np"), sum("nn")).head()
+    val (pos, neg) = (t.getLong(0), t.getLong(1))
+    stats.select(col("s").as("threshold"),
+      (col("fp") / lit(neg.toDouble)).as("fpr"),
+      (col("tp") / lit(pos.toDouble)).as("tpr"))
+  }
+
+  /** D8/H11 input: confusion counts [[TN, FP], [FN, TP]] (sklearn layout,
+    * codes.py:296). */
+  def confusion(scored: DataFrame): Array[Array[Long]] = {
+    val m = scored.groupBy(col("label").cast(DoubleType).as("l"),
+        col("prediction").cast(DoubleType).as("p"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    def at(l: Double, p: Double): Long = m.getOrElse((l, p), 0L)
+    Array(Array(at(0, 0), at(0, 1)), Array(at(1, 0), at(1, 1)))
+  }
+
+  final case class ClassReport(label: Int, precision: Double, recall: Double,
+      f1: Double, support: Long)
+
+  /** H11: per-class precision/recall/F1/support — sklearn
+    * classification_report for the binary case (codes.py:293-294). */
+  def report(scored: DataFrame): Seq[ClassReport] = {
+    val cm = confusion(scored)
+    val Array(Array(tn, fp), Array(fn, tp)) = cm
+    def div(a: Long, b: Long): Double = if (b == 0L) 0.0 else a.toDouble / b
+    def f1(p: Double, r: Double): Double = if (p + r == 0.0) 0.0 else 2 * p * r / (p + r)
+    val p0 = div(tn, tn + fn); val r0 = div(tn, tn + fp)
+    val p1 = div(tp, tp + fp); val r1 = div(tp, tp + fn)
+    Seq(ClassReport(0, p0, r0, f1(p0, r0), tn + fp),
+      ClassReport(1, p1, r1, f1(p1, r1), fn + tp))
+  }
+}
