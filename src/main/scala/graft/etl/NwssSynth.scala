@@ -39,12 +39,24 @@ object NwssSynth {
       popNl: Double = 0.8,
       recLin: Double = 0.15,
       threshold: Double = 0.25,
-      concSd: Double = 0.6,
+      slope: Double = 1.0, // sigmoid sharpness: saturates the extremes (head purity)
+      pMiss: Double = 0.0, // one-sided missed-detection rate (false negatives):
+                           // degrades AUC without littering the rank tail with
+                           // unpredictable positives (which would crater AP)
+      winterMiss: Double = 0.0, // extra flow-missingness during surges: a near-
+                                // BINARY predictor — separates cleanly at the
+                                // 0.5 threshold (accuracy↑) but its ties cap
+                                // what it can add to ranking (AUC barely moves)
+      concSd: Double = 0.4,
+      concFloor: Double = -99.0, // conc stops tracking the latent below this:
+                                 // off-season lag features lose RANKING info
+                                 // (AUC↓) while regime info (0 vs low vs high)
+                                 // survives (accuracy/AP ~unchanged)
       // missingness / dirtiness (exercises every §1.4 edge)
       pBadDate: Double = 0.010,
       pNullDate: Double = 0.005,
-      pFlowNullSmall: Double = 0.15, // small plants miss flow more often:
-      pFlowNullBig: Double = 0.05,   //  ties flow_rate_missing to the pop factor
+      pFlowNullSmall: Double = 0.30, // small plants miss flow far more often:
+      pFlowNullBig: Double = 0.02,   //  ties flow_rate_missing to the pop factor
       pConcNull: Double = 0.06,      // null conc → label 0 (codes.py:50)
       pFlowpopNull: Double = 0.25,
       pLodNull: Double = 0.30,
@@ -78,18 +90,28 @@ object NwssSynth {
     val sid = pmod(xxhash64(base, lit(cfg.seed), lit("site")), lit(cfg.nSites.toLong))
     val jid = pmod(xxhash64(sid, lit(cfg.seed), lit("jur")), lit(cfg.nJurisdictions.toLong))
     val jurBase = lit(cfg.jurSd) * zOf(jid, "jbase")
-    val jurPhase = pmod(xxhash64(jid, lit(cfg.seed), lit("phase")), lit(52L)).cast(DoubleType)
+    // epidemic waves are near-synchronized across jurisdictions (flu season):
+    // ±4-week phase jitter keeps detection regimes bimodal — the fat head of
+    // the reference's score distribution (AP 0.805 at AUC 0.833) needs this
+    val jurPhase = (pmod(xxhash64(jid, lit(cfg.seed), lit("phase")), lit(9L)) - 4L).cast(DoubleType)
 
     // population per site, log-normal-ish; pinned bin-edge sites (FIXTURES §1)
-    val popRaw = round(exp(lit(8.2) + lit(1.6) * zOf(sid, "pop")))
+    val popRaw = round(exp(lit(8.2) + lit(1.8) * zOf(sid, "pop")))
     val pop = when(sid === 0, 20000L).when(sid === 1, 50000L).when(sid === 2, 200000L)
       .otherwise(greatest(least(popRaw, lit(5000000.0)), lit(800.0)).cast(LongType))
     val logPop = log1p(pop.cast(DoubleType))
 
     // --- time ---------------------------------------------------------------
-    val dayIdx = pmod(xxhash64(base, lit(cfg.seed), lit("day")), lit(cfg.days.toLong))
-    val date = date_add(to_date(lit("2022-01-01")), dayIdx.cast(IntegerType))
-    val weekIdx = floor(dayIdx / 7).cast(DoubleType)
+    // sampling weekday follows plant size (big plants sample late-week):
+    // correlates collection_dayofweek with the population factor, like the
+    // operational reality that big utilities run fixed composite schedules
+    val weekIdxL = pmod(xxhash64(base, lit(cfg.seed), lit("week")), lit((cfg.days / 7).toLong))
+    val dowBase = least(lit(5.0), greatest(lit(0.0), floor((logPop - 7.5) * 0.75)))
+    val dow = dowBase.cast(LongType) + pmod(xxhash64(base, lit(cfg.seed), lit("dowj")), lit(2L))
+    val dayIdx = weekIdxL * 7 + dow
+    // 2022-01-03 is a Monday, so weekday(date) == dow (Mon=0)
+    val date = date_add(to_date(lit("2022-01-03")), dayIdx.cast(IntegerType))
+    val weekIdx = weekIdxL.cast(DoubleType)
     val monthNo = month(date).cast(DoubleType)
     val dateStr = date_format(date, "yyyy-MM-dd")
     val collectDate = when(u("nulldate") < cfg.pNullDate, lit(null).cast(StringType))
@@ -97,16 +119,20 @@ object NwssSynth {
       .otherwise(dateStr)
 
     // --- auxiliary measures -------------------------------------------------
-    val flowVal = round(lit(0.004) * pow(pop.cast(DoubleType), 0.92) * exp(lit(0.25) * z("flow")), 3)
-    val pFlowNull = when(pop < 20000L, cfg.pFlowNullSmall).otherwise(cfg.pFlowNullBig)
+    val flowVal = round(lit(0.004) * pow(pop.cast(DoubleType), 0.92) * exp(lit(0.10) * z("flow")), 3)
+    // wave is defined below; declare the surge indicator on the same formula
+    val surging = cos(lit(2.0 * math.Pi) *
+      (weekIdxL.cast(DoubleType) + (pmod(xxhash64(jid, lit(cfg.seed), lit("phase")), lit(9L)) - 4L).cast(DoubleType)) / 52.0) > 0.35
+    val pFlowNull = when(pop < 20000L, cfg.pFlowNullSmall).otherwise(cfg.pFlowNullBig) +
+      when(surging, cfg.winterMiss).otherwise(0.0)
     val flow = when(u("flownull") < pFlowNull, lit(null).cast(DoubleType)).otherwise(flowVal)
 
-    val recZ = lit(0.5) * zOf(sid, "pop") + lit(math.sqrt(0.75)) * z("rec")
+    val recZ = lit(0.7) * zOf(sid, "pop") + lit(math.sqrt(0.51)) * z("rec")
     val recVal = round(lit(55.0) + lit(22.0) * recZ, 2) // tail crosses 100 → clip bites
     val rec = when(u("recnull") < cfg.pRecNull, lit(null).cast(DoubleType)).otherwise(recVal)
 
     // --- latent detection propensity ---------------------------------------
-    val wave = sin(lit(2.0 * math.Pi) * (weekIdx + jurPhase) / 52.0)
+    val wave = cos(lit(2.0 * math.Pi) * (weekIdx + jurPhase) / 52.0) // winter peak
     val season = cos(lit(2.0 * math.Pi) * (monthNo - 1.0) / 12.0)
     val popDev = (logPop - 10.5) / 1.2
     val latent = jurBase +
@@ -116,10 +142,10 @@ object NwssSynth {
       lit(cfg.popNl) * (exp(lit(-0.5) * popDev * popDev) - 0.5) +
       lit(cfg.recLin) * coalesce((recVal - 55.0) / 22.0, lit(0.0)) +
       lit(cfg.noise) * z("eps")
-    val pDet = lit(1.0) / (lit(1.0) + exp(lit(-1.0) * (latent - cfg.threshold)))
-    val detected = u("det") < pDet
+    val pDet = lit(1.0) / (lit(1.0) + exp(lit(-cfg.slope) * (latent - cfg.threshold)))
+    val detected = u("det") < pDet && u("miss") >= cfg.pMiss
     val conc = when(u("concnull") < cfg.pConcNull, lit(null).cast(DoubleType))
-      .when(detected, round(exp(lit(2.0) + lit(0.9) * latent + lit(cfg.concSd) * z("conc")), 4))
+      .when(detected, round(exp(lit(2.0) + lit(0.9) * greatest(latent, lit(cfg.concFloor)) + lit(cfg.concSd) * z("conc")), 4))
       .otherwise(lit(0.0))
 
     val flowpop = when(u("fpnull") < cfg.pFlowpopNull, lit(null).cast(DoubleType))

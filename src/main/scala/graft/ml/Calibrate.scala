@@ -1,0 +1,96 @@
+package graft.ml
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.etl.{Features, NwssSynth}
+
+/** Dev harness for tuning NwssSynth's latent-label knobs until the EP3
+  * scenario table lands inside the BASELINE.md golden tolerances
+  * (GoldenSpec then pins the calibrated Config). Usage:
+  *
+  *   sbt "runMain graft.ml.Calibrate [rows] [noise] [jurSd] [waveAmp]
+  *        [seasonAmp] [popLin] [popNl] [threshold]"
+  *
+  * Prints the PCA cumulative-variance profile, the test-split class
+  * balance, and the 4-scenario metric table next to the golden targets.
+  */
+object Calibrate {
+
+  val golden = Map(
+    ("GradientBoosting", "raw") -> (0.802359, 0.869927, 0.851856),
+    ("LinearRegression", "raw") -> (0.775806, 0.832784, 0.805144),
+    ("GradientBoosting", "pca") -> (0.792543, 0.856768, 0.834516),
+    ("LinearRegression", "pca") -> (0.775641, 0.832114, 0.804359))
+
+  def main(args: Array[String]): Unit = {
+    val a = args.map(_.toDouble).lift
+    val cfg = NwssSynth.Config(
+      rows = a(0).map(_.toLong).getOrElse(60000L),
+      noise = a(1).getOrElse(NwssSynth.Config().noise),
+      jurSd = a(2).getOrElse(NwssSynth.Config().jurSd),
+      waveAmp = a(3).getOrElse(NwssSynth.Config().waveAmp),
+      seasonAmp = a(4).getOrElse(NwssSynth.Config().seasonAmp),
+      popLin = a(5).getOrElse(NwssSynth.Config().popLin),
+      popNl = a(6).getOrElse(NwssSynth.Config().popNl),
+      threshold = a(7).getOrElse(NwssSynth.Config().threshold),
+      concSd = a(8).getOrElse(NwssSynth.Config().concSd),
+      slope = a(9).getOrElse(NwssSynth.Config().slope),
+      pMiss = a(10).getOrElse(NwssSynth.Config().pMiss),
+      recLin = a(11).getOrElse(NwssSynth.Config().recLin),
+      concFloor = a(12).getOrElse(NwssSynth.Config().concFloor),
+      winterMiss = a(13).getOrElse(NwssSynth.Config().winterMiss))
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val raw = NwssSynth.generate(spark, cfg)
+    val engineered = Features.pipeline(Seq(col("sample_id")))(raw)
+    val m = Train.modelMatrix(engineered).cache()
+    println(s"[cal] cfg=$cfg")
+    println(s"[cal] model rows = ${m.count()}")
+
+    val splitSeed = a(14).map(_.toLong).getOrElse(42L)
+    val (train, test) = Train.hashSplit(m, col("sample_id"), seed = splitSeed)
+    println(s"[cal] splitSeed = $splitSeed")
+    val balance = test.groupBy(Train.LabelCol).count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val posRate = balance.getOrElse(1.0, 0L).toDouble / balance.values.sum
+    println(f"[cal] test rows = ${balance.values.sum}, pos rate = $posRate%.4f (golden 0.4201)")
+
+    val scaler = Train.fitScaler(train)
+    val pcaProbe = Train.pcaByVariance(scaler.transform(train))
+    val cum = pcaProbe.explained.scanLeft(0.0)(_ + _).tail
+    println(s"[cal] PCA k = ${pcaProbe.k} (golden 7); cum = " +
+      cum.map(v => f"$v%.3f").mkString(", "))
+    // which features live in the DROPPED components (they vanish from the
+    // pca scenarios — diagnose pca-vs-raw metric drops)
+    val full = new org.apache.spark.ml.feature.PCA().setK(14)
+      .setInputCol(Train.ScaledCol).setOutputCol("__p").fit(scaler.transform(train))
+    val names = graft.schema.Nwss.features
+    (pcaProbe.k until 14).foreach { c =>
+      val loads = (0 until 14).map(f => names(f) -> full.pc(f, c))
+        .filter(x => math.abs(x._2) > 0.35)
+        .map { case (n, v) => f"$n=$v%+.2f" }.mkString(" ")
+      if (loads.nonEmpty) println(f"[cal] dropped comp ${c + 1} (ev=${pcaProbe.explained(c)}%.3f): $loads")
+    }
+
+    val (table, olsScored) = Train.runScenarios(train, test)
+    val cm = Metrics.confusion(olsScored)
+    println(s"[cal] OLS confusion [[TN,FP],[FN,TP]] = ${cm.map(_.mkString(",")).mkString("[[", "],[", "]]")}" +
+      " (golden [[21215,3417],[6107,11742]] of 42481 → scaled recall0=.861 recall1=.658)")
+    table.foreach { s =>
+      val (ga, gauc, gap) = golden((s.model, s.dataset))
+      println(f"[cal] ${s.model}%-17s ${s.dataset}%-4s acc=${s.accuracy}%.4f (Δ${s.accuracy - ga}%+.4f)  " +
+        f"auc=${s.rocAuc}%.4f (Δ${s.rocAuc - gauc}%+.4f)  ap=${s.averagePrecision}%.4f (Δ${s.averagePrecision - gap}%+.4f)")
+    }
+    println(f"[cal] wall = ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

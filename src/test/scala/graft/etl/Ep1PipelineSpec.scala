@@ -72,13 +72,13 @@ class Ep1PipelineSpec extends AnyFunSuite {
     assert(out.columns.toSet === expected)
 
     val n = out.count()
-    assert(n === 19989L, s"engineered row count drifted: $n")
+    assert(n === 19984L, s"engineered row count drifted: $n")
     assert(n <= cfg.rows) // dedup can only remove
 
     // the model matrix the H-stages consume: features + label, post-dropna
     val model = out.na.drop(Nwss.features :+ Nwss.label)
     val mn = model.count()
-    assert(mn === 18693L, s"model matrix count drifted: $mn")
+    assert(mn === 18688L, s"model matrix count drifted: $mn")
     raw.unpersist()
   }
 }
