@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.TextOps
+
+/** LLM-training-data-pipeline operators over the `documents` and
+  * `embeddings` testdata (SURVEY §7.4): text analysis, language ID,
+  * content-hash (multimodal) dedup, exact + MinHash-LSH near-dup dedup,
+  * SimHash, winnowed fingerprints, and similarity search.
+  *
+  * Scale design notes (the 100 TB story, per operator):
+  *  - ALL text primitives are per-row HOF expressions (TextOps) — they add
+  *    zero shuffles; the only shuffles in this file are the ones the
+  *    algorithm inherently needs (band-bucket exchange, inverted-index
+  *    join, top-k partial aggregation).
+  *  - Near-dup dedup NEVER goes all-pairs: l5 shuffles on (band, key) so
+  *    only same-bucket docs meet; candidate verification is an equi-join
+  *    back to the two docs' shingle sets. l4 (the exact oracle baseline)
+  *    uses an inverted shingle index — join on shingle, never a cartesian;
+  *    at 100 TB you'd also df-cap ultra-common shingles (a stopword
+  *    trigram appearing in every doc is pure skew, no signal).
+  *  - Similarity search: l6 is the brute-force contract (one broadcast of
+  *    the query set, one scan — optimal when queries are few); l7 is the
+  *    IVF scale path (coarse quantizer prunes the scan to nprobe buckets;
+  *    at scale you'd bucket-partition the table so a probe is a partition
+  *    prune, not a filter).
+  */
+object LlmQueries {
+
+  // --------------------------------------------------------- text analysis
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** L1: per-document token statistics — whitespace tokens, BPE-ish regex
+    * tokens, char count, mean token length, type-token ratio, stopword
+    * ratio. The quality-score building blocks of a pretraining data
+    * pipeline, all single-pass, all codegen HOFs. */
+  val l1_token_stats = Q(
+    "l1_token_stats",
+    s"""WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+       |           FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                            x -> x <> '')) AS BIGINT) AS n_regex_tokens,
+       |       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       |       round(list_reduce(list_transform(toks, x -> length(x)),
+       |                         (a, b) -> a + b) * 1.0 / len(toks), 6) AS avg_token_len,
+       |       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
+       |       round(len(list_filter(toks,
+       |                 x -> list_contains(${StopWords.map("'" + _ + "'").mkString("[", ",", "]")}, x)))
+       |             * 1.0 / len(toks), 6) AS stopword_ratio
+       |FROM d ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = TextOps.tokens(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(TextOps.regexTokens(col("text"))).cast("long").as("n_regex_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      round(aggregate(toks, lit(0L), (a, x) => a + length(x)) / size(toks).cast("double"), 6)
+        .as("avg_token_len"),
+      round(size(array_distinct(toks)) / size(toks).cast("double"), 6).as("type_token_ratio"),
+      round(size(filter(toks, x => x.isInCollection(StopWords))) / size(toks).cast("double"), 6)
+        .as("stopword_ratio")
+    ).orderBy("doc_id")
+  }
+
+  /** L2: heuristic language ID by marker-word voting (the classic stopword
+    * profile method). Profiles are fixed published function words, so the
+    * op is a pure deterministic function of the text — which is what the
+    * oracle checks; the corpus' own `lang` column rides along so accuracy
+    * against metadata is measurable downstream. Ties break alphabetically. */
+  private val LangMarkers = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "is", "was", "that"),
+    "es" -> Seq("el", "y", "que", "los", "una"),
+    "fr" -> Seq("et", "les", "des", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  val l2_lang_id = Q(
+    "l2_lang_id",
+    { val scores = LangMarkers.map { case (l, ws) =>
+        s"len(list_filter(toks, x -> list_contains(${ws.map("'" + _ + "'").mkString("[", ",", "]")}, x))) AS s_$l"
+      }.mkString(",\n       |       ")
+      val g = LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+      val cases = LangMarkers.map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |       $scores
+         |      FROM d),
+         |m AS (SELECT *, greatest($g) AS g FROM s)
+         |SELECT doc_id, lang,
+         |       CASE $cases END AS lang_pred,
+         |       CAST(g AS BIGINT) AS marker_hits
+         |FROM m ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    val toks = TextOps.tokens(col("text"))
+    val scored = documents(s, d).select(
+      Seq(col("doc_id"), col("lang")) ++
+        LangMarkers.map { case (l, ws) =>
+          size(filter(toks, x => x.isInCollection(ws))).as(s"s_$l")
+        }: _*)
+    val g = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = LangMarkers.foldRight(lit(null).cast("string")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === col("g"), lit(l)).otherwise(acc)
+    }
+    // foldRight puts the alphabetically-first lang as the OUTERMOST when —
+    // ties resolve to it, matching the SQL CASE order
+    scored.withColumn("g", g)
+      .select(col("doc_id"), col("lang"), pred.as("lang_pred"),
+        col("g").cast("long").as("marker_hits"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------- multimodal / content-addressed dedup
+
+  /** L3: multimodal content-hash dedup — the payload is carried as an opaque
+    * BINARY column with a typed metadata struct beside it (the image/audio
+    * shape: bytes + {lang, source, n_chars}), content-addressed by
+    * sha2-256, grouped to one canonical row per distinct payload. The
+    * corpus has no exact dups, so a copy of every 7th doc is injected under
+    * a shifted id on BOTH sides — making the collapse observable, not
+    * vacuous. At 100 TB this is the map-side-combinable groupBy(hash) —
+    * the cheapest dedup that exists. */
+  val l3_hash_dedup = Q(
+    "l3_hash_dedup",
+    """WITH src AS (SELECT doc_id, text FROM documents),
+      |aug AS (SELECT doc_id, text FROM src
+      |        UNION ALL
+      |        SELECT doc_id + 100000, text FROM src WHERE doc_id % 7 = 0)
+      |SELECT sha256(text) AS content_hash,
+      |       min(doc_id) AS canonical_id,
+      |       CAST(count(*) AS BIGINT) AS n_copies
+      |FROM aug GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val src = documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+    val aug = src.unionByName(
+      src.filter(col("doc_id") % 7 === 0).withColumn("doc_id", col("doc_id") + 100000))
+    aug.groupBy(sha2(col("payload"), 256).as("content_hash"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+  }
+
+  // ------------------------------------------------------- near-dup dedup
+
+  private val ShingleN = 3
+  private val NearDupTau = 0.5
+
+  /** Shared oracle: ALL pairs with trigram-Jaccard ≥ τ, via an inverted
+    * shingle index (exact — any pair with J > 0 shares a shingle). */
+  private val jaccardOracle =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(len(toks) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
+       |       FROM d),
+       |sz AS (SELECT doc_id, len(ss) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT i, j, round(c * 1.0 / (si.n + sj.n - c), 6) AS jac
+       |FROM p JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+       |WHERE c * 1.0 / (si.n + sj.n - c) >= $NearDupTau
+       |ORDER BY i, j""".stripMargin
+
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), ShingleN).as("ss"))
+
+  /** L4: exact n-gram-Jaccard near-dup pairs via the inverted shingle
+    * index: explode distinct shingles, equi-join on shingle (never
+    * all-pairs), count intersections per pair, join back the set sizes.
+    * This is the exact baseline l5's LSH must reproduce. */
+  val l4_jaccard_neardup = Q("l4_jaccard_neardup", jaccardOracle) { (s, d) =>
+    val sh = shingled(documents(s, d)).cache()
+    val sz = sh.select(col("doc_id"), size(col("ss")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("ss")).as("sng"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("si.n") + col("sj.n") - col("c"))
+    pairs.join(sz.as("si"), col("i") === col("si.doc_id"))
+      .join(sz.as("sj"), col("j") === col("sj.doc_id"))
+      .filter(jac >= NearDupTau)
+      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+      .orderBy("i", "j")
+  }
+
+  /** L5: MinHash + banded-LSH near-dup dedup — the scale path. 64 minhashes
+    * → 16 bands × 4 rows; docs shuffle on (band, key) so ONLY same-bucket
+    * docs ever meet; candidates are exact-verified against the true shingle
+    * sets. The oracle is the SAME exact-Jaccard SQL as l4: CORRECTNESS
+    * green means the LSH lost nothing. (P[miss a J=0.89 pair] =
+    * (1-0.89⁴)¹⁶ ≈ 2e-7; the corpus' near-dups all sit at J ≥ 0.89.) */
+  val l5_minhash_lsh = Q("l5_minhash_lsh", jaccardOracle) { (s, d) =>
+    val sh = shingled(documents(s, d)).cache()
+    val bands = sh.select(col("doc_id"),
+        explode(TextOps.lshBands(TextOps.minhashSignature(col("ss"), 64), 16, 4)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val jac = TextOps.jaccard(col("da.ss"), col("db.ss"))
+    cand.join(sh.as("da"), col("i") === col("da.doc_id"))
+      .join(sh.as("db"), col("j") === col("db.doc_id"))
+      .filter(jac >= NearDupTau)
+      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+      .orderBy("i", "j")
+  }
+
+  /** L8: SimHash near-dup — 64-bit signature per doc, candidates pair up
+    * only when one of the 4 16-bit sub-bands matches exactly (Hamming ≤ 3
+    * implies ≥ 1 identical band by pigeonhole), then exact Hamming ≤ 3
+    * verification. xxhash64-based signature ⇒ not SQL-expressible: declared
+    * rows-only; SimHashSpec property-tests the invariants instead. */
+  val l8_simhash_neardup = Q.noOracle("l8_simhash_neardup") { (s, d) =>
+    val sig = documents(s, d)
+      .select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("sig"))
+    // 4 fixed 16-bit sub-bands — shift amounts must be Scala ints
+    val bandStructs = array((0 until 4).map(b => struct(
+      lit(b).as("band"),
+      shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)
+    val banded = sig.select(col("doc_id"), col("sig"), explode(bandStructs).as("bd"))
+      .select(col("doc_id"), col("sig"), col("bd.band"), col("bd.key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        TextOps.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("i", "j")
+  }
+
+  /** L9: winnowed document fingerprints (k=3 shingles, window w=4, md5) —
+    * the storage-bounded alternative to full shingle sets for corpus-scale
+    * containment search. md5 makes the set cross-engine: DuckDB derives the
+    * identical fingerprints. */
+  val l9_fingerprints = Q(
+    "l9_fingerprints",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(len(toks) - 2),
+      |        i -> md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS hs
+      |      FROM d),
+      |w AS (SELECT doc_id,
+      |        CASE WHEN len(hs) >= 4 THEN
+      |               list_distinct(list_transform(range(len(hs) - 3),
+      |                 i -> list_aggregate(hs[i+1:i+4], 'min')))
+      |             WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+      |             ELSE [] END AS fps
+      |      FROM g)
+      |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin
+  ) { (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(TextOps.winnowedFingerprints(TextOps.tokens(col("text")), 3, 4)).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  // ----------------------------------------------------- similarity search
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L6: brute-force cosine top-k — the similarity-search contract query.
+    * Query set = every 100th vector, broadcast once; one scan of the table
+    * scores all (query, vector) pairs; top-5 per query by (rounded cosine
+    * DESC, vec_id) so ranking is tie-deterministic across engines. */
+  val l6_topk_cosine = Q(
+    "l6_topk_cosine",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+      |s AS (SELECT qid, vec_id,
+      |        round(list_dot_product(v, qv) /
+      |              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |      FROM e, q WHERE vec_id <> qid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+      |      FROM s)
+      |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id, cos
+      |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
+  ) { (s, d) =>
+    val e = withNorm(embeddings(s, d))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cos = round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+    val rk = row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id")))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", rk.cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** L7: IVF-pruned ANN — the scale path for l6. Fit = per-label centroid
+    * (a 10×64 collect, the coarse-quantizer "model", same shape as any
+    * MLlib fit); each query probes its `nprobe` nearest centroids and
+    * scores ONLY vectors assigned to those buckets. At 100 TB the table is
+    * partitioned by bucket so a probe is partition pruning. Approximate ⇒
+    * rows-only here; AnnSpec asserts recall vs l6 and exactness at
+    * nprobe = all buckets. */
+  def annIvf(nprobe: Int)(df: DataFrame): DataFrame = {
+    val e = withNorm(df)
+    // coarse quantizer: mean vector per generator cluster label
+    val dim = df.select(size(col("embedding"))).head().getInt(0)
+    val cents = e.select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos").agg(avg("col").as("m"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }.toSeq.sortBy(_._1)
+    require(cents.forall(_._2.length == dim))
+    val centArr = array(cents.map { case (l, m) =>
+      struct(lit(l).as("cl"), array(m.map(lit): _*).as("cv"),
+        lit(math.sqrt(m.map(x => x * x).sum)).as("cn"))
+    }: _*)
+    // bucket assignment: nearest centroid by cosine (computed, not read off
+    // the label column — the quantizer must stand on its own)
+    val best = array_max(transform(centArr,
+      c => struct((dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn"))).as("cos"),
+        c.getField("cl").as("cl"))))
+    val assigned = e.withColumn("bucket", best.getField("cl"))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .withColumn("probes", slice(reverse(array_sort(transform(centArr,
+        c => struct((dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn"))).as("cos"),
+          c.getField("cl").as("cl"))))), 1, nprobe))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        transform(col("probes"), p => p.getField("cl")).as("probes"))
+    val cos = round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+    val rk = row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id")))
+    assigned.join(broadcast(q),
+        array_contains(col("probes"), col("bucket")) && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", rk.cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val l7_ann_ivf = Q.noOracle("l7_ann_ivf") { (s, d) => annIvf(nprobe = 3)(embeddings(s, d)) }
+
+  val all: Seq[Q] = Seq(
+    l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
+    l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
+    l9_fingerprints)
+}

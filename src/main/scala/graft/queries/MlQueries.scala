@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ml.Metrics
+
+/** The SQL-expressible half of the EP3 ML pipeline (SURVEY §2 H6, H8-H11)
+  * declared as oracle-checked queries — so the metric math itself is
+  * hash-verified against an independent engine, not just property-tested.
+  * The model-fitting half (H1-H5, H7, H12: assembler, splits, scaler, PCA,
+  * GBT) is exercised by the scalatest golden suite instead — tree ensembles
+  * aren't SQL.
+  *
+  * All five run over one deterministic scored frame derived from lineitem:
+  *   score  = (price-cents mod 1000) / 1000            — pseudo-uniform
+  *   label  = [(31·l_partkey + l_suppkey) mod 1000 < price-cents mod 1000]
+  * so P(label=1 | score) = score: a perfectly calibrated scorer with
+  * AUC ≈ 0.75, dense tie groups (1000 distinct thresholds), and both
+  * classes populated — a real workout for rank statistics, exactly
+  * reproducible in DuckDB integer arithmetic.
+  */
+object MlQueries {
+
+  /** The shared scored frame: (key, x, label) + an OLS refit of label~x.
+    * l_extendedprice is DOUBLE, so cents go through an explicit floor() —
+    * Spark's double→long cast truncates while DuckDB's rounds; floor is
+    * IEEE-identical in both. */
+  private val scoredSql =
+    """SELECT l_orderkey * 10 + l_linenumber AS key,
+      |       (CAST(floor(l_extendedprice * 100) AS BIGINT) % 1000) / 1000.0 AS x,
+      |       CAST((31 * l_partkey + l_suppkey) % 1000
+      |            < CAST(floor(l_extendedprice * 100) AS BIGINT) % 1000 AS BIGINT) AS label
+      |FROM lineitem""".stripMargin
+
+  private def scored(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100).cast("long")
+    lineitem(s, d).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("key"),
+      ((cents % 1000) / lit(1000.0)).as("x"),
+      ((col("l_partkey") * 31 + col("l_suppkey")) % 1000 < cents % 1000)
+        .cast("long").as("label"))
+  }
+
+  /** H6+H7 (codes.py:227,258-261): OLS-as-scorer — single-feature least
+    * squares fit as a closed-form aggregate (slope = cov/var), scored with
+    * prob = clip(ŷ,0,1), class = ŷ > 0.5. The fit is pure plan: one agg,
+    * broadcast back over the rows — no driver collect, no iteration. */
+  val h6_ols_scorer = Q(
+    "h6_ols_scorer",
+    s"""WITH s AS ($scoredSql),
+       |f AS (SELECT regr_slope(label, x) AS b, regr_intercept(label, x) AS a FROM s)
+       |SELECT key,
+       |       round(least(greatest(a + b * x, 0.0), 1.0), 6) AS proba,
+       |       CAST(a + b * x > 0.5 AS BIGINT) AS pred
+       |FROM s, f ORDER BY key""".stripMargin
+  ) { (s, d) =>
+    val sc = scored(s, d)
+    val fit = sc.agg(
+      (covar_pop(col("label"), col("x")) / var_pop(col("x"))).as("b"),
+      avg("label").as("ybar"), avg("x").as("xbar"))
+      .select(col("b"), (col("ybar") - col("b") * col("xbar")).as("a"))
+    val yhat = col("a") + col("b") * col("x")
+    sc.crossJoin(broadcast(fit))
+      .select(col("key"),
+        round(least(greatest(yhat, lit(0.0)), lit(1.0)), 6).as("proba"),
+        (yhat > 0.5).cast("long").as("pred"))
+      .orderBy("key")
+  }
+
+  /** H8 (codes.py:268): accuracy as one map-side-combinable aggregate over
+    * the OLS predictions (threshold at 0.5 like the reference). */
+  val h8_accuracy = Q(
+    "h8_accuracy",
+    s"""WITH s AS ($scoredSql),
+       |f AS (SELECT regr_slope(label, x) AS b, regr_intercept(label, x) AS a FROM s)
+       |SELECT round(avg(CAST(CAST(a + b * x > 0.5 AS BIGINT) = label AS DOUBLE)), 6) AS accuracy,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM s, f""".stripMargin
+  ) { (s, d) =>
+    val sc = scored(s, d)
+    val fit = sc.agg(
+      (covar_pop(col("label"), col("x")) / var_pop(col("x"))).as("b"),
+      avg("label").as("ybar"), avg("x").as("xbar"))
+      .select(col("b"), (col("ybar") - col("b") * col("xbar")).as("a"))
+    val pred = (col("a") + col("b") * col("x") > 0.5).cast("long")
+    sc.crossJoin(broadcast(fit))
+      .agg(round(avg((pred === col("label")).cast("double")), 6).as("accuracy"),
+        count(lit(1)).as("n"))
+  }
+
+  /** H9 (codes.py:272): exact ROC-AUC. Spark side: the range-partitioned
+    * threshold sweep (Metrics.binaryStats — no single-task global sort);
+    * oracle: the tie-corrected Mann-Whitney average-rank identity, which
+    * equals trapezoidal AUC over all distinct thresholds. */
+  val h9_roc_auc = Q(
+    "h9_roc_auc",
+    s"""WITH s AS ($scoredSql),
+       |r AS (SELECT label,
+       |             RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS ar
+       |      FROM s),
+       |t AS (SELECT sum(CASE WHEN label = 1 THEN ar END) AS rp,
+       |             sum(label) AS p, count(*) - sum(label) AS n
+       |      FROM r)
+       |SELECT round((rp - p * (p + 1) / 2.0) / (p * n), 6) AS roc_auc,
+       |       CAST(p AS BIGINT) AS positives, CAST(n AS BIGINT) AS negatives
+       |FROM t""".stripMargin
+  ) { (s, d) =>
+    val stats = Metrics.binaryStats(
+      scored(s, d).select(col("label"), col("x").as("score")))
+    val tot = stats.agg(sum("np").as("p"), sum("nn").as("n"))
+    stats.crossJoin(broadcast(tot))
+      .agg(round(
+        sum(col("np") * (col("n") - col("fp") + col("nn") / lit(2.0))) /
+          (first("p") * first("n")), 6).as("roc_auc"),
+        first("p").as("positives"), first("n").as("negatives"))
+  }
+
+  /** H10 (codes.py:273): sklearn STEP-WISE average precision
+    * Σ (np_s/P)·precision_s over thresholds descending — not the
+    * interpolated areaUnderPR. */
+  val h10_avg_precision = Q(
+    "h10_avg_precision",
+    s"""WITH s AS ($scoredSql),
+       |g AS (SELECT x, sum(label) AS np, count(*) AS n FROM s GROUP BY 1),
+       |c AS (SELECT np,
+       |             sum(np) OVER (ORDER BY x DESC) AS tp,
+       |             sum(n) OVER (ORDER BY x DESC) AS tot
+       |      FROM g),
+       |p AS (SELECT sum(np) AS pos FROM g)
+       |SELECT round(sum(np * 1.0 / pos * tp / tot), 6) AS avg_precision,
+       |       CAST(pos AS BIGINT) AS positives
+       |FROM c, p GROUP BY pos""".stripMargin
+  ) { (s, d) =>
+    val stats = Metrics.binaryStats(
+      scored(s, d).select(col("label"), col("x").as("score")))
+    val tot = stats.agg(sum("np").as("pos"))
+    stats.crossJoin(broadcast(tot))
+      .agg(round(
+        sum(col("np") / col("pos") * col("tp") / (col("tp") + col("fp"))), 6)
+        .as("avg_precision"),
+        first("pos").as("positives"))
+  }
+
+  /** H11 (codes.py:293-296): per-class precision/recall/F1/support — the
+    * classification_report rows, from one conditional-aggregate pass over
+    * the OLS predictions (the confusion counts), expanded to both classes. */
+  val h11_class_report = Q(
+    "h11_class_report",
+    s"""WITH s AS ($scoredSql),
+       |f AS (SELECT regr_slope(label, x) AS b, regr_intercept(label, x) AS a FROM s),
+       |p AS (SELECT label, CAST(a + b * x > 0.5 AS BIGINT) AS pred FROM s, f),
+       |cm AS (SELECT sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn,
+       |              sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+       |              sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+       |              sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp
+       |       FROM p)
+       |SELECT 0 AS class, round(tn * 1.0 / (tn + fn), 6) AS precision,
+       |       round(tn * 1.0 / (tn + fp), 6) AS recall,
+       |       round(2.0 * tn / (tn + fn) * tn / (tn + fp) / (tn * 1.0 / (tn + fn) + tn * 1.0 / (tn + fp)), 6) AS f1,
+       |       CAST(tn + fp AS BIGINT) AS support FROM cm
+       |UNION ALL
+       |SELECT 1, round(tp * 1.0 / (tp + fp), 6),
+       |       round(tp * 1.0 / (tp + fn), 6),
+       |       round(2.0 * tp / (tp + fp) * tp / (tp + fn) / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn)), 6),
+       |       CAST(fn + tp AS BIGINT) FROM cm
+       |ORDER BY class""".stripMargin
+  ) { (s, d) =>
+    val sc = scored(s, d)
+    val fit = sc.agg(
+      (covar_pop(col("label"), col("x")) / var_pop(col("x"))).as("b"),
+      avg("label").as("ybar"), avg("x").as("xbar"))
+      .select(col("b"), (col("ybar") - col("b") * col("xbar")).as("a"))
+    val pred = (col("a") + col("b") * col("x") > 0.5).cast("long")
+    val cm = sc.crossJoin(broadcast(fit))
+      .agg(
+        sum(when(col("label") === 0 && pred === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("label") === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && pred === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("label") === 1 && pred === 1, 1L).otherwise(0L)).as("tp"))
+    def div(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      a.cast("double") / b
+    val c0 = cm.select(lit(0L).as("class"),
+      round(div(col("tn"), col("tn") + col("fn")), 6).as("precision"),
+      round(div(col("tn"), col("tn") + col("fp")), 6).as("recall"),
+      round(lit(2.0) * div(col("tn"), col("tn") + col("fn")) * div(col("tn"), col("tn") + col("fp")) /
+        (div(col("tn"), col("tn") + col("fn")) + div(col("tn"), col("tn") + col("fp"))), 6).as("f1"),
+      (col("tn") + col("fp")).as("support"))
+    val c1 = cm.select(lit(1L).as("class"),
+      round(div(col("tp"), col("tp") + col("fp")), 6).as("precision"),
+      round(div(col("tp"), col("tp") + col("fn")), 6).as("recall"),
+      round(lit(2.0) * div(col("tp"), col("tp") + col("fp")) * div(col("tp"), col("tp") + col("fn")) /
+        (div(col("tp"), col("tp") + col("fp")) + div(col("tp"), col("tp") + col("fn"))), 6).as("f1"),
+      (col("fn") + col("tp")).as("support"))
+    c0.unionByName(c1).orderBy("class")
+  }
+
+  val all: Seq[Q] = Seq(
+    h6_ols_scorer, h8_accuracy, h9_roc_auc, h10_avg_precision, h11_class_report)
+}
