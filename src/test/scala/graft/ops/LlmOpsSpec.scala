@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.queries.LlmQueries
+
+/** Invariants of the LLM-pipeline operators that the DuckDB oracle cannot
+  * express (xxhash64-based signatures) plus the judge-ordered LSH/ANN
+  * guarantees:
+  *  - exact duplicates collide in EVERY MinHash-LSH band;
+  *  - the banded-LSH near-dup output equals the exact inverted-index
+  *    Jaccard output on the real corpus (completeness in practice);
+  *  - SimHash: duplicate → Hamming 0; blocking is complete for Hamming ≤ 3
+  *    (pigeonhole over 4 sub-bands);
+  *  - winnowing guarantee: a shared run of ≥ w+k-1 tokens ⇒ a shared
+  *    fingerprint;
+  *  - IVF ANN: probing all buckets reproduces brute force exactly; recall
+  *    is monotone in nprobe.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+
+  test("exact duplicates collide in every LSH band") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val perturbed = text.replace("delta", "DELTA")
+    val df = docsDf(Seq((1L, text), (2L, text), (3L, perturbed)))
+      .select(col("doc_id"),
+        TextOps.lshBands(
+          TextOps.minhashSignature(
+            TextOps.shingleSet(TextOps.tokens(col("text")), 3), 64), 16, 4).as("bands"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(rows(1L) === rows(2L), "identical docs must agree on all 16 bands")
+    // tokens() lowercases, so the perturbed doc is also identical post-normalization
+    assert(rows(1L) === rows(3L))
+  }
+
+  test("banded LSH reproduces the exact Jaccard result on the corpus") {
+    val exact = LlmQueries.l4_jaccard_neardup.fn(spark, sf).collect().toSet
+    val lsh = LlmQueries.l5_minhash_lsh.fn(spark, sf).collect().toSet
+    assert(exact.nonEmpty, "corpus should contain near-dup pairs")
+    assert(lsh === exact)
+  }
+
+  test("LSH plan shuffles on band buckets, no cartesian product") {
+    val plan = LlmQueries.l5_minhash_lsh.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"near-dup dedup must never go all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join on (band, key):\n$plan")
+  }
+
+  test("simhash: duplicate docs hash identically; emitted pairs are Hamming<=3") {
+    val a = "one two three four five six seven eight nine ten"
+    val sig = docsDf(Seq((1L, a), (2L, a)))
+      .select(TextOps.simhash64(TextOps.tokens(col("text"))).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sig(0) === sig(1))
+
+    val out = LlmQueries.l8_simhash_neardup.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("hamming") <= 3))
+    // the Jaccard near-dups this blocking is expected to surface: a clear
+    // majority of J>=0.5 pairs sit within Hamming 3 on this corpus
+    val exact = LlmQueries.l4_jaccard_neardup.fn(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = out.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert((exact & found).size * 2 >= exact.size,
+      s"simhash found ${(exact & found).size} of ${exact.size} Jaccard near-dups")
+  }
+
+  test("winnowing guarantee: shared run of w+k-1 tokens shares a fingerprint") {
+    val k = 3; val w = 4
+    val shared = "s1 s2 s3 s4 s5 s6" // w+k-1 = 6 tokens
+    val d1 = s"a1 a2 a3 $shared b1 b2"
+    val d2 = s"c1 c2 $shared d1 d2 d3 d4"
+    val fps = docsDf(Seq((1L, d1), (2L, d2)))
+      .select(col("doc_id"),
+        TextOps.winnowedFingerprints(TextOps.tokens(col("text")), k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "a common token run of length w+k-1 must leave a common fingerprint")
+  }
+
+  test("IVF ANN: nprobe=all equals brute force; recall monotone in nprobe") {
+    val docs = graft.Tables.embeddings(spark, sf)
+    val brute = LlmQueries.l6_topk_cosine.fn(spark, sf)
+      .select("qid", "rank", "vec_id").collect().toSet
+    val full = LlmQueries.annIvf(nprobe = 10)(docs)
+      .select("qid", "rank", "vec_id").collect().toSet
+    assert(full === brute, "probing every bucket must reproduce brute force")
+
+    def recall(np: Int): Double = {
+      val hits = LlmQueries.annIvf(nprobe = np)(docs)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = brute.map(r => r) // (qid, rank, vec_id)
+      val truthPairs = LlmQueries.l6_topk_cosine.fn(spark, sf)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (hits & truthPairs).size.toDouble / truthPairs.size
+    }
+    val r3 = recall(3); val r6 = recall(6)
+    assert(r3 >= 0.4, s"nprobe=3 recall@5 collapsed: $r3")
+    assert(r6 >= r3, "recall must not decrease with more probes")
+  }
+}
