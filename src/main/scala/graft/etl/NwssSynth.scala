@@ -106,7 +106,7 @@ object NwssSynth {
     // correlates collection_dayofweek with the population factor, like the
     // operational reality that big utilities run fixed composite schedules
     val weekIdxL = pmod(xxhash64(base, lit(cfg.seed), lit("week")), lit((cfg.days / 7).toLong))
-    val dowBase = least(lit(5.0), greatest(lit(0.0), floor((logPop - 7.5) * 0.75)))
+    val dowBase = least(lit(5.0), greatest(lit(0.0), floor((logPop - 7.5) * 1.25)))
     val dow = dowBase.cast(LongType) + pmod(xxhash64(base, lit(cfg.seed), lit("dowj")), lit(2L))
     val dayIdx = weekIdxL * 7 + dow
     // 2022-01-03 is a Monday, so weekday(date) == dow (Mon=0)

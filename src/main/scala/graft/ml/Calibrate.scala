@@ -23,7 +23,8 @@ object Calibrate {
     ("LinearRegression", "pca") -> (0.775641, 0.832114, 0.804359))
 
   def main(args: Array[String]): Unit = {
-    val a = args.map(_.toDouble).lift
+    // arg 14 is a comma-list of seeds, so parse doubles lazily per index
+    val a = (i: Int) => args.lift(i).map(_.toDouble)
     val cfg = NwssSynth.Config(
       rows = a(0).map(_.toLong).getOrElse(60000L),
       noise = a(1).getOrElse(NwssSynth.Config().noise),
@@ -56,39 +57,47 @@ object Calibrate {
     println(s"[cal] cfg=$cfg")
     println(s"[cal] model rows = ${m.count()}")
 
-    val splitSeed = a(14).map(_.toLong).getOrElse(42L)
-    val (train, test) = Train.hashSplit(m, col("sample_id"), seed = splitSeed)
-    println(s"[cal] splitSeed = $splitSeed")
-    val balance = test.groupBy(Train.LabelCol).count().collect()
-      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
-    val posRate = balance.getOrElse(1.0, 0L).toDouble / balance.values.sum
-    println(f"[cal] test rows = ${balance.values.sum}, pos rate = $posRate%.4f (golden 0.4201)")
+    val splitSeeds = args.lift(14).map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq(42L))
+    splitSeeds.foreach { splitSeed =>
+      val (train, test) = Train.hashSplit(m, col("sample_id"), seed = splitSeed)
+      println(s"[cal] splitSeed = $splitSeed")
+      val balance = test.groupBy(Train.LabelCol).count().collect()
+        .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val posRate = balance.getOrElse(1.0, 0L).toDouble / balance.values.sum
+      println(f"[cal] test rows = ${balance.values.sum}, pos rate = $posRate%.4f (golden 0.4201)")
 
-    val scaler = Train.fitScaler(train)
-    val pcaProbe = Train.pcaByVariance(scaler.transform(train))
-    val cum = pcaProbe.explained.scanLeft(0.0)(_ + _).tail
-    println(s"[cal] PCA k = ${pcaProbe.k} (golden 7); cum = " +
-      cum.map(v => f"$v%.3f").mkString(", "))
-    // which features live in the DROPPED components (they vanish from the
-    // pca scenarios — diagnose pca-vs-raw metric drops)
-    val full = new org.apache.spark.ml.feature.PCA().setK(14)
-      .setInputCol(Train.ScaledCol).setOutputCol("__p").fit(scaler.transform(train))
-    val names = graft.schema.Nwss.features
-    (pcaProbe.k until 14).foreach { c =>
-      val loads = (0 until 14).map(f => names(f) -> full.pc(f, c))
-        .filter(x => math.abs(x._2) > 0.35)
-        .map { case (n, v) => f"$n=$v%+.2f" }.mkString(" ")
-      if (loads.nonEmpty) println(f"[cal] dropped comp ${c + 1} (ev=${pcaProbe.explained(c)}%.3f): $loads")
-    }
+      val scaler = Train.fitScaler(train)
+      val pcaProbe = Train.pcaByVariance(scaler.transform(train))
+      val cum = pcaProbe.explained.scanLeft(0.0)(_ + _).tail
+      println(s"[cal] PCA k = ${pcaProbe.k} (golden 7); cum = " +
+        cum.map(v => f"$v%.3f").mkString(", "))
+      // which features live in the DROPPED components (they vanish from the
+      // pca scenarios — diagnose pca-vs-raw metric drops)
+      val full = new org.apache.spark.ml.feature.PCA().setK(14)
+        .setInputCol(Train.ScaledCol).setOutputCol("__p").fit(scaler.transform(train))
+      val names = graft.schema.Nwss.features
+      (pcaProbe.k until 14).foreach { c =>
+        val loads = (0 until 14).map(f => names(f) -> full.pc(f, c))
+          .filter(x => math.abs(x._2) > 0.35)
+          .map { case (n, v) => f"$n=$v%+.2f" }.mkString(" ")
+        if (loads.nonEmpty) println(f"[cal] dropped comp ${c + 1} (ev=${pcaProbe.explained(c)}%.3f): $loads")
+      }
 
-    val (table, olsScored) = Train.runScenarios(train, test)
-    val cm = Metrics.confusion(olsScored)
-    println(s"[cal] OLS confusion [[TN,FP],[FN,TP]] = ${cm.map(_.mkString(",")).mkString("[[", "],[", "]]")}" +
-      " (golden [[21215,3417],[6107,11742]] of 42481 → scaled recall0=.861 recall1=.658)")
-    table.foreach { s =>
-      val (ga, gauc, gap) = golden((s.model, s.dataset))
-      println(f"[cal] ${s.model}%-17s ${s.dataset}%-4s acc=${s.accuracy}%.4f (Δ${s.accuracy - ga}%+.4f)  " +
-        f"auc=${s.rocAuc}%.4f (Δ${s.rocAuc - gauc}%+.4f)  ap=${s.averagePrecision}%.4f (Δ${s.averagePrecision - gap}%+.4f)")
+      val (table, olsScored) = Train.runScenarios(train, test)
+      val cm = Metrics.confusion(olsScored)
+      println(s"[cal] OLS confusion [[TN,FP],[FN,TP]] = ${cm.map(_.mkString(",")).mkString("[[", "],[", "]]")}" +
+        " (golden [[21215,3417],[6107,11742]] of 42481 → scaled recall0=.861 recall1=.658)")
+      var worst = 0.0
+      table.foreach { s =>
+        val (ga, gauc, gap) = golden((s.model, s.dataset))
+        val tol = if (s.model == "LinearRegression") 0.01 else 0.03
+        Seq(s.accuracy - ga, s.rocAuc - gauc, s.averagePrecision - gap)
+          .foreach(d => worst = math.max(worst, math.abs(d) - tol))
+        println(f"[cal] ${s.model}%-17s ${s.dataset}%-4s acc=${s.accuracy}%.4f (Δ${s.accuracy - ga}%+.4f)  " +
+          f"auc=${s.rocAuc}%.4f (Δ${s.rocAuc - gauc}%+.4f)  ap=${s.averagePrecision}%.4f (Δ${s.averagePrecision - gap}%+.4f)")
+      }
+      println(f"[cal] seed $splitSeed worst-over-tolerance = $worst%.4f" +
+        (if (worst == 0.0) "  *** ALL 12 IN TOLERANCE ***" else ""))
     }
     println(f"[cal] wall = ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Structured-Streaming forms of the engine's aggregations (SURVEY §7.4).
+  *
+  * Each op is written against a plain DataFrame so the SAME function body
+  * serves batch and streaming: pass a `spark.read` frame and it is the
+  * batch d5 aggregation; pass a `spark.readStream` frame and Spark runs it
+  * incrementally with watermark-bounded state. That symmetry is the point —
+  * the declared batch queries (d5_weekly_window) and these streaming forms
+  * share one window spec, so CORRECTNESS on the batch side pins the
+  * semantics the stream computes.
+  *
+  * Scale notes: watermarking bounds state to (watermark / slide) windows
+  * per key; the weekly agg keeps ~2 windows of partial aggregates per
+  * group, and dedup state holds only event_ids younger than the watermark.
+  * Both are the standard shuffle-on-group-key exchanges — no extra state.
+  */
+object StreamingOps {
+
+  /** Tumbling Mon..Sun weekly average of `value` (the d5 semantics:
+    * startTime "4 days" realigns the Thursday epoch to Monday; label =
+    * window end − 1 day = the Sunday). Late rows older than `watermark`
+    * are dropped instead of growing state forever. */
+  def weeklyAvg(events: DataFrame, watermark: String = "14 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"))
+      .agg(round(avg("value"), 4).as("avg_value"), count(lit(1)).as("n"))
+      .select(
+        date_format(date_add(col("w.end").cast(DateType), -1), "yyyy-MM-dd").as("week_ending"),
+        col("avg_value"), col("n"))
+
+  /** Streaming exact dedup by event_id: keeps the FIRST arrival of each id,
+    * with state truncated below the event-time watermark (an id older than
+    * the watermark can no longer collide, so its state is dropped). */
+  def dedupByEventId(events: DataFrame, watermark: String = "14 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+}
