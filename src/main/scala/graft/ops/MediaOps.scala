@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Multimodal-column plumbing (SURVEY §2 L3 note): media travels as an
+  * opaque BINARY payload plus a typed metadata struct; decode / feature
+  * extraction runs per PARTITION through the typed Dataset API so a real
+  * decoder (libjpeg/ffmpeg/soundfile) initializes once per task and streams
+  * rows through — the per-partition-batch shape a native library needs.
+  * That plumbing (encoders, schema, batch iteration, partition reuse) is
+  * real and tested; only the codec call itself is stubbed.
+  *
+  * ==== STUB BOUNDARY ====
+  * The container ships no media codecs, so `decodeHeader`/`sampleFrames`
+  * below are DETERMINISTIC FAKES operating on the raw bytes (documented
+  * byte arithmetic, reproducible in the DuckDB oracle). A production build
+  * replaces ONLY these two functions with real codec calls; everything
+  * around them — the case classes, the mapPartitions shape, the declared
+  * query — stays as-is.
+  */
+object MediaOps {
+
+  final case class MediaMeta(lang: String, source: String, n_chars: Long)
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      doc_id: Long,
+      width: Int, height: Int, channels: Int,
+      mean_byte: Double, n_frames: Int,
+      lang: String)
+
+  /** STUB decode: "parse" an image header from the first payload bytes.
+    * Fake, but fixed and documented: width = 64 + b₀ mod 192, height =
+    * 64 + b₁ mod 192, channels = 1 + b₂ mod 4; mean_byte = exact mean of
+    * all payload bytes (the luminance stand-in). */
+  private[ops] def decodeHeader(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    require(payload.length >= 3, "payload too short for header")
+    def b(i: Int): Int = payload(i) & 0xFF
+    val mean = payload.foldLeft(0L)((a, x) => a + (x & 0xFF)).toDouble / payload.length
+    (64 + b(0) % 192, 64 + b(1) % 192, 1 + b(2) % 4, mean)
+  }
+
+  /** STUB frame sampling: the payload divides into fixed 256-byte "frames";
+    * a real sampler would decode every k-th video frame the same way. */
+  private[ops] def sampleFrames(payload: Array[Byte]): Int =
+    (payload.length + 255) / 256
+
+  /** The decode operator: one decoder "session" per partition, rows
+    * streamed through it. Input columns: (doc_id, payload, meta). */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaRecord] = media.as[MediaRecord]
+    ds.mapPartitions { rows =>
+      // real codecs initialize HERE, once per task, and close on exhaustion
+      rows.map { r =>
+        val (w, h, c, mean) = decodeHeader(r.payload)
+        MediaFeatures(r.doc_id, w, h, c,
+          math.rint(mean * 1e6) / 1e6, // round(6): cross-engine hashable
+          sampleFrames(r.payload), r.meta.lang)
+      }
+    }.toDF()
+  }
+}

@@ -354,8 +354,37 @@ object LlmQueries {
 
   val l7_ann_ivf = Q.noOracle("l7_ann_ivf") { (s, d) => annIvf(nprobe = 3)(embeddings(s, d)) }
 
+  // ------------------------------------------------------ multimodal decode
+
+  /** L10: the multimodal decode path (ops/MediaOps) declared end-to-end:
+    * binary payload + metadata struct → per-partition "decoder" →
+    * per-item features. The decode itself is a documented deterministic
+    * stub (no codecs in the container — see MediaOps' STUB BOUNDARY), which
+    * is exactly what makes the full mapPartitions plumbing oracle-checkable:
+    * the corpus is pure ASCII, so DuckDB reproduces the byte arithmetic
+    * with ascii(substr(..)). */
+  val l10_media_decode = Q(
+    "l10_media_decode",
+    """WITH d AS (SELECT doc_id, text, lang FROM documents)
+      |SELECT doc_id,
+      |       CAST(64 + ascii(substr(text, 1, 1)) % 192 AS BIGINT) AS width,
+      |       CAST(64 + ascii(substr(text, 2, 1)) % 192 AS BIGINT) AS height,
+      |       CAST(1 + ascii(substr(text, 3, 1)) % 4 AS BIGINT) AS channels,
+      |       round(list_aggregate(list_transform(range(length(text)),
+      |               i -> ascii(substr(text, i + 1, 1))), 'avg'), 6) AS mean_byte,
+      |       CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
+      |       lang
+      |FROM d ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val media = documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+    graft.ops.MediaOps.decodeFeatures(media).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
-    l9_fingerprints)
+    l9_fingerprints, l10_media_decode)
 }
