@@ -30,7 +30,16 @@ object Metrics {
 
   /** Per-distinct-score cumulative confusion counts, score DESCENDING:
     * (s, np, nn, tp, fp) — np/nn = positives/negatives AT s, tp/fp =
-    * positives/negatives with score ≥ s. */
+    * positives/negatives with score ≥ s.
+    *
+    * Buckets are FIXED-WIDTH over [min,max] — a deterministic function of
+    * the score value — never `repartitionByRange`: range partitioning
+    * SAMPLES its boundaries, and the lazy frame re-executes between the
+    * offsets collect and the windowed pass, so sampled boundaries can
+    * disagree between the two executions and silently corrupt every
+    * cumulative count downstream (observed as run-to-run AUC swings of
+    * ±0.01 on identical inputs). Fixed-width buckets over distinct scores
+    * also can't skew: the bucketed frame has one row per distinct value. */
   def binaryStats(scored: DataFrame): DataFrame = {
     val spark = scored.sparkSession
     val g = scored
@@ -39,15 +48,24 @@ object Metrics {
         count(lit(1)).as("n"))
       .withColumn("nn", col("n") - col("np"))
     val p = math.max(spark.sparkContext.defaultParallelism, 2)
-    val parts = g.repartitionByRange(p, col("s").desc).withColumn("pid", spark_partition_id())
 
-    // tiny collect: per-partition totals → exclusive prefix offsets
+    // two tiny collects (1 row + ≤p rows): value range, then per-bucket
+    // totals → exclusive prefix offsets. Bucket 0 holds the HIGHEST scores.
+    val mmRow = g.agg(min("s"), max("s")).head()
+    if (mmRow.isNullAt(0))
+      return g.select(col("s"), col("np"), col("nn"),
+        col("np").as("tp"), col("nn").as("fp")) // empty input: empty stats
+    val (lo, hi) = (mmRow.getDouble(0), mmRow.getDouble(1))
+    val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+    val pidCol = least(floor((lit(hi) - col("s")) / span * p), lit(p - 1)).cast("int")
+    val parts = g.withColumn("pid", pidCol).repartition(col("pid"))
+
     val totals = parts.groupBy("pid")
       .agg(sum("np").as("tnp"), sum("nn").as("tnn"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L, 0L)) { case ((_, anp, ann), (pid, tnp, tnn)) =>
-      (pid + 1, anp + tnp, ann + tnn)
+    val offsets = totals.scanLeft((0, 0L, 0L)) { case ((_, anp, ann), (_, tnp, tnn)) =>
+      (0, anp + tnp, ann + tnn)
     }.init.zip(totals).map { case ((_, onp, onn), (pid, _, _)) => Row(pid, onp, onn) }
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsets.toSeq, 1),

@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   * tiebreak column, same contract as the plain-window form, SURVEY §4.3-1)
   * and the same SortOrder must be used for ranges and windows — pass
   * `.asc_nulls_last` etc. explicitly if nulls are present.
+  *
+  * INVARIANT: every consumer of `base` below stays inside ONE action, so
+  * Catalyst's ReuseExchange executes the range shuffle once and every
+  * branch sees the same sampled boundaries / split ids. Never collect an
+  * intermediate of this frame in a separate action and join it back —
+  * range boundaries are SAMPLED per execution and can differ between
+  * executions (that exact bug corrupted Metrics.binaryStats' cumulative
+  * counts; it uses deterministic fixed-width buckets now).
   */
 object ScalableLag {
 

@@ -4,16 +4,19 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** One SparkSession shared by every suite in the forked test JVM.
-  * local[4] + 4 shuffle partitions keeps per-job overhead low for the many
-  * tiny jobs property tests fire; UTC + ANSI-off mirrors the production
-  * session settings (Tables.prep) so semantics under test are identical.
+  * Every assertion in the suite is partitioning-proof (hash-derived data,
+  * set comparisons, total orders), so the core count only affects wall
+  * time: use the machine (the GoldenSpec trains GBTs on a 60k-row fixture)
+  * while keeping shuffle partitions low for the many tiny property-test
+  * jobs; UTC + ANSI-off mirrors the production session settings
+  * (Tables.prep) so semantics under test are identical.
   */
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
