@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text primitives for the LLM-data-pipeline operators (SURVEY §7.4):
@@ -39,13 +40,31 @@ object TextOps {
   /** The distinct shingle SET (Jaccard / MinHash operate on sets). */
   def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
 
-  /** k-permutation MinHash signature of a shingle set: element s of the
-    * signature is min over shingles of xxhash64(shingle, s) — hashing the
-    * (shingle, seed) tuple gives k independent hash families without any
-    * precomputed coefficients. Null (empty set) hashes to no signature. */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingleSet, sh => xxhash64(sh, s))))
+  /** k-permutation MinHash signatures, ROW-BASED: explode the shingle set,
+    * hash each shingle ONCE into two 64-bit values, and build the k hash
+    * families as Kirsch-Mitzenmacher combinations h1 + i·h2 inside one
+    * map-side-combinable groupBy with k min-aggregates. Returns (idCol,
+    * sig: array<bigint>). Docs with an empty shingle set produce no row —
+    * they have no signature and can never be near-dup candidates.
+    *
+    * Deliberately NOT a nested higher-order expression
+    * (`transform(seq(k), s -> array_min(transform(shingles, hash)))`):
+    * Catalyst re-evaluates the inner lambda chain per outer element, going
+    * O(k · |shingles| · cost(hash of full string)) with no subexpression
+    * reuse — measured 70 s for 5000 short docs. The exploded form hashes
+    * each shingle exactly once and stays in whole-stage codegen. */
+  def minhashSignatures(docs: DataFrame, idCol: String, shingleSetCol: String,
+      k: Int): DataFrame = {
+    val hp = docs
+      .select(col(idCol), explode(col(shingleSetCol)).as("__sh"))
+      .select(col(idCol),
+        xxhash64(col("__sh")).as("__h1"),
+        xxhash64(col("__sh"), lit(0x9E3779B97F4A7C15L)).as("__h2"))
+    val mins = (0 until k).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"__m$i"))
+    hp.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
 
   /** LSH band keys: the signature split into b bands of r rows, each band
     * hashed to one 64-bit key. Two docs collide in band i iff their
@@ -64,38 +83,63 @@ object TextOps {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** 64-bit SimHash over a token array: bit i of the result is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Near-identical docs give
-    * near-identical simhashes (small Hamming distance). Bit tests use a
-    * literal mask array (shift amounts can't be lambda variables). */
-  def simhash64(toks: Column): Column = {
-    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, masks,
-        (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(counts, masks, (c, m) => when(c > 0L, m).otherwise(lit(0L))),
-      lit(0L),
-      (acc, m) => acc.bitwiseOR(m))
+  /** 64-bit SimHashes, ROW-BASED: bit i of a doc's signature is the sign of
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Each token is hashed
+    * ONCE; the 64 bit-sums are plain conditional aggregates in one
+    * groupBy pass; the bits assemble in a final projection. Returns
+    * (idCol, sig: bigint). Same rationale as minhashSignatures: the nested
+    * HOF form re-hashes every token once per bit. */
+  def simhashes(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val h = docs.select(col(idCol), explode(col(toksCol)).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val sums = (0 until 64).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"__b$i"))
+    h.groupBy(idCol).agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"__b$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Winnowed document fingerprints (MOSS-style): md5-hash every ORDERED
-    * k-gram, slide a window of w consecutive hashes, keep each window's
-    * minimum, distinct the survivors. Guarantees any match of length
-    * ≥ w+k-1 tokens shares a fingerprint, at ~1/w the storage of full
-    * shingling. md5 (not xxhash64) so DuckDB derives the identical set. */
-  def winnowedFingerprints(toks: Column, k: Int, w: Int): Column = {
-    val hashes = transform(shingles(toks, k), sh => md5(sh.cast("binary")))
-    array_distinct(
-      when(size(hashes) >= w,
-        transform(sequence(lit(0), size(hashes) - w),
-          i => array_min(slice(hashes, i + 1, lit(w)))))
-        .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-          .otherwise(array().cast("array<string>"))))
+  /** Winnowed document fingerprints (MOSS-style), ROW-BASED: md5-hash every
+    * ORDERED k-gram, slide a window of w consecutive hashes, keep each
+    * window's minimum, distinct the survivors. Guarantees any match of
+    * length ≥ w+k-1 tokens shares a fingerprint, at ~1/w the storage of
+    * full shingling. md5 (not xxhash64) so DuckDB derives the identical
+    * set. Returns distinct (idCol, fp).
+    *
+    * Shingles come from lead() over exploded tokens and the window minima
+    * from a rowsBetween frame — one shuffle on the doc id, everything in
+    * whole-stage codegen. (The nested-HOF form re-evaluated the full
+    * hash-array chain per window: O(windows · shingles · tokens) string
+    * work per doc — measured 300+ s for 5000 short docs.) */
+  def winnowFingerprints(docs: DataFrame, idCol: String, toksCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val byPos = Window.partitionBy(idCol).orderBy("__pos")
+    val toksRows = docs.select(col(idCol), posexplode(col(toksCol)).as(Seq("__pos", "__t")))
+    val gram = concat_ws(" ",
+      (0 until k).map(i => if (i == 0) col("__t") else lead(col("__t"), i).over(byPos)): _*)
+    val shingleRows = toksRows
+      .withColumn("__last", lead(col("__t"), k - 1).over(byPos))
+      .withColumn("__sh", gram)
+      .filter(col("__last").isNotNull) // positions with a full k-gram
+      .select(col(idCol), col("__pos"), md5(col("__sh").cast("binary")).as("__h"))
+    val frame = Window.partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val nSh = Window.partitionBy(idCol)
+    shingleRows
+      .withColumn("__fp", min("__h").over(frame))
+      .withColumn("__rk", row_number().over(byPos))
+      .withColumn("__n", count(lit(1)).over(nSh))
+      // window starts: ranks 1 .. n-w+1 (a short doc keeps its single
+      // clipped window at rank 1 = min over all shingles)
+      .filter(col("__rk") <= greatest(col("__n") - (w - 1), lit(1)))
+      .select(col(idCol), col("__fp").as("fp"))
+      .distinct()
   }
 }

@@ -203,8 +203,9 @@ object LlmQueries {
     * (1-0.89⁴)¹⁶ ≈ 2e-7; the corpus' near-dups all sit at J ≥ 0.89.) */
   val l5_minhash_lsh = Q("l5_minhash_lsh", jaccardOracle) { (s, d) =>
     val sh = shingled(documents(s, d)).cache()
-    val bands = sh.select(col("doc_id"),
-        explode(TextOps.lshBands(TextOps.minhashSignature(col("ss"), 64), 16, 4)).as("bd"))
+    val sigs = TextOps.minhashSignatures(sh, "doc_id", "ss", 64)
+    val bands = sigs.select(col("doc_id"),
+        explode(TextOps.lshBands(col("sig"), 16, 4)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -225,8 +226,9 @@ object LlmQueries {
     * verification. xxhash64-based signature ⇒ not SQL-expressible: declared
     * rows-only; SimHashSpec property-tests the invariants instead. */
   val l8_simhash_neardup = Q.noOracle("l8_simhash_neardup") { (s, d) =>
-    val sig = documents(s, d)
-      .select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("sig"))
+    val sig = TextOps.simhashes(
+      documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      "doc_id", "toks")
     // 4 fixed 16-bit sub-bands — shift amounts must be Scala ints
     val bandStructs = array((0 until 4).map(b => struct(
       lit(b).as("band"),
@@ -262,9 +264,9 @@ object LlmQueries {
       |      FROM g)
       |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin
   ) { (s, d) =>
-    documents(s, d)
-      .select(col("doc_id"),
-        explode(TextOps.winnowedFingerprints(TextOps.tokens(col("text")), 3, 4)).as("fp"))
+    TextOps.winnowFingerprints(
+      documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      "doc_id", "toks", k = 3, w = 4)
       .orderBy("doc_id", "fp")
   }
 
@@ -314,9 +316,11 @@ object LlmQueries {
     * partitioned by bucket so a probe is partition pruning. Approximate ⇒
     * rows-only here; AnnSpec asserts recall vs l6 and exactness at
     * nprobe = all buckets. */
-  def annIvf(nprobe: Int)(df: DataFrame): DataFrame = {
+  /** Fit the coarse quantizer: mean vector per generator cluster label —
+    * a 10×64 collect, the "model", same shape as any MLlib fit. Returns the
+    * centroid literal array (cl, cv, cn). */
+  private def fitQuantizer(df: DataFrame): Column = {
     val e = withNorm(df)
-    // coarse quantizer: mean vector per generator cluster label
     val dim = df.select(size(col("embedding"))).head().getInt(0)
     val cents = e.select(col("label"), posexplode(col("v")))
       .groupBy("label", "pos").agg(avg("col").as("m"))
@@ -325,16 +329,24 @@ object LlmQueries {
         l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
       }.toSeq.sortBy(_._1)
     require(cents.forall(_._2.length == dim))
-    val centArr = array(cents.map { case (l, m) =>
+    array(cents.map { case (l, m) =>
       struct(lit(l).as("cl"), array(m.map(lit): _*).as("cv"),
         lit(math.sqrt(m.map(x => x * x).sum)).as("cn"))
     }: _*)
-    // bucket assignment: nearest centroid by cosine (computed, not read off
-    // the label column — the quantizer must stand on its own)
+  }
+
+  /** Bucket assignment: nearest centroid by cosine (computed, not read off
+    * the label column — the quantizer must stand on its own). */
+  private def ivfAssign(df: DataFrame, centArr: Column): DataFrame = {
     val best = array_max(transform(centArr,
       c => struct((dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn"))).as("cos"),
         c.getField("cl").as("cl"))))
-    val assigned = e.withColumn("bucket", best.getField("cl"))
+    withNorm(df).withColumn("bucket", best.getField("cl"))
+  }
+
+  def annIvf(nprobe: Int)(df: DataFrame): DataFrame = {
+    val centArr = fitQuantizer(df)
+    val assigned = ivfAssign(df, centArr)
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .withColumn("probes", slice(reverse(array_sort(transform(centArr,
         c => struct((dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn"))).as("cos"),
@@ -353,6 +365,37 @@ object LlmQueries {
   }
 
   val l7_ann_ivf = Q.noOracle("l7_ann_ivf") { (s, d) => annIvf(nprobe = 3)(embeddings(s, d)) }
+
+  /** L11: embedding-cosine near-dup dedup — the last of the dedup family.
+    * MULTI-PROBE bucket pruning: every vector indexes into its `nprobe`
+    * nearest coarse-quantizer buckets (replication factor = nprobe, the
+    * standard IVF trick for boundary pairs), pairs are generated only
+    * inside a bucket, deduped, then exact-cosine verified — the vector
+    * analogue of l5's band-bucket shuffle: never an all-pairs cross join;
+    * at scale the bucket is a partition key and each task sees one bucket.
+    * Pruning trades recall for the candidate-set bound; ScaleOpsSpec
+    * measures that recall against the brute-force truth. */
+  def embedNearDup(tau: Double, nprobe: Int = 2)(df: DataFrame): DataFrame = {
+    val centArr = fitQuantizer(df)
+    val ranked = reverse(array_sort(transform(centArr,
+      c => struct((dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn"))).as("cos"),
+        c.getField("cl").as("cl")))))
+    val assigned = withNorm(df)
+      .withColumn("bucket",
+        explode(transform(slice(ranked, 1, nprobe), p => p.getField("cl"))))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+    val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cos.as("cos"))
+      .distinct()
+      .filter(col("cos") >= tau)
+      .orderBy("i", "j")
+  }
+
+  val l11_embed_neardup = Q.noOracle("l11_embed_neardup") { (s, d) =>
+    embedNearDup(tau = 0.4)(embeddings(s, d))
+  }
 
   // ------------------------------------------------------ multimodal decode
 
@@ -386,5 +429,5 @@ object LlmQueries {
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
-    l9_fingerprints, l10_media_decode)
+    l9_fingerprints, l10_media_decode, l11_embed_neardup)
 }

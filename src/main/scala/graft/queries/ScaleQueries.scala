@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scale-mechanics operators: the physical-layout techniques the 100 TB
+  * story rests on, each declared as an oracle-checked query so the
+  * OPTIMIZATION is exercised while the RESULT stays hash-identical to the
+  * plain formulation (bucketing and salting are physical rewrites — if the
+  * answer changes, the rewrite is wrong).
+  */
+object ScaleQueries {
+
+  /** A6: bucketed co-located join — both sides written bucketed+sorted by
+    * the join key (8 buckets) into the session catalog, then joined: the
+    * sort-merge join reads bucket i against bucket i with NO shuffle
+    * exchange and no sort (ScaleOpsSpec pins the plan shape). On a real
+    * cluster this is the pre-partitioned fact/dim layout that amortizes one
+    * write-time shuffle across every subsequent join. The result is the
+    * plain join's, verified against DuckDB on the raw parquet. */
+  val a6_bucketed_join = Q(
+    "a6_bucketed_join",
+    """SELECT o_orderkey,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val wh = s"$base/graft_bucketed_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+    s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    lineitem(s, d).select("l_orderkey", "l_quantity")
+      .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li").saveAsTable("graft_li_bucketed")
+    orders(s, d).select("o_orderkey", "o_orderstatus")
+      .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord").saveAsTable("graft_ord_bucketed")
+    s.table("graft_ord_bucketed").filter(col("o_orderstatus") === "F")
+      .join(s.table("graft_li_bucketed"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  private val SaltBuckets = 16
+
+  /** F4: salted skew join — 90% of fact rows share ONE foreign key, the
+    * classic hot-key shuffle killer. The fact side salts the key with
+    * pmod(xxhash64(unique col), 16); the dim side replicates each row into
+    * all 16 salt buckets; the join key becomes (key, salt) so the hot key
+    * spreads over 16 tasks instead of one. `hint("merge")` forces the
+    * shuffle join the demo is about (a 25-row dim would otherwise
+    * broadcast — when the dim is broadcastable, broadcasting IS the right
+    * fix; salting is for dims too big to broadcast). Result ≡ plain join. */
+  val f4_salted_join = Q(
+    "f4_salted_join",
+    """WITH fact AS (SELECT l_orderkey, l_linenumber,
+      |         CASE WHEN l_orderkey % 10 <> 0 THEN 0 ELSE l_orderkey % 25 END AS nk
+      |       FROM lineitem)
+      |SELECT f.l_orderkey, CAST(f.l_linenumber AS BIGINT) AS l_linenumber, n.n_name
+      |FROM fact f JOIN nation n ON f.nk = n.n_nationkey
+      |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val fact = lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 10 =!= 0, 0L).otherwise(col("l_orderkey") % 25).as("nk"),
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(SaltBuckets)).as("salt"))
+    val dim = nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(SaltBuckets - 1L))))
+    fact.join(dim.hint("merge"),
+        col("nk") === col("n_nationkey") && fact("salt") === dim("salt"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("n_name"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Q] = Seq(a6_bucketed_join, f4_salted_join)
+}

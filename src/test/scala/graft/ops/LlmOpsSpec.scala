@@ -30,11 +30,11 @@ class LlmOpsSpec extends AnyFunSuite {
   test("exact duplicates collide in every LSH band") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val perturbed = text.replace("delta", "DELTA")
-    val df = docsDf(Seq((1L, text), (2L, text), (3L, perturbed)))
-      .select(col("doc_id"),
-        TextOps.lshBands(
-          TextOps.minhashSignature(
-            TextOps.shingleSet(TextOps.tokens(col("text")), 3), 64), 16, 4).as("bands"))
+    val sigs = TextOps.minhashSignatures(
+      docsDf(Seq((1L, text), (2L, text), (3L, perturbed)))
+        .select(col("doc_id"), TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("ss")),
+      "doc_id", "ss", 64)
+    val df = sigs.select(col("doc_id"), TextOps.lshBands(col("sig"), 16, 4).as("bands"))
     val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
     assert(rows(1L) === rows(2L), "identical docs must agree on all 16 bands")
     // tokens() lowercases, so the perturbed doc is also identical post-normalization
@@ -59,9 +59,11 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("simhash: duplicate docs hash identically; emitted pairs are Hamming<=3") {
     val a = "one two three four five six seven eight nine ten"
-    val sig = docsDf(Seq((1L, a), (2L, a)))
-      .select(TextOps.simhash64(TextOps.tokens(col("text"))).as("s"))
-      .collect().map(_.getLong(0))
+    val sig = TextOps.simhashes(
+      docsDf(Seq((1L, a), (2L, a)))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      "doc_id", "toks")
+      .collect().map(_.getLong(1))
     assert(sig(0) === sig(1))
 
     val out = LlmQueries.l8_simhash_neardup.fn(spark, sf).collect()
@@ -81,10 +83,12 @@ class LlmOpsSpec extends AnyFunSuite {
     val shared = "s1 s2 s3 s4 s5 s6" // w+k-1 = 6 tokens
     val d1 = s"a1 a2 a3 $shared b1 b2"
     val d2 = s"c1 c2 $shared d1 d2 d3 d4"
-    val fps = docsDf(Seq((1L, d1), (2L, d2)))
-      .select(col("doc_id"),
-        TextOps.winnowedFingerprints(TextOps.tokens(col("text")), k, w).as("fp"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val fps = TextOps.winnowFingerprints(
+        docsDf(Seq((1L, d1), (2L, d2)))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+        "doc_id", "toks", k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
     assert((fps(1L) & fps(2L)).nonEmpty,
       "a common token run of length w+k-1 must leave a common fingerprint")
   }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.queries.{LlmQueries, ScaleQueries}
+
+/** Plan-shape guarantees for the scale-mechanics operators: the whole point
+  * of a6/f4 is WHERE the work happens, not just the (oracle-checked)
+  * answer. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed join runs with no shuffle exchange before the join") {
+    val df = ScaleQueries.a6_bucketed_join.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the claim: ZERO hash exchanges — the join consumes bucket i against
+    // bucket i (or broadcasts a tiny side, as AQE chose here) and even the
+    // per-key aggregate is satisfied by the bucketed scan's partitioning;
+    // the only exchange left is the verification ORDER BY's range partition
+    assert(plan.contains("Bucketed: true"), s"scans must be bucketed:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed layout must eliminate the join/agg hash exchanges:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("salted join spreads the hot key and matches the plain join") {
+    val salted = ScaleQueries.f4_salted_join.fn(spark, sf)
+    // the same rows, computed the naive way
+    import org.apache.spark.sql.functions._
+    val fact = graft.Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 10 =!= 0, 0L).otherwise(col("l_orderkey") % 25).as("nk"))
+    val plain = fact.join(graft.Tables.nation(spark, sf),
+        col("nk") === col("n_nationkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("n_name"))
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain.selectExpr("l_orderkey",
+      "CAST(l_linenumber AS BIGINT) AS l_linenumber", "n_name")).isEmpty)
+    // the join really is on (key, salt): both sides carry the salt column
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge hint must hold:\n$plan")
+  }
+
+  test("bucket-pruned embedding near-dup: perfect precision, measured recall") {
+    import org.apache.spark.sql.functions._
+    val tau = 0.3 // low enough that cross-bucket pairs exist at sf0.001
+    val pruned = LlmQueries.embedNearDup(tau)(graft.Tables.embeddings(spark, sf))
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth (test-only; the operator itself must never do this)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val nrm = (c: String) => sqrt(aggregate(col(c), lit(0.0), (a, x) => a + x * x))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (dot / (nrm("a.v") * nrm("b.v"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "threshold too high for this corpus")
+    assert((pruned -- brute).isEmpty, "pruned output must be a subset of the truth")
+    val recall = (pruned & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"bucket pruning recall collapsed: $recall")
+  }
+}
