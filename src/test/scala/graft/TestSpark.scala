@@ -16,7 +16,9 @@ object TestSpark {
     val s = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.shuffle.partitions", 32) // matches ml/Calibrate: the
+      // golden metrics were fitted under this partitioning (GBT tree builds
+      // are float-order sensitive to it; everything else is invariant)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
