@@ -85,6 +85,7 @@ object Calibrate {
 
       val (table, olsScored) = Train.runScenarios(train, test)
       val cm = Metrics.confusion(olsScored)
+      olsScored.unpersist()
       println(s"[cal] OLS confusion [[TN,FP],[FN,TP]] = ${cm.map(_.mkString(",")).mkString("[[", "],[", "]]")}" +
         " (golden [[21215,3417],[6107,11742]] of 42481 → scaled recall0=.861 recall1=.658)")
       var worst = 0.0

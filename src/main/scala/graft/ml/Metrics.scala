@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -32,14 +32,57 @@ object Metrics {
     * (s, np, nn, tp, fp) — np/nn = positives/negatives AT s, tp/fp =
     * positives/negatives with score ≥ s.
     *
-    * Buckets are FIXED-WIDTH over [min,max] — a deterministic function of
-    * the score value — never `repartitionByRange`: range partitioning
-    * SAMPLES its boundaries, and the lazy frame re-executes between the
-    * offsets collect and the windowed pass, so sampled boundaries can
-    * disagree between the two executions and silently corrupt every
-    * cumulative count downstream (observed as run-to-run AUC swings of
-    * ±0.01 on identical inputs). Fixed-width buckets over distinct scores
-    * also can't skew: the bucketed frame has one row per distinct value. */
+    * Bucket boundaries are a DETERMINISTIC function of the data — equal-
+    * width cuts over [min,max], recursively re-cut inside any bucket
+    * holding more than maxBucket distinct scores (using that bucket's
+    * EXACT observed min/max, the Stats.mediansFromStats pattern) — never
+    * `repartitionByRange`: range partitioning SAMPLES its boundaries, and
+    * the lazy frame re-executes between the offsets collect and the
+    * windowed pass, so sampled boundaries can disagree between the two
+    * executions and silently corrupt every cumulative count downstream
+    * (observed as run-to-run AUC swings of ±0.01 on identical inputs).
+    * The refinement bounds per-task window work even when 99% of distinct
+    * scores sit in 1% of the range — one level usually resolves it, since
+    * the re-cut targets the concentrated sliver's own bounds. */
+  /** pid = #cuts above s (cuts kept DESCENDING), so bucket 0 holds the
+    * HIGHEST scores and pid order is score order — what the prefix offsets
+    * need. The cut list is a literal: O(|cuts|) per row, inside codegen. */
+  private def pidCol(cs: Seq[Double]): Column =
+    if (cs.isEmpty) lit(0)
+    else size(filter(lit(cs.toArray), b => b > col("s")))
+
+  /** Deterministic skew-proof bucket boundaries over the distinct-score
+    * frame `g`: start from p equal-width cuts over [lo,hi]; while any
+    * bucket holds more than maxBucket = max(4·⌈n/p⌉, 1024) distinct scores,
+    * re-cut it by ITS OWN exact min/max (one ≤#buckets-row agg per level,
+    * ≤6 levels). Every boundary is an exact aggregate of the data — no
+    * sampling — so the lazily re-executed frame always buckets identically. */
+  private[ml] def refineCuts(g: DataFrame, p: Int, nDistinct: Long,
+      lo: Double, hi: Double): Seq[Double] = {
+    def cutsOf(blo: Double, bhi: Double, parts: Int): Seq[Double] =
+      (1 until parts).map(i => blo + (bhi - blo) * i / parts)
+        .filter(c => c > blo && c < bhi).distinct
+    val maxBucket = math.max(4L * ((nDistinct + p - 1) / p), 1024L)
+    var cuts: Seq[Double] = cutsOf(lo, hi, p).sorted(Ordering[Double].reverse)
+    var depth = 0
+    var done = cuts.isEmpty || nDistinct <= maxBucket
+    while (!done && depth < 6) {
+      val stats = g.groupBy(pidCol(cuts).as("pid"))
+        .agg(count(lit(1)).as("cnt"), min("s").as("blo"), max("s").as("bhi"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      val heavy = stats.filter { case (cnt, blo, bhi) => cnt > maxBucket && blo < bhi }
+      if (heavy.isEmpty) done = true
+      else {
+        val extra = heavy.flatMap { case (cnt, blo, bhi) =>
+          cutsOf(blo, bhi, math.min(16L, (cnt + maxBucket - 1L) / maxBucket).toInt + 1)
+        }
+        cuts = (cuts ++ extra).distinct.sorted(Ordering[Double].reverse)
+        depth += 1
+      }
+    }
+    cuts
+  }
+
   def binaryStats(scored: DataFrame): DataFrame = {
     val spark = scored.sparkSession
     val g = scored
@@ -49,16 +92,14 @@ object Metrics {
       .withColumn("nn", col("n") - col("np"))
     val p = math.max(spark.sparkContext.defaultParallelism, 2)
 
-    // two tiny collects (1 row + ≤p rows): value range, then per-bucket
-    // totals → exclusive prefix offsets. Bucket 0 holds the HIGHEST scores.
-    val mmRow = g.agg(min("s"), max("s")).head()
+    val mmRow = g.agg(min("s"), max("s"), count(lit(1))).head()
     if (mmRow.isNullAt(0))
       return g.select(col("s"), col("np"), col("nn"),
         col("np").as("tp"), col("nn").as("fp")) // empty input: empty stats
-    val (lo, hi) = (mmRow.getDouble(0), mmRow.getDouble(1))
-    val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
-    val pidCol = least(floor((lit(hi) - col("s")) / span * p), lit(p - 1)).cast("int")
-    val parts = g.withColumn("pid", pidCol).repartition(col("pid"))
+    val (lo, hi, nDistinct) = (mmRow.getDouble(0), mmRow.getDouble(1), mmRow.getLong(2))
+
+    val cuts = refineCuts(g, p, nDistinct, lo, hi)
+    val parts = g.withColumn("pid", pidCol(cuts)).repartition(col("pid"))
 
     val totals = parts.groupBy("pid")
       .agg(sum("np").as("tnp"), sum("nn").as("tnn"))

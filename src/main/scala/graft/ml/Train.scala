@@ -139,7 +139,13 @@ object Train {
   /** H12: the 4-scenario loop {GradientBoosting, LinearRegression} ×
     * {raw-scaled, PCA}. Returns the metric table plus the scored
     * LinearRegression/raw test frame (the one the reference details with a
-    * classification report + confusion matrix, codes.py:293-296). */
+    * classification report + confusion matrix, codes.py:293-296).
+    *
+    * CACHE CONTRACT: the returned scored frame is left `.cache()`d (its
+    * metrics were just computed from it and the caller immediately derives
+    * the confusion matrix / report from it) — the CALLER unpersists it when
+    * done (see Calibrate; GoldenSpec holds it for the suite lifetime by
+    * design). All intermediate train/test cache entries are released here. */
   def runScenarios(trainRaw: DataFrame, testRaw: DataFrame,
       seed: Long = 42L): (Seq[Scenario], DataFrame) = {
     val scaler = fitScaler(trainRaw)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -175,35 +175,71 @@ object LlmQueries {
     df.select(col("doc_id"),
       TextOps.shingleSet(TextOps.tokens(col("text")), ShingleN).as("ss"))
 
-  /** L4: exact n-gram-Jaccard near-dup pairs via the inverted shingle
-    * index: explode distinct shingles, equi-join on shingle (never
-    * all-pairs), count intersections per pair, join back the set sizes.
-    * This is the exact baseline l5's LSH must reproduce. */
-  val l4_jaccard_neardup = Q("l4_jaccard_neardup", jaccardOracle) { (s, d) =>
-    val sh = shingled(documents(s, d)).cache()
-    val sz = sh.select(col("doc_id"), size(col("ss")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("ss")).as("sng"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    val jac = col("c").cast("double") / (col("si.n") + col("sj.n") - col("c"))
-    pairs.join(sz.as("si"), col("i") === col("si.doc_id"))
-      .join(sz.as("sj"), col("j") === col("sj.doc_id"))
-      .filter(jac >= NearDupTau)
+  /** Fraction-of-corpus document-frequency cap (TextOps.dfCap) applied to
+    * the candidate-generation sets of l4/l5. On this corpus no shingle
+    * exceeds 2% df, so the cap drops nothing (the oracle stays exact) while
+    * staying ARMED: at 100 TB a stopword trigram in half the corpus would
+    * otherwise dominate the inverted-index join. */
+  private val MaxDfFrac = 0.1
+
+  /** The l4/l5 shared shingle frame — (doc_id, ss = full set, ssc =
+    * df-capped set) — computed and `.cache()`d ONCE per (session, sfDir)
+    * and reused by both declared queries (and any bench invocation), so
+    * the second query hits the materialized frame instead of re-caching
+    * the same plan (the "already cached" warnings in BENCH_r03's tail).
+    * Entries live for the session; the frame is ~one row per doc of
+    * shingle strings — the natural working set of the dedup family. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def shingledCapped(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, d), {
+      val (capped, _) = TextOps.dfCap(shingled(documents(s, d)), "doc_id", "ss", "ssc", MaxDfFrac)
+      capped.cache()
+    })
+
+  /** Candidate verification shared by l4/l5: join candidate (i, j) pairs
+    * back to the FULL shingle sets and keep exact Jaccard ≥ tau — the cap
+    * only ever prunes candidate GENERATION, never the similarity value. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val jac = TextOps.jaccard(col("da.ss"), col("db.ss"))
+    cand.join(sh.as("da"), col("i") === col("da.doc_id"))
+      .join(sh.as("db"), col("j") === col("db.doc_id"))
+      .filter(jac >= tau)
       .select(col("i"), col("j"), round(jac, 6).as("jac"))
       .orderBy("i", "j")
   }
 
+  /** L4 core over any prepared (doc_id, ss, ssc) frame: inverted-index
+    * candidate pairs (equi-join on capped shingle — never all-pairs),
+    * exact-Jaccard verification on the full sets. Public so the df-cap
+    * property test can run it with and without the cap. */
+  def jaccardNearDupFrom(sh: DataFrame, tau: Double = NearDupTau): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("ssc")).as("sng"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyPairs(cand, sh, tau)
+  }
+
+  /** L4: exact n-gram-Jaccard near-dup pairs via the inverted shingle
+    * index (df-capped candidate generation + exact verify). This is the
+    * exact baseline l5's LSH must reproduce. */
+  val l4_jaccard_neardup = Q("l4_jaccard_neardup", jaccardOracle) { (s, d) =>
+    jaccardNearDupFrom(shingledCapped(s, d))
+  }
+
   /** L5: MinHash + banded-LSH near-dup dedup — the scale path. 64 minhashes
-    * → 16 bands × 4 rows; docs shuffle on (band, key) so ONLY same-bucket
-    * docs ever meet; candidates are exact-verified against the true shingle
-    * sets. The oracle is the SAME exact-Jaccard SQL as l4: CORRECTNESS
-    * green means the LSH lost nothing. (P[miss a J=0.89 pair] =
-    * (1-0.89⁴)¹⁶ ≈ 2e-7; the corpus' near-dups all sit at J ≥ 0.89.) */
+    * over the df-capped sets → 16 bands × 4 rows; docs shuffle on
+    * (band, key) so ONLY same-bucket docs ever meet; candidates are
+    * exact-verified against the FULL shingle sets. The oracle is the SAME
+    * exact-Jaccard SQL as l4: CORRECTNESS green means the LSH lost
+    * nothing. (P[miss a J=0.89 pair] = (1-0.89⁴)¹⁶ ≈ 2e-7; the corpus'
+    * near-dups all sit at J ≥ 0.89.) */
   val l5_minhash_lsh = Q("l5_minhash_lsh", jaccardOracle) { (s, d) =>
-    val sh = shingled(documents(s, d)).cache()
-    val sigs = TextOps.minhashSignatures(sh, "doc_id", "ss", 64)
+    val sh = shingledCapped(s, d)
+    val sigs = TextOps.minhashSignatures(sh, "doc_id", "ssc", 64)
     val bands = sigs.select(col("doc_id"),
         explode(TextOps.lshBands(col("sig"), 16, 4)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
@@ -212,12 +248,7 @@ object LlmQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val jac = TextOps.jaccard(col("da.ss"), col("db.ss"))
-    cand.join(sh.as("da"), col("i") === col("da.doc_id"))
-      .join(sh.as("db"), col("j") === col("db.doc_id"))
-      .filter(jac >= NearDupTau)
-      .select(col("i"), col("j"), round(jac, 6).as("jac"))
-      .orderBy("i", "j")
+    verifyPairs(cand, sh, NearDupTau)
   }
 
   /** L8: SimHash near-dup — 64-bit signature per doc, candidates pair up
@@ -309,50 +340,67 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
-  /** L7: IVF-pruned ANN — the scale path for l6. Fit = per-label centroid
-    * (a 10×64 collect, the coarse-quantizer "model", same shape as any
-    * MLlib fit); each query probes its `nprobe` nearest centroids and
-    * scores ONLY vectors assigned to those buckets. At 100 TB the table is
-    * partitioned by bucket so a probe is partition pruning. Approximate ⇒
-    * rows-only here; AnnSpec asserts recall vs l6 and exactness at
-    * nprobe = all buckets. */
-  /** Fit the coarse quantizer: mean vector per generator cluster label —
-    * a 10×64 collect, the "model", same shape as any MLlib fit. Returns the
-    * centroid literal array (cl, cv, cn). */
-  private def fitQuantizer(df: DataFrame): Column = {
-    val e = withNorm(df)
-    val dim = df.select(size(col("embedding"))).head().getInt(0)
-    val cents = e.select(col("label"), posexplode(col("v")))
-      .groupBy("label", "pos").agg(avg("col").as("m"))
-      .collect().groupBy(_.getInt(0))
-      .map { case (l, rows) =>
-        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-      }.toSeq.sortBy(_._1)
-    require(cents.forall(_._2.length == dim))
-    array(cents.map { case (l, m) =>
-      struct(lit(l).as("cl"), array(m.map(lit): _*).as("cv"),
+  /** Centroid literal: array<struct<cl:int, cv:array<double>, cn:double>>.
+    * cn is precomputed so assignment is one fused dot-product per centroid. */
+  private def centLiteral(cents: Seq[(Int, Seq[Double])]): Column =
+    array(cents.map { case (cl, m) =>
+      struct(lit(cl).as("cl"), array(m.map(lit): _*).as("cv"),
         lit(math.sqrt(m.map(x => x * x).sum)).as("cn"))
     }: _*)
+
+  /** Centroids ranked against the row's vector `v` (norm `nrm`) by
+    * (rounded cosine DESC, cl DESC) — element 0 is the argmax bucket,
+    * slice(1, nprobe) the multi-probe set. Cosines are rounded to 6
+    * decimals BEFORE ranking so tie-breaks are engine-deterministic
+    * (same convention as l6's top-k). */
+  private def rankedCents(centArr: Column): Column =
+    reverse(array_sort(transform(centArr,
+      c => struct(round(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6)
+        .as("cos"), c.getField("cl").as("cl")))))
+
+  /** The coarse quantizer for L7/L11: UNSUPERVISED, deterministic,
+    * k-configurable k-means with one Lloyd refinement. No label column, no
+    * RNG:
+    *   - k defaults to max(2, ⌊√N⌋), so within-bucket pair generation stays
+    *     O(N²/k) = O(N^1.5) as the corpus grows (fixed k would not scale);
+    *   - seeds = the k vectors with the smallest md5(vec_id) — a hash pick
+    *     (TakeOrderedAndProject, one pass);
+    *   - assign to nearest seed by rounded cosine, refine each centroid as
+    *     the per-dimension mean rounded to 6 decimals (one exploded
+    *     map-side-combinable groupBy((bucket, pos)) pass, k·dim collect).
+    * Every step is a deterministic function of the data expressible in
+    * ANSI SQL — which is what lets l11's DuckDB oracle reproduce the fit
+    * exactly (the round(…, 6) calls pin float-summation-order wobble). */
+  private[queries] def fitQuantizer(df: DataFrame, kOpt: Option[Int] = None): Column = {
+    val e = withNorm(df)
+    val k = kOpt.getOrElse(math.max(2, math.sqrt(df.count().toDouble).toInt))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(k).select(col("v")).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0).toSeq }
+    val refined = e
+      .withColumn("bucket", rankedCents(centLiteral(seeds)).getItem(0).getField("cl"))
+      .select(col("bucket"), posexplode(col("v")))
+      .groupBy("bucket", "pos").agg(round(avg("col"), 6).as("m"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (b, rows) => b -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      .toSeq.sortBy(_._1)
+    centLiteral(refined)
   }
 
-  /** Bucket assignment: nearest centroid by cosine (computed, not read off
-    * the label column — the quantizer must stand on its own). */
-  private def ivfAssign(df: DataFrame, centArr: Column): DataFrame = {
-    val best = array_max(transform(centArr,
-      c => struct((dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn"))).as("cos"),
-        c.getField("cl").as("cl"))))
-    withNorm(df).withColumn("bucket", best.getField("cl"))
-  }
-
-  def annIvf(nprobe: Int)(df: DataFrame): DataFrame = {
-    val centArr = fitQuantizer(df)
-    val assigned = ivfAssign(df, centArr)
+  /** L7: IVF-pruned ANN — the scale path for l6. Each query probes its
+    * `nprobe` nearest centroids and scores ONLY vectors assigned to those
+    * buckets. At 100 TB the table is partitioned by bucket so a probe is
+    * partition pruning. Approximate ⇒ rows-only here; LlmOpsSpec asserts
+    * recall vs l6 and exactness at nprobe ≥ k. */
+  def annIvf(nprobe: Int, kOpt: Option[Int] = None)(df: DataFrame): DataFrame = {
+    val centArr = fitQuantizer(df, kOpt)
+    val assigned = withNorm(df)
+      .withColumn("bucket", rankedCents(centArr).getItem(0).getField("cl"))
     val q = assigned.filter(col("vec_id") % 100 === 0)
-      .withColumn("probes", slice(reverse(array_sort(transform(centArr,
-        c => struct((dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn"))).as("cos"),
-          c.getField("cl").as("cl"))))), 1, nprobe))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        transform(col("probes"), p => p.getField("cl")).as("probes"))
+      .withColumn("probes",
+        transform(slice(rankedCents(centArr), 1, nprobe), p => p.getField("cl")))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("probes"))
     val cos = round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
     val rk = row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id")))
     assigned.join(broadcast(q),
@@ -375,14 +423,12 @@ object LlmQueries {
     * at scale the bucket is a partition key and each task sees one bucket.
     * Pruning trades recall for the candidate-set bound; ScaleOpsSpec
     * measures that recall against the brute-force truth. */
-  def embedNearDup(tau: Double, nprobe: Int = 2)(df: DataFrame): DataFrame = {
-    val centArr = fitQuantizer(df)
-    val ranked = reverse(array_sort(transform(centArr,
-      c => struct((dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn"))).as("cos"),
-        c.getField("cl").as("cl")))))
+  def embedNearDup(tau: Double, nprobe: Int = 2, kOpt: Option[Int] = None)(
+      df: DataFrame): DataFrame = {
+    val centArr = fitQuantizer(df, kOpt)
     val assigned = withNorm(df)
       .withColumn("bucket",
-        explode(transform(slice(ranked, 1, nprobe), p => p.getField("cl"))))
+        explode(transform(slice(rankedCents(centArr), 1, nprobe), p => p.getField("cl"))))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
     val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
     assigned.as("a").join(assigned.as("b"),
@@ -393,9 +439,41 @@ object LlmQueries {
       .orderBy("i", "j")
   }
 
-  val l11_embed_neardup = Q.noOracle("l11_embed_neardup") { (s, d) =>
-    embedNearDup(tau = 0.4)(embeddings(s, d))
-  }
+  /** l11's oracle replays the ENTIRE algorithm — hash pick of seeds, one
+    * Lloyd refinement, argmax/multi-probe assignment, within-bucket pair
+    * generation, exact-cosine verify — as a DuckDB CTE chain. A green row
+    * therefore certifies the fit AND the pruning topology, not just the
+    * final filter. (Ranking uses round(cos, 6) before comparison on both
+    * sides, so tie-breaks are engine-deterministic.) */
+  val l11_embed_neardup = Q(
+    "l11_embed_neardup",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |prm AS (SELECT greatest(2, CAST(floor(sqrt(count(*))) AS INT)) AS k FROM e),
+      |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl, v AS sv
+      |       FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT (SELECT k FROM prm)),
+      |a1 AS (SELECT vec_id, v, cl,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, cl DESC) AS rk
+      |       FROM (SELECT e.vec_id, e.v, sd.cl,
+      |                    round(list_dot_product(e.v, sd.sv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sd.sv, sd.sv))), 6) AS rcos
+      |             FROM e CROSS JOIN sd)),
+      |m AS (SELECT cl, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val
+      |      FROM a1 WHERE rk = 1),
+      |mm AS (SELECT cl, pos, round(avg(val), 6) AS mv FROM m GROUP BY cl, pos),
+      |c2 AS (SELECT cl, list(mv ORDER BY pos) AS cv FROM mm GROUP BY cl),
+      |a2 AS (SELECT vec_id, v, cl,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, cl DESC) AS rk
+      |       FROM (SELECT e.vec_id, e.v, c2.cl,
+      |                    round(list_dot_product(e.v, c2.cv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c2.cv, c2.cv))), 6) AS rcos
+      |             FROM e CROSS JOIN c2)),
+      |asn AS (SELECT vec_id, v, cl AS bucket FROM a2 WHERE rk <= 2),
+      |p AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
+      |             round(list_dot_product(a.v, b.v) /
+      |                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |      FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT i, j, cos FROM p WHERE cos >= 0.4 ORDER BY i, j""".stripMargin
+  ) { (s, d) => embedNearDup(tau = 0.4)(embeddings(s, d)) }
 
   // ------------------------------------------------------ multimodal decode
 
@@ -426,8 +504,26 @@ object LlmQueries {
     graft.ops.MediaOps.decodeFeatures(media).orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ streaming (batch body)
+
+  /** L12: the streaming weekly aggregation's FUNCTION BODY
+    * (streaming/StreamingOps.weeklyAvg — watermark + tumbling Mon..Sun
+    * window) declared over the batch events frame. One body, two engines:
+    * StreamingSpec proves stream ≡ batch on this exact function; this row
+    * pins the shared semantics to the DuckDB oracle under the streaming
+    * op's own name. (withWatermark is a no-op in batch execution, so the
+    * batch result is the plain d5 window aggregate.) */
+  val l12_stream_weekly = Q(
+    "l12_stream_weekly",
+    """SELECT CAST(CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE) AS VARCHAR) AS week_ending,
+      |       round(avg(value), 4) AS avg_value, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.weeklyAvg(events(s, d)).orderBy("week_ending")
+  }
+
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
-    l9_fingerprints, l10_media_decode, l11_embed_neardup)
+    l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly)
 }

@@ -73,6 +73,33 @@ object MetricsProps extends Properties("Metrics") {
     }
   }
 
+  property("adversarial score sliver: metrics exact, heavy bucket split") = {
+    // 3000 distinct scores inside a ~3e-4-wide sliver of a 2e9-wide range:
+    // the naive fixed-width bucketing puts 99.9% of them in ONE bucket;
+    // refineCuts must re-cut the sliver so no bucket exceeds maxBucket
+    val rows = ((0 until 3000).map(i => (i % 2, 1e9 + i * 1e-4)) ++
+      Seq((0, 0.0), (1, 2e9))).toList
+    val df = scoredDf(rows)
+    val gotAuc = Metrics.rocAuc(df)
+    val gotAp = Metrics.averagePrecision(df)
+    val aucOk = Prop(math.abs(gotAuc - naiveAuc(rows)) < 1e-9) :|
+      s"auc $gotAuc want ${naiveAuc(rows)}"
+    val apOk = Prop(math.abs(gotAp - naiveAp(rows)) < 1e-9) :|
+      s"ap $gotAp want ${naiveAp(rows)}"
+    // the refinement itself: every bucket ends below the split threshold
+    import org.apache.spark.sql.functions._
+    val g = df.groupBy(col("score").cast(org.apache.spark.sql.types.DoubleType).as("s"))
+      .agg(count(lit(1)).as("n"))
+    val p = 4
+    val cuts = Metrics.refineCuts(g, p, 3002L, 0.0, 2e9)
+    val maxBucket = math.max(4L * ((3002L + p - 1) / p), 1024L)
+    val worst = g.groupBy(size(filter(lit(cuts.toArray), b => b > col("s"))).as("pid"))
+      .agg(count(lit(1)).as("cnt")).agg(max("cnt")).head().getLong(0)
+    val splitOk = Prop(worst <= maxBucket) :|
+      s"heaviest bucket $worst > maxBucket $maxBucket (cuts=${cuts.size})"
+    aucOk && apOk && splitOk
+  }
+
   property("accuracy + confusion + report agree with direct counts") = Prop.forAll(rowsGen) { rows =>
     val df = scoredDf(rows)
     val predOf = (s: Double) => if (s > 0.5) 1 else 0

@@ -78,6 +78,37 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash found ${(exact & found).size} of ${exact.size} Jaccard near-dups")
   }
 
+  test("df-cap drops hot shingles but leaves the J>=0.5 output unchanged") {
+    // adversarial corpus: EVERY doc opens with the same stopword run (its
+    // shingles hit df = N), near-dup pairs (2k, 2k+1) share a long unique
+    // body, odd docs otherwise unrelated
+    val stop = "the of and to in is"
+    val docs = docsDf((0 until 40).map { i =>
+      val body = (0 until 12).map(t => s"w${i / 2}_$t").mkString(" ")
+      val tail = if (i % 2 == 0) "" else s" x$i y$i"
+      (i.toLong, s"$stop $body$tail")
+    })
+    val base = docs.select(col("doc_id"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("ss"))
+    val (capped, hot) = TextOps.dfCap(base, "doc_id", "ss", "ssc", 0.1)
+    assert(hot.nonEmpty, "the all-docs stopword shingles must be capped")
+    assert(hot.contains("the of and"))
+    val uncapped = base.withColumn("ssc", col("ss"))
+    val got = LlmQueries.jaccardNearDupFrom(capped).collect().map(_.toSeq).toSet
+    val want = LlmQueries.jaccardNearDupFrom(uncapped).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "corpus must contain J>=0.5 pairs")
+    assert(got === want, "cap must not change the J>=0.5 output")
+
+    // and on the real corpus: cap active (armed), result identical
+    val real = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("ss"))
+    val (realCapped, _) = TextOps.dfCap(real, "doc_id", "ss", "ssc", 0.1)
+    val gotReal = LlmQueries.jaccardNearDupFrom(realCapped).collect().map(_.toSeq).toSet
+    val wantReal = LlmQueries.jaccardNearDupFrom(real.withColumn("ssc", col("ss")))
+      .collect().map(_.toSeq).toSet
+    assert(gotReal === wantReal)
+  }
+
   test("winnowing guarantee: shared run of w+k-1 tokens shares a fingerprint") {
     val k = 3; val w = 4
     val shared = "s1 s2 s3 s4 s5 s6" // w+k-1 = 6 tokens
@@ -97,7 +128,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val docs = graft.Tables.embeddings(spark, sf)
     val brute = LlmQueries.l6_topk_cosine.fn(spark, sf)
       .select("qid", "rank", "vec_id").collect().toSet
-    val full = LlmQueries.annIvf(nprobe = 10)(docs)
+    // k defaults to ⌊√N⌋ = 22 on this corpus — probe past it to cover all
+    val full = LlmQueries.annIvf(nprobe = 64)(docs)
       .select("qid", "rank", "vec_id").collect().toSet
     assert(full === brute, "probing every bucket must reproduce brute force")
 
