@@ -40,14 +40,27 @@ object NwssSynth {
       recLin: Double = 0.15,
       threshold: Double = 0.25,
       slope: Double = 1.0, // sigmoid sharpness: saturates the extremes (head purity)
-      pMiss: Double = 0.0, // one-sided missed-detection rate (false negatives):
-                           // degrades AUC without littering the rank tail with
-                           // unpredictable positives (which would crater AP)
+      pMiss: Double = 0.0, // one-sided missed-detection rate (false negatives)
+      missBelow: Double = 99.0, // latent ceiling for pMiss: misses happen only in
+                                // samples whose latent (≈ concentration) sits below
+                                // this — the assay-sensitivity reality that
+                                // detections near the LOD get dropped. Mid-latent
+                                // misses land mid-RANKING: they pull AUC down
+                                // without polluting the score head (AP) or the
+                                // 0.5 decision boundary (accuracy/confusion);
+                                // 99.0 = unconditional (the old behavior)
       winterMiss: Double = 0.0, // extra flow-missingness during surges: a near-
                                 // BINARY predictor — separates cleanly at the
                                 // 0.5 threshold (accuracy↑) but its ties cap
                                 // what it can add to ranking (AUC barely moves)
       concSd: Double = 0.4,
+      recPopCorr: Double = 0.7,  // rec-eff's loading on the site-size factor
+                                 // (bigger utilities run tighter assays): with the
+                                 // pop/flow/interaction block it sets how much of
+                                 // rec_eff is its own PCA direction
+      dowPopSlope: Double = 1.25, // how sharply sampling weekday tracks plant
+                                  // size (fixed composite schedules at big
+                                  // utilities): ditto for collection_dayofweek
       concFloor: Double = -99.0, // conc stops tracking the latent below this:
                                  // off-season lag features lose RANKING info
                                  // (AUC↓) while regime info (0 vs low vs high)
@@ -106,7 +119,7 @@ object NwssSynth {
     // correlates collection_dayofweek with the population factor, like the
     // operational reality that big utilities run fixed composite schedules
     val weekIdxL = pmod(xxhash64(base, lit(cfg.seed), lit("week")), lit((cfg.days / 7).toLong))
-    val dowBase = least(lit(5.0), greatest(lit(0.0), floor((logPop - 7.5) * 1.25)))
+    val dowBase = least(lit(5.0), greatest(lit(0.0), floor((logPop - 7.5) * cfg.dowPopSlope)))
     val dow = dowBase.cast(LongType) + pmod(xxhash64(base, lit(cfg.seed), lit("dowj")), lit(2L))
     val dayIdx = weekIdxL * 7 + dow
     // 2022-01-03 is a Monday, so weekday(date) == dow (Mon=0)
@@ -127,7 +140,8 @@ object NwssSynth {
       when(surging, cfg.winterMiss).otherwise(0.0)
     val flow = when(u("flownull") < pFlowNull, lit(null).cast(DoubleType)).otherwise(flowVal)
 
-    val recZ = lit(0.7) * zOf(sid, "pop") + lit(math.sqrt(0.51)) * z("rec")
+    val recZ = lit(cfg.recPopCorr) * zOf(sid, "pop") +
+      lit(math.sqrt(1.0 - cfg.recPopCorr * cfg.recPopCorr)) * z("rec")
     val recVal = round(lit(55.0) + lit(22.0) * recZ, 2) // tail crosses 100 → clip bites
     val rec = when(u("recnull") < cfg.pRecNull, lit(null).cast(DoubleType)).otherwise(recVal)
 
@@ -143,7 +157,8 @@ object NwssSynth {
       lit(cfg.recLin) * coalesce((recVal - 55.0) / 22.0, lit(0.0)) +
       lit(cfg.noise) * z("eps")
     val pDet = lit(1.0) / (lit(1.0) + exp(lit(-cfg.slope) * (latent - cfg.threshold)))
-    val detected = u("det") < pDet && u("miss") >= cfg.pMiss
+    val detected = u("det") < pDet &&
+      !(latent < cfg.missBelow && u("miss") < cfg.pMiss)
     val conc = when(u("concnull") < cfg.pConcNull, lit(null).cast(DoubleType))
       .when(detected, round(exp(lit(2.0) + lit(0.9) * greatest(latent, lit(cfg.concFloor)) + lit(cfg.concSd) * z("conc")), 4))
       .otherwise(lit(0.0))

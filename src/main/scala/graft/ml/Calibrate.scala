@@ -39,7 +39,12 @@ object Calibrate {
       pMiss = a(10).getOrElse(NwssSynth.Config().pMiss),
       recLin = a(11).getOrElse(NwssSynth.Config().recLin),
       concFloor = a(12).getOrElse(NwssSynth.Config().concFloor),
-      winterMiss = a(13).getOrElse(NwssSynth.Config().winterMiss))
+      winterMiss = a(13).getOrElse(NwssSynth.Config().winterMiss),
+      pFlowNullSmall = a(15).getOrElse(NwssSynth.Config().pFlowNullSmall),
+      pFlowNullBig = a(16).getOrElse(NwssSynth.Config().pFlowNullBig),
+      recPopCorr = a(17).getOrElse(NwssSynth.Config().recPopCorr),
+      dowPopSlope = a(18).getOrElse(NwssSynth.Config().dowPopSlope),
+      missBelow = a(19).getOrElse(NwssSynth.Config().missBelow))
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -72,11 +77,13 @@ object Calibrate {
       println(s"[cal] PCA k = ${pcaProbe.k} (golden 7); cum = " +
         cum.map(v => f"$v%.3f").mkString(", "))
       // which features live in the DROPPED components (they vanish from the
-      // pca scenarios — diagnose pca-vs-raw metric drops)
+      // pca scenarios — diagnose pca-vs-raw metric drops); also print the
+      // MARGINAL kept component (k-th) — when k overshoots the golden 7,
+      // that is the direction whose variance must fold into the first 7
       val full = new org.apache.spark.ml.feature.PCA().setK(14)
         .setInputCol(Train.ScaledCol).setOutputCol("__p").fit(scaler.transform(train))
       val names = graft.schema.Nwss.features
-      (pcaProbe.k until 14).foreach { c =>
+      (pcaProbe.k - 1 until 14).foreach { c =>
         val loads = (0 until 14).map(f => names(f) -> full.pc(f, c))
           .filter(x => math.abs(x._2) > 0.35)
           .map { case (n, v) => f"$n=$v%+.2f" }.mkString(" ")

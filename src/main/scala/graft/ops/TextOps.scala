@@ -114,15 +114,28 @@ object TextOps {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** The first 64 bits of md5(token) as a signed BIGINT (big-endian: hex
+    * chars 1-8 are the high word, 9-16 the low word). Slower than xxhash64
+    * (the scale default) but derivable in ANSI SQL from the identical hex
+    * string — which is what makes a simhash built on it oracle-checkable
+    * cross-engine (l8). */
+  def md5Hash64(t: Column): Column = {
+    val hex = md5(t.cast("binary"))
+    shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+  }
+
   /** 64-bit SimHashes, ROW-BASED: bit i of a doc's signature is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Each token is hashed
+    * Σ_tokens (bit i of hash(token) ? +1 : -1). Each token is hashed
     * ONCE; the 64 bit-sums are plain conditional aggregates in one
     * groupBy pass; the bits assemble in a final projection. Returns
     * (idCol, sig: bigint). Same rationale as minhashSignatures: the nested
-    * HOF form re-hashes every token once per bit. */
-  def simhashes(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    * HOF form re-hashes every token once per bit. `tokenHash` defaults to
+    * xxhash64 (fastest); pass [[md5Hash64]] for the cross-engine variant. */
+  def simhashes(docs: DataFrame, idCol: String, toksCol: String,
+      tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
     val h = docs.select(col(idCol), explode(col(toksCol)).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+      .select(col(idCol), tokenHash(col("__t")).as("__h"))
     val sums = (0 until 64).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"__b$i"))

@@ -254,12 +254,44 @@ object LlmQueries {
   /** L8: SimHash near-dup — 64-bit signature per doc, candidates pair up
     * only when one of the 4 16-bit sub-bands matches exactly (Hamming ≤ 3
     * implies ≥ 1 identical band by pigeonhole), then exact Hamming ≤ 3
-    * verification. xxhash64-based signature ⇒ not SQL-expressible: declared
-    * rows-only; SimHashSpec property-tests the invariants instead. */
-  val l8_simhash_neardup = Q.noOracle("l8_simhash_neardup") { (s, d) =>
+    * verification. The declared variant hashes tokens with
+    * TextOps.md5Hash64 (xxhash64 is the scale default) so the ENTIRE
+    * algorithm — per-bit majority vote, band keys, Hamming verify — is
+    * replayed by the DuckDB oracle from the identical md5 hex strings;
+    * LlmOpsSpec keeps the structural invariants on top. */
+  val l8_simhash_neardup = Q(
+    "l8_simhash_neardup", {
+      // bit b (0 = LSB) of the md5-derived 64-bit hash, from hex string `h`:
+      // bits 0-31 come from chars 9-16 (low word), 32-63 from chars 1-8
+      def bitExpr(b: Int): String = {
+        val pos = (if (b < 32) 16 else 8) - (b % 32) / 4
+        s"((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) >> ${b % 4}) & 1"
+      }
+      val sb = (0 until 64).map(b =>
+        s"CASE WHEN 2 * len(list_filter(hs, h -> ${bitExpr(b)} = 1)) > len(hs) THEN 1 ELSE 0 END AS b$b")
+      val keys = (0 until 4).map(j =>
+        s"CAST(${(0 until 16).map(i => s"b${16 * j + i} * ${1 << i}").mkString(" + ")} AS BIGINT) AS k$j")
+      s"""WITH d AS (SELECT doc_id, list_transform(string_split(lower(text), ' '), t -> md5(t)) AS hs
+         |           FROM documents),
+         |bits AS (SELECT doc_id,
+         |       ${sb.mkString(",\n       ")}
+         |       FROM d),
+         |sh AS (SELECT doc_id, ${keys.mkString(",\n       ")} FROM bits),
+         |bd AS (SELECT doc_id, k0, k1, k2, k3, 0 AS band, k0 AS key FROM sh
+         |       UNION ALL SELECT doc_id, k0, k1, k2, k3, 1, k1 FROM sh
+         |       UNION ALL SELECT doc_id, k0, k1, k2, k3, 2, k2 FROM sh
+         |       UNION ALL SELECT doc_id, k0, k1, k2, k3, 3, k3 FROM sh),
+         |p AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+         |        bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+         |        bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS hamming
+         |      FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT i, j, CAST(hamming AS BIGINT) AS hamming FROM p
+         |WHERE hamming <= 3 ORDER BY i, j""".stripMargin
+    }
+  ) { (s, d) =>
     val sig = TextOps.simhashes(
       documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
-      "doc_id", "toks")
+      "doc_id", "toks", TextOps.md5Hash64)
     // 4 fixed 16-bit sub-bands — shift amounts must be Scala ints
     val bandStructs = array((0 until 4).map(b => struct(
       lit(b).as("band"),
