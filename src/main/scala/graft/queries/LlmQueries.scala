@@ -444,7 +444,48 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
-  val l7_ann_ivf = Q.noOracle("l7_ann_ivf") { (s, d) => annIvf(nprobe = 3)(embeddings(s, d)) }
+  /** l7's oracle replays the same deterministic fit as l11's (hash-picked
+    * seeds + one Lloyd refinement — CTEs e..a2 are shared verbatim), then
+    * the IVF search itself: argmax bucket per vector (rk = 1), top-3 probe
+    * set per query (rk ≤ 3), scoring restricted to probed buckets, l6's
+    * tie-deterministic top-5 tail. Green means DuckDB reproduces fit,
+    * pruning AND ranking — l7 graduates from rows-only. */
+  val l7_ann_ivf = Q(
+    "l7_ann_ivf",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |prm AS (SELECT greatest(2, CAST(floor(sqrt(count(*))) AS INT)) AS k FROM e),
+      |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl, v AS sv
+      |       FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT (SELECT k FROM prm)),
+      |a1 AS (SELECT vec_id, v, cl,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, cl DESC) AS rk
+      |       FROM (SELECT e.vec_id, e.v, sd.cl,
+      |                    round(list_dot_product(e.v, sd.sv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sd.sv, sd.sv))), 6) AS rcos
+      |             FROM e CROSS JOIN sd)),
+      |m AS (SELECT cl, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val
+      |      FROM a1 WHERE rk = 1),
+      |mm AS (SELECT cl, pos, round(avg(val), 6) AS mv FROM m GROUP BY cl, pos),
+      |c2 AS (SELECT cl, list(mv ORDER BY pos) AS cv FROM mm GROUP BY cl),
+      |a2 AS (SELECT vec_id, v, cl,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, cl DESC) AS rk
+      |       FROM (SELECT e.vec_id, e.v, c2.cl,
+      |                    round(list_dot_product(e.v, c2.cv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c2.cv, c2.cv))), 6) AS rcos
+      |             FROM e CROSS JOIN c2)),
+      |asn AS (SELECT vec_id, v, cl AS bucket FROM a2 WHERE rk = 1),
+      |qp AS (SELECT vec_id AS qid, list(cl ORDER BY rk) AS probes
+      |       FROM a2 WHERE rk <= 3 AND vec_id % 100 = 0 GROUP BY vec_id),
+      |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+      |s AS (SELECT q.qid, a.vec_id,
+      |        round(list_dot_product(a.v, q.qv) /
+      |              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+      |      FROM asn a JOIN qp p ON list_contains(p.probes, a.bucket)
+      |                 JOIN qv q ON q.qid = p.qid
+      |      WHERE a.vec_id <> q.qid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM s)
+      |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id, cos
+      |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
+  ) { (s, d) => annIvf(nprobe = 3)(embeddings(s, d)) }
 
   /** L11: embedding-cosine near-dup dedup — the last of the dedup family.
     * MULTI-PROBE bucket pruning: every vector indexes into its `nprobe`
