@@ -194,8 +194,12 @@ object LlmQueries {
 
   private def shingledCapped(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d), {
-      val (capped, _) = TextOps.dfCap(shingled(documents(s, d)), "doc_id", "ss", "ssc", MaxDfFrac)
-      capped.cache()
+      // cache the BASE (doc_id, ss) frame: dfCap's two fit jobs and every
+      // l4/l5 scan then share ONE shingling pass; ssc stays a cheap
+      // array_except projection over the cached rows (hot list is tiny)
+      val sh = shingled(documents(s, d)).cache()
+      val (capped, _) = TextOps.dfCap(sh, "doc_id", "ss", "ssc", MaxDfFrac)
+      capped
     })
 
   /** Candidate verification shared by l4/l5: join candidate (i, j) pairs
@@ -211,15 +215,30 @@ object LlmQueries {
   }
 
   /** L4 core over any prepared (doc_id, ss, ssc) frame: inverted-index
-    * candidate pairs (equi-join on capped shingle — never all-pairs),
-    * exact-Jaccard verification on the full sets. Public so the df-cap
-    * property test can run it with and without the cap. */
+    * candidate pairs (equi-join on capped shingle — never all-pairs), with
+    * the shared-shingle COUNT folded into the join's aggregation so the
+    * near-exact Jaccard comes out of plain counts — no array payloads
+    * cross the shuffle, no per-pair array_intersect over the (dense) 10⁶
+    * candidate pairs this corpus generates. The count undercounts only by
+    * df-capped hot shingles, so pairs are pre-filtered by the EXACT upper
+    * bound J ≤ (c + min(hᵢ,hⱼ)) / (nᵢ + nⱼ − c − min(hᵢ,hⱼ)) (h = # hot
+    * shingles removed from the doc) — no true pair can be lost — and only
+    * the few survivors pay the full-set exact verification. With no hot
+    * shingles the bound IS the exact J, so survivors ≈ output. Public so
+    * the df-cap property test can run it with and without the cap. */
   def jaccardNearDupFrom(sh: DataFrame, tau: Double = NearDupTau): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("ssc")).as("sng"))
-    val cand = ex.as("a").join(ex.as("b"),
+    val ex = sh.select(col("doc_id"), size(col("ss")).as("nf"),
+      (size(col("ss")) - size(col("ssc"))).as("nh"), explode(col("ssc")).as("sng"))
+    val counted = ex.as("a").join(ex.as("b"),
         col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.nf").as("ni"), col("a.nh").as("hi"),
+        col("b.nf").as("nj"), col("b.nh").as("hj"))
+      .agg(count(lit(1)).as("c"))
+    val ubNum = (col("c") + least(col("hi"), col("hj"))).cast("double")
+    val cand = counted
+      .filter(ubNum / (col("ni") + col("nj") - ubNum) >= tau)
+      .select(col("i"), col("j"))
     verifyPairs(cand, sh, tau)
   }
 
@@ -303,8 +322,10 @@ object LlmQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         TextOps.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
-      .distinct()
+      // filter before distinct — dedupe the Hamming≤3 survivors, not every
+      // multi-band candidate collision
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("i", "j")
   }
 
@@ -372,14 +393,6 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
-  /** Centroid literal: array<struct<cl:int, cv:array<double>, cn:double>>.
-    * cn is precomputed so assignment is one fused dot-product per centroid. */
-  private def centLiteral(cents: Seq[(Int, Seq[Double])]): Column =
-    array(cents.map { case (cl, m) =>
-      struct(lit(cl).as("cl"), array(m.map(lit): _*).as("cv"),
-        lit(math.sqrt(m.map(x => x * x).sum)).as("cn"))
-    }: _*)
-
   /** Centroids ranked against the row's vector `v` (norm `nrm`) by
     * (rounded cosine DESC, cl DESC) — element 0 is the argmax bucket,
     * slice(1, nprobe) the multi-probe set. Cosines are rounded to 6
@@ -399,25 +412,38 @@ object LlmQueries {
     *     (TakeOrderedAndProject, one pass);
     *   - assign to nearest seed by rounded cosine, refine each centroid as
     *     the per-dimension mean rounded to 6 decimals (one exploded
-    *     map-side-combinable groupBy((bucket, pos)) pass, k·dim collect).
+    *     map-side-combinable groupBy((bucket, pos)) pass).
     * Every step is a deterministic function of the data expressible in
-    * ANSI SQL — which is what lets l11's DuckDB oracle reproduce the fit
-    * exactly (the round(…, 6) calls pin float-summation-order wobble). */
-  private[queries] def fitQuantizer(df: DataFrame, kOpt: Option[Int] = None): Column = {
+    * ANSI SQL — which is what lets l7/l11's DuckDB oracles reproduce the
+    * fit exactly (the round(…, 6) calls pin float-summation-order wobble).
+    *
+    * The fit is LAZY and fully declarative: no driver collect, no k·dim
+    * literal tree (a k=⌊√N⌋ literal array would bloat every downstream
+    * plan's analysis/codegen — measured ~5 s per query at a mere k=44).
+    * It returns a ONE-ROW frame holding array<struct<cl,cv,cn>>; callers
+    * attach it with crossJoin(broadcast(…)) so the fit subtree executes
+    * once per action as a broadcast stage. (At k ≫ 10⁴ the array itself
+    * outgrows a row — switch the assignment to a broadcast equi-join on a
+    * k-row centroid frame with a groupBy-argmax at that point.) */
+  private[queries] def fitQuantizer(df: DataFrame, kOpt: Option[Int] = None): DataFrame = {
     val e = withNorm(df)
     val k = kOpt.getOrElse(math.max(2, math.sqrt(df.count().toDouble).toInt))
-    val seeds = e
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(k).select(col("v")).collect()
-      .toSeq.zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0).toSeq }
-    val refined = e
-      .withColumn("bucket", rankedCents(centLiteral(seeds)).getItem(0).getField("cl"))
+    val mdOrd = Seq(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    val seeds = e.orderBy(mdOrd: _*).limit(k)
+      .select((row_number().over(Window.orderBy(mdOrd: _*)) - 1).as("cl"), col("v").as("sv"),
+        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("sn"))
+    val seedArr = seeds.agg(collect_list(struct(col("cl"), col("sv").as("cv"),
+      col("sn").as("cn"))).as("cents"))
+    val refined = e.crossJoin(broadcast(seedArr))
+      .withColumn("bucket", rankedCents(col("cents")).getItem(0).getField("cl"))
       .select(col("bucket"), posexplode(col("v")))
       .groupBy("bucket", "pos").agg(round(avg("col"), 6).as("m"))
-      .collect().groupBy(_.getInt(0))
-      .map { case (b, rows) => b -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
-      .toSeq.sortBy(_._1)
-    centLiteral(refined)
+      .groupBy(col("bucket").as("cl"))
+      // collect_list order is nondeterministic → sort by pos explicitly
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)))
+    refined.agg(collect_list(struct(col("cl"), col("cv"), col("cn"))).as("cents"))
   }
 
   /** L7: IVF-pruned ANN — the scale path for l6. Each query probes its
@@ -427,11 +453,13 @@ object LlmQueries {
     * recall vs l6 and exactness at nprobe ≥ k. */
   def annIvf(nprobe: Int, kOpt: Option[Int] = None)(df: DataFrame): DataFrame = {
     val centArr = fitQuantizer(df, kOpt)
-    val assigned = withNorm(df)
-      .withColumn("bucket", rankedCents(centArr).getItem(0).getField("cl"))
-    val q = assigned.filter(col("vec_id") % 100 === 0)
+    val assigned = withNorm(df).crossJoin(broadcast(centArr))
+      .withColumn("bucket", rankedCents(col("cents")).getItem(0).getField("cl"))
+      .drop("cents")
+    val q = withNorm(df).crossJoin(broadcast(centArr))
+      .filter(col("vec_id") % 100 === 0)
       .withColumn("probes",
-        transform(slice(rankedCents(centArr), 1, nprobe), p => p.getField("cl")))
+        transform(slice(rankedCents(col("cents")), 1, nprobe), p => p.getField("cl")))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("probes"))
     val cos = round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
     val rk = row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id")))
@@ -499,16 +527,18 @@ object LlmQueries {
   def embedNearDup(tau: Double, nprobe: Int = 2, kOpt: Option[Int] = None)(
       df: DataFrame): DataFrame = {
     val centArr = fitQuantizer(df, kOpt)
-    val assigned = withNorm(df)
+    val assigned = withNorm(df).crossJoin(broadcast(centArr))
       .withColumn("bucket",
-        explode(transform(slice(rankedCents(centArr), 1, nprobe), p => p.getField("cl"))))
+        explode(transform(slice(rankedCents(col("cents")), 1, nprobe), p => p.getField("cl"))))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
     val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
     assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cos.as("cos"))
-      .distinct()
+      // filter BEFORE distinct: the multi-probe dups are deduped after the
+      // τ cut, so the distinct shuffles survivors, not the candidate set
       .filter(col("cos") >= tau)
+      .distinct()
       .orderBy("i", "j")
   }
 
