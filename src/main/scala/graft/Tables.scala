@@ -51,6 +51,9 @@ object Tables {
   def prep(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // native engine functions (graft_dot) — idempotent; sessions built with
+    // spark.sql.extensions=graft.plans.GraftExtensions already have them
+    graft.functions.VectorExprs.register(spark)
     spark
   }
 }

@@ -92,13 +92,19 @@ object Metrics {
       .withColumn("nn", col("n") - col("np"))
     val p = math.max(spark.sparkContext.defaultParallelism, 2)
 
-    val mmRow = g.agg(min("s"), max("s"), count(lit(1))).head()
-    if (mmRow.isNullAt(0))
-      return g.select(col("s"), col("np"), col("nn"),
-        col("np").as("tp"), col("nn").as("fp")) // empty input: empty stats
-    val (lo, hi, nDistinct) = (mmRow.getDouble(0), mmRow.getDouble(1), mmRow.getLong(2))
-
-    val cuts = refineCuts(g, p, nDistinct, lo, hi)
+    // the eager fit phase (min/max probe + up to 6 refineCuts levels) can
+    // scan g several times — cache it for exactly that phase and release
+    // before returning (the lazy result frame recomputes g once per action;
+    // the fit, not the result pass, was the multiplied cost on skew)
+    g.cache()
+    val cuts = try {
+      val mmRow = g.agg(min("s"), max("s"), count(lit(1))).head()
+      if (mmRow.isNullAt(0))
+        return g.select(col("s"), col("np"), col("nn"),
+          col("np").as("tp"), col("nn").as("fp")) // empty input: empty stats
+      val (lo, hi, nDistinct) = (mmRow.getDouble(0), mmRow.getDouble(1), mmRow.getLong(2))
+      refineCuts(g, p, nDistinct, lo, hi)
+    } finally { g.unpersist(); () }
     val parts = g.withColumn("pid", pidCol(cuts)).repartition(col("pid"))
 
     val totals = parts.groupBy("pid")

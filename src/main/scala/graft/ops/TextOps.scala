@@ -37,39 +37,13 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** The distinct shingle SET (Jaccard / MinHash operate on sets). */
+  /** The distinct shingle SET (Jaccard / MinHash operate on sets). Hot
+    * (stopword) shingles are NOT capped out of the set: exact near-dup
+    * candidate generation handles inverted-index skew with prefix
+    * filtering instead (LlmQueries.jaccardNearDupFrom), which is lossless
+    * by construction — a df-cap here silently lost pairs whose every
+    * shared shingle was hot (ADVICE r04). */
   def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
-
-  /** Document-frequency cap for near-dup candidate generation: shingles
-    * appearing in MORE than maxDfFrac·N documents are removed from the
-    * per-doc set (`outCol`), keeping the original set (`setCol`) intact for
-    * exact verification. A stopword shingle sitting in half the corpus is
-    * pure inverted-index skew — it generates O((f·N)²) candidate pairs that
-    * all verify below threshold — so capping it bounds the biggest
-    * posting-list join to (maxDfFrac·N)² while the J ≥ τ output is
-    * unchanged whenever every surviving pair still shares ≥ 1 uncapped
-    * shingle (LlmOpsSpec proves exactly that on the corpus AND on an
-    * adversarial all-stopword corpus, rather than assuming it).
-    *
-    * The hot list is collected to the driver and folded in as a literal
-    * `array_except` — zero extra shuffles on the data path. Its size is
-    * bounded by avgShinglesPerDoc / maxDfFrac (Σdf ≤ N·avg), a few hundred
-    * strings, independent of N. Returns (frame + outCol, sorted hot list). */
-  def dfCap(sh: DataFrame, idCol: String, setCol: String, outCol: String,
-      maxDfFrac: Double): (DataFrame, Seq[String]) = {
-    val n = sh.select(countDistinct(col(idCol))).head().getLong(0)
-    val cap = math.max(1L, (maxDfFrac * n).toLong)
-    val hot = sh.select(explode(col(setCol)).as("__sng"))
-      .groupBy("__sng").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > cap)
-      .orderBy("__sng")
-      .collect().map(_.getString(0)).toSeq
-    val capped =
-      if (hot.isEmpty) sh.withColumn(outCol, col(setCol))
-      else sh.withColumn(outCol,
-        array_except(col(setCol), array(hot.map(lit): _*)))
-    (capped, hot)
-  }
 
   /** k-permutation MinHash signatures, ROW-BASED: explode the shingle set,
     * hash each shingle ONCE into two 64-bit values, and build the k hash

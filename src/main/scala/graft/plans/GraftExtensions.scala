@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.VectorExprs
+
+/** The engine's SparkSessionExtensions entry point — the deployment route
+  * for clusters that own the session builder:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * Injects the engine's native Catalyst functions (currently
+  * [[graft.functions.DotProduct graft_dot]]) into every session at build
+  * time, so SQL users get them too. Sessions the engine does NOT build
+  * (e.g. the verification driver's) get the same functions registered
+  * lazily per-session via [[graft.functions.VectorExprs.register]] from
+  * `Tables.prep` — both routes are idempotent.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(VectorExprs.dotInfo)
+  }
+}

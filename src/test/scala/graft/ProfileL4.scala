@@ -1,9 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.TextOps
 
-/** Throwaway stage-level profiler for the l4 near-dup pipeline. */
+/** Throwaway stage-level profiler for the l4/l5 near-dup pipeline. */
 object ProfileL4 {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
@@ -12,24 +11,7 @@ object ProfileL4 {
       val t0 = System.nanoTime; val r = f
       println(f"[prof] $tag: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     }
-    val docs = Tables.documents(spark, d)
-    val sh = docs.select(col("doc_id"), TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("ss"))
-    time("n countDistinct")(sh.select(countDistinct(col("doc_id"))).head)
-    time("df agg+collect")(
-      sh.select(explode(col("ss")).as("s")).groupBy("s").count().filter(col("count") > 500).collect())
-    val cached = sh.withColumn("ssc", col("ss")).cache()
-    time("cache materialize")(cached.count)
-    val ex = cached.select(col("doc_id"), explode(col("ssc")).as("sng"))
-    val cand = ex.as("a").join(ex.as("b"),
-        col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-    time("cand join+distinct")(cand.count)
-    val jac = TextOps.jaccard(col("da.ss"), col("db.ss"))
-    val out = cand.join(cached.as("da"), col("i") === col("da.doc_id"))
-      .join(cached.as("db"), col("j") === col("db.doc_id"))
-      .filter(jac >= 0.5).select(col("i"), col("j"), round(jac, 6).as("jac")).orderBy("i", "j")
-    time("verify+sort")(out.write.format("noop").mode("overwrite").save())
-    time("full l4 via queries")(
+    time("l4 (prefix-filtered, cold cache)")(
       graft.queries.LlmQueries.l4_jaccard_neardup.fn(spark, d)
         .write.format("noop").mode("overwrite").save())
     time("l4 again (cache warm)")(
@@ -37,6 +19,15 @@ object ProfileL4 {
         .write.format("noop").mode("overwrite").save())
     time("l5 after l4")(
       graft.queries.LlmQueries.l5_minhash_lsh.fn(spark, d)
+        .write.format("noop").mode("overwrite").save())
+    time("l6 brute cosine")(
+      graft.queries.LlmQueries.l6_topk_cosine.fn(spark, d)
+        .write.format("noop").mode("overwrite").save())
+    time("l7 ivf ann")(
+      graft.queries.LlmQueries.l7_ann_ivf.fn(spark, d)
+        .write.format("noop").mode("overwrite").save())
+    time("l11 embed neardup")(
+      graft.queries.LlmQueries.l11_embed_neardup.fn(spark, d)
         .write.format("noop").mode("overwrite").save())
     spark.stop()
   }

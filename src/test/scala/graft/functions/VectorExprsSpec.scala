@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The native graft_dot expression must be a DROP-IN for the interpreted
+  * HOF form it replaced: bit-identical doubles (same left-to-right
+  * summation), null array → null, and it must actually stay inside
+  * whole-stage codegen (no CodegenFallback in the generated plan).
+  */
+class VectorExprsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("graft_dot is bit-identical to the HOF aggregate/zip_with form") {
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(96)
+      (i.toLong,
+        Seq.fill(n)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)),
+        Seq.fill(n)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+      VectorExprs.dot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      // exact bit equality, not tolerance: the fold order is pinned
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot on the real embeddings matches the HOF form exactly") {
+    VectorExprs.register(spark)
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val mism = e.select(
+        VectorExprs.dot(col("v"), col("v")).as("native"),
+        hofDot(col("v"), col("v")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mism === 0L)
+  }
+
+  test("null semantics: null array on either side yields null") {
+    VectorExprs.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(3.0, 4.0))),
+      (Some(Seq(1.0, 2.0)), None)).toDF("a", "b")
+    val got = df.select(VectorExprs.dot(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) === 11.0)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+
+  test("graft_dot projection compiles into WholeStageCodegen") {
+    VectorExprs.register(spark)
+    // a parquet-backed frame: a local Seq would fold into LocalTableScan
+    // (ConvertToLocalRelation) and never reach codegen at all
+    val df = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(VectorExprs.dot(col("v"), col("v")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen span
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"the graft_dot projection must sit inside a codegen span:\n$plan")
+    // and the generated java actually contains the dot loop (would be absent
+    // if the expression fell back to interpreted eval)
+    val code = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(code.contains("dotS"), "generated code must inline the dot loop")
+  }
+
+  test("graft_dot is SQL-callable once registered (extension surface)") {
+    VectorExprs.register(spark)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("vexp")
+    val got = spark.sql("SELECT graft_dot(a, b) AS d FROM vexp").head().getDouble(0)
+    assert(got === 11.0)
+  }
+}

@@ -78,35 +78,89 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash found ${(exact & found).size} of ${exact.size} Jaccard near-dups")
   }
 
-  test("df-cap drops hot shingles but leaves the J>=0.5 output unchanged") {
-    // adversarial corpus: EVERY doc opens with the same stopword run (its
-    // shingles hit df = N), near-dup pairs (2k, 2k+1) share a long unique
-    // body, odd docs otherwise unrelated
+  /** Ground truth with NO candidate pruning at all: every pair sharing any
+    * shingle, exact-verified. O(Σ df²) — test corpora only. */
+  private def naiveJaccardPairs(sh: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+    val ex = sh.select(col("doc_id"), explode(col("ss")).as("sng"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val jac = TextOps.jaccard(col("da.ss"), col("db.ss"))
+    cand.join(sh.as("da"), col("i") === col("da.doc_id"))
+      .join(sh.as("db"), col("j") === col("db.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+      .collect().map(_.toSeq).toSet
+  }
+
+  private def shingleFrame(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("ss"))
+
+  test("prefix filtering is exact on an all-stopword-prefix corpus") {
+    // EVERY doc opens with the same stopword run (those shingles hit
+    // df = N), near-dup pairs (2k, 2k+1) share a long unique body, odd
+    // docs otherwise unrelated
     val stop = "the of and to in is"
     val docs = docsDf((0 until 40).map { i =>
       val body = (0 until 12).map(t => s"w${i / 2}_$t").mkString(" ")
       val tail = if (i % 2 == 0) "" else s" x$i y$i"
       (i.toLong, s"$stop $body$tail")
     })
-    val base = docs.select(col("doc_id"),
-      TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("ss"))
-    val (capped, hot) = TextOps.dfCap(base, "doc_id", "ss", "ssc", 0.1)
-    assert(hot.nonEmpty, "the all-docs stopword shingles must be capped")
-    assert(hot.contains("the of and"))
-    val uncapped = base.withColumn("ssc", col("ss"))
-    val got = LlmQueries.jaccardNearDupFrom(capped).collect().map(_.toSeq).toSet
-    val want = LlmQueries.jaccardNearDupFrom(uncapped).collect().map(_.toSeq).toSet
+    val sh = shingleFrame(docs)
+    val got = LlmQueries.jaccardNearDupFrom(sh).collect().map(_.toSeq).toSet
+    val want = naiveJaccardPairs(sh)
     assert(want.nonEmpty, "corpus must contain J>=0.5 pairs")
-    assert(got === want, "cap must not change the J>=0.5 output")
+    assert(got === want)
+  }
 
-    // and on the real corpus: cap active (armed), result identical
-    val real = graft.Tables.documents(spark, sf).select(col("doc_id"),
-      TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("ss"))
-    val (realCapped, _) = TextOps.dfCap(real, "doc_id", "ss", "ssc", 0.1)
-    val gotReal = LlmQueries.jaccardNearDupFrom(realCapped).collect().map(_.toSeq).toSet
-    val wantReal = LlmQueries.jaccardNearDupFrom(real.withColumn("ssc", col("ss")))
-      .collect().map(_.toSeq).toSet
-    assert(gotReal === wantReal)
+  test("prefix filtering is exact when a >10% hot cluster shares EVERY shingle") {
+    // the ADVICE r04 killer for the retired df-cap: 12 of 48 docs (25% of
+    // the corpus) are near-identical, so EVERY shingle they contain is hot
+    // (df > 10% of N) and a df-cap would empty their candidate sets and
+    // silently lose all C(12,2) true pairs. Prefix filtering has no such
+    // hole: those docs' prefixes are made of exactly those hot shingles.
+    val clusterBody = (0 until 15).map(t => s"dup_$t").mkString(" ")
+    val docs = docsDf(
+      (0 until 12).map(i => (i.toLong, s"$clusterBody extra_$i")) ++
+        (12 until 48).map(i => (i.toLong, (0 until 16).map(t => s"u${i}_$t").mkString(" "))))
+    val sh = shingleFrame(docs)
+    val got = LlmQueries.jaccardNearDupFrom(sh).collect().map(_.toSeq).toSet
+    val want = naiveJaccardPairs(sh)
+    assert(want.size >= 66, s"the hot cluster must produce C(12,2) true pairs, got ${want.size}")
+    assert(got === want)
+  }
+
+  test("prefix filtering matches the naive full index on the real corpus") {
+    val sh = shingleFrame(graft.Tables.documents(spark, sf))
+    val got = LlmQueries.jaccardNearDupFrom(sh).collect().map(_.toSeq).toSet
+    val want = naiveJaccardPairs(sh)
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("prefix filtering is exact on random corpora across thresholds") {
+    val rnd = new scala.util.Random(11)
+    // small vocab ⇒ dense shingle collisions; mixed lengths ⇒ the length
+    // filter and ceil() prefix arithmetic both get exercised at several τ
+    for (tau <- Seq(0.3, 0.5, 0.8); trial <- 0 until 2) {
+      val docs = docsDf((0 until 30).map { i =>
+        val n = 4 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(s"t${rnd.nextInt(12)}").mkString(" "))
+      })
+      val sh = shingleFrame(docs).filter(size(col("ss")) > 0)
+      val got = LlmQueries.jaccardNearDupFrom(sh, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ex = sh.select(col("doc_id"), explode(col("ss")).as("sng"))
+      val cand = ex.as("a").join(ex.as("b"),
+          col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+      val jac = TextOps.jaccard(col("da.ss"), col("db.ss"))
+      val want = cand.join(sh.as("da"), col("i") === col("da.doc_id"))
+        .join(sh.as("db"), col("j") === col("db.doc_id"))
+        .filter(jac >= tau).select(col("i"), col("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"tau=$tau trial=$trial")
+    }
   }
 
   test("winnowing guarantee: shared run of w+k-1 tokens shares a fingerprint") {
