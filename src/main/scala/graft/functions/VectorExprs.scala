@@ -25,12 +25,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Semantics are pinned to the HOF form it replaces so every declared
   * query's oracle hash is unchanged: left-to-right summation (bit-identical
-  * doubles), null array → null. Array ELEMENTS must be non-null (embedding
-  * vectors; nulls would read as garbage per ArrayData contract) and lengths
-  * equal — the loop takes min(len) defensively.
+  * doubles), null array → null, any null ELEMENT → null (ADVICE r05: the
+  * function is SQL-exposed via GraftExtensions, so a caller can hand it
+  * `array<double>` with containsNull=true — reading those slots through
+  * ArrayData.getDouble would return garbage silently). The null check is
+  * emitted ONLY when the static input type says containsNull; the engine's
+  * own embedding columns are containsNull=false and keep the branch-free
+  * loop. Lengths should be equal — the loop takes min(len) defensively.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  /** True when either input's STATIC type admits null elements. */
+  private def elementsNullable: Boolean = children.exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elementsNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = children.forall(_.dataType match {
@@ -55,7 +67,14 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (elementsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -64,11 +83,19 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("dotN")
       val i = ctx.freshName("dotI")
       val s = ctx.freshName("dotS")
+      // `nullable` includes elementsNullable, so ev.isNull is a real
+      // variable (not FalseLiteral) whenever the null branch is emitted
+      val body =
+        if (elementsNullable)
+          s"""|  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+              |  $s += $a.getDouble($i) * $b.getDouble($i);""".stripMargin
+        else
+          s"  $s += $a.getDouble($i) * $b.getDouble($i);"
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |$body
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -92,25 +92,26 @@ object Metrics {
       .withColumn("nn", col("n") - col("np"))
     val p = math.max(spark.sparkContext.defaultParallelism, 2)
 
-    // the eager fit phase (min/max probe + up to 6 refineCuts levels) can
-    // scan g several times — cache it for exactly that phase and release
-    // before returning (the lazy result frame recomputes g once per action;
-    // the fit, not the result pass, was the multiplied cost on skew)
+    // the eager phase — min/max probe, up to 6 refineCuts levels, AND the
+    // totals collect below — scans g several times: cache it through all of
+    // them and release before returning (ADVICE r05: unpersisting after
+    // refineCuts left the totals collect rescanning g uncached; the lazy
+    // result frame still recomputes g once per downstream action)
     g.cache()
-    val cuts = try {
+    val (parts, totals) = try {
       val mmRow = g.agg(min("s"), max("s"), count(lit(1))).head()
       if (mmRow.isNullAt(0))
         return g.select(col("s"), col("np"), col("nn"),
           col("np").as("tp"), col("nn").as("fp")) // empty input: empty stats
       val (lo, hi, nDistinct) = (mmRow.getDouble(0), mmRow.getDouble(1), mmRow.getLong(2))
-      refineCuts(g, p, nDistinct, lo, hi)
+      val cs = refineCuts(g, p, nDistinct, lo, hi)
+      val pts = g.withColumn("pid", pidCol(cs)).repartition(col("pid"))
+      val tot = pts.groupBy("pid")
+        .agg(sum("np").as("tnp"), sum("nn").as("tnn"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      (pts, tot)
     } finally { g.unpersist(); () }
-    val parts = g.withColumn("pid", pidCol(cuts)).repartition(col("pid"))
-
-    val totals = parts.groupBy("pid")
-      .agg(sum("np").as("tnp"), sum("nn").as("tnn"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L, 0L)) { case ((_, anp, ann), (_, tnp, tnn)) =>
       (0, anp + tnp, ann + tnn)
     }.init.zip(totals).map { case ((_, onp, onn), (pid, _, _)) => Row(pid, onp, onn) }

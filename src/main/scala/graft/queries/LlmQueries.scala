@@ -247,17 +247,26 @@ object LlmQueries {
     *
     * Everything before the final verify runs on xxhash64(shingle) LONGS,
     * not strings: the inverted index shuffles 8-byte keys instead of
-    * ~30-char trigrams. Still exact — a hash collision merges two
-    * elements of the universe, which shrinks a pair's union at least as
-    * much as its intersection, so J over hash-sets ≥ J over string sets
-    * ((a−ci)/(b−cu) ≥ a/b for ci ≤ cu, a ≤ b): every true pair still
-    * clears τ in hash space, the prefix theorem applies there, and false
-    * candidates die in the string-set verify. */
+    * ~30-char trigrams. Exact even under hash collisions (ADVICE r05)
+    * because every SIZE in the filters — `nf`, the prefix length, the
+    * length filter — is measured on the STRING sets, before hashing; only
+    * the prefix MEMBERSHIP runs over hash values. A collision inside a
+    * doc then shrinks its hash set and its (fixed-length-prefix) suffix
+    * by one, while shrinking the pair's common-hash count by at most one
+    * (only collisions among shared shingles do) — so the prefix-overlap
+    * counting argument survives verbatim: o ≥ ⌈τ·|x|⌉ common hashes
+    * cannot all hide in a suffix of ⌈τ·|x|⌉ − 1 − c_x elements. The df
+    * order over hashes is just a common total order — collisions perturb
+    * it, and any total order is sound. Collisions can therefore only
+    * REORDER or GROW the candidate set, never shrink it; false extras die
+    * in the string-set verify. (The previous form measured sizes on the
+    * hash sets, where one in-intersection collision could fail the length
+    * filter for a true pair — a ~2⁻⁶⁴ per-pair hole that stops being
+    * ignorable past the 64-bit birthday bound at corpus scale.) */
   def jaccardNearDupFrom(sh: DataFrame, tau: Double = NearDupTau): DataFrame = {
-    val hashed = sh.select(col("doc_id"),
+    val hashed = sh.select(col("doc_id"), size(col("ss")).as("nf"),
       array_distinct(transform(col("ss"), s => xxhash64(s))).as("hss"))
-    val ex = hashed.select(col("doc_id"), size(col("hss")).as("nf"),
-      explode(col("hss")).as("sng"))
+    val ex = hashed.select(col("doc_id"), col("nf"), explode(col("hss")).as("sng"))
     val dfreq = ex.groupBy("sng").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sng"))
     // the 1e-9 guards make float rounding lengthen, never shorten, the

@@ -59,6 +59,31 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
   }
 
+  test("null semantics: a null ELEMENT yields null, never garbage (ADVICE r05)") {
+    VectorExprs.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = Seq(
+      Row(Seq(1.0, null, 3.0), Seq(1.0, 1.0, 1.0)),
+      Row(Seq(1.0, 2.0), Seq[Any](null, 1.0)),
+      Row(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    // RDD-backed so the projection actually reaches codegen (a local Seq
+    // constant-folds through ConvertToLocalRelation → interpreted eval)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val got = df.select(VectorExprs.dot(col("a"), col("b")).as("d")).collect()
+    assert(got(0).isNullAt(0), "null element on the left must yield null")
+    assert(got(1).isNullAt(0), "null element on the right must yield null")
+    assert(got(2).getDouble(0) === 11.0)
+    // and the interpreted path agrees (constant-folded local relation)
+    val local = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+      .toDF("a", "b")
+      .select(VectorExprs.dot(col("a"), col("b")).as("d")).collect()
+    assert(local(0).isNullAt(0))
+  }
+
   test("graft_dot projection compiles into WholeStageCodegen") {
     VectorExprs.register(spark)
     // a parquet-backed frame: a local Seq would fold into LocalTableScan
