@@ -51,9 +51,11 @@ object Tables {
   def prep(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // native engine functions (graft_dot) — idempotent; sessions built with
+    // native engine functions (graft_dot, graft_sorted_intersect_count) —
+    // idempotent; sessions built with
     // spark.sql.extensions=graft.plans.GraftExtensions already have them
     graft.functions.VectorExprs.register(spark)
+    graft.functions.SetExprs.register(spark)
     spark
   }
 }

@@ -36,8 +36,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  /** True when either input's STATIC type admits null elements. */
-  private def elementsNullable: Boolean = children.exists(_.dataType match {
+  /** True when either input's STATIC type admits null elements. Lazy val,
+    * not def: the interpreted path reads it per ROW (nullSafeEval) and the
+    * planner per nullable query; a `copy` with new children recomputes it
+    * (ADVICE r06). */
+  private lazy val elementsNullable: Boolean = children.exists(_.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
   })

@@ -88,6 +88,16 @@ object TextOps {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Exact Jaccard of two SORTED shingle-set columns via the native
+    * allocation-free merge ([[graft.functions.SortedIntersectCount]]) —
+    * the verify-path variant of [[jaccard]] for loops that score millions
+    * of candidate pairs per task. Requires both arrays sorted ascending
+    * (`sort_array`), binary collation. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.SetExprs.sortedIntersectCount(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
   /** The first 64 bits of md5(token) as a signed BIGINT (big-endian: hex
     * chars 1-8 are the high word, 9-16 the low word). Slower than xxhash64
     * (the scale default) but derivable in ANSI SQL from the identical hex

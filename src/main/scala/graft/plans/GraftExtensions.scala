@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.VectorExprs
+import graft.functions.{SetExprs, VectorExprs}
 
 /** The engine's SparkSessionExtensions entry point — the deployment route
   * for clusters that own the session builder:
@@ -11,8 +11,9 @@ import graft.functions.VectorExprs
   * }}}
   *
   * Injects the engine's native Catalyst functions (currently
-  * [[graft.functions.DotProduct graft_dot]]) into every session at build
-  * time, so SQL users get them too. Sessions the engine does NOT build
+  * [[graft.functions.DotProduct graft_dot]] and
+  * [[graft.functions.SortedIntersectCount graft_sorted_intersect_count]])
+  * into every session at build time, so SQL users get them too. Sessions the engine does NOT build
   * (e.g. the verification driver's) get the same functions registered
   * lazily per-session via [[graft.functions.VectorExprs.register]] from
   * `Tables.prep` — both routes are idempotent.
@@ -20,5 +21,6 @@ import graft.functions.VectorExprs
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExprs.dotInfo)
+    ext.injectFunction(SetExprs.sortedIntersectCountInfo)
   }
 }

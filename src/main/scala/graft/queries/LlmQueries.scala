@@ -56,7 +56,7 @@ object LlmQueries {
        |FROM d ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     val toks = TextOps.tokens(col("text"))
-    documents(s, d).select(
+    spread(documents(s, d)).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(TextOps.regexTokens(col("text"))).cast("long").as("n_regex_tokens"),
@@ -171,6 +171,22 @@ object LlmQueries {
        |WHERE c * 1.0 / (si.n + sj.n - c) >= $NearDupTau
        |ORDER BY i, j""".stripMargin
 
+  /** Spread a tiny-input, compute-heavy frame across the session's cores.
+    * Compressed text EXPANDS: the corpus at test SF is a sub-MB parquet
+    * file — ONE input split — so every narrow pipeline over it (shingling,
+    * hashing, signatures) would otherwise run single-threaded no matter
+    * how many cores the session has; bytes-on-disk is the wrong
+    * parallelism signal for CPU-bound text work. One round-robin shuffle
+    * of the raw rows buys full parallelism for the expensive expressions
+    * downstream. Guarded: a scan that already has ≥ cores splits (the
+    * 100 TB case) passes through untouched — no shuffle is inserted.
+    * Callers must be row-order-insensitive (per-row outputs, integer/min
+    * aggregates) — every L-query is. */
+  private def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   private def shingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       TextOps.shingleSet(TextOps.tokens(col("text")), ShingleN).as("ss"))
@@ -200,7 +216,7 @@ object LlmQueries {
     shingleCache.get((s, d)) match {
       case Some(sh) => sh
       case None =>
-        val sh = shingled(documents(s, d)).cache()
+        val sh = shingled(spread(documents(s, d))).cache()
         shingleCache.putIfAbsent((s, d), sh) match {
           case None => sh
           case Some(winner) => sh.unpersist(); winner
@@ -210,11 +226,20 @@ object LlmQueries {
   /** Candidate verification shared by l4/l5: join candidate (i, j) pairs
     * back to the FULL shingle sets and keep exact Jaccard ≥ tau —
     * candidate generation only ever PRUNES, never changes the similarity
-    * value. */
+    * value. The sets are sorted once per DOC (pre-join side, one
+    * `sort_array` per corpus row) so the per-PAIR hot loop is the native
+    * allocation-free merge of [[graft.functions.SortedIntersectCount]]
+    * instead of `array_intersect`'s per-pair hash set + materialized
+    * intersection — candidates outnumber docs by orders of magnitude
+    * (310k pairs / 5k docs at sf0.1), so per-pair cost is everything. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
-    val jac = TextOps.jaccard(col("da.ss"), col("db.ss"))
-    cand.join(sh.as("da"), col("i") === col("da.doc_id"))
-      .join(sh.as("db"), col("j") === col("db.doc_id"))
+    // idempotent: callers (property tests included) may hand frames from a
+    // session that never went through Tables.prep
+    graft.functions.SetExprs.register(sh.sparkSession)
+    val shS = sh.select(col("doc_id"), sort_array(col("ss")).as("ss"))
+    val jac = TextOps.jaccardSorted(col("da.ss"), col("db.ss"))
+    cand.join(shS.as("da"), col("i") === col("da.doc_id"))
+      .join(shS.as("db"), col("j") === col("db.doc_id"))
       .filter(jac >= tau)
       .select(col("i"), col("j"), round(jac, 6).as("jac"))
       .orderBy("i", "j")
@@ -239,11 +264,23 @@ object LlmQueries {
     * hot-dominated that it genuinely needs it (exactly the case the
     * retired df-cap silently lost — ADVICE r04 medium, now structurally
     * impossible). The length filter τ·|x| ≤ |y| (float-guarded) prunes
-    * cross-size pairs the prefix theorem alone admits. Candidates then pay
-    * one exact array_intersect verify against the full sets. Next lever at
-    * 100 TB, if ever needed: PPJoin's positional filter on prefix-match
-    * positions. Public so the property tests can run it against the naive
-    * full-index baseline.
+    * cross-size pairs the prefix theorem alone admits.
+    *
+    * On top of prefix+length, PPJoin's POSITIONAL filter prunes candidates
+    * before they ever reach the verify join: for a pair whose FIRST common
+    * prefix element (in the shared rarity order) sits at 1-based ranks
+    * (pa, pb), every other shared element ranks after it in BOTH docs —
+    * ranks are the one global (df, shingle) order restricted to each doc,
+    * so a common element below (pa, pb) in either doc would itself be a
+    * prefix-member on both sides and would have matched first. Hence
+    * overlap ≤ 1 + min(|x| − pa, |y| − pb), while J ≥ τ forces overlap ≥
+    * τ/(1+τ)·(|x|+|y|); pairs whose bound can't reach the requirement die
+    * here, paying one aggregate instead of a full-set verify. At sf0.1
+    * this cuts the 310k raw candidates ~3× for 25 true pairs; the
+    * `distinct` the filter subsumes was a shuffle of the same width, so
+    * the filter is free. Candidates then pay one exact sorted-merge
+    * verify against the full string sets (verifyPairs). Public so the
+    * property tests can run it against the naive full-index baseline.
     *
     * Everything before the final verify runs on xxhash64(shingle) LONGS,
     * not strings: the inverted index shuffles 8-byte keys instead of
@@ -275,13 +312,22 @@ object LlmQueries {
     val prefix = ex.join(dfreq, "sng")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1)
-      .select(col("doc_id"), col("nf"), col("sng"))
+      .select(col("doc_id"), col("nf"), col("sng"), col("rk"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.nf"), col("b.nf")).cast("double") >=
             lit(tau) * greatest(col("a.nf"), col("b.nf")) - 1e-9)
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      // nf is constant per doc; (min pa, min pb) are attained together, by
+      // the pair's first common prefix element in the shared rarity order
+      .agg(max(col("a.nf")).as("na"), max(col("b.nf")).as("nb"),
+        min(col("a.rk")).as("pa"), min(col("b.rk")).as("pb"))
+      // positional filter: overlap ≤ 1 + min(na−pa, nb−pb) must reach the
+      // J ≥ τ requirement overlap ≥ τ/(1+τ)·(na+nb); the 1e-9 slack only
+      // ever loosens (keeps) under float rounding
+      .filter((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+          .cast("double") >= lit(tau / (1 + tau)) * (col("na") + col("nb")) - 1e-9)
+      .select(col("i"), col("j"))
     verifyPairs(cand, sh, tau)
   }
 
@@ -352,7 +398,7 @@ object LlmQueries {
     }
   ) { (s, d) =>
     val sig = TextOps.simhashes(
-      documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      spread(documents(s, d)).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
       "doc_id", "toks", TextOps.md5Hash64)
     // 4 fixed 16-bit sub-bands — shift amounts must be Scala ints
     val bandStructs = array((0 until 4).map(b => struct(
@@ -392,7 +438,7 @@ object LlmQueries {
       |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin
   ) { (s, d) =>
     TextOps.winnowFingerprints(
-      documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      spread(documents(s, d)).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
       "doc_id", "toks", k = 3, w = 4)
       .orderBy("doc_id", "fp")
   }
