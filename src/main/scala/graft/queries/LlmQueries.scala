@@ -276,7 +276,7 @@ object LlmQueries {
     * overlap ≤ 1 + min(|x| − pa, |y| − pb), while J ≥ τ forces overlap ≥
     * τ/(1+τ)·(|x|+|y|); pairs whose bound can't reach the requirement die
     * here, paying one aggregate instead of a full-set verify. At sf0.1
-    * this cuts the 310k raw candidates ~3× for 25 true pairs; the
+    * this cuts the 310k raw candidates 2.5× for 25 true pairs; the
     * `distinct` the filter subsumes was a shuffle of the same width, so
     * the filter is free. Candidates then pay one exact sorted-merge
     * verify against the full string sets (verifyPairs). Public so the
@@ -452,8 +452,14 @@ object LlmQueries {
     * pair-scoring hot loops of l6/l7/l11 spend their time in. */
   private def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
+  /** Project to (vec_id, label, v, nrm), [[spread]] across cores first:
+    * the embeddings table at test SF is one sub-MB split, and everything
+    * downstream (per-row centroid argmax, pair scoring) is CPU-bound.
+    * Order-insensitivity: per-row outputs; the quantizer's only
+    * cross-row float aggregate (`round(avg, 6)` per dimension) pins
+    * summation-order wobble by construction (see fitQuantizer). */
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    spread(df).select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** L6: brute-force cosine top-k — the similarity-search contract query.
