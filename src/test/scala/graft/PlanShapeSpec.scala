@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{CoreQueries, LlmQueries}
+
+/** Physical-plan posture pins for the CORE declared queries — the scan/
+  * shuffle/join properties the 100 TB story claims, asserted as plan-shape
+  * regressions (ScaleOpsSpec covers a6/f4/l11; this covers the everyday
+  * operators). The oracle proves the ANSWER; these prove the work happens
+  * in the right PLACE: a projection that drags every column, a filter
+  * evaluated post-scan, a dim join that shuffles the fact, or an
+  * aggregate with no map-side combine would all still hash-match at test
+  * SF and then fall over at cluster scale.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: graft.queries.Q): String = {
+    // default maxMetadataStringLength=100 truncates PushedFilters mid-list
+    spark.conf.set("spark.sql.maxMetadataStringLength", 4096)
+    q.fn(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  /** Plan string AFTER one execution: AQE's executedPlan is the un-run
+    * AdaptiveSparkPlan shell until then, with no codegen stage markers.
+    * Runs through the df's OWN queryExecution (a write would plan a fresh
+    * command and leave this one untouched); sf0.001 keeps collect tiny. */
+  private def finalPlan(q: graft.queries.Q): String = {
+    val df = q.fn(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("B1: projection prunes the parquet scan to the selected columns") {
+    val p = plan(CoreQueries.b1_projection)
+    assert(p.contains("ReadSchema"), s"expected a file scan:\n$p")
+    // lineitem has 16 columns; a correct scan reads exactly the 3 selected
+    assert(!p.contains("l_extendedprice") && !p.contains("l_shipdate"),
+      s"unselected columns must not reach the scan:\n$p")
+  }
+
+  test("B3: both predicates push down to the parquet scan") {
+    val p = plan(CoreQueries.b3_filter)
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"equality predicate must reach PushedFilters:\n$p")
+    assert(p.contains("GreaterThan(l_quantity,30"),
+      s"range predicate must reach PushedFilters:\n$p")
+  }
+
+  test("E2: dimension joins broadcast — the fact side never shuffles") {
+    val p = plan(CoreQueries.e2_broadcast_join)
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join may appear in a dim-join plan:\n$p")
+  }
+
+  test("D1: group-by mean aggregates map-side before the shuffle") {
+    val p = plan(CoreQueries.d1_group_mean)
+    assert(p.contains("partial_avg") || p.contains("partial_count"),
+      s"aggregate must have a partial (map-side combine) phase:\n$p")
+  }
+
+  test("B2: derived-column projection runs inside whole-stage codegen") {
+    val p = finalPlan(CoreQueries.b2_derived)
+    assert(p.contains("*("),
+      s"expected WholeStageCodegen spans in a scalar-expression plan:\n$p")
+  }
+
+  test("L4/L5: near-dup candidate generation never goes cartesian") {
+    for (q <- Seq(LlmQueries.l4_jaccard_neardup, LlmQueries.l5_minhash_lsh)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name}: candidate generation must stay index/bucket-joined:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name}: no all-pairs nested loop may appear:\n$p")
+    }
+  }
+}
