@@ -267,20 +267,19 @@ object LlmQueries {
     * cross-size pairs the prefix theorem alone admits.
     *
     * On top of prefix+length, PPJoin's POSITIONAL filter prunes candidates
-    * before they ever reach the verify join: for a pair whose FIRST common
-    * prefix element (in the shared rarity order) sits at 1-based ranks
-    * (pa, pb), every other shared element ranks after it in BOTH docs —
-    * ranks are the one global (df, shingle) order restricted to each doc,
-    * so a common element below (pa, pb) in either doc would itself be a
+    * inside the index join itself: for a pair whose FIRST common prefix
+    * element (in the shared rarity order) sits at 1-based ranks (pa, pb),
+    * every other shared element ranks after it in BOTH docs — ranks are
+    * the one global (df, shingle) order restricted to each doc, so a
+    * common element below (pa, pb) in either doc would itself be a
     * prefix-member on both sides and would have matched first. Hence
     * overlap ≤ 1 + min(|x| − pa, |y| − pb), while J ≥ τ forces overlap ≥
-    * τ/(1+τ)·(|x|+|y|); pairs whose bound can't reach the requirement die
-    * here, paying one aggregate instead of a full-set verify. At sf0.1
-    * this cuts the 310k raw candidates 2.5× for 25 true pairs; the
-    * `distinct` the filter subsumes was a shuffle of the same width, so
-    * the filter is free. Candidates then pay one exact sorted-merge
-    * verify against the full string sets (verifyPairs). Public so the
-    * property tests can run it against the naive full-index baseline.
+    * τ/(1+τ)·(|x|+|y|); match rows whose bound can't reach the
+    * requirement die in the join condition, before the dedup shuffle (at
+    * sf0.1: 310k → 125k match rows for 25 true pairs). Surviving
+    * candidates pay one exact sorted-merge verify against the full string
+    * sets (verifyPairs). Public so the property tests can run it against
+    * the naive full-index baseline.
     *
     * Everything before the final verify runs on xxhash64(shingle) LONGS,
     * not strings: the inverted index shuffles 8-byte keys instead of
@@ -313,21 +312,25 @@ object LlmQueries {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1)
       .select(col("doc_id"), col("nf"), col("sng"), col("rk"))
+    // The positional filter sits IN the join condition, evaluated per
+    // match row at that row's own prefix ranks: overlap ≤ 1 + min(nf_a −
+    // rk_a, nf_b − rk_b) must reach the J ≥ τ requirement overlap ≥
+    // τ/(1+τ)·(nf_a+nf_b). Row-local is exactly pair-exact here: a pair's
+    // FIRST common prefix element carries its maximal bound (later matches
+    // have ≥ ranks on both sides, hence ≤ bounds), so a qualifying pair
+    // always survives via its first-match row and a non-qualifying pair
+    // loses every row. Filtering inside the join prunes 310k → 125k rows
+    // at sf0.1 BEFORE the dedup shuffle. The 1e-9 slacks only ever loosen
+    // (keep) under float rounding.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.nf"), col("b.nf")).cast("double") >=
-            lit(tau) * greatest(col("a.nf"), col("b.nf")) - 1e-9)
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      // nf is constant per doc; (min pa, min pb) are attained together, by
-      // the pair's first common prefix element in the shared rarity order
-      .agg(max(col("a.nf")).as("na"), max(col("b.nf")).as("nb"),
-        min(col("a.rk")).as("pa"), min(col("b.rk")).as("pb"))
-      // positional filter: overlap ≤ 1 + min(na−pa, nb−pb) must reach the
-      // J ≥ τ requirement overlap ≥ τ/(1+τ)·(na+nb); the 1e-9 slack only
-      // ever loosens (keeps) under float rounding
-      .filter((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
-          .cast("double") >= lit(tau / (1 + tau)) * (col("na") + col("nb")) - 1e-9)
-      .select(col("i"), col("j"))
+            lit(tau) * greatest(col("a.nf"), col("b.nf")) - 1e-9 &&
+          (lit(1) + least(col("a.nf") - col("a.rk"), col("b.nf") - col("b.rk")))
+            .cast("double") >=
+            lit(tau / (1 + tau)) * (col("a.nf") + col("b.nf")) - 1e-9)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
     verifyPairs(cand, sh, tau)
   }
 
