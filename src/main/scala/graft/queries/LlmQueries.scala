@@ -461,9 +461,14 @@ object LlmQueries {
     * Order-insensitivity: per-row outputs; the quantizer's only
     * cross-row float aggregate (`round(avg, 6)` per dimension) pins
     * summation-order wobble by construction (see fitQuantizer). */
-  private def withNorm(df: DataFrame): DataFrame =
+  private def withNorm(df: DataFrame): DataFrame = {
+    // idempotent: graft_dot resolves by NAME at analysis, so callers that
+    // hand frames from a session that never went through Tables.prep
+    // (tests, profilers) would otherwise hit UNRESOLVED_ROUTINE
+    graft.functions.VectorExprs.register(df.sparkSession)
     spread(df).select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
   /** L6: brute-force cosine top-k — the similarity-search contract query.
     * Query set = every 100th vector, broadcast once; one scan of the table
@@ -559,13 +564,44 @@ object LlmQueries {
     refined.agg(collect_list(struct(col("cl"), col("cv"), col("cn"))).as("cents"))
   }
 
+  /** One fitted quantizer per (session, input plan, k) — fit once, probe
+    * many. l7 and l11 share one corpus and one default k, so the second
+    * query's fit (count job + seed TopK + refine aggregate) is a cache
+    * read; in a long-lived session this is the IVF deployment shape: the
+    * index is built once and served to every probe query. Keyed by the
+    * CANONICALIZED analyzed plan string (alias/exprId-insensitive, exact —
+    * no hash-collision aliasing), race-safe like [[shingleCache]]: thunk
+    * outside the map update, putIfAbsent installs the winner, the loser
+    * unpersists its orphan. [[clearQuantizerCache]] evicts. */
+  private val quantizerCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Option[Int]), DataFrame]
+
+  /** Unpersist and forget every cached quantizer fit. */
+  def clearQuantizerCache(): Unit =
+    quantizerCache.keys.foreach { k =>
+      quantizerCache.remove(k).foreach { cached => cached.unpersist(); () }
+    }
+
+  private def fitQuantizerCached(df: DataFrame, kOpt: Option[Int]): DataFrame = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized.toString, kOpt)
+    quantizerCache.get(key) match {
+      case Some(fit) => fit
+      case None =>
+        val fit = fitQuantizer(df, kOpt).cache()
+        quantizerCache.putIfAbsent(key, fit) match {
+          case None => fit
+          case Some(winner) => fit.unpersist(); winner
+        }
+    }
+  }
+
   /** L7: IVF-pruned ANN — the scale path for l6. Each query probes its
     * `nprobe` nearest centroids and scores ONLY vectors assigned to those
     * buckets. At 100 TB the table is partitioned by bucket so a probe is
     * partition pruning. Approximate ⇒ rows-only here; LlmOpsSpec asserts
     * recall vs l6 and exactness at nprobe ≥ k. */
   def annIvf(nprobe: Int, kOpt: Option[Int] = None)(df: DataFrame): DataFrame = {
-    val centArr = fitQuantizer(df, kOpt)
+    val centArr = fitQuantizerCached(df, kOpt)
     val assigned = withNorm(df).crossJoin(broadcast(centArr))
       .withColumn("bucket", rankedCents(col("cents")).getItem(0).getField("cl"))
       .drop("cents")
@@ -639,7 +675,7 @@ object LlmQueries {
     * measures that recall against the brute-force truth. */
   def embedNearDup(tau: Double, nprobe: Int = 2, kOpt: Option[Int] = None)(
       df: DataFrame): DataFrame = {
-    val centArr = fitQuantizer(df, kOpt)
+    val centArr = fitQuantizerCached(df, kOpt)
     val assigned = withNorm(df).crossJoin(broadcast(centArr))
       .withColumn("bucket",
         explode(transform(slice(rankedCents(col("cents")), 1, nprobe), p => p.getField("cl"))))
