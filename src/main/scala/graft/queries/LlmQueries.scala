@@ -774,8 +774,40 @@ object LlmQueries {
     graft.streaming.StreamingOps.weeklyAvg(events(s, d)).orderBy("week_ending")
   }
 
+  /** L13: per-user session windows (StreamingOps.sessionAgg — the merging
+    * `session_window` aggregate, batch AND streaming). The oracle replays
+    * the gap-split definition session_window implements: a new session
+    * starts where the in-user time gap is ≥ 12 h (Spark windows are
+    * half-open [start, end), so an event landing exactly at the previous
+    * session's end starts a new one); session end = last event + gap.
+    * Both engines truncate the parquet nanos to microseconds before any
+    * gap arithmetic (Tables.events `div 1000` ≡ DuckDB CAST TO
+    * TIMESTAMP), and emit timestamps at full microsecond fidelity. */
+  val l13_user_sessions = Q(
+    "l13_user_sessions",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |o AS (SELECT user_id, ts, value,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+      |g AS (SELECT user_id, sid, min(ts) AS session_start,
+      |             max(ts) + INTERVAL 12 HOUR AS session_end,
+      |             count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |      FROM s GROUP BY 1, 2)
+      |SELECT user_id, strftime(session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       strftime(session_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |       CAST(n_events AS BIGINT) AS n_events, sum_value
+      |FROM g ORDER BY user_id, session_start""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.sessionAgg(events(s, d))
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
-    l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly)
+    l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
+    l13_user_sessions)
 }

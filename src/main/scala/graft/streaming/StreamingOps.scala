@@ -41,4 +41,25 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Per-user SESSION windows: events of one user closer than `gap` merge
+    * into one session [first ts, last ts + gap). Spark-first: this is
+    * `session_window(ts, gap)` — the built-in merging-window aggregate —
+    * NOT a hand-rolled mapGroupsWithState loop; the same body is the
+    * batch gap-split sessionization (lag/cumsum-equivalent, what the
+    * DuckDB oracle replays for l13) and the incremental streaming form,
+    * where the watermark both bounds state and CLOSES sessions (a session
+    * emits in append mode once the watermark passes its end — no more
+    * mergeable events can arrive). Timestamps format at full microsecond
+    * fidelity for cross-engine hashing. */
+  def sessionAgg(events: DataFrame, gap: String = "12 hours",
+      watermark: String = "14 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"), col("sum_value"))
 }

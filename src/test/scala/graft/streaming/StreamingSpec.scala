@@ -85,4 +85,60 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L, 2L, 4L), s"late row must be dropped, got $ids")
   }
+
+  test("streaming session windows equal the batch sessionization") {
+    // sessionAgg groups by user_id, which stage() drops — re-stage with it
+    val batch = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "value")
+    val dir = Files.createTempDirectory("graft_stream_sess").toString
+    batch.repartition(8).write.mode("overwrite").parquet(dir)
+    // files arrive in arbitrary (non-time) order, and session windows
+    // filter watermark-late rows even in complete mode (their state is
+    // merge-managed, unlike plain windowed aggs) — so the watermark must
+    // exceed the table's span for the equality to be exact; the late-close
+    // behavior itself is pinned by the append-mode test below
+    val wm = "3650 days"
+    val expected = StreamingOps.sessionAgg(batch, watermark = wm)
+      .collect().map(_.toSeq).toSet
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dir)
+    val q = StreamingOps.sessionAgg(src, watermark = wm).writeStream
+      .format("memory").queryName("session_stream").outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("session_stream").collect().map(_.toSeq).toSet
+    assert(got === expected,
+      "incremental session merging must converge to the batch gap-split")
+    // sanity: sessions actually merge events (not one session per event)
+    assert(expected.exists(_(3).asInstanceOf[Long] > 1L))
+  }
+
+  test("append-mode sessions close when the watermark passes their end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = StreamingOps.sessionAgg(
+        mem.toDF().toDF("event_id", "ts", "user_id", "value"),
+        gap = "12 hours", watermark = "1 hour")
+      .writeStream.format("memory").queryName("session_close").outputMode("append")
+      .start()
+    def t(d: String) = java.sql.Timestamp.valueOf(d)
+    // two events 6h apart -> one session; then an event 3 days on advances
+    // the watermark past that session's end, forcing it to emit
+    mem.addData((1L, t("2024-03-01 00:00:00"), 7L, 1.0),
+      (2L, t("2024-03-01 06:00:00"), 7L, 2.0))
+    q.processAllAvailable()
+    mem.addData((3L, t("2024-03-04 00:00:00"), 7L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("session_close")
+      .select("user_id", "n_events", "sum_value").collect().map(_.toSeq)
+    // only the CLOSED session is in the append output; the 03-04 session
+    // is still open when the query stops
+    assert(rows.toSeq === Seq(Seq(7L, 2L, 3.0)),
+      s"exactly the closed 2-event session must emit, got ${rows.toSeq}")
+  }
 }
