@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — pandas `merge_asof` / DuckDB `ASOF
+  * JOIN`: each left row picks the right row with the LARGEST right.ts ≤
+  * left.ts within its key group, or nulls when no prior right row exists
+  * (left-outer semantics).
+  *
+  * Spark-first plan, NOT a range join: a `l.ts >= r.ts` theta-join would
+  * explode to O(|L|·|R|) per key before an argmax prunes it back — the
+  * classic range-join blowup. Instead both sides UNION into one frame
+  * ordered by (ts, side) per key, and a running `last(right row, ignore
+  * nulls)` over ROWS UNBOUNDED PRECEDING carries the most recent right
+  * row onto every subsequent left row: ONE shuffle on the key, one
+  * linear pass per partition, never a pair blowup. Right rows sort
+  * before left rows at equal ts, so ties match (ASOF's `l.ts >= r.ts`
+  * includes equality). The picked right columns travel as ONE struct
+  * that is non-null exactly on right rows — the null-skipping `last`
+  * keys on "is a right row", never on a picked value happening to be
+  * null, and the whole match is one window expression.
+  *
+  * Skewed keys: same story as ops/ScalableLag — the running window is a
+  * per-key linear pass, so a hot key serializes into one task; the
+  * range-split + per-split seed trick there applies verbatim if a key
+  * outgrows a task.
+  *
+  * Determinism: right rows sharing an exact (key, ts) are ordered
+  * arbitrarily among themselves — pass a right frame distinct on
+  * (key, ts) (or pre-aggregate) when that matters.
+  *
+  * @param pick right column → output column name; every other right
+  *             column is dropped.
+  */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame, key: String, ts: String,
+      pick: Map[String, String]): DataFrame = {
+    val r = right.select(col(key), col(ts),
+      struct(pick.map { case (c, o) => col(c).as(o) }.toSeq: _*).as("__asof_row"))
+    val u = left.withColumn("__side", lit(1))
+      .unionByName(r.withColumn("__side", lit(0)), allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.withColumn("__m", last(col("__asof_row"), ignoreNulls = true).over(w))
+    val outCols = left.columns.map(col) ++
+      pick.values.map(o => col("__m").getField(o).as(o))
+    matched.filter(col("__side") === 1).select(outCols.toSeq: _*)
+  }
+}

@@ -77,5 +77,41 @@ object ScaleQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(a6_bucketed_join, f4_salted_join)
+  /** E4: as-of join (extension) — for each 'purchase' event, the most
+    * recent prior 'view' of the same user (ops/AsOf: union + running
+    * window, ONE shuffle — never the O(|L|·|R|)-per-key range-join
+    * blowup). The oracle is DuckDB's native ASOF LEFT JOIN, so the two
+    * independent formulations must agree row-for-row, null matches
+    * included. Timestamps at full microsecond fidelity (l13 conventions:
+    * both engines truncate parquet nanos to µs first). */
+  val e4_asof_join = Q(
+    "e4_asof_join",
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |      WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      |       p.value,
+      |       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+      |       v.value AS view_value
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val v = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    graft.ops.AsOf.join(p, v, "user_id", "ts",
+        Map("ts" -> "view_ts", "value" -> "view_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("value"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+        col("view_value"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(a6_bucketed_join, f4_salted_join, e4_asof_join)
 }

@@ -43,6 +43,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), s"merge hint must hold:\n$plan")
   }
 
+  test("as-of join equals the naive range join + argmax, without its plan") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val v = ev.filter(col("event_type") === "view").select("user_id", "ts", "value")
+    val got = graft.ops.AsOf.join(p, v, "user_id", "ts",
+      Map("ts" -> "view_ts", "value" -> "view_value"))
+    // naive truth: theta-join then keep the max view ts per purchase
+    // (test-only; this is exactly the blowup the operator exists to avoid)
+    val naive = p.as("p").join(v.as("v"),
+        col("p.user_id") === col("v.user_id") && col("p.ts") >= col("v.ts"), "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max(struct(col("v.ts").as("view_ts"), col("v.value").as("view_value"))).as("m"))
+      .select(col("event_id"), col("m.view_ts").as("view_ts"),
+        col("m.view_value").as("view_value"))
+    val gotSet = got.select("event_id", "view_ts", "view_value")
+      .collect().map(_.toSeq).toSet
+    val naiveSet = naive.collect().map(_.toSeq).toSet
+    assert(gotSet === naiveSet)
+    assert(got.filter(col("view_ts").isNull).count() > 0,
+      "corpus must exercise the no-prior-row (left outer) branch")
+    // and the plan is the single-shuffle window form, not a range join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must never plan a pair blowup:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"expected the running-window form:\n$plan")
+  }
+
   test("bucket-pruned embedding near-dup: perfect precision, measured recall") {
     import org.apache.spark.sql.functions._
     val tau = 0.3 // low enough that cross-bucket pairs exist at sf0.001
