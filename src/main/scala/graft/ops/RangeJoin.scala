@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join, bucketed — each point row matched to
+  * every interval row of the same key whose [start, end) contains it.
+  *
+  * Spark-first plan: Spark would execute the naive `p.ts >= start && p.ts
+  * < end` theta-join as a per-key nested loop (O(|P|·|I|) comparisons per
+  * key — with a broadcast or cartesian shape, the classic range-join
+  * blowup). Instead time is cut into fixed-width epoch buckets: each
+  * interval EXPLODES into the buckets it covers (bounded by
+  * len/bucket + 2), each point computes its ONE bucket, and the match
+  * becomes an equi-join on (key, bucket) + the exact containment filter.
+  * Shuffle fan-out is bounded and hash-partitioned; a point meets an
+  * interval only in the point's own bucket, so the output needs NO
+  * dedup. Pick `bucketSeconds` near the typical interval length: wider
+  * buckets → fewer interval replicas but more false candidates per
+  * bucket; narrower → the reverse. Hot (key, bucket) pairs are ordinary
+  * equi-join skew — AQE skew-join or ScaleQueries-style salting applies.
+  *
+  * Bucket arithmetic runs on epoch SECONDS (exact in doubles; epoch
+  * micros would exceed 2^53 under Column division) and covers through
+  * `end`'s own second, so a sub-second interval tail can admit one
+  * harmless extra candidate bucket — the full-precision containment
+  * filter keeps semantics exact.
+  */
+object RangeJoin {
+  def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
+      ts: String, start: String, end: String,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    val w = lit(bucketSeconds.toDouble)
+    val ic = intervals.withColumn("__b",
+      explode(sequence(
+        floor(unix_timestamp(col(start)) / w).cast("long"),
+        floor(unix_timestamp(col(end)) / w).cast("long"))))
+    val pc = points.withColumn("__b",
+      floor(unix_timestamp(col(ts)) / w).cast("long"))
+    pc.join(ic, Seq(key, "__b"))
+      .filter(col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__b")
+  }
+}

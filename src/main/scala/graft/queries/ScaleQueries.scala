@@ -113,5 +113,43 @@ object ScaleQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(a6_bucketed_join, f4_salted_join, e4_asof_join)
+  /** E5: range (point-in-interval) join (extension) — every 'error' event
+    * inside any same-user [signup, signup + 3 days) window
+    * (ops/RangeJoin: interval-bucketed equi-join + exact containment
+    * filter, never a per-key nested loop). The oracle is DuckDB's plain
+    * inequality join — two independent formulations, row-identical.
+    * One error can land in several overlapping signup windows; the pair
+    * (error_id, signup_id) keys the output. */
+  val e5_range_join = Q(
+    "e5_range_join",
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |           FROM events),
+      |s AS (SELECT event_id AS signup_id, user_id, ts AS s_ts FROM e
+      |      WHERE event_type = 'signup'),
+      |x AS (SELECT event_id AS error_id, user_id, ts AS e_ts FROM e
+      |      WHERE event_type = 'error')
+      |SELECT x.error_id, x.user_id,
+      |       strftime(x.e_ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+      |       s.signup_id,
+      |       strftime(s.s_ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+      |FROM x JOIN s ON x.user_id = s.user_id
+      |             AND x.e_ts >= s.s_ts AND x.e_ts < s.s_ts + INTERVAL 3 DAY
+      |ORDER BY x.error_id, s.signup_id""".stripMargin
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("s_ts"), (col("ts") + expr("INTERVAL 3 DAYS")).as("s_end"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+    graft.ops.RangeJoin.pointInInterval(
+        errors, signups, "user_id", "e_ts", "s_ts", "s_end")
+      .select(col("error_id"), col("user_id"),
+        date_format(col("e_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("error_ts"),
+        col("signup_id"),
+        date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts"))
+      .orderBy("error_id", "signup_id")
+  }
+
+  val all: Seq[Q] = Seq(a6_bucketed_join, f4_salted_join, e4_asof_join, e5_range_join)
 }

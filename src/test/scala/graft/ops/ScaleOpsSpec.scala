@@ -73,6 +73,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected the running-window form:\n$plan")
   }
 
+  test("range join equals the naive theta join, as a bucketed equi-join plan") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("s_ts"), (col("ts") + expr("INTERVAL 3 DAYS")).as("s_end"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+    val got = graft.ops.RangeJoin.pointInInterval(
+      errors, signups, "user_id", "e_ts", "s_ts", "s_end")
+    val naive = errors.as("x").join(signups.as("s"),
+        col("x.user_id") === col("s.user_id") &&
+          col("e_ts") >= col("s_ts") && col("e_ts") < col("s_end"))
+      .select(col("error_id"), col("signup_id"))
+    val gotSet = got.select("error_id", "signup_id").collect().map(_.toSeq).toSet
+    assert(gotSet === naive.collect().map(_.toSeq).toSet)
+    assert(gotSet.nonEmpty, "corpus must produce matches")
+    // no dedup in the operator, so bucketing must be provably dup-free
+    assert(got.count() === gotSet.size.toLong)
+    // the plan is a hash equi-join on (key, bucket) — never a nested loop
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
   test("bucket-pruned embedding near-dup: perfect precision, measured recall") {
     import org.apache.spark.sql.functions._
     val tau = 0.3 // low enough that cross-bucket pairs exist at sf0.001
