@@ -37,15 +37,19 @@ import org.apache.spark.sql.functions._
 object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
       pick: Map[String, String]): DataFrame = {
+    // temp names prefixed against collision with caller columns
+    val (row, side, m) = ("__asof_row", "__asof_side", "__asof_match")
+    require(!left.columns.exists(Set(row, side, m)),
+      s"left frame may not contain reserved columns $row/$side/$m")
     val r = right.select(col(key), col(ts),
-      struct(pick.map { case (c, o) => col(c).as(o) }.toSeq: _*).as("__asof_row"))
-    val u = left.withColumn("__side", lit(1))
-      .unionByName(r.withColumn("__side", lit(0)), allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
+      struct(pick.map { case (c, o) => col(c).as(o) }.toSeq: _*).as(row))
+    val u = left.withColumn(side, lit(1))
+      .unionByName(r.withColumn(side, lit(0)), allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = u.withColumn("__m", last(col("__asof_row"), ignoreNulls = true).over(w))
+    val matched = u.withColumn(m, last(col(row), ignoreNulls = true).over(w))
     val outCols = left.columns.map(col) ++
-      pick.values.map(o => col("__m").getField(o).as(o))
-    matched.filter(col("__side") === 1).select(outCols.toSeq: _*)
+      pick.values.map(o => col(m).getField(o).as(o))
+    matched.filter(col(side) === 1).select(outCols.toSeq: _*)
   }
 }

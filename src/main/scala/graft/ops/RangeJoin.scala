@@ -30,6 +30,8 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
       ts: String, start: String, end: String,
       bucketSeconds: Long = 86400L): DataFrame = {
+    require(!(points.columns ++ intervals.columns).contains("__b"),
+      "frames may not contain the reserved column __b")
     val w = lit(bucketSeconds.toDouble)
     val ic = intervals.withColumn("__b",
       explode(sequence(
