@@ -51,11 +51,29 @@ object Tables {
   def prep(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // native engine functions (graft_dot, graft_sorted_intersect_count) —
-    // idempotent; sessions built with
+    // native engine functions (graft_dot, graft_sorted_intersect_count,
+    // graft_minhash) — idempotent; sessions built with
     // spark.sql.extensions=graft.plans.GraftExtensions already have them
     graft.functions.VectorExprs.register(spark)
     graft.functions.SetExprs.register(spark)
+    graft.functions.SketchExprs.register(spark)
     spark
+  }
+
+  /** Spread a tiny-input, compute-heavy frame across the session's cores.
+    * Compressed text EXPANDS: the corpus at test SF is a sub-MB parquet
+    * file — ONE input split — so every narrow pipeline over it (shingling,
+    * hashing, signatures) would otherwise run single-threaded no matter
+    * how many cores the session has; bytes-on-disk is the wrong
+    * parallelism signal for CPU-bound text work. One round-robin shuffle
+    * of the raw rows buys full parallelism for the expensive expressions
+    * downstream. Guarded: a scan that already has ≥ cores splits (the
+    * 100 TB case) passes through untouched — no shuffle is inserted.
+    * Callers must be row-order-insensitive (per-row outputs, integer/min
+    * aggregates) — every caller in queries/ and streaming/ is. BATCH
+    * frames only (`.rdd` materializes the plan's partitioning). */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
   }
 }

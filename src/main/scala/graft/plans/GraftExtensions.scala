@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{SetExprs, VectorExprs}
+import graft.functions.{SetExprs, SketchExprs, VectorExprs}
 
 /** The engine's SparkSessionExtensions entry point — the deployment route
   * for clusters that own the session builder:
@@ -11,8 +11,9 @@ import graft.functions.{SetExprs, VectorExprs}
   * }}}
   *
   * Injects the engine's native Catalyst functions (currently
-  * [[graft.functions.DotProduct graft_dot]] and
-  * [[graft.functions.SortedIntersectCount graft_sorted_intersect_count]])
+  * [[graft.functions.DotProduct graft_dot]],
+  * [[graft.functions.SortedIntersectCount graft_sorted_intersect_count]]
+  * and [[graft.functions.MinHashSig graft_minhash]])
   * into every session at build time, so SQL users get them too. Sessions the engine does NOT build
   * (e.g. the verification driver's) get the same functions registered
   * lazily per-session via [[graft.functions.VectorExprs.register]] from
@@ -22,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExprs.dotInfo)
     ext.injectFunction(SetExprs.sortedIntersectCountInfo)
+    ext.injectFunction(SketchExprs.minhashInfo)
   }
 }

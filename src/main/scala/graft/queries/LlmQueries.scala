@@ -171,21 +171,7 @@ object LlmQueries {
        |WHERE c * 1.0 / (si.n + sj.n - c) >= $NearDupTau
        |ORDER BY i, j""".stripMargin
 
-  /** Spread a tiny-input, compute-heavy frame across the session's cores.
-    * Compressed text EXPANDS: the corpus at test SF is a sub-MB parquet
-    * file — ONE input split — so every narrow pipeline over it (shingling,
-    * hashing, signatures) would otherwise run single-threaded no matter
-    * how many cores the session has; bytes-on-disk is the wrong
-    * parallelism signal for CPU-bound text work. One round-robin shuffle
-    * of the raw rows buys full parallelism for the expensive expressions
-    * downstream. Guarded: a scan that already has ≥ cores splits (the
-    * 100 TB case) passes through untouched — no shuffle is inserted.
-    * Callers must be row-order-insensitive (per-row outputs, integer/min
-    * aggregates) — every L-query is. */
-  private def spread(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
-  }
+  private def spread(df: DataFrame): DataFrame = graft.Tables.spread(df)
 
   private def shingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"),

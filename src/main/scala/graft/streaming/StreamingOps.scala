@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DateType
+import graft.ops.TextOps
 
 /** Structured-Streaming forms of the engine's aggregations (SURVEY §7.4).
   *
@@ -62,4 +64,58 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming near-dup detection: every incoming doc is matched against
+    * the ENTIRE history via an LSH bucket store — the one dedup shape no
+    * built-in streaming operator covers (joining a stream against its own
+    * past needs custom state, SURVEY §2.I). Docs shingle + MinHash
+    * per-row ([[TextOps.minhashRow]] — a second stateful groupBy is the
+    * multi-stateful topology Structured Streaming restricts), explode
+    * into (band, key) buckets, and `flatMapGroupsWithState` keeps the doc
+    * ids seen per bucket: a new arrival emits one candidate pair per
+    * bucket-mate (history AND same-batch), then joins the stored set.
+    * Emitted pairs are i<j-normalized CANDIDATES — exactly the batch LSH
+    * candidate set over the union of all batches (StreamingSpec proves
+    * set-equality) — and downstream they dedup + exact-verify precisely
+    * like l5's batch candidates.
+    *
+    * State: one Seq[doc_id] per occupied (band, key) bucket — the
+    * dedup-against-history contract means it grows with the corpus'
+    * distinct buckets; bound it operationally (restart with a compacted
+    * store, or swap NoTimeout for ProcessingTimeTimeout when "recent
+    * history only" is acceptable). The same body runs on a BATCH frame
+    * (state starts empty, each bucket processed once) — one body, two
+    * engines, like every op in this file. */
+  def lshCandidatePairs(docs: DataFrame, shingleN: Int = 3, k: Int = 64,
+      b: Int = 16, r: Int = 4): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    // idempotent: the per-row signature resolves graft_minhash by name
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    // batch runs spread CPU-bound shingling across cores; a stream stays as-is
+    val src = if (docs.isStreaming) docs else graft.Tables.spread(docs)
+    val sig = src.select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.minhashRow(
+          TextOps.shingleSet(TextOps.tokens(col("text")), shingleN), k).as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sig
+      .select(col("doc_id"), explode(TextOps.lshBands(col("sig"), b, r)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
+      .as[(Long, Int, Long)]
+    banded
+      .groupByKey { case (_, band, key) => (band, key) }
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val old = state.getOption.getOrElse(Seq.empty)
+          val seen = old.toSet
+          val fresh = rows.map(_._1).toSeq.distinct.filterNot(seen).sorted
+          val pairs = for {
+            (a, idx) <- fresh.zipWithIndex
+            other <- old.iterator ++ fresh.iterator.drop(idx + 1)
+            if a != other
+          } yield if (a < other) (a, other) else (other, a)
+          if (fresh.nonEmpty) state.update(old ++ fresh)
+          pairs.iterator
+      }
+  }
 }

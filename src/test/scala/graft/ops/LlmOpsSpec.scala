@@ -41,6 +41,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows(1L) === rows(3L))
   }
 
+  test("per-row MinHash signature is value-identical to the grouped form") {
+    graft.functions.SketchExprs.register(spark)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("ss"))
+    val grouped = TextOps.minhashSignatures(docs, "doc_id", "ss", 64)
+    val perRow = docs.select(col("doc_id"), TextOps.minhashRow(col("ss"), 64).as("sig"))
+      .filter(col("sig").isNotNull)
+    val mism = grouped.as("g").join(perRow.as("r"), Seq("doc_id"), "full")
+      .filter(col("g.sig").isNull || col("r.sig").isNull || col("g.sig") =!= col("r.sig"))
+      .count()
+    assert(mism === 0L, "the streaming-path signature must match the batch path exactly")
+  }
+
   test("banded LSH reproduces the exact Jaccard result on the corpus") {
     val exact = LlmQueries.l4_jaccard_neardup.fn(spark, sf).collect().toSet
     val lsh = LlmQueries.l5_minhash_lsh.fn(spark, sf).collect().toSet

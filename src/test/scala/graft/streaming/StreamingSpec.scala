@@ -115,6 +115,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.exists(_(3).asInstanceOf[Long] > 1L))
   }
 
+  test("streaming LSH near-dup candidates equal the batch candidate set") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    // expected: the batch band-bucket self-join over the SAME primitives
+    val sigs = graft.ops.TextOps.minhashSignatures(
+      docs.select(col("doc_id"),
+        graft.ops.TextOps.shingleSet(graft.ops.TextOps.tokens(col("text")), 3).as("ss")),
+      "doc_id", "ss", 64)
+    val bands = sigs.select(col("doc_id"),
+        explode(graft.ops.TextOps.lshBands(col("sig"), 16, 4)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
+    val expected = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "corpus must have LSH collisions")
+
+    // batch mode: same body, state starts empty per bucket
+    val gotBatch = StreamingOps.lshCandidatePairs(docs).collect().toSet
+    assert(gotBatch === expected)
+
+    // streaming: two chunks, so cross-chunk pairs must come from STATE
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.lshCandidatePairs(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lsh_stream").outputMode("append")
+      .start()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    mem.addData(h1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(h2.toIndexedSeq)
+    q.processAllAvailable()
+    // re-arrival of known docs must add NOTHING (already in state)
+    mem.addData(h1.take(20).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val gotStream = spark.table("lsh_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotStream === expected,
+      "incremental bucket state must reconstruct exactly the batch candidates")
+  }
+
   test("append-mode sessions close when the watermark passes their end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
