@@ -153,10 +153,11 @@ object LlmQueries {
   private val ShingleN = 3
   private val NearDupTau = 0.5
 
-  /** Shared oracle: ALL pairs with trigram-Jaccard ≥ τ, via an inverted
-    * shingle index (exact — any pair with J > 0 shares a shingle). */
-  private val jaccardOracle =
-    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+  /** The CTE chain computing all trigram-Jaccard ≥ τ pairs, shared by the
+    * l4/l5 oracle and the l14 clustering oracle (which continues from
+    * `pr`). Exact — any pair with J > 0 shares a shingle. */
+  private val jaccardPairsCte =
+    s"""d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
        |sh AS (SELECT doc_id,
        |         list_distinct(list_transform(range(len(toks) - 2),
        |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
@@ -165,11 +166,15 @@ object LlmQueries {
        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
        |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2)
-       |SELECT i, j, round(c * 1.0 / (si.n + sj.n - c), 6) AS jac
-       |FROM p JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
-       |WHERE c * 1.0 / (si.n + sj.n - c) >= $NearDupTau
-       |ORDER BY i, j""".stripMargin
+       |      GROUP BY 1, 2),
+       |pr AS (SELECT i, j, round(c * 1.0 / (si.n + sj.n - c), 6) AS jac
+       |       FROM p JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+       |       WHERE c * 1.0 / (si.n + sj.n - c) >= $NearDupTau)""".stripMargin
+
+  /** Shared oracle: ALL pairs with trigram-Jaccard ≥ τ. */
+  private val jaccardOracle =
+    s"""WITH $jaccardPairsCte
+       |SELECT i, j, jac FROM pr ORDER BY i, j""".stripMargin
 
   private def spread(df: DataFrame): DataFrame = graft.Tables.spread(df)
 
@@ -798,9 +803,43 @@ object LlmQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** L14: dedup CLUSTERS — connected components over the exact near-dup
+    * pair graph (l4's verified pairs as edges), each doc labeled with its
+    * cluster's minimum member, plus the keep/drop decision a dedup
+    * pipeline acts on (keep = doc IS the canonical minimum). This is the
+    * stage that turns pair evidence into row deletion: transitive
+    * near-dups (A~B, B~C but A≁C directly) collapse to ONE kept doc, which
+    * pairwise filtering alone cannot do. Spark side:
+    * [[graft.ops.Graph.connectedComponents]] min-label propagation; the
+    * oracle replays it as a recursive-CTE transitive closure over the same
+    * pair CTE l4 is checked against. Only docs appearing in ≥1 pair are
+    * emitted (every other doc is trivially its own singleton cluster). */
+  val l14_dedup_clusters = Q(
+    "l14_dedup_clusters",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+       |reach(a, b) AS (SELECT a, b FROM e
+       |                UNION
+       |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+       |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |        FROM reach GROUP BY a)
+       |SELECT doc_id, cluster,
+       |       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
+       |       CAST(doc_id = cluster AS BIGINT) AS keep
+       |FROM lbl ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val pairs = jaccardNearDupFrom(shingledCached(s, d)).select(col("i"), col("j"))
+    graft.ops.Graph.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster"),
+        count(lit(1)).over(Window.partitionBy("cluster")).cast("long")
+          .as("cluster_size"),
+        (col("node") === col("cluster")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
-    l13_user_sessions)
+    l13_user_sessions, l14_dedup_clusters)
 }
