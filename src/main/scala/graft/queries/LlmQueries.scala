@@ -837,9 +837,196 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L15: repetition-based quality filter — the Gopher-rules shape (Rae et
+    * al. 2021 §A1.1: "fraction of characters in the most common n-gram",
+    * "fraction of duplicate n-grams") adapted to this corpus' token
+    * streams: per doc the duplicate-bigram fraction, the most-common-bigram
+    * fraction, the single-char-token fraction, and the resulting keep/drop
+    * decision. All four metrics are per-row higher-order expressions over
+    * the token array — ZERO shuffles, pure map-side, whole-stage codegen;
+    * at 100 TB this is a streaming scan that drops ~1/3 of the corpus
+    * before anything downstream pays for it. The keep thresholds are
+    * compared on UNROUNDED doubles — both engines compute the identical
+    * IEEE expression — while the emitted fractions round to 6dp for the
+    * hash compare. */
+  val l15_quality_filter = Q(
+    "l15_quality_filter",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, toks, len(toks) AS n,
+      |        list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bg
+      |      FROM d),
+      |m AS (SELECT doc_id, n,
+      |        1.0 - len(list_distinct(bg)) * 1.0 / len(bg) AS dupf,
+      |        list_max(list_transform(list_distinct(bg),
+      |          x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg) AS topf,
+      |        len(list_filter(toks, t -> length(t) = 1)) * 1.0 / len(toks) AS short1
+      |      FROM b)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |       round(dupf, 6) AS dup_bigram_frac,
+      |       round(topf, 6) AS top_bigram_frac,
+      |       round(short1, 6) AS short_token_frac,
+      |       CAST(dupf <= 0.05 AND topf <= 0.06 AND n >= 20 AND short1 <= 0.1
+      |            AS BIGINT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = TextOps.tokens(col("text"))
+    spread(documents(s, d))
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"),
+        TextOps.shingles(toks, 2).as("bg"))
+      .select(col("doc_id"), col("n"),
+        (lit(1.0) - size(array_distinct(col("bg"))) / size(col("bg"))
+          .cast("double")).as("dupf"),
+        (aggregate(array_distinct(col("bg")), lit(0),
+          (acc, x) => greatest(acc, size(filter(col("bg"), y => y === x))))
+          / size(col("bg")).cast("double")).as("topf"),
+        (size(filter(col("toks"), t => length(t) === 1))
+          / size(col("toks")).cast("double")).as("short1"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        round(col("dupf"), 6).as("dup_bigram_frac"),
+        round(col("topf"), 6).as("top_bigram_frac"),
+        round(col("short1"), 6).as("short_token_frac"),
+        (col("dupf") <= 0.05 && col("topf") <= 0.06 && col("n") >= 20 &&
+          col("short1") <= 0.1).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------- normalization / redaction
+
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+  private val PhonePat = "\\+1-555-[0-9]+"
+
+  /** L16: text normalization + PII redaction — the standard pre-training
+    * scrub: canonicalize case/whitespace, then mask emails and phone
+    * numbers, counting what was masked. The corpus is synthetically clean,
+    * so (exactly like l3 injects duplicates) every 7th doc gets a
+    * deterministic dirty suffix — mixed case, doubled spaces, one email,
+    * one phone — on BOTH engines; the op's effect is observable, not
+    * vacuous. Pure per-row regex projection: zero shuffles, the 100 TB
+    * shape is a streaming scan. Patterns stay in the POSIX-class subset
+    * that Java regex and DuckDB's RE2 interpret identically. */
+  val l16_normalize_redact = Q(
+    "l16_normalize_redact",
+    s"""WITH aug AS (SELECT doc_id,
+       |        CASE WHEN doc_id % 7 = 0
+       |             THEN text || '  Contact: user' || CAST(doc_id AS VARCHAR) ||
+       |                  '@example.com  or  +1-555-0' || CAST(doc_id AS VARCHAR)
+       |             ELSE text END AS text
+       |      FROM documents),
+       |norm AS (SELECT doc_id,
+       |        trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS t
+       |      FROM aug)
+       |SELECT doc_id,
+       |       regexp_replace(regexp_replace(t, '$EmailPat', '<EMAIL>', 'g'),
+       |                      '$PhonePat', '<PHONE>', 'g') AS clean_text,
+       |       CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phones
+       |FROM norm ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val aug = spread(documents(s, d)).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit("  Contact: user"), col("doc_id").cast("string"),
+          lit("@example.com  or  +1-555-0"), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+    val norm = aug.select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), " +", " ")).as("t"))
+    norm.select(col("doc_id"),
+        regexp_replace(regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>").as("clean_text"),
+        size(regexp_extract_all(col("t"), lit(EmailPat), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhonePat), lit(0))).cast("long")
+          .as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------- sampling / TF-IDF
+
+  /** L17: deterministic stratified sampling — per-language sampling rates
+    * (down-sample the dominant 'en' stratum to 10%, keep 40% elsewhere:
+    * the classic pre-training rebalancing move), keyed on
+    * md5(doc_id) % 100 rather than rand() so the sample is reproducible
+    * run-to-run, engine-to-engine, and under partition reshuffling —
+    * rand()-based sampling is none of those. Map-side filter, zero
+    * shuffles; the emitted stratum_kept count (one window) is the
+    * bookkeeping a pipeline reports. The oracle decodes the identical md5
+    * hex prefix digit-by-digit (DuckDB cannot parse hex integers
+    * directly; same trick as the l8 oracle). */
+  val l17_stratified_sample = Q(
+    "l17_stratified_sample", {
+      // value of the first 8 md5 hex chars, decoded per digit: Σ d_i·16^(8-i)
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH k AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+         |           FROM documents),
+         |v AS (SELECT doc_id, lang, CAST($hexVal AS BIGINT) % 100 AS bucket FROM k),
+         |s AS (SELECT doc_id, lang FROM v
+         |      WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+         |SELECT doc_id, lang,
+         |       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS stratum_kept
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    // first 8 hex chars < 2^32: always positive in a long, so % ≡ pmod
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 100
+    spread(documents(s, d))
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(40))
+      .select(col("doc_id"), col("lang"),
+        count(lit(1)).over(Window.partitionBy("lang")).cast("long")
+          .as("stratum_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** L18: per-document top-3 TF-IDF terms — the inverted-index statistic
+    * under every quality classifier / topic filter. tf is the in-doc term
+    * count, idf = ln(N/df) over the corpus; ties rank alphabetically so
+    * the top-3 cut is total and deterministic. The shuffles here are the
+    * algorithm's own: one explode→groupBy for tf, one groupBy for df
+    * (both map-side combinable), one broadcast-sized join of df onto tf
+    * (vocabulary ≪ corpus — AQE broadcasts it), one per-doc window for
+    * the rank. N arrives as one scalar count, not a cross join. */
+  val l18_tfidf_topterms = Q(
+    "l18_tfidf_topterms",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+      |       GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (SELECT tf.doc_id, tf.term,
+      |             tf.tf * ln((SELECT n FROM n) * 1.0 / df.df) AS score
+      |           FROM tf JOIN df USING (term)),
+      |ranked AS (SELECT doc_id, term, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |                                ORDER BY score DESC, term) AS rk
+      |           FROM scored)
+      |SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+  ) { (s, d) =>
+    val docs = spread(documents(s, d))
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(lit(n) / col("df").cast("double"))).as("score"))
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("tfidf"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
-    l13_user_sessions, l14_dedup_clusters)
+    l13_user_sessions, l14_dedup_clusters, l15_quality_filter,
+    l16_normalize_redact, l17_stratified_sample, l18_tfidf_topterms)
 }
