@@ -51,18 +51,23 @@ object Graph {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // neighbor messages: b's current label arrives at a
+      // neighbor messages: b's current label arrives at a. Self rows ride
+      // along tagged, so ONE groupBy yields both the new label and the
+      // previous one (each node has exactly one self row) — the fixpoint
+      // test needs no second join, and the whole round is a single
+      // shuffle. The checkpoint is lazy: the convergence probe right
+      // below is the action that materializes it.
       val msgs = sym.join(labels.withColumnRenamed("node", "b2"),
           col("b") === col("b2"))
-        .select(col("a").as("node"), col("cluster"))
-      val next = labels.unionByName(msgs)
-        .groupBy("node").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
-      val changed = next.join(
-          labels.withColumnRenamed("cluster", "prev"), "node")
-        .filter(col("cluster") =!= col("prev"))
-      converged = changed.limit(1).count() == 0L
-      labels = next
+        .select(col("a").as("node"), col("cluster"), lit(0).as("self"))
+      val next = labels.withColumn("self", lit(1)).unionByName(msgs)
+        .groupBy("node")
+        .agg(min("cluster").as("cluster"),
+          max(when(col("self") === 1, col("cluster"))).as("prev"))
+        .localCheckpoint(false)
+      converged = next.filter(col("cluster") =!= col("prev"))
+        .limit(1).count() == 0L
+      labels = next.select(col("node"), col("cluster"))
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds — " +

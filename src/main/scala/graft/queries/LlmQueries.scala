@@ -197,11 +197,36 @@ object LlmQueries {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Unpersist and forget every cached shingle frame. */
-  def clearShingleCache(): Unit =
+  /** The verified exact near-dup PAIR frame — l4's output, l14's input —
+    * cached once per (session, sfDir) with the same discipline as
+    * [[shingleCache]]: a real dedup pipeline computes pair evidence once
+    * and both reports it (l4) and clusters it (l14); re-running the whole
+    * inverted-index + verify pipeline per consumer would be the bug.
+    * l5 deliberately does NOT share it: its LSH path must produce its own
+    * pairs for the same-oracle completeness check to mean anything. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def exactPairsCached(s: SparkSession, d: String): DataFrame =
+    pairCache.get((s, d)) match {
+      case Some(p) => p
+      case None =>
+        val p = jaccardNearDupFrom(shingledCached(s, d)).cache()
+        pairCache.putIfAbsent((s, d), p) match {
+          case None => p
+          case Some(winner) => p.unpersist(); winner
+        }
+    }
+
+  /** Unpersist and forget every cached shingle and pair frame. */
+  def clearShingleCache(): Unit = {
     shingleCache.keys.foreach { k =>
       shingleCache.remove(k).foreach { cached => cached.unpersist(); () }
     }
+    pairCache.keys.foreach { k =>
+      pairCache.remove(k).foreach { cached => cached.unpersist(); () }
+    }
+  }
 
   private def shingledCached(s: SparkSession, d: String): DataFrame =
     shingleCache.get((s, d)) match {
@@ -336,7 +361,7 @@ object LlmQueries {
     * inverted shingle index + exact verify. This is the exact baseline
     * l5's LSH must reproduce. */
   val l4_jaccard_neardup = Q("l4_jaccard_neardup", jaccardOracle) { (s, d) =>
-    jaccardNearDupFrom(shingledCached(s, d))
+    exactPairsCached(s, d).orderBy("i", "j")
   }
 
   /** L5: MinHash + banded-LSH near-dup dedup — the scale path. 64 minhashes
@@ -828,7 +853,7 @@ object LlmQueries {
        |       CAST(doc_id = cluster AS BIGINT) AS keep
        |FROM lbl ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val pairs = jaccardNearDupFrom(shingledCached(s, d)).select(col("i"), col("j"))
+    val pairs = exactPairsCached(s, d).select(col("i"), col("j"))
     graft.ops.Graph.connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("cluster"),
         count(lit(1)).over(Window.partitionBy("cluster")).cast("long")
