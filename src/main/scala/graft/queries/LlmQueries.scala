@@ -1048,10 +1048,120 @@ object LlmQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** L20: sequence packing — the concat-and-chunk layout every
+    * pretraining loader needs: documents are concatenated in a fixed
+    * order and the token stream is cut into fixed-capacity bins; each doc
+    * reports the bin it starts in and its offset there. Packing is
+    * SHARD-LOCAL (shard = doc_id % 8): a global concatenation order would
+    * be a single-task global sort at 100 TB, while per-shard streams pack
+    * in parallel — one window shuffle, every shard independent, exactly
+    * how a distributed loader lays out its shards. Deterministic:
+    * concatenation order inside a shard is doc_id order. */
+  val l20_seq_pack = Q(
+    "l20_seq_pack", {
+      val cap = 512
+      s"""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+         |        len(string_split(lower(text), ' ')) AS n FROM documents),
+         |c AS (SELECT doc_id, shard, n,
+         |        sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) - n AS start_tok
+         |      FROM d)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |       CAST(n AS BIGINT) AS n_tokens,
+         |       CAST(start_tok AS BIGINT) AS start_tok,
+         |       CAST(start_tok // $cap AS BIGINT) AS bin,
+         |       CAST(start_tok % $cap AS BIGINT) AS bin_off
+         |FROM c ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val cap = 512
+    val byDoc = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spread(documents(s, d))
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("start_tok", sum("n").over(byDoc) - col("n"))
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("n").as("n_tokens"), col("start_tok"),
+        floor(col("start_tok") / cap).as("bin"),
+        (col("start_tok") % cap).as("bin_off"))
+      .orderBy("doc_id")
+  }
+
+  /** L21: the curated corpus — the capstone composition every stage above
+    * exists for: a doc survives iff it passes the l15 quality filter, the
+    * l17 stratified sample, AND the l14 dedup decision (not in a near-dup
+    * cluster, or its cluster's canonical minimum). One declared query =
+    * the whole curation pipeline end-to-end, so the oracle hash pins the
+    * COMPOSITION — filters composed with the cluster anti-join — not just
+    * each stage alone. Reuses the session-cached verified pair frame; the
+    * extra cost over the stages themselves is one small left join against
+    * the cluster labels. */
+  val l21_curated_corpus = Q(
+    "l21_curated_corpus", {
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |                UNION
+         |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |        FROM reach GROUP BY a),
+         |t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+         |      FROM documents),
+         |b AS (SELECT doc_id, lang, toks, len(toks) AS n,
+         |        list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bg
+         |      FROM t),
+         |q AS (SELECT doc_id, lang, n FROM b
+         |      WHERE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) <= 0.05
+         |        AND list_max(list_transform(list_distinct(bg),
+         |              x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg) <= 0.06
+         |        AND n >= 20
+         |        AND len(list_filter(toks, tk -> length(tk) = 1)) * 1.0 / len(toks) <= 0.1),
+         |sk AS (SELECT doc_id FROM (
+         |         SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) z
+         |       WHERE CAST($hexVal AS BIGINT) % 100 <
+         |             CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+         |SELECT q.doc_id, q.lang, CAST(q.n AS BIGINT) AS n_tokens
+         |FROM q JOIN sk ON q.doc_id = sk.doc_id
+         |LEFT JOIN lbl ON q.doc_id = lbl.doc_id
+         |WHERE lbl.doc_id IS NULL OR lbl.cluster = q.doc_id
+         |ORDER BY q.doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val toks = TextOps.tokens(col("text"))
+    val bg = TextOps.shingles(toks, 2)
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 100
+    val quality = spread(documents(s, d))
+      .select(col("doc_id"), col("lang"), toks.as("toks"), bg.as("bg"),
+        bucket.as("bucket"))
+      .filter(
+        (lit(1.0) - size(array_distinct(col("bg"))) / size(col("bg")).cast("double")) <= 0.05 &&
+          (aggregate(array_distinct(col("bg")), lit(0),
+            (acc, x) => greatest(acc, size(filter(col("bg"), y => y === x))))
+            / size(col("bg")).cast("double")) <= 0.06 &&
+          size(col("toks")) >= 20 &&
+          (size(filter(col("toks"), t => length(t) === 1))
+            / size(col("toks")).cast("double")) <= 0.1 &&
+          col("bucket") < when(col("lang") === "en", 10).otherwise(40))
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
+    val lbl = graft.ops.Graph.connectedComponents(
+      exactPairsCached(s, d).select(col("i"), col("j")))
+      .withColumnRenamed("node", "ldoc")
+    quality.join(lbl, quality("doc_id") === lbl("ldoc"), "left")
+      .filter(col("ldoc").isNull || col("cluster") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
     l13_user_sessions, l14_dedup_clusters, l15_quality_filter,
-    l16_normalize_redact, l17_stratified_sample, l18_tfidf_topterms)
+    l16_normalize_redact, l17_stratified_sample, l18_tfidf_topterms,
+    l20_seq_pack, l21_curated_corpus)
 }
