@@ -67,6 +67,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected WholeStageCodegen spans in a scalar-expression plan:\n$p")
   }
 
+  test("L15/L16: curation scans are single-pass — no aggregation shuffle") {
+    for (q <- Seq(LlmQueries.l15_quality_filter, LlmQueries.l16_normalize_redact)) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"),
+        s"${q.name}: a per-row metric scan must not shuffle by key " +
+          s"(only the final result sort may exchange):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"${q.name}: no join belongs in a per-row scan:\n$p")
+    }
+  }
+
+  test("L17: sampling scan prunes text — only (doc_id, lang) are read") {
+    val p = plan(LlmQueries.l17_stratified_sample)
+    assert(p.contains("ReadSchema"), s"expected a file scan:\n$p")
+    assert(!p.contains("text:string") && !p.contains("n_chars"),
+      s"the sample filter needs no text column; scan must prune it:\n$p")
+  }
+
+  test("L18: the vocabulary (df) side joins as broadcast, not shuffle") {
+    val p = finalPlan(LlmQueries.l18_tfidf_topterms)
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab ≪ corpus — AQE must broadcast the df side:\n$p")
+  }
+
+  test("L20: packing shuffles once per shard window, never globally sorts early") {
+    val p = plan(LlmQueries.l20_seq_pack)
+    val hashEx = p.sliding("hashpartitioning".length).count(_ == "hashpartitioning")
+    assert(hashEx <= 2, // window exchange (plus AQE read reuse at most)
+      s"one shard-window exchange expected, got $hashEx:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("L4/L5: near-dup candidate generation never goes cartesian") {
     for (q <- Seq(LlmQueries.l4_jaccard_neardup, LlmQueries.l5_minhash_lsh)) {
       val p = plan(q)
