@@ -218,6 +218,20 @@ object LlmQueries {
         }
     }
 
+  /** Cluster labels over the cached pair frame — the connectedComponents
+    * run is iterative (one job per round), so l14 and l21 sharing one
+    * fixpoint instead of running two is a real saving; the result frame
+    * is already materialized by the final round's localCheckpoint, so no
+    * extra persist is needed (nothing to unpersist on eviction — the
+    * checkpoint RDDs die with the frame references). */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def clusterLabelsCached(s: SparkSession, d: String): DataFrame =
+    labelCache.getOrElseUpdate((s, d),
+      graft.ops.Graph.connectedComponents(
+        exactPairsCached(s, d).select(col("i"), col("j"))))
+
   /** Unpersist and forget every cached shingle and pair frame. */
   def clearShingleCache(): Unit = {
     shingleCache.keys.foreach { k =>
@@ -226,6 +240,7 @@ object LlmQueries {
     pairCache.keys.foreach { k =>
       pairCache.remove(k).foreach { cached => cached.unpersist(); () }
     }
+    labelCache.clear()
   }
 
   private def shingledCached(s: SparkSession, d: String): DataFrame =
@@ -853,8 +868,7 @@ object LlmQueries {
        |       CAST(doc_id = cluster AS BIGINT) AS keep
        |FROM lbl ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val pairs = exactPairsCached(s, d).select(col("i"), col("j"))
-    graft.ops.Graph.connectedComponents(pairs)
+    clusterLabelsCached(s, d)
       .select(col("node").as("doc_id"), col("cluster"),
         count(lit(1)).over(Window.partitionBy("cluster")).cast("long")
           .as("cluster_size"),
@@ -894,8 +908,15 @@ object LlmQueries {
       |            AS BIGINT) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
+    qualityMetricsFrame(spread(documents(s, d))).orderBy("doc_id")
+  }
+
+  /** The l15 per-row metric body over any (doc_id, text) frame — stateless,
+    * so the SAME function runs on a readStream source (StreamingSpec pins
+    * stream ≡ batch). */
+  def qualityMetricsFrame(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    spread(documents(s, d))
+    docs
       .select(col("doc_id"), toks.as("toks"), size(toks).as("n"),
         TextOps.shingles(toks, 2).as("bg"))
       .select(col("doc_id"), col("n"),
@@ -912,7 +933,6 @@ object LlmQueries {
         round(col("short1"), 6).as("short_token_frac"),
         (col("dupf") <= 0.05 && col("topf") <= 0.06 && col("n") >= 20 &&
           col("short1") <= 0.1).cast("long").as("keep"))
-      .orderBy("doc_id")
   }
 
   // --------------------------------------------- normalization / redaction
@@ -952,16 +972,22 @@ object LlmQueries {
         concat(col("text"), lit("  Contact: user"), col("doc_id").cast("string"),
           lit("@example.com  or  +1-555-0"), col("doc_id").cast("string")))
         .otherwise(col("text")).as("text"))
-    val norm = aug.select(col("doc_id"),
+    normalizeRedactFrame(aug).orderBy("doc_id")
+  }
+
+  /** The l16 normalize+redact body over any (doc_id, text) frame —
+    * stateless, so the SAME function runs on a readStream source
+    * (StreamingSpec pins stream ≡ batch). */
+  def normalizeRedactFrame(docs: DataFrame): DataFrame = {
+    val norm = docs.select(col("doc_id"),
       trim(regexp_replace(lower(col("text")), " +", " ")).as("t"))
     norm.select(col("doc_id"),
-        regexp_replace(regexp_replace(col("t"), EmailPat, "<EMAIL>"),
-          PhonePat, "<PHONE>").as("clean_text"),
-        size(regexp_extract_all(col("t"), lit(EmailPat), lit(0))).cast("long")
-          .as("n_emails"),
-        size(regexp_extract_all(col("t"), lit(PhonePat), lit(0))).cast("long")
-          .as("n_phones"))
-      .orderBy("doc_id")
+      regexp_replace(regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>").as("clean_text"),
+      size(regexp_extract_all(col("t"), lit(EmailPat), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(PhonePat), lit(0))).cast("long")
+        .as("n_phones"))
   }
 
   // ----------------------------------------------------- sampling / TF-IDF
@@ -1148,9 +1174,7 @@ object LlmQueries {
             / size(col("toks")).cast("double")) <= 0.1 &&
           col("bucket") < when(col("lang") === "en", 10).otherwise(40))
       .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
-    val lbl = graft.ops.Graph.connectedComponents(
-      exactPairsCached(s, d).select(col("i"), col("j")))
-      .withColumnRenamed("node", "ldoc")
+    val lbl = clusterLabelsCached(s, d).withColumnRenamed("node", "ldoc")
     quality.join(lbl, quality("doc_id") === lbl("ldoc"), "left")
       .filter(col("ldoc").isNull || col("cluster") === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"))

@@ -186,4 +186,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(Seq(7L, 2L, 3.0)),
       s"exactly the closed 2-event session must emit, got ${rows.toSeq}")
   }
+
+  test("streaming curation scan (l15/l16 bodies) equals the batch output") {
+    // the curation projections are stateless, so the exact batch function
+    // bodies must run unchanged over a micro-batched file stream
+    import graft.queries.LlmQueries
+    val docsBatch = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_stream_docs").toString
+    docsBatch.repartition(8).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(docsBatch.schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+
+    val q1 = LlmQueries.qualityMetricsFrame(src)
+      .writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q2 = LlmQueries.normalizeRedactFrame(src)
+      .writeStream.format("memory").queryName("stream_redact")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000); q2.awaitTermination(120000)
+
+    val gotQ = spark.table("stream_quality").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val expQ = LlmQueries.qualityMetricsFrame(docsBatch).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(gotQ == expQ, "streaming quality metrics must equal batch")
+
+    val gotR = spark.table("stream_redact").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val expR = LlmQueries.normalizeRedactFrame(docsBatch).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(gotR == expR, "streaming normalize+redact must equal batch")
+    assert(gotQ.nonEmpty && gotR.nonEmpty)
+  }
 }
