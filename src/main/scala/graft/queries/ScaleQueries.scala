@@ -46,6 +46,35 @@ object ScaleQueries {
       .orderBy("o_orderkey")
   }
 
+  /** A7: partitioned layout + partition-pruned scan — the OTHER physical
+    * layout a 100 TB deployment rests on (a6 covers bucketing): lineitem
+    * written as hive-style directories partitioned by return flag, then
+    * queried with a partition-column predicate. The filter must resolve
+    * at PLANNING time against the directory listing — `PartitionFilters`
+    * in the scan, no data filter, untouched partitions never opened
+    * (ScaleOpsSpec pins exactly that). The result is the plain filtered
+    * aggregate's, verified against DuckDB on the raw parquet. */
+  val a7_partitioned_scan = Q(
+    "a7_partitioned_scan",
+    """SELECT l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = s"$base/graft_partitioned_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+    lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity")
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_linestatus")
+  }
+
   private val SaltBuckets = 16
 
   /** F4: salted skew join — 90% of fact rows share ONE foreign key, the
@@ -151,5 +180,6 @@ object ScaleQueries {
       .orderBy("error_id", "signup_id")
   }
 
-  val all: Seq[Q] = Seq(a6_bucketed_join, f4_salted_join, e4_asof_join, e5_range_join)
+  val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan, f4_salted_join,
+    e4_asof_join, e5_range_join)
 }

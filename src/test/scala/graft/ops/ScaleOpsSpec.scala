@@ -25,6 +25,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("partitioned scan prunes at planning time — no data-side filter") {
+    val df = ScaleQueries.a7_partitioned_scan.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the claim: the returnflag predicate resolves against the directory
+    // listing (PartitionFilters), is NOT pushed as a parquet data filter,
+    // and the untouched partitions never open
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"predicate must resolve as a partition filter:\n$plan")
+    assert(plan.contains("(l_returnflag#") && plan.contains("= R)"),
+      s"the R-partition selection must sit in PartitionFilters:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(l_returnflag"),
+      s"a partition-column predicate must not also scan-filter data:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("salted join spreads the hot key and matches the plain join") {
     val salted = ScaleQueries.f4_salted_join.fn(spark, sf)
     // the same rows, computed the naive way
