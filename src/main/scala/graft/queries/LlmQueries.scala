@@ -183,11 +183,14 @@ object LlmQueries {
       TextOps.shingleSet(TextOps.tokens(col("text")), ShingleN).as("ss"))
 
   /** The l4/l5 shared shingle frame — (doc_id, ss) — computed and
-    * `.cache()`d ONCE per (session, sfDir) and reused by both declared
-    * queries (and any bench invocation), so the second query hits the
-    * materialized frame instead of re-caching the same plan (the "already
-    * cached" warnings in BENCH_r03's tail). The frame is ~one row per doc
-    * of shingle strings — the natural working set of the dedup family.
+    * `.cache()`d ONCE per (session, sfDir) and reused by every declared
+    * consumer (and any bench invocation). `.cache()` beat both lazy and
+    * eager `localCheckpoint` in situ (9.4 vs 10.2 vs 11.2 s for the
+    * cold dedup pipeline at sf0.1): the columnar build cost amortizes in
+    * a warm session, and the multi-scan consumers read the shared
+    * InMemoryRelation through the cache manager instead of racing to
+    * materialize a checkpoint RDD. Same trade for the pair and quality
+    * frames below.
     *
     * Race-safe (ADVICE r04): the thunk runs OUTSIDE the map update, the
     * winner is installed with putIfAbsent, and a losing thread unpersists
