@@ -21,6 +21,32 @@ object CoreQueries {
     * filesystem on a real cluster — executors commit the CSV there) with a
     * per-invocation unique suffix so concurrent runs at different scale
     * factors can't clobber each other. */
+  /** A8: JSON source/sink roundtrip — the third interchange format a
+    * lakehouse ingest layer meets (CSV a1, parquet a3). Write a typed
+    * subset of nation as line-delimited JSON, read it back with an
+    * EXPLICIT schema (schema inference over JSON is a full extra pass at
+    * 100 TB and type-unstable — never ship it), and the roundtrip must
+    * reproduce the parquet-derived oracle rows exactly. Columns are
+    * int/string only: JSON float formatting is engine-specific and has no
+    * place in an exact-hash interchange test. */
+  val a8_json_roundtrip = Q(
+    "a8_json_roundtrip",
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val tmp = s"$base/graft_json_nation_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+    nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    s.read.schema(schema).json(tmp).orderBy("n_nationkey")
+  }
+
   val a1_csv_roundtrip = Q(
     "a1_csv_roundtrip",
     "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey"
@@ -555,7 +581,7 @@ object CoreQueries {
   }
 
   val all: Seq[Q] = Seq(
-    a1_csv_roundtrip, a3_parquet_scan, a4_date_parse,
+    a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,
