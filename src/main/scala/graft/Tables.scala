@@ -57,6 +57,7 @@ object Tables {
     graft.functions.VectorExprs.register(spark)
     graft.functions.SetExprs.register(spark)
     graft.functions.SketchExprs.register(spark)
+    graft.functions.TextExprs.register(spark)
     spark
   }
 

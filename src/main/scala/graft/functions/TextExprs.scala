@@ -1,0 +1,234 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** graft_shingle_set(toks, n): the DISTINCT ordered-token n-gram set of an
+  * array<string>, as a native Catalyst expression with `doGenCode` — the
+  * entry gate of the whole near-dup dedup family (SURVEY §2 L4/L5/L9 feed
+  * off shingle sets).
+  *
+  * Why native: the HOF form
+  * `array_distinct(transform(sequence(0, sz-n), i -> concat_ws(' ',
+  * slice(toks, i+1, n))))` is evaluated INTERPRETED — per position it
+  * allocates a slice array, runs the lambda-bound concat, and boxes the
+  * sequence index; materializing the sf0.1 corpus' shingle frame measured
+  * 7.4 s for 5 000 docs / 260 k shingles, which the shared-frame cache
+  * then bills to the first declared consumer (l4 — 11.9 s of BENCH_r06's
+  * 67 s total). This expression is one codegen'd sliding-window loop: each
+  * position concatenates n UTF8String refs through a reused parts buffer
+  * (`UTF8String.concatWs` — identical null-skipping join semantics) and
+  * first-occurrence dedup happens in a LinkedHashSet, matching
+  * `array_distinct` order exactly.
+  *
+  * Value parity with the HOF form is pinned by TextExprsProps (random
+  * arrays incl. empty strings / dupes / n > length) so every declared
+  * query's oracle hash is unchanged. Fewer than n tokens → EMPTY array
+  * (the HOF's `when` branch); null toks → null here, while `size(null)=-1`
+  * sends the HOF to its empty-array branch — [[graft.ops.TextOps.shingleSet]]
+  * restores that with one array-level coalesce (no per-element cost).
+  */
+case class ShingleSet(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrOk = left.dataType match {
+      case ArrayType(StringType, _) => true // UTF8_BINARY singleton only
+      case _ => false
+    }
+    if (!arrOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens, got ${left.dataType.simpleString}")
+    else if (right.dataType != IntegerType || !right.foldable ||
+      right.eval() == null || right.eval().asInstanceOf[Int] <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName n must be a positive int literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleSet =
+    copy(left = newLeft, right = newRight)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var p = 0
+    while (p + n <= sz) {
+      var q = 0
+      while (q < n) {
+        parts(q) = if (toks.isNullAt(p + q)) null else toks.getUTF8String(p + q)
+        q += 1
+      }
+      set.add(UTF8String.concatWs(space, parts: _*))
+      p += 1
+    }
+    new GenericArrayData(set.toArray())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val spaceRef = ctx.addReferenceObj("shingleSep", space, classOf[UTF8String].getName)
+      val sz = ctx.freshName("shSz"); val set = ctx.freshName("shSet")
+      val parts = ctx.freshName("shParts"); val p = ctx.freshName("shP")
+      val q = ctx.freshName("shQ")
+      val u = classOf[UTF8String].getName
+      s"""
+         |final int $sz = $a.numElements();
+         |final java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
+         |final $u[] $parts = new $u[$n];
+         |for (int $p = 0; $p + $n <= $sz; $p++) {
+         |  for (int $q = 0; $q < $n; $q++) {
+         |    $parts[$q] = $a.isNullAt($p + $q) ? null : $a.getUTF8String($p + $q);
+         |  }
+         |  $set.add($u.concatWs($spaceRef, $parts));
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($set.toArray());
+       """.stripMargin
+    })
+}
+
+/** graft_xxhash64_array(arr[, seed]): elementwise `xxhash64` over an
+  * array<string>, as one codegen'd loop returning array<bigint>.
+  *
+  * Bit-identical to `transform(arr, s -> xxhash64(s))` (no seed) and
+  * `transform(arr, s -> xxhash64(s, lit(K)))` (seed K): Spark's multi-arg
+  * xxhash64 CHAINS — h = hash(s, seed=42) then h = hash(K, h) — and this
+  * loop replays exactly that via the same XXH64 primitives. Why native:
+  * the transform lambda is interpreted per element, and the dedup family
+  * evaluates it over every shingle of every doc (l4's inverted index,
+  * both minhash hash families). Null array → null; null ELEMENT → null
+  * slot in the output (transform parity: the lambda yields null), so the
+  * output type admits nulls iff the input does. The chain seed is a
+  * CONSTRUCTOR parameter, not a child: a child literal would have to be
+  * nullable-null for the unseeded form, and every default eval/codegen
+  * path null-short-circuits on any null child. The SQL builder folds a
+  * literal second argument into the parameter at build time.
+  */
+case class XxHash64Array(child: Expression, chainSeed: Option[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = elementsNullable)
+  override def prettyName: String = "graft_xxhash64_array"
+
+  override protected def withNewChildInternal(newChild: Expression): XxHash64Array =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val out = new Array[Any](sz)
+    var i = 0
+    while (i < sz) {
+      if (!(elementsNullable && toks.isNullAt(i))) {
+        val s = toks.getUTF8String(i)
+        var h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        chainSeed.foreach(k =>
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, h))
+        out(i) = h
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val u = classOf[UTF8String].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val sz = ctx.freshName("xaSz"); val i = ctx.freshName("xaI")
+      val out = ctx.freshName("xaOut"); val s = ctx.freshName("xaS")
+      val h = ctx.freshName("xaH")
+      val chainStep =
+        chainSeed.map(k => s"$h = $xxh.hashLong(${k}L, $h);").getOrElse("")
+      val nullSlot =
+        if (elementsNullable) s"if ($a.isNullAt($i)) { $out[$i] = null; } else"
+        else ""
+      s"""
+         |final int $sz = $a.numElements();
+         |final Object[] $out = new Object[$sz];
+         |for (int $i = 0; $i < $sz; $i++) {
+         |  $nullSlot {
+         |    final $u $s = $a.getUTF8String($i);
+         |    long $h = $xxh.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    $chainStep
+         |    $out[$i] = $h;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+}
+
+object TextExprs {
+
+  val shingleSetInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_set"),
+    new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2, s"graft_shingle_set takes 2 arguments, got ${exprs.length}")
+      ShingleSet(exprs.head, exprs(1))
+    })
+
+  val xxhash64ArrayInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_xxhash64_array"),
+    new ExpressionInfo(classOf[XxHash64Array].getName, "graft_xxhash64_array"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1 || exprs.length == 2,
+        s"graft_xxhash64_array takes 1 or 2 arguments, got ${exprs.length}")
+      val seed = exprs.lift(1).map { e =>
+        require(e.foldable && e.dataType == LongType && e.eval() != null,
+          "graft_xxhash64_array chain seed must be a non-null bigint literal")
+        e.eval().asInstanceOf[Long]
+      }
+      XxHash64Array(exprs.head, seed)
+    })
+
+  /** Idempotent per-session registration, mirroring [[VectorExprs.register]]. */
+  def register(spark: SparkSession): Unit = {
+    Seq(shingleSetInfo, xxhash64ArrayInfo).foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+  }
+
+  /** Distinct n-gram shingle set (array<string>), first-occurrence order. */
+  def shingleSet(toks: Column, n: Int): Column =
+    call_function("graft_shingle_set", toks, lit(n))
+
+  /** Elementwise xxhash64 (array<bigint>); ≡ transform(arr, s -> xxhash64(s)). */
+  def xxhash64Array(arr: Column): Column =
+    call_function("graft_xxhash64_array", arr)
+
+  /** Elementwise chained xxhash64 ≡ transform(arr, s -> xxhash64(s, lit(k))). */
+  def xxhash64Array(arr: Column, chainSeed: Long): Column =
+    call_function("graft_xxhash64_array", arr, lit(chainSeed))
+}

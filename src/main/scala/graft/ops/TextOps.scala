@@ -42,8 +42,18 @@ object TextOps {
     * candidate generation handles inverted-index skew with prefix
     * filtering instead (LlmQueries.jaccardNearDupFrom), which is lossless
     * by construction — a df-cap here silently lost pairs whose every
-    * shared shingle was hot (ADVICE r04). */
-  def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
+    * shared shingle was hot (ADVICE r04).
+    *
+    * Runs the native [[graft.functions.ShingleSet graft_shingle_set]]
+    * loop, not `array_distinct(shingles(...))`: the HOF chain is
+    * interpreted per position and dominated the shared shingle frame's
+    * materialization (7.4 s of l4's BENCH_r06 cost at sf0.1). The
+    * coalesce restores the HOF form's null contract (`size(null) = -1`
+    * sent null toks to the empty-array branch) at array level — no
+    * per-element cost. Value parity is pinned by TextExprsProps. */
+  def shingleSet(toks: Column, n: Int): Column =
+    coalesce(graft.functions.TextExprs.shingleSet(toks, n),
+      array().cast("array<string>"))
 
   /** k-permutation MinHash signatures, ROW-BASED: explode the shingle set,
     * hash each shingle ONCE into two 64-bit values, and build the k hash
@@ -87,8 +97,8 @@ object TextOps {
     * (Tables.prep / GraftExtensions / SketchExprs.register). */
   def minhashRow(shingleSet: Column, k: Int): Column =
     graft.functions.SketchExprs.minhash(
-      transform(shingleSet, s => xxhash64(s)),
-      transform(shingleSet, s => xxhash64(s, lit(0x9E3779B97F4A7C15L))),
+      graft.functions.TextExprs.xxhash64Array(shingleSet),
+      graft.functions.TextExprs.xxhash64Array(shingleSet, 0x9E3779B97F4A7C15L),
       k)
 
   /** LSH band keys: the signature split into b bands of r rows, each band

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{SetExprs, SketchExprs, VectorExprs}
+import graft.functions.{SetExprs, SketchExprs, TextExprs, VectorExprs}
 
 /** The engine's SparkSessionExtensions entry point — the deployment route
   * for clusters that own the session builder:
@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorExprs.dotInfo)
     ext.injectFunction(SetExprs.sortedIntersectCountInfo)
     ext.injectFunction(SketchExprs.minhashInfo)
+    ext.injectFunction(TextExprs.shingleSetInfo)
+    ext.injectFunction(TextExprs.xxhash64ArrayInfo)
   }
 }

@@ -368,7 +368,7 @@ object LlmQueries {
     * ignorable past the 64-bit birthday bound at corpus scale.) */
   def jaccardNearDupFrom(sh: DataFrame, tau: Double = NearDupTau): DataFrame = {
     val hashed = sh.select(col("doc_id"), size(col("ss")).as("nf"),
-      array_distinct(transform(col("ss"), s => xxhash64(s))).as("hss"))
+      array_distinct(graft.functions.TextExprs.xxhash64Array(col("ss"))).as("hss"))
     val ex = hashed.select(col("doc_id"), col("nf"), explode(col("hss")).as("sng"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sng"))
     // the 1e-9 guards make float rounding lengthen, never shorten, the

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The native graft_shingle_set / graft_xxhash64_array expressions must be
+  * DROP-INs for the interpreted HOF forms they replaced — element-for-
+  * element identical output (ORDER included: array_distinct keeps first
+  * occurrence, xxhash64 chains h = hash(s, 42) then hash(K, h)) — or every
+  * declared near-dup query's oracle hash would shift.
+  */
+class TextExprsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hofShingleSet(toks: org.apache.spark.sql.Column, n: Int) =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+
+  test("shingle set matches the HOF form on random token arrays, n=1..4") {
+    TextExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    // tiny vocab (forces duplicate shingles), empty tokens (double spaces
+    // in real text), lengths straddling every n
+    val rows = (0 until 400).map { i =>
+      val toks = Seq.fill(rnd.nextInt(12))(
+        if (rnd.nextInt(8) == 0) "" else s"w${rnd.nextInt(5)}")
+      (i, toks)
+    }
+    val df = rows.toDF("id", "toks")
+    for (n <- 1 to 4) {
+      val mism = df.select(
+          graft.ops.TextOps.shingleSet(col("toks"), n).as("native"),
+          hofShingleSet(col("toks"), n).as("hof"))
+        .filter(not(col("native") <=> col("hof")))
+        .count()
+      assert(mism === 0L, s"shingle mismatch at n=$n")
+    }
+  }
+
+  test("shingle set on the real corpus matches the HOF form") {
+    TextExprs.register(spark)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    val mism = docs.select(
+        graft.ops.TextOps.shingleSet(toks, 3).as("native"),
+        hofShingleSet(toks, 3).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mism === 0L)
+  }
+
+  test("xxhash64 array matches transform(xxhash64) with and without chain seed") {
+    TextExprs.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      (i, Seq.fill(rnd.nextInt(20))(s"s${rnd.nextInt(1000)} x${rnd.nextInt(10)}"))
+    }
+    val df = rows.toDF("id", "arr")
+    val k = 0x9E3779B97F4A7C15L
+    val mism = df.select(
+        TextExprs.xxhash64Array(col("arr")).as("n1"),
+        transform(col("arr"), s => xxhash64(s)).as("h1"),
+        TextExprs.xxhash64Array(col("arr"), k).as("n2"),
+        transform(col("arr"), s => xxhash64(s, lit(k))).as("h2"))
+      .filter(not(col("n1") <=> col("h1")) || not(col("n2") <=> col("h2")))
+      .count()
+    assert(mism === 0L)
+  }
+
+  test("null stance: null toks -> empty set via TextOps, null element skipped like concat_ws") {
+    TextExprs.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("toks", ArrayType(StringType, containsNull = true))))
+    val rows = Seq(
+      Row(null),
+      Row(Seq("a", null, "b")),
+      Row(Seq("a", "b", "c", "a", "b", "c")))
+    // RDD-backed so the projection reaches codegen (a local Seq constant-
+    // folds through ConvertToLocalRelation → interpreted eval)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val got = df.select(
+        graft.ops.TextOps.shingleSet(col("toks"), 2).as("native"),
+        hofShingleSet(col("toks"), 2).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // and the same rows through the interpreted path (constant-folded)
+    val lit0 = Seq(Seq("a", "b", "c", "a")).toDF("toks")
+    val g2 = lit0.select(graft.ops.TextOps.shingleSet(col("toks"), 2)).collect()
+    assert(g2.head.getSeq[String](0) === Seq("a b", "b c", "c a"))
+  }
+}
