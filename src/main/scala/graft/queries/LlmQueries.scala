@@ -381,11 +381,19 @@ object LlmQueries {
     // shuffles it once and annotates in place — measured 0.84 s vs 1.48 s
     // for identical candidates at sf0.1, and at 100 TB it is one full
     // pass of the inverted index saved
+    // LAZY localCheckpoint: the self-join below reads `prefix` on both
+    // sides, and without materialization each side re-runs the whole
+    // explode + df-window + rank-window pipeline (the two most expensive
+    // exchanges here). Lazy = no extra job (the join's first read
+    // materializes it); checkpoint RDDs are GC-cleaned with the frame, so
+    // property-test callers don't accumulate cache entries the way a
+    // `.cache()` here would.
     val prefix = ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sng")))
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1)
       .select(col("doc_id"), col("nf"), col("sng"), col("rk"))
+      .localCheckpoint(false)
     // The positional filter sits IN the join condition, evaluated per
     // match row at that row's own prefix ranks: overlap ≤ 1 + min(nf_a −
     // rk_a, nf_b − rk_b) must reach the J ≥ τ requirement overlap ≥
@@ -424,7 +432,14 @@ object LlmQueries {
     * near-dups all sit at J ≥ 0.89.) */
   val l5_minhash_lsh = Q("l5_minhash_lsh", jaccardOracle) { (s, d) =>
     val sh = shingledCached(s, d)
-    val sigs = TextOps.minhashSignatures(sh, "doc_id", "ss", 64)
+    // per-ROW signature (native graft_minhash over the shingle set), not
+    // the exploded groupBy form: value-identical (LlmOpsSpec pins it), and
+    // it computes signatures with ZERO shuffle — the exploded form moves
+    // every (doc, shingle-hash) row through an exchange first, which at
+    // 100 TB is a full pass over the corpus' shingles. Empty shingle set →
+    // null signature ≡ the grouped form's absent row.
+    val sigs = sh.select(col("doc_id"), TextOps.minhashRow(col("ss"), 64).as("sig"))
+      .filter(col("sig").isNotNull)
     val bands = sigs.select(col("doc_id"),
         explode(TextOps.lshBands(col("sig"), 16, 4)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
