@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EtlQueries, LlmQueries, MlQueries, Q, ScaleQueries}
+import graft.queries.{CoreQueries, EtlQueries, ExtQueries, LlmQueries, MlQueries, Q, ScaleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each declared query is a SURVEY §2 operator (or an extension op) over the
@@ -11,8 +11,8 @@ object SparkEntry {
 
   /** All declared operator queries. */
   def allQueries: Seq[Q] =
-    CoreQueries.all ++ EtlQueries.all ++ LlmQueries.all ++ MlQueries.all ++
-      ScaleQueries.all
+    CoreQueries.all ++ EtlQueries.all ++ ExtQueries.all ++ LlmQueries.all ++
+      MlQueries.all ++ ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Monthly detection-rate — the reference's own EDA query (codes.py:141-147)

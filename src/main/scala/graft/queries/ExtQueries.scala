@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Relational operators BEYOND the reference's surface (SURVEY §2 marks the
+  * G category "none in the reference"): the set-operation, window-frame,
+  * grouping-set and compaction shapes any engine claiming drop-in
+  * completeness meets on day one of real use. Each is declared with a
+  * DuckDB oracle and ends in a total order (Q conventions).
+  */
+object ExtQueries {
+
+  /** G2: UNION (distinct) of two overlapping slices — Spark's
+    * `union + distinct` is one shuffle with map-side combine; the overlap
+    * (orders priced 50k-150k appear in both branches) makes the DISTINCT
+    * semantics observable, not vacuous. */
+  val g2_union = Q(
+    "g2_union",
+    """SELECT o_orderkey FROM orders WHERE o_totalprice < 150000
+      |UNION
+      |SELECT o_orderkey FROM orders WHERE o_totalprice >= 50000
+      |ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val o = orders(s, d)
+    o.filter(col("o_totalprice") < 150000).select("o_orderkey")
+      .union(o.filter(col("o_totalprice") >= 50000).select("o_orderkey"))
+      .distinct()
+      .orderBy("o_orderkey")
+  }
+
+  /** G3: EXCEPT — multiset-free set difference. Spark plans `except` as a
+    * left-anti join over distinct rows; both sides here are key sets so the
+    * distinct is free. */
+  val g3_except = Q(
+    "g3_except",
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val o = orders(s, d)
+    o.select("o_custkey")
+      .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** G4: INTERSECT — customers holding BOTH an open and a finished order.
+    * Spark plans `intersect` as a left-semi join over distinct rows. */
+  val g4_intersect = Q(
+    "g4_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** E6: anti-join — customers with no orders (the blocklist/tombstone
+    * subtraction every curation pipeline runs). `left_anti` shuffles on
+    * the key like any equi-join and broadcasts when the right side is
+    * small — never the NOT IN scan-per-row shape. */
+  val e6_anti_join = Q(
+    "e6_anti_join",
+    """SELECT c_custkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** F5: rolling window frame — 7-row trailing mean per supplier, the
+    * time-series smoothing shape (reference's resample is tumbling; this
+    * is the sliding ROWS BETWEEN form it lacks). One window sort per
+    * supplier partition; the frame accumulates incrementally in both
+    * engines, and the ORDER BY inside the frame is made total with the
+    * (shipdate, orderkey, linenumber) tiebreak so the accumulation order
+    * is engine-identical. */
+  val f5_rolling_mean = Q(
+    "f5_rolling_mean",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       round(avg(l_extendedprice) OVER (
+      |         PARTITION BY l_suppkey
+      |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+      |FROM lineitem ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(-6, Window.currentRow)
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(avg(col("l_extendedprice")).over(w), 6).as("roll_avg")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** C8: keep-latest compaction — one surviving row per customer: the
+    * newest order, ties to the highest key (the CDC upsert-log → current-
+    * state shape). Spark side is ONE map-side-combinable `max_by`
+    * aggregate — no per-partition window sort, no row_number: at 100 TB
+    * the agg form combines before the shuffle while the window form ships
+    * every row. The oracle states the same thing as the standard
+    * row_number()=1 window. */
+  val c8_keep_latest = Q(
+    "c8_keep_latest",
+    """SELECT o_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+      |       o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("last"))
+      .select(
+        col("o_custkey"),
+        col("last.o_orderkey").as("o_orderkey"),
+        date_format(col("last.o_orderdate"), "yyyy-MM-dd").as("latest_date"),
+        col("last.o_totalprice").as("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** D9: ROLLUP grouping sets — per (flag, status), per flag, and grand
+    * total in ONE aggregation (Spark expands the grouping sets before the
+    * shuffle; still map-side combinable). GROUPING() flags disambiguate
+    * the subtotal rows from genuine values, and the 'ALL' coalesce keeps
+    * every output column non-null for the hash compare. */
+  val d9_rollup = Q(
+    "d9_rollup",
+    """SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |       coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      // grouping() must be evaluated IN the aggregate (it reads the
+      // grouping-set id the Expand emits; after the agg the context is gone)
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("g_flag"), col("g_status"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("g_flag", "g_status", "flag", "status")
+  }
+
+  /** D10: distinct aggregation — suppliers and parts per return flag.
+    * Spark plans multi-distinct as an Expand (one replica per distinct
+    * set) + two-phase aggregate — distributed, never a per-group set
+    * collected to one task. */
+  val d10_distinct_agg = Q(
+    "d10_distinct_agg",
+    """SELECT l_returnflag,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B14: unpivot / melt — wide measure columns to (metric, value) rows,
+    * the long-format reshape (pandas `melt`). Spark's native `unpivot`
+    * expands per-row with no shuffle; the oracle states the same thing as
+    * the portable UNION ALL. */
+  val b14_unpivot = Q(
+    "b14_unpivot",
+    """SELECT * FROM (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |         'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d).unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+
+  val all: Seq[Q] = Seq(
+    g2_union, g3_except, g4_intersect, e6_anti_join, f5_rolling_mean,
+    c8_keep_latest, d9_rollup, d10_distinct_agg, b14_unpivot)
+}
