@@ -189,6 +189,134 @@ case class XxHash64Array(child: Expression, chainSeed: Option[Long])
   }
 }
 
+/** graft_winnow(toks, k, w): winnowed document fingerprints (MOSS;
+  * Schleimer, Wilkerson & Aiken, SIGMOD 2003) as ONE per-row codegen'd
+  * expression — md5-hex each k-gram, take the minimum hex string of every
+  * w-window of consecutive gram positions, return the distinct mins.
+  *
+  * Why native: the previous row-based form (TextOps.winnowFingerprints)
+  * posexplodes every token and runs four window functions over the
+  * doc-partitioned token rows — correct and 130× faster than the nested
+  * HOF it replaced, but it still ships EVERY TOKEN of the corpus through
+  * an exchange. Fingerprinting is per-document arithmetic; this loop
+  * computes it with zero shuffle, which at 100 TB is a full corpus pass
+  * saved (and measured 6.8 s → sub-second for l9 at sf0.1).
+  *
+  * Parity contract (pinned by TextExprsSpec against the row form):
+  * k-grams join with the null-skipping single-space concat (UTF8String
+  * .concatWs ≡ concat_ws); md5 is the commons-codec lowercase hex Spark's
+  * own `md5()` wraps, so DuckDB derives identical strings; mins compare
+  * as UTF8 byte order ≡ both engines' ASCII-hex string compare; fewer
+  * than w grams (but ≥ 1) yield the single clipped-window min; no grams
+  * yield an empty array; distinct keeps first-occurrence order. k and w
+  * must be positive int literals. Null toks → null (callers coalesce if
+  * the HOF's empty-on-null stance is needed).
+  */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  private lazy val k: Int = second.eval().asInstanceOf[Int]
+  private lazy val w: Int = third.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrOk = first.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    def posLit(e: Expression) = e.dataType == IntegerType && e.foldable &&
+      e.eval() != null && e.eval().asInstanceOf[Int] > 0
+    if (!arrOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens, got ${first.dataType.simpleString}")
+    else if (!posLit(second) || !posLit(third))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k and w must be positive int literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowFingerprints =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val n = sz - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[UTF8String](n)
+    val parts = new Array[UTF8String](k)
+    var p = 0
+    while (p < n) {
+      var q = 0
+      while (q < k) {
+        parts(q) = if (toks.isNullAt(p + q)) null else toks.getUTF8String(p + q)
+        q += 1
+      }
+      hs(p) = UTF8String.fromString(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          UTF8String.concatWs(space, parts: _*).getBytes))
+      p += 1
+    }
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    val nWin = math.max(n - w + 1, 1)
+    var i = 0
+    while (i < nWin) {
+      var m = hs(i)
+      var j = i + 1
+      val end = math.min(i + w, n)
+      while (j < end) { if (hs(j).compareTo(m) < 0) m = hs(j); j += 1 }
+      set.add(m)
+      i += 1
+    }
+    new GenericArrayData(set.toArray())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _, _) => {
+      val spaceRef = ctx.addReferenceObj("winnowSep", space, classOf[UTF8String].getName)
+      val u = classOf[UTF8String].getName
+      val sz = ctx.freshName("wnSz"); val n = ctx.freshName("wnN")
+      val hs = ctx.freshName("wnHs"); val parts = ctx.freshName("wnParts")
+      val p = ctx.freshName("wnP"); val q = ctx.freshName("wnQ")
+      val set = ctx.freshName("wnSet"); val nWin = ctx.freshName("wnNWin")
+      val i = ctx.freshName("wnI"); val j = ctx.freshName("wnJ")
+      val m = ctx.freshName("wnM"); val end = ctx.freshName("wnEnd")
+      s"""
+         |final int $sz = $a.numElements();
+         |final int $n = $sz - $k + 1;
+         |if ($n <= 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0]);
+         |} else {
+         |  final $u[] $hs = new $u[$n];
+         |  final $u[] $parts = new $u[$k];
+         |  for (int $p = 0; $p < $n; $p++) {
+         |    for (int $q = 0; $q < $k; $q++) {
+         |      $parts[$q] = $a.isNullAt($p + $q) ? null : $a.getUTF8String($p + $q);
+         |    }
+         |    $hs[$p] = $u.fromString(
+         |      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+         |        $u.concatWs($spaceRef, $parts).getBytes()));
+         |  }
+         |  final java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
+         |  final int $nWin = java.lang.Math.max($n - $w + 1, 1);
+         |  for (int $i = 0; $i < $nWin; $i++) {
+         |    $u $m = $hs[$i];
+         |    final int $end = java.lang.Math.min($i + $w, $n);
+         |    for (int $j = $i + 1; $j < $end; $j++) {
+         |      if ($hs[$j].compareTo($m) < 0) $m = $hs[$j];
+         |    }
+         |    $set.add($m);
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($set.toArray());
+         |}
+       """.stripMargin
+    })
+}
+
 object TextExprs {
 
   val shingleSetInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -213,12 +341,26 @@ object TextExprs {
       XxHash64Array(exprs.head, seed)
     })
 
+  val winnowInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_winnow"),
+    new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 3, s"graft_winnow takes 3 arguments, got ${exprs.length}")
+      WinnowFingerprints(exprs(0), exprs(1), exprs(2))
+    })
+
   /** Idempotent per-session registration, mirroring [[VectorExprs.register]]. */
   def register(spark: SparkSession): Unit = {
-    Seq(shingleSetInfo, xxhash64ArrayInfo).foreach { case (ident, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Seq(shingleSetInfo, xxhash64ArrayInfo, winnowInfo).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
   }
+
+  /** Distinct winnowed md5-hex fingerprints (array<string>), k-grams /
+    * w-windows, first-occurrence order. */
+  def winnow(toks: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow", toks, lit(k), lit(w))
 
   /** Distinct n-gram shingle set (array<string>), first-occurrence order. */
   def shingleSet(toks: Column, n: Int): Column =

@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SketchExprs.minhashInfo)
     ext.injectFunction(TextExprs.shingleSetInfo)
     ext.injectFunction(TextExprs.xxhash64ArrayInfo)
+    ext.injectFunction(TextExprs.winnowInfo)
   }
 }

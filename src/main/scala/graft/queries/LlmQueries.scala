@@ -529,9 +529,15 @@ object LlmQueries {
       |      FROM g)
       |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin
   ) { (s, d) =>
-    TextOps.winnowFingerprints(
-      spread(documents(s, d)).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
-      "doc_id", "toks", k = 3, w = 4)
+    // per-ROW native winnow (graft_winnow) + explode: fingerprinting is
+    // per-document arithmetic, and this plan computes it with ZERO
+    // shuffle — the row-based window form it replaces posexplodes every
+    // token through a doc-partitioned exchange first. Value-identical
+    // (TextExprsSpec pins native ≡ window form ≡ this oracle).
+    spread(documents(s, d))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.winnow(
+          TextOps.tokens(col("text")), 3, 4)).as("fp"))
       .orderBy("doc_id", "fp")
   }
 

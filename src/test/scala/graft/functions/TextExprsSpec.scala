@@ -72,6 +72,33 @@ class TextExprsSpec extends AnyFunSuite {
     assert(mism === 0L)
   }
 
+  test("winnow matches the row-based window form on random corpora and real docs") {
+    TextExprs.register(spark)
+    val rnd = new scala.util.Random(23)
+    // lengths straddle: 0 tokens, < k, k..k+w, long; tiny vocab forces
+    // duplicate grams and duplicate window mins
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(6)}"))
+    }
+    val df = rows.toDF("doc_id", "toks")
+    for ((k, w) <- Seq((3, 4), (2, 5), (1, 1))) {
+      val native = df.select(col("doc_id"),
+          explode(TextExprs.winnow(col("toks"), k, w)).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val rowForm = graft.ops.TextOps.winnowFingerprints(df, "doc_id", "toks", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(native === rowForm, s"winnow mismatch at k=$k w=$w")
+    }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("toks"))
+    val native = docs.select(col("doc_id"),
+        explode(TextExprs.winnow(col("toks"), 3, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rowForm = graft.ops.TextOps.winnowFingerprints(docs, "doc_id", "toks", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native === rowForm)
+  }
+
   test("null stance: null toks -> empty set via TextOps, null element skipped like concat_ws") {
     TextExprs.register(spark)
     import org.apache.spark.sql.Row
