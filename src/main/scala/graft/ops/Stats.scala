@@ -49,18 +49,71 @@ object Stats {
       nb: Int = 8192,
       maxCollect: Long = 1L << 20): Map[String, Double] = {
     require(specs.forall(_.n > 0L))
+    val resolved = orderStats(df, specs.map { s =>
+      val mid = (s.n - 1L) / 2L
+      s -> (if (s.n % 2L == 0L) Seq(0 -> mid, 1 -> (mid + 1L)) else Seq(0 -> mid))
+    }, nb, maxCollect)
+    specs.map { s =>
+      val mids = (0 until (if (s.n % 2L == 0L) 2 else 1)).map(oi => resolved((s.name, oi)))
+      s.name -> mids.sum / mids.size
+    }.toMap
+  }
+
+  /** Exact linear-interpolated quantiles (`quantile_cont` / pandas
+    * `Series.quantile`): for each p, idx = (n−1)·p, result = v⌊idx⌋ +
+    * frac·(v⌊idx⌋₊₁ − v⌊idx⌋). Same shared histogram-refinement jobs as
+    * the medians — ANY number of columns × quantiles resolves in one
+    * stats-independent histogram + pick round per level, and no step
+    * buffers a column on one executor (the scale hazard of Spark's exact
+    * `percentile`). Returns name → values aligned with `ps`. */
+  def quantilesFromStats(
+      df: DataFrame,
+      specs: Seq[MedianSpec],
+      ps: Seq[Double],
+      nb: Int = 8192,
+      maxCollect: Long = 1L << 20): Map[String, Seq[Double]] = {
+    require(specs.forall(_.n > 0L))
+    require(ps.forall(p => p >= 0.0 && p <= 1.0))
+    // per spec: quantile i needs order stats tagged (2i) = ⌊idx⌋ and,
+    // when idx is fractional, (2i+1) = ⌊idx⌋+1
+    val wanted = specs.map { s =>
+      s -> ps.zipWithIndex.flatMap { case (p, i) =>
+        val idx = (s.n - 1L) * p
+        val kLo = math.floor(idx).toLong
+        val frac = idx - kLo
+        if (frac > 0.0) Seq(2 * i -> kLo, (2 * i + 1) -> (kLo + 1L))
+        else Seq(2 * i -> kLo)
+      }
+    }
+    val resolved = orderStats(df, wanted, nb, maxCollect)
+    specs.map { s =>
+      s.name -> ps.zipWithIndex.map { case (p, i) =>
+        val idx = (s.n - 1L) * p
+        val frac = idx - math.floor(idx)
+        val vLo = resolved((s.name, 2 * i))
+        if (frac > 0.0) vLo + frac * (resolved((s.name, 2 * i + 1)) - vLo)
+        else vLo
+      }
+    }.toMap
+  }
+
+  /** The shared refinement engine: resolve arbitrary 0-based ascending
+    * order statistics (tagged per spec) for many columns at once. */
+  private def orderStats(
+      df: DataFrame,
+      items: Seq[(MedianSpec, Seq[(Int, Long)])],
+      nb: Int,
+      maxCollect: Long): Map[(String, Int), Double] = {
     val maxDepth = 6
 
-    // (spec name, which of the 1-2 middle order statistics) -> value
+    // (spec name, statistic tag) -> value
     val resolved = scala.collection.mutable.Map.empty[(String, Int), Double]
     // ks: (statistic tag, 0-based index within rows matching pred, asc order)
     final case class P(spec: MedianSpec, pred: Column, lo: Double, hi: Double,
         ks: Seq[(Int, Long)], depth: Int)
     final case class G(spec: MedianSpec, pred: Column, ks: Seq[(Int, Long)])
 
-    var pending: Seq[P] = specs.map { s =>
-      val mid = (s.n - 1L) / 2L
-      val ks = if (s.n % 2L == 0L) Seq(0 -> mid, 1 -> (mid + 1L)) else Seq(0 -> mid)
+    var pending: Seq[P] = items.map { case (s, ks) =>
       P(s, s.c.cast(DoubleType).isNotNull, s.lo, s.hi, ks, 0)
     }
 
@@ -136,11 +189,7 @@ object Stats {
       }
       pending = recursions
     }
-
-    specs.map { s =>
-      val mids = (0 until (if (s.n % 2L == 0L) 2 else 1)).map(oi => resolved((s.name, oi)))
-      s.name -> mids.sum / mids.size
-    }.toMap
+    resolved.toMap
   }
 
   /** Mode with pandas' `mode()[0]` tie-break: the SMALLEST value among the

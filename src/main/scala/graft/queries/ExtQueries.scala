@@ -182,6 +182,68 @@ object ExtQueries {
       .orderBy("l_returnflag")
   }
 
+  /** D11: exact multi-quantile — the full quantile_cont surface (p10-p90)
+    * from the SAME shared histogram-refinement jobs as the median fills
+    * (ops/Stats): one stats aggregate + one histogram + one pick job for
+    * ALL quantiles together, no step buffering the column on one executor
+    * (Spark's exact `percentile` is a single-buffer TypedImperativeAggregate
+    * — an executor OOM at 100 TB). Linear interpolation ≡ DuckDB
+    * quantile_cont / pandas Series.quantile. */
+  val d11_quantiles = Q(
+    "d11_quantiles",
+    """SELECT CAST(pct AS DOUBLE) AS pct, round(val, 6) AS val FROM (
+      |  SELECT 0.1 AS pct, quantile_cont(l_extendedprice, 0.1) AS val FROM lineitem
+      |  UNION ALL SELECT 0.25, quantile_cont(l_extendedprice, 0.25) FROM lineitem
+      |  UNION ALL SELECT 0.5, quantile_cont(l_extendedprice, 0.5) FROM lineitem
+      |  UNION ALL SELECT 0.75, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+      |  UNION ALL SELECT 0.9, quantile_cont(l_extendedprice, 0.9) FROM lineitem)
+      |ORDER BY pct""".stripMargin
+  ) { (s, d) =>
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val c = col("l_extendedprice")
+    val li = lineitem(s, d)
+    val r = li.agg(count(c.cast("double")).as("n"),
+      min(c.cast("double")).as("lo"), max(c.cast("double")).as("hi")).collect()(0)
+    val vals =
+      if (r.getLong(0) == 0L) ps.map(_ => Double.NaN)
+      else graft.ops.Stats.quantilesFromStats(li,
+        Seq(graft.ops.Stats.MedianSpec("q", c, r.getLong(0),
+          r.getDouble(1), r.getDouble(2))), ps)("q")
+    import s.implicits._
+    // HALF_UP ≡ DuckDB round() (half away from zero; values positive);
+    // the checker's 1e-9 relative tolerance absorbs any boundary wobble
+    ps.zip(vals).map { case (p, v) =>
+      (p, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("pct", "val").orderBy("pct")
+  }
+
+  /** E7: full outer join — the reconciliation shape (both sides keep
+    * unmatched rows). Spark plans it as a shuffled sort-merge join; the
+    * per-side aggregates make unmatched rows on both sides observable. */
+  val e7_full_outer_join = Q(
+    "e7_full_outer_join",
+    """SELECT coalesce(f.k, o.k) AS k,
+      |       CAST(coalesce(f.n_f, 0) AS BIGINT) AS n_f,
+      |       CAST(coalesce(o.n_o, 0) AS BIGINT) AS n_o
+      |FROM (SELECT o_custkey AS k, count(*) AS n_f FROM orders
+      |      WHERE o_orderstatus = 'F' GROUP BY 1) f
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey AS k, count(*) AS n_o FROM orders
+      |      WHERE o_orderstatus = 'O' GROUP BY 1) o
+      |ON f.k = o.k
+      |ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val o = orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_f"))
+    val op = o.filter(col("o_orderstatus") === "O").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_o"))
+    f.join(op, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("n_f"), lit(0L)).as("n_f"),
+        coalesce(col("n_o"), lit(0L)).as("n_o"))
+      .orderBy("k")
+  }
+
   /** B14: unpivot / melt — wide measure columns to (metric, value) rows,
     * the long-format reshape (pandas `melt`). Spark's native `unpivot`
     * expands per-row with no shuffle; the oracle states the same thing as
@@ -205,6 +267,7 @@ object ExtQueries {
   }
 
   val all: Seq[Q] = Seq(
-    g2_union, g3_except, g4_intersect, e6_anti_join, f5_rolling_mean,
-    c8_keep_latest, d9_rollup, d10_distinct_agg, b14_unpivot)
+    g2_union, g3_except, g4_intersect, e6_anti_join, e7_full_outer_join,
+    f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
+    d11_quantiles, b14_unpivot)
 }

@@ -45,6 +45,30 @@ object StatsProps extends Properties("Stats") {
     }
   }
 
+  /** quantile_cont / pandas Series.quantile: idx = (n−1)p, linear interp. */
+  private def naiveQuantile(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    val idx = (s.length - 1L) * p
+    val lo = math.floor(idx).toInt
+    val frac = idx - lo
+    if (frac > 0.0) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+  }
+
+  property("quantilesFromStats == naive interpolated quantiles") =
+    Prop.forAll(values, Gen.choose(0.0, 1.0)) { (xs, pRaw) =>
+      if (xs.isEmpty) Prop.passed else {
+        val ps = Seq(0.0, 0.25, 0.5, pRaw, 1.0)
+        val df = xs.map(Option(_)).appended(None).toDF("v")
+        val spec = Stats.MedianSpec("q", col("v"), xs.length,
+          xs.min, xs.max)
+        // tiny buckets + collect cap force the recursion path too
+        val got = Stats.quantilesFromStats(df, Seq(spec), ps, nb = 4, maxCollect = 4)("q")
+        val want = ps.map(naiveQuantile(xs, _))
+        Prop(got.zip(want).forall { case (g, w) => math.abs(g - w) < 1e-9 }) :|
+          s"got $got want $want"
+      }
+    }
+
   property("mediansFromStats survives deep histogram recursion (tiny buckets)") =
     Prop.forAll(values) { xs =>
       if (xs.size < 2) Prop.passed else {
