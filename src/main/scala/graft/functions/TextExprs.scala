@@ -317,6 +317,91 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
     })
 }
 
+/** graft_simhash64_md5(toks): the 64-bit SimHash of a token array from
+  * md5-derived token hashes, as ONE per-row codegen'd expression — bit i
+  * of the signature is the sign of Σ_tokens (bit i of hash(token) ? +1 :
+  * −1), hash = the first 8 digest bytes as a big-endian long, exactly
+  * [[graft.ops.TextOps.md5Hash64]]'s `conv(hex-slice)` arithmetic (which
+  * is what keeps the l8 oracle able to replay signatures from DuckDB's
+  * identical md5 hex).
+  *
+  * Why native: the grouped form explodes every token occurrence through a
+  * doc-partitioned exchange and runs 64 conditional-sum aggregates; the
+  * signature is per-document arithmetic, and this loop computes it with
+  * zero shuffle and one digest per token. Value parity with the grouped
+  * form is pinned by TextExprsSpec. Null array → null; EMPTY array →
+  * null (the grouped form's absent row — explode emits nothing); null
+  * ELEMENT → hashed as the empty string (concat_ws-style skip has no
+  * meaning for single tokens, and split() never yields nulls).
+  */
+case class SimHash64Md5(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash64_md5"
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Md5 =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    if (sz == 0) return null
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < sz) {
+      val bytes =
+        if (toks.isNullAt(i)) Array.emptyByteArray else toks.getUTF8String(i).getBytes
+      val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+      val h = java.nio.ByteBuffer.wrap(d).getLong
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sz = ctx.freshName("shSz"); val counts = ctx.freshName("shCounts")
+      val i = ctx.freshName("shI"); val b = ctx.freshName("shB")
+      val h = ctx.freshName("shH"); val sig = ctx.freshName("shSig")
+      val bytes = ctx.freshName("shBytes")
+      s"""
+         |final int $sz = $a.numElements();
+         |if ($sz == 0) { ${ev.isNull} = true; } else {
+         |  final int[] $counts = new int[64];
+         |  for (int $i = 0; $i < $sz; $i++) {
+         |    final byte[] $bytes = $a.isNullAt($i)
+         |      ? new byte[0] : $a.getUTF8String($i).getBytes();
+         |    final long $h = java.nio.ByteBuffer.wrap(
+         |      org.apache.commons.codec.digest.DigestUtils.md5($bytes)).getLong();
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |    }
+         |  }
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($counts[$b] > 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+}
+
 object TextExprs {
 
   val shingleSetInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -349,13 +434,25 @@ object TextExprs {
       WinnowFingerprints(exprs(0), exprs(1), exprs(2))
     })
 
+  val simhashInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash64_md5"),
+    new ExpressionInfo(classOf[SimHash64Md5].getName, "graft_simhash64_md5"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, s"graft_simhash64_md5 takes 1 argument, got ${exprs.length}")
+      SimHash64Md5(exprs.head)
+    })
+
   /** Idempotent per-session registration, mirroring [[VectorExprs.register]]. */
   def register(spark: SparkSession): Unit = {
-    Seq(shingleSetInfo, xxhash64ArrayInfo, winnowInfo).foreach {
+    Seq(shingleSetInfo, xxhash64ArrayInfo, winnowInfo, simhashInfo).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
   }
+
+  /** 64-bit md5-based SimHash of a token array; null on empty/null input. */
+  def simhash64Md5(toks: Column): Column =
+    call_function("graft_simhash64_md5", toks)
 
   /** Distinct winnowed md5-hex fingerprints (array<string>), k-grams /
     * w-windows, first-occurrence order. */

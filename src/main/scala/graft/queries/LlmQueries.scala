@@ -489,9 +489,14 @@ object LlmQueries {
          |WHERE hamming <= 3 ORDER BY i, j""".stripMargin
     }
   ) { (s, d) =>
-    val sig = TextOps.simhashes(
-      spread(documents(s, d)).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
-      "doc_id", "toks", TextOps.md5Hash64)
+    // per-ROW native signature (graft_simhash64_md5): zero-shuffle, one
+    // digest per token — the grouped form explodes every token occurrence
+    // through an exchange and runs 64 conditional sums. Value-identical
+    // (TextExprsSpec pins native ≡ grouped ≡ this oracle's replay).
+    val sig = spread(documents(s, d)).select(col("doc_id"),
+        graft.functions.TextExprs.simhash64Md5(
+          TextOps.tokens(col("text"))).as("sig"))
+      .filter(col("sig").isNotNull)
     // 4 fixed 16-bit sub-bands — shift amounts must be Scala ints
     val bandStructs = array((0 until 4).map(b => struct(
       lit(b).as("band"),

@@ -99,6 +99,29 @@ class TextExprsSpec extends AnyFunSuite {
     assert(native === rowForm)
   }
 
+  test("simhash matches the grouped conditional-sum form (md5 hash family)") {
+    TextExprs.register(spark)
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(25))(s"w${rnd.nextInt(12)}"))
+    }
+    val df = rows.toDF("doc_id", "toks")
+    def asMap(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = asMap(df.select(col("doc_id"),
+      TextExprs.simhash64Md5(col("toks")).as("sig")).collect())
+    val grouped = asMap(graft.ops.TextOps.simhashes(
+      df, "doc_id", "toks", graft.ops.TextOps.md5Hash64).collect())
+    assert(native === grouped)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("toks"))
+    val n2 = asMap(docs.select(col("doc_id"),
+      TextExprs.simhash64Md5(col("toks")).as("sig")).collect())
+    val g2 = asMap(graft.ops.TextOps.simhashes(
+      docs, "doc_id", "toks", graft.ops.TextOps.md5Hash64).collect())
+    assert(n2 === g2)
+  }
+
   test("null stance: null toks -> empty set via TextOps, null element skipped like concat_ws") {
     TextExprs.register(spark)
     import org.apache.spark.sql.Row
