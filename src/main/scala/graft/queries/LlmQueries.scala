@@ -905,6 +905,27 @@ object LlmQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** L22: stream-stream interval join (StreamingOps.intervalJoin — the
+    * watermarked built-in join, batch AND streaming): each error event
+    * joined to the same user's clicks from the preceding hour. The oracle
+    * is the plain inequality join; both engines compare microsecond-
+    * truncated timestamps (Tables.events ≡ the generator's micro-aligned
+    * values), so the interval boundaries agree exactly. */
+  val l22_interval_join = Q(
+    "l22_interval_join",
+    """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+      |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts
+      |FROM events c JOIN events e
+      |  ON c.user_id = e.user_id
+      | AND c.event_type = 'click' AND e.event_type = 'error'
+      | AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+      |ORDER BY 1, 2, 3""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.intervalJoin(events(s, d))
+      .orderBy("user_id", "click_id", "err_id")
+  }
+
   /** L14: dedup CLUSTERS — connected components over the exact near-dup
     * pair graph (l4's verified pairs as edges), each doc labeled with its
     * cluster's minimum member, plus the keep/drop decision a dedup
@@ -1246,5 +1267,5 @@ object LlmQueries {
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
     l13_user_sessions, l14_dedup_clusters, l15_quality_filter,
     l16_normalize_redact, l17_stratified_sample, l18_tfidf_topterms,
-    l20_seq_pack, l21_curated_corpus)
+    l20_seq_pack, l21_curated_corpus, l22_interval_join)
 }

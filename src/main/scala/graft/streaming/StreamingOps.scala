@@ -65,6 +65,36 @@ object StreamingOps {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream INTERVAL join: each 'error' event joined to the same
+    * user's 'click' events from the preceding `lookback` — the
+    * cause-within-window correlation shape (click → error attribution).
+    * Spark-first: this is the built-in watermarked stream-stream inner
+    * join, NOT a stateful hand-roll — BOTH sides carry watermarks and the
+    * join condition bounds event-time distance, which is exactly what
+    * lets Spark expire join state (a click older than watermark +
+    * lookback can never match a future error and is dropped from the
+    * state store). The same body on a batch frame is a plain
+    * self-equi-join with an inequality residual — one shuffle on user_id.
+    * StreamingSpec proves stream ≡ batch; the declared l22 row pins the
+    * semantics to the DuckDB inequality-join oracle. */
+  def intervalJoin(events: DataFrame, lookback: String = "1 hour",
+      watermark: String = "30 days"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", watermark)
+    clicks.join(errors,
+        col("user_id") === col("err_user") &&
+          col("click_ts") >= col("err_ts") - expr(s"INTERVAL $lookback") &&
+          col("click_ts") <= col("err_ts"))
+      .select(col("user_id"), col("click_id"), col("err_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"))
+  }
+
   /** Streaming near-dup detection: every incoming doc is matched against
     * the ENTIRE history via an LSH bucket store — the one dedup shape no
     * built-in streaming operator covers (joining a stream against its own
@@ -89,8 +119,10 @@ object StreamingOps {
   def lshCandidatePairs(docs: DataFrame, shingleN: Int = 3, k: Int = 64,
       b: Int = 16, r: Int = 4): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
-    // idempotent: the per-row signature resolves graft_minhash by name
+    // idempotent: the per-row signature resolves graft_minhash by name,
+    // and shingleSet/xxhash64Array resolve the TextExprs natives
     graft.functions.SketchExprs.register(docs.sparkSession)
+    graft.functions.TextExprs.register(docs.sparkSession)
     // batch runs spread CPU-bound shingling across cores; a stream stays as-is
     val src = if (docs.isStreaming) docs else graft.Tables.spread(docs)
     val sig = src.select(col("doc_id").cast("long").as("doc_id"),

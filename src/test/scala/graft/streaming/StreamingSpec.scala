@@ -115,8 +115,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.exists(_(3).asInstanceOf[Long] > 1L))
   }
 
+  test("stream-stream interval join equals the batch inequality join") {
+    val batch = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)) // unused by the body; keeps one schema
+      .select("event_id", "ts", "user_id", "event_type")
+    val dir = Files.createTempDirectory("graft_stream_ij").toString
+    batch.repartition(8).write.mode("overwrite").parquet(dir)
+    // files arrive in arbitrary (non-time) order, so the watermark must
+    // exceed the table's span for exact equality — the state-expiry
+    // behavior at tight watermarks is Spark's own contract, not ours
+    val wm = "3650 days"
+    val expected = StreamingOps.intervalJoin(batch, watermark = wm)
+      .collect().map(_.toSeq).toSet
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dir)
+    val q = StreamingOps.intervalJoin(src, watermark = wm).writeStream
+      .format("memory").queryName("ij_stream").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ij_stream").collect().map(_.toSeq).toSet
+    assert(got === expected,
+      "watermarked stream-stream join must reconstruct the batch join")
+    assert(expected.nonEmpty, "fixture must produce at least one joined pair")
+  }
+
   test("streaming LSH near-dup candidates equal the batch candidate set") {
     import spark.implicits._
+    // the expected-set pipeline below uses the TextExprs natives directly
+    // (resolved by NAME), so the suite session needs them registered like
+    // any production session (Tables.prep / GraftExtensions route)
+    graft.functions.TextExprs.register(spark)
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     // expected: the batch band-bucket self-join over the SAME primitives
     val sigs = graft.ops.TextOps.minhashSignatures(
