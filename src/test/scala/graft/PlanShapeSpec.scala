@@ -108,4 +108,36 @@ class PlanShapeSpec extends AnyFunSuite {
         s"${q.name}: no all-pairs nested loop may appear:\n$p")
     }
   }
+
+  test("L9: winnowed fingerprints compute with zero shuffle before the result sort") {
+    val p = plan(LlmQueries.l9_fingerprints)
+    // exactly one exchange: the declared ORDER BY's range partitioning.
+    // A hashpartitioning exchange would mean the per-row signature leaked
+    // back into a grouped/window form.
+    assert(!p.contains("hashpartitioning"),
+      s"per-row winnowing must not shuffle by key:\n$p")
+    assert(!p.contains("Window"), s"no window operator belongs in l9:\n$p")
+  }
+
+  test("C8: keep-latest is a map-side-combinable aggregate, not a window sort") {
+    val p = plan(graft.queries.ExtQueries.c8_keep_latest)
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      s"compaction must combine map-side before the shuffle:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-partition window sort belongs in the agg form:\n$p")
+  }
+
+  test("D9: rollup still aggregates partially (Expand before the shuffle)") {
+    val p = plan(graft.queries.ExtQueries.d9_rollup)
+    assert(p.contains("Expand"), s"grouping sets plan via Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"rollup must keep the map-side combine phase:\n$p")
+  }
+
+  test("E6: anti-join plans as a real join, never a per-row subquery") {
+    val p = finalPlan(graft.queries.ExtQueries.e6_anti_join)
+    assert(p.contains("LeftAnti"), s"expected an anti-join operator:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"anti-join must stay key-based:\n$p")
+  }
 }
