@@ -42,6 +42,29 @@ object MlQueries {
         .cast("long").as("label"))
   }
 
+  /** The threshold-sweep stats frame (Metrics.binaryStats over the shared
+    * scored frame) — h9 and h10 both read it, and its construction is
+    * EAGER (min/max probe + cut refinement + totals collect), so each
+    * consumer re-running it doubles those jobs. Cached once per (session,
+    * sfDir) with the LlmQueries shared-frame discipline: thunk outside
+    * the map update, putIfAbsent, loser unpersists. */
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private def binaryStatsCached(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    statsCache.get((s, d)) match {
+      case Some(st) => st
+      case None =>
+        val st = Metrics.binaryStats(
+          scored(s, d).select(col("label"), col("x").as("score"))).cache()
+        statsCache.putIfAbsent((s, d), st) match {
+          case None => st
+          case Some(winner) => st.unpersist(); winner
+        }
+    }
+
   /** H6+H7 (codes.py:227,258-261): OLS-as-scorer — single-feature least
     * squares fit as a closed-form aggregate (slope = cov/var), scored with
     * prob = clip(ŷ,0,1), class = ŷ > 0.5. The fit is pure plan: one agg,
@@ -106,8 +129,7 @@ object MlQueries {
        |       CAST(p AS BIGINT) AS positives, CAST(n AS BIGINT) AS negatives
        |FROM t""".stripMargin
   ) { (s, d) =>
-    val stats = Metrics.binaryStats(
-      scored(s, d).select(col("label"), col("x").as("score")))
+    val stats = binaryStatsCached(s, d)
     val tot = stats.agg(sum("np").as("p"), sum("nn").as("n"))
     stats.crossJoin(broadcast(tot))
       .agg(round(
@@ -132,8 +154,7 @@ object MlQueries {
        |       CAST(pos AS BIGINT) AS positives
        |FROM c, p GROUP BY pos""".stripMargin
   ) { (s, d) =>
-    val stats = Metrics.binaryStats(
-      scored(s, d).select(col("label"), col("x").as("score")))
+    val stats = binaryStatsCached(s, d)
     val tot = stats.agg(sum("np").as("pos"))
     stats.crossJoin(broadcast(tot))
       .agg(round(
