@@ -44,8 +44,13 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("cluster", col("node"))
+    // round 0 folded into initialization: label(a) = min(a, neighbors(a)).
+    // The same single shuffle the plain `distinct` init would pay, but a
+    // star/clique cluster (the near-dup norm) already converges here —
+    // the loop then only runs its one confirming round instead of two.
+    var labels = sym.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("cluster"))
+      .select(col("a").as("node"), col("cluster"))
       .localCheckpoint(true)
 
     var converged = false
