@@ -60,4 +60,65 @@ object MediaOps {
       }
     }.toDF()
   }
+
+  /** round(x, 6) with DuckDB's half-AWAY-from-zero tie-break, applied to
+    * the exact binary value. `math.rint` (half-to-even) disagrees on
+    * exact halves — and frame means divide by 256, so .xxxxxx5 values are
+    * COMMON here, not a corner case (l24 row 9: 93.3203125 → rint said
+    * …312, the oracle …313). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  final case class ResizedFeatures(
+      doc_id: Long, width: Int, height: Int,
+      mean_byte: Double, n_sampled: Int, lang: String)
+
+  /** STUB resize: a real resampler decodes and box-filters to (tw, th);
+    * the fake keeps the arithmetic shape — stride-sample the payload at
+    * s = max(1, len / (tw·th)) and average the sampled bytes — so the
+    * downstream contract (fixed output dims, resampled statistic, sample
+    * count) and the per-partition session plumbing are exercised with
+    * oracle-reproducible byte math. */
+  def resizeFeatures(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.map { r =>
+        val len = r.payload.length
+        val s = math.max(1, len / (tw * th))
+        val n = (len + s - 1) / s
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += r.payload(i * s) & 0xFF; i += 1 }
+        ResizedFeatures(r.doc_id, tw, th, round6(sum.toDouble / n), n, r.meta.lang)
+      }
+    }.toDF()
+  }
+
+  final case class FrameSample(
+      doc_id: Long, frame_id: Int, frame_mean: Double, lang: String)
+
+  /** Frame sampling as a ONE-TO-MANY decode: every k-th 256-byte "frame"
+    * of the payload becomes its own output row with its exact byte mean —
+    * the explode-shaped plumbing a video pipeline needs (one input row →
+    * many frame rows, streamed through the per-partition session, never
+    * materializing all frames in memory at once). */
+  def sampleFrameRows(media: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nf = sampleFrames(r.payload)
+        (0 until nf by everyK).iterator.map { fi =>
+          val start = fi * 256
+          val end = math.min(start + 256, r.payload.length)
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += r.payload(i) & 0xFF; i += 1 }
+          FrameSample(r.doc_id, fi, round6(sum.toDouble / (end - start)), r.meta.lang)
+        }
+      }
+    }.toDF()
+  }
 }

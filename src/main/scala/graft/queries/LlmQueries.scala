@@ -849,12 +849,55 @@ object LlmQueries {
       |       lang
       |FROM d ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val media = documents(s, d).select(
+    graft.ops.MediaOps.decodeFeatures(mediaFrame(s, d)).orderBy("doc_id")
+  }
+
+  /** L23: multimodal resize — fixed output dims + stride-resampled byte
+    * statistic through the same per-partition decode session as l10 (the
+    * codec call is the documented stub; the plumbing and the DuckDB-
+    * replayable arithmetic are real). */
+  val l23_media_resize = Q(
+    "l23_media_resize",
+    """WITH d AS (SELECT doc_id, text, lang, length(text) AS len FROM documents),
+      |p AS (SELECT doc_id, lang, text, len, greatest(1, len // 64) AS s FROM d),
+      |r AS (SELECT doc_id, lang, CAST((len + s - 1) // s AS BIGINT) AS n_sampled,
+      |        round(list_aggregate(list_transform(range((len + s - 1) // s),
+      |          i -> ascii(substr(text, CAST(i * s + 1 AS BIGINT), 1))), 'avg'), 6) AS mean_byte
+      |      FROM p)
+      |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+      |       mean_byte, n_sampled, lang
+      |FROM r ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    graft.ops.MediaOps.resizeFeatures(mediaFrame(s, d), 8, 8).orderBy("doc_id")
+  }
+
+  /** L24: multimodal frame sampling — every 2nd 256-byte "frame" becomes
+    * its own row (the one-to-many decode shape a video pipeline needs),
+    * streamed through the per-partition session, never materializing a
+    * doc's full frame set. */
+  val l24_media_frames = Q(
+    "l24_media_frames",
+    """WITH d AS (SELECT doc_id, text, lang,
+      |             CAST((length(text) + 255) // 256 AS BIGINT) AS nf FROM documents),
+      |f AS (SELECT doc_id, lang, text, unnest(range(0, nf, 2)) AS frame_id FROM d)
+      |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+      |       round(list_aggregate(list_transform(
+      |         range(length(substr(text, CAST(frame_id * 256 + 1 AS BIGINT), 256))),
+      |         i -> ascii(substr(text, CAST(frame_id * 256 + 1 + i AS BIGINT), 1))),
+      |         'avg'), 6) AS frame_mean, lang
+      |FROM f ORDER BY doc_id, frame_id""".stripMargin
+  ) { (s, d) =>
+    graft.ops.MediaOps.sampleFrameRows(mediaFrame(s, d), 2)
+      .orderBy("doc_id", "frame_id")
+  }
+
+  /** The (doc_id, payload, meta) frame the media ops consume — text bytes
+    * standing in for the opaque payload, exactly l10's construction. */
+  private def mediaFrame(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
       col("doc_id"),
       encode(col("text"), "utf-8").as("payload"),
       struct(col("lang"), col("source"), col("n_chars")).as("meta"))
-    graft.ops.MediaOps.decodeFeatures(media).orderBy("doc_id")
-  }
 
   // ------------------------------------------------------ streaming (batch body)
 
@@ -1267,5 +1310,6 @@ object LlmQueries {
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
     l13_user_sessions, l14_dedup_clusters, l15_quality_filter,
     l16_normalize_redact, l17_stratified_sample, l18_tfidf_topterms,
-    l20_seq_pack, l21_curated_corpus, l22_interval_join)
+    l20_seq_pack, l21_curated_corpus, l22_interval_join, l23_media_resize,
+    l24_media_frames)
 }
