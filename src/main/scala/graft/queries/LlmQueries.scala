@@ -776,10 +776,15 @@ object LlmQueries {
   def embedNearDup(tau: Double, nprobe: Int = 2, kOpt: Option[Int] = None)(
       df: DataFrame): DataFrame = {
     val centArr = fitQuantizerCached(df, kOpt)
+    // LAZY localCheckpoint: the bucket self-join below reads `assigned` on
+    // both sides, and the per-row assignment (k centroid dots + rank +
+    // multi-probe explode) is the expensive part — without materialization
+    // it runs twice (the l4-prefix lesson)
     val assigned = withNorm(df).crossJoin(broadcast(centArr))
       .withColumn("bucket",
         explode(transform(slice(rankedCents(col("cents")), 1, nprobe), p => p.getField("cl"))))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      .localCheckpoint(false)
     val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
     assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

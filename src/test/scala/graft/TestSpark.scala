@@ -25,7 +25,11 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    // production session contract: the graft_* natives resolve by NAME,
+    // so the suite session registers them exactly like Tables.prep /
+    // GraftExtensions would — otherwise a suite that touches TextOps
+    // primitives directly only passes when another suite registered first
+    graft.Tables.prep(s)
   }
 
   /** NWSS-shaped test frame builder: just the raw columns the EP1 stages
