@@ -896,6 +896,36 @@ object LlmQueries {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** L25: feature hashing (the hashing trick) — tokens hashed into a
+    * fixed 256-bucket space, per-doc bucket counts: the fixed-width
+    * bag-of-words featurization a training pipeline uses when a vocabulary
+    * is unbounded. md5-derived buckets (the l17 cross-engine decode) so
+    * the oracle replays the exact assignment; the per-(doc, bucket) count
+    * is one map-side-combinable groupBy. */
+  val l25_feature_hash = Q(
+    "l25_feature_hash", {
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |           FROM documents),
+         |m AS (SELECT doc_id, md5(tok) AS h FROM d),
+         |b AS (SELECT doc_id, CAST($hexVal AS BIGINT) % 256 AS bucket FROM m)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
+  ) { (s, d) =>
+    val h = md5(col("tok").cast("binary"))
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 256
+    spread(documents(s, d))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), bucket.as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
+  }
+
   /** The (doc_id, payload, meta) frame the media ops consume — text bytes
     * standing in for the opaque payload, exactly l10's construction. */
   private def mediaFrame(s: SparkSession, d: String): DataFrame =
@@ -1316,5 +1346,5 @@ object LlmQueries {
     l13_user_sessions, l14_dedup_clusters, l15_quality_filter,
     l16_normalize_redact, l17_stratified_sample, l18_tfidf_topterms,
     l20_seq_pack, l21_curated_corpus, l22_interval_join, l23_media_resize,
-    l24_media_frames)
+    l24_media_frames, l25_feature_hash)
 }

@@ -216,6 +216,40 @@ object MlQueries {
     c0.unionByName(c1).orderBy("class")
   }
 
+  /** H13: deterministic k-fold assignment — md5(key) mod k, the
+    * cross-validation split machinery at scale: reproducible across runs,
+    * engines and partitionings (unlike `randomSplit`, whose assignment
+    * depends on partition layout), leakage-free by construction (a key
+    * lands in exactly one fold), and pure map-side arithmetic — no
+    * shuffle until the per-fold balance aggregate. The declared output is
+    * the per-fold (count, positives) balance table the H2 stratification
+    * argument rests on. */
+  val h13_cv_folds = Q(
+    "h13_cv_folds", {
+      // value of the first 8 md5 hex chars, decoded per digit (the l17
+      // cross-engine decode): Σ d_i · 16^(8-i)
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH s AS ($scoredSql),
+         |k AS (SELECT key, label, md5(CAST(key AS VARCHAR)) AS h FROM s),
+         |f AS (SELECT key, label, CAST($hexVal AS BIGINT) % 5 AS fold FROM k)
+         |SELECT CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(label) AS BIGINT) AS n_pos
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+  ) { (s, d) =>
+    val h = md5(col("key").cast("string").cast("binary"))
+    // first 8 hex chars < 2^32: always positive in a long, so % ≡ pmod
+    val fold = conv(substring(h, 1, 8), 16, 10).cast("long") % 5
+    scored(s, d)
+      .withColumn("fold", fold)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+      .orderBy("fold")
+  }
+
   val all: Seq[Q] = Seq(
-    h6_ols_scorer, h8_accuracy, h9_roc_auc, h10_avg_precision, h11_class_report)
+    h6_ols_scorer, h8_accuracy, h9_roc_auc, h10_avg_precision, h11_class_report,
+    h13_cv_folds)
 }
