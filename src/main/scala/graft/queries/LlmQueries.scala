@@ -896,6 +896,72 @@ object LlmQueries {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** L26 core over any (doc_id, s20) frame of FIXED-length-20 strings:
+    * edit-distance ≤ k near-dup pairs via PassJoin segment blocking (Li,
+    * Deng & Feng, "PASS-JOIN: A Partition-based Method for Similarity
+    * Joins", VLDB 2012) + exact levenshtein verify — never all-pairs.
+    *
+    * LEMMA (equal lengths, ≤ k ops): split the string into k+1 contiguous
+    * segments; at least one segment is untouched by any optimal edit
+    * script, and its image in the partner sits at a start shifted by the
+    * net insertions before it — at most ±k, clamped to starts whose
+    * substring still fits. So indexing each doc's k+1 CANONICAL segments
+    * and probing every substring of the same length within the ±k window
+    * (both roles — the join is symmetric over one frame) is a LOSSLESS
+    * candidate filter: bounded fan-out ((k+1)·(2k+1) probe keys per doc),
+    * exact recall, and the join shuffles short segment keys, not strings.
+    * Survivors pay one exact levenshtein against the full prefixes. */
+  def editNearDupFrom(s: DataFrame, k: Int = 2): DataFrame = {
+    val L = 20
+    val bounds = { // k+1 segments covering [1, L], lengths L/(k+1) ±1
+      val base = L / (k + 1); val extra = L % (k + 1)
+      (0 to k).foldLeft(Seq.empty[(Int, Int, Int)]) { case (acc, i) =>
+        val st = acc.lastOption.map { case (_, s0, l0) => s0 + l0 }.getOrElse(1)
+        acc :+ ((i, st, base + (if (i < extra) 1 else 0)))
+      }
+    }
+    val index = s.select(col("doc_id"), col("s20"),
+      explode(array(bounds.map { case (i, st, ln) =>
+        struct(lit(i).as("sid"), substring(col("s20"), st, ln).as("seg"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("s20"), col("e.sid"), col("e.seg"))
+    val probe = s.select(col("doc_id"), col("s20"),
+      explode(array(bounds.flatMap { case (i, st, ln) =>
+        (math.max(1, st - k) to math.min(L - ln + 1, st + k)).map { p =>
+          struct(lit(i).as("sid"), substring(col("s20"), p, ln).as("seg"))
+        }
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("s20"), col("e.sid"), col("e.seg"))
+    index.as("a").join(probe.as("b"),
+        col("a.sid") === col("b.sid") && col("a.seg") === col("b.seg") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"),
+        when(col("a.doc_id") < col("b.doc_id"),
+          levenshtein(col("a.s20"), col("b.s20")))
+          .otherwise(levenshtein(col("b.s20"), col("a.s20"))).as("dist"))
+      .filter(col("dist") <= k)
+      .distinct()
+  }
+
+  /** L26: edit-distance near-dup — all pairs whose normalized 20-char
+    * prefixes are within levenshtein 2, candidates from the lossless
+    * PassJoin segment filter, the oracle from the plain O(n²) join. */
+  val l26_edit_neardup = Q(
+    "l26_edit_neardup",
+    """WITH s AS (SELECT doc_id, lower(substr(text, 1, 20)) AS s20 FROM documents)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |       CAST(levenshtein(a.s20, b.s20) AS BIGINT) AS dist
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.s20, b.s20) <= 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val frame = spread(documents(s, d)).select(col("doc_id"),
+      lower(substring(col("text"), 1, 20)).as("s20"))
+    editNearDupFrom(frame).orderBy("i", "j")
+  }
+
   /** L25: feature hashing (the hashing trick) — tokens hashed into a
     * fixed 256-bucket space, per-doc bucket counts: the fixed-width
     * bag-of-words featurization a training pipeline uses when a vocabulary
@@ -1346,5 +1412,5 @@ object LlmQueries {
     l13_user_sessions, l14_dedup_clusters, l15_quality_filter,
     l16_normalize_redact, l17_stratified_sample, l18_tfidf_topterms,
     l20_seq_pack, l21_curated_corpus, l22_interval_join, l23_media_resize,
-    l24_media_frames, l25_feature_hash)
+    l24_media_frames, l25_feature_hash, l26_edit_neardup)
 }

@@ -27,6 +27,41 @@ class LlmOpsSpec extends AnyFunSuite {
   private def docsDf(rows: Seq[(Long, String)]) =
     rows.toDF("doc_id", "text")
 
+  test("PassJoin segment filter is exact: blocked edit-distance pairs == naive") {
+    // strings of EXACTLY 20 chars over a tiny alphabet, mutated copies
+    // (0-2 substitutions/insertions/deletions re-padded/clipped to 20) so
+    // true pairs at every distance 0..2 exist, plus unrelated strings
+    val rnd = new scala.util.Random(41)
+    def rs(n: Int) = Seq.fill(n)("abcd" (rnd.nextInt(4))).mkString
+    def mutate(s: String): String = {
+      var t = s
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val p = rnd.nextInt(t.length)
+        t = rnd.nextInt(3) match {
+          case 0 => t.updated(p, "abcd" (rnd.nextInt(4))) // substitute
+          case 1 => t.take(p) + "abcd" (rnd.nextInt(4)) + t.drop(p) // insert
+          case 2 => t.take(p) + t.drop(p + 1) // delete
+        }
+      }
+      (t + rs(20)).take(20)
+    }
+    val base = (0 until 60).map(_ => rs(20))
+    val all = base ++ base.take(30).map(mutate) ++ (0 until 40).map(_ => rs(20))
+    val df = all.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "s20")
+    val blocked = LlmQueries.editNearDupFrom(df, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = df.as("a").join(df.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          levenshtein(col("a.s20"), col("b.s20")) <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.s20"), col("b.s20")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked === naive)
+    assert(naive.nonEmpty, "fixture must contain true near-dup pairs")
+    assert(naive.exists(_._3 > 0), "fixture must contain nonzero-distance pairs")
+  }
+
   test("exact duplicates collide in every LSH band") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val perturbed = text.replace("delta", "DELTA")
