@@ -217,6 +217,44 @@ object ExtQueries {
     }.toDF("pct", "val").orderBy("pct")
   }
 
+  /** D12: per-group exact median — the grouped form of D11, from the SAME
+    * shared histogram-refinement jobs: each group is one predicated
+    * MedianSpec (`when(grp = g, c)`), so ALL groups resolve in one stats
+    * aggregate + one histogram + one pick job, and no executor ever
+    * buffers a group's values (Spark's grouped `percentile` holds every
+    * value of every group in its aggregation buffers — the 100 TB OOM).
+    * Scale contract: the group KEY set must be modest (a spec per group
+    * on the driver — fine for enum-like keys; for high-cardinality keys
+    * use the windowed two-pass form instead). */
+  val d12_group_median = Q(
+    "d12_group_median",
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,
+      |       CAST(count(l_extendedprice) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val li = lineitem(s, d)
+    val c = col("l_extendedprice")
+    val stats = li.groupBy("l_returnflag")
+      .agg(count(c.cast("double")).as("n"),
+        min(c.cast("double")).as("lo"), max(c.cast("double")).as("hi"))
+      .collect()
+    val specs = stats.filter(_.getLong(1) > 0L).map { r =>
+      val g = r.getString(0)
+      graft.ops.Stats.MedianSpec(g,
+        when(col("l_returnflag") === g, c), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))
+    }.toSeq
+    val meds = graft.ops.Stats.quantilesFromStats(li, specs, Seq(0.5))
+    import s.implicits._
+    stats.map { r =>
+      (r.getString(0),
+        BigDecimal(meds(r.getString(0)).head).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        r.getLong(1))
+    }.toSeq.sortBy(_._1).toDF("l_returnflag", "med_price", "n")
+  }
+
   /** E7: full outer join — the reconciliation shape (both sides keep
     * unmatched rows). Spark plans it as a shuffled sort-merge join; the
     * per-side aggregates make unmatched rows on both sides observable. */
@@ -269,5 +307,5 @@ object ExtQueries {
   val all: Seq[Q] = Seq(
     g2_union, g3_except, g4_intersect, e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
-    d11_quantiles, b14_unpivot)
+    d11_quantiles, d12_group_median, b14_unpivot)
 }
