@@ -32,10 +32,17 @@ object ScaleQueries {
     val wh = s"$base/graft_bucketed_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
     s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
     s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    // repartition INTO the bucket partitioning before writing: bucket id
+    // and repartition both use Murmur3 HashPartitioning, so each of the 8
+    // write tasks holds exactly one bucket and emits ONE file — without
+    // it every upstream partition spills a sliver into every bucket
+    // (numPartitions × buckets small files, the 100 TB small-file smell)
     lineitem(s, d).select("l_orderkey", "l_quantity")
+      .repartition(8, col("l_orderkey"))
       .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/li").saveAsTable("graft_li_bucketed")
     orders(s, d).select("o_orderkey", "o_orderstatus")
+      .repartition(8, col("o_orderkey"))
       .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$wh/ord").saveAsTable("graft_ord_bucketed")
     s.table("graft_ord_bucketed").filter(col("o_orderstatus") === "F")
