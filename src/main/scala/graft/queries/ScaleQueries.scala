@@ -82,6 +82,43 @@ object ScaleQueries {
       .orderBy("l_linestatus")
   }
 
+  /** A9: DYNAMIC partition pruning — a7's layout, but the partition
+    * selection arrives from a JOIN, not a literal: the fact is partitioned
+    * by the join key, the dim carries the selective predicate, and Spark
+    * injects the dim's filtered key set into the fact scan's
+    * `PartitionFilters` as a `dynamicpruning` subquery (reusing the
+    * broadcast), so untouched partitions never open even though no
+    * literal predicate exists at plan time. THE join optimization a
+    * 100 TB star schema lives on (ScaleOpsSpec pins the pruning
+    * expression in the scan). Both sides are real file scans — DPP only
+    * fires against sources. */
+  val a9_dynamic_pruning = Q(
+    "a9_dynamic_pruning",
+    """WITH dim(flag, keep) AS (VALUES ('A','no'),('N','no'),('R','yes'))
+      |SELECT l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN dim ON l_returnflag = flag
+      |WHERE keep = 'yes'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = s"$base/graft_dpp_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+    lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity")
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(s"$dir/fact")
+    Seq(("A", "no"), ("N", "no"), ("R", "yes")).toDF("flag", "keep")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = s.read.parquet(s"$dir/dim").filter(col("keep") === "yes")
+    s.read.parquet(s"$dir/fact")
+      .join(dim, col("l_returnflag") === col("flag"))
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_linestatus")
+  }
+
   private val SaltBuckets = 16
 
   /** F4: salted skew join — 90% of fact rows share ONE foreign key, the
@@ -187,6 +224,6 @@ object ScaleQueries {
       .orderBy("error_id", "signup_id")
   }
 
-  val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan, f4_salted_join,
-    e4_asof_join, e5_range_join)
+  val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
+    a9_dynamic_pruning, f4_salted_join, e4_asof_join, e5_range_join)
 }

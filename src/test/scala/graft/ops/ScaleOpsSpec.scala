@@ -25,6 +25,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("dynamic partition pruning: the dim's key set reaches the fact scan") {
+    val df = ScaleQueries.a9_dynamic_pruning.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"the join-derived partition selection must sit in the fact scan's " +
+        s"PartitionFilters as a dynamicpruning subquery:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("partitioned scan prunes at planning time — no data-side filter") {
     val df = ScaleQueries.a7_partitioned_scan.fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
