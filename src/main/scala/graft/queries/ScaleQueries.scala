@@ -11,6 +11,19 @@ import graft.Tables._
   */
 object ScaleQueries {
 
+  /** Per-invocation scratch path for layout-demo writes: a shared
+    * filesystem root on a real cluster (`spark.graft.scratchDir` —
+    * executors commit there), with a unique suffix so concurrent runs at
+    * different scale factors can't clobber each other. One definition so
+    * cleanup/fallback policy can't silently diverge across the layout
+    * queries. */
+  private def scratchDir(s: org.apache.spark.sql.SparkSession, d: String,
+      prefix: String): String = {
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    s"$base/${prefix}_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+  }
+
   /** A6: bucketed co-located join — both sides written bucketed+sorted by
     * the join key (8 buckets) into the session catalog, then joined: the
     * sort-merge join reads bucket i against bucket i with NO shuffle
@@ -27,9 +40,7 @@ object ScaleQueries {
       |WHERE o.o_orderstatus = 'F'
       |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val wh = s"$base/graft_bucketed_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+    val wh = scratchDir(s, d, "graft_bucketed")
     s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
     s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
     // repartition INTO the bucket partitioning before writing: bucket id
@@ -69,9 +80,7 @@ object ScaleQueries {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val dir = s"$base/graft_partitioned_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+    val dir = scratchDir(s, d, "graft_partitioned")
     lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity")
       .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
     s.read.parquet(dir)
@@ -103,9 +112,7 @@ object ScaleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val dir = s"$base/graft_dpp_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+    val dir = scratchDir(s, d, "graft_dpp")
     lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity")
       .write.partitionBy("l_returnflag").mode("overwrite").parquet(s"$dir/fact")
     Seq(("A", "no"), ("N", "no"), ("R", "yes")).toDF("flag", "keep")

@@ -28,7 +28,12 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("dynamic partition pruning: the dim's key set reaches the fact scan") {
     val df = ScaleQueries.a9_dynamic_pruning.fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("dynamicpruning"),
+    // the pruning expression must sit IN the fact scan's PartitionFilters
+    // (a 'dynamicpruning' token elsewhere — e.g. a demoted post-scan
+    // runtime filter — would not be the pinned guarantee)
+    val inPartitionFilters = plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters:") && l.toLowerCase.contains("dynamicpruning"))
+    assert(inPartitionFilters,
       s"the join-derived partition selection must sit in the fact scan's " +
         s"PartitionFilters as a dynamicpruning subquery:\n$plan")
     assert(df.count() > 0)
