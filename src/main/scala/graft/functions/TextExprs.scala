@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * first-occurrence dedup happens in a LinkedHashSet, matching
   * `array_distinct` order exactly.
   *
-  * Value parity with the HOF form is pinned by TextExprsProps (random
+  * Value parity with the HOF form is pinned by TextExprsSpec (random
   * arrays incl. empty strings / dupes / n > length) so every declared
   * query's oracle hash is unchanged. Fewer than n tokens → EMPTY array
   * (the HOF's `when` branch); null toks → null here, while `size(null)=-1`
@@ -109,31 +109,28 @@ case class ShingleSet(left: Expression, right: Expression)
   * Bit-identical to `transform(arr, s -> xxhash64(s))` (no seed) and
   * `transform(arr, s -> xxhash64(s, lit(K)))` (seed K): Spark's multi-arg
   * xxhash64 CHAINS — h = hash(s, seed=42) then h = hash(K, h) — and this
-  * loop replays exactly that via the same XXH64 primitives. Why native:
-  * the transform lambda is interpreted per element, and the dedup family
-  * evaluates it over every shingle of every doc (l4's inverted index,
-  * both minhash hash families). Null array → null; null ELEMENT → null
-  * slot in the output (transform parity: the lambda yields null), so the
-  * output type admits nulls iff the input does. The chain seed is a
+  * loop replays exactly that via the same XXH64 primitives, INCLUDING
+  * null elements: `HashExpression` is never-null — a null input hashes to
+  * the bare seed (42), it does not propagate — so the output is always
+  * containsNull=false and the loop fills an unboxed long[] (the dedup
+  * family evaluates this over every shingle of every doc; a boxed
+  * Object[] here was review finding r07). Why native at all: the
+  * transform lambda is interpreted per element. The chain seed is a
   * CONSTRUCTOR parameter, not a child: a child literal would have to be
   * nullable-null for the unseeded form, and every default eval/codegen
   * path null-short-circuits on any null child. The SQL builder folds a
-  * literal second argument into the parameter at build time.
+  * literal second argument into the parameter at build time. Parity
+  * (null elements included) is pinned by TextExprsSpec.
   */
 case class XxHash64Array(child: Expression, chainSeed: Option[Long])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-
-  private lazy val elementsNullable: Boolean = child.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => false
-  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<string>, got ${other.simpleString}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = elementsNullable)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_xxhash64_array"
 
   override protected def withNewChildInternal(newChild: Expression): XxHash64Array =
@@ -142,17 +139,19 @@ case class XxHash64Array(child: Expression, chainSeed: Option[Long])
   override def nullSafeEval(a: Any): Any = {
     val toks = a.asInstanceOf[ArrayData]
     val sz = toks.numElements()
-    val out = new Array[Any](sz)
+    val out = new Array[Long](sz)
     var i = 0
     while (i < sz) {
-      if (!(elementsNullable && toks.isNullAt(i))) {
-        val s = toks.getUTF8String(i)
-        var h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        chainSeed.foreach(k =>
-          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, h))
-        out(i) = h
-      }
+      var h =
+        if (toks.isNullAt(i)) 42L
+        else {
+          val s = toks.getUTF8String(i)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      chainSeed.foreach(k =>
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, h))
+      out(i) = h
       i += 1
     }
     new GenericArrayData(out)
@@ -167,20 +166,20 @@ case class XxHash64Array(child: Expression, chainSeed: Option[Long])
       val h = ctx.freshName("xaH")
       val chainStep =
         chainSeed.map(k => s"$h = $xxh.hashLong(${k}L, $h);").getOrElse("")
-      val nullSlot =
-        if (elementsNullable) s"if ($a.isNullAt($i)) { $out[$i] = null; } else"
-        else ""
       s"""
          |final int $sz = $a.numElements();
-         |final Object[] $out = new Object[$sz];
+         |final long[] $out = new long[$sz];
          |for (int $i = 0; $i < $sz; $i++) {
-         |  $nullSlot {
+         |  long $h;
+         |  if ($a.isNullAt($i)) {
+         |    $h = 42L;
+         |  } else {
          |    final $u $s = $a.getUTF8String($i);
-         |    long $h = $xxh.hashUnsafeBytes(
+         |    $h = $xxh.hashUnsafeBytes(
          |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |    $chainStep
-         |    $out[$i] = $h;
          |  }
+         |  $chainStep
+         |  $out[$i] = $h;
          |}
          |${ev.value} =
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -202,15 +201,20 @@ case class XxHash64Array(child: Expression, chainSeed: Option[Long])
   * computes it with zero shuffle, which at 100 TB is a full corpus pass
   * saved (and measured 6.8 s → sub-second for l9 at sf0.1).
   *
-  * Parity contract (pinned by TextExprsSpec against the row form):
-  * k-grams join with the null-skipping single-space concat (UTF8String
-  * .concatWs ≡ concat_ws); md5 is the commons-codec lowercase hex Spark's
-  * own `md5()` wraps, so DuckDB derives identical strings; mins compare
-  * as UTF8 byte order ≡ both engines' ASCII-hex string compare; fewer
-  * than w grams (but ≥ 1) yield the single clipped-window min; no grams
-  * yield an empty array; distinct keeps first-occurrence order. k and w
-  * must be positive int literals. Null toks → null (callers coalesce if
-  * the HOF's empty-on-null stance is needed).
+  * Parity contract (pinned by TextExprsSpec against the row form,
+  * null-element cases included): k-grams join with the null-skipping
+  * single-space concat (UTF8String.concatWs ≡ concat_ws); a position
+  * whose LAST token is null produces no gram — the row form's
+  * `lead(__t, k-1).isNotNull` filter, replayed here so the two forms
+  * never diverge (review finding r07; split() never yields nulls, so
+  * real corpora don't exercise it, which is exactly why it must be
+  * pinned); md5 is the commons-codec lowercase hex Spark's own `md5()`
+  * wraps, so DuckDB derives identical strings; mins compare as UTF8 byte
+  * order ≡ both engines' ASCII-hex string compare; fewer than w grams
+  * (but ≥ 1) yield the single clipped-window min; no grams yield an
+  * empty array; distinct keeps first-occurrence order. k and w must be
+  * positive int literals. Null toks → null (callers coalesce if the
+  * HOF's empty-on-null stance is needed).
   */
 case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
@@ -248,27 +252,32 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val hs = new Array[UTF8String](n)
     val parts = new Array[UTF8String](k)
+    var m = 0 // surviving gram count — the compacted sequence windows slide over
     var p = 0
     while (p < n) {
-      var q = 0
-      while (q < k) {
-        parts(q) = if (toks.isNullAt(p + q)) null else toks.getUTF8String(p + q)
-        q += 1
+      if (!toks.isNullAt(p + k - 1)) { // row-form lead(__t,k-1) filter
+        var q = 0
+        while (q < k) {
+          parts(q) = if (toks.isNullAt(p + q)) null else toks.getUTF8String(p + q)
+          q += 1
+        }
+        hs(m) = UTF8String.fromString(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            UTF8String.concatWs(space, parts: _*).getBytes))
+        m += 1
       }
-      hs(p) = UTF8String.fromString(
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(
-          UTF8String.concatWs(space, parts: _*).getBytes))
       p += 1
     }
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.LinkedHashSet[UTF8String]()
-    val nWin = math.max(n - w + 1, 1)
+    val nWin = math.max(m - w + 1, 1)
     var i = 0
     while (i < nWin) {
-      var m = hs(i)
+      var mn = hs(i)
       var j = i + 1
-      val end = math.min(i + w, n)
-      while (j < end) { if (hs(j).compareTo(m) < 0) m = hs(j); j += 1 }
-      set.add(m)
+      val end = math.min(i + w, m)
+      while (j < end) { if (hs(j).compareTo(mn) < 0) mn = hs(j); j += 1 }
+      set.add(mn)
       i += 1
     }
     new GenericArrayData(set.toArray())
@@ -284,6 +293,7 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
       val set = ctx.freshName("wnSet"); val nWin = ctx.freshName("wnNWin")
       val i = ctx.freshName("wnI"); val j = ctx.freshName("wnJ")
       val m = ctx.freshName("wnM"); val end = ctx.freshName("wnEnd")
+      val mm = ctx.freshName("wnM2")
       s"""
          |final int $sz = $a.numElements();
          |final int $n = $sz - $k + 1;
@@ -292,26 +302,32 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
          |} else {
          |  final $u[] $hs = new $u[$n];
          |  final $u[] $parts = new $u[$k];
+         |  int $mm = 0; // surviving grams — the compacted window sequence
          |  for (int $p = 0; $p < $n; $p++) {
+         |    if ($a.isNullAt($p + $k - 1)) continue; // row-form lead filter
          |    for (int $q = 0; $q < $k; $q++) {
          |      $parts[$q] = $a.isNullAt($p + $q) ? null : $a.getUTF8String($p + $q);
          |    }
-         |    $hs[$p] = $u.fromString(
+         |    $hs[$mm++] = $u.fromString(
          |      org.apache.commons.codec.digest.DigestUtils.md5Hex(
          |        $u.concatWs($spaceRef, $parts).getBytes()));
          |  }
-         |  final java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
-         |  final int $nWin = java.lang.Math.max($n - $w + 1, 1);
-         |  for (int $i = 0; $i < $nWin; $i++) {
-         |    $u $m = $hs[$i];
-         |    final int $end = java.lang.Math.min($i + $w, $n);
-         |    for (int $j = $i + 1; $j < $end; $j++) {
-         |      if ($hs[$j].compareTo($m) < 0) $m = $hs[$j];
+         |  if ($mm == 0) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0]);
+         |  } else {
+         |    final java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
+         |    final int $nWin = java.lang.Math.max($mm - $w + 1, 1);
+         |    for (int $i = 0; $i < $nWin; $i++) {
+         |      $u $m = $hs[$i];
+         |      final int $end = java.lang.Math.min($i + $w, $mm);
+         |      for (int $j = $i + 1; $j < $end; $j++) {
+         |        if ($hs[$j].compareTo($m) < 0) $m = $hs[$j];
+         |      }
+         |      $set.add($m);
          |    }
-         |    $set.add($m);
+         |    ${ev.value} =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($set.toArray());
          |  }
-         |  ${ev.value} =
-         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($set.toArray());
          |}
        """.stripMargin
     })

@@ -50,7 +50,7 @@ object TextOps {
     * materialization (7.4 s of l4's BENCH_r06 cost at sf0.1). The
     * coalesce restores the HOF form's null contract (`size(null) = -1`
     * sent null toks to the empty-array branch) at array level — no
-    * per-element cost. Value parity is pinned by TextExprsProps. */
+    * per-element cost. Value parity is pinned by TextExprsSpec. */
   def shingleSet(toks: Column, n: Int): Column =
     coalesce(graft.functions.TextExprs.shingleSet(toks, n),
       array().cast("array<string>"))

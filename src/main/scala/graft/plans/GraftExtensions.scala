@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TextExprs.shingleSetInfo)
     ext.injectFunction(TextExprs.xxhash64ArrayInfo)
     ext.injectFunction(TextExprs.winnowInfo)
+    ext.injectFunction(TextExprs.simhashInfo)
   }
 }

@@ -99,6 +99,44 @@ class TextExprsSpec extends AnyFunSuite {
     assert(native === rowForm)
   }
 
+  test("null elements: xxhash64 array hashes null to the seed like transform; winnow drops the row-form's lead-filtered positions") {
+    TextExprs.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("toks", ArrayType(StringType, containsNull = true))))
+    val rows = Seq(
+      Row(0L, Seq("a", null, "b", "c")), // interior null: concat_ws-skipped
+      Row(1L, Seq(null, "a", "b", null)), // null at both gram-end positions
+      Row(2L, Seq("a", "b", "c", "d")))
+    // RDD-backed so the projection reaches codegen
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    // xxhash64: HashExpression is never-null — a null input hashes to the
+    // bare seed — so transform emits 42 (or hash(K, 42) chained), never null
+    val k = 0x9E3779B97F4A7C15L
+    val hm = df.select(
+        TextExprs.xxhash64Array(col("toks")).as("n1"),
+        transform(col("toks"), s => xxhash64(s)).as("h1"),
+        TextExprs.xxhash64Array(col("toks"), k).as("n2"),
+        transform(col("toks"), s => xxhash64(s, lit(k))).as("h2"))
+      .collect()
+    hm.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+    }
+    // winnow: a position whose LAST token is null produces no gram (the
+    // row form's lead(__t, k-1).isNotNull filter); surviving grams form
+    // the compacted sequence the windows slide over
+    val tf = df.select(col("doc_id"), col("toks"))
+    val native = tf.select(col("doc_id"),
+        explode(TextExprs.winnow(col("toks"), 2, 2)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rowForm = graft.ops.TextOps.winnowFingerprints(tf, "doc_id", "toks", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native === rowForm)
+  }
+
   test("simhash matches the grouped conditional-sum form (md5 hash family)") {
     TextExprs.register(spark)
     val rnd = new scala.util.Random(31)
