@@ -61,18 +61,25 @@ object ExtQueries {
       .orderBy("o_custkey")
   }
 
-  /** E6: anti-join — customers with no orders (the blocklist/tombstone
-    * subtraction every curation pipeline runs). `left_anti` shuffles on
-    * the key like any equi-join and broadcasts when the right side is
-    * small — never the NOT IN scan-per-row shape. */
+  /** E6: anti-join — customers with no high-value order (the
+    * blocklist/tombstone subtraction every curation pipeline runs).
+    * `left_anti` shuffles on the key like any equi-join and broadcasts
+    * when the right side is small — never the NOT IN scan-per-row shape.
+    * The 300k price cut keeps BOTH matched and unmatched customers
+    * populated at every test SF (an unrestricted right side left zero
+    * unmatched rows — a vacuous gate any empty-result bug would pass;
+    * review finding r07). */
   val e6_anti_join = Q(
     "e6_anti_join",
     """SELECT c_custkey FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000)
       |ORDER BY 1""".stripMargin
   ) { (s, d) =>
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey")
       .orderBy("c_custkey")
   }
@@ -91,15 +98,20 @@ object ExtQueries {
       |         PARTITION BY l_suppkey
       |         ORDER BY l_shipdate, l_orderkey, l_linenumber
       |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_avg
-      |FROM lineitem ORDER BY 1, 2""".stripMargin
+      |FROM lineitem ORDER BY 1, 2, 3""".stripMargin
   ) { (s, d) =>
     val w = Window.partitionBy("l_suppkey")
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
       .rowsBetween(-6, Window.currentRow)
+    // ORDER BY every output column: the synthetic lineitem duplicates
+    // (l_orderkey, l_linenumber) pairs (review finding r07 — 11,785 tie
+    // groups at sf0.01, NO column subset is unique at every SF), so the
+    // only total order available is the full row — rows equal on all
+    // columns are interchangeable under any hash
     lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
       round(avg(col("l_extendedprice")).over(w), 6).as("roll_avg")
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).orderBy("l_orderkey", "l_linenumber", "roll_avg")
   }
 
   /** C8: keep-latest compaction — one surviving row per customer: the
@@ -200,20 +212,17 @@ object ExtQueries {
       |ORDER BY pct""".stripMargin
   ) { (s, d) =>
     val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
-    val c = col("l_extendedprice")
-    val li = lineitem(s, d)
-    val r = li.agg(count(c.cast("double")).as("n"),
-      min(c.cast("double")).as("lo"), max(c.cast("double")).as("hi")).collect()(0)
-    val vals =
-      if (r.getLong(0) == 0L) ps.map(_ => Double.NaN)
-      else graft.ops.Stats.quantilesFromStats(li,
-        Seq(graft.ops.Stats.MedianSpec("q", c, r.getLong(0),
-          r.getDouble(1), r.getDouble(2))), ps)("q")
+    // Stats.exactQuantiles owns the degenerate-input contract (None on
+    // empty/all-null — never throws, never a NaN sentinel); a None here
+    // becomes the oracle's NULL rows
+    val vals = graft.ops.Stats.exactQuantiles(
+      lineitem(s, d), col("l_extendedprice"), ps)
     import s.implicits._
     // HALF_UP ≡ DuckDB round() (half away from zero; values positive);
     // the checker's 1e-9 relative tolerance absorbs any boundary wobble
-    ps.zip(vals).map { case (p, v) =>
-      (p, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    ps.zipWithIndex.map { case (p, i) =>
+      (p, vals.map(v => BigDecimal(v(i)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble): Option[Double])
     }.toDF("pct", "val").orderBy("pct")
   }
 
@@ -235,24 +244,20 @@ object ExtQueries {
   ) { (s, d) =>
     val li = lineitem(s, d)
     val c = col("l_extendedprice")
-    val stats = li.groupBy("l_returnflag")
-      .agg(count(c.cast("double")).as("n"),
-        min(c.cast("double")).as("lo"), max(c.cast("double")).as("hi"))
-      .collect()
-    val specs = stats.filter(_.getLong(1) > 0L).map { r =>
-      val g = r.getString(0)
-      graft.ops.Stats.MedianSpec(g,
-        when(col("l_returnflag") === g, c), r.getLong(1),
-        r.getDouble(2), r.getDouble(3))
-    }.toSeq
-    val meds = graft.ops.Stats.quantilesFromStats(li, specs, Seq(0.5))
+    // Stats.groupQuantiles owns the group axis: null keys match via <=>,
+    // an all-null group maps to None (the oracle's NULL median) — the
+    // previous inline form threw on both (review finding r07)
+    val meds = graft.ops.Stats.groupQuantiles(li, col("l_returnflag"), c, Seq(0.5))
+    val counts = li.groupBy("l_returnflag").agg(count(c.cast("double")).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1))
     import s.implicits._
-    stats.map { r =>
-      (r.getString(0),
-        BigDecimal(meds(r.getString(0)).head).setScale(6,
-          BigDecimal.RoundingMode.HALF_UP).toDouble,
-        r.getLong(1))
-    }.toSeq.sortBy(_._1).toDF("l_returnflag", "med_price", "n")
+    counts.map { case (key, n) =>
+      (key.orNull,
+        meds(key).map(v => BigDecimal(v.head).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble): Option[Double],
+        n)
+    }.toSeq.toDF("l_returnflag", "med_price", "n")
+      .orderBy("l_returnflag")
   }
 
   /** E7: full outer join — the reconciliation shape (both sides keep
@@ -295,13 +300,16 @@ object ExtQueries {
       |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice FROM lineitem
       |  UNION ALL
       |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM lineitem)
-      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin
   ) { (s, d) =>
+    // ORDER BY every output column — duplicated (orderkey, linenumber)
+    // pairs in the synthetic lineitem make any key subset non-total
+    // (see f5); full-row order leaves only interchangeable duplicates
     lineitem(s, d).unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "metric", "value")
-      .orderBy("l_orderkey", "l_linenumber", "metric")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
   }
 
   val all: Seq[Q] = Seq(

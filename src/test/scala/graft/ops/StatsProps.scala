@@ -69,6 +69,25 @@ object StatsProps extends Properties("Stats") {
       }
     }
 
+  property("exactQuantiles is None on empty/all-null; groupQuantiles handles null keys and all-null groups") =
+    Prop.secure {
+      val empty = Seq.empty[Option[Double]].toDF("v")
+      val allNull = Seq[Option[Double]](None, None).toDF("v")
+      val ok1 = Stats.exactQuantiles(empty, col("v"), Seq(0.5)).isEmpty &&
+        Stats.exactQuantiles(allNull, col("v"), Seq(0.5)).isEmpty
+      // groups: "a" has values, "b" is all-null, null key has values
+      val df = Seq(
+        (Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+        (Some("b"), None),
+        (None: Option[String], Some(10.0)), (None: Option[String], Some(20.0)))
+        .toDF("g", "v")
+      val got = Stats.groupQuantiles(df, col("g"), col("v"), Seq(0.5))
+      val ok2 = got(Some("a")).contains(Seq(2.0)) &&
+        got(Some("b")).isEmpty &&
+        got(None).contains(Seq(15.0))
+      Prop(ok1 && ok2) :| s"got $got"
+    }
+
   property("mediansFromStats survives deep histogram recursion (tiny buckets)") =
     Prop.forAll(values) { xs =>
       if (xs.size < 2) Prop.passed else {
