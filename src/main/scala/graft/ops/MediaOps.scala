@@ -54,8 +54,10 @@ object MediaOps {
       // real codecs initialize HERE, once per task, and close on exhaustion
       rows.map { r =>
         val (w, h, c, mean) = decodeHeader(r.payload)
-        MediaFeatures(r.doc_id, w, h, c,
-          math.rint(mean * 1e6) / 1e6, // round(6): cross-engine hashable
+        // round6, NOT rint: payload lengths divisible by powers of two
+        // put means on exact .xxxxxx5 ties where rint's half-even
+        // diverges from the oracle's half-away round (6 docs at sf0.1)
+        MediaFeatures(r.doc_id, w, h, c, round6(mean),
           sampleFrames(r.payload), r.meta.lang)
       }
     }.toDF()
@@ -71,7 +73,7 @@ object MediaOps {
 
   final case class ResizedFeatures(
       doc_id: Long, width: Int, height: Int,
-      mean_byte: Double, n_sampled: Int, lang: String)
+      mean_byte: Option[Double], n_sampled: Int, lang: String)
 
   /** STUB resize: a real resampler decodes and box-filters to (tw, th);
     * the fake keeps the arithmetic shape — stride-sample the payload at
@@ -90,7 +92,10 @@ object MediaOps {
         var sum = 0L
         var i = 0
         while (i < n) { sum += r.payload(i * s) & 0xFF; i += 1 }
-        ResizedFeatures(r.doc_id, tw, th, round6(sum.toDouble / n), n, r.meta.lang)
+        // empty payload: n = 0 → no sampled statistic (the oracle's NULL
+        // mean over an empty list), never a NaN through round6
+        val mean = if (n == 0) None else Some(round6(sum.toDouble / n))
+        ResizedFeatures(r.doc_id, tw, th, mean, n, r.meta.lang)
       }
     }.toDF()
   }

@@ -993,9 +993,12 @@ object LlmQueries {
   }
 
   /** The (doc_id, payload, meta) frame the media ops consume — text bytes
-    * standing in for the opaque payload, exactly l10's construction. */
+    * standing in for the opaque payload, exactly l10's construction.
+    * [[spread]] like every CPU-bound documents pipeline: the corpus at
+    * test SF is one input split, and the per-partition decode loops
+    * would otherwise run single-threaded (review finding r07). */
   private def mediaFrame(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    spread(documents(s, d)).select(
       col("doc_id"),
       encode(col("text"), "utf-8").as("payload"),
       struct(col("lang"), col("source"), col("n_chars")).as("meta"))

@@ -42,6 +42,18 @@ object MlQueries {
         .cast("long").as("label"))
   }
 
+  /** The closed-form OLS fit over the scored frame — slope = cov/var,
+    * intercept from the means — as ONE aggregate producing a 1-row (b, a)
+    * frame for broadcasting back over the rows. One definition for h6,
+    * h8 and h11 (the copy in each query drifted as a unit before —
+    * review finding r07); the oracle's shared CTE `f` states the same
+    * regr_slope/regr_intercept. */
+  private def olsFit(sc: DataFrame): DataFrame =
+    sc.agg(
+      (covar_pop(col("label"), col("x")) / var_pop(col("x"))).as("b"),
+      avg("label").as("ybar"), avg("x").as("xbar"))
+      .select(col("b"), (col("ybar") - col("b") * col("xbar")).as("a"))
+
   /** The threshold-sweep stats frame (Metrics.binaryStats over the shared
     * scored frame) — h9 and h10 both read it, and its construction is
     * EAGER (min/max probe + cut refinement + totals collect), so each
@@ -79,10 +91,7 @@ object MlQueries {
        |FROM s, f ORDER BY key""".stripMargin
   ) { (s, d) =>
     val sc = scored(s, d)
-    val fit = sc.agg(
-      (covar_pop(col("label"), col("x")) / var_pop(col("x"))).as("b"),
-      avg("label").as("ybar"), avg("x").as("xbar"))
-      .select(col("b"), (col("ybar") - col("b") * col("xbar")).as("a"))
+    val fit = olsFit(sc)
     val yhat = col("a") + col("b") * col("x")
     sc.crossJoin(broadcast(fit))
       .select(col("key"),
@@ -102,12 +111,8 @@ object MlQueries {
        |FROM s, f""".stripMargin
   ) { (s, d) =>
     val sc = scored(s, d)
-    val fit = sc.agg(
-      (covar_pop(col("label"), col("x")) / var_pop(col("x"))).as("b"),
-      avg("label").as("ybar"), avg("x").as("xbar"))
-      .select(col("b"), (col("ybar") - col("b") * col("xbar")).as("a"))
     val pred = (col("a") + col("b") * col("x") > 0.5).cast("long")
-    sc.crossJoin(broadcast(fit))
+    sc.crossJoin(broadcast(olsFit(sc)))
       .agg(round(avg((pred === col("label")).cast("double")), 6).as("accuracy"),
         count(lit(1)).as("n"))
   }
@@ -188,32 +193,33 @@ object MlQueries {
        |ORDER BY class""".stripMargin
   ) { (s, d) =>
     val sc = scored(s, d)
-    val fit = sc.agg(
-      (covar_pop(col("label"), col("x")) / var_pop(col("x"))).as("b"),
-      avg("label").as("ybar"), avg("x").as("xbar"))
-      .select(col("b"), (col("ybar") - col("b") * col("xbar")).as("a"))
     val pred = (col("a") + col("b") * col("x") > 0.5).cast("long")
-    val cm = sc.crossJoin(broadcast(fit))
+    // ONE pass: collect the 1-row confusion aggregate, then expand to the
+    // two class rows driver-side (the Metrics.report shape) — the lazy
+    // two-branch union re-ran the scan + fit + aggregate per class
+    // (review finding r07)
+    val cm = sc.crossJoin(broadcast(olsFit(sc)))
       .agg(
         sum(when(col("label") === 0 && pred === 0, 1L).otherwise(0L)).as("tn"),
         sum(when(col("label") === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
         sum(when(col("label") === 1 && pred === 0, 1L).otherwise(0L)).as("fn"),
         sum(when(col("label") === 1 && pred === 1, 1L).otherwise(0L)).as("tp"))
-    def div(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      a.cast("double") / b
-    val c0 = cm.select(lit(0L).as("class"),
-      round(div(col("tn"), col("tn") + col("fn")), 6).as("precision"),
-      round(div(col("tn"), col("tn") + col("fp")), 6).as("recall"),
-      round(lit(2.0) * div(col("tn"), col("tn") + col("fn")) * div(col("tn"), col("tn") + col("fp")) /
-        (div(col("tn"), col("tn") + col("fn")) + div(col("tn"), col("tn") + col("fp"))), 6).as("f1"),
-      (col("tn") + col("fp")).as("support"))
-    val c1 = cm.select(lit(1L).as("class"),
-      round(div(col("tp"), col("tp") + col("fp")), 6).as("precision"),
-      round(div(col("tp"), col("tp") + col("fn")), 6).as("recall"),
-      round(lit(2.0) * div(col("tp"), col("tp") + col("fp")) * div(col("tp"), col("tp") + col("fn")) /
-        (div(col("tp"), col("tp") + col("fp")) + div(col("tp"), col("tp") + col("fn"))), 6).as("f1"),
-      (col("fn") + col("tp")).as("support"))
-    c0.unionByName(c1).orderBy("class")
+      .collect()(0)
+    val (tn, fp, fn, tp) =
+      (cm.getLong(0), cm.getLong(1), cm.getLong(2), cm.getLong(3))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def row(cls: Long, t: Long, predDen: Long, truthDen: Long, support: Long) = {
+      val p = t.toDouble / predDen
+      val r = t.toDouble / truthDen
+      (cls, r6(p), r6(r), r6(2.0 * p * r / (p + r)), support)
+    }
+    import s.implicits._
+    Seq(
+      row(0L, tn, tn + fn, tn + fp, tn + fp),
+      row(1L, tp, tp + fp, tp + fn, fn + tp))
+      .toDF("class", "precision", "recall", "f1", "support")
+      .orderBy("class")
   }
 
   /** H13: deterministic k-fold assignment — md5(key) mod k, the

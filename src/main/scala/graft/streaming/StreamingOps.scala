@@ -37,12 +37,20 @@ object StreamingOps {
         col("avg_value"), col("n"))
 
   /** Streaming exact dedup by event_id: keeps the FIRST arrival of each id,
-    * with state truncated below the event-time watermark (an id older than
-    * the watermark can no longer collide, so its state is dropped). */
+    * with state truncated below the event-time watermark. Must be
+    * `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: the
+    * plain form only evicts state when the event-time column is PART of
+    * the key set (it is not here — same id, different ts must still
+    * dedup), so it would keep every id forever and the state store grows
+    * without bound (review finding r07). The within-watermark form keeps
+    * the id-only key AND expires entries once the watermark passes them —
+    * the documented contract: an id older than the watermark can no
+    * longer collide, so its state is dropped (and a re-arrival AFTER that
+    * expiry re-emits, the price of bounded state). */
   def dedupByEventId(events: DataFrame, watermark: String = "14 days"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Per-user SESSION windows: events of one user closer than `gap` merge
     * into one session [first ts, last ts + gap). Spark-first: this is
