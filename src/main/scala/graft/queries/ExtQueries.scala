@@ -312,8 +312,62 @@ object ExtQueries {
       .orderBy("l_orderkey", "l_linenumber", "metric", "value")
   }
 
+  /** D13: HyperLogLog approximate distinct count (ops/Hll) — suppliers per
+    * return flag, next to the exact count so the estimate's error is
+    * visible in the declared output. The oracle replays the ENTIRE sketch
+    * — md5 → register index from the low byte, rank from the leading 13
+    * hex digits' trailing zeros, max-register aggregation, the
+    * alpha·m²/Σ2^-M estimator with linear-counting small-range correction
+    * — digit by digit in DuckDB SQL, so a green hash means the sketch is
+    * bit-reproducible cross-engine, not merely "close". Both sides write
+    * the SAME float expression tree (identical IEEE operation sequence);
+    * the round(…, 6) boundary is guarded by the checker's 1e-9 relative
+    * tolerance (same stance as d11). */
+  val d13_hll_distinct = Q(
+    "d13_hll_distinct", {
+      // trailing zeros within one hex digit v ∈ 1..15
+      def t4(v: String) =
+        s"(CASE WHEN $v % 2 = 1 THEN 0 WHEN $v % 4 = 2 THEN 1 WHEN $v % 8 = 4 THEN 2 ELSE 3 END)"
+      def dig(i: Int) = s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
+      // rho = 1 + trailing zeros of bits 12-63 = hex chars 1-13, char 13
+      // least significant (md5Hash64's layout, cf. l8's bit decode)
+      val rho = (13 to 1 by -1).map { i =>
+        s"WHEN ${dig(i)} > 0 THEN ${4 * (13 - i)} + ${t4(dig(i))}"
+      }.mkString("1 + CASE ", " ", " ELSE 52 END")
+      val j = s"((${dig(15)}) * 16 + ${dig(16)}) % 64"
+      s"""WITH h AS (
+         |  SELECT l_returnflag AS flag, md5(CAST(l_suppkey AS VARCHAR)) AS hx
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL),
+         |r AS (SELECT flag, $j AS j, max($rho) AS mj FROM h GROUP BY 1, 2),
+         |e AS (SELECT flag, count(*) AS seen, sum(power(2.0, -mj)) AS zp
+         |      FROM r GROUP BY 1),
+         |x AS (SELECT flag,
+         |             (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / (zp + (64 - seen)) AS raw,
+         |             64 - seen AS v FROM e)
+         |SELECT flag, CAST(n_exact AS BIGINT) AS n_exact,
+         |       round(CASE WHEN raw <= 160.0 AND v > 0
+         |                  THEN 64.0 * ln(64.0 / v) ELSE raw END, 6) AS hll_est
+         |FROM x JOIN (SELECT l_returnflag AS flag,
+         |             count(DISTINCT l_suppkey) AS n_exact
+         |             FROM lineitem GROUP BY 1) USING (flag)
+         |ORDER BY flag""".stripMargin
+    }
+  ) { (s, d) =>
+    val li = lineitem(s, d)
+    val est = graft.ops.Hll.approxDistinct(
+        li.select(col("l_returnflag").as("flag"), col("l_suppkey")),
+        Seq("flag"), col("l_suppkey"))
+      .withColumn("hll_est", round(col("hll_est"), 6))
+    val exact = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_exact"))
+    // both sides are ≤ |distinct flags| rows; the join broadcasts
+    est.join(exact, Seq("flag"))
+      .select(col("flag"), col("n_exact"), col("hll_est"))
+      .orderBy("flag")
+  }
+
   val all: Seq[Q] = Seq(
     g2_union, g3_except, g4_intersect, e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
-    d11_quantiles, d12_group_median, b14_unpivot)
+    d11_quantiles, d12_group_median, d13_hll_distinct, b14_unpivot)
 }

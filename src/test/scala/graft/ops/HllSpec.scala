@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The HLL sketch's contract (SURVEY §2 D13): the estimate is accurate to
+  * its published error bound, invariant to physical partitioning (the
+  * property that makes the sketch mergeable across shards), and ignores
+  * nulls like COUNT(DISTINCT). Error assertions use wide multiples of the
+  * theoretical 1.04/√64 ≈ 13% relative error so the tests pin correctness,
+  * not luck.
+  */
+class HllSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def estimate(n: Int, parts: Int): Double = {
+    val df = spark.range(n.toLong).repartition(parts)
+      .select((col("id") * 2654435761L).as("v")) // spread ids; values distinct
+    Hll.approxDistinct(df.withColumn("g", lit("a")), Seq("g"), col("v"))
+      .collect().head.getDouble(1)
+  }
+
+  test("estimate within 3x the theoretical error across regimes") {
+    // linear-counting regime (n << m·ln m), transition, and raw-HLL regime
+    for (n <- Seq(30, 200, 5000)) {
+      val est = estimate(n, parts = 8)
+      assert(math.abs(est - n) <= math.max(3 * 0.13 * n, 8.0),
+        s"n=$n est=$est")
+    }
+  }
+
+  test("estimate is invariant to partitioning (mergeable sketch)") {
+    val a = estimate(3000, parts = 1)
+    val b = estimate(3000, parts = 17)
+    assert(a == b, s"partitioning changed the estimate: $a vs $b")
+  }
+
+  test("duplicates don't move the estimate; nulls are ignored") {
+    val base = (1 to 400).map(i => (("g"), s"u$i"))
+    val dups = base ++ base ++ base
+    val withNulls = dups.map { case (g, v) => (g, Option(v)) } ++
+      Seq(("g", None: Option[String]), ("g", None: Option[String]))
+    val one = Hll.approxDistinct(base.toDF("g", "v"), Seq("g"), col("v"))
+      .collect().head.getDouble(1)
+    val three = Hll.approxDistinct(withNulls.toDF("g", "v"), Seq("g"), col("v"))
+      .collect().head.getDouble(1)
+    assert(one == three, s"duplicates/nulls moved the estimate: $one vs $three")
+  }
+
+  test("groups sketch independently") {
+    val df = (1 to 1000).map(i => (if (i % 2 == 0) "even" else "odd", i))
+      .toDF("g", "v")
+    val got = Hll.approxDistinct(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("even", "odd"))
+    for ((_, est) <- got) assert(math.abs(est - 500) <= 3 * 0.13 * 500)
+  }
+}
