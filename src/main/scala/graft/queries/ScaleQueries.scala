@@ -231,6 +231,42 @@ object ScaleQueries {
       .orderBy("error_id", "signup_id")
   }
 
+  /** A10: z-order clustered layout (ops/ZOrder) — lineitem written
+    * range-partitioned + sorted by the Morton key of (l_partkey,
+    * l_suppkey), then read back through a 2-D box predicate. The layout
+    * is the optimization under test: parquet row-group min/max stats on
+    * BOTH box columns stay tight under the interleaved sort, so the box
+    * scan prunes files/row-groups in both dimensions (ScaleOpsSpec
+    * quantifies the span contraction; a 1-D sort leaves the second
+    * dimension unprunable). The result — box aggregate + min/max Morton
+    * key — is hash-identical to the plain formulation, and the oracle
+    * recomputes the bit interleave per row, so a green hash pins the key
+    * arithmetic cross-engine too. */
+  val a10_zorder = Q(
+    "a10_zorder",
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |       CAST(min(${graft.ops.ZOrder.zkeySql("l_partkey", "l_suppkey")}) AS BIGINT) AS z_min,
+       |       CAST(max(${graft.ops.ZOrder.zkeySql("l_partkey", "l_suppkey")}) AS BIGINT) AS z_max
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN 100 AND 500 AND l_suppkey BETWEEN 10 AND 40""".stripMargin
+  ) { (s, d) =>
+    val dir = scratchDir(s, d, "graft_zorder")
+    lineitem(s, d).select("l_partkey", "l_suppkey", "l_quantity")
+      .withColumn("zkey", graft.ops.ZOrder.zkey(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(8, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("l_partkey").between(100, 500) &&
+        col("l_suppkey").between(10, 40))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        min(col("zkey")).as("z_min"),
+        max(col("zkey")).as("z_max"))
+  }
+
   val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
-    a9_dynamic_pruning, f4_salted_join, e4_asof_join, e5_range_join)
+    a9_dynamic_pruning, a10_zorder, f4_salted_join, e4_asof_join,
+    e5_range_join)
 }
