@@ -47,6 +47,31 @@ object CoreQueries {
     s.read.schema(schema).json(tmp).orderBy("n_nationkey")
   }
 
+  /** A11: ORC source/sink roundtrip — the third columnar interchange
+    * format (Spark bundles the ORC datasource; warehouse migrations meet
+    * it constantly). Same stance as a8: explicit schema on the read —
+    * never inference — and the oracle reads the ORIGINAL parquet table,
+    * so a green hash proves the ORC write+read is lossless for int /
+    * float / string columns, exercising the float path a8 must avoid
+    * (ORC is binary — no JSON float-formatting instability). */
+  val a11_orc_roundtrip = Q(
+    "a11_orc_roundtrip",
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val tmp = s"$base/graft_orc_orders_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+    orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").orc(tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).orc(tmp).orderBy("o_orderkey")
+  }
+
   val a1_csv_roundtrip = Q(
     "a1_csv_roundtrip",
     "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey"
@@ -582,6 +607,7 @@ object CoreQueries {
 
   val all: Seq[Q] = Seq(
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
+    a11_orc_roundtrip,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,
