@@ -140,4 +140,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"anti-join must stay key-based:\n$p")
   }
+
+  test("D13: HLL sketch aggregates map-side — registers ship, values never do") {
+    val p = plan(graft.queries.ExtQueries.d13_hll_distinct)
+    // both levels must carry a partial phase: per-(group, register) max
+    // and the per-group register fold — that is the mergeable-sketch
+    // property in the plan (each task emits ≤64 longs per group)
+    assert(p.contains("partial_max"),
+      s"register build must combine map-side before its exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"estimator fold must combine map-side too:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the sketch is two hash aggregates, nothing else:\n$p")
+  }
 }
