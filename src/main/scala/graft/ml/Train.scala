@@ -106,14 +106,19 @@ object Train {
     * GBTClassifier equivalents; parity is metric-level, not per-tree
     * (different tree builders, SURVEY §2.H5). Output: `prediction` 0/1 and
     * `score` = P(class 1). */
-  def fitScoreGbt(train: DataFrame, test: DataFrame, featuresCol: String,
-      seed: Long = 42L): DataFrame = {
-    val gbt = new GBTClassifier()
+  /** The H5 estimator with the scenario configuration, exposed on its own
+    * so model-persistence tooling (save → load → serve, TrainSpec H14)
+    * trains the EXACT estimator the scenarios use. */
+  def gbtEstimator(featuresCol: String, seed: Long = 42L): GBTClassifier =
+    new GBTClassifier()
       .setMaxIter(100).setStepSize(0.1).setMaxDepth(3)
       .setLossType("logistic")
       .setFeaturesCol(featuresCol).setLabelCol(LabelCol)
       .setSeed(seed)
-    gbt.fit(train).transform(test)
+
+  def fitScoreGbt(train: DataFrame, test: DataFrame, featuresCol: String,
+      seed: Long = 42L): DataFrame = {
+    gbtEstimator(featuresCol, seed).fit(train).transform(test)
       .withColumn("score", vector_to_array(col("probability")).getItem(1))
       .select(col(LabelCol).as("label"), col("prediction"), col("score"))
   }

@@ -94,4 +94,29 @@ class TrainSpec extends AnyFunSuite {
     assert(bad === 0)
     scored.unpersist(); m.unpersist()
   }
+
+  test("H14 persistence: GBT save → load roundtrip scores identically") {
+    import org.apache.spark.ml.classification.GBTClassificationModel
+    import org.apache.spark.ml.functions.vector_to_array
+    // train-once-serve-everywhere is the production shape: the fitted
+    // model must survive the filesystem roundtrip bit-identically — a
+    // drifted tree or a lost threshold would silently shift every score
+    val m = Train.modelMatrix(mk(400), feats).cache()
+    val fitted = Train.gbtEstimator(Train.FeaturesCol).fit(m)
+    val dir = System.getProperty("java.io.tmpdir") +
+      s"/graft_gbt_${java.util.UUID.randomUUID}"
+    fitted.write.overwrite().save(dir)
+    val loaded = GBTClassificationModel.load(dir)
+    def scores(model: GBTClassificationModel) =
+      model.transform(m)
+        .select(col("id"), vector_to_array(col("probability")).getItem(1).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = scores(fitted)
+    val b = scores(loaded)
+    assert(a.size === 400)
+    assert(a.keySet.forall(k => a(k) == b(k)),
+      "loaded model must reproduce every score bit-identically")
+    m.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
