@@ -51,29 +51,65 @@ object Hll {
   val M = 64
   private val Alpha: Column = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
 
+  private def registerIndex(h: Column): Column = h.bitwiseAND(lit(63L))
+
+  private def rank(h: Column): Column = {
+    val w = shiftrightunsigned(h, 12)
+    when(w === 0L, lit(53))
+      .otherwise(bit_count(w.bitwiseAND(-w) - lit(1L)) + lit(1))
+  }
+
+  /** raw-HLL / linear-counting estimator from (Σ 2^-M_j incl. empties, V). */
+  private def estimate(z: Column, v: Column): Column = {
+    val raw = Alpha * lit(4096.0) / z
+    when(raw <= lit(160.0) && v > 0, lit(64.0) * log(lit(64.0) / v))
+      .otherwise(raw)
+  }
+
   /** Per-group HLL distinct estimate of `value` (nulls ignored, as in
     * COUNT(DISTINCT)). Returns one row per group: groupCols :+ hll_est.
     * Groups with no non-null value emit no row. */
   def approxDistinct(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
     val h = TextOps.md5Hash64(value.cast("string"))
-    val w = shiftrightunsigned(h, 12)
     val regs = df.filter(value.isNotNull)
       .select(groupCols.map(col) :+
-        h.bitwiseAND(lit(63L)).as("__j") :+
-        when(w === 0L, lit(53))
-          .otherwise(bit_count(w.bitwiseAND(-w) - lit(1L)) + lit(1)).as("__rho"): _*)
+        registerIndex(h).as("__j") :+ rank(h).as("__rho"): _*)
       .groupBy((groupCols :+ "__j").map(col): _*)
       .agg(max(col("__rho")).as("__mj"))
     regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__seen"),
         sum(pow(lit(2.0), -col("__mj"))).as("__zp"))
-      .withColumn("__raw",
-        Alpha * lit(4096.0) / (col("__zp") + (lit(M) - col("__seen"))))
-      .withColumn("__v", lit(M) - col("__seen"))
-      .withColumn("hll_est",
-        when(col("__raw") <= lit(160.0) && col("__v") > 0,
-          lit(64.0) * log(lit(64.0) / col("__v")))
-          .otherwise(col("__raw")))
+      .withColumn("hll_est", estimate(
+        col("__zp") + (lit(M) - col("__seen")), lit(M) - col("__seen")))
       .select(groupCols.map(col) :+ col("hll_est"): _*)
+  }
+
+  /** ONE-aggregation form: the 64 registers pivot into 64 conditional
+    * `max` columns (the simhashes bit-sum pattern), so the whole sketch is
+    * a single groupBy — one shuffle instead of two, each task emitting one
+    * 64-column row per group — and, because Structured Streaming allows
+    * one stateful aggregation per query, THE form a streaming
+    * distinct-count uses (StreamingOps.weeklyApproxDistinct). The register
+    * values are identical to [[approxDistinct]]'s; only the Σ 2^-M_j
+    * accumulation order differs (fixed left-to-right here vs partition
+    * order there), so estimates agree to float-ulp (HllSpec pins ≤ 1e-12
+    * relative). Group exprs are Columns so time windows can group. */
+  def approxDistinctWide(df: DataFrame, groupExprs: Seq[Column], value: Column,
+      outCol: String = "hll_est"): DataFrame = {
+    val h = TextOps.md5Hash64(value.cast("string"))
+    val pre = df.filter(value.isNotNull)
+      .select(groupExprs :+ registerIndex(h).as("__j") :+ rank(h).as("__rho"): _*)
+    val names = pre.columns.dropRight(2)
+    val regAggs = (0 until M).map(r =>
+      max(when(col("__j") === r, col("__rho"))).as(s"__m$r"))
+    val agged = pre.groupBy(names.map(col): _*)
+      .agg(regAggs.head, regAggs.tail: _*)
+    // absent register → M_j = 0 → 2^0; count the absences for V
+    val z = (0 until M).map(r =>
+      coalesce(pow(lit(2.0), -col(s"__m$r")), lit(1.0))).reduce(_ + _)
+    val v = (0 until M).map(r =>
+      when(col(s"__m$r").isNull, 1).otherwise(0)).reduce(_ + _)
+    agged.withColumn(outCol, estimate(z, v))
+      .select(names.map(col) :+ col(outCol): _*)
   }
 }

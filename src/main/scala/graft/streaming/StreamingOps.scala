@@ -36,6 +36,26 @@ object StreamingOps {
         date_format(date_add(col("w.end").cast(DateType), -1), "yyyy-MM-dd").as("week_ending"),
         col("avg_value"), col("n"))
 
+  /** Tumbling weekly APPROXIMATE distinct count of `keyCol` — the
+    * streaming cardinality dashboard (unique users/ids per window) built
+    * on the HLL register sketch. Must be [[graft.ops.Hll.approxDistinctWide]],
+    * not the two-level batch form: Structured Streaming permits one
+    * stateful aggregation per query, and the wide form IS one aggregation
+    * — its per-window state is 64 small ints (the registers), bounded and
+    * watermark-evicted, never the key set itself. Same body batch and
+    * streaming; estimates are identical because the register maxes merge
+    * associatively across micro-batches (StreamingSpec pins stream ≡
+    * batch). */
+  def weeklyApproxDistinct(events: DataFrame, keyCol: String = "event_id",
+      watermark: String = "14 days"): DataFrame =
+    graft.ops.Hll.approxDistinctWide(
+        events.withWatermark("ts", watermark),
+        Seq(window(col("ts"), "7 days", "7 days", "4 days").as("w")),
+        col(keyCol))
+      .select(
+        date_format(date_add(col("w.end").cast(DateType), -1), "yyyy-MM-dd").as("week_ending"),
+        round(col("hll_est"), 4).as("approx_distinct"))
+
   /** Streaming exact dedup by event_id: keeps the FIRST arrival of each id,
     * with state truncated below the event-time watermark. Must be
     * `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: the

@@ -49,6 +49,20 @@ class HllSpec extends AnyFunSuite {
     assert(one == three, s"duplicates/nulls moved the estimate: $one vs $three")
   }
 
+  test("wide (one-aggregation) form matches the two-level form to float ulp") {
+    val df = (1 to 3000).map(i => (if (i % 3 == 0) "a" else "b", s"u${i % 700}"))
+      .toDF("g", "v")
+    val narrow = Hll.approxDistinct(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wide = Hll.approxDistinctWide(df, Seq(col("g")), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(narrow.keySet == wide.keySet)
+    for ((k, n) <- narrow) {
+      val d = math.abs(n - wide(k)) / n
+      assert(d <= 1e-12, s"forms diverged for $k: $n vs ${wide(k)}")
+    }
+  }
+
   test("groups sketch independently") {
     val df = (1 to 1000).map(i => (if (i % 2 == 0) "even" else "odd", i))
       .toDF("g", "v")

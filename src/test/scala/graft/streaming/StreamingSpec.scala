@@ -50,6 +50,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming weekly approx-distinct equals the batch sketch") {
+    // duplicated input makes the DISTINCT semantics observable: the
+    // estimate must not move when every row arrives twice
+    val (dir, batch) = stage(dups = true)
+    val expected = StreamingOps.weeklyApproxDistinct(batch)
+      .collect().map(_.toSeq).toSet
+    val got = runStream(dir, StreamingOps.weeklyApproxDistinct(_),
+      "hll_stream", "complete")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected,
+      "micro-batch register merges must reproduce the batch estimate")
+    // and the estimate tracks the exact weekly cardinality, week by week
+    val exact = batch
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"))
+      .agg(countDistinct("event_id").as("n"))
+      .select(date_format(date_add(col("w.end").cast("date"), -1),
+        "yyyy-MM-dd").as("week_ending"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ests = got.toSeq
+      .map(s => s(0).asInstanceOf[String] -> s(1).asInstanceOf[Double]).toMap
+    assert(ests.keySet === exact.keySet)
+    for ((wk, e) <- ests) {
+      val n = exact(wk).toDouble
+      assert(math.abs(e - n) / math.max(n, 1.0) <= 0.45,
+        s"week $wk: estimate $e vs exact $n exceeds the HLL bound")
+    }
+  }
+
   test("streaming dedup emits each event_id exactly once") {
     // files arrive in arbitrary (non-time) order, so the watermark must
     // exceed the table's time span or re-arrivals of old rows would be
