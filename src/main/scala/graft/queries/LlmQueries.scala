@@ -676,11 +676,16 @@ object LlmQueries {
   private val quantizerCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Option[Int]), DataFrame]
 
-  /** Unpersist and forget every cached quantizer fit. */
-  def clearQuantizerCache(): Unit =
+  /** Unpersist and forget every cached quantizer fit and ranked
+    * assignment. */
+  def clearQuantizerCache(): Unit = {
     quantizerCache.keys.foreach { k =>
       quantizerCache.remove(k).foreach { cached => cached.unpersist(); () }
     }
+    assignCache.keys.foreach { k =>
+      assignCache.remove(k).foreach { cached => cached.unpersist(); () }
+    }
+  }
 
   private def fitQuantizerCached(df: DataFrame, kOpt: Option[Int]): DataFrame = {
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized.toString, kOpt)
@@ -695,21 +700,51 @@ object LlmQueries {
     }
   }
 
+  /** The shared FULL-RANKING assignment frame — (vec_id, v, nrm, ranked)
+    * where `ranked(0)` is the row's argmax bucket and `slice(ranked, 1,
+    * nprobe)` its multi-probe set, against the cached quantizer fit. This
+    * is the expensive per-row step of every IVF consumer (k centroid dots
+    * + rank per row), and r07 paid it once per QUERY — l7's assign pass,
+    * l7's probe pass and l11's multi-probe pass each re-ranked the corpus
+    * from scratch. Computed once per (session, input plan, k) and
+    * `.cache()`d, it is the serving shape of an IVF index: build the
+    * assignment once, let every probe query read it. The full k-element
+    * ranking (not a top-P slice) is kept so any nprobe ≤ k — including
+    * LlmOpsSpec's exactness-at-nprobe-≥-k check — reads the same frame;
+    * at 100 TB you'd persist only the top-P probe ids (P = the largest
+    * nprobe served) and re-rank the tail on demand, since k = ⌊√N⌋ ids
+    * per row is O(N^1.5) storage kept only for probe-flexibility. */
+  private val assignCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Option[Int]), DataFrame]
+
+  private def rankedAssignedCached(df: DataFrame, kOpt: Option[Int]): DataFrame = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized.toString, kOpt)
+    assignCache.get(key) match {
+      case Some(a) => a
+      case None =>
+        val a = withNorm(df).crossJoin(broadcast(fitQuantizerCached(df, kOpt)))
+          .withColumn("ranked", transform(rankedCents(col("cents")), p => p.getField("cl")))
+          .select(col("vec_id"), col("v"), col("nrm"), col("ranked"))
+          .cache()
+        assignCache.putIfAbsent(key, a) match {
+          case None => a
+          case Some(winner) => a.unpersist(); winner
+        }
+    }
+  }
+
   /** L7: IVF-pruned ANN — the scale path for l6. Each query probes its
     * `nprobe` nearest centroids and scores ONLY vectors assigned to those
     * buckets. At 100 TB the table is partitioned by bucket so a probe is
     * partition pruning. Approximate ⇒ rows-only here; LlmOpsSpec asserts
     * recall vs l6 and exactness at nprobe ≥ k. */
   def annIvf(nprobe: Int, kOpt: Option[Int] = None)(df: DataFrame): DataFrame = {
-    val centArr = fitQuantizerCached(df, kOpt)
-    val assigned = withNorm(df).crossJoin(broadcast(centArr))
-      .withColumn("bucket", rankedCents(col("cents")).getItem(0).getField("cl"))
-      .drop("cents")
-    val q = withNorm(df).crossJoin(broadcast(centArr))
-      .filter(col("vec_id") % 100 === 0)
-      .withColumn("probes",
-        transform(slice(rankedCents(col("cents")), 1, nprobe), p => p.getField("cl")))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("probes"))
+    val asg = rankedAssignedCached(df, kOpt)
+    val assigned = asg
+      .select(col("vec_id"), col("v"), col("nrm"), col("ranked").getItem(0).as("bucket"))
+    val q = asg.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        slice(col("ranked"), 1, nprobe).as("probes"))
     val cos = round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
     val rk = row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id")))
     assigned.join(broadcast(q),
@@ -775,16 +810,14 @@ object LlmQueries {
     * measures that recall against the brute-force truth. */
   def embedNearDup(tau: Double, nprobe: Int = 2, kOpt: Option[Int] = None)(
       df: DataFrame): DataFrame = {
-    val centArr = fitQuantizerCached(df, kOpt)
-    // LAZY localCheckpoint: the bucket self-join below reads `assigned` on
-    // both sides, and the per-row assignment (k centroid dots + rank +
-    // multi-probe explode) is the expensive part — without materialization
-    // it runs twice (the l4-prefix lesson)
-    val assigned = withNorm(df).crossJoin(broadcast(centArr))
-      .withColumn("bucket",
-        explode(transform(slice(rankedCents(col("cents")), 1, nprobe), p => p.getField("cl"))))
+    // the bucket self-join reads the assignment on both sides, and the
+    // per-row assignment (k centroid dots + rank) is the expensive part —
+    // the shared cache materializes it once PER SESSION (not per query:
+    // r07's lazy localCheckpoint here still re-ranked a corpus l7 had
+    // already ranked), and both join sides read the InMemoryRelation
+    val assigned = rankedAssignedCached(df, kOpt)
+      .withColumn("bucket", explode(slice(col("ranked"), 1, nprobe)))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-      .localCheckpoint(false)
     val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
     assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -46,4 +46,28 @@ object GraphProps extends Properties("Graph") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == unionFind(es)
     }
+
+  /** The large-star/small-star fallback must be exact on ANY topology —
+    * it is the path [[Graph.connectedComponents]] escalates to when the
+    * diameter exceeds the propagation budget, so it gets the same
+    * union-find law directly (self-loops included: those nodes must come
+    * back as singletons). */
+  property("twoPhase ≡ union-find on random graphs") =
+    Prop.forAllNoShrink(genEdges) { es =>
+      val got = Graph.twoPhase(es.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(es)
+    }
+
+  /** Adversarial diameter: a shuffled 40-node path (diameter 39) with a
+    * tiny propagation budget forces the escalation, which must still land
+    * on the exact components. */
+  property("path graph beyond the propagation budget converges via escalation") =
+    Prop.forAllNoShrink(Gen.choose(30, 45)) { n =>
+      val chain = (0L until n.toLong - 1).map(k => (k + 1, k))
+      val es = new scala.util.Random(n).shuffle(chain)
+      val got = Graph.connectedComponents(es.toDF("i", "j"), maxIter = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(es)
+    }
 }

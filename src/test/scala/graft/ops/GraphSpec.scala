@@ -23,6 +23,15 @@ class GraphSpec extends AnyFunSuite {
     assert(got.keySet == (0L to 19L).toSet)
   }
 
+  test("diameter beyond the default budget escalates to star rounds") {
+    // 40 nodes, diameter 39 > the default maxIter=25: propagation alone
+    // would hit the cap; the Kiveris escalation must finish the job
+    val chain = (0L until 39L).map(k => (k + 1, k))
+    val got = ccOf(new scala.util.Random(11).shuffle(chain))
+    assert(got.values.toSet == Set(0L))
+    assert(got.keySet == (0L to 39L).toSet)
+  }
+
   test("self-loops and duplicate edges are harmless") {
     val got = ccOf(Seq((5L, 5L), (5L, 9L), (9L, 5L), (2L, 3L), (3L, 2L)))
     assert(got == Map(5L -> 5L, 9L -> 5L, 2L -> 2L, 3L -> 2L))
