@@ -10,6 +10,33 @@ import graft.Tables._
   * completeness meets on day one of real use. Each is declared with a
   * DuckDB oracle and ends in a total order (Q conventions).
   */
+/** DuckDB SQL fragments that replay [[graft.ops.Hll]]'s register decode
+  * from the md5 hex string in a column named `hx` — shared by
+  * d13_hll_distinct and the streaming weekly approx-distinct's declared
+  * batch row (LlmQueries). Layout per Hll's scaladoc: register index from
+  * the low byte (hex chars 15-16 mod 64), rank from the trailing zeros of
+  * hex chars 1-13 (bits 12-63). */
+private[queries] object HllOracleSql {
+  // trailing zeros within one hex digit v ∈ 1..15
+  private def t4(v: String) =
+    s"(CASE WHEN $v % 2 = 1 THEN 0 WHEN $v % 4 = 2 THEN 1 WHEN $v % 8 = 4 THEN 2 ELSE 3 END)"
+  private def dig(i: Int) = s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
+  /** rho = 1 + trailing zeros of bits 12-63 = hex chars 1-13, char 13
+    * least significant (md5Hash64's layout, cf. l8's bit decode). */
+  val rho: String = (13 to 1 by -1).map { i =>
+    s"WHEN ${dig(i)} > 0 THEN ${4 * (13 - i)} + ${t4(dig(i))}"
+  }.mkString("1 + CASE ", " ", " ELSE 52 END")
+  /** register index j = low 6 bits. */
+  val j: String = s"((${dig(15)}) * 16 + ${dig(16)}) % 64"
+  /** the raw-HLL / linear-counting estimator over (zp = Σ 2^-mj of SEEN
+    * registers, seen) — the same float expression tree Hll.estimate runs. */
+  def estimate(zp: String, seen: String): String =
+    s"""CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / ($zp + (64 - $seen)) <= 160.0
+       |          AND 64 - $seen > 0
+       |     THEN 64.0 * ln(64.0 / (64 - $seen))
+       |     ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / ($zp + (64 - $seen)) END""".stripMargin
+}
+
 object ExtQueries {
 
   /** G2: UNION (distinct) of two overlapping slices — Spark's
@@ -325,16 +352,8 @@ object ExtQueries {
     * tolerance (same stance as d11). */
   val d13_hll_distinct = Q(
     "d13_hll_distinct", {
-      // trailing zeros within one hex digit v ∈ 1..15
-      def t4(v: String) =
-        s"(CASE WHEN $v % 2 = 1 THEN 0 WHEN $v % 4 = 2 THEN 1 WHEN $v % 8 = 4 THEN 2 ELSE 3 END)"
-      def dig(i: Int) = s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
-      // rho = 1 + trailing zeros of bits 12-63 = hex chars 1-13, char 13
-      // least significant (md5Hash64's layout, cf. l8's bit decode)
-      val rho = (13 to 1 by -1).map { i =>
-        s"WHEN ${dig(i)} > 0 THEN ${4 * (13 - i)} + ${t4(dig(i))}"
-      }.mkString("1 + CASE ", " ", " ELSE 52 END")
-      val j = s"((${dig(15)}) * 16 + ${dig(16)}) % 64"
+      val rho = HllOracleSql.rho
+      val j = HllOracleSql.j
       s"""WITH h AS (
          |  SELECT l_returnflag AS flag, md5(CAST(l_suppkey AS VARCHAR)) AS hx
          |  FROM lineitem WHERE l_suppkey IS NOT NULL),

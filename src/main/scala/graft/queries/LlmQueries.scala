@@ -1054,6 +1054,37 @@ object LlmQueries {
     graft.streaming.StreamingOps.weeklyAvg(events(s, d)).orderBy("week_ending")
   }
 
+  /** L12b: the streaming weekly APPROXIMATE distinct count
+    * (StreamingOps.weeklyApproxDistinct — the one-shuffle wide HLL form,
+    * the only sketch shape Structured Streaming's single-stateful-
+    * aggregation rule admits), declared on its batch body like l12. The
+    * oracle is d13's register replay — md5 hex → register/rank decode →
+    * max per register → the alpha·m²/Σ estimator — grouped by the same
+    * Monday-aligned week label as l12, so a green row certifies the
+    * sketch arithmetic AND the window bucketing. (The wide form's fixed
+    * left-to-right Σ 2^-M_j differs from the oracle's aggregation order
+    * only in float summation order — HllSpec pins ≤ 1e-12 relative, well
+    * under the checker's tolerance; same stance as d13.) */
+  val l12_stream_approx_distinct = Q(
+    "l12_stream_approx_distinct", {
+      val rho = HllOracleSql.rho
+      val j = HllOracleSql.j
+      s"""WITH h AS (
+         |  SELECT CAST(CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE) AS VARCHAR) AS week_ending,
+         |         md5(CAST(event_id AS VARCHAR)) AS hx
+         |  FROM events WHERE event_id IS NOT NULL),
+         |r AS (SELECT week_ending, $j AS j, max($rho) AS mj FROM h GROUP BY 1, 2),
+         |e AS (SELECT week_ending, count(*) AS seen, sum(power(2.0, -mj)) AS zp
+         |      FROM r GROUP BY 1)
+         |SELECT week_ending,
+         |       round(${HllOracleSql.estimate("zp", "seen")}, 4) AS approx_distinct
+         |FROM e ORDER BY week_ending""".stripMargin
+    }
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.weeklyApproxDistinct(events(s, d))
+      .orderBy("week_ending")
+  }
+
   /** L13: per-user session windows (StreamingOps.sessionAgg — the merging
     * `session_window` aggregate, batch AND streaming). The oracle replays
     * the gap-split definition session_window implements: a new session
@@ -1342,6 +1373,60 @@ object LlmQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** L19: the streaming dedup-vs-full-history candidate generator
+    * (StreamingOps.lshCandidatePairsMd5 — the flatMapGroupsWithState LSH
+    * bucket store), declared on its batch body. The md5 variant exists
+    * precisely for this row (l8's playbook): every hash in the pipeline —
+    * the two Kirsch-Mitzenmacher families md5(s) / md5('g:' ++ s), the
+    * h1 + i·h2 64-bit wraparound, the per-band key md5 over the joined
+    * signature slice — is re-derived digit-for-digit by the DuckDB CTE
+    * chain below (wraparound replayed in HUGEINT arithmetic, signed-64
+    * reinterpretation included), so a green hash certifies signatures,
+    * banding AND the bucket-store's emitted candidate set, closing the
+    * last spec-only L-op. StreamingSpec separately pins chunked-stream ≡
+    * batch for the bucket store itself. */
+  val l19_lsh_history = Q(
+    "l19_lsh_history", {
+      // 16-char md5 hex prefix → the signed 64-bit value md5Hash64 builds
+      def hex2signed(h: String): String = {
+        val u = (1 to 16).map { i =>
+          s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)::HUGEINT * ${BigInt(16).pow(16 - i)}"
+        }.mkString("(", " + ", ")")
+        s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - 18446744073709551616 ELSE $u END AS BIGINT)"
+      }
+      // h1 + i*h2 with Java Long wraparound, in HUGEINT then back to signed
+      val wrap = {
+        val x = "(h1::HUGEINT + i * h2::HUGEINT)"
+        val y = s"((($x % 18446744073709551616) + 18446744073709551616) % 18446744073709551616)"
+        s"CAST(CASE WHEN $y >= 9223372036854775808 THEN $y - 18446744073709551616 ELSE $y END AS BIGINT)"
+      }
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(len(toks) - 2),
+         |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
+         |       FROM d),
+         |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+         |hx AS (SELECT doc_id, md5(s) AS a1, md5('g:' || s) AS a2 FROM ex),
+         |hv AS (SELECT doc_id, ${hex2signed("a1")} AS h1, ${hex2signed("a2")} AS h2 FROM hx),
+         |pm AS (SELECT doc_id, i, min($wrap) AS mv
+         |       FROM hv, (SELECT unnest(range(16)) AS i) fams
+         |       GROUP BY 1, 2),
+         |sg AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM pm GROUP BY 1),
+         |bd AS (SELECT doc_id, band,
+         |         substr(md5(array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')), 1, 16) AS key
+         |       FROM sg, (SELECT unnest(range(4)) AS band) bands),
+         |p AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |      FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT i, j FROM p ORDER BY i, j""".stripMargin
+    }
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.lshCandidatePairsMd5(documents(s, d))
+      .toDF("i", "j")
+      // a pair sharing several band buckets is emitted once per bucket
+      .distinct()
+      .orderBy("i", "j")
+  }
+
   /** L20: sequence packing — the concat-and-chunk layout every
     * pretraining loader needs: documents are concatenated in a fixed
     * order and the token stream is cut into fixed-capacity bins; each doc
@@ -1445,8 +1530,9 @@ object LlmQueries {
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
-    l13_user_sessions, l14_dedup_clusters, l15_quality_filter,
-    l16_normalize_redact, l17_stratified_sample, l18_tfidf_topterms,
-    l20_seq_pack, l21_curated_corpus, l22_interval_join, l23_media_resize,
-    l24_media_frames, l25_feature_hash, l26_edit_neardup)
+    l12_stream_approx_distinct, l13_user_sessions, l14_dedup_clusters,
+    l15_quality_filter, l16_normalize_redact, l17_stratified_sample,
+    l18_tfidf_topterms, l19_lsh_history, l20_seq_pack, l21_curated_corpus,
+    l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,
+    l26_edit_neardup)
 }

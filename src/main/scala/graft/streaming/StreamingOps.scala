@@ -161,6 +161,14 @@ object StreamingOps {
       .select(col("doc_id"), explode(TextOps.lshBands(col("sig"), b, r)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
       .as[(Long, Int, Long)]
+    bucketPairs(banded)
+  }
+
+  /** The LSH bucket store shared by [[lshCandidatePairs]] and its md5
+    * variant: one `Seq[doc_id]` of prior arrivals per occupied (band, key)
+    * bucket; each new arrival emits a candidate pair per bucket-mate. */
+  private def bucketPairs(banded: Dataset[(Long, Int, Long)]): Dataset[(Long, Long)] = {
+    import banded.sparkSession.implicits._
     banded
       .groupByKey { case (_, band, key) => (band, key) }
       .flatMapGroupsWithState[Seq[Long], (Long, Long)](
@@ -177,5 +185,44 @@ object StreamingOps {
           if (fresh.nonEmpty) state.update(old ++ fresh)
           pairs.iterator
       }
+  }
+
+  /** md5 variant of [[lshCandidatePairs]] — identical topology (per-row
+    * signature → band explode → bucket store), but every hash is
+    * md5-derived: the two Kirsch-Mitzenmacher families come from
+    * md5(shingle) / md5('g:' ++ shingle) instead of seeded xxhash64, and a
+    * band's key is md5 of its r signature values joined with ','. That is
+    * l8's playbook for graduating a sketch from spec-only to
+    * oracle-checked: ANSI SQL can derive the identical hex digits, so the
+    * DuckDB oracle of `l19_lsh_history` replays signatures → bands →
+    * candidate pairs end to end (64-bit wraparound of h1 + i·h2 replayed
+    * in HUGEINT arithmetic). xxhash64 stays the scale default — md5 is
+    * ~5× the digest cost — which is why this is a VARIANT, not a
+    * replacement; smaller default k keeps the declared row's 2·k digests
+    * per shingle proportionate. Same body batch and streaming, like every
+    * op in this file. */
+  def lshCandidatePairsMd5(docs: DataFrame, shingleN: Int = 3, k: Int = 16,
+      b: Int = 4, r: Int = 4): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    require(b * r <= k, s"need b*r <= k, got b=$b r=$r k=$k")
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    graft.functions.TextExprs.register(docs.sparkSession)
+    val src = if (docs.isStreaming) docs else graft.Tables.spread(docs)
+    val ss = TextOps.shingleSet(TextOps.tokens(col("text")), shingleN)
+    val sig = src
+      .select(col("doc_id").cast("long").as("doc_id"), ss.as("ss"))
+      .select(col("doc_id"), graft.functions.SketchExprs.minhash(
+        transform(col("ss"), s => TextOps.md5Hash64(s)),
+        transform(col("ss"), s => TextOps.md5Hash64(concat(lit("g:"), s))),
+        k).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bands = transform(sequence(lit(0), lit(b - 1)), bi => struct(
+      bi.cast("int").as("band"),
+      TextOps.md5Hash64(array_join(
+        slice(col("sig"), bi * r + 1, lit(r)).cast("array<string>"), ",")).as("key")))
+    val banded = sig.select(col("doc_id"), explode(bands).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
+      .as[(Long, Int, Long)]
+    bucketPairs(banded)
   }
 }
