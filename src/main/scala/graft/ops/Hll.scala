@@ -100,6 +100,13 @@ object Hll {
     val pre = df.filter(value.isNotNull)
       .select(groupExprs :+ registerIndex(h).as("__j") :+ rank(h).as("__rho"): _*)
     val names = pre.columns.dropRight(2)
+    // the group columns are recovered BY NAME below, so a group expr
+    // aliased into the internal namespace (__j/__rho/__m*/outCol) or a
+    // duplicate name would silently group or overwrite the wrong column
+    // (ADVICE r07) — refuse loudly instead
+    require(names.length == names.distinct.length &&
+      !names.exists(n => n == "__j" || n == "__rho" || n == outCol || n.startsWith("__m")),
+      s"approxDistinctWide group columns collide with internal names: ${names.mkString(", ")}")
     val regAggs = (0 until M).map(r =>
       max(when(col("__j") === r, col("__rho"))).as(s"__m$r"))
     val agged = pre.groupBy(names.map(col): _*)

@@ -123,12 +123,17 @@ object ExtQueries {
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
       |       round(avg(l_extendedprice) OVER (
       |         PARTITION BY l_suppkey
-      |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_avg
       |FROM lineitem ORDER BY 1, 2, 3""".stripMargin
   ) { (s, d) =>
+    // the frame ORDER BY ends in l_extendedprice (ADVICE r07): duplicated
+    // (l_orderkey, l_linenumber) pairs may differ in price, and the
+    // trailing mean accumulates in frame order — with the price in the
+    // key, remaining ties are rows whose only frame-visible difference is
+    // gone, so the accumulation is engine-order-proof
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
       .rowsBetween(-6, Window.currentRow)
     // ORDER BY every output column: the synthetic lineitem duplicates
     // (l_orderkey, l_linenumber) pairs (review finding r07 — 11,785 tie

@@ -64,6 +64,15 @@ object MlQueries {
     scala.collection.concurrent.TrieMap.empty[
       (org.apache.spark.sql.SparkSession, String), DataFrame]
 
+  /** Unpersist and forget every cached threshold-sweep frame — the
+    * eviction hook for long-lived sessions iterating many data dirs
+    * (ADVICE r07: winners were never unpersisted), mirroring
+    * LlmQueries.clearShingleCache. */
+  def clearStatsCache(): Unit =
+    statsCache.keys.foreach { k =>
+      statsCache.remove(k).foreach { cached => cached.unpersist(); () }
+    }
+
   private def binaryStatsCached(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     statsCache.get((s, d)) match {
@@ -209,10 +218,15 @@ object MlQueries {
       (cm.getLong(0), cm.getLong(1), cm.getLong(2), cm.getLong(3))
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // zero denominators yield null, matching the columnar form this
+    // driver-side math replaced (Spark divide-by-zero returns null with
+    // ANSI off — ADVICE r07: the bare doubles produced NaN/Infinity)
     def row(cls: Long, t: Long, predDen: Long, truthDen: Long, support: Long) = {
-      val p = t.toDouble / predDen
-      val r = t.toDouble / truthDen
-      (cls, r6(p), r6(r), r6(2.0 * p * r / (p + r)), support)
+      val p = if (predDen == 0L) None else Some(t.toDouble / predDen)
+      val r = if (truthDen == 0L) None else Some(t.toDouble / truthDen)
+      val f1 = for { pv <- p; rv <- r; if pv + rv != 0.0 }
+        yield 2.0 * pv * rv / (pv + rv)
+      (cls, p.map(r6), r.map(r6), f1.map(r6), support)
     }
     import s.implicits._
     Seq(
