@@ -142,6 +142,44 @@ object Stats {
     }.toMap
   }
 
+  /** Per-group exact interpolated quantile, WINDOWED two-pass form — the
+    * high-cardinality companion to [[groupQuantiles]]. That form plans one
+    * predicated spec per group on the DRIVER, which is right for
+    * enum-like keys (d12's contract) and wrong past a few thousand
+    * groups; this form never leaves the executors: rank each value inside
+    * its group and attach the group size (two window functions over ONE
+    * hash exchange on the key — the second needs no ordering, so it reuses
+    * the first's sort), keep only the two order statistics bracketing
+    * idx = (n−1)·p, and interpolate vLo + frac·(vHi − vLo) — the same
+    * formula, the same IEEE sequence, as [[quantilesFromStats]]
+    * (StatsProps pins the two forms equal on random grouped data).
+    * Millions of groups cost that one exchange; the price is the
+    * per-group sort inside the window (spillable, skew-bounded by the
+    * largest single group — at 100 TB prefer this form whenever the key
+    * set is not enum-like, and the shared-histogram form when it is).
+    * Null group keys are a group like any other; a group with only null
+    * values produces NO row (where [[groupQuantiles]] maps it to None).
+    * Returns (g, q, n). */
+  def groupQuantileWindowed(df: DataFrame, groupCol: Column, c: Column,
+      p: Double): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"quantile must be in [0,1], got $p")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.as("g"), c.cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+    val rn0 = row_number().over(Window.partitionBy("g").orderBy("v")).cast("long") - 1L
+    val idx = (col("n") - 1L).cast(DoubleType) * lit(p)
+    base
+      .select(col("g"), col("v"), rn0.as("rn"),
+        count(lit(1)).over(Window.partitionBy("g")).as("n"))
+      .filter(col("rn") === floor(idx).cast("long") ||
+        col("rn") === ceil(idx).cast("long"))
+      .groupBy("g")
+      .agg(min("v").as("vlo"), max("v").as("vhi"), max("n").as("n"))
+      .select(col("g"),
+        (col("vlo") + (idx - floor(idx)) * (col("vhi") - col("vlo"))).as("q"),
+        col("n"))
+  }
+
   /** The shared refinement engine: resolve arbitrary 0-based ascending
     * order statistics (tagged per spec) for many columns at once. */
   private def orderStats(

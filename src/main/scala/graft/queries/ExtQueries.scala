@@ -265,8 +265,9 @@ object ExtQueries {
     * buffers a group's values (Spark's grouped `percentile` holds every
     * value of every group in its aggregation buffers — the 100 TB OOM).
     * Scale contract: the group KEY set must be modest (a spec per group
-    * on the driver — fine for enum-like keys; for high-cardinality keys
-    * use the windowed two-pass form instead). */
+    * on the driver — fine for enum-like keys; past a few thousand groups
+    * switch to [[graft.ops.Stats.groupQuantileWindowed]], the executor-
+    * only two-pass form StatsProps pins value-identical to this one). */
   val d12_group_median = Q(
     "d12_group_median",
     """SELECT l_returnflag,

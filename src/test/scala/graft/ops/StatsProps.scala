@@ -88,6 +88,33 @@ object StatsProps extends Properties("Stats") {
       Prop(ok1 && ok2) :| s"got $got"
     }
 
+  private val groupedRows: Gen[List[(Option[String], Option[Double])]] =
+    Gen.choose(0, 50).flatMap(n => Gen.listOfN(n, for {
+      g <- Gen.oneOf(Gen.const(None: Option[String]),
+        Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h").map(Option(_)))
+      v <- Gen.oneOf(Gen.const(None: Option[Double]),
+        Gen.chooseNum(-1e6, 1e6).map(x => Option(math.rint(x) / 8.0)))
+    } yield (g, v)))
+
+  /** The windowed two-pass per-group quantile (the high-cardinality path)
+    * must agree EXACTLY — same order statistics, same IEEE interpolation —
+    * with the predicated-spec histogram engine (the enum-key path), null
+    * keys included; all-null groups are absent from the windowed output
+    * where the spec engine maps them to None. */
+  property("groupQuantileWindowed ≡ the predicated-spec engine on random grouped data") =
+    Prop.forAllNoShrink(groupedRows, Gen.oneOf(0.0, 0.25, 0.5, 0.9, 1.0)) { (rows, p) =>
+      val df = rows.toDF("g", "v")
+      val spec = Stats.groupQuantiles(df, col("g"), col("v"), Seq(p))
+      val win = Stats.groupQuantileWindowed(df, col("g"), col("v"), p)
+        .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+      val specDefined = spec.collect { case (k, Some(vs)) => k -> vs.head }
+      val sameVals = specDefined.keySet == win.keySet &&
+        specDefined.forall { case (k, v) => win(k) == v }
+      val noneAbsent = spec.collect { case (k, None) => k }
+        .forall(k => !win.contains(k))
+      Prop(sameVals && noneAbsent) :| s"p=$p spec=$specDefined win=$win"
+    }
+
   property("mediansFromStats survives deep histogram recursion (tiny buckets)") =
     Prop.forAll(values) { xs =>
       if (xs.size < 2) Prop.passed else {
