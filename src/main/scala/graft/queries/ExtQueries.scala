@@ -391,8 +391,55 @@ object ExtQueries {
       .orderBy("flag")
   }
 
+  /** D14: count-min heavy hitters (ops/CountMin) — the frequency sketch
+    * next to d13's cardinality sketch: the top-10 suppliers by exact
+    * lineitem count, with the sketch's estimate beside the truth so the
+    * overestimate (est ≥ exact, tight at this skew) is visible in the
+    * declared output. The oracle rebuilds the ENTIRE sketch — md5 hex →
+    * four disjoint 8-digit spans → mod-W columns → (r, c) counter sums →
+    * min-over-rows estimates — digit for digit, so a green hash certifies
+    * the counters and the probe path, not just the final ranking. */
+  val d14_heavy_hitters = Q(
+    "d14_heavy_hitters", {
+      // row r's column: hex digits (8r+1)..(8r+8) of hx as an int, mod 512
+      val hex8 = (1 to 8).map { i =>
+        s"(strpos('0123456789abcdef', substr(hx, 8*r + $i, 1)) - 1) * ${BigInt(16).pow(8 - i)}"
+      }.mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT md5(CAST(l_suppkey AS VARCHAR)) AS hx
+         |           FROM lineitem WHERE l_suppkey IS NOT NULL),
+         |rc AS (SELECT r, ($hex8) % 512 AS c
+         |       FROM h CROSS JOIN (SELECT unnest(range(4)) AS r) rows_),
+         |ct AS (SELECT r, c, count(*) AS cnt FROM rc GROUP BY 1, 2),
+         |tk AS (SELECT l_suppkey AS key, count(*) AS n_exact FROM lineitem
+         |       WHERE l_suppkey IS NOT NULL
+         |       GROUP BY 1 ORDER BY n_exact DESC, key LIMIT 10),
+         |kh AS (SELECT key, n_exact, md5(CAST(key AS VARCHAR)) AS hx FROM tk),
+         |kp AS (SELECT key, n_exact, r, ($hex8) % 512 AS c
+         |       FROM kh CROSS JOIN (SELECT unnest(range(4)) AS r) rows_),
+         |e AS (SELECT key, n_exact, min(coalesce(cnt, 0)) AS cm_est
+         |      FROM kp LEFT JOIN ct USING (r, c) GROUP BY 1, 2)
+         |SELECT key AS l_suppkey, CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(cm_est AS BIGINT) AS cm_est
+         |FROM e ORDER BY n_exact DESC, l_suppkey""".stripMargin
+    }
+  ) { (s, d) =>
+    val li = lineitem(s, d)
+    val sk = graft.ops.CountMin.sketch(li, col("l_suppkey"))
+    // top-10 by (exact count DESC, key) — the second key makes the cut
+    // deterministic under count ties
+    val top = li.filter(col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_suppkey")).limit(10)
+    graft.ops.CountMin.estimate(sk, top, col("l_suppkey"))
+      .withColumnRenamed("key", "l_suppkey")
+      .join(broadcast(top), Seq("l_suppkey"))
+      .select(col("l_suppkey"), col("n_exact"), col("cm_est").cast("long").as("cm_est"))
+      .orderBy(col("n_exact").desc, col("l_suppkey"))
+  }
+
   val all: Seq[Q] = Seq(
     g2_union, g3_except, g4_intersect, e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
-    d11_quantiles, d12_group_median, d13_hll_distinct, b14_unpivot)
+    d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
+    b14_unpivot)
 }
