@@ -219,6 +219,33 @@ class StreamingSpec extends AnyFunSuite {
       "incremental bucket state must reconstruct exactly the batch candidates")
   }
 
+  test("md5-variant streaming LSH equals its batch candidate set (the l19 body)") {
+    import spark.implicits._
+    // the md5 variant's batch run IS the oracle-hashed l19 declaration;
+    // this pins that a chunked stream through the same bucket store
+    // reconstructs it exactly, so the oracle row certifies the streaming
+    // operator, not just a batch lookalike
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val expected = StreamingOps.lshCandidatePairsMd5(docs).collect().toSet
+    assert(expected.nonEmpty, "corpus must have md5-LSH collisions")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.lshCandidatePairsMd5(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lsh_md5_stream").outputMode("append")
+      .start()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    mem.addData(h1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(h2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val gotStream = spark.table("lsh_md5_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotStream === expected)
+  }
+
   test("append-mode sessions close when the watermark passes their end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
