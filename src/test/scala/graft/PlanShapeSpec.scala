@@ -109,6 +109,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("D14: the count-min probe joins the sketch as broadcast, counters combine map-side") {
+    val p = finalPlan(graft.queries.ExtQueries.d14_heavy_hitters)
+    // the sketch is <= D*W rows by construction — probing it must never
+    // plan a sort-merge join (which would shuffle on (r, c) at any scale)
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch probe must broadcast the counters:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join belongs in a <=2048-row sketch probe:\n$p")
+    // counter construction is a two-phase aggregate: partial counts ship,
+    // never the exploded (r, c) rows
+    assert(p.contains("partial_count"),
+      s"counter aggregate must combine map-side:\n$p")
+  }
+
   test("L9: winnowed fingerprints compute with zero shuffle before the result sort") {
     val p = plan(LlmQueries.l9_fingerprints)
     // exactly one exchange: the declared ORDER BY's range partitioning.
