@@ -266,7 +266,47 @@ object ScaleQueries {
         max(col("zkey")).as("z_max"))
   }
 
+  /** A12: runtime bloom-filter join pruning — the shuffle-join analogue
+    * of a9's DPP. A selective dim-side filter becomes a bloom filter
+    * built over the dim's join keys (a two-phase ObjectHashAggregate —
+    * partials combine map-side like any aggregate) and pushed into the
+    * FACT side's scan filter as `might_contain(...)`, so most fact rows
+    * die before paying the join shuffle instead of after it. Spark-first:
+    * this is the built-in `InjectRuntimeFilter` rule — the engine's job
+    * is to plan INTO it, not rebuild it. Its thresholds are sized for
+    * clusters (application-side scan ≥ 10 GB, broadcastable sides
+    * excluded), so a conf-scoped CHILD session (shared context and cache,
+    * private conf) lowers them for test SF and disables auto-broadcast —
+    * which is also the honest 100 TB shape: a dim too big to broadcast
+    * joining a fact via SMJ is exactly where the bloom pays. The shared
+    * session's conf is never touched (the bench runs every query in one
+    * session). Result ≡ the plain join — a bloom passes false POSITIVES
+    * to the join, which discards them, and never drops a true match — so
+    * the oracle is the plain SQL; ScaleOpsSpec pins `might_contain` +
+    * the bloom aggregate in the executed plan. */
+  val a12_runtime_bloom = Q(
+    "a12_runtime_bloom",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val s2 = graft.Tables.prep(s.newSession())
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ord = orders(s2, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    lineitem(s2, d).select("l_orderkey", "l_returnflag", "l_extendedprice")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
-    a9_dynamic_pruning, a10_zorder, f4_salted_join, e4_asof_join,
-    e5_range_join)
+    a9_dynamic_pruning, a10_zorder, a12_runtime_bloom, f4_salted_join,
+    e4_asof_join, e5_range_join)
 }

@@ -39,6 +39,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("runtime bloom filter: the dim's key bloom reaches the fact scan filter") {
+    val df = ScaleQueries.a12_runtime_bloom.fn(spark, sf)
+    df.collect() // AQE: the injected subquery shows in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"the fact side must pre-filter through the dim-key bloom:\n$plan")
+    assert(plan.contains("bloom_filter_agg"),
+      s"the bloom must be built as the two-phase aggregate:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("partitioned scan prunes at planning time — no data-side filter") {
     val df = ScaleQueries.a7_partitioned_scan.fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
