@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   * Disjoint spans of one digest instead of four salted digests: one md5
   * per value, and pairwise row independence is what the CM error bound
   * actually uses. Estimate(x) = min over rows of counter[r][h_r(x)] —
-  * an overestimate with P[err > εN] ≤ (e/(εW))^D ≈ 2⁻³⁶ at ε = 64/W.
+  * an overestimate; by Markov, P[excess > εN] ≤ (1/(εW))^D per key,
+  * e.g. 2⁻²⁴ at ε = 64/W (the paper's tighter form uses ε = e/W,
+  * δ = e⁻ᴰ).
   *
   * Scale: the sketch frame is ≤ D·W = 2048 rows regardless of input
   * size — it broadcasts; point estimates are a broadcast join, never a
