@@ -829,15 +829,15 @@ object LlmQueries {
       .orderBy("i", "j")
   }
 
-  /** l11's oracle replays the ENTIRE algorithm — hash pick of seeds, one
-    * Lloyd refinement, argmax/multi-probe assignment, within-bucket pair
-    * generation, exact-cosine verify — as a DuckDB CTE chain. A green row
-    * therefore certifies the fit AND the pruning topology, not just the
-    * final filter. (Ranking uses round(cos, 6) before comparison on both
-    * sides, so tie-breaks are engine-deterministic.) */
-  val l11_embed_neardup = Q(
-    "l11_embed_neardup",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The CTE chain replaying l11's ENTIRE algorithm — hash pick of seeds,
+    * one Lloyd refinement, argmax/multi-probe assignment, within-bucket
+    * pair generation, exact-cosine verify — shared verbatim by the l11
+    * pair oracle and the l28 clustering oracle (which continues from `p`,
+    * the verified pair frame, exactly as l14's continues from l4's `pr`).
+    * (Ranking uses round(cos, 6) before comparison on both sides, so
+    * tie-breaks are engine-deterministic.) */
+  private val embedPairsCte =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |prm AS (SELECT greatest(2, CAST(floor(sqrt(count(*))) AS INT)) AS k FROM e),
       |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl, v AS sv
       |       FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT (SELECT k FROM prm)),
@@ -861,9 +861,56 @@ object LlmQueries {
       |p AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
       |             round(list_dot_product(a.v, b.v) /
       |                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-      |      FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-      |SELECT i, j, cos FROM p WHERE cos >= 0.4 ORDER BY i, j""".stripMargin
+      |      FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** l11's oracle replays the ENTIRE algorithm (see [[embedPairsCte]]) —
+    * a green row certifies the fit AND the pruning topology, not just the
+    * final filter. */
+  val l11_embed_neardup = Q(
+    "l11_embed_neardup",
+    s"""WITH $embedPairsCte
+       |SELECT i, j, cos FROM p WHERE cos >= 0.4 ORDER BY i, j""".stripMargin
   ) { (s, d) => embedNearDup(tau = 0.4)(embeddings(s, d)) }
+
+  /** L28: semantic dedup pruning — the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered, and within a cluster any
+    * pair above a cosine threshold is collapsed to ONE kept representative.
+    * Composes the two primitives this file already verifies: l11's
+    * IVF-bucketed embedding-cosine pair generation (the "within-cluster
+    * pairs above τ" of the paper, without ever going all-pairs) and l14's
+    * connected-components labeling (so transitively-similar chains A~B~C
+    * collapse to one survivor even when A≁C directly — the keep/drop
+    * decision a semantic dedup pipeline acts on). Only vectors appearing in
+    * ≥1 pair are emitted; every other vector is trivially kept. Spark side
+    * rides the session caches end-to-end: the assignment frame is l7/l11's
+    * (cached), so this adds one bucket self-join + the O(diameter)
+    * label-propagation rounds — at 100 TB the same shapes l11/l14 already
+    * defend (bucketed candidate pairs, map-combinable min-agg rounds).
+    * Oracle: recursive-CTE transitive closure over the SAME pair CTE l11
+    * hash-matches against. */
+  val l28_semantic_prune = Q(
+    "l28_semantic_prune",
+    s"""WITH RECURSIVE $embedPairsCte,
+       |pr AS (SELECT i, j FROM p WHERE cos >= 0.4),
+       |eg AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+       |reach(a, b) AS (SELECT a, b FROM eg
+       |                UNION
+       |                SELECT r.a, e2.b FROM reach r JOIN eg e2 ON r.b = e2.a),
+       |lbl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster
+       |        FROM reach GROUP BY a)
+       |SELECT vec_id, cluster,
+       |       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
+       |       CAST(vec_id = cluster AS BIGINT) AS keep
+       |FROM lbl ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    graft.ops.Graph.connectedComponents(
+        embedNearDup(tau = 0.4)(embeddings(s, d)).select(col("i"), col("j")))
+      .select(col("node").as("vec_id"), col("cluster"),
+        count(lit(1)).over(Window.partitionBy("cluster")).cast("long")
+          .as("cluster_size"),
+        (col("node") === col("cluster")).cast("long").as("keep"))
+      .orderBy("vec_id")
+  }
 
   // ------------------------------------------------------ multimodal decode
 
@@ -1329,6 +1376,62 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L27: eval-set decontamination — the n-gram-overlap scrub every serious
+    * pretraining corpus runs against its benchmark suites (the 13-gram
+    * dedup of GPT-3's appendix C, Brown et al. 2020, arXiv:2005.14165;
+    * 5-grams here because this corpus' documents are sentence-scale). The
+    * held-out "benchmark" split is carved deterministically with l17's
+    * md5-bucket idiom (bucket < 15); a training doc is contaminated when it
+    * shares ≥1 distinct 5-gram with ANY eval doc, and the emitted `keep`
+    * flag is the drop decision. 100 TB posture: real eval benchmarks are
+    * megabytes against terabytes of training data, so the eval gram set is
+    * BROADCAST — contamination testing is then a map-side membership probe
+    * (no shuffle touches the training corpus), and the only shuffle is the
+    * map-combinable per-doc hit count: one (doc_id, partial-count) row per
+    * task. explode_outer keeps gram-less (<5-token) docs in the output as
+    * trivially clean. */
+  val l27_decontaminate = Q(
+    "l27_decontaminate", {
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      val gram5 = (1 to 5).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH k AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         |                  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |v AS (SELECT doc_id, toks, CAST($hexVal AS BIGINT) % 100 AS bucket FROM k),
+         |g AS (SELECT doc_id, bucket,
+         |        CASE WHEN len(toks) >= 5 THEN
+         |          list_distinct(list_transform(range(len(toks) - 4), i -> $gram5))
+         |        ELSE [] END AS grams FROM v),
+         |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bucket < 15),
+         |tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE bucket >= 15),
+         |hits AS (SELECT tr.doc_id, count(*) AS nh FROM tr
+         |         JOIN eg USING (gram) GROUP BY tr.doc_id)
+         |SELECT g.doc_id, CAST(coalesce(hits.nh, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(hits.nh, 0) = 0 AS BIGINT) AS keep
+         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+         |WHERE g.bucket >= 15 ORDER BY g.doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 100
+    val base = spread(documents(s, d)).select(
+      col("doc_id"), bucket.as("bucket"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 5))
+        .as("grams"))
+    val evalGrams = base.filter(col("bucket") < 15)
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("hit", lit(1))
+    base.filter(col("bucket") >= 15)
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") === 0).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** L18: per-document top-3 TF-IDF terms — the inverted-index statistic
     * under every quality classifier / topic filter. tf is the in-doc term
     * count, idf = ln(N/df) over the corpus; ties rank alphabetically so
@@ -1534,5 +1637,5 @@ object LlmQueries {
     l15_quality_filter, l16_normalize_redact, l17_stratified_sample,
     l18_tfidf_topterms, l19_lsh_history, l20_seq_pack, l21_curated_corpus,
     l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,
-    l26_edit_neardup)
+    l26_edit_neardup, l27_decontaminate, l28_semantic_prune)
 }

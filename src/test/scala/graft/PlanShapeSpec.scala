@@ -167,4 +167,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"the sketch is two hash aggregates, nothing else:\n$p")
   }
+
+  test("L27: the eval gram set broadcasts; the hit count combines map-side") {
+    val p = finalPlan(LlmQueries.l27_decontaminate)
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark grams ≪ training corpus — the membership probe must be " +
+        s"a broadcast, never a shuffle of the training side:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-doc hit count must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

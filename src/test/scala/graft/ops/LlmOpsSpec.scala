@@ -249,4 +249,60 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r3 >= 0.4, s"nprobe=3 recall@5 collapsed: $r3")
     assert(r6 >= r3, "recall must not decrease with more probes")
   }
+
+  test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
+    // independent driver-side recomputation: md5 bucket split, 5-gram sets,
+    // overlap counts — no Spark expressions shared with the implementation
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16) % 100
+    }
+    def grams(text: String): Set[String] = {
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      if (toks.size >= 5) toks.sliding(5).map(_.mkString(" ")).toSet
+      else Set.empty
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val evalGrams =
+      docs.filter(d => bucket(d._1) < 15).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => bucket(d._1) >= 15)
+      .map(d => d._1 -> grams(d._2).count(evalGrams.contains).toLong).toMap
+    val got = LlmQueries.l27_decontaminate.fn(spark, sf)
+      .select("doc_id", "n_hits", "keep").as[(Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap === expected)
+    assert(got.forall(r => (r._3 == 1L) == (r._2 == 0L)),
+      "keep must be the negation of contamination")
+    assert(got.exists(_._2 > 0) && got.exists(_._2 == 0),
+      "fixture must exercise both contaminated and clean docs")
+  }
+
+  test("l28 semantic prune == union-find over l11's verified pair graph") {
+    val pairs = LlmQueries.l11_embed_neardup.fn(spark, sf)
+      .select("i", "j").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "fixture must yield ≥1 embedding near-dup pair")
+    // min-rooted union-find: every union links the larger root under the
+    // smaller, so each component's root is its minimum member
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val sizes = expected.values.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    val got = LlmQueries.l28_semantic_prune.fn(spark, sf)
+      .select("vec_id", "cluster", "cluster_size", "keep")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap === expected)
+    assert(got.forall(r => r._3 == sizes(r._2)), "cluster_size mismatch")
+    assert(got.forall(r => r._4 == (if (r._1 == r._2) 1L else 0L)),
+      "keep must mark exactly the canonical minimum per cluster")
+  }
 }
