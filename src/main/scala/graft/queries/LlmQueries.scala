@@ -799,6 +799,99 @@ object LlmQueries {
       |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
   ) { (s, d) => annIvf(nprobe = 3)(embeddings(s, d)) }
 
+  /** Deterministic ±1 hyperplane components for the sign-projection LSH:
+    * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
+    * is even — the hash-derived Rademacher matrix that stands in for the
+    * Gaussian of Charikar's SRP family (sign projections are a valid
+    * cosine-LSH family either way, Achlioptas 2001), chosen because ANSI
+    * SQL derives the identical digits so the oracle can replay the whole
+    * index. */
+  private def srpSigns(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp:$p:$d".getBytes("UTF-8"))
+        if ((((h(0) >> 4) & 0xF) % 2) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** L29: signed-random-projection (hyperplane) LSH near-dup over the
+    * embedding column — the cosine-space analogue of l5's MinHash banding
+    * and the LSH alternative to l11's IVF bucketing (Charikar, STOC 2002).
+    * Each vector gets `planes` sign bits (bit p = sign of ⟨v, h_p⟩ against
+    * the md5-derived ±1 hyperplane h_p); bits fold into `bands` keys of
+    * `rows` bits; a pair is a candidate iff SOME band key matches exactly
+    * (P[bit match] = 1 − θ/π, so close vectors collide in a band w.h.p.);
+    * candidates are exact-cosine verified at τ. 100 TB posture: the sign
+    * matrix is a one-row broadcast (planes×dim literals would bloat every
+    * downstream plan's codegen — the fitQuantizer lesson), signatures are
+    * per-row zero-shuffle arithmetic, and the only shuffle of the corpus
+    * is the (band, key) bucket exchange — never all-pairs. Per band the
+    * expected candidate load is N²/2^rows, so `rows` grows with log₂(N)
+    * at scale (with planes = bands·rows re-derived — the hash family is
+    * unbounded) exactly as l5 re-tunes (b, r) to the corpus; the fixture's
+    * (32, 8, 4) keeps every declared SF's candidate set small AND recalls
+    * 100% of the sf0.001 τ-pairs (LlmOpsSpec pins the replay + recall). */
+  def srpNearDup(tau: Double, planes: Int = 32, bands: Int = 8,
+      rows: Int = 4, dim: Int = 64)(df: DataFrame): DataFrame = {
+    require(bands * rows == planes,
+      s"bands*rows must cover the planes exactly, got $bands*$rows vs $planes")
+    val session = df.sparkSession
+    import session.implicits._
+    val hps = broadcast(Seq(Tuple1(srpSigns(planes, dim))).toDF("hps"))
+    val bits = transform(col("hps"),
+      hp => when(round(dot(col("v"), hp), 6) >= 0, 1L).otherwise(0L))
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until rows).map(i => col("bits").getItem(b * rows + i) * lit(1L << i))
+          .reduce(_ + _).as("key"))
+    }: _*)
+    val banded = withNorm(df).crossJoin(hps)
+      .withColumn("bits", bits)
+      .select(col("vec_id"), col("v"), col("nrm"), explode(bandArr).as("bd"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bd.band").as("band"), col("bd.key").as("key"))
+    val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cos.as("cos"))
+      // filter before distinct — dedupe the τ survivors, not the multi-band
+      // candidate multiset (the l11 convention)
+      .filter(col("cos") >= tau)
+      .distinct()
+      .orderBy("i", "j")
+  }
+
+  /** l29's oracle replays the ENTIRE index from the same md5 digits —
+    * sign matrix, per-vector bits (projections rounded to 6 decimals on
+    * both engines before the sign test, so summation-order wobble cannot
+    * flip a boundary bit), band keys, bucket candidates, exact-cosine
+    * verify — as a relational CTE chain (hyperplanes are a 2048-row
+    * range×range product, no nested lambdas). */
+  val l29_hyperplane_lsh = Q(
+    "l29_hyperplane_lsh",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |hp AS (SELECT p, list(CASE WHEN ((strpos('0123456789abcdef',
+      |                substr(md5('hp:' || p::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2) = 0
+      |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d) AS sv
+      |       FROM range(32) a(p), range(64) b(d) GROUP BY p),
+      |bt AS (SELECT vec_id, p,
+      |              CASE WHEN round(list_dot_product(v, sv), 6) >= 0 THEN 1 ELSE 0 END AS bit
+      |       FROM e, hp),
+      |bk AS (SELECT vec_id, p // 4 AS band,
+      |              sum(CAST(bit AS BIGINT) << CAST(p % 4 AS INT)) AS key
+      |       FROM bt GROUP BY vec_id, band),
+      |cd AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |       FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+      |                          AND a.vec_id < b.vec_id),
+      |p2 AS (SELECT i, j,
+      |              round(list_dot_product(x.v, y.v) /
+      |                    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+      |       FROM cd JOIN e x ON cd.i = x.vec_id JOIN e y ON cd.j = y.vec_id)
+      |SELECT i, j, cos FROM p2 WHERE cos >= 0.45 ORDER BY i, j""".stripMargin
+  ) { (s, d) => srpNearDup(tau = 0.45)(embeddings(s, d)) }
+
   /** L11: embedding-cosine near-dup dedup — the last of the dedup family.
     * MULTI-PROBE bucket pruning: every vector indexes into its `nprobe`
     * nearest coarse-quantizer buckets (replication factor = nprobe, the
@@ -1637,5 +1730,6 @@ object LlmQueries {
     l15_quality_filter, l16_normalize_redact, l17_stratified_sample,
     l18_tfidf_topterms, l19_lsh_history, l20_seq_pack, l21_curated_corpus,
     l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,
-    l26_edit_neardup, l27_decontaminate, l28_semantic_prune)
+    l26_edit_neardup, l27_decontaminate, l28_semantic_prune,
+    l29_hyperplane_lsh)
 }

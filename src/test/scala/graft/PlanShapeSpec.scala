@@ -168,6 +168,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the sketch is two hash aggregates, nothing else:\n$p")
   }
 
+  test("L29: hyperplane-LSH candidates come from the band-key bucket join") {
+    val p = finalPlan(LlmQueries.l29_hyperplane_lsh)
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must never go all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the bucket self-join must be an equi-join on (band, key):\n$p")
+    // the only legal nested-loop joins are the one-row sign-matrix
+    // attaches (one per self-join side); AQE's string repeats the plan
+    // under "== Initial Plan ==", so count the final section only
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(fin).size <= 2,
+      s"only the broadcast sign-matrix attach may nest-loop:\n$p")
+  }
+
   test("L27: the eval gram set broadcasts; the hit count combines map-side") {
     val p = finalPlan(LlmQueries.l27_decontaminate)
     assert(p.contains("BroadcastHashJoin"),

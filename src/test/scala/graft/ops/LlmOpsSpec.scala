@@ -278,6 +278,50 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture must exercise both contaminated and clean docs")
   }
 
+  test("l29 hyperplane LSH == driver-side replay; recalls every fixture τ-pair") {
+    // independent replay of the whole index: md5 sign matrix, rounded-sign
+    // bits, band keys, bucket pairs, exact-cosine verify — no Spark
+    // expressions shared with the implementation
+    def md5first(s: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (h(0) >> 4) & 0xF
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val signs = Array.tabulate(32, 64) { (p, d) =>
+      if (md5first(s"hp:$p:$d") % 2 == 0) 1.0 else -1.0
+    }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val keys = vecs.map { case (id, v) =>
+      val bits = signs.map(hp => if (r6(dot(v, hp)) >= 0) 1L else 0L)
+      id -> Array.tabulate(8)(b => (0 until 4).map(i => bits(4 * b + i) << i).sum)
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val byId = vecs.toMap
+    val expected = (for {
+      (i, _) <- vecs; (j, _) <- vecs
+      if i < j && (0 until 8).exists(b => keys(i)(b) == keys(j)(b))
+      c = cos(byId(i), byId(j)) if c >= 0.45
+    } yield (i, j, c)).toSet
+    val got = LlmQueries.l29_hyperplane_lsh.fn(spark, sf)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must yield >=1 hyperplane-LSH pair")
+    // at this SF the (32, 8, 4) index recalls the full exact τ-pair set —
+    // pin it so a parameter change that guts recall fails loudly
+    val exact = (for {
+      (i, _) <- vecs; (j, _) <- vecs
+      if i < j; c = cos(byId(i), byId(j)) if c >= 0.45
+    } yield (i, j, c)).toSet
+    assert(exact.subsetOf(got), s"missed ${(exact -- got).size} exact pairs")
+  }
+
   test("l28 semantic prune == union-find over l11's verified pair graph") {
     val pairs = LlmQueries.l11_embed_neardup.fn(spark, sf)
       .select("i", "j").as[(Long, Long)].collect().toSeq
