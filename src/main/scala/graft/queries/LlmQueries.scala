@@ -1525,6 +1525,71 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L30: repeated-span scrub — the sub-document half of exact dedup
+    * ("Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2021, arXiv:2107.06499): any 8-token gram occurring in MORE THAN
+    * ONE document marks its span, and every covered token is removed from
+    * every document carrying it (boilerplate, licence headers, templated
+    * intros — the text whole-doc dedup never touches because the
+    * surrounding doc differs). Fixed-granularity approximation of the
+    * paper's suffix-array span discovery: repeats shorter than 8 tokens
+    * survive, longer repeats are covered by their constituent grams —
+    * honest ε, a suffix array is not a Spark shape. 100 TB posture: the
+    * gram-frequency pass is a distinct + count (both map-side-combinable,
+    * hot grams pre-collapse per task); the span join shuffles (doc_id,
+    * pos) hits only, never token arrays; coverage expands relationally (8
+    * short rows per hit, deduped map-side) and the final per-row filter is
+    * one indexed HOF pass over the kept token array — no driver state, no
+    * all-pairs anything. */
+  val l30_repeated_span_scrub = Q(
+    "l30_repeated_span_scrub", {
+      val gram8 = (1 to 8).map(j => s"toks[pos+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos, toks
+         |      FROM d WHERE len(toks) >= 8),
+         |g2 AS (SELECT doc_id, pos, $gram8 AS gram FROM g),
+         |rep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df
+         |                          FROM g2 GROUP BY gram) WHERE df > 1),
+         |cv AS (SELECT DISTINCT doc_id, pos + o AS cp
+         |       FROM g2 JOIN rep USING (gram) CROSS JOIN range(8) r(o)),
+         |cl AS (SELECT doc_id, list(cp) AS cov FROM cv GROUP BY doc_id),
+         |k AS (SELECT d.doc_id, d.toks,
+         |             CASE WHEN cl.cov IS NULL THEN d.toks
+         |                  ELSE list_filter(d.toks, (t, i) -> NOT list_contains(cl.cov, i - 1)) END AS kept
+         |      FROM d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id,
+         |       -- array_to_string([]) is NULL in DuckDB; Spark's
+         |       -- array_join gives '' — a fully-scrubbed doc must agree
+         |       coalesce(array_to_string(kept, ' '), '') AS text_clean,
+         |       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+         |FROM k ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val base = spread(documents(s, d)).select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"))
+    // shingles keeps one gram per start position, so posexplode's pos IS
+    // the span start — the positional alignment the coverage math needs
+    val grams = base.select(col("doc_id"),
+      posexplode(TextOps.shingles(col("toks"), 8)))
+      .toDF("doc_id", "pos", "gram")
+    val rep = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").count().filter(col("count") > 1)
+      .select("gram")
+    val cov = grams.join(rep, Seq("gram"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("cp"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_list("cp").as("cov"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .withColumn("kept",
+        filter(col("toks"), (_, i) => !array_contains(col("cov"), i)))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text_clean"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** L18: per-document top-3 TF-IDF terms — the inverted-index statistic
     * under every quality classifier / topic filter. tf is the in-doc term
     * count, idf = ln(N/df) over the corpus; ties rank alphabetically so
@@ -1731,5 +1796,5 @@ object LlmQueries {
     l18_tfidf_topterms, l19_lsh_history, l20_seq_pack, l21_curated_corpus,
     l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,
     l26_edit_neardup, l27_decontaminate, l28_semantic_prune,
-    l29_hyperplane_lsh)
+    l29_hyperplane_lsh, l30_repeated_span_scrub)
 }

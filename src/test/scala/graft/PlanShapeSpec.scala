@@ -183,6 +183,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the broadcast sign-matrix attach may nest-loop:\n$p")
   }
 
+  test("L30: gram-frequency passes combine map-side; no all-pairs step") {
+    val p = finalPlan(LlmQueries.l30_repeated_span_scrub)
+    assert(p.contains("partial_count"),
+      s"the gram document-frequency count must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("L27: the eval gram set broadcasts; the hit count combines map-side") {
     val p = finalPlan(LlmQueries.l27_decontaminate)
     assert(p.contains("BroadcastHashJoin"),

@@ -322,6 +322,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(exact.subsetOf(got), s"missed ${(exact -- got).size} exact pairs")
   }
 
+  test("l30 span scrub == driver-side replay; whole-doc dupes scrub to empty") {
+    // independent replay: cross-doc 8-gram document frequencies, span
+    // coverage, token filter — no Spark expressions shared
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }.sortBy(_._1)
+    val df = scala.collection.mutable.Map.empty[Seq[String], Set[Long]]
+    docs.foreach { case (id, toks) =>
+      toks.sliding(8).filter(_.size == 8).foreach { g =>
+        df(g) = df.getOrElse(g, Set.empty) + id
+      }
+    }
+    val rep = df.collect { case (g, ids) if ids.size > 1 => g }.toSet
+    val expected = docs.map { case (id, toks) =>
+      val cov = (0 to toks.size - 8)
+        .filter(i => rep.contains(toks.slice(i, i + 8)))
+        .flatMap(i => i until i + 8).toSet
+      val kept = toks.zipWithIndex.collect { case (t, i) if !cov.contains(i) => t }
+      (id, kept.mkString(" "), (toks.size - kept.size).toLong)
+    }
+    val got = LlmQueries.l30_repeated_span_scrub.fn(spark, sf)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.exists(r => r._2.isEmpty && r._3 > 0),
+      "fixture must contain a fully-scrubbed whole-doc duplicate")
+    assert(got.exists(r => r._3 > 0 && r._2.nonEmpty),
+      "fixture must contain a partially-scrubbed doc")
+    assert(got.count(_._3 == 0) > got.count(_._3 > 0),
+      "most docs must pass through untouched")
+  }
+
   test("l28 semantic prune == union-find over l11's verified pair graph") {
     val pairs = LlmQueries.l11_embed_neardup.fn(spark, sf)
       .select("i", "j").as[(Long, Long)].collect().toSeq
