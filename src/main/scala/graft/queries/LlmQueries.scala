@@ -1469,6 +1469,66 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L31: domain-mix rebalancing — downsample each domain so the OUTPUT
+    * matches a target mix (en 40%, es/fr/de/zh 15% each) while keeping as
+    * much data as possible: the corpus-composition stage between curation
+    * and packing (The Pile's per-set epochs, Gao et al. 2020; DoReMi's
+    * tuned weights, Xie et al. 2023 — the weights here are a fixed target,
+    * the mechanism is the pipeline's). The BINDING domain b minimizes
+    * nᵢ/wᵢ — it is kept whole and sets the output size nb/wb·Σw; every
+    * other domain keeps the fraction (wᵢ·nb)/(wb·nᵢ). Membership is l17's
+    * md5-keyed uniform — reproducible under reshuffling — and the keep
+    * test is EXACT integer arithmetic (bucket·wb·nᵢ < wᵢ·nb·2³²): no
+    * float threshold, so both engines agree bit-for-bit (products stay
+    * < 2⁶³ through corpus ≈ 2×10⁹ docs/domain; at larger counts widen to
+    * DECIMAL). The binding pick orders by the exact integer
+    * (n·10⁶ div w, lang). 100 TB posture: one tiny groupBy(lang) count,
+    * then a 5-row broadcast against a map-side filter — the corpus itself
+    * never shuffles; domains outside the target map are dropped (the
+    * mixing contract: the mix lists what ships). */
+  val l31_domain_mix = Q(
+    "l31_domain_mix", {
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH w(lang, wt) AS (VALUES ('en', 400), ('es', 150), ('fr', 150), ('de', 150), ('zh', 150)),
+         |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |g AS (SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)),
+         |b AS (SELECT n AS nb, wt AS wb FROM g
+         |      ORDER BY (n * 1000000) // wt, lang LIMIT 1),
+         |k AS (SELECT doc_id, lang, CAST($hexVal AS BIGINT) AS bucket
+         |      FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+         |            FROM documents)),
+         |s AS (SELECT k.doc_id, k.lang FROM k JOIN g USING (lang) CROSS JOIN b
+         |      WHERE k.bucket * b.wb * g.n < g.wt * b.nb * 4294967296)
+         |SELECT doc_id, lang,
+         |       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS domain_kept
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val session = s
+    import session.implicits._
+    val wdf = Seq(("en", 400L), ("es", 150L), ("fr", 150L), ("de", 150L),
+      ("zh", 150L)).toDF("lang", "wt")
+    val counts = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+    val grp = counts.join(broadcast(wdf), Seq("lang"))
+    val bind = grp
+      .orderBy(expr("(n * CAST(1000000 AS BIGINT)) div wt"), col("lang"))
+      .limit(1).select(col("n").as("nb"), col("wt").as("wb"))
+    val rated = broadcast(grp.crossJoin(broadcast(bind)))
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long")
+    spread(documents(s, d))
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(rated, Seq("lang"))
+      .filter(col("bucket") * col("wb") * col("n") <
+        col("wt") * col("nb") * lit(4294967296L))
+      .select(col("doc_id"), col("lang"),
+        count(lit(1)).over(Window.partitionBy("lang")).cast("long")
+          .as("domain_kept"))
+      .orderBy("doc_id")
+  }
+
   /** L27: eval-set decontamination — the n-gram-overlap scrub every serious
     * pretraining corpus runs against its benchmark suites (the 13-gram
     * dedup of GPT-3's appendix C, Brown et al. 2020, arXiv:2005.14165;
@@ -1796,5 +1856,5 @@ object LlmQueries {
     l18_tfidf_topterms, l19_lsh_history, l20_seq_pack, l21_curated_corpus,
     l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,
     l26_edit_neardup, l27_decontaminate, l28_semantic_prune,
-    l29_hyperplane_lsh, l30_repeated_span_scrub)
+    l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix)
 }

@@ -354,6 +354,41 @@ class LlmOpsSpec extends AnyFunSuite {
       "most docs must pass through untouched")
   }
 
+  test("l31 domain mix == driver-side replay; binding domain kept whole, mix on target") {
+    def md5u32(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16)
+    }
+    val weights = Map("en" -> 400L, "es" -> 150L, "fr" -> 150L,
+      "de" -> 150L, "zh" -> 150L)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    val n = docs.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val bind = weights.keys.toSeq
+      .minBy(l => (n(l) * 1000000L / weights(l), l))
+    val (nb, wb) = (n(bind), weights(bind))
+    val kept = docs.filter { case (id, lg) =>
+      md5u32(id) * wb * n(lg) < weights(lg) * nb * 4294967296L
+    }
+    val ck = kept.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val expected = kept.map { case (id, lg) => (id, lg, ck(lg)) }.sortBy(_._1)
+    val got = LlmQueries.l31_domain_mix.fn(spark, sf)
+      .select("doc_id", "lang", "domain_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === expected)
+    // the binding domain is never downsampled — it sets the output size
+    assert(ck(bind) === n(bind), s"binding domain $bind must be kept whole")
+    assert(got.nonEmpty && got.size < docs.size,
+      "the mix must keep a strict, nonempty subset")
+    // achieved proportions within 5pp of the target mix at this SF
+    val tot = got.size.toDouble
+    weights.foreach { case (l, w) =>
+      val p = ck.getOrElse(l, 0L) / tot
+      assert(math.abs(p - w / 1000.0) < 0.05, s"$l mix $p vs target ${w / 1000.0}")
+    }
+  }
+
   test("l28 semantic prune == union-find over l11's verified pair graph") {
     val pairs = LlmQueries.l11_embed_neardup.fn(spark, sf)
       .select("i", "j").as[(Long, Long)].collect().toSeq
