@@ -1529,6 +1529,45 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L32: unigram LM quality score — the statistical-LM filter of CCNet
+    * (Wenzek et al. 2020, arXiv:1911.00359) with a corpus-trained unigram
+    * in the KenLM seat: every token type gets nll(t) = −ln(count(t)/N)
+    * from ONE corpus pass, and a document's score is the mean nll of its
+    * tokens — high = improbable/ungrammatical tail, the CCNet head/tail
+    * cut applies downstream. 100 TB posture: the vocabulary build is a
+    * map-side-combinable token count (the web-scale unigram table is
+    * ~10⁷ rows — still broadcastable), the corpus total attaches as a
+    * one-row broadcast, scoring is a BROADCAST probe of the exploded
+    * (doc_id, token) stream, and the per-doc mean is a map-combinable
+    * avg: one shuffle of tiny partial sums, the corpus text never
+    * shuffles. nll is computed once per TYPE (then joined), not per
+    * occurrence, and the mean rounds to 6 decimals — the file's standard
+    * guard for float-summation wobble across engines. */
+  val l32_unigram_nll = Q(
+    "l32_unigram_nll",
+    """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |           FROM documents),
+      |v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      |n AS (SELECT sum(c) AS total FROM v),
+      |p AS (SELECT tok, -ln(c / (SELECT total FROM n)) AS nll FROM v)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       round(avg(p.nll), 6) AS avg_nll
+      |FROM t JOIN p USING (tok)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = spread(documents(s, d))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("total"))
+    val probs = vocab.crossJoin(broadcast(total))
+      .select(col("tok"), (-log(col("c") / col("total"))).as("nll"))
+    toks.join(broadcast(probs), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg("nll"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** L27: eval-set decontamination — the n-gram-overlap scrub every serious
     * pretraining corpus runs against its benchmark suites (the 13-gram
     * dedup of GPT-3's appendix C, Brown et al. 2020, arXiv:2005.14165;
@@ -1856,5 +1895,6 @@ object LlmQueries {
     l18_tfidf_topterms, l19_lsh_history, l20_seq_pack, l21_curated_corpus,
     l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,
     l26_edit_neardup, l27_decontaminate, l28_semantic_prune,
-    l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix)
+    l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix,
+    l32_unigram_nll)
 }

@@ -389,6 +389,39 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l32 unigram nll == driver-side replay; rare-token docs score higher") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val total = counts.values.sum.toDouble
+    // nll per TYPE first (the implementation joins type-level scores), then
+    // the per-doc mean — same shape, same JVM Math.log, bit-comparable
+    val nll = counts.map { case (t, c) => t -> -math.log(c / total) }
+    val expected = docs.map { case (id, ts) =>
+      (id, ts.size.toLong,
+        BigDecimal(ts.map(nll).sum / ts.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = LlmQueries.l32_unigram_nll.fn(spark, sf)
+      .select("doc_id", "n_tokens", "avg_nll")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size === expected.size)
+    got.zip(expected).foreach { case ((gi, gn, gs), (ei, en, es)) =>
+      assert(gi === ei && gn === en)
+      // partial-sum order differs between Spark's shuffle and the seq fold
+      assert(math.abs(gs - es) < 2e-6, s"doc $gi: $gs vs $es")
+    }
+    // a doc made of the corpus' rarest tokens must outscore one of its
+    // most common tokens — the head/tail contract the CCNet cut relies on
+    val byC = counts.toSeq.sortBy(_._2)
+    val rare = byC.take(3).map(_._1); val common = byC.takeRight(3).map(_._1)
+    val rareScore = rare.map(nll).sum / 3
+    val commonScore = common.map(nll).sum / 3
+    assert(rareScore > commonScore)
+  }
+
   test("l28 semantic prune == union-find over l11's verified pair graph") {
     val pairs = LlmQueries.l11_embed_neardup.fn(spark, sf)
       .select("i", "j").as[(Long, Long)].collect().toSeq
