@@ -1529,6 +1529,41 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L33: deterministic shard shuffle — the training-order step after
+    * packing: every doc gets a shard (md5 % 8) and a position within the
+    * shard (rank by md5, doc_id), which together define the epoch-stable
+    * pseudo-random global order a pretraining loader consumes. md5, not
+    * rand(): the permutation must be reproducible run-to-run and
+    * engine-to-engine, and must not move when partitioning changes (l17's
+    * argument, applied to ordering). 100 TB posture: shard count is a
+    * parameter sized ≫ task parallelism at scale, and the layout is
+    * `repartition(shard) + sortWithinPartitions(h)` — each writer task
+    * streams ITS shard in order and the in-shard sequence number falls out
+    * of the write; the window form here is the same per-shard rank made
+    * verifiable as a column. Nothing global: no total sort, no single-task
+    * stage — one hash exchange on shard, per-shard sorts. */
+  val l33_shard_shuffle = Q(
+    "l33_shard_shuffle", {
+      val hexVal = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |v AS (SELECT doc_id, h, CAST($hexVal AS BIGINT) % 8 AS shard FROM k)
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM v ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val shard = conv(substring(h, 1, 8), 16, 10).cast("long") % 8
+    spread(documents(s, d))
+      .select(col("doc_id"), h.as("h"), shard.as("shard"))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+          .cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+
   /** L32: unigram LM quality score — the statistical-LM filter of CCNet
     * (Wenzek et al. 2020, arXiv:1911.00359) with a corpus-trained unigram
     * in the KenLM seat: every token type gets nll(t) = −ln(count(t)/N)
@@ -1896,5 +1931,5 @@ object LlmQueries {
     l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,
     l26_edit_neardup, l27_decontaminate, l28_semantic_prune,
     l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix,
-    l32_unigram_nll)
+    l32_unigram_nll, l33_shard_shuffle)
 }

@@ -422,6 +422,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rareScore > commonScore)
   }
 
+  test("l33 shard shuffle == driver-side replay; order decorrelates from doc_id") {
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect().toSeq
+    val keyed = ids.map(id => (id, md5hex(id),
+      java.lang.Long.parseLong(md5hex(id).take(8), 16) % 8))
+    val expected = keyed.groupBy(_._3).toSeq.flatMap { case (shard, xs) =>
+      xs.sortBy(x => (x._2, x._1)).zipWithIndex
+        .map { case ((id, _, _), i) => (id, shard, (i + 1).toLong) }
+    }.sortBy(_._1)
+    val got = LlmQueries.l33_shard_shuffle.fn(spark, sf)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // every shard occupied, sizes within 3x of each other (md5 balance)
+    val sizes = got.groupBy(_._2).map(_._2.size)
+    assert(sizes.size === 8 && sizes.max < 3 * sizes.min, sizes.toSeq.sorted)
+    // the permutation must decorrelate from insertion order: consecutive
+    // doc_ids landing in the same shard almost never sit adjacently
+    val adjacent = got.sortBy(_._1).sliding(2).count {
+      case Seq((_, s1, p1), (_, s2, p2)) => s1 == s2 && math.abs(p1 - p2) == 1
+      case _ => false
+    }
+    assert(adjacent < ids.size / 20, s"$adjacent adjacent pairs — not shuffled")
+  }
+
   test("l28 semantic prune == union-find over l11's verified pair graph") {
     val pairs = LlmQueries.l11_embed_neardup.fn(spark, sf)
       .select("i", "j").as[(Long, Long)].collect().toSeq
