@@ -191,6 +191,36 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("L31: the 5-row rate table broadcasts — the corpus never shuffle-joins") {
+    val p = finalPlan(LlmQueries.l31_domain_mix)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the per-domain rate attach must broadcast:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"no shuffle join may touch the corpus scan:\n$p")
+  }
+
+  test("L32: the vocab probe broadcasts; the per-doc mean combines map-side") {
+    val p = finalPlan(LlmQueries.l32_unigram_nll)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"token scoring must be a broadcast probe, not a corpus shuffle:\n$p")
+    assert(fin.contains("partial_avg"),
+      s"the per-doc mean must combine map-side:\n$p")
+    assert(!fin.contains("CartesianProduct"), p)
+  }
+
+  test("L33: shard shuffle is one hash exchange — never a global sort stage") {
+    val p = finalPlan(LlmQueries.l33_shard_shuffle)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("hashpartitioning(shard"),
+      s"the shard window must hash-partition on shard:\n$p")
+    // the only range partitioning allowed is the final result ORDER BY;
+    // a second one would mean the permutation ran through a total sort
+    assert("rangepartitioning".r.findAllIn(fin).size <= 1,
+      s"no global sort may feed the per-shard rank:\n$p")
+  }
+
   test("L27: the eval gram set broadcasts; the hit count combines map-side") {
     val p = finalPlan(LlmQueries.l27_decontaminate)
     assert(p.contains("BroadcastHashJoin"),
