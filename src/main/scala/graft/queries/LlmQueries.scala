@@ -176,6 +176,31 @@ object LlmQueries {
     s"""WITH $jaccardPairsCte
        |SELECT i, j, jac FROM pr ORDER BY i, j""".stripMargin
 
+  /** The connected-component labels over l4's verified pair CTE (`pr`) —
+    * shared verbatim by l14, l21 and l34. */
+  private val clusterLabelCte =
+    """e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+      |reach(a, b) AS (SELECT a, b FROM e
+      |                UNION
+      |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+      |        FROM reach GROUP BY a)""".stripMargin
+
+  /** The l15 quality predicate as a CTE chain ending in `q` = the passing
+    * (doc_id, lang, n) set — shared verbatim by l21 and l34. */
+  private val qualityCte =
+    """t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+      |      FROM documents),
+      |b AS (SELECT doc_id, lang, toks, len(toks) AS n,
+      |        list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bg
+      |      FROM t),
+      |q AS (SELECT doc_id, lang, n FROM b
+      |      WHERE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) <= 0.05
+      |        AND list_max(list_transform(list_distinct(bg),
+      |              x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg) <= 0.06
+      |        AND n >= 20
+      |        AND len(list_filter(toks, tk -> length(tk) = 1)) * 1.0 / len(toks) <= 0.1)""".stripMargin
+
   private def spread(df: DataFrame): DataFrame = graft.Tables.spread(df)
 
   private def shingled(df: DataFrame): DataFrame =
@@ -265,6 +290,25 @@ object LlmQueries {
       graft.ops.Graph.connectedComponents(
         exactPairsCached(s, d).select(col("i"), col("j"))))
 
+  /** Shared frames of the composed pipeline stages (decontamination flags,
+    * mix survivors) — cached per (session, sfDir, tag) with the same
+    * race-safe discipline as [[shingleCache]], so the declared stage query
+    * and the l34 capstone read one materialization. */
+  private val composedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def cachedFrame(s: SparkSession, d: String, tag: String)(
+      mk: => DataFrame): DataFrame =
+    composedCache.get((s, d, tag)) match {
+      case Some(f) => f
+      case None =>
+        val f = mk.cache()
+        composedCache.putIfAbsent((s, d, tag), f) match {
+          case None => f
+          case Some(winner) => f.unpersist(); winner
+        }
+    }
+
   /** Unpersist and forget every cached shingle and pair frame. */
   def clearShingleCache(): Unit = {
     shingleCache.keys.foreach { k =>
@@ -276,8 +320,19 @@ object LlmQueries {
     qualityCache.keys.foreach { k =>
       qualityCache.remove(k).foreach { cached => cached.unpersist(); () }
     }
+    composedCache.keys.foreach { k =>
+      composedCache.remove(k).foreach { cached => cached.unpersist(); () }
+    }
     labelCache.clear()
   }
+
+  /** Value of the first 8 hex chars of md5 column `h`, decoded digit by
+    * digit: Σ dᵢ·16^(8−i) — the cross-engine uniform key (DuckDB cannot
+    * parse hex integers directly; the l8 oracle's trick, shared by every
+    * md5-bucketed stage below). */
+  private def hexValOf(h: String): String = (1 to 8).map(i =>
+    s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+    .mkString(" + ")
 
   private def shingledCached(s: SparkSession, d: String): DataFrame =
     shingleCache.get((s, d)) match {
@@ -1291,12 +1346,7 @@ object LlmQueries {
   val l14_dedup_clusters = Q(
     "l14_dedup_clusters",
     s"""WITH RECURSIVE $jaccardPairsCte,
-       |e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
-       |reach(a, b) AS (SELECT a, b FROM e
-       |                UNION
-       |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-       |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
-       |        FROM reach GROUP BY a)
+       |$clusterLabelCte
        |SELECT doc_id, cluster,
        |       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
        |       CAST(doc_id = cluster AS BIGINT) AS keep
@@ -1486,43 +1536,53 @@ object LlmQueries {
     * then a 5-row broadcast against a map-side filter — the corpus itself
     * never shuffles; domains outside the target map are dropped (the
     * mixing contract: the mix lists what ships). */
-  val l31_domain_mix = Q(
-    "l31_domain_mix", {
-      val hexVal = (1 to 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
-        .mkString(" + ")
-      s"""WITH w(lang, wt) AS (VALUES ('en', 400), ('es', 150), ('fr', 150), ('de', 150), ('zh', 150)),
-         |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-         |g AS (SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)),
-         |b AS (SELECT n AS nb, wt AS wb FROM g
-         |      ORDER BY (n * 1000000) // wt, lang LIMIT 1),
-         |k AS (SELECT doc_id, lang, CAST($hexVal AS BIGINT) AS bucket
-         |      FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
-         |            FROM documents)),
-         |s AS (SELECT k.doc_id, k.lang FROM k JOIN g USING (lang) CROSS JOIN b
-         |      WHERE k.bucket * b.wb * g.n < g.wt * b.nb * 4294967296)
-         |SELECT doc_id, lang,
-         |       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS domain_kept
-         |FROM s ORDER BY doc_id""".stripMargin
+  /** l31's CTE chain — target weights, per-domain counts, binding domain,
+    * exact-integer keep test — shared verbatim by the l31 oracle and the
+    * l34 capstone; `mkept` is the surviving (doc_id, lang) set. */
+  private val mixCte =
+    s"""mw(lang, wt) AS (VALUES ('en', 400), ('es', 150), ('fr', 150), ('de', 150), ('zh', 150)),
+       |mc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |mg AS (SELECT mc.lang, mc.n, mw.wt FROM mc JOIN mw USING (lang)),
+       |mb AS (SELECT n AS nb, wt AS wb FROM mg
+       |       ORDER BY (n * 1000000) // wt, lang LIMIT 1),
+       |mkk AS (SELECT doc_id, lang, CAST(${hexValOf("mh")} AS BIGINT) AS bu
+       |        FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS mh
+       |              FROM documents)),
+       |mkept AS (SELECT mkk.doc_id, mkk.lang FROM mkk JOIN mg USING (lang) CROSS JOIN mb
+       |          WHERE mkk.bu * mb.wb * mg.n < mg.wt * mb.nb * 4294967296)""".stripMargin
+
+  /** l31's surviving (doc_id, lang) set, unordered — shared by the
+    * declared row and the l34 capstone via [[cachedFrame]]. */
+  private def mixKeptDocs(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "mixkept") {
+      val session = s
+      import session.implicits._
+      val wdf = Seq(("en", 400L), ("es", 150L), ("fr", 150L), ("de", 150L),
+        ("zh", 150L)).toDF("lang", "wt")
+      val counts = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+      val grp = counts.join(broadcast(wdf), Seq("lang"))
+      val bind = grp
+        .orderBy(expr("(n * CAST(1000000 AS BIGINT)) div wt"), col("lang"))
+        .limit(1).select(col("n").as("nb"), col("wt").as("wb"))
+      val rated = broadcast(grp.crossJoin(broadcast(bind)))
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val bucket = conv(substring(h, 1, 8), 16, 10).cast("long")
+      spread(documents(s, d))
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .join(rated, Seq("lang"))
+        .filter(col("bucket") * col("wb") * col("n") <
+          col("wt") * col("nb") * lit(4294967296L))
+        .select(col("doc_id"), col("lang"))
     }
+
+  val l31_domain_mix = Q(
+    "l31_domain_mix",
+    s"""WITH $mixCte
+       |SELECT doc_id, lang,
+       |       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS domain_kept
+       |FROM mkept ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val session = s
-    import session.implicits._
-    val wdf = Seq(("en", 400L), ("es", 150L), ("fr", 150L), ("de", 150L),
-      ("zh", 150L)).toDF("lang", "wt")
-    val counts = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
-    val grp = counts.join(broadcast(wdf), Seq("lang"))
-    val bind = grp
-      .orderBy(expr("(n * CAST(1000000 AS BIGINT)) div wt"), col("lang"))
-      .limit(1).select(col("n").as("nb"), col("wt").as("wb"))
-    val rated = broadcast(grp.crossJoin(broadcast(bind)))
-    val h = md5(col("doc_id").cast("string").cast("binary"))
-    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long")
-    spread(documents(s, d))
-      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
-      .join(rated, Seq("lang"))
-      .filter(col("bucket") * col("wb") * col("n") <
-        col("wt") * col("nb") * lit(4294967296L))
+    mixKeptDocs(s, d)
       .select(col("doc_id"), col("lang"),
         count(lit(1)).over(Window.partitionBy("lang")).cast("long")
           .as("domain_kept"))
@@ -1617,47 +1677,56 @@ object LlmQueries {
     * map-combinable per-doc hit count: one (doc_id, partial-count) row per
     * task. explode_outer keeps gram-less (<5-token) docs in the output as
     * trivially clean. */
-  val l27_decontaminate = Q(
-    "l27_decontaminate", {
-      val hexVal = (1 to 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
-        .mkString(" + ")
-      val gram5 = (1 to 5).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-      s"""WITH k AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
-         |                  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
-         |v AS (SELECT doc_id, toks, CAST($hexVal AS BIGINT) % 100 AS bucket FROM k),
-         |g AS (SELECT doc_id, bucket,
-         |        CASE WHEN len(toks) >= 5 THEN
-         |          list_distinct(list_transform(range(len(toks) - 4), i -> $gram5))
-         |        ELSE [] END AS grams FROM v),
-         |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bucket < 15),
-         |tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE bucket >= 15),
-         |hits AS (SELECT tr.doc_id, count(*) AS nh FROM tr
-         |         JOIN eg USING (gram) GROUP BY tr.doc_id)
-         |SELECT g.doc_id, CAST(coalesce(hits.nh, 0) AS BIGINT) AS n_hits,
-         |       CAST(coalesce(hits.nh, 0) = 0 AS BIGINT) AS keep
-         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
-         |WHERE g.bucket >= 15 ORDER BY g.doc_id""".stripMargin
-    }
-  ) { (s, d) =>
-    val h = md5(col("doc_id").cast("string").cast("binary"))
-    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 100
-    val base = spread(documents(s, d)).select(
-      col("doc_id"), bucket.as("bucket"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 5))
-        .as("grams"))
-    val evalGrams = base.filter(col("bucket") < 15)
-      .select(explode(col("grams")).as("gram")).distinct()
-      .withColumn("hit", lit(1))
-    base.filter(col("bucket") >= 15)
-      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left")
-      .groupBy("doc_id")
-      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
-      .select(col("doc_id"), col("n_hits"),
-        (col("n_hits") === 0).cast("long").as("keep"))
-      .orderBy("doc_id")
+  /** l27's CTE chain — md5 split, 5-gram sets, eval-gram hit counts —
+    * shared verbatim by the l27 oracle and the l34 capstone (which
+    * continues with a `dclean` projection of the uncontaminated training
+    * docs, exactly as l14 continues from l4's `pr`). */
+  private val deconCte = {
+    val gram5 = (1 to 5).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""k AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+       |                md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |v AS (SELECT doc_id, toks, CAST(${hexValOf("h")} AS BIGINT) % 100 AS bucket FROM k),
+       |g AS (SELECT doc_id, bucket,
+       |        CASE WHEN len(toks) >= 5 THEN
+       |          list_distinct(list_transform(range(len(toks) - 4), i -> $gram5))
+       |        ELSE [] END AS grams FROM v),
+       |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bucket < 15),
+       |tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE bucket >= 15),
+       |hits AS (SELECT tr.doc_id, count(*) AS nh FROM tr
+       |         JOIN eg USING (gram) GROUP BY tr.doc_id)""".stripMargin
   }
+
+  /** l27's result frame — (doc_id, n_hits, keep) over the training split,
+    * unordered — shared by the declared row and the l34 capstone via
+    * [[cachedFrame]]. */
+  private def deconFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "decon") {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 100
+      val base = spread(documents(s, d)).select(
+        col("doc_id"), bucket.as("bucket"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 5))
+          .as("grams"))
+      val evalGrams = base.filter(col("bucket") < 15)
+        .select(explode(col("grams")).as("gram")).distinct()
+        .withColumn("hit", lit(1))
+      base.filter(col("bucket") >= 15)
+        .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+        .join(broadcast(evalGrams), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("doc_id"), col("n_hits"),
+          (col("n_hits") === 0).cast("long").as("keep"))
+    }
+
+  val l27_decontaminate = Q(
+    "l27_decontaminate",
+    s"""WITH $deconCte
+       |SELECT g.doc_id, CAST(coalesce(hits.nh, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(hits.nh, 0) = 0 AS BIGINT) AS keep
+       |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+       |WHERE g.bucket >= 15 ORDER BY g.doc_id""".stripMargin
+  ) { (s, d) => deconFrame(s, d).orderBy("doc_id") }
 
   /** L30: repeated-span scrub — the sub-document half of exact dedup
     * ("Deduplicating Training Data Makes Language Models Better", Lee et
@@ -1872,38 +1941,19 @@ object LlmQueries {
     * extra cost over the stages themselves is one small left join against
     * the cluster labels. */
   val l21_curated_corpus = Q(
-    "l21_curated_corpus", {
-      val hexVal = (1 to 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
-        .mkString(" + ")
-      s"""WITH RECURSIVE $jaccardPairsCte,
-         |e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
-         |reach(a, b) AS (SELECT a, b FROM e
-         |                UNION
-         |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-         |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
-         |        FROM reach GROUP BY a),
-         |t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
-         |      FROM documents),
-         |b AS (SELECT doc_id, lang, toks, len(toks) AS n,
-         |        list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bg
-         |      FROM t),
-         |q AS (SELECT doc_id, lang, n FROM b
-         |      WHERE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) <= 0.05
-         |        AND list_max(list_transform(list_distinct(bg),
-         |              x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg) <= 0.06
-         |        AND n >= 20
-         |        AND len(list_filter(toks, tk -> length(tk) = 1)) * 1.0 / len(toks) <= 0.1),
-         |sk AS (SELECT doc_id FROM (
-         |         SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) z
-         |       WHERE CAST($hexVal AS BIGINT) % 100 <
-         |             CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
-         |SELECT q.doc_id, q.lang, CAST(q.n AS BIGINT) AS n_tokens
-         |FROM q JOIN sk ON q.doc_id = sk.doc_id
-         |LEFT JOIN lbl ON q.doc_id = lbl.doc_id
-         |WHERE lbl.doc_id IS NULL OR lbl.cluster = q.doc_id
-         |ORDER BY q.doc_id""".stripMargin
-    }
+    "l21_curated_corpus",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |$qualityCte,
+       |sk AS (SELECT doc_id FROM (
+       |         SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) z
+       |       WHERE CAST(${hexValOf("h")} AS BIGINT) % 100 <
+       |             CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+       |SELECT q.doc_id, q.lang, CAST(q.n AS BIGINT) AS n_tokens
+       |FROM q JOIN sk ON q.doc_id = sk.doc_id
+       |LEFT JOIN lbl ON q.doc_id = lbl.doc_id
+       |WHERE lbl.doc_id IS NULL OR lbl.cluster = q.doc_id
+       |ORDER BY q.doc_id""".stripMargin
   ) { (s, d) =>
     // quality ∧ sample against the MATERIALIZED metric frame (see
     // qualityCached: filtering the raw HOF projection would let pushdown
@@ -1921,6 +1971,63 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L34: the FINAL-corpus capstone — every gate of a production
+    * pretraining pipeline composed into ONE declared plan: a document
+    * ships iff it passes the l15 quality filter AND sits in the
+    * uncontaminated training split (l27: not in the benchmark carve, zero
+    * eval-gram hits) AND survives the l31 domain mix AND is its near-dup
+    * cluster's canonical minimum (l14, or unclustered); survivors then get
+    * l33's deterministic shard + in-shard training position. One oracle
+    * hash therefore pins the COMPOSITION of five independently-verified
+    * stages — the CTE chains are the stage oracles' own vals interpolated
+    * verbatim ([[deconCte]], [[mixCte]], [[qualityCte]],
+    * [[clusterLabelCte]]), so a divergence in any stage OR in how they
+    * compose flips this row. Spark side reads the same session caches the
+    * stage queries populate (quality, decon flags, mix survivors, cluster
+    * labels): the capstone's own cost is three semi-joins, one left join
+    * and the per-shard rank — at 100 TB the join keys are doc ids, the
+    * rate/label sides are the small outputs of their stages, and the final
+    * window is l33's hash-exchange-plus-per-shard-sort, never a global
+    * sort. */
+  val l34_final_corpus = Q(
+    "l34_final_corpus",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |$qualityCte,
+       |$deconCte,
+       |dclean AS (SELECT g.doc_id FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+       |           WHERE g.bucket >= 15 AND coalesce(hits.nh, 0) = 0),
+       |$mixCte,
+       |sv AS (SELECT q.doc_id, q.lang, md5(CAST(q.doc_id AS VARCHAR)) AS h
+       |       FROM q JOIN dclean ON q.doc_id = dclean.doc_id
+       |              JOIN mkept ON q.doc_id = mkept.doc_id
+       |       LEFT JOIN lbl ON q.doc_id = lbl.doc_id
+       |       WHERE lbl.doc_id IS NULL OR lbl.cluster = q.doc_id),
+       |sb AS (SELECT doc_id, lang, h,
+       |              CAST(${hexValOf("h")} AS BIGINT) % 8 AS shard FROM sv)
+       |SELECT doc_id, lang, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM sb ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val survivors = qualityCached(s, d).filter(col("keep") === 1)
+      .select(col("doc_id"), col("lang"))
+      .join(deconFrame(s, d).filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(mixKeptDocs(s, d).select("doc_id"), Seq("doc_id"), "left_semi")
+    val lbl = clusterLabelsCached(s, d).withColumnRenamed("node", "ldoc")
+    val canon = survivors.join(lbl, survivors("doc_id") === lbl("ldoc"), "left")
+      .filter(col("ldoc").isNull || col("cluster") === col("doc_id"))
+      .select(col("doc_id"), col("lang"))
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    canon
+      .withColumn("h", h)
+      .withColumn("shard", conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 8)
+      .select(col("doc_id"), col("lang"), col("shard"),
+        row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+          .cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
@@ -1931,5 +2038,5 @@ object LlmQueries {
     l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,
     l26_edit_neardup, l27_decontaminate, l28_semantic_prune,
     l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix,
-    l32_unigram_nll, l33_shard_shuffle)
+    l32_unigram_nll, l33_shard_shuffle, l34_final_corpus)
 }

@@ -449,6 +449,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(adjacent < ids.size / 20, s"$adjacent adjacent pairs — not shuffled")
   }
 
+  test("l34 final corpus == the composed intersection of its verified stages") {
+    import org.apache.spark.sql.functions.col
+    // every stage fetched through its own DECLARED query (each oracle-
+    // verified independently); the capstone must equal their composition
+    val quality = LlmQueries.l15_quality_filter.fn(spark, sf)
+      .filter(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    val decon = LlmQueries.l27_decontaminate.fn(spark, sf)
+      .filter(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    val mix = LlmQueries.l31_domain_mix.fn(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = LlmQueries.l14_dedup_clusters.fn(spark, sf)
+      .filter(col("keep") === 0).select("doc_id").as[Long].collect().toSet
+    val expectedIds = quality.intersect(decon).intersect(mix).diff(dropped)
+    val got = LlmQueries.l34_final_corpus.fn(spark, sf)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1).toSet === expectedIds)
+    // every gate must bite: the capstone is a strict subset of each stage
+    assert(got.nonEmpty)
+    Seq(quality, decon, mix).foreach(st => assert(got.size < st.size))
+    // shard/pos replay the l33 assignment over exactly the survivors
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = expectedIds.toSeq
+      .map(id => (id, md5hex(id), java.lang.Long.parseLong(md5hex(id).take(8), 16) % 8))
+      .groupBy(_._3).toSeq.flatMap { case (shard, xs) =>
+        xs.sortBy(x => (x._2, x._1)).zipWithIndex
+          .map { case ((id, _, _), i) => (id, shard, (i + 1).toLong) }
+      }.sortBy(_._1)
+    assert(got.sortBy(_._1) === expected)
+  }
+
   test("l28 semantic prune == union-find over l11's verified pair graph") {
     val pairs = LlmQueries.l11_embed_neardup.fn(spark, sf)
       .select("i", "j").as[(Long, Long)].collect().toSeq
