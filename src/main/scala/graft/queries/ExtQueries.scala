@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -126,21 +127,28 @@ object ExtQueries {
       |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_avg
       |FROM lineitem ORDER BY 1, 2, 3""".stripMargin
-  ) { (s, d) =>
-    // the frame ORDER BY ends in l_extendedprice (ADVICE r07): duplicated
-    // (l_orderkey, l_linenumber) pairs may differ in price, and the
-    // trailing mean accumulates in frame order — with the price in the
-    // key, remaining ties are rows whose only frame-visible difference is
-    // gone, so the accumulation is engine-order-proof
+  ) { (s, d) => rollingMeanFrame(lineitem(s, d)) }
+
+  /** The f5 window body over any lineitem-shaped frame — package-visible
+    * so the totality spec can permute the input's row order and
+    * partitioning and assert identical output. Totality argument: the
+    * frame ORDER BY ends in l_extendedprice (ADVICE r07 — duplicated
+    * (l_orderkey, l_linenumber) pairs may differ in price, and the
+    * trailing mean accumulates in frame order), so any rows STILL tied
+    * agree on every frame-visible value (the partition key, all sort
+    * keys, and the aggregated price itself) — permuting them changes no
+    * window's value multiset and the tied rows' own output rows are
+    * identical, so the result is engine-order-proof. The outer ORDER BY
+    * covers every output column: the synthetic lineitem duplicates
+    * (l_orderkey, l_linenumber) pairs (review finding r07 — 11,785 tie
+    * groups at sf0.01, NO column subset is unique at every SF), so the
+    * only total order available is the full row — rows equal on all
+    * columns are interchangeable under any hash. */
+  private[graft] def rollingMeanFrame(li: DataFrame): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
       .rowsBetween(-6, Window.currentRow)
-    // ORDER BY every output column: the synthetic lineitem duplicates
-    // (l_orderkey, l_linenumber) pairs (review finding r07 — 11,785 tie
-    // groups at sf0.01, NO column subset is unique at every SF), so the
-    // only total order available is the full row — rows equal on all
-    // columns are interchangeable under any hash
-    lineitem(s, d).select(
+    li.select(
       col("l_orderkey"), col("l_linenumber"),
       round(avg(col("l_extendedprice")).over(w), 6).as("roll_avg")
     ).orderBy("l_orderkey", "l_linenumber", "roll_avg")

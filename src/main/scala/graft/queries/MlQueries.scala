@@ -59,7 +59,7 @@ object MlQueries {
     * EAGER (min/max probe + cut refinement + totals collect), so each
     * consumer re-running it doubles those jobs. Cached once per (session,
     * sfDir) with the LlmQueries shared-frame discipline: thunk outside
-    * the map update, putIfAbsent, loser unpersists. */
+    * the map update, putIfAbsent, loser leaves the shared entry alone. */
   private val statsCache =
     scala.collection.concurrent.TrieMap.empty[
       (org.apache.spark.sql.SparkSession, String), DataFrame]
@@ -82,7 +82,11 @@ object MlQueries {
           scored(s, d).select(col("label"), col("x").as("score"))).cache()
         statsCache.putIfAbsent((s, d), st) match {
           case None => st
-          case Some(winner) => st.unpersist(); winner
+          // no unpersist on the losing branch: CacheManager keys cached
+          // data by canonicalized plan, so loser and winner share ONE
+          // entry and an unpersist here would evict the winner's data
+          // (ADVICE r08 — same discipline as LlmQueries.pairCache)
+          case Some(winner) => winner
         }
     }
 
@@ -216,24 +220,31 @@ object MlQueries {
       .collect()(0)
     val (tn, fp, fn, tp) =
       (cm.getLong(0), cm.getLong(1), cm.getLong(2), cm.getLong(3))
-    def r6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // zero denominators yield null, matching the columnar form this
-    // driver-side math replaced (Spark divide-by-zero returns null with
-    // ANSI off — ADVICE r07: the bare doubles produced NaN/Infinity)
-    def row(cls: Long, t: Long, predDen: Long, truthDen: Long, support: Long) = {
-      val p = if (predDen == 0L) None else Some(t.toDouble / predDen)
-      val r = if (truthDen == 0L) None else Some(t.toDouble / truthDen)
-      val f1 = for { pv <- p; rv <- r; if pv + rv != 0.0 }
-        yield 2.0 * pv * rv / (pv + rv)
-      (cls, p.map(r6), r.map(r6), f1.map(r6), support)
-    }
     import s.implicits._
     Seq(
-      row(0L, tn, tn + fn, tn + fp, tn + fp),
-      row(1L, tp, tp + fp, tp + fn, fn + tp))
+      reportRow(0L, tn, tn + fn, tn + fp, tn + fp),
+      reportRow(1L, tp, tp + fp, tp + fn, fn + tp))
       .toDF("class", "precision", "recall", "f1", "support")
       .orderBy("class")
+  }
+
+  /** The h11 per-class row math over raw confusion counts. Zero
+    * denominators and p+r = 0 yield None (SQL null), matching the
+    * columnar form this driver-side math replaced (Spark divide-by-zero
+    * returns null with ANSI off — ADVICE r07: the bare doubles produced
+    * NaN/Infinity). Package-visible so the degenerate-matrix spec can
+    * exercise the guards directly — the oracle-gated fixture never
+    * produces an empty class. */
+  private[graft] def reportRow(cls: Long, t: Long, predDen: Long,
+      truthDen: Long, support: Long)
+      : (Long, Option[Double], Option[Double], Option[Double], Long) = {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = if (predDen == 0L) None else Some(t.toDouble / predDen)
+    val r = if (truthDen == 0L) None else Some(t.toDouble / truthDen)
+    val f1 = for { pv <- p; rv <- r; if pv + rv != 0.0 }
+      yield 2.0 * pv * rv / (pv + rv)
+    (cls, p.map(r6), r.map(r6), f1.map(r6), support)
   }
 
   /** H13: deterministic k-fold assignment — md5(key) mod k, the

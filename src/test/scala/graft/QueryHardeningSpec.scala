@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{ExtQueries, MlQueries}
+
+/** Edge-hardening pins for declared queries whose oracle fixture cannot
+  * reach the edge itself: f5's window-order totality under adversarial
+  * ties (the fixture's ties happen to be full-row duplicates — here they
+  * are not left to luck), h11's report math on degenerate confusion
+  * matrices (the fixture always populates both classes), and the
+  * statsCache eviction hook across data dirs. */
+class QueryHardeningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("f5: rolling mean output is invariant to input order and partitioning") {
+    import spark.implicits._
+    // adversarial ties: one constant shipdate, (orderkey, linenumber)
+    // colliding every 8 rows with DIFFERENT prices (the hazard ADVICE r07
+    // flagged — frame accumulation order would differ without the price
+    // tiebreak), plus exact full-row duplicates (i vs i + 24)
+    val rows = for (sk <- 1 to 3; i <- 0 until 48) yield (
+      sk,
+      java.sql.Date.valueOf("2023-01-15"),
+      (i % 4).toLong,
+      i % 2,
+      10.0 * (i % 6))
+    val base = rows.toDF(
+      "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val expected = ExtQueries.rollingMeanFrame(base.repartition(1))
+      .collect().map(_.toSeq).toSeq
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    val variants = Seq(
+      shuffled.toDF("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice").repartition(7),
+      base.repartition(5)
+        .sortWithinPartitions($"l_extendedprice".desc, $"l_orderkey".desc))
+    for (v <- variants) {
+      val got = ExtQueries.rollingMeanFrame(v).collect().map(_.toSeq).toSeq
+      assert(got == expected,
+        "rolling mean depended on input order/partitioning")
+    }
+  }
+
+  test("h11: degenerate confusion matrices yield null (None), never NaN") {
+    // every prediction negative → class-1 precision denominator is 0
+    val r1 = MlQueries.reportRow(1L, 0L, 0L, 5L, 5L)
+    assert(r1._2.isEmpty && r1._3.contains(0.0) && r1._4.isEmpty)
+    // class absent from the truth → recall denominator is 0
+    val r2 = MlQueries.reportRow(1L, 0L, 5L, 0L, 0L)
+    assert(r2._2.contains(0.0) && r2._3.isEmpty && r2._4.isEmpty)
+    // p = r = 0 → the f1 p+r guard, not 0/0
+    val r3 = MlQueries.reportRow(0L, 0L, 4L, 6L, 6L)
+    assert(r3._2.contains(0.0) && r3._3.contains(0.0) && r3._4.isEmpty)
+    for (r <- Seq(r1, r2, r3); v <- Seq(r._2, r._3, r._4).flatten)
+      assert(!v.isNaN && !v.isInfinite)
+  }
+
+  test("statsCache: clearStatsCache across two dirs, reruns stay correct") {
+    val d1 = "/root/testdata/sf0.001"
+    val d2 = "/root/testdata/sf0.01"
+    def auc(d: String): Double =
+      MlQueries.h9_roc_auc.fn(spark, d).collect().head.getDouble(0)
+    val a1 = auc(d1)
+    val a2 = auc(d2)
+    MlQueries.clearStatsCache()
+    assert(auc(d1) == a1, "post-eviction rerun diverged for dir 1")
+    assert(auc(d2) == a2, "post-eviction rerun diverged for dir 2")
+  }
+}

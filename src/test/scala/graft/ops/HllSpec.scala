@@ -63,6 +63,21 @@ class HllSpec extends AnyFunSuite {
     }
   }
 
+  test("wide form refuses group columns colliding with internal names") {
+    // the wide form recovers group columns BY NAME after the register
+    // aggregation — a group column named into the internal namespace
+    // would silently misgroup (ADVICE r07), so it must refuse loudly
+    val df = (1 to 10).map(i => (s"g$i", i)).toDF("__j", "v")
+    val e = intercept[IllegalArgumentException] {
+      Hll.approxDistinctWide(df, Seq(col("__j")), col("v"))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    val dup = (1 to 10).map(i => (s"g$i", s"g$i", i)).toDF("a", "b", "v")
+    intercept[IllegalArgumentException] {
+      Hll.approxDistinctWide(dup, Seq(col("a").as("hll_est")), col("v"))
+    }
+  }
+
   test("groups sketch independently") {
     val df = (1 to 1000).map(i => (if (i % 2 == 0) "even" else "odd", i))
       .toDF("g", "v")
