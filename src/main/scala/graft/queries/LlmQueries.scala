@@ -1635,6 +1635,78 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L36: UniMax epoch-budget sampling (Chung et al. 2023,
+    * arXiv:2304.09151) — the OTHER corpus-composition policy beside l31's
+    * fixed target mix: given a total budget B (here ⌊4N/5⌋ docs) and an
+    * epoch cap of 1, allocate uniformly across languages but never ask a
+    * language for more than it has — ascending waterfill: languages
+    * sorted by (n, lang), each takes min(n, remaining div langsLeft).
+    * Low-resource languages are capped at one epoch (no oversampling
+    * repetition damage), high-resource ones absorb the leftover — at
+    * B = 4N/5 on this corpus every non-en language caps and en absorbs.
+    * The waterfill runs over ONE row per language (bounded collect, the
+    * Features.scala contract — even web-scale corpora have ~10² language
+    * rows); sequential integer semantics (div = floor) are replayed
+    * verbatim by the oracle's recursive CTE, so both engines derive
+    * identical budgets. Membership is l17's md5-keyed uniform with l31's
+    * EXACT integer keep test (bucket·n < b·2³², no float threshold;
+    * products < 2⁶³ through ~2×10⁹ docs/language, widen to DECIMAL past
+    * that). 100 TB posture: map-combinable per-language count, a
+    * #langs-row broadcast, and a map-side filter — the corpus itself
+    * never shuffles. */
+  val l36_unimax_budget = Q(
+    "l36_unimax_budget",
+    s"""WITH RECURSIVE c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+       |                    FROM documents GROUP BY lang),
+       |ord AS (SELECT lang, n, CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS rk
+       |        FROM c),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM c),
+       |bt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) * 4 // 5 AS b),
+       |wf AS (SELECT CAST(0 AS BIGINT) AS rk, '' AS lang, CAST(0 AS BIGINT) AS n,
+       |              CAST(0 AS BIGINT) AS b,
+       |              (SELECT b FROM bt) AS rem, (SELECT nl FROM tot) AS k
+       |       UNION ALL
+       |       SELECT o.rk, o.lang, o.n,
+       |              least(o.n, wf.rem // wf.k),
+       |              wf.rem - least(o.n, wf.rem // wf.k),
+       |              wf.k - 1
+       |       FROM wf JOIN ord o ON o.rk = wf.rk + 1),
+       |bud AS (SELECT lang, n, b FROM wf WHERE rk >= 1),
+       |kk AS (SELECT doc_id, lang, CAST(${hexValOf("mh")} AS BIGINT) AS bu
+       |       FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS mh
+       |             FROM documents))
+       |SELECT kk.doc_id, kk.lang, bud.n AS n_lang, bud.b AS budget
+       |FROM kk JOIN bud USING (lang)
+       |WHERE kk.bu * bud.n < bud.b * 4294967296
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val session = s
+    import session.implicits._
+    // bounded collect: exactly one row per language — the Features.scala
+    // one-action-for-all-scalars contract; the waterfill itself is O(#langs)
+    val counts = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (lang, n) => (n, lang) }
+    val budgetTotal = counts.map(_._2).sum * 4 / 5
+    var rem = budgetTotal
+    var k = counts.length
+    val budgets = counts.map { case (lang, n) =>
+      val b = math.min(n, rem / k)
+      rem -= b
+      k -= 1
+      (lang, n, b)
+    }
+    val bdf = broadcast(budgets.toSeq.toDF("lang", "n_lang", "budget"))
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long")
+    spread(documents(s, d))
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(bdf, Seq("lang"))
+      .filter(col("bucket") * col("n_lang") < col("budget") * lit(4294967296L))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("budget"))
+      .orderBy("doc_id")
+  }
+
   /** L33: deterministic shard shuffle — the training-order step after
     * packing: every doc gets a shard (md5 % 8) and a position within the
     * shard (rank by md5, doc_id), which together define the epoch-stable
@@ -1750,17 +1822,26 @@ object LlmQueries {
        |         JOIN eg USING (gram) GROUP BY tr.doc_id)""".stripMargin
   }
 
+  /** The (doc_id, bucket, grams) base both decontamination passes read —
+    * the md5-carved eval/train split plus each doc's distinct 5-gram set —
+    * cached once per (session, sfDir) so l27 (exact overlap) and l37 (max
+    * containment) share one gram construction. */
+  private def deconGrams(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "dgrams") {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 100
+      spread(documents(s, d)).select(
+        col("doc_id"), bucket.as("bucket"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 5))
+          .as("grams"))
+    }
+
   /** l27's result frame — (doc_id, n_hits, keep) over the training split,
     * unordered — shared by the declared row and the l34 capstone via
     * [[cachedFrame]]. */
   private def deconFrame(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "decon") {
-      val h = md5(col("doc_id").cast("string").cast("binary"))
-      val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 100
-      val base = spread(documents(s, d)).select(
-        col("doc_id"), bucket.as("bucket"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 5))
-          .as("grams"))
+      val base = deconGrams(s, d)
       val evalGrams = base.filter(col("bucket") < 15)
         .select(explode(col("grams")).as("gram")).distinct()
         .withColumn("hit", lit(1))
@@ -1781,6 +1862,68 @@ object LlmQueries {
        |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
        |WHERE g.bucket >= 15 ORDER BY g.doc_id""".stripMargin
   ) { (s, d) => deconFrame(s, d).orderBy("doc_id") }
+
+  /** L37: fuzzy decontamination by max containment — the paraphrase-
+    * tolerant half of the eval scrub beside l27's exact-overlap test: a
+    * training doc is contaminated when SOME single eval doc contains at
+    * least half its distinct 5-grams (containment C(t,e) = |g(t)∩g(e)| /
+    * |g(t)| — asymmetric, unlike l4's Jaccard, so a short quote inside a
+    * long eval doc still fires). This is the per-example n-gram
+    * containment screen of LM eval hygiene (GPT-3 appendix C's "dirty"
+    * definition, Brown et al. 2020). Threshold is the l31 discipline —
+    * EXACT integer test nh·2 ≥ ng, no float compare; the emitted
+    * max_containment is one integer division rounded to 6dp, identical in
+    * both engines. 100 TB posture: reads the SAME cached gram base as l27;
+    * the (gram → eval doc) index broadcasts (benchmarks are MBs); the
+    * per-(train, eval) intersection count is a map-combinable groupBy of
+    * skinny (doc_id, e_id) rows — candidate pairs only, never all-pairs —
+    * and the final attach broadcasts the contaminated-stats frame
+    * (contaminated docs ≪ corpus by the decontamination premise). */
+  val l37_fuzzy_decon = Q(
+    "l37_fuzzy_decon",
+    s"""WITH $deconCte,
+       |eg2 AS (SELECT doc_id AS e_id, unnest(grams) AS gram FROM g WHERE bucket < 15),
+       |tr2 AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE bucket >= 15),
+       |sz AS (SELECT doc_id, len(grams) AS ng FROM g WHERE bucket >= 15),
+       |pr2 AS (SELECT tr2.doc_id, eg2.e_id, count(*) AS nh
+       |        FROM tr2 JOIN eg2 USING (gram) GROUP BY tr2.doc_id, eg2.e_id),
+       |pc AS (SELECT pr2.doc_id, pr2.nh, sz.ng FROM pr2 JOIN sz USING (doc_id)),
+       |mx AS (SELECT doc_id, max(nh) AS mh,
+       |              sum(CASE WHEN nh * 2 >= ng THEN 1 ELSE 0 END) AS np
+       |       FROM pc GROUP BY doc_id)
+       |SELECT sz.doc_id,
+       |       CAST(sz.ng AS BIGINT) AS n_grams,
+       |       CAST(coalesce(mx.mh, 0) AS BIGINT) AS max_hits,
+       |       CASE WHEN sz.ng = 0 THEN 0.0
+       |            ELSE round(coalesce(mx.mh, 0) * 1.0 / sz.ng, 6) END AS max_containment,
+       |       CAST(coalesce(mx.np, 0) AS BIGINT) AS n_partners,
+       |       CAST(coalesce(mx.np, 0) = 0 AS BIGINT) AS keep
+       |FROM sz LEFT JOIN mx USING (doc_id) ORDER BY sz.doc_id""".stripMargin
+  ) { (s, d) =>
+    val g = deconGrams(s, d)
+    val ev = g.filter(col("bucket") < 15)
+      .select(col("doc_id").as("e_id"), explode(col("grams")).as("gram"))
+    val tr = g.filter(col("bucket") >= 15)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val sz = g.filter(col("bucket") >= 15)
+      .select(col("doc_id"), size(col("grams")).as("ng"))
+    val pairs = tr.join(broadcast(ev), Seq("gram"))
+      .groupBy("doc_id", "e_id").agg(count(lit(1)).as("nh"))
+    val mx = pairs.join(sz, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(max("nh").as("mh"),
+        sum((col("nh") * 2 >= col("ng")).cast("long")).as("np"))
+    sz.join(broadcast(mx), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("ng").cast("long").as("n_grams"),
+        coalesce(col("mh"), lit(0L)).cast("long").as("max_hits"),
+        when(col("ng") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("mh"), lit(0L)) / col("ng").cast("double"), 6))
+          .as("max_containment"),
+        coalesce(col("np"), lit(0L)).cast("long").as("n_partners"),
+        (coalesce(col("np"), lit(0L)) === 0).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
 
   /** L30: repeated-span scrub — the sub-document half of exact dedup
     * ("Deduplicating Training Data Makes Language Models Better", Lee et
@@ -1852,6 +1995,79 @@ object LlmQueries {
       .select(col("doc_id"),
         array_join(col("kept"), " ").as("text_clean"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** L35: C4-style line-level cleaning (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2) — the rule set every web-crawl corpus runs
+    * BEFORE document-level quality filtering: keep only lines that end in
+    * terminal punctuation, have ≥ 5 words, and contain no curly brace, no
+    * "javascript", no "lorem ipsum"; a page survives only with ≥ 3 kept
+    * lines. This corpus' documents are single-line token streams, so —
+    * exactly like l16 injects PII — the lines are CONSTRUCTED
+    * deterministically on BOTH engines: 12-token chunks, terminal '.' on
+    * chunks where (doc_id + chunk) % 3 ≠ 0, a boilerplate JS line on every
+    * 7th doc and a lorem-ipsum line on every 11th, so each rule observably
+    * fires. 100 TB posture: pure per-row array expressions — ZERO
+    * shuffles, a streaming scan that drops lines before any downstream
+    * stage pays for them (the C4 pipeline's cheapest, earliest cut). */
+  val l35_c4_line_filter = Q(
+    "l35_c4_line_filter",
+    """WITH aug AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |ln AS (SELECT doc_id,
+      |         list_concat(list_concat(
+      |           list_transform(range(0, len(toks), 12), st ->
+      |             array_to_string(list_slice(toks, st + 1, st + 12), ' ') ||
+      |             CASE WHEN (doc_id + st // 12) % 3 <> 0 THEN '.' ELSE '' END),
+      |           CASE WHEN doc_id % 7 = 0
+      |                THEN ['enable javascript { tracking cookies required }.']
+      |                ELSE CAST([] AS VARCHAR[]) END),
+      |           CASE WHEN doc_id % 11 = 0
+      |                THEN ['lorem ipsum dolor sit amet.']
+      |                ELSE CAST([] AS VARCHAR[]) END) AS lines
+      |       FROM aug),
+      |k AS (SELECT doc_id, lines,
+      |        list_filter(lines, l ->
+      |          substr(l, length(l), 1) = '.'
+      |          AND len(string_split(l, ' ')) >= 5
+      |          AND NOT contains(l, '{')
+      |          AND NOT contains(l, 'javascript')
+      |          AND NOT contains(l, 'lorem ipsum')) AS kept
+      |      FROM ln)
+      |SELECT doc_id,
+      |       CAST(len(lines) AS BIGINT) AS n_lines,
+      |       CAST(len(kept) AS BIGINT) AS n_kept,
+      |       coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+      |       CAST(len(kept) >= 3 AS BIGINT) AS keep
+      |FROM k ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val emptyStr = array().cast("array<string>")
+    val chunkLines = transform(
+      sequence(lit(0), size(col("toks")) - 1, lit(12)),
+      st => concat(
+        array_join(slice(col("toks"), st + 1, lit(12)), " "),
+        when((col("doc_id") + floor(st / 12).cast("long")) % 3 =!= 0, lit("."))
+          .otherwise(lit(""))))
+    val lines = concat(
+      chunkLines,
+      when(col("doc_id") % 7 === 0,
+        array(lit("enable javascript { tracking cookies required }.")))
+        .otherwise(emptyStr),
+      when(col("doc_id") % 11 === 0,
+        array(lit("lorem ipsum dolor sit amet."))).otherwise(emptyStr))
+    val keptLines = filter(col("lines"), l =>
+      l.endsWith(".") && size(split(l, " ")) >= 5 &&
+        !l.contains("{") && !l.contains("javascript") &&
+        !l.contains("lorem ipsum"))
+    spread(documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("lines", lines)
+      .withColumn("kept", keptLines)
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("text_clean"),
+        (size(col("kept")) >= 3).cast("long").as("keep"))
       .orderBy("doc_id")
   }
 
@@ -2100,5 +2316,6 @@ object LlmQueries {
     l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,
     l26_edit_neardup, l27_decontaminate, l28_semantic_prune,
     l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix,
-    l32_unigram_nll, l33_shard_shuffle, l34_final_corpus)
+    l32_unigram_nll, l33_shard_shuffle, l34_final_corpus,
+    l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon)
 }

@@ -508,4 +508,131 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r._4 == (if (r._1 == r._2) 1L else 0L)),
       "keep must mark exactly the canonical minimum per cluster")
   }
+
+  test("l35 c4 line filter == driver-side replay; every rule observably fires") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def linesOf(id: Long, t: String): Seq[String] = {
+      val toks = t.toLowerCase.split(" ", -1).toSeq
+      val chunks = toks.grouped(12).zipWithIndex.map { case (c, i) =>
+        c.mkString(" ") + (if ((id + i) % 3 != 0) "." else "")
+      }.toSeq
+      chunks ++
+        (if (id % 7 == 0)
+          Seq("enable javascript { tracking cookies required }.") else Nil) ++
+        (if (id % 11 == 0) Seq("lorem ipsum dolor sit amet.") else Nil)
+    }
+    def keepLine(l: String): Boolean =
+      l.endsWith(".") && l.split(" ", -1).length >= 5 &&
+        !l.contains("{") && !l.contains("javascript") &&
+        !l.contains("lorem ipsum")
+    val expected = docs.map { case (id, t) =>
+      val ls = linesOf(id, t)
+      val kept = ls.filter(keepLine)
+      (id, ls.size.toLong, kept.size.toLong, kept.mkString("\n"),
+        if (kept.size >= 3) 1L else 0L)
+    }.sortBy(_._1)
+    val got = LlmQueries.l35_c4_line_filter.fn(spark, sf)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(got === expected)
+    // the fixture must make every rule fire — a rule that never drops a
+    // line is untested plumbing
+    val dropped = docs.flatMap { case (id, t) =>
+      linesOf(id, t).filterNot(keepLine)
+    }
+    assert(dropped.exists(!_.endsWith(".")), "punctuation rule never fired")
+    assert(dropped.exists(_.contains("javascript")), "boilerplate rule never fired")
+    assert(dropped.exists(_.contains("lorem ipsum")), "lorem rule never fired")
+    assert(dropped.exists(l => l.endsWith(".") && l.split(" ", -1).length < 5),
+      "short-line rule never fired")
+    assert(expected.exists(_._5 == 0L) && expected.exists(_._5 == 1L),
+      "page-level keep flag must vary across the fixture")
+  }
+
+  test("l37 fuzzy decon == driver-side replay; containment implies l27 overlap") {
+    def md5u32(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split(" ", -1).toSeq
+      if (toks.size < 5) Set.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val withB = docs.map { case (id, t) => (id, md5u32(id) % 100, grams(t)) }
+    val evalG = withB.filter(_._2 < 15).map { case (id, _, g) => id -> g }
+    val train = withB.filter(_._2 >= 15)
+    val expected = train.map { case (id, _, g) =>
+      val hits = evalG.map { case (_, eg) => (g & eg).size.toLong }
+        .filter(_ > 0)
+      val mh = if (hits.isEmpty) 0L else hits.max
+      val np = hits.count(nh => nh * 2 >= g.size).toLong
+      val cont =
+        if (g.isEmpty) 0.0
+        else BigDecimal(mh.toDouble / g.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, g.size.toLong, mh, cont, np, if (np == 0) 1L else 0L)
+    }.sortBy(_._1)
+    val got = LlmQueries.l37_fuzzy_decon.fn(spark, sf)
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // the fixture's cross-split near-dups must make the screen fire
+    assert(expected.exists(_._6 == 0L), "no contaminated doc at this SF")
+    // containment-contaminated ⊆ exact-overlap-contaminated (l27): one
+    // shared gram is necessary for any positive containment
+    val l27Dirty = LlmQueries.l27_decontaminate.fn(spark, sf)
+      .filter(col("keep") === 0).select("doc_id").as[Long].collect().toSet
+    val l37Dirty = expected.filter(_._6 == 0L).map(_._1).toSet
+    assert(l37Dirty.subsetOf(l27Dirty),
+      "a containment hit without an exact-overlap hit is impossible")
+  }
+
+  test("l36 unimax budget == driver-side replay; caps and absorption hold") {
+    def md5u32(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    val n = docs.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val sorted = n.toSeq.sortBy { case (l, c) => (c, l) }
+    val bTot = n.values.sum * 4 / 5
+    var rem = bTot
+    var k = sorted.size
+    val budgets = sorted.map { case (l, c) =>
+      val b = math.min(c, rem / k)
+      rem -= b
+      k -= 1
+      l -> (c, b)
+    }.toMap
+    val kept = docs.filter { case (id, lg) =>
+      md5u32(id) * n(lg) < budgets(lg)._2 * 4294967296L
+    }
+    val expected = kept
+      .map { case (id, lg) => (id, lg, n(lg), budgets(lg)._2) }.sortBy(_._1)
+    val got = LlmQueries.l36_unimax_budget.fn(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // epoch cap: no language is budgeted past its holdings
+    budgets.foreach { case (l, (c, b)) => assert(b <= c, s"$l over-budgeted") }
+    // at B = 4N/5 the largest language is uncapped on this corpus, so the
+    // waterfill spends the budget exactly and the leftover lands there
+    assert(budgets.values.map(_._2).sum == bTot, "budget must be fully spent")
+    val (maxLang, maxN) = n.maxBy(_._2)
+    assert(budgets(maxLang)._2 > bTot / n.size && budgets(maxLang)._2 < maxN,
+      "the high-resource language must absorb the leftover, uncapped")
+    assert(sorted.init.forall { case (l, c) => budgets(l)._2 == c },
+      "every low-resource language must cap at one epoch")
+    // expected-value sampling tracks the budget per language
+    val ck = kept.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    budgets.foreach { case (l, (_, b)) =>
+      val dev = math.abs(ck.getOrElse(l, 0L) - b).toDouble
+      assert(dev <= math.max(10.0, 5 * math.sqrt(b.toDouble)),
+        s"$l kept ${ck.getOrElse(l, 0L)} vs budget $b")
+    }
+  }
 }
