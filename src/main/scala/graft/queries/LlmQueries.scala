@@ -1764,28 +1764,83 @@ object LlmQueries {
     * would weaken the check 10× to move the risk from ~1e-9 to ~1e-10.
     * Accepted as-is; a per-column tolerance belongs in the CHECKER, not
     * in the declared results. */
-  val l32_unigram_nll = Q(
-    "l32_unigram_nll",
-    """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  /** l32's CTE chain — vocab counts, per-type nll, per-doc (n_tokens,
+    * avg_nll) — shared verbatim by the l32 oracle and l39's bucketing
+    * oracle (which continues with the per-language tercile windows). */
+  private val nllCte =
+    """t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
       |           FROM documents),
       |v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
       |n AS (SELECT sum(c) AS total FROM v),
-      |p AS (SELECT tok, -ln(c / (SELECT total FROM n)) AS nll FROM v)
-      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |       round(avg(p.nll), 6) AS avg_nll
-      |FROM t JOIN p USING (tok)
-      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+      |p AS (SELECT tok, -ln(c / (SELECT total FROM n)) AS nll FROM v),
+      |nl AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |              round(avg(p.nll), 6) AS avg_nll
+      |       FROM t JOIN p USING (tok) GROUP BY t.doc_id)""".stripMargin
+
+  /** l32's result frame — (doc_id, n_tokens, avg_nll), unordered — shared
+    * by the declared row and l39's CCNet bucketing via [[cachedFrame]] so
+    * the vocab fit + broadcast probe run once per (session, sfDir). */
+  private def nllFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "nll") {
+      val toks = spread(documents(s, d))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum("c").as("total"))
+      val probs = vocab.crossJoin(broadcast(total))
+        .select(col("tok"), (-log(col("c") / col("total"))).as("nll"))
+      toks.join(broadcast(probs), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          round(avg("nll"), 6).as("avg_nll"))
+    }
+
+  val l32_unigram_nll = Q(
+    "l32_unigram_nll",
+    s"""WITH $nllCte
+       |SELECT doc_id, n_tokens, avg_nll
+       |FROM nl ORDER BY doc_id""".stripMargin
+  ) { (s, d) => nllFrame(s, d).orderBy("doc_id") }
+
+  /** L39: CCNet perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3) — the cut that turns l32's raw LM score into
+    * the head/middle/tail corpus splits CCNet publishes: per LANGUAGE,
+    * rank documents by model score (here l32's unigram avg_nll; low =
+    * most-fluent head) and cut the ranking into thirds. The split is a
+    * rank cut, not a value threshold, exactly as CCNet computes its
+    * per-language percentile cutoffs — so every language lands ⌈n/3⌉-ish
+    * docs per bucket regardless of its score distribution. Determinism:
+    * the ranking orders by (avg_nll, doc_id) — avg_nll is the ROUNDED
+    * 6-decimal score both engines already hash-agree on (the l32 row), so
+    * the order is total and the integer bucket formula
+    * ⌊3·(rank−1)/n⌋ replays exactly. 100 TB posture: the vocab fit +
+    * broadcast probe are [[nllFrame]]'s (shared cache, one build); the
+    * bucketing itself is d12's windowed two-pass shape — ONE hash
+    * exchange on lang, the in-partition sort spillable and skew-bounded
+    * by the largest language, and the n-per-lang count window reuses the
+    * rank window's exchange (no second shuffle). No driver collect, no
+    * value-threshold float comparisons at bucket edges. */
+  val l39_ccnet_buckets = Q(
+    "l39_ccnet_buckets",
+    s"""WITH $nllCte,
+       |dl AS (SELECT d.doc_id, d.lang, nl.avg_nll
+       |       FROM documents d JOIN nl ON d.doc_id = nl.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rk,
+       |             count(*) OVER (PARTITION BY lang) AS n FROM dl)
+       |SELECT doc_id, lang, avg_nll,
+       |       CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM r ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val toks = spread(documents(s, d))
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum("c").as("total"))
-    val probs = vocab.crossJoin(broadcast(total))
-      .select(col("tok"), (-log(col("c") / col("total"))).as("nll"))
-    toks.join(broadcast(probs), Seq("tok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        round(avg("nll"), 6).as("avg_nll"))
+    val dl = spread(documents(s, d)).select(col("doc_id"), col("lang"))
+      .join(nllFrame(s, d).select(col("doc_id"), col("avg_nll")), Seq("doc_id"))
+    val rk = row_number().over(
+      Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id")))
+    val n = count(lit(1)).over(Window.partitionBy("lang"))
+    val bucketId = floor((rk - 1) * 3 / n.cast("double"))
+    dl.withColumn("ppl_bucket",
+        when(bucketId === 0, lit("head"))
+          .when(bucketId === 1, lit("middle")).otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("avg_nll"), col("ppl_bucket"))
       .orderBy("doc_id")
   }
 
@@ -2317,5 +2372,6 @@ object LlmQueries {
     l26_edit_neardup, l27_decontaminate, l28_semantic_prune,
     l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix,
     l32_unigram_nll, l33_shard_shuffle, l34_final_corpus,
-    l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon)
+    l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
+    l39_ccnet_buckets)
 }

@@ -256,6 +256,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no join belongs in a per-row scan:\n$p")
   }
 
+  test("L39: the tercile cut is ONE hash exchange on lang; no second sort stage") {
+    val p = finalPlan(LlmQueries.l39_ccnet_buckets)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("hashpartitioning(lang"),
+      s"the per-language rank window must hash-partition on lang:\n$p")
+    // the unordered count-per-lang window must reuse the rank window's
+    // exchange — a second lang exchange would double the corpus shuffle
+    assert("hashpartitioning\\(lang".r.findAllIn(fin).size <= 1,
+      s"the n-per-lang window must ride the rank window's exchange:\n$p")
+    // only the final result ORDER BY may range-partition
+    assert("rangepartitioning".r.findAllIn(fin).size <= 1,
+      s"no global sort may feed the bucketing:\n$p")
+  }
+
   test("L36: the budget table broadcasts — the corpus never shuffle-joins") {
     val p = finalPlan(LlmQueries.l36_unimax_budget)
     val fin = p.split("== Initial Plan ==")(0)

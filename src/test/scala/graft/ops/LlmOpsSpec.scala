@@ -590,6 +590,36 @@ class LlmOpsSpec extends AnyFunSuite {
       "a containment hit without an exact-overlap hit is impossible")
   }
 
+  test("l39 ccnet buckets == driver-side replay; per-lang thirds differ by <= 1") {
+    val nll = LlmQueries.l32_unigram_nll.fn(spark, sf)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, xs) =>
+      val sorted = xs.map { case (id, _) => (nll(id), id) }.sorted
+      val n = sorted.size
+      sorted.zipWithIndex.map { case ((v, id), i) =>
+        val b = i.toLong * 3 / n
+        (id, lang, v, if (b == 0) "head" else if (b == 1) "middle" else "tail")
+      }
+    }.sortBy(_._1)
+    val got = LlmQueries.l39_ccnet_buckets.fn(spark, sf)
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(got === expected)
+    got.groupBy(_._2).foreach { case (lang, xs) =>
+      // CCNet cut: within a language the three buckets differ by <= 1 doc
+      val sizes = xs.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang sizes $sizes")
+      // and the buckets are contiguous on the (score, doc_id) total order
+      def ks(b: String) = xs.filter(_._4 == b).map(t => (t._3, t._1))
+      val ord = Ordering[(Double, Long)]
+      for ((lo, hi) <- Seq(("head", "middle"), ("middle", "tail"))
+           if ks(lo).nonEmpty && ks(hi).nonEmpty)
+        assert(ord.lteq(ks(lo).max, ks(hi).min),
+          s"$lang: $lo must precede $hi on the score order")
+    }
+  }
+
   test("l36 unimax budget == driver-side replay; caps and absorption hold") {
     def md5u32(id: Long): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")
