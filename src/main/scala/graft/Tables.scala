@@ -18,10 +18,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy long) and truncate to microsecond
-    * TimestampType — the same precision DuckDB/pandas effectively compare at
-    * for the week/date-grain derivations the declared queries use. */
+  /** events.ts has drifted across testdata generations: originally parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read as raw
+    * nanos via the legacy-long conf and truncate), currently naive
+    * `timestamp[us]` (which Spark ≥3.5 infers as TIMESTAMP_NTZ — a type
+    * `withWatermark` refuses: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). This
+    * loader normalizes BOTH encodings to microsecond TimestampType so every
+    * downstream consumer (batch date-grain derivations and the
+    * StreamingOps watermarks alike) sees one stable type. With the session
+    * timezone pinned to UTC (prep below), the NTZ→TIMESTAMP cast is an
+    * identity on the stored values. */
   def events(s: SparkSession, d: String): DataFrame = {
     // NOTE (ADVICE r01): nanosAsLong must stay set for as long as this
     // DataFrame may be (re)scanned — plans are lazy, so restoring the conf
@@ -35,6 +41,8 @@ object Tables {
         // integer `div`, NOT `/`: double division of epoch-nanos (~1.7e18,
         // beyond 2^53) would silently corrupt the microseconds
         raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
@@ -51,6 +59,12 @@ object Tables {
   def prep(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Testdata timestamp-type drift guard (SURVEY §4.3): naive parquet
+    // timestamps must come back as TIMESTAMP, not TIMESTAMP_NTZ, or every
+    // withWatermark("ts", …) fails analysis. Belt (this conf) AND
+    // suspenders (the NTZ cast branch in `events` above) so a future
+    // testdata generation can't silently re-break the streaming surface.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // native engine functions (graft_dot, graft_sorted_intersect_count,
     // graft_minhash) — idempotent; sessions built with
     // spark.sql.extensions=graft.plans.GraftExtensions already have them

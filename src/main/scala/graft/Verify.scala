@@ -19,10 +19,29 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Same local-profiling filter as Bench: comma-separated substrings.
     // The driver never sets it, so driver dumps always cover everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    SparkEntry.queries
+    // Blank is treated as unset (""​.split(",") would yield [""] and match
+    // every name — an empty var must mean 'all', not surprise-filter).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
+      .map(_.split(",").toSeq)
+    val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
-      .foreach { case (name, fn) =>
+    // When the filter is active, purge dumps of non-selected queries left
+    // by a previous full run: overwrite is per-query, so stale cross-round
+    // parquet would otherwise sit next to fresh results and a checker
+    // pointed at outDir would silently compare them (ADVICE r10).
+    if (only.isDefined) {
+      val keep = selected.keySet
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !keep.contains(f.getName))
+        .foreach { dir =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(dir)
+        }
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -41,7 +60,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Restricted to the selected set so oracle_sql.json never references
+    // a query whose dump this run did not (re)write.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1836,10 +1836,16 @@ object LlmQueries {
     val rk = row_number().over(
       Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id")))
     val n = count(lit(1)).over(Window.partitionBy("lang"))
-    val bucketId = floor((rk - 1) * 3 / n.cast("double"))
-    dl.withColumn("ppl_bucket",
-        when(bucketId === 0, lit("head"))
-          .when(bucketId === 1, lit("middle")).otherwise(lit("tail")))
+    // Long arithmetic + integral `div`, exactly the oracle's bigint
+    // `((rk-1)*3) // n`: row_number() is IntegerType and ANSI is off, so
+    // int `(rk-1)*3` would silently wrap negative past ~715M docs per
+    // language (ADVICE r10) — at 100 TB that is a real corpus size. The
+    // `- 1L` promotes the whole product to LongType before the multiply.
+    dl.withColumn("rk", rk).withColumn("n_lang", n)
+      .withColumn("bucket_id", expr("((rk - 1L) * 3L) div n_lang"))
+      .withColumn("ppl_bucket",
+        when(col("bucket_id") === 0, lit("head"))
+          .when(col("bucket_id") === 1, lit("middle")).otherwise(lit("tail")))
       .select(col("doc_id"), col("lang"), col("avg_nll"), col("ppl_bucket"))
       .orderBy("doc_id")
   }
@@ -2360,6 +2366,27 @@ object LlmQueries {
           .cast("long").as("pos"))
       .orderBy("doc_id")
   }
+
+  /** Named builders for every shared session cache in this file, in
+    * dependency order (pairs reads shingles, cc_labels reads pairs, decon
+    * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
+    * BEFORE its timed query loop and reports each as its own
+    * `cachebuild:<tag>` line, so the alphabetically-first consumer of a
+    * shared cache measures ITS OWN work instead of absorbing the build —
+    * the l14/l15 attribution noise that cost a review cycle in rounds
+    * 8-10 (VERDICT r10 #3). Each thunk forces the cached frame with a
+    * count (trivial when already built); correctness paths are untouched —
+    * outside Bench the caches still build lazily at first use. */
+  def cacheBuilders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    ("shingles", (s, d) => { shingledCached(s, d).count(); () }),
+    ("pairs", (s, d) => { exactPairsCached(s, d).count(); () }),
+    ("cc_labels", (s, d) => { clusterLabelsCached(s, d).count(); () }),
+    ("quality", (s, d) => { qualityCached(s, d).count(); () }),
+    ("ivf_assign", (s, d) => { rankedAssignedCached(embeddings(s, d), None).count(); () }),
+    ("nll", (s, d) => { nllFrame(s, d).count(); () }),
+    ("dgrams", (s, d) => { deconGrams(s, d).count(); () }),
+    ("decon", (s, d) => { deconFrame(s, d).count(); () }),
+    ("mixkept", (s, d) => { mixKeptDocs(s, d).count(); () }))
 
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,

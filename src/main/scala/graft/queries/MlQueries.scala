@@ -280,6 +280,14 @@ object MlQueries {
       .orderBy("fold")
   }
 
+  /** Shared-cache builders for Bench's cachebuild attribution pass (same
+    * contract as [[LlmQueries.cacheBuilders]]): the eager threshold-sweep
+    * stats frame h9 and h10 share — without this line the alphabetically
+    * first consumer (h10) absorbs its construction. */
+  def cacheBuilders
+      : Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
+    ("ml_stats", (s, d) => { binaryStatsCached(s, d).count(); () }))
+
   val all: Seq[Q] = Seq(
     h6_ols_scorer, h8_accuracy, h9_roc_auc, h10_avg_precision, h11_class_report,
     h13_cv_folds)

@@ -139,51 +139,94 @@ object StreamingOps {
     *
     * State: one Seq[doc_id] per occupied (band, key) bucket — the
     * dedup-against-history contract means it grows with the corpus'
-    * distinct buckets; bound it operationally (restart with a compacted
-    * store, or swap NoTimeout for ProcessingTimeTimeout when "recent
-    * history only" is acceptable). The same body runs on a BATCH frame
-    * (state starts empty, each bucket processed once) — one body, two
-    * engines, like every op in this file. */
+    * distinct buckets. Bound it with `tsCol`/`horizon` (VERDICT r10 #4):
+    * when the input carries an ingest-time column, the op watermarks on it
+    * and EVICTS any bucket whose newest member is older than `horizon`
+    * behind the watermark (EventTimeTimeout — state the stream can no
+    * longer near-dup against within the horizon is dropped; a re-arrival
+    * after expiry re-emits, the price of bounded state, same contract as
+    * dropDuplicatesWithinWatermark above). With `tsCol = None` the store
+    * keeps full history — the whole-corpus dedup contract, bounded only
+    * operationally. The same body runs on a BATCH frame (state starts
+    * empty, each bucket processed once, timeouts never fire) — one body,
+    * two engines, like every op in this file. */
   def lshCandidatePairs(docs: DataFrame, shingleN: Int = 3, k: Int = 64,
-      b: Int = 16, r: Int = 4): Dataset[(Long, Long)] = {
+      b: Int = 16, r: Int = 4, tsCol: Option[String] = None,
+      horizon: String = "30 days"): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
     // idempotent: the per-row signature resolves graft_minhash by name,
     // and shingleSet/xxhash64Array resolve the TextExprs natives
     graft.functions.SketchExprs.register(docs.sparkSession)
     graft.functions.TextExprs.register(docs.sparkSession)
     // batch runs spread CPU-bound shingling across cores; a stream stays as-is
-    val src = if (docs.isStreaming) docs else graft.Tables.spread(docs)
+    val src0 = if (docs.isStreaming) docs else graft.Tables.spread(docs)
+    val src = tsCol.filter(_ => docs.isStreaming)
+      .fold(src0)(tc => src0.withWatermark(tc, horizon))
+    // the TIMESTAMP column itself (not a derived long) must flow into the
+    // stateful op: the watermark tag lives on the attribute's metadata,
+    // and EventTimeTimeout refuses to plan without it downstream
+    val ts = tsCol.fold(lit(null).cast("timestamp"))(tc => col(tc))
     val sig = src.select(col("doc_id").cast("long").as("doc_id"),
         TextOps.minhashRow(
-          TextOps.shingleSet(TextOps.tokens(col("text")), shingleN), k).as("sig"))
+          TextOps.shingleSet(TextOps.tokens(col("text")), shingleN), k).as("sig"),
+        ts.as("ets"))
       .filter(col("sig").isNotNull)
     val banded = sig
-      .select(col("doc_id"), explode(TextOps.lshBands(col("sig"), b, r)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
-      .as[(Long, Int, Long)]
-    bucketPairs(banded)
+      .select(col("doc_id"), explode(TextOps.lshBands(col("sig"), b, r)).as("bd"),
+        col("ets"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"),
+        col("ets"))
+      .as[(Long, Int, Long, Option[java.sql.Timestamp])]
+    bucketPairs(banded, evict = tsCol.isDefined && docs.isStreaming,
+      horizonMs = intervalMs(horizon))
+  }
+
+  /** Millis in an interval literal like "1 hour" / "30 days" — day-time
+    * only (months would be ill-defined as a fixed duration). */
+  private def intervalMs(interval: String): Long = {
+    val ci = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    require(ci.months == 0, s"horizon must be day-time, got '$interval'")
+    ci.days * 86400000L + ci.microseconds / 1000L
   }
 
   /** The LSH bucket store shared by [[lshCandidatePairs]] and its md5
     * variant: one `Seq[doc_id]` of prior arrivals per occupied (band, key)
-    * bucket; each new arrival emits a candidate pair per bucket-mate. */
-  private def bucketPairs(banded: Dataset[(Long, Int, Long)]): Dataset[(Long, Long)] = {
+    * bucket; each new arrival emits a candidate pair per bucket-mate.
+    * With `evict` on (streaming + ingest-time column), state also tracks
+    * the bucket's newest-member event time and arms an EventTimeTimeout at
+    * newest + horizon: once the watermark passes that point the bucket is
+    * dropped. Timeouts only fire for groups with no data in the batch, so
+    * an active bucket is never evicted out from under its own arrivals. */
+  private def bucketPairs(
+      banded: Dataset[(Long, Int, Long, Option[java.sql.Timestamp])],
+      evict: Boolean, horizonMs: Long): Dataset[(Long, Long)] = {
     import banded.sparkSession.implicits._
+    val timeoutConf =
+      if (evict) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     banded
-      .groupByKey { case (_, band, key) => (band, key) }
-      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .groupByKey { case (_, band, key, _) => (band, key) }
+      .flatMapGroupsWithState[(Seq[Long], Long), (Long, Long)](
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state) =>
-          val old = state.getOption.getOrElse(Seq.empty)
-          val seen = old.toSet
-          val fresh = rows.map(_._1).toSeq.distinct.filterNot(seen).sorted
-          val pairs = for {
-            (a, idx) <- fresh.zipWithIndex
-            other <- old.iterator ++ fresh.iterator.drop(idx + 1)
-            if a != other
-          } yield if (a < other) (a, other) else (other, a)
-          if (fresh.nonEmpty) state.update(old ++ fresh)
-          pairs.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (old, oldTs) = state.getOption.getOrElse((Seq.empty[Long], 0L))
+            val seen = old.toSet
+            val rs = rows.toSeq
+            val fresh = rs.map(_._1).distinct.filterNot(seen).sorted
+            val pairs = for {
+              (a, idx) <- fresh.zipWithIndex
+              other <- old.iterator ++ fresh.iterator.drop(idx + 1)
+              if a != other
+            } yield if (a < other) (a, other) else (other, a)
+            val maxTs = (oldTs +: rs.map(_._4.map(_.getTime).getOrElse(0L))).max
+            if (fresh.nonEmpty || maxTs > oldTs) state.update((old ++ fresh, maxTs))
+            if (evict) state.setTimeoutTimestamp(maxTs + horizonMs)
+            pairs.iterator
+          }
       }
   }
 
@@ -202,27 +245,33 @@ object StreamingOps {
     * per shingle proportionate. Same body batch and streaming, like every
     * op in this file. */
   def lshCandidatePairsMd5(docs: DataFrame, shingleN: Int = 3, k: Int = 16,
-      b: Int = 4, r: Int = 4): Dataset[(Long, Long)] = {
+      b: Int = 4, r: Int = 4, tsCol: Option[String] = None,
+      horizon: String = "30 days"): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
     require(b * r <= k, s"need b*r <= k, got b=$b r=$r k=$k")
     graft.functions.SketchExprs.register(docs.sparkSession)
     graft.functions.TextExprs.register(docs.sparkSession)
-    val src = if (docs.isStreaming) docs else graft.Tables.spread(docs)
+    val src0 = if (docs.isStreaming) docs else graft.Tables.spread(docs)
+    val src = tsCol.filter(_ => docs.isStreaming)
+      .fold(src0)(tc => src0.withWatermark(tc, horizon))
+    val ts = tsCol.fold(lit(null).cast("timestamp"))(tc => col(tc))
     val ss = TextOps.shingleSet(TextOps.tokens(col("text")), shingleN)
     val sig = src
-      .select(col("doc_id").cast("long").as("doc_id"), ss.as("ss"))
+      .select(col("doc_id").cast("long").as("doc_id"), ss.as("ss"), ts.as("ets"))
       .select(col("doc_id"), graft.functions.SketchExprs.minhash(
         transform(col("ss"), s => TextOps.md5Hash64(s)),
         transform(col("ss"), s => TextOps.md5Hash64(concat(lit("g:"), s))),
-        k).as("sig"))
+        k).as("sig"), col("ets"))
       .filter(col("sig").isNotNull)
     val bands = transform(sequence(lit(0), lit(b - 1)), bi => struct(
       bi.cast("int").as("band"),
       TextOps.md5Hash64(array_join(
         slice(col("sig"), bi * r + 1, lit(r)).cast("array<string>"), ",")).as("key")))
-    val banded = sig.select(col("doc_id"), explode(bands).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
-      .as[(Long, Int, Long)]
-    bucketPairs(banded)
+    val banded = sig.select(col("doc_id"), explode(bands).as("bd"), col("ets"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"),
+        col("ets"))
+      .as[(Long, Int, Long, Option[java.sql.Timestamp])]
+    bucketPairs(banded, evict = tsCol.isDefined && docs.isStreaming,
+      horizonMs = intervalMs(horizon))
   }
 }

@@ -607,8 +607,12 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, String, Double, String)].collect().toSeq
     assert(got === expected)
     got.groupBy(_._2).foreach { case (lang, xs) =>
-      // CCNet cut: within a language the three buckets differ by <= 1 doc
-      val sizes = xs.groupBy(_._4).view.mapValues(_.size).toMap
+      // CCNet cut: within a language the three buckets differ by <= 1 doc.
+      // Absent buckets count as size 0 (a lang with n < 3 docs leaves some
+      // bucket empty; skipping it would weaken the check — ADVICE r10).
+      val present = xs.groupBy(_._4).view.mapValues(_.size).toMap
+      val sizes = Seq("head", "middle", "tail")
+        .map(b => b -> present.getOrElse(b, 0)).toMap
       assert(sizes.values.max - sizes.values.min <= 1, s"$lang sizes $sizes")
       // and the buckets are contiguous on the (score, doc_id) total order
       def ks(b: String) = xs.filter(_._4 == b).map(t => (t._3, t._1))

@@ -246,6 +246,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotStream === expected)
   }
 
+  test("lsh bucket store evicts buckets past the horizon (watermark-keyed TTL)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different content with no shared trigram shingles at all whatsoever"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.lshCandidatePairs(
+        mem.toDF().toDF("doc_id", "text", "arrive_ts"),
+        tsCol = Some("arrive_ts"), horizon = "1 hour")
+      .writeStream.format("memory").queryName("lsh_evict").outputMode("append")
+      .start()
+    // near-identical docs at t0/t5 share every band bucket → pair via state
+    mem.addData(Seq((1L, text, ts(0))))
+    q.processAllAvailable()
+    mem.addData(Seq((2L, text, ts(5))))
+    q.processAllAvailable()
+    // unrelated doc 3h on → watermark (horizon behind max event) moves to
+    // t+120, past the (1,2) buckets' timeout at newest(t5) + 1h = t65
+    mem.addData(Seq((3L, other, ts(180))))
+    q.processAllAvailable()
+    // timeouts fire only for groups with NO data in the batch — one more
+    // unrelated arrival lets the expired buckets actually drop
+    mem.addData(Seq((4L, other + " and yet more unrelated filler words", ts(200))))
+    q.processAllAvailable()
+    // identical text arriving after expiry: its bucket history is gone,
+    // so no candidate pair against doc 1 or 2 can be emitted
+    mem.addData(Seq((5L, text, ts(210))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lsh_evict")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "pre-horizon candidates must be unaffected")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
+      "a doc arriving after bucket expiry must not pair with evicted history")
+  }
+
   test("append-mode sessions close when the watermark passes their end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
