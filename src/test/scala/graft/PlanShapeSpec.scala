@@ -270,6 +270,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global sort may feed the bucketing:\n$p")
   }
 
+  test("L38: scoring is broadcast-only and the cut has no rank window") {
+    val p = finalPlan(LlmQueries.l38_dsir_sample)
+    val fin = p.split("== Initial Plan ==")(0)
+    // the 1024-entry ratio map and the 1-row totals attach as broadcasts;
+    // the corpus scan must never shuffle-join
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      s"no shuffle join may touch the corpus scan:\n$p")
+    // global top-40% selection is a quantile THRESHOLD + map-side filter,
+    // not a row_number over one partition — no window operator at all
+    assert(!fin.contains("Window"),
+      s"the global cut must not be a rank window (single-task sort):\n$p")
+    // only the final result ORDER BY may range-partition
+    assert("rangepartitioning".r.findAllIn(fin).size <= 1,
+      s"no global sort may feed the scoring:\n$p")
+  }
+
   test("L36: the budget table broadcasts — the corpus never shuffle-joins") {
     val p = finalPlan(LlmQueries.l36_unimax_budget)
     val fin = p.split("== Initial Plan ==")(0)

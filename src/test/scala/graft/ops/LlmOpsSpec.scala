@@ -624,6 +624,61 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l38 dsir sample == driver-side replay; threshold cut keeps top 40%") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def hv(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+    // replay: Spark split() keeps trailing empties (java split limit -1)
+    def bks(text: String): Seq[Long] = {
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      if (toks.size < 2) Seq.empty
+      else toks.sliding(2).map(_.mkString(" ")).map(g => hv(g) % 1024).toSeq
+    }
+    val occ = docs.map { case (id, lang, text) => (id, lang, bks(text)) }
+    val cq = occ.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cp = occ.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nq = cq.values.sum.toDouble
+    val np = occ.filter(_._2 == "en").map(_._3.size.toLong).sum.toDouble
+    def lr(bk: Long): Double =
+      math.log(cp.getOrElse(bk, 0L) + 0.5) - math.log(np + 512.0) -
+        math.log(cq(bk) + 0.5) + math.log(nq + 512.0)
+    val scored = occ.map { case (id, lang, b) =>
+      val logw = b.map(lr).sum
+      val u = (hv(id.toString) + 0.5) / 4294967296.0
+      (id, lang, logw, logw - math.log(-math.log(u)))
+    }
+    // quantile_cont(0.6) over the ROUNDED scores, the engines' formula
+    val r6 = scored.map(t => BigDecimal(t._4).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble).sorted
+    val idx = 0.6 * (r6.size - 1)
+    val lo = math.floor(idx).toInt
+    val t = r6(lo) + (idx - lo) * (r6(math.min(lo + 1, r6.size - 1)) - r6(lo))
+    val got = LlmQueries.l38_dsir_sample.fn(spark, sf)
+      .as[(Long, String, Double, Double, Long)].collect().toSeq
+    assert(got.size === docs.size)
+    val byId = scored.map(s => s._1 -> s).toMap
+    got.foreach { case (id, lang, logw, score, keep) =>
+      val (_, elang, elogw, escore) = byId(id)
+      assert(lang === elang)
+      assert(math.abs(logw - elogw) <= 1e-6, s"doc $id logw $logw vs $elogw")
+      assert(math.abs(score - escore) <= 1e-6, s"doc $id score $score vs $escore")
+      assert(keep === (if (score >= t) 1L else 0L), s"doc $id keep vs t=$t")
+    }
+    // the cut is a true top-40% threshold: every kept score clears every
+    // dropped score, and the kept count sits at ~0.4n
+    val kept = got.filter(_._5 == 1L).map(_._4)
+    val dropped = got.filter(_._5 == 0L).map(_._4)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    assert(kept.min >= dropped.max)
+    assert(math.abs(kept.size - 0.4 * got.size) <= 1.0,
+      s"${kept.size} kept of ${got.size}")
+  }
+
   test("l36 unimax budget == driver-side replay; caps and absorption hold") {
     def md5u32(id: Long): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")
