@@ -2389,6 +2389,105 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L40: whole-document BEST-FIT-DECREASING bin packing — the packing
+    * quality upgrade over l20's concat-and-chunk: documents are NEVER
+    * split across bins (the layout instruction-tuning and
+    * long-context-curriculum loaders need — a chunked doc loses its
+    * boundaries), each doc is placed whole into a fixed-capacity bin, and
+    * BFD is the classic 11/9·OPT + 6/9 guarantee (Johnson 1973) for
+    * minimizing padding waste: place docs in non-increasing size order,
+    * each into the FULLEST open bin that still fits, opening a new bin
+    * (bid = creation order) when none does. Oversize docs (n > cap) get a
+    * dedicated bin, alone.
+    *
+    * Deterministic: placement order is (n DESC, doc_id); the best-fit tie
+    * at equal loads breaks to the LOWEST bin id; both rules are replayed
+    * verbatim by the oracle's recursive CTE (one recursion step per doc
+    * per shard, bins carried as a struct list, the same
+    * (load DESC, bid ASC) pick).
+    *
+    * 100 TB posture: packing is SHARD-LOCAL like l20 (shard = doc_id % 8
+    * here; shard count is the real deployment's tuning knob) — a global
+    * packing order would be a single-task sort. The decreasing sort is
+    * NOT a driver/in-memory sort: `flatMapSortedGroups` plans it as
+    * Spark's spillable within-partition secondary sort behind ONE hash
+    * exchange on shard, and the per-shard BFD then streams the sorted
+    * iterator holding only OPEN-bin metadata — a (load, bid) TreeMap,
+    * 16 bytes per open bin, bins ≈ shardTokens/cap (a 1B-token shard at
+    * cap 512 is ~2M bins ≈ 32 MB of driver-free executor state); full
+    * bins (load ≥ cap, incl. oversize) leave the map immediately. Only
+    * (doc_id, n) metadata flows through the shuffle — never text. */
+  val l40_bfd_pack = Q(
+    "l40_bfd_pack", {
+      val cap = 512
+      s"""WITH RECURSIVE dd AS (SELECT doc_id, doc_id % 8 AS shard,
+         |        len(string_split(lower(text), ' ')) AS n FROM documents),
+         |oo AS (SELECT doc_id, shard, n,
+         |        row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id) AS rk
+         |       FROM dd),
+         |pk AS (
+         |  SELECT shard, CAST(0 AS BIGINT) AS rk,
+         |         CAST([] AS STRUCT(bid BIGINT, ld BIGINT)[]) AS bins,
+         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
+         |         CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS bin_off
+         |  FROM (SELECT DISTINCT shard FROM dd)
+         |  UNION ALL
+         |  SELECT shard, rk,
+         |    CASE WHEN pick.bid IS NULL
+         |      THEN list_append(bins, {'bid': len(bins), 'ld': n})
+         |      ELSE list_transform(bins, b -> CASE WHEN b.bid = pick.bid
+         |             THEN {'bid': b.bid, 'ld': b.ld + n} ELSE b END) END,
+         |    doc_id, n,
+         |    CASE WHEN pick.bid IS NULL THEN len(bins) ELSE pick.bid END,
+         |    CASE WHEN pick.bid IS NULL THEN 0 ELSE -pick.k END
+         |  FROM (
+         |    SELECT oo.shard, oo.rk, oo.doc_id, oo.n, pk.bins,
+         |      list_sort(list_transform(
+         |        list_filter(pk.bins, b -> b.ld + oo.n <= $cap),
+         |        b -> {'k': -b.ld, 'bid': b.bid}))[1] AS pick
+         |    FROM pk JOIN oo ON oo.shard = pk.shard AND oo.rk = pk.rk + 1))
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |       CAST(n AS BIGINT) AS n_tokens, CAST(bin AS BIGINT) AS bin,
+         |       CAST(bin_off AS BIGINT) AS bin_off
+         |FROM pk WHERE rk > 0 ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val session = s
+    import session.implicits._
+    val cap = 512L
+    val base = spread(documents(s, d))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (col("doc_id") % 8).cast("long").as("shard"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long, Long)]
+    base.groupByKey(_._2)
+      .flatMapSortedGroups(col("n").desc, col("doc_id")) { case (shard, it) =>
+        // open bins keyed (load, Long.MaxValue - bid): rangeTo picks the
+        // max load ≤ cap - n, and among equal loads the max key = MIN bid
+        val open = scala.collection.mutable.TreeMap.empty[(Long, Long), Long]
+        var nextBid = 0L
+        it.map { case (id, _, n) =>
+          val fit =
+            if (n > cap) None
+            else open.rangeTo((cap - n, Long.MaxValue)).lastOption
+          fit match {
+            case Some(((load, key), bid)) =>
+              open.remove((load, key))
+              val nl = load + n
+              if (nl < cap) open.put((nl, Long.MaxValue - bid), bid)
+              (id, shard, n, bid, load)
+            case None =>
+              val bid = nextBid
+              nextBid += 1
+              if (n < cap) open.put((n, Long.MaxValue - bid), bid)
+              (id, shard, n, bid, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "bin", "bin_off")
+      .orderBy("doc_id")
+  }
+
   /** L21: the curated corpus — the capstone composition every stage above
     * exists for: a doc survives iff it passes the l15 quality filter, the
     * l17 stratified sample, AND the l14 dedup decision (not in a near-dup
@@ -2519,5 +2618,5 @@ object LlmQueries {
     l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix,
     l32_unigram_nll, l33_shard_shuffle, l34_final_corpus,
     l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
-    l38_dsir_sample, l39_ccnet_buckets)
+    l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack)
 }

@@ -286,6 +286,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global sort may feed the scoring:\n$p")
   }
 
+  test("L40: packing is one shard exchange feeding a secondary sort") {
+    val p = finalPlan(LlmQueries.l40_bfd_pack)
+    val fin = p.split("== Initial Plan ==")(0)
+    // groupByKey(_._2) materializes the shard key as the synthetic
+    // `value` column — exactly ONE hash exchange feeds the packing
+    assert("hashpartitioning\\(".r.findAllIn(fin).size == 1,
+      s"per-shard packing must be a single hash exchange:\n$p")
+    // the (n DESC, doc_id) decreasing order rides that exchange as a
+    // WITHIN-partition sort (global flag `false`) — Spark's spillable
+    // secondary sort, never a second shuffle or a global sort
+    assert("Sort \\[[^\\]]*DESC NULLS LAST[^\\]]*\\], false, 0".r
+        .findAllIn(fin).nonEmpty,
+      s"the decreasing sort must be within-partition:\n$p")
+    // only the final result ORDER BY may range-partition
+    assert("rangepartitioning".r.findAllIn(fin).size <= 1,
+      s"no global sort may feed the packing:\n$p")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("SortMergeJoin"),
+      s"only doc metadata moves, never a join:\n$p")
+  }
+
   test("L36: the budget table broadcasts — the corpus never shuffle-joins") {
     val p = finalPlan(LlmQueries.l36_unimax_budget)
     val fin = p.split("== Initial Plan ==")(0)

@@ -49,6 +49,16 @@ class Ep1PipelineSpec extends AnyFunSuite {
     // action into a job per materialized shuffle stage, which re-reads
     // shuffle output rather than the source — passes over the data are what
     // the ≤4 bound is about (round-2 verdict, Next-round #9).
+    //
+    // The counted section runs on a PRIVATE cloned session: suites share
+    // one JVM-wide TestSpark session and run concurrently, so a listener
+    // on the shared session also counts OTHER suites' executions — the
+    // r10/r11 full-run flake where this test failed under load but passed
+    // solo. ExecutionListenerManager is per-session state, so a
+    // newSession() isolates the count to exactly this pipeline's actions.
+    val s2 = graft.Tables.prep(spark.newSession())
+    val raw2 = NwssSynth.readCsv(s2,
+      s"${System.getProperty("java.io.tmpdir")}/graft_nwss_fixture_${cfg.rows}")
     val actions = new AtomicInteger(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
@@ -56,13 +66,13 @@ class Ep1PipelineSpec extends AnyFunSuite {
       override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
     }
-    spark.listenerManager.register(listener)
+    s2.listenerManager.register(listener)
     val out =
       try {
-        val o = Features.pipeline(Seq(col("sample_id")))(raw)
+        val o = Features.pipeline(Seq(col("sample_id")))(raw2)
         Thread.sleep(2000) // listener bus is async
         o
-      } finally spark.listenerManager.unregister(listener)
+      } finally s2.listenerManager.unregister(listener)
     val scalarActions = actions.get()
     assert(scalarActions <= 4, s"scalar prepass fired $scalarActions actions, want ≤4")
 

@@ -679,6 +679,43 @@ class LlmOpsSpec extends AnyFunSuite {
       s"${kept.size} kept of ${got.size}")
   }
 
+  test("l40 bfd pack == driver-side replay; capacity and tiling invariants") {
+    val cap = 512L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val sized = docs.map { case (id, text) =>
+      (id, id % 8, text.toLowerCase.split(" ", -1).length.toLong)
+    }
+    val expected = sized.groupBy(_._2).toSeq.flatMap { case (shard, xs) =>
+      var bins = Vector.empty[Long] // load by bid, bid = creation order
+      xs.sortBy { case (id, _, n) => (-n, id) }.map { case (id, _, n) =>
+        val cand = bins.zipWithIndex.filter { case (ld, _) => ld + n <= cap }
+        if (cand.isEmpty) {
+          val bid = bins.size.toLong
+          bins = bins :+ n
+          (id, shard, n, bid, 0L)
+        } else {
+          val (ld, bid) = cand.maxBy { case (l, b) => (l, -b) }
+          bins = bins.updated(bid, ld + n)
+          (id, shard, n, bid.toLong, ld)
+        }
+      }
+    }.sortBy(_._1)
+    val got = LlmQueries.l40_bfd_pack.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // invariants: a bin only exceeds capacity when it holds one oversize
+    // doc, and bin_offs tile the bin contiguously from 0
+    got.groupBy(t => (t._2, t._4)).foreach { case ((shard, bin), xs) =>
+      val tot = xs.map(_._3).sum
+      assert(tot <= cap || xs.size == 1,
+        s"shard $shard bin $bin over cap with ${xs.size} docs")
+      val inOrder = xs.sortBy(_._5)
+      assert(inOrder.map(_._5) === inOrder.map(_._3).scanLeft(0L)(_ + _).init,
+        s"shard $shard bin $bin offsets don't tile")
+    }
+  }
+
   test("l36 unimax budget == driver-side replay; caps and absorption hold") {
     def md5u32(id: Long): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")
