@@ -1716,6 +1716,68 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L41: temperature-based language resampling (the mT5 α-sampling of
+    * Xue et al. 2021, arXiv:2010.11934 §3.3; XLM-R's α = 0.3, Conneau et
+    * al. 2020) — the THIRD classic composition policy beside l31's fixed
+    * target mix and l36's UniMax waterfill: each language's share of the
+    * token budget is ∝ n_l^α, the power-law interpolation between
+    * proportional (α=1) and uniform (α=0) that upweights low-resource
+    * languages without starving high-resource ones. Unlike l36's 1-epoch
+    * cap, temperature sampling REPEATS small languages: a language whose
+    * budget exceeds its size runs multiple epochs, so the output is a
+    * per-doc COPY COUNT — ⌊budget_l / n_l⌋ full epochs for every doc,
+    * plus one extra copy for the md5-selected docs of the fractional
+    * pass (l31's exact integer keep test on the remainder).
+    *
+    * Cross-engine determinism: the ONLY float step is one pow(n, 0.3)
+    * per language, immediately scaled to an integer weight
+    * round(·×10⁶) — both engines' pow agree to ~1 ulp (~2.6e-8 after
+    * scaling), so the integer weights match; every downstream step
+    * (budget split, epochs, remainder, keep test) is exact long
+    * arithmetic replayed verbatim by the oracle. Overflow audit:
+    * (B·wi) needs B·wi < 2⁶³ — wi ≈ 10⁶·n^0.3 stays under 10¹⁰ through
+    * n = 10¹², so safe through B ≈ 10⁹ docs; widen to DECIMAL past that
+    * (the l31 note).
+    *
+    * 100 TB posture: l36's exact shape — map-combinable per-language
+    * count, #langs-row budget table broadcast, map-side keep test; the
+    * corpus never shuffles. */
+  val l41_temperature_sample = Q(
+    "l41_temperature_sample",
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+       |           FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n, CAST(round(pow(n, 0.3) * 1000000) AS BIGINT) AS wi
+       |      FROM c),
+       |tw AS (SELECT CAST(sum(wi) AS BIGINT) AS sw, CAST(sum(n) AS BIGINT) AS tn
+       |       FROM w),
+       |b AS (SELECT lang, n, ((tn // 2) * wi) // sw AS bl FROM w CROSS JOIN tw),
+       |e AS (SELECT lang, n, bl, bl // n AS epochs, bl % n AS rem FROM b),
+       |kk AS (SELECT d.doc_id, d.lang, e.epochs, e.rem, e.n,
+       |         CAST(${hexValOf("md5(CAST(d.doc_id AS VARCHAR))")} AS BIGINT) AS bu
+       |       FROM documents d JOIN e ON d.lang = e.lang)
+       |SELECT doc_id, lang,
+       |       CAST(epochs + CASE WHEN bu * n < rem * 4294967296 THEN 1 ELSE 0 END
+       |            AS BIGINT) AS n_copies
+       |FROM kk ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val c = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+    val w = c.withColumn("wi", round(pow(col("n"), 0.3) * 1e6).cast("long"))
+    val tw = w.agg(sum("wi").as("sw"), sum("n").as("tn"))
+    val bdf = broadcast(w.crossJoin(broadcast(tw))
+      .withColumn("bl", expr("((tn div 2) * wi) div sw"))
+      .select(col("lang"), col("n"),
+        expr("bl div n").as("epochs"), (col("bl") % col("n")).as("rem")))
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bu = conv(substring(h, 1, 8), 16, 10).cast("long")
+    spread(documents(s, d)).select(col("doc_id"), col("lang"))
+      .join(bdf, Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (col("epochs") +
+          (bu * col("n") < col("rem") * lit(4294967296L)).cast("long"))
+          .as("n_copies"))
+      .orderBy("doc_id")
+  }
+
   /** L33: deterministic shard shuffle — the training-order step after
     * packing: every doc gets a shard (md5 % 8) and a position within the
     * shard (rank by md5, doc_id), which together define the epoch-stable
@@ -2618,5 +2680,5 @@ object LlmQueries {
     l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix,
     l32_unigram_nll, l33_shard_shuffle, l34_final_corpus,
     l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
-    l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack)
+    l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample)
 }

@@ -314,4 +314,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
       s"no shuffle join may touch the corpus scan:\n$p")
   }
+
+  test("L41: the temperature budget table broadcasts like L36's") {
+    val p = finalPlan(LlmQueries.l41_temperature_sample)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the #langs-row epochs/remainder attach must broadcast:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"no shuffle join may touch the corpus scan:\n$p")
+  }
 }

@@ -716,6 +716,39 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l41 temperature sampling == driver-side replay; upweighting holds") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def hv(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    val n = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wi = n.map { case (l, c) => l -> math.round(math.pow(c, 0.3) * 1e6) }
+    val sw = wi.values.sum
+    val tn = n.values.sum
+    val bl = wi.map { case (l, w) => l -> ((tn / 2) * w) / sw }
+    val expected = docs.map { case (id, lang) =>
+      val epochs = bl(lang) / n(lang)
+      val rem = bl(lang) % n(lang)
+      val extra = if (hv(id.toString) * n(lang) < rem * 4294967296L) 1L else 0L
+      (id, lang, epochs + extra)
+    }.sortBy(_._1)
+    val got = LlmQueries.l41_temperature_sample.fn(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === expected)
+    // α < 1 upweights low-resource languages: per-doc budget share is
+    // monotone DECREASING in language size (bl/n ∝ n^(α-1)); compare the
+    // extreme languages cross-multiplied to stay in exact integers
+    val smallest = n.minBy { case (l, c) => (c, l) }._1
+    val largest = n.maxBy { case (l, c) => (c, l) }._1
+    assert(bl(smallest) * n(largest) >= bl(largest) * n(smallest),
+      s"per-doc share must favor $smallest over $largest")
+    // and no language is starved or over-budget in total
+    assert(bl.values.sum <= tn / 2)
+    assert(bl.values.forall(_ >= 1L))
+  }
+
   test("l36 unimax budget == driver-side replay; caps and absorption hold") {
     def md5u32(id: Long): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")
