@@ -2127,7 +2127,13 @@ object LlmQueries {
     * engines interpolate the threshold from the same two rounded scores
     * with the same lo + frac·(hi − lo) formula, so the comparison is
     * bit-deterministic. The oracle replays bucket hashing (md5 hex
-    * digits), smoothing, Gumbel, and quantile_cont end to end. */
+    * digits), smoothing, Gumbel, and quantile_cont end to end.
+    *
+    * Hash choice: md5 here because ANSI SQL can replay its hex digits
+    * (l8/l19's playbook for keeping a sketch oracle-checked); a
+    * deployment chasing throughput would swap the bucket hash for
+    * xxhash64 (graft_xxhash64_array, ~5× cheaper per digest) — the
+    * likelihood-ratio math is hash-agnostic. */
   val l38_dsir_sample = Q(
     "l38_dsir_sample",
     s"""WITH dt AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
