@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -2522,12 +2522,23 @@ object LlmQueries {
   ) { (s, d) =>
     val session = s
     import session.implicits._
-    val cap = 512L
     val base = spread(documents(s, d))
       .select(col("doc_id").cast("long").as("doc_id"),
         (col("doc_id") % 8).cast("long").as("shard"),
         size(TextOps.tokens(col("text"))).cast("long").as("n"))
       .as[(Long, Long, Long)]
+    bfdPack(base, cap = 512L).orderBy("doc_id")
+  }
+
+  /** The l40 packer over any (doc_id, shard, n) metadata frame — public
+    * so the hardening spec can drive engineered size distributions
+    * (equal-load best-fit ties, oversize docs, adversarial partitioning)
+    * that the corpus fixture may never hit. Output is unordered. */
+  def bfdPack(base0: Dataset[(Long, Long, Long)], cap: Long): DataFrame = {
+    val session = base0.sparkSession
+    import session.implicits._
+    // normalize column names: callers may hand a raw tuple Dataset (_1.._3)
+    val base = base0.toDF("doc_id", "shard", "n").as[(Long, Long, Long)]
     base.groupByKey(_._2)
       .flatMapSortedGroups(col("n").desc, col("doc_id")) { case (shard, it) =>
         // open bins keyed (load, Long.MaxValue - bid): rangeTo picks the
@@ -2553,7 +2564,6 @@ object LlmQueries {
         }
       }
       .toDF("doc_id", "shard", "n_tokens", "bin", "bin_off")
-      .orderBy("doc_id")
   }
 
   /** L21: the curated corpus — the capstone composition every stage above

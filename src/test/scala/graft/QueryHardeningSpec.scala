@@ -55,6 +55,45 @@ class QueryHardeningSpec extends AnyFunSuite {
       assert(!v.isNaN && !v.isInfinite)
   }
 
+  test("l40 packer: best-fit ties and oversize docs, invariant to partitioning") {
+    import spark.implicits._
+    import graft.queries.LlmQueries
+    val cap = 100L
+    // engineered sizes in ONE shard: 60+60 then 30s — after the two 60s
+    // open two bins at load 60 (an exact equal-load tie: the 30 must go
+    // to the LOWER bin id), plus an oversize doc (150 > cap) that must
+    // sit alone, plus 10s that backfill
+    val sizes = Seq(150L, 60L, 60L, 30L, 30L, 30L, 10L, 10L, 10L, 10L)
+    val base = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, 0L, n) }
+    // driver-side BFD (the LlmOpsSpec replay algorithm)
+    var bins = Vector.empty[Long]
+    val expected = base.sortBy { case (id, _, n) => (-n, id) }.map { case (id, _, n) =>
+      val cand = bins.zipWithIndex.filter { case (ld, _) => ld + n <= cap }
+      if (cand.isEmpty) {
+        val bid = bins.size.toLong
+        bins = bins :+ n
+        (id, 0L, n, bid, 0L)
+      } else {
+        val (ld, bid) = cand.maxBy { case (l, b) => (l, -b) }
+        bins = bins.updated(bid, ld + n)
+        (id, 0L, n, bid.toLong, ld)
+      }
+    }.sortBy(_._1)
+    // the tie case actually fired: the two 60-docs opened bins 1 and 2,
+    // and the first 30 landed in bin 1 (lowest id at equal load 60)
+    assert(expected.exists { case (_, _, n, bid, off) => n == 30L && bid == 1L && off == 60L })
+    // oversize doc is alone in its bin
+    val osBin = expected.find(_._3 == 150L).get._4
+    assert(expected.count(_._4 == osBin) == 1)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = LlmQueries.bfdPack(base.toDS().repartition(parts), cap)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got === expected, s"packing diverged at $parts input partitions")
+    }
+  }
+
   test("statsCache: clearStatsCache across two dirs, reruns stay correct") {
     val d1 = "/root/testdata/sf0.001"
     val d2 = "/root/testdata/sf0.01"
