@@ -1392,6 +1392,50 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L42: soft-dedup sampling weights — the "downweight, don't drop"
+    * alternative to l14's hard keep/drop (the SoftDeDup direction, He et
+    * al., ACL 2024: removing near-dups discards signal; reweighting keeps
+    * it while killing the over-representation): every doc gets sampling
+    * weight 1/|cluster| over the exact near-dup cluster graph, so each
+    * distinct piece of content contributes ONE doc's worth of expected
+    * epochs no matter how many near-copies exist; docs with no near-dup
+    * are their own singleton cluster at weight 1. Composes with l41's
+    * copy counts (multiply) for a dedup-aware temperature schedule.
+    *
+    * 100 TB posture: rides the SAME cached pair/label frames as l14/l21
+    * (one pair pipeline, one CC fixpoint per session); cluster sizes are
+    * a map-combinable count over the label frame (docs-in-pairs only,
+    * ≪ corpus at real dup rates — AQE broadcasts the attach); the
+    * corpus-side left join on doc_id is the one unavoidable equi-join,
+    * and the corpus never shuffles for anything else. Weight is the only
+    * float (round(1/k, 6), k an exact integer both engines agree on). */
+  val l42_softdedup_weights = Q(
+    "l42_softdedup_weights",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+       |       FROM lbl GROUP BY cluster)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(lbl.cluster, d.doc_id) AS BIGINT) AS cluster,
+       |       CAST(coalesce(cs.csize, 1) AS BIGINT) AS cluster_size,
+       |       round(1.0 / coalesce(cs.csize, 1), 6) AS weight
+       |FROM documents d
+       |LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+       |LEFT JOIN cs ON lbl.cluster = cs.cluster
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val lbl = clusterLabelsCached(s, d).withColumnRenamed("node", "ldoc")
+    val cs = lbl.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val lab = lbl.join(cs, Seq("cluster"))
+    documents(s, d).select(col("doc_id"))
+      .join(lab, col("doc_id") === col("ldoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).cast("long").as("cluster"),
+        coalesce(col("csize"), lit(1L)).cast("long").as("cluster_size"),
+        round(lit(1.0) / coalesce(col("csize"), lit(1L)), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** L15: repetition-based quality filter — the Gopher-rules shape (Rae et
     * al. 2021 §A1.1: "fraction of characters in the most common n-gram",
     * "fraction of duplicate n-grams") adapted to this corpus' token
@@ -2696,5 +2740,6 @@ object LlmQueries {
     l29_hyperplane_lsh, l30_repeated_span_scrub, l31_domain_mix,
     l32_unigram_nll, l33_shard_shuffle, l34_final_corpus,
     l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
-    l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample)
+    l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
+    l42_softdedup_weights)
 }

@@ -716,6 +716,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l42 soft-dedup weights: consistent with l14, unit mass per cluster") {
+    val l14 = LlmQueries.l14_dedup_clusters.fn(spark, sf)
+      .select("doc_id", "cluster", "cluster_size")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val got = LlmQueries.l42_softdedup_weights.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.size.toLong === nDocs, "every doc gets a weight row")
+    assert(l14.nonEmpty, "fixture must contain near-dup clusters")
+    got.foreach { case (id, cluster, csize, w) =>
+      l14.get(id) match {
+        case Some((c14, s14)) => // pair-member docs mirror l14 exactly
+          assert(cluster === c14 && csize === s14, s"doc $id diverges from l14")
+        case None => // singletons: own cluster, weight 1
+          assert(cluster === id && csize === 1L && w === 1.0, s"doc $id singleton")
+      }
+      assert(math.abs(w - 1.0 / csize) <= 5e-7, s"doc $id weight vs 1/$csize")
+    }
+    // each distinct content item contributes one doc's worth of mass
+    got.groupBy(_._2).foreach { case (cluster, xs) =>
+      assert(math.abs(xs.map(_._4).sum - 1.0) <= 1e-6 * xs.size,
+        s"cluster $cluster mass ${xs.map(_._4).sum}")
+    }
+  }
+
   test("l41 temperature sampling == driver-side replay; upweighting holds") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
