@@ -1916,6 +1916,104 @@ object LlmQueries {
        |FROM nl ORDER BY doc_id""".stripMargin
   ) { (s, d) => nllFrame(s, d).orderBy("doc_id") }
 
+  /** L43: bigram LM scoring with STUPID BACKOFF (Brants et al., EMNLP
+    * 2007 — the web-scale LM smoothing that needs no discounting math:
+    * score(c|p) = count(p c)/count(p) when the bigram was seen, else
+    * 0.4·count(c)/N, else a fixed OOV floor 0.4·0.5/N) — the "real LM"
+    * upgrade over l32's unigram scorer, the model CCNet-style quality
+    * scoring actually wants. The LM is FIT ON A SPLIT (md5 bucket < 50,
+    * l27's held-out idiom) and scores EVERY doc — fitting and scoring on
+    * the same corpus would mean every observed bigram is in the table
+    * and the backoff path never fires; with the split, out-of-fit docs
+    * exercise all three tiers. Per doc: the count of bigram positions
+    * and the mean −ln(score) over them, 0.0 for docs with < 2 tokens.
+    *
+    * 100 TB posture, and the honest difference from l32: the BIGRAM
+    * table is type-level but grows ~linearly with corpus size — it
+    * CANNOT broadcast. The score attach is therefore the one real
+    * equi-join shuffle on (p, c) (production narrows it by hashing grams
+    * to longs — xxhash64, the l19 tradeoff — and bucket-partitions the
+    * LM table so repeated scoring runs skip its exchange); the unigram
+    * backoff table is vocab-sized and BROADCASTS like l32's; the per-doc
+    * mean is a map-combinable groupBy. All ratios become −ln at fit
+    * time, so scoring is pure join + coalesce + avg. */
+  val l43_bigram_lm_score = Q(
+    "l43_bigram_lm_score",
+    s"""WITH t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+       |        CAST(${hexValOf("md5(CAST(doc_id AS VARCHAR))")} AS BIGINT) % 100 AS bucket
+       |      FROM documents),
+       |pr AS (SELECT doc_id, bucket,
+       |         CASE WHEN len(toks) >= 2 THEN
+       |           list_transform(range(len(toks) - 1),
+       |                          i -> {'p': toks[i+1], 'c': toks[i+2]})
+       |         ELSE [] END AS bgs FROM t0),
+       |po AS (SELECT doc_id, bucket, unnest(bgs) AS bg FROM pr),
+       |px AS (SELECT doc_id, bucket, bg.p AS p, bg.c AS c FROM po),
+       |ut AS (SELECT unnest(toks) AS tok FROM t0 WHERE bucket < 50),
+       |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM ut GROUP BY tok),
+       |n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM u),
+       |b2 AS (SELECT p, c, CAST(count(*) AS BIGINT) AS c2
+       |       FROM px WHERE bucket < 50 GROUP BY p, c),
+       |b2r AS (SELECT b2.p, b2.c, -ln(b2.c2 * 1.0 / u.c1) AS nll2
+       |        FROM b2 JOIN u ON b2.p = u.tok),
+       |u1 AS (SELECT tok AS c, -ln(0.4 * c1 / (SELECT total FROM n1)) AS nll1
+       |       FROM u),
+       |sc AS (SELECT px.doc_id,
+       |         coalesce(b2r.nll2, u1.nll1,
+       |                  -ln(0.2 / (SELECT total FROM n1))) AS nll
+       |       FROM px LEFT JOIN b2r ON px.p = b2r.p AND px.c = b2r.c
+       |               LEFT JOIN u1 ON px.c = u1.c),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |              round(avg(nll), 6) AS avg_nll2
+       |       FROM sc GROUP BY doc_id)
+       |SELECT t0.doc_id, CAST(coalesce(ag.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       coalesce(ag.avg_nll2, 0.0) AS avg_nll2
+       |FROM t0 LEFT JOIN ag ON t0.doc_id = ag.doc_id
+       |ORDER BY t0.doc_id""".stripMargin
+  ) { (s, d) => stupidBackoffScores(spread(documents(s, d))).orderBy("doc_id") }
+
+  /** The l43 scorer over any (doc_id, text) frame — public so the spec
+    * can drive a synthetic corpus engineered to fire all three backoff
+    * tiers (the driver fixture's vocabulary is fully shared across the
+    * md5 split, so its OOV tier can never fire). Output is unordered. */
+  def stupidBackoffScores(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long") % 100
+    val docsT = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"), bucket.as("bucket"))
+    val bgArr = when(size(col("toks")) >= 2,
+      transform(sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("p"),
+          element_at(col("toks"), i + 2).as("c"))))
+      .otherwise(array().cast("array<struct<p:string,c:string>>"))
+    val prs = docsT
+      .select(col("doc_id"), col("bucket"), explode_outer(bgArr).as("bg"))
+      .select(col("doc_id"), col("bucket"),
+        col("bg.p").as("p"), col("bg.c").as("c"))
+    val u = docsT.filter(col("bucket") < 50)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val n1 = u.agg(sum("c1").as("total"))
+    val b2 = prs.filter(col("bucket") < 50 && col("p").isNotNull)
+      .groupBy("p", "c").agg(count(lit(1)).as("c2"))
+      .join(broadcast(u.select(col("tok").as("p"), col("c1").as("c1p"))),
+        Seq("p"))
+      .select(col("p"), col("c"), (-log(col("c2") / col("c1p"))).as("nll2"))
+    val u1 = broadcast(u.crossJoin(broadcast(n1))
+      .select(col("tok").as("c"),
+        (-log(lit(0.4) * col("c1") / col("total"))).as("nll1")))
+    val oov = broadcast(n1.select((-log(lit(0.2) / col("total"))).as("nll0")))
+    prs.join(b2, Seq("p", "c"), "left")
+      .join(u1, Seq("c"), "left")
+      .crossJoin(oov)
+      .select(col("doc_id"),
+        when(col("p").isNull, lit(null).cast("double"))
+          .otherwise(coalesce(col("nll2"), col("nll1"), col("nll0"))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(col("nll")).cast("long").as("n_bigrams"),
+        coalesce(round(avg(col("nll")), 6), lit(0.0)).as("avg_nll2"))
+  }
+
   /** L39: CCNet perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359 §4.3) — the cut that turns l32's raw LM score into
     * the head/middle/tail corpus splits CCNet publishes: per LANGUAGE,
@@ -2741,5 +2839,5 @@ object LlmQueries {
     l32_unigram_nll, l33_shard_shuffle, l34_final_corpus,
     l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
-    l42_softdedup_weights)
+    l42_softdedup_weights, l43_bigram_lm_score)
 }

@@ -315,6 +315,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no shuffle join may touch the corpus scan:\n$p")
   }
 
+  test("L43: the unigram backoff table broadcasts; the doc mean map-combines") {
+    val p = finalPlan(LlmQueries.l43_bigram_lm_score)
+    val fin = p.split("== Initial Plan ==")(0)
+    // the vocab-sized unigram/backoff attaches must broadcast (the bigram
+    // attach may be either shape — at test SF AQE broadcasts it too)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the backoff vocab probe must broadcast:\n$p")
+    assert(!fin.contains("CartesianProduct"),
+      s"no all-pairs shape belongs in LM scoring:\n$p")
+    // the per-doc mean combines map-side before its exchange
+    assert(p.contains("partial_count") || p.contains("partial_avg") ||
+      p.contains("partial_sum"),
+      s"the per-doc aggregate must combine map-side:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -716,6 +716,76 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side stupid-backoff replay over an arbitrary corpus: per-doc
+    * (id, n_bigrams, avg_nll2) plus the set of backoff tiers that fired
+    * (2 = bigram, 1 = unigram backoff, 0 = OOV floor). */
+  private def backoffReplay(
+      docs: Seq[(Long, String)]): (Seq[(Long, Long, Double)], Set[Int]) = {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def hv(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def toks(t: String): Seq[String] = t.toLowerCase.split(" ", -1).toSeq
+    def bgs(t: String): Seq[(String, String)] = {
+      val ts = toks(t)
+      if (ts.size < 2) Seq.empty else ts.sliding(2).map(w => (w(0), w(1))).toSeq
+    }
+    val fit = docs.filter { case (id, _) => hv(id.toString) % 100 < 50 }
+    val u = fit.flatMap(d => toks(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n1 = u.values.sum.toDouble
+    val b2 = fit.flatMap(d => bgs(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val tiers = scala.collection.mutable.Set.empty[Int]
+    val rows = docs.map { case (id, text) =>
+      val nlls = bgs(text).map { case (p, c) =>
+        if (b2.contains((p, c))) { tiers += 2; -math.log(b2((p, c)) / u(p).toDouble) }
+        else if (u.contains(c)) { tiers += 1; -math.log(0.4 * u(c) / n1) }
+        else { tiers += 0; -math.log(0.2 / n1) }
+      }
+      (id, nlls.size.toLong, if (nlls.isEmpty) 0.0 else nlls.sum / nlls.size)
+    }.sortBy(_._1)
+    (rows, tiers.toSet)
+  }
+
+  test("l43 stupid backoff == driver-side replay on the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (expected, tiers) = backoffReplay(docs)
+    // the driver fixture's vocabulary is fully shared across the md5
+    // split, so only the bigram and unigram-backoff tiers can fire here;
+    // the OOV tier is pinned by the synthetic test below
+    assert(tiers === Set(1, 2), s"corpus tiers: $tiers")
+    val got = LlmQueries.l43_bigram_lm_score.fn(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) === expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case ((id, _, a), (_, _, e)) =>
+      assert(math.abs(a - e) <= 1e-6, s"doc $id avg_nll2 $a vs $e")
+    }
+  }
+
+  test("l43 backoff tiers: synthetic corpus fires bigram, unigram AND oov") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def hv(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    // pick real ids on each side of the md5 split
+    val fitId = (0L to 200L).find(i => hv(i.toString) % 100 < 50).get
+    val schId = (0L to 200L).find(i => hv(i.toString) % 100 >= 50).get
+    // fit doc defines the LM; the scored doc hits: (a b) seen bigram,
+    // (c a) unseen bigram with seen unigram, (a zzz) OOV token
+    val corpus = Seq((fitId, "a b a b c"), (schId, "a b c a zzz"))
+    val (expected, tiers) = backoffReplay(corpus)
+    assert(tiers === Set(0, 1, 2), s"synthetic tiers: $tiers")
+    val got = LlmQueries.stupidBackoffScores(
+        corpus.toDF("doc_id", "text")).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) === expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case ((id, _, a), (_, _, e)) =>
+      assert(math.abs(a - e) <= 1e-6, s"doc $id avg_nll2 $a vs $e")
+    }
+  }
+
   test("l42 soft-dedup weights: consistent with l14, unit mass per cluster") {
     val l14 = LlmQueries.l14_dedup_clusters.fn(spark, sf)
       .select("doc_id", "cluster", "cluster_size")
