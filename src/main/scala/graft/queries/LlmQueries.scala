@@ -2708,6 +2708,79 @@ object LlmQueries {
       .toDF("doc_id", "shard", "n_tokens", "bin", "bin_off")
   }
 
+  /** L44: BPE merge learning (Sennrich et al., ACL 2016 — byte-pair
+    * encoding applied to word segmentation): learn the first k merge
+    * rules of a subword tokenizer from the corpus, the tokenizer-FITTING
+    * half of a training-data pipeline (l1's BPE-ish token counting is
+    * the consuming half). Classic trainer shape: BPE never iterates the
+    * corpus — it iterates the WORD-FREQUENCY TABLE (one row per distinct
+    * word, char symbols + a `</w>` end marker), so each round is (a) a
+    * pair-count aggregate over the vocab weighted by word count, (b) an
+    * argmax with deterministic (count DESC, left, right) tie-break —
+    * a 1-row bounded collect per round, the Features.scala contract —
+    * and (c) a greedy leftmost non-overlapping merge rewrite as a native
+    * `aggregate` fold over each word's symbol array. Lineage is cut with
+    * an eager localCheckpoint per round (the Graph.scala iteration
+    * pattern) so round r's plan doesn't replay rounds 1..r−1.
+    *
+    * 100 TB posture: the corpus is touched ONCE (the map-combinable word
+    * count); every round after that runs on the type-level vocab frame —
+    * millions of rows at web scale, not billions — and ships one row to
+    * the driver. No oracle: merge learning is inherently iterative with
+    * an aggregate-over-previous-round dependency, which recursive CTEs
+    * cannot express (no aggregation over the recursive reference) — the
+    * driver records the rows-only check and LlmOpsSpec replays the full
+    * trainer driver-side, merge by merge. */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val chars = filter(split(col("w"), ""), ch => ch =!= "")
+    var vocab = words.select(col("cnt"),
+      transform(chars, (ch, i) =>
+        when(i === size(chars) - 1, concat(ch, lit("</w>"))).otherwise(ch))
+        .as("syms"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var done = false
+    for (r <- 1 to k if !done) {
+      val pairStruct = transform(sequence(lit(0), size(col("syms")) - 2),
+        i => struct(element_at(col("syms"), i + 1).as("a"),
+          element_at(col("syms"), i + 2).as("b")))
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(pairStruct).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        val c = top(0).getLong(2)
+        merges += ((r.toLong, a, b, a + b, c))
+        // greedy leftmost non-overlap: merging (x,x) over "x x x" yields
+        // ["xx","x"], never ["x","xx"] — the fold's just-merged symbol
+        // cannot participate in a second merge at the same position
+        vocab = vocab.select(col("cnt"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s2) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && s2 === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(s2)))).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  val l44_bpe_merges = Q.noOracle("l44_bpe_merges") { (s, d) =>
+    bpeMerges(spread(documents(s, d)), k = 20)
+  }
+
   /** L21: the curated corpus — the capstone composition every stage above
     * exists for: a doc survives iff it passes the l15 quality filter, the
     * l17 stratified sample, AND the l14 dedup decision (not in a near-dup
@@ -2839,5 +2912,5 @@ object LlmQueries {
     l32_unigram_nll, l33_shard_shuffle, l34_final_corpus,
     l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
-    l42_softdedup_weights, l43_bigram_lm_score)
+    l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges)
 }

@@ -786,6 +786,43 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l44 bpe merges == driver-side replay, merge by merge") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val words = docs.flatMap(_._2.toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // vocab rows: (symbol seq, word count), chars + </w> on the last
+    var vocab: Seq[(Vector[String], Long)] = words.toSeq.map { case (w, c) =>
+      val chs = w.map(_.toString).toVector
+      (chs.init :+ (chs.last + "</w>"), c)
+    }
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    val expected = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (r <- 1 to 20) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.iterator.sliding(2).withPartial(false)
+          .foreach(pr => pc((pr(0), pr(1))) += c)
+      }
+      assert(pc.nonEmpty, "fixture vocab exhausted before 20 merges")
+      val ((a, b), c) = pc.minBy { case ((x, y), n) => (-n, x, y) }
+      expected += ((r.toLong, a, b, a + b, c))
+      vocab = vocab.map { case (syms, cnt) => (applyMerge(syms, a, b), cnt) }
+    }
+    val got = LlmQueries.l44_bpe_merges.fn(spark, sf)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got === expected.toSeq)
+    // merges chain: later merges may consume earlier merged symbols, and
+    // the learned ranks are strictly ordered
+    assert(got.map(_._1) === (1L to 20L))
+  }
+
   test("l42 soft-dedup weights: consistent with l14, unit mass per cluster") {
     val l14 = LlmQueries.l14_dedup_clusters.fn(spark, sf)
       .select("doc_id", "cluster", "cluster_size")
