@@ -2781,6 +2781,50 @@ object LlmQueries {
     bpeMerges(spread(documents(s, d)), k = 20)
   }
 
+  /** L45: sliding-window passage chunking — the retrieval-side layout
+    * step (DPR's fixed-length passage splits, Karpukhin et al., EMNLP
+    * 2020 §3.1, generalized with overlap as RAG chunkers do): each doc
+    * is cut into 64-token windows on a 48-token stride (16 tokens of
+    * overlap so no boundary sentence is ever split away from both its
+    * contexts), emitting (chunk_id, start_tok, n_tokens, chunk_text) per
+    * window; the final window may be shorter; a doc shorter than one
+    * window is one chunk. 100 TB posture: pure per-row HOF expressions —
+    * transform over a per-doc sequence + slice + array_join — ZERO
+    * shuffles, whole-stage codegen; the natural pre-embedding scan that
+    * feeds l6/l7's vector side. */
+  val l45_passage_chunks = Q(
+    "l45_passage_chunks",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |c AS (SELECT doc_id, unnest(list_transform(range((len(toks) - 1) // 48 + 1),
+      |        i -> {'cid': i, 'st': i * 48,
+      |              'nt': least(64, len(toks) - i * 48),
+      |              'txt': array_to_string(list_slice(toks, i * 48 + 1,
+      |                       i * 48 + least(64, len(toks) - i * 48)), ' ')})) AS ch
+      |      FROM t)
+      |SELECT doc_id, CAST(ch.cid AS BIGINT) AS chunk_id,
+      |       CAST(ch.st AS BIGINT) AS start_tok,
+      |       CAST(ch.nt AS BIGINT) AS n_tokens, ch.txt AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (s, d) =>
+    val n = size(col("toks"))
+    val chunks = transform(
+      sequence(lit(0), expr("(size(toks) - 1) div 48")),
+      i => struct(
+        i.cast("long").as("cid"),
+        (i * 48).cast("long").as("st"),
+        least(lit(64), n - i * 48).cast("long").as("nt"),
+        array_join(slice(col("toks"), i * 48 + 1, least(lit(64), n - i * 48)), " ")
+          .as("txt")))
+    spread(documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(chunks).as("ch"))
+      .select(col("doc_id"), col("ch.cid").as("chunk_id"),
+        col("ch.st").as("start_tok"), col("ch.nt").as("n_tokens"),
+        col("ch.txt").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** L21: the curated corpus — the capstone composition every stage above
     * exists for: a doc survives iff it passes the l15 quality filter, the
     * l17 stratified sample, AND the l14 dedup decision (not in a near-dup
@@ -2912,5 +2956,6 @@ object LlmQueries {
     l32_unigram_nll, l33_shard_shuffle, l34_final_corpus,
     l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
-    l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges)
+    l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
+    l45_passage_chunks)
 }

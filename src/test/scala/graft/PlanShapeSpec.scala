@@ -330,6 +330,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-doc aggregate must combine map-side:\n$p")
   }
 
+  test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
+    val p = plan(LlmQueries.l45_passage_chunks)
+    assert(!p.contains("hashpartitioning"),
+      s"chunk construction is per-row; only the result sort may exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join belongs in a per-row scan:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -786,6 +786,33 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l45 passage chunks reconstruct every doc with the declared stride") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }.toMap
+    val got = LlmQueries.l45_passage_chunks.fn(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    got.groupBy(_._1).foreach { case (id, chunks) =>
+      val toks = docs(id)
+      val sorted = chunks.sortBy(_._2)
+      // strides: chunk i starts at 48i; sizes min(64, n - start); the
+      // final chunk reaches the last token
+      sorted.zipWithIndex.foreach { case ((_, cid, st, nt, txt), i) =>
+        assert(cid === i.toLong && st === 48L * i)
+        assert(nt === math.min(64L, toks.size - st))
+        assert(txt === toks.slice(st.toInt, (st + nt).toInt).mkString(" "))
+      }
+      val (_, _, lastSt, lastNt, _) = sorted.last
+      assert(lastSt + lastNt === toks.size.toLong, s"doc $id tail uncovered")
+      // overlap fires: any doc longer than one window overlaps by 16
+      if (toks.size > 64)
+        assert(sorted.sliding(2).forall { w =>
+          w(0)._3 + w(0)._4 - w(1)._3 == 16L || w(0)._4 < 64L })
+    }
+    assert(got.groupBy(_._1).exists(_._2.size > 1),
+      "fixture must contain multi-chunk docs")
+  }
+
   test("l44 bpe merges == driver-side replay, merge by merge") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
