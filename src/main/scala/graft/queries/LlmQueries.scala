@@ -2807,6 +2807,13 @@ object LlmQueries {
       |       CAST(ch.nt AS BIGINT) AS n_tokens, ch.txt AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   ) { (s, d) =>
+    passageChunks(spread(documents(s, d))).orderBy("doc_id", "chunk_id")
+  }
+
+  /** The l45 chunker over any (doc_id, text) frame, unordered — per-row
+    * only, so the SAME body runs on a `readStream` frame unchanged (no
+    * state, no watermark; StreamingSpec pins stream ≡ batch). */
+  def passageChunks(docs: DataFrame): DataFrame = {
     val n = size(col("toks"))
     val chunks = transform(
       sequence(lit(0), expr("(size(toks) - 1) div 48")),
@@ -2816,13 +2823,12 @@ object LlmQueries {
         least(lit(64), n - i * 48).cast("long").as("nt"),
         array_join(slice(col("toks"), i * 48 + 1, least(lit(64), n - i * 48)), " ")
           .as("txt")))
-    spread(documents(s, d))
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(chunks).as("ch"))
       .select(col("doc_id"), col("ch.cid").as("chunk_id"),
         col("ch.st").as("start_tok"), col("ch.nt").as("n_tokens"),
         col("ch.txt").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** L21: the curated corpus — the capstone composition every stage above

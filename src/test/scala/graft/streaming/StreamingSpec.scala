@@ -246,6 +246,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotStream === expected)
   }
 
+  test("streaming passage chunking (l45 body) equals the batch output") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val expected = graft.queries.LlmQueries.passageChunks(docs)
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.queries.LlmQueries.passageChunks(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream").outputMode("append")
+      .start()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("chunk_stream").collect().map(_.toSeq).toSet
+    assert(got === expected,
+      "the per-row chunker must emit identical rows on a chunked stream")
+  }
+
   test("lsh bucket store evicts buckets past the horizon (watermark-keyed TTL)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
