@@ -2781,6 +2781,60 @@ object LlmQueries {
     bpeMerges(spread(documents(s, d)), k = 20)
   }
 
+  /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
+    * quantile estimator completing the sketch family beside d13's HLL
+    * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
+    * the k rows with the smallest md5(key) priority — a deterministic
+    * uniform sample, and a MERGEABLE one (the bottom-k of a union is the
+    * bottom-k of the parts' bottom-ks, so partial sketches combine
+    * exactly like HLL registers) — then read quantiles off the sorted
+    * sample with the d11 interpolation formula. Rank error is the
+    * k-sample binomial bound O(√(p(1−p)/k)); LlmOpsSpec pins the
+    * estimates against the exact engine within 4σ. Determinism: md5
+    * priorities on the unique (orderkey, linenumber) key — no rand(),
+    * no sampleBy — so both engines pick the IDENTICAL sample.
+    *
+    * 100 TB posture: the sort-limit plans as TakeOrderedAndProject
+    * (per-partition bottom-k, then one k·P-row merge — never a global
+    * sort/exchange; the plan pin asserts it), and the k-row sample is a
+    * bounded single-row aggregate after that. This is the shape you use
+    * when d11's exact multi-pass engine is too expensive: one pass, 16
+    * bytes × k of state, mergeable across shards and days. */
+  val l46_sample_quantiles = Q(
+    "l46_sample_quantiles", {
+      val k = 1024
+      def q(p: String) =
+        s"""round(arr[CAST(floor((len(arr) - 1) * $p) AS BIGINT) + 1]
+           |  + ((len(arr) - 1) * $p - floor((len(arr) - 1) * $p))
+           |    * (arr[least(CAST(floor((len(arr) - 1) * $p) AS BIGINT) + 2, len(arr))]
+           |       - arr[CAST(floor((len(arr) - 1) * $p) AS BIGINT) + 1]), 6)""".stripMargin
+      s"""WITH s AS (SELECT l_extendedprice AS x FROM lineitem
+         |           ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+         |                        CAST(l_linenumber AS VARCHAR)) LIMIT $k),
+         |a AS (SELECT list_sort(list(x)) AS arr FROM s)
+         |SELECT ${q("0.25")} AS p25, ${q("0.5")} AS p50, ${q("0.75")} AS p75
+         |FROM a""".stripMargin
+    }
+  ) { (s, d) =>
+    val k = 1024
+    val key = concat(col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"))
+    val samp = lineitem(s, d)
+      .select(col("l_extendedprice").as("x"), md5(key.cast("binary")).as("h"))
+      .orderBy("h").limit(k)
+    val arr = col("arr")
+    def q(p: Double): Column = {
+      val idx = (size(arr) - 1).cast("double") * lit(p)
+      val lo = floor(idx).cast("long")
+      val frac = idx - floor(idx)
+      val vLo = element_at(arr, (lo + 1).cast("int"))
+      val vHi = element_at(arr, least(lo + 2, size(arr).cast("long")).cast("int"))
+      round(vLo + frac * (vHi - vLo), 6)
+    }
+    samp.agg(sort_array(collect_list(col("x"))).as("arr"))
+      .select(q(0.25).as("p25"), q(0.5).as("p50"), q(0.75).as("p75"))
+  }
+
   /** L45: sliding-window passage chunking — the retrieval-side layout
     * step (DPR's fixed-length passage splits, Karpukhin et al., EMNLP
     * 2020 §3.1, generalized with overlap as RAG chunkers do): each doc
@@ -2963,5 +3017,5 @@ object LlmQueries {
     l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
-    l45_passage_chunks)
+    l45_passage_chunks, l46_sample_quantiles)
 }

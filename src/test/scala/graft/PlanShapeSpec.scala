@@ -330,6 +330,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-doc aggregate must combine map-side:\n$p")
   }
 
+  test("L46: the bottom-k sample is TakeOrdered, never a global sort") {
+    val p = plan(LlmQueries.l46_sample_quantiles)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sort+limit must plan as per-partition bottom-k + merge:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort exchange belongs in a bottom-k sample:\n$p")
+  }
+
   test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
     val p = plan(LlmQueries.l45_passage_chunks)
     assert(!p.contains("hashpartitioning"),

@@ -786,6 +786,21 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l46 sample-quantile sketch lands within the binomial rank bound") {
+    val est = LlmQueries.l46_sample_quantiles.fn(spark, sf)
+      .as[(Double, Double, Double)].collect().head
+    val xs = graft.Tables.lineitem(spark, sf)
+      .select("l_extendedprice").as[Double].collect().sorted
+    def cdf(v: Double): Double = xs.count(_ <= v).toDouble / xs.length
+    // k = 1024 uniform sample: rank error ≤ 4·√(p(1−p)/k) ≈ 0.054 at the
+    // median — assert within 0.06 for all three estimates
+    for ((p, v) <- Seq(0.25 -> est._1, 0.5 -> est._2, 0.75 -> est._3))
+      assert(math.abs(cdf(v) - p) <= 0.06,
+        s"p=$p estimate $v sits at CDF ${cdf(v)}")
+    // and the estimates are ordered
+    assert(est._1 <= est._2 && est._2 <= est._3)
+  }
+
   test("l45 passage chunks reconstruct every doc with the declared stride") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
