@@ -2835,6 +2835,58 @@ object LlmQueries {
       .select(q(0.25).as("p25"), q(0.5).as("p50"), q(0.75).as("p75"))
   }
 
+  /** L47: weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    * 2006 (Inf. Process. Lett.): give row i the exponential clock
+    * e_i = −ln(u_i)/w_i and keep the k smallest; the result is exactly a
+    * weight-proportional sample without replacement. Weights here are
+    * l42's soft-dedup weights (1/|near-dup cluster|), so this is the
+    * dedup-aware corpus subsample the curation family composes to: near-
+    * dup copies split one doc's worth of inclusion probability instead
+    * of stuffing the sample with repeats. Deterministic end to end: u is
+    * l17's md5(doc_id) uniform (no rand()), the race is tie-broken by
+    * doc_id, and the oracle replays clusters → weights → clocks → race.
+    *
+    * 100 TB posture: the clock is a per-row expression over the l42
+    * frame (whose pair/label inputs are the session-shared caches), and
+    * the k-smallest race is the l46 TakeOrdered shape — per-partition
+    * bottom-k then one k·P merge, never a global sort exchange. This is
+    * the standard "give me a 1M-doc weighted eval slice of the corpus"
+    * primitive, and swapping in any other per-doc weight (l41 copy
+    * counts, quality scores) is a one-column change. */
+  val l47_weighted_sample = Q(
+    "l47_weighted_sample",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+       |       FROM lbl GROUP BY cluster),
+       |w AS (SELECT d.doc_id,
+       |        1.0 / coalesce(cs.csize, 1) AS wt,
+       |        (${hexValOf("md5(CAST(d.doc_id AS VARCHAR))")} + 0.5) / 4294967296.0 AS u
+       |      FROM documents d
+       |      LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+       |      LEFT JOIN cs ON lbl.cluster = cs.cluster),
+       |r AS (SELECT doc_id, wt, -ln(u) / wt AS clock FROM w
+       |      ORDER BY clock, doc_id LIMIT 256)
+       |SELECT doc_id, round(wt, 6) AS weight, round(clock, 6) AS clock
+       |FROM r ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val lbl = clusterLabelsCached(s, d).withColumnRenamed("node", "ldoc")
+    val cs = lbl.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val lab = lbl.join(cs, Seq("cluster"))
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    documents(s, d).select(col("doc_id"))
+      .join(lab, col("doc_id") === col("ldoc"), "left")
+      .select(col("doc_id"),
+        (lit(1.0) / coalesce(col("csize"), lit(1L))).as("wt"),
+        u.as("u"))
+      .withColumn("clock", -log(col("u")) / col("wt"))
+      .orderBy(col("clock"), col("doc_id")).limit(256)
+      .select(col("doc_id"), round(col("wt"), 6).as("weight"),
+        round(col("clock"), 6).as("clock"))
+      .orderBy("doc_id")
+  }
+
   /** L45: sliding-window passage chunking — the retrieval-side layout
     * step (DPR's fixed-length passage splits, Karpukhin et al., EMNLP
     * 2020 §3.1, generalized with overlap as RAG chunkers do): each doc
@@ -3017,5 +3069,5 @@ object LlmQueries {
     l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
-    l45_passage_chunks, l46_sample_quantiles)
+    l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample)
 }

@@ -330,6 +330,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-doc aggregate must combine map-side:\n$p")
   }
 
+  test("L47: the weighted race is TakeOrdered, never a global sort") {
+    val p = plan(LlmQueries.l47_weighted_sample)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k-smallest-clock race must plan as per-partition bottom-k:\n$p")
+  }
+
   test("L46: the bottom-k sample is TakeOrdered, never a global sort") {
     val p = plan(LlmQueries.l46_sample_quantiles)
     assert(p.contains("TakeOrderedAndProject"),

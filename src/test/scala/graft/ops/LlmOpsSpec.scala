@@ -786,6 +786,36 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l47 weighted sample == driver-side ES replay; downweighting bites") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def hv(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val l42 = LlmQueries.l42_softdedup_weights.fn(spark, sf)
+      .select("doc_id", "cluster_size").as[(Long, Long)].collect().toSeq
+    val raced = l42.map { case (id, csize) =>
+      val w = 1.0 / csize
+      val u = (hv(id.toString) + 0.5) / 4294967296.0
+      (id, w, -math.log(u) / w)
+    }.sortBy { case (id, _, clock) => (clock, id) }.take(256)
+    val expected = raced.map { case (id, w, clock) => (id, w, clock) }
+      .sortBy(_._1)
+    val got = LlmQueries.l47_weighted_sample.fn(spark, sf)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) === expected.map(_._1))
+    got.zip(expected).foreach { case ((id, wG, cG), (_, wE, cE)) =>
+      assert(math.abs(wG - wE) <= 5e-7 && math.abs(cG - cE) <= 5e-7, s"doc $id")
+    }
+    // downweighting bites on this fixture: near-dup cluster members are
+    // not over-represented relative to their corpus share
+    val memberIds = l42.filter(_._2 > 1L).map(_._1).toSet
+    assert(memberIds.nonEmpty)
+    val corpusFrac = memberIds.size.toDouble / l42.size
+    val sampleFrac = got.count(r => memberIds(r._1)).toDouble / got.size
+    assert(sampleFrac <= corpusFrac,
+      s"cluster members: sample $sampleFrac vs corpus $corpusFrac")
+  }
+
   test("l46 sample-quantile sketch lands within the binomial rank bound") {
     val est = LlmQueries.l46_sample_quantiles.fn(spark, sf)
       .as[(Double, Double, Double)].collect().head
