@@ -1424,6 +1424,17 @@ object LlmQueries {
        |LEFT JOIN cs ON lbl.cluster = cs.cluster
        |ORDER BY d.doc_id""".stripMargin
   ) { (s, d) =>
+    clusterSizeFrame(s, d)
+      .select(col("doc_id"), col("cluster"), col("csize").as("cluster_size"),
+        round(lit(1.0) / col("csize"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, cluster, csize) for EVERY doc — the near-dup cluster attach
+    * with singleton fallback (cluster = self, csize = 1) — factored out of
+    * l42 so l47's weights are PROVABLY the same definition (r11 review:
+    * the two bodies had drifted into copy-paste). */
+  private def clusterSizeFrame(s: SparkSession, d: String): DataFrame = {
     val lbl = clusterLabelsCached(s, d).withColumnRenamed("node", "ldoc")
     val cs = lbl.groupBy("cluster").agg(count(lit(1)).as("csize"))
     val lab = lbl.join(cs, Seq("cluster"))
@@ -1431,9 +1442,7 @@ object LlmQueries {
       .join(lab, col("doc_id") === col("ldoc"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).cast("long").as("cluster"),
-        coalesce(col("csize"), lit(1L)).cast("long").as("cluster_size"),
-        round(lit(1.0) / coalesce(col("csize"), lit(1L)), 6).as("weight"))
-      .orderBy("doc_id")
+        coalesce(col("csize"), lit(1L)).cast("long").as("csize"))
   }
 
   /** L15: repetition-based quality filter — the Gopher-rules shape (Rae et
@@ -2675,7 +2684,12 @@ object LlmQueries {
   /** The l40 packer over any (doc_id, shard, n) metadata frame — public
     * so the hardening spec can drive engineered size distributions
     * (equal-load best-fit ties, oversize docs, adversarial partitioning)
-    * that the corpus fixture may never hit. Output is unordered. */
+    * that the corpus fixture may never hit. Output is unordered. Sizes
+    * must be ≥ 1 (enforced): a zero-size doc would make "exactly full"
+    * ambiguous — the open-bin store closes bins at load == cap while the
+    * reference/oracle would still consider them the fullest fit for a
+    * 0-size row, silently diverging (r11 review finding). l40's own
+    * token counts are always ≥ 1 (split of any text yields ≥ 1 token). */
   def bfdPack(base0: Dataset[(Long, Long, Long)], cap: Long): DataFrame = {
     val session = base0.sparkSession
     import session.implicits._
@@ -2688,6 +2702,7 @@ object LlmQueries {
         val open = scala.collection.mutable.TreeMap.empty[(Long, Long), Long]
         var nextBid = 0L
         it.map { case (id, _, n) =>
+          require(n > 0, s"bfdPack needs positive sizes; got n=$n for doc $id")
           val fit =
             if (n > cap) None
             else open.rangeTo((cap - n, Long.MaxValue)).lastOption
@@ -2865,25 +2880,21 @@ object LlmQueries {
        |      FROM documents d
        |      LEFT JOIN lbl ON d.doc_id = lbl.doc_id
        |      LEFT JOIN cs ON lbl.cluster = cs.cluster),
-       |r AS (SELECT doc_id, wt, -ln(u) / wt AS clock FROM w
+       |r AS (SELECT doc_id, wt, round(-ln(u) / wt, 6) AS clock FROM w
        |      ORDER BY clock, doc_id LIMIT 256)
-       |SELECT doc_id, round(wt, 6) AS weight, round(clock, 6) AS clock
+       |SELECT doc_id, round(wt, 6) AS weight, clock
        |FROM r ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val lbl = clusterLabelsCached(s, d).withColumnRenamed("node", "ldoc")
-    val cs = lbl.groupBy("cluster").agg(count(lit(1)).as("csize"))
-    val lab = lbl.join(cs, Seq("cluster"))
     val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
       1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0)
-    documents(s, d).select(col("doc_id"))
-      .join(lab, col("doc_id") === col("ldoc"), "left")
-      .select(col("doc_id"),
-        (lit(1.0) / coalesce(col("csize"), lit(1L))).as("wt"),
-        u.as("u"))
-      .withColumn("clock", -log(col("u")) / col("wt"))
+    clusterSizeFrame(s, d)
+      .select(col("doc_id"), (lit(1.0) / col("csize")).as("wt"), u.as("u"))
+      // the race compares the ROUNDED clock (l38's discipline): ranking
+      // unrounded doubles would let a ~1-ulp ln() difference between
+      // engines flip membership at the k boundary (r11 review finding)
+      .withColumn("clock", round(-log(col("u")) / col("wt"), 6))
       .orderBy(col("clock"), col("doc_id")).limit(256)
-      .select(col("doc_id"), round(col("wt"), 6).as("weight"),
-        round(col("clock"), 6).as("clock"))
+      .select(col("doc_id"), round(col("wt"), 6).as("weight"), col("clock"))
       .orderBy("doc_id")
   }
 
@@ -2894,7 +2905,12 @@ object LlmQueries {
     * overlap so no boundary sentence is ever split away from both its
     * contexts), emitting (chunk_id, start_tok, n_tokens, chunk_text) per
     * window; the final window may be shorter; a doc shorter than one
-    * window is one chunk. 100 TB posture: pure per-row HOF expressions —
+    * window is one chunk. A window is only emitted when it contributes at
+    * least one NEW token (start + 16 < n for non-first windows): without
+    * that guard, any doc with n mod 48 in 1..16 would emit a final chunk
+    * fully contained in the previous window — a 100% redundant passage
+    * producing duplicate embeddings downstream (r11 review finding).
+    * 100 TB posture: pure per-row HOF expressions —
     * transform over a per-doc sequence + slice + array_join — ZERO
     * shuffles, whole-stage codegen; the natural pre-embedding scan that
     * feeds l6/l7's vector side. */
@@ -2902,7 +2918,8 @@ object LlmQueries {
     "l45_passage_chunks",
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
       |           FROM documents),
-      |c AS (SELECT doc_id, unnest(list_transform(range((len(toks) - 1) // 48 + 1),
+      |c AS (SELECT doc_id,
+      |        unnest(list_transform(range(greatest(0, (len(toks) - 17) // 48) + 1),
       |        i -> {'cid': i, 'st': i * 48,
       |              'nt': least(64, len(toks) - i * 48),
       |              'txt': array_to_string(list_slice(toks, i * 48 + 1,
@@ -2921,8 +2938,11 @@ object LlmQueries {
     * state, no watermark; StreamingSpec pins stream ≡ batch). */
   def passageChunks(docs: DataFrame): DataFrame = {
     val n = size(col("toks"))
+    // last emitted start: the largest 48i that still contributes a new
+    // token (n − 48i > 16) — truncating div and floor div agree via the
+    // greatest(0, …) guard for sub-17-token docs
     val chunks = transform(
-      sequence(lit(0), expr("(size(toks) - 1) div 48")),
+      sequence(lit(0), expr("greatest(0, (size(toks) - 17) div 48)")),
       i => struct(
         i.cast("long").as("cid"),
         (i * 48).cast("long").as("st"),

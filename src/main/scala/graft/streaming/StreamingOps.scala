@@ -160,8 +160,12 @@ object StreamingOps {
     graft.functions.TextExprs.register(docs.sparkSession)
     // batch runs spread CPU-bound shingling across cores; a stream stays as-is
     val src0 = if (docs.isStreaming) docs else graft.Tables.spread(docs)
+    // with eviction on, a NULL ingest time is meaningless (it can neither
+    // advance the watermark nor define the bucket's age) and would poison
+    // the timeout arithmetic below — drop such rows up front
+    val src1 = tsCol.fold(src0)(tc => src0.filter(col(tc).isNotNull))
     val src = tsCol.filter(_ => docs.isStreaming)
-      .fold(src0)(tc => src0.withWatermark(tc, horizon))
+      .fold(src1)(tc => src1.withWatermark(tc, horizon))
     // the TIMESTAMP column itself (not a derived long) must flow into the
     // stateful op: the watermark tag lives on the attribute's metadata,
     // and EventTimeTimeout refuses to plan without it downstream
@@ -194,10 +198,20 @@ object StreamingOps {
     * variant: one `Seq[doc_id]` of prior arrivals per occupied (band, key)
     * bucket; each new arrival emits a candidate pair per bucket-mate.
     * With `evict` on (streaming + ingest-time column), state also tracks
-    * the bucket's newest-member event time and arms an EventTimeTimeout at
+    * the bucket's newest-arrival event time and arms an EventTimeTimeout at
     * newest + horizon: once the watermark passes that point the bucket is
     * dropped. Timeouts only fire for groups with no data in the batch, so
-    * an active bucket is never evicted out from under its own arrivals. */
+    * an active bucket is never evicted out from under its own arrivals.
+    * The armed timestamp is clamped above the current watermark: unlike
+    * aggregations, flatMapGroupsWithState does NOT auto-drop late rows, so
+    * a straggler older than (watermark − horizon) would otherwise compute
+    * a timeout in the past and setTimeoutTimestamp throws — the clamp
+    * evicts such a bucket at the next opportunity instead of crashing the
+    * query. NOTE (state schema): the eviction feature widened the state
+    * encoder from Seq[Long] to (Seq[Long], Long) — a streaming query
+    * restarting from a checkpoint written by the pre-eviction build will
+    * fail state deserialization and must restart from a fresh checkpoint
+    * (re-seeding history through the batch path). */
   private def bucketPairs(
       banded: Dataset[(Long, Int, Long, Option[java.sql.Timestamp])],
       evict: Boolean, horizonMs: Long): Dataset[(Long, Long)] = {
@@ -224,7 +238,10 @@ object StreamingOps {
             } yield if (a < other) (a, other) else (other, a)
             val maxTs = (oldTs +: rs.map(_._4.map(_.getTime).getOrElse(0L))).max
             if (fresh.nonEmpty || maxTs > oldTs) state.update((old ++ fresh, maxTs))
-            if (evict) state.setTimeoutTimestamp(maxTs + horizonMs)
+            // clamp above the watermark: late rows are not pre-filtered for
+            // this operator, so maxTs + horizon may already be in the past
+            if (evict) state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
             pairs.iterator
           }
       }
@@ -252,8 +269,10 @@ object StreamingOps {
     graft.functions.SketchExprs.register(docs.sparkSession)
     graft.functions.TextExprs.register(docs.sparkSession)
     val src0 = if (docs.isStreaming) docs else graft.Tables.spread(docs)
+    // null ingest times are dropped with eviction on — see lshCandidatePairs
+    val src1 = tsCol.fold(src0)(tc => src0.filter(col(tc).isNotNull))
     val src = tsCol.filter(_ => docs.isStreaming)
-      .fold(src0)(tc => src0.withWatermark(tc, horizon))
+      .fold(src1)(tc => src1.withWatermark(tc, horizon))
     val ts = tsCol.fold(lit(null).cast("timestamp"))(tc => col(tc))
     val ss = TextOps.shingleSet(TextOps.tokens(col("text")), shingleN)
     val sig = src

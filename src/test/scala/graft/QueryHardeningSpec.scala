@@ -55,27 +55,6 @@ class QueryHardeningSpec extends AnyFunSuite {
       assert(!v.isNaN && !v.isInfinite)
   }
 
-  /** Reference BFD over (doc_id, shard, n) rows: the exact semantics
-    * bfdPack promises — (n DESC, doc_id) order, fullest-fitting bin,
-    * lowest-bid tie-break, new creation-order bin otherwise. */
-  private def driverBfd(
-      rows: Seq[(Long, Long, Long)], cap: Long): Seq[(Long, Long, Long, Long, Long)] =
-    rows.groupBy(_._2).toSeq.flatMap { case (shard, xs) =>
-      var bins = Vector.empty[Long]
-      xs.sortBy { case (id, _, n) => (-n, id) }.map { case (id, _, n) =>
-        val cand = bins.zipWithIndex.filter { case (ld, _) => ld + n <= cap }
-        if (cand.isEmpty) {
-          val bid = bins.size.toLong
-          bins = bins :+ n
-          (id, shard, n, bid, 0L)
-        } else {
-          val (ld, bid) = cand.maxBy { case (l, b) => (l, -b) }
-          bins = bins.updated(bid, ld + n)
-          (id, shard, n, bid.toLong, ld)
-        }
-      }
-    }.sortBy(_._1)
-
   test("l40 packer: best-fit ties and oversize docs, invariant to partitioning") {
     import spark.implicits._
     import graft.queries.LlmQueries
@@ -87,7 +66,7 @@ class QueryHardeningSpec extends AnyFunSuite {
     val sizes = Seq(150L, 60L, 60L, 30L, 30L, 30L, 10L, 10L, 10L, 10L)
     val base = sizes.zipWithIndex
       .map { case (n, i) => (i.toLong, 0L, n) }
-    val expected = driverBfd(base, cap)
+    val expected = BfdRef.pack(base, cap)
     // the tie case actually fired: the two 60-docs opened bins 1 and 2,
     // and the first 30 landed in bin 1 (lowest id at equal load 60)
     assert(expected.exists { case (_, _, n, bid, off) => n == 30L && bid == 1L && off == 60L })
@@ -115,7 +94,7 @@ class QueryHardeningSpec extends AnyFunSuite {
       val base = (0 until nDocs).map { i =>
         (i.toLong, (i % (1 + rnd.nextInt(3))).toLong, 1L + rnd.nextInt(130))
       }
-      val expected = driverBfd(base, cap = 100L)
+      val expected = BfdRef.pack(base, cap = 100L)
       val got = LlmQueries.bfdPack(
           base.toDS().repartition(1 + rnd.nextInt(5)), cap = 100L)
         .orderBy("doc_id")
