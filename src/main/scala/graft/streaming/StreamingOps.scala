@@ -160,10 +160,13 @@ object StreamingOps {
     graft.functions.TextExprs.register(docs.sparkSession)
     // batch runs spread CPU-bound shingling across cores; a stream stays as-is
     val src0 = if (docs.isStreaming) docs else graft.Tables.spread(docs)
-    // with eviction on, a NULL ingest time is meaningless (it can neither
-    // advance the watermark nor define the bucket's age) and would poison
-    // the timeout arithmetic below — drop such rows up front
-    val src1 = tsCol.fold(src0)(tc => src0.filter(col(tc).isNotNull))
+    // with eviction on (streaming only), a NULL ingest time is meaningless
+    // (it can neither advance the watermark nor define the bucket's age)
+    // and would poison the timeout arithmetic below — drop such rows up
+    // front. Batch runs never evict, so the ts stays decorative there and
+    // null-ts docs keep participating in candidate generation.
+    val src1 = tsCol.filter(_ => docs.isStreaming)
+      .fold(src0)(tc => src0.filter(col(tc).isNotNull))
     val src = tsCol.filter(_ => docs.isStreaming)
       .fold(src1)(tc => src1.withWatermark(tc, horizon))
     // the TIMESTAMP column itself (not a derived long) must flow into the
@@ -269,8 +272,10 @@ object StreamingOps {
     graft.functions.SketchExprs.register(docs.sparkSession)
     graft.functions.TextExprs.register(docs.sparkSession)
     val src0 = if (docs.isStreaming) docs else graft.Tables.spread(docs)
-    // null ingest times are dropped with eviction on — see lshCandidatePairs
-    val src1 = tsCol.fold(src0)(tc => src0.filter(col(tc).isNotNull))
+    // null ingest times are dropped with eviction on (streaming only) —
+    // see lshCandidatePairs
+    val src1 = tsCol.filter(_ => docs.isStreaming)
+      .fold(src0)(tc => src0.filter(col(tc).isNotNull))
     val src = tsCol.filter(_ => docs.isStreaming)
       .fold(src1)(tc => src1.withWatermark(tc, horizon))
     val ts = tsCol.fold(lit(null).cast("timestamp"))(tc => col(tc))

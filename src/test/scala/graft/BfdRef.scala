@@ -12,6 +12,9 @@ object BfdRef {
     rows.groupBy(_._2).toSeq.flatMap { case (shard, xs) =>
       var bins = Vector.empty[Long]
       xs.sortBy { case (id, _, n) => (-n, id) }.map { case (id, _, n) =>
+        // same precondition as bfdPack: n = 0 would make "exactly full"
+        // ambiguous between the two implementations
+        require(n > 0, s"BfdRef needs positive sizes; got n=$n for doc $id")
         val cand = bins.zipWithIndex.filter { case (ld, _) => ld + n <= cap }
         if (cand.isEmpty) {
           val bid = bins.size.toLong

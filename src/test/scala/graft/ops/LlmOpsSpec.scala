@@ -262,11 +262,7 @@ class LlmOpsSpec extends AnyFunSuite {
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
-    def bucket(id: Long): Long = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(h.take(8), 16) % 100
-    }
+    def bucket(id: Long): Long = hv(id.toString) % 100
     def grams(text: String): Set[String] = {
       val toks = text.toLowerCase.split(" ", -1).toSeq
       if (toks.size >= 5) toks.sliding(5).map(_.mkString(" ")).toSet
@@ -364,11 +360,7 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("l31 domain mix == driver-side replay; binding domain kept whole, mix on target") {
-    def md5u32(id: Long): Long = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(h.take(8), 16)
-    }
+    def md5u32(id: Long): Long = hv(id.toString)
     val weights = Map("en" -> 400L, "es" -> 150L, "fr" -> 150L,
       "de" -> 150L, "zh" -> 150L)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -553,11 +545,7 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("l37 fuzzy decon == driver-side replay; containment implies l27 overlap") {
-    def md5u32(id: Long): Long = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(h.take(8), 16)
-    }
+    def md5u32(id: Long): Long = hv(id.toString)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
     def grams(t: String): Set[String] = {
@@ -774,8 +762,7 @@ class LlmOpsSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (id, w, clock)
     }.sortBy { case (id, _, clock) => (clock, id) }.take(256)
-    val expected = raced.map { case (id, w, clock) => (id, w, clock) }
-      .sortBy(_._1)
+    val expected = raced.sortBy(_._1)
     val got = LlmQueries.l47_weighted_sample.fn(spark, sf)
       .as[(Long, Double, Double)].collect().toSeq
     assert(got.map(_._1) === expected.map(_._1))
@@ -932,11 +919,7 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("l36 unimax budget == driver-side replay; caps and absorption hold") {
-    def md5u32(id: Long): Long = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(h.take(8), 16)
-    }
+    def md5u32(id: Long): Long = hv(id.toString)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang").as[(Long, String)].collect().toSeq
     val n = docs.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }

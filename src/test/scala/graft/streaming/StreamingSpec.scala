@@ -301,12 +301,21 @@ class StreamingSpec extends AnyFunSuite {
     // so no candidate pair against doc 1 or 2 can be emitted
     mem.addData(Seq((5L, text, ts(210))))
     q.processAllAvailable()
+    // late straggler: an event time far below watermark − horizon must
+    // not crash the query — flatMapGroupsWithState does not pre-filter
+    // late rows, so without the clamp the armed timeout (maxTs + horizon)
+    // would sit below the watermark and setTimeoutTimestamp throws,
+    // killing the stream (r11 review regression pin)
+    mem.addData(Seq((6L, other + " straggler content entirely its own", ts(-120))))
+    q.processAllAvailable()
     q.stop()
     val got = spark.table("lsh_evict")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)), "pre-horizon candidates must be unaffected")
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
       "a doc arriving after bucket expiry must not pair with evicted history")
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L),
+      "the straggler's fresh bucket has no mates to pair with")
   }
 
   test("append-mode sessions close when the watermark passes their end") {
