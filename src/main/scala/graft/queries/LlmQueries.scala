@@ -2796,6 +2796,123 @@ object LlmQueries {
     bpeMerges(spread(documents(s, d)), k = 20)
   }
 
+  /** The 20 merge rules [[bpeMerges]] learns from the sf0.001 documents
+    * fixture (k = 20), frozen as the tokenizer ARTIFACT l48 applies —
+    * exactly how production tokenizers work: train once on a corpus
+    * sample, freeze the merge table, encode everything with the frozen
+    * rules. LlmOpsSpec's l48 case regenerates this list through the
+    * actual Spark trainer and fails on drift, so "pinned" stays
+    * "learned", and the DuckDB oracle can replay the encode with the
+    * same literals (merge LEARNING has no oracle — SURVEY §2 L44 — but
+    * merge APPLICATION with a known rule table does). */
+  val PinnedBpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r</w>", "o" -> "w</w>", "o" -> "r", "l" -> "u", "i" -> "n",
+    "a" -> "r", "p" -> "ar", "e" -> "r", "a" -> "s", "t" -> "o",
+    "a" -> "t", "a" -> "n</w>", "c" -> "an</w>", "s" -> "can</w>",
+    "c" -> "o", "co" -> "lu", "colu" -> "m", "colum" -> "n</w>",
+    "d" -> "ow</w>", "in" -> "dow</w>")
+
+  /** One word → its subword symbols under `merges`: char symbols with the
+    * `</w>` end marker, then each merge applied in rank order as the SAME
+    * greedy leftmost non-overlapping fold the l44 trainer rewrites with —
+    * chained as k nested `aggregate` HOFs, so a whole encode is ONE
+    * per-row expression: no join against a merge table, nothing to
+    * broadcast (the rules fold in as literals), zero shuffles. Note the
+    * fold, not string replace: replace()'s non-overlapping scan consumes
+    * the separator between adjacent pairs ("x x x x" merges to
+    * [xx, x, x], not the greedy [xx, xx]), so only the fold matches the
+    * trainer's semantics. */
+  def bpeEncodeWord(w: Column, merges: Seq[(String, String)]): Column = {
+    val chars = filter(split(w, ""), ch => ch =!= "")
+    val syms = transform(chars, (ch, i) =>
+      when(i === size(chars) - 1, concat(ch, lit("</w>"))).otherwise(ch))
+    merges.foldLeft(syms) { case (cur, (a, b)) =>
+      aggregate(cur, array().cast("array<string>"), (acc, s2) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s2 === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s2))))
+    }
+  }
+
+  /** The l48 encoder over any (doc_id, text) frame: whitespace words →
+    * [[bpeEncodeWord]] per word → flattened per-doc subword sequence as
+    * (doc_id, n_subwords, enc). Unordered; per-row only, so the same
+    * body runs on a `readStream` frame unchanged. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+      flatten(transform(filter(TextOps.tokens(col("text")), w => w =!= ""),
+        w => bpeEncodeWord(w, merges))).as("subw"))
+      .select(col("doc_id"),
+        size(col("subw")).cast("long").as("n_subwords"),
+        concat_ws(" ", col("subw")).as("enc"))
+
+  /** L48: BPE ENCODE — the consuming half of l44's merge learning
+    * (Sennrich et al., ACL 2016 §3): tokenize each document to words,
+    * split words to char symbols + `</w>`, and apply the learned merge
+    * rules in rank order, greedy-leftmost-non-overlapping per rule —
+    * producing the per-doc subword sequence a trained tokenizer emits.
+    * The rule table is [[PinnedBpeMerges]] (the l44 trainer's own output
+    * on the fixture, drift-pinned by LlmOpsSpec), so this closes the
+    * train→encode loop: l44 fits the tokenizer, l48 runs it over the
+    * corpus.
+    *
+    * Correctness: the oracle replays the fold EXACTLY, one symbol step
+    * per recursive-CTE row ((word, round, position, acc) state machine
+    * over the distinct-word vocab, merge literals joined by round), then
+    * re-attaches final symbol sequences to token positions and flattens
+    * per doc — greedy-leftmost is not expressible as string replace (see
+    * [[bpeEncodeWord]]), so the oracle steps the same state machine the
+    * expression folds.
+    *
+    * 100 TB posture: encoding is a PURE PER-ROW expression — k chained
+    * literal folds, no merge-table join, no shuffle anywhere (plan-
+    * pinned); the cost is O(k · doc_len) fold steps per row exactly like
+    * the production tokenizers it models, and the corpus is scanned
+    * once. The oracle's distinct-word CTE is oracle-side only: the Spark
+    * plan never builds a vocab. */
+  val l48_bpe_encode = Q(
+    "l48_bpe_encode", {
+      val vals = PinnedBpeMerges.zipWithIndex
+        .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
+      val k = PinnedBpeMerges.size
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |                                 x -> x <> '') AS toks
+         |      FROM documents),
+         |vw AS (SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM d)),
+         |m(r, a, b) AS (VALUES $vals),
+         |s0 AS (SELECT w, list_append(cs[1:len(cs)-1], cs[len(cs)] || '</w>') AS syms
+         |       FROM (SELECT w, string_split(w, '') AS cs FROM vw)),
+         |f AS (
+         |  SELECT w, 1 AS r, 0 AS i, syms, CAST([] AS VARCHAR[]) AS acc FROM s0
+         |  UNION ALL
+         |  SELECT f.w,
+         |    CASE WHEN f.i < len(f.syms) THEN f.r ELSE f.r + 1 END,
+         |    CASE WHEN f.i < len(f.syms) THEN f.i + 1 ELSE 0 END,
+         |    CASE WHEN f.i < len(f.syms) THEN f.syms ELSE f.acc END,
+         |    CASE WHEN f.i < len(f.syms) THEN
+         |      CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.syms[f.i + 1] = m.b
+         |           THEN list_append(f.acc[1:len(f.acc)-1], m.a || m.b)
+         |           ELSE list_append(f.acc, f.syms[f.i + 1]) END
+         |    ELSE CAST([] AS VARCHAR[]) END
+         |  FROM f JOIN m ON m.r = f.r
+         |  WHERE f.i < len(f.syms) OR f.r < $k
+         |),
+         |fin AS (SELECT w, acc AS syms FROM f WHERE r = $k AND i = len(syms)),
+         |p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+         |             unnest(toks) AS tok FROM d),
+         |e AS (SELECT p.doc_id, flatten(list(fin.syms ORDER BY p.pos)) AS subw
+         |      FROM p JOIN fin ON p.tok = fin.w GROUP BY p.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(len(e.subw), 0) AS BIGINT) AS n_subwords,
+         |       coalesce(array_to_string(e.subw, ' '), '') AS enc
+         |FROM d LEFT JOIN e ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    bpeEncode(spread(documents(s, d)), PinnedBpeMerges).orderBy("doc_id")
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -3089,5 +3206,6 @@ object LlmQueries {
     l35_c4_line_filter, l36_unimax_budget, l37_fuzzy_decon,
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
-    l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample)
+    l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
+    l48_bpe_encode)
 }

@@ -352,6 +352,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no join belongs in a per-row scan:\n$p")
   }
 
+  test("L48: BPE encode is a pure per-row scan — merge rules fold in as literals") {
+    val p = plan(LlmQueries.l48_bpe_encode)
+    assert(!p.contains("hashpartitioning"),
+      s"encoding is per-row (no vocab build, no merge-table join); " +
+        s"only the result sort may exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the merge rules are literals in the fold — no join belongs here:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

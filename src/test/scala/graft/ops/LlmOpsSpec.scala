@@ -864,6 +864,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.map(_._1) === (1L to 20L))
   }
 
+  test("l48: pinned merges == trainer output; encoder reproduces the trainer fixpoint") {
+    // (a) the frozen rule table IS the l44 trainer's output on the fixture
+    // — regenerated through the actual Spark trainer, so the pinned list
+    // can never silently drift from what bpeMerges learns
+    val learned = LlmQueries.bpeMerges(
+      spark.read.parquet(s"$sf/documents.parquet"), k = 20)
+      .select("left", "right").as[(String, String)].collect().toSeq
+    assert(learned === LlmQueries.PinnedBpeMerges,
+      "PinnedBpeMerges drifted from the trainer's output — re-pin it")
+    // (b) trainer↔encoder consistency: encoding the training corpus' own
+    // words with the learned rules reproduces each word's final symbol
+    // sequence from the trainer's vocab fixpoint (replayed driver-side
+    // with the same greedy leftmost non-overlapping fold)
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.toLowerCase.split(" ", -1)).filter(_.nonEmpty).distinct.sorted.toSeq
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    val fixpoint = words.map { w =>
+      val chs = w.map(_.toString).toVector
+      var syms = chs.init :+ (chs.last + "</w>")
+      for ((a, b) <- learned) syms = applyMerge(syms, a, b)
+      w -> syms
+    }.toMap
+    val got = words.toDF("w")
+      .select(col("w"),
+        LlmQueries.bpeEncodeWord(col("w"), learned).as("syms"))
+      .as[(String, Seq[String])].collect()
+    assert(got.length === words.size)
+    got.foreach { case (w, syms) =>
+      assert(syms === fixpoint(w), s"word '$w' diverges from the trainer fixpoint")
+    }
+    // and at least one fixture word actually merged past single chars —
+    // the consistency check must not pass vacuously on an all-chars vocab
+    assert(fixpoint.exists(_._2.exists(_.length > 5)),
+      "fixture produced no multi-char merges; the fixpoint check is vacuous")
+  }
+
   test("l42 soft-dedup weights: consistent with l14, unit mass per cluster") {
     val l14 = LlmQueries.l14_dedup_clusters.fn(spark, sf)
       .select("doc_id", "cluster", "cluster_size")
