@@ -28,11 +28,14 @@ object Verify {
     // When the filter is active, purge dumps of non-selected queries left
     // by a previous full run: overwrite is per-query, so stale cross-round
     // parquet would otherwise sit next to fresh results and a checker
-    // pointed at outDir would silently compare them (ADVICE r10).
+    // pointed at outDir would silently compare them (ADVICE r10). Blast
+    // radius is bounded to KNOWN query names (ADVICE r11): a mistargeted
+    // or shared outDir keeps its unrecognized directories — only dumps
+    // this program itself could have written are ever deleted.
     if (only.isDefined) {
-      val keep = selected.keySet
+      val purgeable = SparkEntry.queries.keySet -- selected.keySet
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !keep.contains(f.getName))
+        .filter(f => f.isDirectory && purgeable.contains(f.getName))
         .foreach { dir =>
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

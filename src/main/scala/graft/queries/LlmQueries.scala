@@ -1598,7 +1598,18 @@ object LlmQueries {
     * shuffles; the emitted stratum_kept count (one window) is the
     * bookkeeping a pipeline reports. The oracle decodes the identical md5
     * hex prefix digit-by-digit (DuckDB cannot parse hex integers
-    * directly; same trick as the l8 oracle). */
+    * directly; same trick as the l8 oracle).
+    *
+    * md5 is the ORACLE hash (DuckDB can replay it); the production swap
+    * every md5-keyed op's scaladoc promises — `pmod(xxhash64(key), m)`,
+    * ~10× cheaper per digest, codegen'd — is DEMONSTRATED on this body by
+    * LlmOpsSpec "l17 md5→xxhash64 production swap": identical output
+    * schema and bookkeeping form, per-stratum keep-rates within binomial
+    * bounds of the configured rates, and bit-identical results under
+    * repartitioning. The other md5-keyed ops (l31/l33/l34/l36/l38/l41/
+    * l46/l47, the l19 md5 LSH variant) swap the same way — key the
+    * bucket/priority on xxhash64 and keep every downstream integer test
+    * unchanged. */
   val l17_stratified_sample = Q(
     "l17_stratified_sample", {
       // value of the first 8 md5 hex chars, decoded per digit: Σ d_i·16^(8-i)
@@ -1787,9 +1798,13 @@ object LlmQueries {
     * round(·×10⁶) — both engines' pow agree to ~1 ulp (~2.6e-8 after
     * scaling), so the integer weights match; every downstream step
     * (budget split, epochs, remainder, keep test) is exact long
-    * arithmetic replayed verbatim by the oracle. Overflow audit:
-    * (B·wi) needs B·wi < 2⁶³ — wi ≈ 10⁶·n^0.3 stays under 10¹⁰ through
-    * n = 10¹², so safe through B ≈ 10⁹ docs; widen to DECIMAL past that
+    * arithmetic replayed verbatim by the oracle. Overflow audit — the
+    * BINDING products are the keep test's, not the budget split's
+    * (ADVICE r11): `bu·n` (bu < 2³²) and `rem·2³²` (rem < n) both stay
+    * under 2⁶³ iff n < 2³¹ docs PER LANGUAGE — the first term to wrap as
+    * corpora grow. The budget split's (tn/2)·wi is looser: wi ≈ 10⁶·n^0.3
+    * stays under 10¹⁰ through n = 10¹², so it holds through tn ≈ 10⁹ total
+    * docs. Past 2³¹ docs in one language, widen the keep test to DECIMAL
     * (the l31 note).
     *
     * 100 TB posture: l36's exact shape — map-combinable per-language

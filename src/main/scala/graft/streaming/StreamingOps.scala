@@ -205,49 +205,74 @@ object StreamingOps {
     * newest + horizon: once the watermark passes that point the bucket is
     * dropped. Timeouts only fire for groups with no data in the batch, so
     * an active bucket is never evicted out from under its own arrivals.
-    * The armed timestamp is clamped above the current watermark: unlike
-    * aggregations, flatMapGroupsWithState does NOT auto-drop late rows, so
-    * a straggler older than (watermark − horizon) would otherwise compute
-    * a timeout in the past and setTimeoutTimestamp throws — the clamp
-    * evicts such a bucket at the next opportunity instead of crashing the
-    * query. NOTE (state schema): the eviction feature widened the state
-    * encoder from Seq[Long] to (Seq[Long], Long) — a streaming query
-    * restarting from a checkpoint written by the pre-eviction build will
-    * fail state deserialization and must restart from a fresh checkpoint
-    * (re-seeding history through the batch path). */
+    *
+    * Late rows: with EventTimeTimeout armed, Spark PRE-FILTERS input rows
+    * whose event time is below the watermark — they never reach this
+    * function (runtime-verified on 4.1.2; StreamingSpec's straggler case
+    * pins it via `numRowsDroppedByWatermark`). The NoTimeout path does NOT
+    * pre-filter, so non-evicting buckets still see every arrival — the
+    * full-history contract. The armed timestamp is still clamped above the
+    * current watermark as defense-in-depth: the pre-filter is engine
+    * behavior, not a documented API guarantee, and if a sub-watermark
+    * event time ever did reach the function, setTimeoutTimestamp on
+    * (maxTs + horizon) in the past would throw and kill the query — the
+    * clamp evicts such a bucket at the next opportunity instead.
+    *
+    * State schema: `evict = false` keeps the original `Seq[Long]` encoder,
+    * so non-evicting callers (tsCol = None — the default whole-corpus
+    * contract) remain CHECKPOINT-COMPATIBLE with the pre-eviction build.
+    * Only evicting callers use the widened (Seq[Long], Long) encoder — a
+    * checkpoint written without eviction cannot restart with eviction ON
+    * (state deserialization fails); restart from a fresh checkpoint and
+    * re-seed history through the batch path (StreamingSpec demonstrates
+    * both the failure and the recovery). */
   private def bucketPairs(
       banded: Dataset[(Long, Int, Long, Option[java.sql.Timestamp])],
       evict: Boolean, horizonMs: Long): Dataset[(Long, Long)] = {
     import banded.sparkSession.implicits._
-    val timeoutConf =
-      if (evict) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
-    banded
-      .groupByKey { case (_, band, key, _) => (band, key) }
-      .flatMapGroupsWithState[(Seq[Long], Long), (Long, Long)](
-        OutputMode.Append, timeoutConf) {
+    // shared emit logic: candidates = each first-seen arrival × (stored
+    // history + later same-batch arrivals), i<j-normalized
+    def emit(old: Seq[Long], rs: Seq[(Long, Int, Long, Option[java.sql.Timestamp])])
+        : (Seq[Long], Seq[(Long, Long)]) = {
+      val seen = old.toSet
+      val fresh = rs.map(_._1).distinct.filterNot(seen).sorted
+      val pairs = for {
+        (a, idx) <- fresh.zipWithIndex
+        other <- old.iterator ++ fresh.iterator.drop(idx + 1)
+        if a != other
+      } yield if (a < other) (a, other) else (other, a)
+      (fresh, pairs)
+    }
+    val grouped = banded.groupByKey { case (_, band, key, _) => (band, key) }
+    if (evict) {
+      grouped.flatMapGroupsWithState[(Seq[Long], Long), (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, rows, state) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val (old, oldTs) = state.getOption.getOrElse((Seq.empty[Long], 0L))
-            val seen = old.toSet
             val rs = rows.toSeq
-            val fresh = rs.map(_._1).distinct.filterNot(seen).sorted
-            val pairs = for {
-              (a, idx) <- fresh.zipWithIndex
-              other <- old.iterator ++ fresh.iterator.drop(idx + 1)
-              if a != other
-            } yield if (a < other) (a, other) else (other, a)
+            val (fresh, pairs) = emit(old, rs)
             val maxTs = (oldTs +: rs.map(_._4.map(_.getTime).getOrElse(0L))).max
             if (fresh.nonEmpty || maxTs > oldTs) state.update((old ++ fresh, maxTs))
-            // clamp above the watermark: late rows are not pre-filtered for
-            // this operator, so maxTs + horizon may already be in the past
-            if (evict) state.setTimeoutTimestamp(
+            // defense-in-depth clamp — see the scaladoc's late-row note
+            state.setTimeoutTimestamp(
               math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
             pairs.iterator
           }
       }
+    } else {
+      grouped.flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val old = state.getOption.getOrElse(Seq.empty[Long])
+          val (fresh, pairs) = emit(old, rows.toSeq)
+          if (fresh.nonEmpty) state.update(old ++ fresh)
+          pairs.iterator
+      }
+    }
   }
 
   /** md5 variant of [[lshCandidatePairs]] — identical topology (per-row

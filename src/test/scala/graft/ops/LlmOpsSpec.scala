@@ -905,6 +905,52 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture produced no multi-char merges; the fixpoint check is vacuous")
   }
 
+  test("l17 md5→xxhash64 production swap: same form, binomial keep-rates, repartition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    // the l17 body with the PRODUCTION hash — pmod(xxhash64(key), 100)
+    // replacing the oracle-replayable md5 hex prefix (xxhash64 is
+    // full-range signed, so pmod, not %); everything downstream of the
+    // bucket — rates, filter, stratum bookkeeping — is unchanged in form
+    def xxSample(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("doc_id")), lit(100)).cast("long").as("bucket"))
+      .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(40))
+      .select(col("doc_id"), col("lang"),
+        count(lit(1)).over(Window.partitionBy("lang")).cast("long")
+          .as("stratum_kept"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang")
+    val got = xxSample(docs).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // (1) determinism under partition reshuffling — the property rand()
+    // lacks and the reason both hash keyings exist at all
+    val reshuffled = xxSample(docs.repartition(13, col("lang")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === reshuffled, "sample membership moved under repartitioning")
+    // (2) bookkeeping identical in FORM to the declared md5 query: same
+    // columns, same types, stratum_kept = the stratum's output count
+    val md5Schema = LlmQueries.l17_stratified_sample.fn(spark, sf).schema
+    assert(xxSample(docs).schema.map(f => (f.name, f.dataType)) ===
+      md5Schema.map(f => (f.name, f.dataType)))
+    val byLang = got.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.forall(_._3 === rows.size.toLong),
+        s"stratum_kept bookkeeping broken for $lang")
+    }
+    // (3) keep-rate within 4σ binomial bounds of the configured rate per
+    // stratum — the structural claim behind "swap the hash, keep the op"
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val p = if (lang == "en") 0.10 else 0.40
+      val kept = byLang.get(lang).map(_.size).getOrElse(0).toDouble
+      val bound = 4.0 * math.sqrt(p * (1 - p) * n)
+      assert(math.abs(kept - p * n) <= bound,
+        s"$lang kept $kept of $n, expected ${p * n} ± $bound")
+    }
+    // and the fixture exercises both rates
+    assert(totals.contains("en") && totals.size > 1)
+  }
+
   test("l42 soft-dedup weights: consistent with l14, unit mass per cluster") {
     val l14 = LlmQueries.l14_dedup_clusters.fn(spark, sf)
       .select("doc_id", "cluster", "cluster_size")

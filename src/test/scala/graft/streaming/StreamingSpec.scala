@@ -301,21 +301,114 @@ class StreamingSpec extends AnyFunSuite {
     // so no candidate pair against doc 1 or 2 can be emitted
     mem.addData(Seq((5L, text, ts(210))))
     q.processAllAvailable()
-    // late straggler: an event time far below watermark − horizon must
-    // not crash the query — flatMapGroupsWithState does not pre-filter
-    // late rows, so without the clamp the armed timeout (maxTs + horizon)
-    // would sit below the watermark and setTimeoutTimestamp throws,
-    // killing the stream (r11 review regression pin)
+    // late straggler: with EventTimeTimeout armed, Spark PRE-FILTERS rows
+    // older than the watermark before they reach the bucket store
+    // (runtime-verified; ADVICE r11) — the straggler must be dropped by
+    // the watermark, create no state, emit no pairs, and not crash the
+    // query. The setTimeoutTimestamp clamp in bucketPairs stays as
+    // defense-in-depth behind this engine behavior.
+    val droppedBefore = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
     mem.addData(Seq((6L, other + " straggler content entirely its own", ts(-120))))
     q.processAllAvailable()
+    val droppedAfter = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
     q.stop()
+    assert(droppedAfter > droppedBefore,
+      "the sub-watermark straggler must be pre-filtered by the watermark " +
+        "(numRowsDroppedByWatermark) before reaching the bucket store")
     val got = spark.table("lsh_evict")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)), "pre-horizon candidates must be unaffected")
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
       "a doc arriving after bucket expiry must not pair with evicted history")
     assert(!got.exists(p => p._1 == 6L || p._2 == 6L),
-      "the straggler's fresh bucket has no mates to pair with")
+      "the dropped straggler must not appear in any candidate pair")
+  }
+
+  test("lsh state-schema migration: evict-on restart from an evict-off checkpoint " +
+      "fails as documented; fresh checkpoint + batch re-seed recovers the candidate set") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cp1 = Files.createTempDirectory("graft_lsh_cp1").toString
+    val cp2 = Files.createTempDirectory("graft_lsh_cp2").toString
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+    val history = Seq((1L, text, ts(0)), (2L, text + " v2", ts(5)))
+    val live = Seq((3L, text + " v3", ts(10)))
+
+    // era 1: the pre-eviction build — tsCol=None keeps the legacy
+    // Seq[Long] state encoder — writes checkpoint cp1 (file sink: the
+    // memory sink refuses checkpoint recovery, and era 2 must RESTART)
+    val out1 = Files.createTempDirectory("graft_lsh_out1").toString
+    val mem1 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q1 = StreamingOps.lshCandidatePairs(
+        mem1.toDF().toDF("doc_id", "text", "arrive_ts"), tsCol = None)
+      .writeStream.format("parquet").option("path", out1).outputMode("append")
+      .option("checkpointLocation", cp1)
+      .start()
+    mem1.addData(history)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out1).count() > 0, "history must produce candidates")
+
+    // (a) restarting from cp1 with eviction ON widens the state encoder to
+    // (Seq[Long], Long) — the documented break: the state schema check
+    // must refuse the checkpoint, not silently misread old state
+    val q2 = StreamingOps.lshCandidatePairs(
+        mem1.toDF().toDF("doc_id", "text", "arrive_ts"),
+        tsCol = Some("arrive_ts"), horizon = "30 days")
+      .writeStream.format("parquet").option("path", out1).outputMode("append")
+      .option("checkpointLocation", cp1)
+      .start()
+    mem1.addData(live)
+    val failure = intercept[Exception] { q2.processAllAvailable() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val msgs = (failure +: chain(failure)).flatMap(t =>
+      Option(t.getMessage)).mkString("\n").toLowerCase
+    assert(msgs.contains("state") && msgs.contains("schema"),
+      s"expected the state-schema incompatibility failure, got:\n$msgs")
+    try q2.stop() catch { case _: Throwable => () }
+
+    // (b) the documented recovery: FRESH checkpoint, history re-seeded
+    // through the stream from the batch store, then the live tail —
+    // the candidate set must equal an uninterrupted evict-on run
+    val mem3 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q3 = StreamingOps.lshCandidatePairs(
+        mem3.toDF().toDF("doc_id", "text", "arrive_ts"),
+        tsCol = Some("arrive_ts"), horizon = "30 days")
+      .writeStream.format("memory").queryName("mig_recovered").outputMode("append")
+      .option("checkpointLocation", cp2)
+      .start()
+    mem3.addData(history) // re-seed: batch store replayed in event order
+    q3.processAllAvailable()
+    mem3.addData(live)
+    q3.processAllAvailable()
+    q3.stop()
+    val recovered = spark.table("mig_recovered")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val mem4 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q4 = StreamingOps.lshCandidatePairs(
+        mem4.toDF().toDF("doc_id", "text", "arrive_ts"),
+        tsCol = Some("arrive_ts"), horizon = "30 days")
+      .writeStream.format("memory").queryName("mig_uninterrupted").outputMode("append")
+      .start()
+    mem4.addData(history)
+    q4.processAllAvailable()
+    mem4.addData(live)
+    q4.processAllAvailable()
+    q4.stop()
+    val uninterrupted = spark.table("mig_uninterrupted")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(recovered === uninterrupted,
+      "re-seeded run must reproduce the uninterrupted candidate set")
+    assert(recovered.exists(p => p._2 == 3L),
+      "cross-era pairs (history × live) must survive the migration")
   }
 
   test("append-mode sessions close when the watermark passes their end") {
