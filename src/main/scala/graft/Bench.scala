@@ -55,12 +55,23 @@ object Bench {
     // run can pair a consumer with its builds:
     // SPARK_GRAFT_ONLY="l14,cachebuild". Builders are dependency-ordered;
     // failures are fatal like query failures.
+    // Storage accounting: snapshot cached-block bytes (memory + disk
+    // spill) before/after each build so every cachebuild line also gets a
+    // size attribution — VERDICT r11 #6's cache-pressure question
+    // ("do the new operators' caches evict the shingle/pair frames?")
+    // should be answerable from the BENCH json alone.
+    def storedBytes(): (Long, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+    }
+    val cacheSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val cacheLines =
       (graft.queries.LlmQueries.cacheBuilders ++
         graft.queries.MlQueries.cacheBuilders)
         .map { case (tag, build) => (s"cachebuild:$tag", build) }
         .filter { case (n, _) => only.forall(_.exists(n.contains)) }
         .map { case (name, build) =>
+          val (m0, d0) = storedBytes()
           val t0 = System.nanoTime()
           try build(spark, sfDir)
           catch { case e: Throwable =>
@@ -68,7 +79,10 @@ object Bench {
             spark.stop()
             sys.exit(1)
           }
-          name -> (System.nanoTime() - t0) / 1e9
+          val secs = (System.nanoTime() - t0) / 1e9
+          val (m1, d1) = storedBytes()
+          cacheSizes(name.stripPrefix("cachebuild:")) = (m1 + d1) - (m0 + d0)
+          name -> secs
         }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains))
@@ -88,7 +102,21 @@ object Bench {
     // total includes the cachebuild lines — the same work previous rounds
     // counted inside the absorbing queries, so totals stay comparable.
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Post-run storage report: per-cache bytes (delta at build time), the
+    // end-of-run totals (POST-query-loop — a cache evicted under pressure
+    // shows end-of-run memory below the sum of build deltas), and the
+    // storage pool ceiling. Embedded as a field of the single JSON line so
+    // the driver's one-line parse contract is untouched.
+    val (memEnd, diskEnd) = storedBytes()
+    val storageMax = spark.sparkContext.getExecutorMemoryStatus.values
+      .map(_._1.toLong).sum
+    val cachesJson = cacheSizes
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val report =
+      s"""{"caches_bytes":$cachesJson,"end_mem_bytes":$memEnd,""" +
+        s""""end_disk_bytes":$diskEnd,"storage_max_bytes":$storageMax}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cachereport":$report,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3186,6 +3186,72 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L49: PER-GROUP bottom-k quantile sketch — l46's mergeable estimator
+    * generalized to a group axis, the form a 100 TB monitoring pipeline
+    * actually deploys (per-language length quantiles, per-domain score
+    * quantiles): keep each group's k rows with the smallest md5(key)
+    * priority, then read quantiles off each group's sorted sample with
+    * the d11 interpolation formula. Same determinism contract as l46
+    * (md5 on the unique (orderkey, linenumber) key — both engines pick
+    * the IDENTICAL per-group sample) and the same binomial rank bound
+    * per group, 4σ-pinned against the exact d12 engine in LlmOpsSpec.
+    *
+    * 100 TB posture: the rank-≤-k filter over the group window plans as
+    * WindowGroupLimit in BOTH modes — a map-side Partial pass caps every
+    * (partition × group) at k rows BEFORE the exchange (the mergeable
+    * bottom-k property: the bottom-k of a union is the bottom-k of the
+    * parts' bottom-ks), so at most k·P rows per group ever shuffle, and
+    * the Final pass re-caps after. The per-group sample aggregate then
+    * REUSES the window's hashpartitioning(l_returnflag) — exactly ONE
+    * hash exchange in the whole plan (pinned, PlanShapeSpec), state is
+    * 16 bytes × k × #groups. This is d12's exact engine traded for one
+    * pass and bounded state when groups are numerous or the metric is
+    * hot-path. */
+  val l49_group_quantiles = Q(
+    "l49_group_quantiles", {
+      val k = 512
+      def q(p: String) =
+        s"""round(arr[CAST(floor((len(arr) - 1) * $p) AS BIGINT) + 1]
+           |  + ((len(arr) - 1) * $p - floor((len(arr) - 1) * $p))
+           |    * (arr[least(CAST(floor((len(arr) - 1) * $p) AS BIGINT) + 2, len(arr))]
+           |       - arr[CAST(floor((len(arr) - 1) * $p) AS BIGINT) + 1]), 6)""".stripMargin
+      s"""WITH s AS (SELECT l_returnflag, l_extendedprice AS x,
+         |                  row_number() OVER (PARTITION BY l_returnflag
+         |                    ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+         |                                 CAST(l_linenumber AS VARCHAR))) AS rk
+         |           FROM lineitem),
+         |a AS (SELECT l_returnflag, list_sort(list(x)) AS arr
+         |      FROM s WHERE rk <= $k GROUP BY 1)
+         |SELECT l_returnflag, ${q("0.25")} AS p25, ${q("0.5")} AS p50,
+         |       ${q("0.75")} AS p75
+         |FROM a ORDER BY 1""".stripMargin
+    }
+  ) { (s, d) =>
+    val k = 512
+    val key = concat(col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"))
+    val samp = lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"),
+        md5(key.cast("binary")).as("h"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("l_returnflag").orderBy("h")))
+      .filter(col("rk") <= k)
+    val arr = col("arr")
+    def q(p: Double): Column = {
+      val idx = (size(arr) - 1).cast("double") * lit(p)
+      val lo = floor(idx).cast("long")
+      val frac = idx - floor(idx)
+      val vLo = element_at(arr, (lo + 1).cast("int"))
+      val vHi = element_at(arr, least(lo + 2, size(arr).cast("long")).cast("int"))
+      round(vLo + frac * (vHi - vLo), 6)
+    }
+    samp.groupBy("l_returnflag")
+      .agg(sort_array(collect_list(col("x"))).as("arr"))
+      .select(col("l_returnflag"), q(0.25).as("p25"), q(0.5).as("p50"),
+        q(0.75).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -3222,5 +3288,5 @@ object LlmQueries {
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
-    l48_bpe_encode)
+    l48_bpe_encode, l49_group_quantiles)
 }

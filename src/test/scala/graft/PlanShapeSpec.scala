@@ -344,6 +344,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global sort exchange belongs in a bottom-k sample:\n$p")
   }
 
+  test("L49: per-group bottom-k is WindowGroupLimit + ONE hash exchange") {
+    val p = plan(LlmQueries.l49_group_quantiles)
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank<=k filter must plan as a group-limit, not a full group sort:\n$p")
+    // Partial mode caps each (partition, group) at k rows BEFORE the
+    // exchange — the map-side half of the mergeable bottom-k
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"group-limit must run in both Partial and Final modes:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(exchanges == 1,
+      s"the sample aggregate must reuse the window's partitioning — " +
+        s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+  }
+
   test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
     val p = plan(LlmQueries.l45_passage_chunks)
     assert(!p.contains("hashpartitioning"),

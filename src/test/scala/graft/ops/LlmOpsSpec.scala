@@ -794,6 +794,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(est._1 <= est._2 && est._2 <= est._3)
   }
 
+  test("l49 per-group sketch lands within the binomial rank bound per group") {
+    val est = LlmQueries.l49_group_quantiles.fn(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+    val byGroup = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").as[(String, Double)]
+      .collect().groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).sorted }
+    assert(est.map(_._1).toSet === byGroup.keySet, "one sketch row per group")
+    for ((g, p25, p50, p75) <- est) {
+      val xs = byGroup(g)
+      def cdf(v: Double): Double = xs.count(_ <= v).toDouble / xs.length
+      // k = 512 per-group uniform sample: rank error ≤ 4·√(p(1−p)/512)
+      // — 0.0884 at the median, 0.0766 at the quartiles; groups smaller
+      // than k are sampled whole, so their estimate is exact up to the
+      // interpolation formula (bound trivially holds)
+      for ((p, v) <- Seq(0.25 -> p25, 0.5 -> p50, 0.75 -> p75))
+        assert(math.abs(cdf(v) - p) <= 4.0 * math.sqrt(p * (1 - p) / 512.0),
+          s"group $g p=$p estimate $v sits at CDF ${cdf(v)}")
+      assert(p25 <= p50 && p50 <= p75, s"group $g estimates must be ordered")
+    }
+  }
+
   test("l45 passage chunks reconstruct every doc with the declared stride") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
