@@ -418,6 +418,129 @@ case class SimHash64Md5(child: Expression)
     })
 }
 
+/** The imperative core of [[BpeEncodeWords]], shared verbatim by the
+  * interpreted and codegen paths (the generated code calls the static
+  * forwarder). One O(k·len) pass per word — symbols live in a reused
+  * scratch buffer and each rule is a single read/write-pointer sweep, vs
+  * the HOF fold chain's per-symbol accumulator copy (O(len²) PER RULE)
+  * and 20-deep nested lambda evaluation. */
+object BpeOps {
+  private val EndMarker = UTF8String.fromString("</w>")
+
+  /** words: array<string> tokens; rules: flat [a1,b1,a2,b2,…] in rank
+    * order. Returns the flattened per-doc subword ArrayData. Null/empty
+    * words contribute nothing (the HOF form's filter semantics). */
+  def encode(words: ArrayData, rules: Array[UTF8String]): ArrayData = {
+    val n = words.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * 4)
+    var buf = new Array[UTF8String](32)
+    var wi = 0
+    while (wi < n) {
+      if (!words.isNullAt(wi)) {
+        val w = words.getUTF8String(wi)
+        val len = w.numChars()
+        if (len > 0) {
+          if (buf.length < len) buf = new Array[UTF8String](len)
+          var i = 0
+          while (i < len) { buf(i) = w.substring(i, i + 1); i += 1 }
+          buf(len - 1) = UTF8String.concat(buf(len - 1), EndMarker)
+          var symsLen = len
+          var r = 0
+          while (r < rules.length) {
+            val a = rules(r); val b = rules(r + 1)
+            // greedy leftmost non-overlap: a just-merged symbol (a+b) can
+            // never equal `a` (b is non-empty), so the sweep needs no
+            // re-merge guard — identical semantics to the fold rewrite
+            var merged: UTF8String = null
+            var wr = 0; var rd = 0
+            while (rd < symsLen) {
+              if (wr > 0 && buf(wr - 1).equals(a) && buf(rd).equals(b)) {
+                if (merged == null) merged = UTF8String.concat(a, b)
+                buf(wr - 1) = merged
+              } else { buf(wr) = buf(rd); wr += 1 }
+              rd += 1
+            }
+            symsLen = wr
+            r += 2
+          }
+          var o = 0
+          while (o < symsLen) { out += buf(o); o += 1 }
+        }
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** graft_bpe_encode(words, merges): whole-document BPE encoding as ONE
+  * native expression — chars + `</w>` per word, then the k learned merge
+  * rules applied in rank order, greedy-leftmost-non-overlapping, flattened
+  * across words (SURVEY §2 L48; Sennrich et al. ACL 2016 §3).
+  *
+  * Why native: the HOF form (k chained `aggregate` folds, one per rule,
+  * inside transform+flatten) rebuilds the accumulator array on EVERY
+  * symbol step — O(len²) copying per rule per word, 20-deep nested
+  * interpreted lambdas — and was the most expensive line in BENCH r12's
+  * preview (10.2 s, above even the pair-cache build). This expression is
+  * the same greedy fold run imperatively in [[BpeOps.encode]]: O(k·len)
+  * with a reused scratch buffer. Value parity with the fold chain is
+  * pinned by LlmOpsSpec (fixture corpus + adversarial repeat/overlap
+  * words) and the l48 oracle hash is unchanged — the DuckDB CTE state
+  * machine replays these exact semantics.
+  *
+  * merges must be a FOLDABLE array<string> literal of even length
+  * [a1,b1,a2,b2,…] with non-null, non-empty elements — the frozen
+  * trainer output, folded into the plan like the HOF form's literals
+  * (nothing to broadcast, zero shuffles). Null words array → null. */
+case class BpeEncodeWords(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  /** Flat [a1,b1,…] rule table, parsed once from the foldable literal. */
+  private lazy val rules: Array[UTF8String] = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getUTF8String(i))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isStrArr(dt: DataType) = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (!isStrArr(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> words, got ${left.dataType.simpleString}")
+    else if (!isStrArr(right.dataType) || !right.foldable || right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName merges must be a non-null array<string> literal")
+    else {
+      val arr = right.eval().asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val flatOk = n % 2 == 0 &&
+        (0 until n).forall(i => !arr.isNullAt(i) && arr.getUTF8String(i).numChars() > 0)
+      if (flatOk) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName merges must be flat non-empty [a1,b1,a2,b2,…] pairs")
+    }
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeEncodeWords =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BpeOps.encode(a.asInstanceOf[ArrayData], rules)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val rulesRef = ctx.addReferenceObj("bpeRules", rules,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      s"${ev.value} = graft.functions.BpeOps.encode($a, $rulesRef);"
+    })
+}
+
 object TextExprs {
 
   val shingleSetInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -458,9 +581,18 @@ object TextExprs {
       SimHash64Md5(exprs.head)
     })
 
+  val bpeEncodeInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncodeWords].getName, "graft_bpe_encode"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2, s"graft_bpe_encode takes 2 arguments, got ${exprs.length}")
+      BpeEncodeWords(exprs.head, exprs(1))
+    })
+
   /** Idempotent per-session registration, mirroring [[VectorExprs.register]]. */
   def register(spark: SparkSession): Unit = {
-    Seq(shingleSetInfo, xxhash64ArrayInfo, winnowInfo, simhashInfo).foreach {
+    Seq(shingleSetInfo, xxhash64ArrayInfo, winnowInfo, simhashInfo,
+      bpeEncodeInfo).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -486,4 +618,11 @@ object TextExprs {
   /** Elementwise chained xxhash64 ≡ transform(arr, s -> xxhash64(s, lit(k))). */
   def xxhash64Array(arr: Column, chainSeed: Long): Column =
     call_function("graft_xxhash64_array", arr, lit(chainSeed))
+
+  /** Flattened per-doc BPE subwords of a word array under the given merge
+    * rules (rank order), as the native one-pass encode. */
+  def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_encode", words,
+      org.apache.spark.sql.functions.typedLit(
+        merges.flatMap { case (a, b) => Seq(a, b) }))
 }

@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TextExprs.xxhash64ArrayInfo)
     ext.injectFunction(TextExprs.winnowInfo)
     ext.injectFunction(TextExprs.simhashInfo)
+    ext.injectFunction(TextExprs.bpeEncodeInfo)
   }
 }

@@ -2847,13 +2847,19 @@ object LlmQueries {
   /** One word → its subword symbols under `merges`: char symbols with the
     * `</w>` end marker, then each merge applied in rank order as the SAME
     * greedy leftmost non-overlapping fold the l44 trainer rewrites with —
-    * chained as k nested `aggregate` HOFs, so a whole encode is ONE
-    * per-row expression: no join against a merge table, nothing to
-    * broadcast (the rules fold in as literals), zero shuffles. Note the
-    * fold, not string replace: replace()'s non-overlapping scan consumes
-    * the separator between adjacent pairs ("x x x x" merges to
-    * [xx, x, x], not the greedy [xx, xx]), so only the fold matches the
-    * trainer's semantics. */
+    * chained as k nested `aggregate` HOFs. Note the fold, not string
+    * replace: replace()'s non-overlapping scan consumes the separator
+    * between adjacent pairs ("x x x x" merges to [xx, x, x], not the
+    * greedy [xx, xx]), so only the fold matches the trainer's semantics.
+    *
+    * This is the SEMANTIC REFERENCE form, kept for the differential spec:
+    * the declared l48 query encodes through the native
+    * [[graft.functions.BpeEncodeWords graft_bpe_encode]] expression,
+    * which runs the identical greedy fold imperatively in O(k·len) —
+    * the chained HOF rebuilds its accumulator array per symbol (O(len²)
+    * copying PER RULE, 20-deep interpreted lambdas) and measured 10.2 s
+    * as the most expensive line in BENCH r12's preview. LlmOpsSpec pins
+    * native ≡ fold on the fixture corpus plus adversarial repeat words. */
   def bpeEncodeWord(w: Column, merges: Seq[(String, String)]): Column = {
     val chars = filter(split(w, ""), ch => ch =!= "")
     val syms = transform(chars, (ch, i) =>
@@ -2867,10 +2873,22 @@ object LlmQueries {
   }
 
   /** The l48 encoder over any (doc_id, text) frame: whitespace words →
-    * [[bpeEncodeWord]] per word → flattened per-doc subword sequence as
-    * (doc_id, n_subwords, enc). Unordered; per-row only, so the same
-    * body runs on a `readStream` frame unchanged. */
+    * native whole-doc [[graft.functions.BpeEncodeWords graft_bpe_encode]]
+    * (chars + `</w>`, merges in rank order, flattened) as (doc_id,
+    * n_subwords, enc). The rule table folds in as a literal — no
+    * merge-table join, zero shuffles. Unordered; per-row only, so the
+    * same body runs on a `readStream` frame unchanged. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextExprs.bpeEncode(
+        filter(TextOps.tokens(col("text")), w => w =!= ""), merges).as("subw"))
+      .select(col("doc_id"),
+        size(col("subw")).cast("long").as("n_subwords"),
+        concat_ws(" ", col("subw")).as("enc"))
+
+  /** [[bpeEncode]]'s body with the chained-fold reference encoder — the
+    * differential twin LlmOpsSpec compares against the native form. */
+  def bpeEncodeViaFolds(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     docs.select(col("doc_id"),
       flatten(transform(filter(TextOps.tokens(col("text")), w => w =!= ""),
         w => bpeEncodeWord(w, merges))).as("subw"))

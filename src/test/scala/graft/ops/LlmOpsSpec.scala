@@ -926,6 +926,43 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture produced no multi-char merges; the fixpoint check is vacuous")
   }
 
+  test("l48: native graft_bpe_encode ≡ the chained-fold reference encoder") {
+    // (a) on the fixture corpus: the declared query's native path must
+    // produce byte-identical rows to the HOF fold chain it replaced
+    val docs = graft.Tables.spread(graft.Tables.documents(spark, sf))
+    val native = LlmQueries.bpeEncode(docs, LlmQueries.PinnedBpeMerges)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val folds = LlmQueries.bpeEncodeViaFolds(docs, LlmQueries.PinnedBpeMerges)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(native.length === folds.length && native.length > 0)
+    native.zip(folds).foreach { case (n, f) => assert(n === f) }
+    // (b) adversarial words the fixture can't cover: same-char runs
+    // (greedy non-overlap: "xxxx" under (x,x) → [xx, xx]; "xxx" → [xx, x]),
+    // a merged symbol meeting its own left half, rule chains that rewrite
+    // the END marker, and multi-byte (non-ASCII) chars
+    val rules = Seq("x" -> "x", "a" -> "b", "ab" -> "ab", "é" -> "é",
+      "c" -> "d</w>", "xx" -> "x")
+    val words = Seq("xxxx", "xxx", "xxxxx", "abab", "ababab", "éé", "ééé",
+      "abcd", "cd", "dcd", "aab", "xax", "x", "é")
+    val adv = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val nAdv = LlmQueries.bpeEncode(adv, rules)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val fAdv = LlmQueries.bpeEncodeViaFolds(adv, rules)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(nAdv === fAdv)
+    // greedy semantics pinned concretely, not just differentially
+    val enc = nAdv.map { case (id, _, e) => words(id.toInt) -> e }.toMap
+    // [x,x,x</w>] --(x,x)--> [xx,x</w>]; (xx,x) can't touch the marked tail
+    assert(enc("xxx") === "xx x</w>")
+    // [x,x,x,x</w>] --(x,x)--> [xx,x,x</w>] --(xx,x)--> [xxx,x</w>]
+    assert(enc("xxxx") === "xxx x</w>")
+    // (a,b) twice, then the merged symbol merges with ITSELF via (ab,ab)
+    assert(enc("ababab") === "abab a b</w>")
+    // a rule whose right side is the end-marked symbol
+    assert(enc("abcd") === "ab cd</w>")
+  }
+
   test("l17 md5→xxhash64 production swap: same form, binomial keep-rates, repartition-invariant") {
     import org.apache.spark.sql.expressions.Window
     // the l17 body with the PRODUCTION hash — pmod(xxhash64(key), 100)
