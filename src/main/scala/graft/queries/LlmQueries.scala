@@ -3287,6 +3287,94 @@ object LlmQueries {
       .orderBy("l_returnflag")
   }
 
+  /** L50: cross-document frequent-line dedup — RefinedWeb's line-level
+    * boilerplate removal (Penedo et al. 2023, arXiv:2306.01116 §3.3; CCNet
+    * dedups on the same line granularity): a line that appears in ≥ τ
+    * DISTINCT documents is boilerplate (cookie banners, nav bars, footer
+    * legalese) and is removed from EVERY document, preserving each doc's
+    * remaining line order. Complements l30 (8-gram repeated-span scrub —
+    * sub-line granularity, df on grams) and l35 (per-line RULES, no
+    * corpus statistics): this is the corpus-statistical cut at whole-line
+    * granularity. The corpus' documents are single-line token streams, so
+    * — the l35/l16 pattern — lines are CONSTRUCTED deterministically on
+    * both engines: 12-token chunks plus injected boilerplate ("all rights
+    * reserved" on every 3rd doc, "subscribe to our newsletter" on every
+    * 5th, a RARE "promo" line on every 97th that stays BELOW τ = 8 and
+    * must survive), so both the removal and the threshold observably fire
+    * at sf0.001 and sf0.01.
+    *
+    * 100 TB posture: three algorithm-inherent exchanges, nothing else —
+    * (1) line-df: groupBy(line) with count(DISTINCT doc_id), map-side
+    * partial distinct; (2) the anti join of lines against the frequent
+    * set — boilerplate-scale (≤ total_lines/τ distinct lines, and in real
+    * crawls a tiny head), so AQE broadcasts the build side (plan-pinned);
+    * (3) the per-doc regroup for order-preserving reconstruction. At
+    * 100 TB you would key steps 1-2 on xxhash64(line) to ship 8-byte keys
+    * instead of line text (the l17-anchored swap, LlmOpsSpec); md5-free
+    * here because the key is the line itself, replayed identically by the
+    * oracle. */
+  val l50_line_dedup = Q(
+    "l50_line_dedup",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |ln AS (SELECT doc_id,
+      |         list_concat(list_concat(list_concat(
+      |           list_transform(range(0, len(toks), 12), st ->
+      |             array_to_string(list_slice(toks, st + 1, st + 12), ' ')),
+      |           CASE WHEN doc_id % 3 = 0 THEN ['all rights reserved']
+      |                ELSE CAST([] AS VARCHAR[]) END),
+      |           CASE WHEN doc_id % 5 = 0 THEN ['subscribe to our newsletter']
+      |                ELSE CAST([] AS VARCHAR[]) END),
+      |           CASE WHEN doc_id % 97 = 0 THEN ['rare promo code xyz']
+      |                ELSE CAST([] AS VARCHAR[]) END) AS lines
+      |       FROM d),
+      |x AS (SELECT doc_id, unnest(generate_series(1, len(lines))) AS pos,
+      |             unnest(lines) AS line FROM ln),
+      |f AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+      |                        FROM x GROUP BY 1) WHERE df >= 8),
+      |kept AS (SELECT x.doc_id, x.pos, x.line FROM x
+      |         LEFT JOIN f ON x.line = f.line WHERE f.line IS NULL),
+      |agg AS (SELECT doc_id, list(line ORDER BY pos) AS ks FROM kept GROUP BY 1)
+      |SELECT ln.doc_id,
+      |       CAST(len(ln.lines) AS BIGINT) AS n_lines,
+      |       CAST(coalesce(len(agg.ks), 0) AS BIGINT) AS n_kept,
+      |       coalesce(array_to_string(agg.ks, chr(10)), '') AS text_clean
+      |FROM ln LEFT JOIN agg ON ln.doc_id = agg.doc_id
+      |ORDER BY ln.doc_id""".stripMargin
+  ) { (s, d) =>
+    val tau = 8
+    def inj(m: Int, line: String): Column =
+      when(col("doc_id") % m === 0, array(lit(line)))
+        .otherwise(array().cast("array<string>"))
+    val chunkLines = transform(
+      sequence(lit(0), size(col("toks")) - 1, lit(12)),
+      st => array_join(slice(col("toks"), st + 1, lit(12)), " "))
+    val docLines = spread(documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("lines", concat(chunkLines,
+        inj(3, "all rights reserved"),
+        inj(5, "subscribe to our newsletter"),
+        inj(97, "rare promo code xyz")))
+      .select(col("doc_id"), col("lines"),
+        size(col("lines")).cast("long").as("n_lines"))
+    val x = docLines.select(col("doc_id"), col("n_lines"),
+      posexplode(col("lines")).as(Seq("pos", "line")))
+    val freq = x.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= tau).select("line")
+    val kept = x.join(freq, Seq("line"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("long").as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          e => e.getField("line")), "\n").as("text_clean"))
+    docLines.select("doc_id", "n_lines")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -3323,5 +3411,5 @@ object LlmQueries {
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
-    l48_bpe_encode, l49_group_quantiles)
+    l48_bpe_encode, l49_group_quantiles, l50_line_dedup)
 }

@@ -358,6 +358,16 @@ class PlanShapeSpec extends AnyFunSuite {
         s"expected exactly 1 hash exchange, got $exchanges:\n$p")
   }
 
+  test("L50: line-df map-combines; the frequent-line anti join broadcasts") {
+    val p = finalPlan(LlmQueries.l50_line_dedup)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count"),
+      s"the line-df aggregate must combine map-side before its exchange:\n$p")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(fin).isDefined,
+      s"the boilerplate-scale frequent set must broadcast into the anti join:\n$p")
+    assert(!fin.contains("CartesianProduct"), s"no cartesian belongs here:\n$p")
+  }
+
   test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
     val p = plan(LlmQueries.l45_passage_chunks)
     assert(!p.contains("hashpartitioning"),

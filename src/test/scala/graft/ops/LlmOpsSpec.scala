@@ -963,6 +963,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(enc("abcd") === "ab cd</w>")
   }
 
+  test("l50 line dedup: frequent lines removed everywhere, rare line survives, order kept") {
+    val rows = LlmQueries.l50_line_dedup.fn(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.length > 0)
+    rows.foreach { case (id, nLines, nKept, clean) =>
+      // at this fixture (50 docs) the %3 (df 17) and %5 (df 10) injections
+      // clear tau=8 and must be gone from EVERY doc; the %97 line (df 1)
+      // must survive exactly where injected
+      assert(!clean.contains("all rights reserved"), s"doc $id kept boilerplate")
+      assert(!clean.contains("subscribe to our newsletter"), s"doc $id kept boilerplate")
+      assert(clean.contains("rare promo code xyz") === (id % 97 == 0),
+        s"doc $id rare-line survival wrong")
+      // removal accounting: exactly the injected frequent lines are gone
+      // (chunk lines are vocabulary-random 12-grams — never cross-doc dups)
+      val expectedRemoved = (if (id % 3 == 0) 1L else 0L) + (if (id % 5 == 0) 1L else 0L)
+      assert(nLines - nKept === expectedRemoved, s"doc $id removed-count wrong")
+      assert(nKept === (if (clean.isEmpty) 0L else clean.split("\n", -1).length.toLong))
+    }
+    // order preservation: kept lines are the doc's own chunk sequence
+    val (id0, _, _, clean0) = rows.find { case (id, _, _, _) =>
+      id % 3 != 0 && id % 5 != 0 && id % 97 != 0 }.get
+    val toks = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === id0).select("text").as[String].head()
+      .toLowerCase.split(" ", -1).toSeq
+    val expected = toks.grouped(12).map(_.mkString(" ")).mkString("\n")
+    assert(clean0 === expected, s"doc $id0 kept lines out of order or altered")
+  }
+
   test("l17 md5→xxhash64 production swap: same form, binomial keep-rates, repartition-invariant") {
     import org.apache.spark.sql.expressions.Window
     // the l17 body with the PRODUCTION hash — pmod(xxhash64(key), 100)
