@@ -183,4 +183,55 @@ class TextExprsSpec extends AnyFunSuite {
     val g2 = lit0.select(graft.ops.TextOps.shingleSet(col("toks"), 2)).collect()
     assert(g2.head.getSeq[String](0) === Seq("a b", "b c", "c a"))
   }
+
+  /** Pure-Scala greedy leftmost non-overlapping BPE fold — the reference
+    * semantics graft_bpe_encode and the HOF chain must both reproduce. */
+  private def refBpe(words: Seq[String], rules: Seq[(String, String)]): Seq[String] =
+    words.filter(_.nonEmpty).flatMap { w =>
+      val chs = w.map(_.toString).toVector
+      var syms = chs.init :+ (chs.last + "</w>")
+      for ((a, b) <- rules) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+          else out += s
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+
+  test("bpe encode: native ≡ HOF fold chain ≡ driver reference on random words/rules") {
+    TextExprs.register(spark)
+    val rnd = new scala.util.Random(31)
+    // tiny alphabet so random rules actually fire; é exercises multi-byte
+    val alpha = Vector("x", "y", "é")
+    val sylls = alpha ++ Vector("xx", "xy", "yx", "éy",
+      "x</w>", "y</w>", "é</w>", "xx</w>", "xy</w>")
+    var anyMerged = false
+    for (_ <- 0 until 15) {
+      val rules = Seq.fill(1 + rnd.nextInt(5))(
+        (sylls(rnd.nextInt(sylls.size)), sylls(rnd.nextInt(sylls.size))))
+      val rows = (0 until 25).map { i =>
+        val words = Seq.fill(1 + rnd.nextInt(4))(
+          if (rnd.nextInt(10) == 0) ""
+          else Seq.fill(1 + rnd.nextInt(8))(alpha(rnd.nextInt(alpha.size))).mkString)
+        (i.toLong, words)
+      }
+      val df = rows.toDF("id", "words")
+      val got = df.select(col("id"),
+          TextExprs.bpeEncode(col("words"), rules).as("native"),
+          flatten(transform(col("words"),
+            w => graft.queries.LlmQueries.bpeEncodeWord(w, rules))).as("hof"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      val byId = rows.toMap
+      got.foreach { case (id, native, hof) =>
+        val ref = refBpe(byId(id), rules)
+        assert(native === ref, s"native diverges for words=${byId(id)} rules=$rules")
+        assert(hof === ref, s"HOF diverges for words=${byId(id)} rules=$rules")
+        if (native.exists(_.stripSuffix("</w>").length > 1)) anyMerged = true
+      }
+    }
+    assert(anyMerged, "no random case produced a merge — the property is vacuous")
+  }
 }
