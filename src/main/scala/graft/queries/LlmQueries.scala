@@ -2920,47 +2920,111 @@ object LlmQueries {
     * the production tokenizers it models, and the corpus is scanned
     * once. The oracle's distinct-word CTE is oracle-side only: the Spark
     * plan never builds a vocab. */
+  /** The oracle-side BPE-encode CTE chain (shared by l48 and l51): steps
+    * the greedy fold one symbol per recursive row over the distinct-word
+    * vocab, then re-attaches by token position — yields `d` (doc_id, toks)
+    * and `e` (doc_id, subw list). Interpolate after WITH RECURSIVE. */
+  private lazy val bpeEncodeCtes: String = {
+    val vals = PinnedBpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
+    val k = PinnedBpeMerges.size
+    s"""d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |                                 x -> x <> '') AS toks
+       |      FROM documents),
+       |vw AS (SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM d)),
+       |m(r, a, b) AS (VALUES $vals),
+       |s0 AS (SELECT w, list_append(cs[1:len(cs)-1], cs[len(cs)] || '</w>') AS syms
+       |       FROM (SELECT w, string_split(w, '') AS cs FROM vw)),
+       |f AS (
+       |  SELECT w, 1 AS r, 0 AS i, syms, CAST([] AS VARCHAR[]) AS acc FROM s0
+       |  UNION ALL
+       |  SELECT f.w,
+       |    CASE WHEN f.i < len(f.syms) THEN f.r ELSE f.r + 1 END,
+       |    CASE WHEN f.i < len(f.syms) THEN f.i + 1 ELSE 0 END,
+       |    CASE WHEN f.i < len(f.syms) THEN f.syms ELSE f.acc END,
+       |    CASE WHEN f.i < len(f.syms) THEN
+       |      CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.syms[f.i + 1] = m.b
+       |           THEN list_append(f.acc[1:len(f.acc)-1], m.a || m.b)
+       |           ELSE list_append(f.acc, f.syms[f.i + 1]) END
+       |    ELSE CAST([] AS VARCHAR[]) END
+       |  FROM f JOIN m ON m.r = f.r
+       |  WHERE f.i < len(f.syms) OR f.r < $k
+       |),
+       |fin AS (SELECT w, acc AS syms FROM f WHERE r = $k AND i = len(syms)),
+       |p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+       |             unnest(toks) AS tok FROM d),
+       |e AS (SELECT p.doc_id, flatten(list(fin.syms ORDER BY p.pos)) AS subw
+       |      FROM p JOIN fin ON p.tok = fin.w GROUP BY p.doc_id)""".stripMargin
+  }
+
   val l48_bpe_encode = Q(
-    "l48_bpe_encode", {
-      val vals = PinnedBpeMerges.zipWithIndex
-        .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
-      val k = PinnedBpeMerges.size
-      s"""WITH RECURSIVE
-         |d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
-         |                                 x -> x <> '') AS toks
-         |      FROM documents),
-         |vw AS (SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM d)),
-         |m(r, a, b) AS (VALUES $vals),
-         |s0 AS (SELECT w, list_append(cs[1:len(cs)-1], cs[len(cs)] || '</w>') AS syms
-         |       FROM (SELECT w, string_split(w, '') AS cs FROM vw)),
-         |f AS (
-         |  SELECT w, 1 AS r, 0 AS i, syms, CAST([] AS VARCHAR[]) AS acc FROM s0
-         |  UNION ALL
-         |  SELECT f.w,
-         |    CASE WHEN f.i < len(f.syms) THEN f.r ELSE f.r + 1 END,
-         |    CASE WHEN f.i < len(f.syms) THEN f.i + 1 ELSE 0 END,
-         |    CASE WHEN f.i < len(f.syms) THEN f.syms ELSE f.acc END,
-         |    CASE WHEN f.i < len(f.syms) THEN
-         |      CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.syms[f.i + 1] = m.b
-         |           THEN list_append(f.acc[1:len(f.acc)-1], m.a || m.b)
-         |           ELSE list_append(f.acc, f.syms[f.i + 1]) END
-         |    ELSE CAST([] AS VARCHAR[]) END
-         |  FROM f JOIN m ON m.r = f.r
-         |  WHERE f.i < len(f.syms) OR f.r < $k
-         |),
-         |fin AS (SELECT w, acc AS syms FROM f WHERE r = $k AND i = len(syms)),
-         |p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
-         |             unnest(toks) AS tok FROM d),
-         |e AS (SELECT p.doc_id, flatten(list(fin.syms ORDER BY p.pos)) AS subw
-         |      FROM p JOIN fin ON p.tok = fin.w GROUP BY p.doc_id)
-         |SELECT d.doc_id,
-         |       CAST(coalesce(len(e.subw), 0) AS BIGINT) AS n_subwords,
-         |       coalesce(array_to_string(e.subw, ' '), '') AS enc
-         |FROM d LEFT JOIN e ON d.doc_id = e.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    }
+    "l48_bpe_encode",
+    s"""WITH RECURSIVE
+       |$bpeEncodeCtes
+       |SELECT d.doc_id,
+       |       CAST(coalesce(len(e.subw), 0) AS BIGINT) AS n_subwords,
+       |       coalesce(array_to_string(e.subw, ' '), '') AS enc
+       |FROM d LEFT JOIN e ON d.doc_id = e.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   ) { (s, d) =>
     bpeEncode(spread(documents(s, d)), PinnedBpeMerges).orderBy("doc_id")
+  }
+
+  /** L51: token-ID encoding — the final tokenizer step that turns l48's
+    * subword strings into the integer sequences a training job actually
+    * consumes (train l44 → encode l48 → IDS l51 → pack l20): the vocab is
+    * the corpus' emitted subword inventory with DENSE lexicographic ids
+    * (1..V — deterministic on both engines, no hash collisions, no
+    * fingerprint-bucket ambiguity), and each document becomes its id
+    * sequence in subword order.
+    *
+    * 100 TB posture: the id attach is the canonical small-dim pattern —
+    * the vocab is VOCAB-sized (tens of thousands of rows at web scale,
+    * like the l18/l32 vocab frames), so it BROADCASTS into the exploded
+    * subword stream (plan-pinned: no shuffle join touches the corpus
+    * side); the only corpus-scale exchanges are the id-assignment's
+    * map-combined distinct and the per-doc regroup that rebuilds
+    * sequences — the same exchange any sequence re-assembly pays. The
+    * vocab's dense-rank window is a single-partition sort over the
+    * vocab-sized frame only (the Stats/fit-frame contract, never the
+    * corpus). ids ship as the space-joined string both engines hash
+    * identically. */
+  val l51_token_ids = Q(
+    "l51_token_ids",
+    s"""WITH RECURSIVE
+       |$bpeEncodeCtes,
+       |sw AS (SELECT doc_id, unnest(generate_series(1, len(subw))) AS pos,
+       |              unnest(subw) AS sub FROM e),
+       |vocab AS (SELECT sub, CAST(row_number() OVER (ORDER BY sub) AS BIGINT) AS id
+       |          FROM (SELECT DISTINCT sub FROM sw)),
+       |ids AS (SELECT sw.doc_id, list(vocab.id ORDER BY sw.pos) AS idl
+       |        FROM sw JOIN vocab USING (sub) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(len(ids.idl), 0) AS BIGINT) AS n_subwords,
+       |       coalesce(array_to_string(ids.idl, ' '), '') AS ids
+       |FROM d LEFT JOIN ids ON d.doc_id = ids.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val enc = spread(documents(s, d)).select(col("doc_id"),
+      graft.functions.TextExprs.bpeEncode(
+        filter(TextOps.tokens(col("text")), w => w =!= ""),
+        PinnedBpeMerges).as("subw"))
+    val sw = enc.select(col("doc_id"), posexplode(col("subw")).as(Seq("pos", "sub")))
+    val vocab = sw.select("sub").distinct()
+      .select(col("sub"),
+        row_number().over(Window.orderBy("sub")).cast("long").as("id"))
+    val ids = sw.join(broadcast(vocab), Seq("sub"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          e => e.getField("id")), " ").as("ids"),
+        count(lit(1)).cast("long").as("n_subwords"))
+    enc.select("doc_id")
+      .join(ids, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("ids"), lit("")).as("ids"))
+      .orderBy("doc_id")
   }
 
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
@@ -3411,5 +3475,5 @@ object LlmQueries {
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
-    l48_bpe_encode, l49_group_quantiles, l50_line_dedup)
+    l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids)
 }

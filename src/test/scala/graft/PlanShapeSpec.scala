@@ -368,6 +368,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct"), s"no cartesian belongs here:\n$p")
   }
 
+  test("L51: the vocab id attach broadcasts — no shuffle join touches the corpus side") {
+    val p = finalPlan(LlmQueries.l51_token_ids)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the vocab-sized id table must broadcast into the subword stream:\n$p")
+    // the final doc_id attach may plan as it likes on doc-sized frames;
+    // the subword-stream join must not be a sort-merge on `sub`
+    assert(!"SortMergeJoin.*\\bsub\\b".r.findFirstIn(fin).isDefined,
+      s"no shuffle join may key the corpus-scale subword stream:\n$p")
+    assert(fin.contains("partial_"),
+      s"the vocab distinct must combine map-side:\n$p")
+  }
+
   test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
     val p = plan(LlmQueries.l45_passage_chunks)
     assert(!p.contains("hashpartitioning"),

@@ -991,6 +991,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(clean0 === expected, s"doc $id0 kept lines out of order or altered")
   }
 
+  test("l51 token ids: dense lexicographic vocab; ids decode back to the l48 encoding") {
+    val enc = LlmQueries.l48_bpe_encode.fn(spark, sf)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val got = LlmQueries.l51_token_ids.fn(spark, sf)
+      .as[(Long, Long, String)].collect()
+    assert(got.length === enc.size && got.nonEmpty)
+    // rebuild the vocab the op defines: distinct emitted subwords, dense
+    // lexicographic ids 1..V
+    val subs = enc.values.flatMap(_._3.split(" ").filter(_.nonEmpty)).toSet
+    val vocab = subs.toSeq.sorted.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    val inv = vocab.map(_.swap)
+    assert(vocab.values.min === 1L && vocab.values.max === vocab.size.toLong)
+    got.foreach { case (id, n, idsStr) =>
+      val (_, nEnc, encStr) = enc(id)
+      assert(n === nEnc, s"doc $id subword count diverges from l48")
+      val decoded = idsStr.split(" ").filter(_.nonEmpty).map(s => inv(s.toLong))
+      assert(decoded.mkString(" ") === encStr, s"doc $id ids do not decode to the encoding")
+    }
+  }
+
   test("l17 md5→xxhash64 production swap: same form, binomial keep-rates, repartition-invariant") {
     import org.apache.spark.sql.expressions.Window
     // the l17 body with the PRODUCTION hash — pmod(xxhash64(key), 100)
