@@ -3027,6 +3027,93 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L52: distribution-drift monitoring (PSI) — the population stability
+    * index every production data pipeline runs between a reference window
+    * and the current window (credit-scoring heritage; the standard
+    * retrain/rollback alarm at >0.2): per event_type, decile bin edges
+    * are FIT on the reference era (first half-month), both eras are
+    * binned against those frozen edges, and
+    * PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref) with half-count
+    * Laplace smoothing ((c+0.5)/(n+5) over 10 bins) so empty bins are
+    * finite — identical formula both engines, every term ≥ 0.
+    *
+    * 100 TB posture: the decile fit is Stats' bounded-collect exact-
+    * quantile engine on the reference slice only (the d12 fit contract —
+    * per-type histogram passes, driver state is #types × 9 edges); the
+    * 45-row edge table broadcasts; binning is one per-row HOF probe; the
+    * only corpus-scale exchange is the map-combined (type, bin) count.
+    * Everything after is #types × 10 rows. Edges round to 6 dp before
+    * binning on BOTH engines so the bin boundary is one agreed double,
+    * not two engines' raw interpolation bits. */
+  val l52_drift_psi = Q(
+    "l52_drift_psi", {
+      val qs = (1 to 9).map(p => s"round(quantile_cont(value, 0.$p), 6)")
+        .mkString("[", ", ", "]")
+      s"""WITH e0 AS (SELECT event_type, value,
+         |                   ts < TIMESTAMP '2024-01-16' AS is_ref
+         |            FROM events WHERE value IS NOT NULL),
+         |edges AS (SELECT event_type, $qs AS es
+         |          FROM e0 WHERE is_ref GROUP BY 1),
+         |binned AS (SELECT e0.event_type, e0.is_ref,
+         |             len(list_filter(ed.es, x -> e0.value > x)) + 1 AS bin
+         |           FROM e0 JOIN edges ed ON e0.event_type = ed.event_type),
+         |allbins AS (SELECT event_type, unnest(generate_series(1, 10)) AS bin
+         |            FROM edges),
+         |cnt AS (SELECT event_type, bin,
+         |          count(*) FILTER (WHERE is_ref) AS cr0,
+         |          count(*) FILTER (WHERE NOT is_ref) AS cc0
+         |        FROM binned GROUP BY 1, 2),
+         |j AS (SELECT a.event_type, a.bin,
+         |        coalesce(cnt.cr0, 0) AS cr, coalesce(cnt.cc0, 0) AS cc
+         |      FROM allbins a LEFT JOIN cnt
+         |        ON a.event_type = cnt.event_type AND a.bin = cnt.bin),
+         |tot AS (SELECT event_type, sum(cr) AS nr, sum(cc) AS nc
+         |        FROM j GROUP BY 1)
+         |SELECT j.event_type,
+         |       CAST(tot.nr AS BIGINT) AS n_ref,
+         |       CAST(tot.nc AS BIGINT) AS n_cur,
+         |       round(sum(((j.cc + 0.5) / (tot.nc + 5.0) - (j.cr + 0.5) / (tot.nr + 5.0))
+         |         * ln(((j.cc + 0.5) / (tot.nc + 5.0))
+         |              / ((j.cr + 0.5) / (tot.nr + 5.0)))), 6) AS psi
+         |FROM j JOIN tot USING (event_type)
+         |GROUP BY 1, tot.nr, tot.nc
+         |ORDER BY 1""".stripMargin
+    }
+  ) { (s, d) =>
+    val split = lit("2024-01-16").cast("timestamp")
+    val ev = events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), (col("ts") < split).as("is_ref"))
+    val qs = graft.ops.Stats.groupQuantiles(ev.filter(col("is_ref")),
+      col("event_type"), col("value"), (1 to 9).map(_ / 10.0))
+    import s.implicits._
+    val edges = qs.collect { case (Some(k), Some(es)) =>
+      (k, es.map(v => BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toSeq.toDF("event_type", "es")
+    val binned = ev.join(broadcast(edges), Seq("event_type"))
+      .select(col("event_type"), col("is_ref"),
+        (size(filter(col("es"), x => col("value") > x)) + 1).as("bin"))
+    val cnt = binned.groupBy("event_type", "bin").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr0"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc0"))
+    val allbins = edges.select(col("event_type"),
+      explode(sequence(lit(1), lit(10))).as("bin"))
+    val j = allbins.join(cnt, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("cr0"), lit(0L)).as("cr"),
+        coalesce(col("cc0"), lit(0L)).as("cc"))
+    val tot = j.groupBy("event_type").agg(sum("cr").as("nr"), sum("cc").as("nc"))
+    def p(cRaw: Column, nRaw: Column): Column = (cRaw + 0.5) / (nRaw + 5.0)
+    j.join(tot, Seq("event_type"))
+      .groupBy(col("event_type"), col("nr"), col("nc"))
+      .agg(round(sum((p(col("cc"), col("nc")) - p(col("cr"), col("nr"))) *
+        log(p(col("cc"), col("nc")) / p(col("cr"), col("nr")))), 6).as("psi"))
+      .select(col("event_type"),
+        col("nr").cast("long").as("n_ref"),
+        col("nc").cast("long").as("n_cur"), col("psi"))
+      .orderBy("event_type")
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -3475,5 +3562,6 @@ object LlmQueries {
     l38_dsir_sample, l39_ccnet_buckets, l40_bfd_pack, l41_temperature_sample,
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
-    l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids)
+    l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
+    l52_drift_psi)
 }

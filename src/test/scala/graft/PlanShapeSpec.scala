@@ -381,6 +381,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the vocab distinct must combine map-side:\n$p")
   }
 
+  test("L52: the frozen edge table broadcasts; bin counts combine map-side") {
+    val p = finalPlan(LlmQueries.l52_drift_psi)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the #types×9 edge table must broadcast into the event scan:\n$p")
+    assert(fin.contains("partial_sum"),
+      s"the (type, bin) count must combine map-side before its exchange:\n$p")
+    assert(!fin.contains("CartesianProduct"), s"no cartesian belongs here:\n$p")
+  }
+
   test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
     val p = plan(LlmQueries.l45_passage_chunks)
     assert(!p.contains("hashpartitioning"),

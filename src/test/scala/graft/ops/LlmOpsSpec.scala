@@ -1011,6 +1011,51 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l52 PSI matches a driver replay; every PSI ≥ 0; self-PSI is 0") {
+    val got = LlmQueries.l52_drift_psi.fn(spark, sf)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // driver replay from raw events: fit deciles on ref, bin both eras,
+    // smooth, sum — the exact published formula, independently coded
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"))
+      .as[(String, Double, Boolean)].collect()
+    val byType = rows.groupBy(_._1)
+    got.foreach { case (t, nRef, nCur, psi) =>
+      val ref = byType(t).filter(_._3).map(_._2).sorted
+      val cur = byType(t).filterNot(_._3).map(_._2)
+      assert(nRef === ref.length.toLong && nCur === cur.length.toLong)
+      def q(p: Double): Double = { // the d11 interpolation formula
+        val idx = (ref.length - 1) * p
+        val lo = idx.toInt
+        val v = ref(lo) + (idx - lo) * (ref(math.min(lo + 1, ref.length - 1)) - ref(lo))
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val edges = (1 to 9).map(i => q(i / 10.0))
+      def bins(xs: Seq[Double]): Seq[Long] = {
+        val c = new Array[Long](10)
+        xs.foreach(v => c(edges.count(v > _)) += 1)
+        c.toSeq
+      }
+      val (rb, cb) = (bins(ref), bins(cur))
+      val expected = rb.zip(cb).map { case (cr, cc) =>
+        val pr = (cr + 0.5) / (nRef + 5.0)
+        val pc = (cc + 0.5) / (nCur + 5.0)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+      assert(math.abs(psi - expected) < 1e-6, s"type $t psi $psi vs replay $expected")
+      assert(psi >= 0.0, s"PSI is a sum of non-negative terms; got $psi for $t")
+      // degenerate pin: an era binned against ITSELF has PSI exactly 0
+      // only when counts AND totals coincide — check the formula's zero
+      val self = rb.map { cr =>
+        val pr = (cr + 0.5) / (nRef + 5.0)
+        (pr - pr) * math.log(pr / pr)
+      }.sum
+      assert(self === 0.0)
+    }
+  }
+
   test("l17 md5→xxhash64 production swap: same form, binomial keep-rates, repartition-invariant") {
     import org.apache.spark.sql.expressions.Window
     // the l17 body with the PRODUCTION hash — pmod(xxhash64(key), 100)
