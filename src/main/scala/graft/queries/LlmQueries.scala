@@ -3114,6 +3114,54 @@ object LlmQueries {
       .orderBy("event_type")
   }
 
+  /** L53: embedding-space decontamination — the semantic complement of
+    * l27/l37's n-gram eval scrub: a corpus item whose embedding is too
+    * close (cosine ≥ τ = 0.32) to ANY eval-set embedding is a paraphrase-
+    * level leak that n-gram overlap cannot see. Emits each contaminated
+    * item with its nearest eval vector ((rounded-cos DESC, eval_id ASC)
+    * tie-break, the l6 ranking convention).
+    *
+    * 100 TB posture: the eval set is SMALL by nature (benchmarks are
+    * thousands of items, the corpus is billions), so it aggregates to a
+    * ONE-ROW collect_list frame and broadcasts into the corpus scan —
+    * the scan's per-row work is a codegen'd graft_dot loop over the eval
+    * array and an array_max, ZERO corpus shuffles and no window
+    * (plan-pinned: broadcast join only, no exchange before the result
+    * sort). Contrast l28 (corpus-vs-itself, O(N^1.5) via IVF): decon is
+    * corpus-vs-small, where brute-force-with-broadcast IS the optimal
+    * plan; an IVF probe would only re-read the same eval rows. */
+  val l53_embed_decon = Q(
+    "l53_embed_decon",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 1),
+      |c AS (SELECT vec_id, v FROM e WHERE vec_id % 100 <> 1),
+      |s AS (SELECT c.vec_id, q.qid,
+      |        round(list_dot_product(c.v, q.qv) /
+      |              (sqrt(list_dot_product(c.v, c.v)) *
+      |               sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+      |      FROM c, q),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                   ORDER BY cos DESC, qid) AS rk FROM s)
+      |SELECT vec_id, qid AS eval_id, cos
+      |FROM r WHERE rk = 1 AND cos >= 0.32 ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val e = withNorm(embeddings(s, d))
+    val evalRow = e.filter(col("vec_id") % 100 === 1)
+      .agg(collect_list(struct(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))).as("evals"))
+    val best = array_max(transform(col("evals"),
+      q => struct(
+        round(dot(col("v"), q.getField("qv")) / (col("nrm") * q.getField("qn")), 6)
+          .as("cos"),
+        (-q.getField("qid")).as("nq"))))
+    e.filter(col("vec_id") % 100 =!= 1)
+      .crossJoin(broadcast(evalRow))
+      .select(col("vec_id"), best.as("best"))
+      .filter(col("best.cos") >= 0.32)
+      .select(col("vec_id"), (-col("best.nq")).as("eval_id"), col("best.cos").as("cos"))
+      .orderBy("vec_id")
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -3563,5 +3611,5 @@ object LlmQueries {
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
     l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
-    l52_drift_psi)
+    l52_drift_psi, l53_embed_decon)
 }

@@ -391,6 +391,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct"), s"no cartesian belongs here:\n$p")
   }
 
+  test("L53: the eval set broadcasts as one row — zero corpus shuffles, no window") {
+    val p = finalPlan(LlmQueries.l53_embed_decon)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastNestedLoopJoin") || fin.contains("BroadcastHashJoin"),
+      s"the one-row eval frame must broadcast into the corpus scan:\n$p")
+    assert(!fin.contains("hashpartitioning"),
+      s"decon against a small eval set needs NO corpus exchange:\n$p")
+    assert(!fin.contains("Window"),
+      s"the per-row array_max replaces the rank window:\n$p")
+  }
+
   test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
     val p = plan(LlmQueries.l45_passage_chunks)
     assert(!p.contains("hashpartitioning"),

@@ -1056,6 +1056,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l53 embed decon: flags exactly the driver-replay leak set with its argmax eval") {
+    val got = LlmQueries.l53_embed_decon.fn(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val v = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val evals = vecs.filter(_._1 % 100 == 1)
+    val expected = vecs.filter(_._1 % 100 != 1).flatMap { case (id, v) =>
+      val best = evals.map { case (qid, qv) => (cos(v, qv), qid) }
+        .minBy { case (c, qid) => (-c, qid) }
+      if (best._1 >= 0.32) Some((id, best._2, best._1)) else None
+    }.sortBy(_._1)
+    assert(got.length === expected.length && got.nonEmpty,
+      s"flag count ${got.length} vs replay ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g === e) }
+  }
+
   test("l17 md5→xxhash64 production swap: same form, binomial keep-rates, repartition-invariant") {
     import org.apache.spark.sql.expressions.Window
     // the l17 body with the PRODUCTION hash — pmod(xxhash64(key), 100)
