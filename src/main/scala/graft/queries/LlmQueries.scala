@@ -3574,6 +3574,59 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L54: corpus datasheet — the per-(lang, source) composition audit a
+    * dataset release ships ("Datasheets for Datasets", Gebru et al. 2021;
+    * every pretraining-corpus paper's Table 1): document and token
+    * counts, the l15 quality pass rate, and the near-dup redundancy count
+    * (docs that are a NON-canonical member of an l14 cluster — the rows
+    * dedup would drop), grouped over the corpus' language × source grid.
+    * One oracle row per cell pins the COMPOSITION of the quality and
+    * cluster stages against the raw counts — a drift in either stage or
+    * in how they attach moves some cell.
+    *
+    * 100 TB posture: token counts are per-row HOFs on the corpus scan;
+    * the quality and cluster-label inputs are the SAME session-cached
+    * stage frames l21/l34 read (doc-id-keyed stage outputs, not
+    * recomputations); two doc_id equi-joins then ONE map-combinable
+    * groupBy on the #langs × #sources grid — the aggregate state is grid-
+    * sized, the exchange ships partial rows only. */
+  val l54_corpus_datasheet = Q(
+    "l54_corpus_datasheet",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |$qualityCte,
+       |base AS (SELECT doc_id, lang, source,
+       |           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ntok
+       |         FROM documents)
+       |SELECT base.lang, base.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(base.ntok) AS BIGINT) AS total_tokens,
+       |       round(avg(CASE WHEN q.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+       |         AS quality_rate,
+       |       CAST(sum(CASE WHEN lbl.cluster IS NOT NULL AND lbl.cluster <> base.doc_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |FROM base LEFT JOIN q ON base.doc_id = q.doc_id
+       |          LEFT JOIN lbl ON base.doc_id = lbl.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val base = spread(documents(s, d)).select(col("doc_id"), col("lang"),
+      col("source"),
+      size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+        .cast("long").as("ntok"))
+    val q = qualityCached(s, d).filter(col("keep") === 1)
+      .select(col("doc_id"), lit(1.0).as("is_q"))
+    val dup = clusterLabelsCached(s, d)
+      .filter(col("cluster") =!= col("node"))
+      .select(col("node").as("doc_id"), lit(1L).as("is_dup"))
+    base.join(q, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("ntok").cast("long").as("total_tokens"),
+        round(avg(coalesce(col("is_q"), lit(0.0))), 6).as("quality_rate"),
+        sum(coalesce(col("is_dup"), lit(0L))).cast("long").as("n_dup"))
+      .orderBy("lang", "source")
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -3611,5 +3664,5 @@ object LlmQueries {
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
     l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
-    l52_drift_psi, l53_embed_decon)
+    l52_drift_psi, l53_embed_decon, l54_corpus_datasheet)
 }

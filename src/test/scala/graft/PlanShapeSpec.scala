@@ -402,6 +402,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-row array_max replaces the rank window:\n$p")
   }
 
+  test("L54: the datasheet aggregate combines map-side on the grid key") {
+    val p = finalPlan(LlmQueries.l54_corpus_datasheet)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"the (lang, source) grid aggregate must combine map-side:\n$p")
+    assert(!fin.contains("CartesianProduct"),
+      s"stage frames attach by doc_id equi-join, never a cartesian:\n$p")
+  }
+
   test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
     val p = plan(LlmQueries.l45_passage_chunks)
     assert(!p.contains("hashpartitioning"),

@@ -1078,6 +1078,28 @@ class LlmOpsSpec extends AnyFunSuite {
     got.zip(expected).foreach { case (g, e) => assert(g === e) }
   }
 
+  test("l54 datasheet reconciles with the corpus and its stage queries") {
+    val got = LlmQueries.l54_corpus_datasheet.fn(spark, sf)
+      .as[(String, String, Long, Long, Double, Long)].collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(got.map(_._3).sum === docs.count(), "Σ n_docs must equal the corpus")
+    // token total reconciles against a direct count
+    val totTok = docs.select(
+      sum(size(filter(split(lower(col("text")), " "), w => w =!= ""))).cast("long"))
+      .as[Long].head()
+    assert(got.map(_._4).sum === totTok, "Σ total_tokens must equal the corpus")
+    // quality column reconciles against the declared l15 survivor count
+    val nQuality = LlmQueries.l15_quality_filter.fn(spark, sf)
+      .filter(col("keep") === 1).count()
+    val backed = got.map { case (_, _, n, _, rate, _) => math.round(rate * n) }.sum
+    assert(backed === nQuality, s"quality-rate cells back out to $backed, l15 says $nQuality")
+    // dup column reconciles against the l14 clusters (non-canonical members)
+    val nDup = LlmQueries.l14_dedup_clusters.fn(spark, sf)
+      .filter(col("doc_id") =!= col("cluster")).count()
+    assert(got.map(_._6).sum === nDup, "Σ n_dup must equal the non-canonical members")
+    got.foreach { case (_, _, _, _, rate, _) => assert(rate >= 0.0 && rate <= 1.0) }
+  }
+
   test("l17 md5→xxhash64 production swap: same form, binomial keep-rates, repartition-invariant") {
     import org.apache.spark.sql.expressions.Window
     // the l17 body with the PRODUCTION hash — pmod(xxhash64(key), 100)
