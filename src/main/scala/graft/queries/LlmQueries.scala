@@ -3081,8 +3081,20 @@ object LlmQueries {
     }
   ) { (s, d) =>
     val split = lit("2024-01-16").cast("timestamp")
-    val ev = events(s, d).filter(col("value").isNotNull)
-      .select(col("event_type"), col("value"), (col("ts") < split).as("is_ref"))
+    driftPsi(events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), (col("ts") < split).as("is_ref")))
+      .orderBy("event_type")
+  }
+
+  /** The l52 engine over any (event_type, value, is_ref) frame: fit decile
+    * edges on the is_ref slice, bin both eras against the frozen edges,
+    * Laplace-smoothed PSI per type. Degenerate inputs are finite by
+    * construction: a constant group collapses every edge to one value
+    * (all mass in one bin, PSI 0), a fully-shifted group leaves bins
+    * empty on one side (smoothing keeps every term finite) —
+    * QueryHardeningSpec pins both. */
+  def driftPsi(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     val qs = graft.ops.Stats.groupQuantiles(ev.filter(col("is_ref")),
       col("event_type"), col("value"), (1 to 9).map(_ / 10.0))
     import s.implicits._
@@ -3111,7 +3123,6 @@ object LlmQueries {
       .select(col("event_type"),
         col("nr").cast("long").as("n_ref"),
         col("nc").cast("long").as("n_cur"), col("psi"))
-      .orderBy("event_type")
   }
 
   /** L53: embedding-space decontamination — the semantic complement of
@@ -3540,7 +3551,6 @@ object LlmQueries {
       |FROM ln LEFT JOIN agg ON ln.doc_id = agg.doc_id
       |ORDER BY ln.doc_id""".stripMargin
   ) { (s, d) =>
-    val tau = 8
     def inj(m: Int, line: String): Column =
       when(col("doc_id") % m === 0, array(lit(line)))
         .otherwise(array().cast("array<string>"))
@@ -3553,6 +3563,17 @@ object LlmQueries {
         inj(3, "all rights reserved"),
         inj(5, "subscribe to our newsletter"),
         inj(97, "rare promo code xyz")))
+      .select(col("doc_id"), col("lines"))
+    frequentLineDedup(docLines, tau = 8).orderBy("doc_id")
+  }
+
+  /** The l50 engine over any (doc_id, lines: array<string>) frame: remove
+    * every line appearing in ≥ tau DISTINCT docs, preserve the remaining
+    * order, report per-doc totals. A line repeated WITHIN one doc counts
+    * once toward its df, and sub-threshold copies all survive in place
+    * (QueryHardeningSpec pins both plus partition invariance). */
+  def frequentLineDedup(docLines0: DataFrame, tau: Int): DataFrame = {
+    val docLines = docLines0
       .select(col("doc_id"), col("lines"),
         size(col("lines")).cast("long").as("n_lines"))
     val x = docLines.select(col("doc_id"), col("n_lines"),
@@ -3571,7 +3592,6 @@ object LlmQueries {
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
-      .orderBy("doc_id")
   }
 
   /** L54: corpus datasheet — the per-(lang, source) composition audit a

@@ -103,6 +103,49 @@ class QueryHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("l50 engine: within-doc repeats count once toward df; survivors keep order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 1 repeats line "a" (df must stay 1 — both copies survive in
+    // place); line "c" sits in docs 2,3,4 → df 3 ≥ tau → removed
+    val docs = Seq(
+      (1L, Seq("a", "b", "a")),
+      (2L, Seq("c", "d")),
+      (3L, Seq("e", "c")),
+      (4L, Seq("c"))).toDF("doc_id", "lines")
+    val got = graft.queries.LlmQueries.frequentLineDedup(docs, tau = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, "a\nb\na"),
+      (2L, 2L, 1L, "d"),
+      (3L, 2L, 1L, "e"),
+      (4L, 1L, 0L, "")))
+    // partition invariance: the df aggregate and regroup are key-hashed,
+    // never order-sensitive
+    val re = graft.queries.LlmQueries.frequentLineDedup(docs.repartition(7), tau = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(re === got)
+  }
+
+  test("l52 engine: constant group has PSI 0; a full shift stays finite and large") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val const = (1 to 40).map(i => ("k", 5.0, i <= 20))
+    // ref uniform-ish on [0, 19], cur fully shifted to [100, 119]: every
+    // ref bin empties on the cur side and bin 10 takes all cur mass —
+    // smoothing must keep every term finite
+    val shift = (0 until 20).map(i => ("s", i.toDouble, true)) ++
+      (0 until 20).map(i => ("s", 100.0 + i, false))
+    val got = graft.queries.LlmQueries.driftPsi(
+        (const ++ shift).toDF("event_type", "value", "is_ref"))
+      .orderBy("event_type").as[(String, Long, Long, Double)].collect()
+    val Array(k, sRow) = got
+    assert(k._1 === "k" && k._2 === 20L && k._3 === 20L && k._4 === 0.0,
+      s"identical constant eras must score PSI 0, got $k")
+    assert(sRow._1 === "s" && sRow._4 > 1.0 && !sRow._4.isInfinite && !sRow._4.isNaN,
+      s"a full shift must be large but finite, got $sRow")
+  }
+
   test("statsCache: clearStatsCache across two dirs, reruns stay correct") {
     val d1 = "/root/testdata/sf0.001"
     val d2 = "/root/testdata/sf0.01"
