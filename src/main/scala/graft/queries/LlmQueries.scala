@@ -3647,6 +3647,74 @@ object LlmQueries {
       .orderBy("lang", "source")
   }
 
+  /** L55: WEEKLY PSI drift monitor — l52's index deployed the way
+    * production monitoring runs it: fit the decile edges and reference
+    * proportions ONCE on the frozen reference era (here: the first
+    * half-month, the l52 convention), then score every weekly window of
+    * the live stream against that frozen reference. The declared batch
+    * body IS [[graft.streaming.StreamingOps.psiWeekly]] — the same
+    * chained window-aggregation plan runs incrementally on a readStream
+    * frame (append mode, weeks emit when the watermark closes them;
+    * StreamingSpec pins stream ≡ batch on chronological arrival).
+    *
+    * 100 TB posture: edges + 10 reference proportions are literals (a
+    * bounded two-collect fit on the reference slice — the d12 contract);
+    * the live path is one per-row bin probe, a map-combinable
+    * (week, bin) count, and a week-sized re-window — per-week state is a
+    * ≤10-entry bin map, NEVER keyed by values. */
+  val l55_psi_weekly = Q(
+    "l55_psi_weekly", {
+      val qs = (1 to 9).map(p => s"round(quantile_cont(value, 0.$p), 6)")
+        .mkString("[", ", ", "]")
+      s"""WITH e0 AS (SELECT ts, value FROM events WHERE value IS NOT NULL),
+         |ref AS (SELECT value FROM e0 WHERE ts < TIMESTAMP '2024-01-16'),
+         |ed AS (SELECT $qs AS es FROM ref),
+         |nr AS (SELECT count(*) AS n FROM ref),
+         |rc AS (SELECT len(list_filter(ed.es, x -> ref.value > x)) + 1 AS bin,
+         |              count(*) AS c
+         |       FROM ref, ed GROUP BY 1),
+         |wb AS (SELECT CAST(CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE)
+         |                AS VARCHAR) AS week_ending,
+         |              len(list_filter(ed.es, x -> e0.value > x)) + 1 AS bin
+         |       FROM e0, ed),
+         |wc AS (SELECT week_ending, bin, count(*) AS c FROM wb GROUP BY 1, 2),
+         |wn AS (SELECT week_ending, sum(c) AS n FROM wc GROUP BY 1),
+         |grid AS (SELECT wn.week_ending, wn.n, b.bin
+         |         FROM wn, (SELECT unnest(generate_series(1, 10)) AS bin) b),
+         |j AS (SELECT g.week_ending, g.n, g.bin,
+         |        coalesce(wc.c, 0) AS c, coalesce(rc.c, 0) AS cr
+         |      FROM grid g
+         |      LEFT JOIN wc ON g.week_ending = wc.week_ending AND g.bin = wc.bin
+         |      LEFT JOIN rc ON g.bin = rc.bin)
+         |SELECT j.week_ending, CAST(j.n AS BIGINT) AS n,
+         |       round(sum(((j.c + 0.5) / (j.n + 5.0) - (j.cr + 0.5) / (nr.n + 5.0))
+         |         * ln(((j.c + 0.5) / (j.n + 5.0))
+         |              / ((j.cr + 0.5) / (nr.n + 5.0)))), 6) AS psi
+         |FROM j, nr GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    }
+  ) { (s, d) =>
+    val ev = events(s, d).filter(col("value").isNotNull)
+      .select(col("ts"), col("value"))
+    val (edges, refProps) = psiWeeklyFit(ev)
+    graft.streaming.StreamingOps.psiWeekly(ev, edges, refProps)
+      .orderBy("week_ending")
+  }
+
+  /** The offline fit half of l55: decile edges (6-dp, exact engine) and
+    * smoothed reference proportions from the frozen reference era —
+    * two bounded collects (9 + ≤10 scalars, the d12 fit contract). */
+  def psiWeeklyFit(ev: DataFrame): (Seq[Double], Seq[Double]) = {
+    val ref = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+    val edges = graft.ops.Stats.exactQuantiles(ref, col("value"),
+        (1 to 9).map(_ / 10.0)).get
+      .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val binCol = size(filter(typedLit(edges), x => col("value") > x)) + 1
+    val cnts = ref.select(binCol.as("bin")).groupBy("bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nRef = cnts.values.sum
+    (edges, (1 to 10).map(b => (cnts.getOrElse(b, 0L) + 0.5) / (nRef + 5.0)))
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -3684,5 +3752,5 @@ object LlmQueries {
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
     l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
-    l52_drift_psi, l53_embed_decon, l54_corpus_datasheet)
+    l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly)
 }

@@ -123,6 +123,55 @@ object StreamingOps {
         date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"))
   }
 
+  /** Weekly PSI drift against a FROZEN reference distribution — the
+    * streaming form of the l52 monitor, how production actually deploys
+    * it: edges and reference proportions are FIT OFFLINE (a batch job
+    * over the reference era) and folded in as literals; each weekly
+    * window of the live stream is then scored online. Spark-first: this
+    * is a CHAINED pair of time-window aggregations (the multi-stateful
+    * topology Spark ≥3.5 admits in append mode) — (1) count per (week
+    * window, bin), watermark-bounded; (2) re-window the finalized
+    * (window, bin) rows via `window_time` into the same week and fold the
+    * ≤ (#edges+1)-entry bin map into the PSI scalar with a per-row
+    * `aggregate` HOF. State is (#bins per open week) for agg 1 and one
+    * bin map per open week for agg 2 — bounded by the watermark, never
+    * keyed by values. A week emits once the watermark passes its end
+    * (append close — the open week is not yet scoreable, exactly the
+    * monitoring contract). The same body on a batch frame is the declared
+    * l55 oracle query.
+    *
+    * `refProps(b)` must be the SMOOTHED reference proportion of bin b+1
+    * ((cr_b + 0.5) / (n_ref + 0.5·#bins)) so the identical-distribution
+    * score is ~0 and empty live bins stay finite. */
+  def psiWeekly(events: DataFrame, edges: Seq[Double], refProps: Seq[Double],
+      watermark: String = "14 days"): DataFrame = {
+    require(refProps.length == edges.length + 1,
+      s"need one reference proportion per bin: ${edges.length + 1}")
+    val nBins = edges.length + 1
+    val bin = size(filter(typedLit(edges), x => col("value") > x)) + 1
+    val counts = events
+      .withWatermark("ts", watermark)
+      .withColumn("bin", bin)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val byWeek = counts
+      .groupBy(window(window_time(col("w")), "7 days", "7 days", "4 days").as("w2"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("c")))).as("m"),
+        sum("c").as("n"))
+    val prLit = typedLit(refProps)
+    val psi = aggregate(sequence(lit(1), lit(nBins)), lit(0.0), (acc, b) => {
+      val cb = coalesce(element_at(col("m"), b), lit(0L))
+      val pc = (cb + 0.5) / (col("n") + 0.5 * nBins)
+      val pr = element_at(prLit, b)
+      acc + (pc - pr) * log(pc / pr)
+    })
+    byWeek.select(
+      date_format(date_add(col("w2.end").cast(DateType), -1), "yyyy-MM-dd")
+        .as("week_ending"),
+      col("n").cast("long").as("n"),
+      round(psi, 6).as("psi"))
+  }
+
   /** Streaming near-dup detection: every incoming doc is matched against
     * the ENTIRE history via an LSH bucket store — the one dedup shape no
     * built-in streaming operator covers (joining a stream against its own

@@ -411,6 +411,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"stage frames attach by doc_id equi-join, never a cartesian:\n$p")
   }
 
+  test("L55: frozen edges fold in as literals — joinless live path, map-side counts") {
+    val p = finalPlan(LlmQueries.l55_psi_weekly)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count"),
+      s"the (week, bin) count must combine map-side:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("BroadcastHashJoin") &&
+      !fin.contains("CartesianProduct"),
+      s"the live scoring path probes literal edges — no join belongs here:\n$p")
+  }
+
   test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
     val p = plan(LlmQueries.l45_passage_chunks)
     assert(!p.contains("hashpartitioning"),

@@ -438,6 +438,39 @@ class StreamingSpec extends AnyFunSuite {
       s"exactly the closed 2-event session must emit, got ${rows.toSeq}")
   }
 
+  test("streaming weekly PSI (chained window aggs) equals the batch monitor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchEv = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull).select("ts", "value")
+    val (edges, refProps) = graft.queries.LlmQueries.psiWeeklyFit(batchEv)
+    val rows = batchEv.as[(java.sql.Timestamp, Double)].collect()
+      .sortBy(_._1.getTime)
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamingOps.psiWeekly(mem.toDF().toDF("ts", "value"),
+        edges, refProps, watermark = "1 hour")
+      .writeStream.format("memory").queryName("psi_stream").outputMode("append")
+      .start()
+    // chronological chunks: the watermark advances between batches and
+    // never drops in-order arrivals
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    // a far-future sentinel pushes the watermark past every real week's
+    // end; its own (still-open) week never emits
+    mem.addData((java.sql.Timestamp.valueOf("2024-03-15 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("psi_stream")
+      .as[(String, Long, Double)].collect().toSet
+    val expected = StreamingOps.psiWeekly(batchEv, edges, refProps)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expected,
+      "append-mode chained aggregation must reproduce the batch PSI per closed week")
+    assert(got.nonEmpty && got.forall(_._3 >= 0.0))
+  }
+
   test("streaming curation scan (l15/l16 bodies) equals the batch output") {
     // the curation projections are stateless, so the exact batch function
     // bodies must run unchanged over a micro-batched file stream
