@@ -3715,6 +3715,69 @@ object LlmQueries {
     (edges, (1 to 10).map(b => (cnts.getOrElse(b, 0L) + 0.5) / (nRef + 5.0)))
   }
 
+  /** L56: corpus snapshot diff — the dataset-versioning audit run between
+    * two corpus releases (what changed since v1?): every doc_id is
+    * classified added / removed / changed by content hash, the record
+    * a data release ships beside the l54 datasheet. The two versions are
+    * CONSTRUCTED deterministically from the fixture (the l35/l50
+    * pattern): v2 removes every 7th doc, rewrites every 10th (suffix
+    * edit), and adds a shifted-id doc for every 13th — each status
+    * observably fires.
+    *
+    * 100 TB posture: NOT a full-outer join (two shuffled sides, two
+    * exchanges) — the diff is ONE aggregation: tag each side, union, and
+    * groupBy(doc_id) folding the ≤2 rows per key into a status via
+    * conditional aggregates (max-by-side hashes). One exchange over the
+    * union, map-combinable, no join operator anywhere (plan-pinned).
+    * Unchanged ids are dropped BEFORE the result sort so the output is
+    * diff-sized, not corpus-sized. */
+  val l56_snapshot_diff = Q(
+    "l56_snapshot_diff",
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |v2 AS (SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS h
+      |       FROM documents WHERE doc_id % 7 <> 1
+      |       UNION ALL
+      |       SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0),
+      |u AS (SELECT doc_id, h, 1 AS side FROM v1
+      |      UNION ALL SELECT doc_id, h, 2 FROM v2),
+      |g AS (SELECT doc_id,
+      |        max(CASE WHEN side = 1 THEN h END) AS h1,
+      |        max(CASE WHEN side = 2 THEN h END) AS h2
+      |      FROM u GROUP BY 1)
+      |SELECT doc_id,
+      |       CASE WHEN h1 IS NULL THEN 'added'
+      |            WHEN h2 IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS status
+      |FROM g WHERE h1 IS NULL OR h2 IS NULL OR h1 <> h2
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = spread(documents(s, d))
+    val v1 = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val v2 = docs.filter(col("doc_id") % 7 =!= 1)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).cast("binary")).as("h"))
+      .unionAll(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          md5(col("text").cast("binary")).as("h")))
+    snapshotDiff(v1, v2).orderBy("doc_id")
+  }
+
+  /** The l56 engine over two (doc_id, h) version frames: one union +
+    * one map-combinable groupBy, no join — emits only changed ids. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.select(col("doc_id"), col("h"), lit(1).as("side"))
+      .unionAll(v2.select(col("doc_id"), col("h"), lit(2).as("side")))
+      .groupBy("doc_id")
+      .agg(max(when(col("side") === 1, col("h"))).as("h1"),
+        max(when(col("side") === 2, col("h"))).as("h2"))
+      .filter(col("h1").isNull || col("h2").isNull || col("h1") =!= col("h2"))
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .otherwise("changed").as("status"))
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -3752,5 +3815,6 @@ object LlmQueries {
     l42_softdedup_weights, l43_bigram_lm_score, l44_bpe_merges,
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
     l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
-    l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly)
+    l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly,
+    l56_snapshot_diff)
 }

@@ -421,6 +421,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the live scoring path probes literal edges — no join belongs here:\n$p")
   }
 
+  test("L56: the diff is one aggregation — no join operator, map-side combine") {
+    val p = finalPlan(LlmQueries.l56_snapshot_diff)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"),
+      s"the version diff folds a union, never joins two shuffled sides:\n$p")
+    assert(fin.contains("partial_max"),
+      s"the per-id fold must combine map-side before its one exchange:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(fin).size
+    assert(exchanges == 1,
+      s"one union-wide exchange is the whole shuffle budget, got $exchanges:\n$p")
+  }
+
   test("L45: passage chunking is a pure per-row scan — no key shuffle, no join") {
     val p = plan(LlmQueries.l45_passage_chunks)
     assert(!p.contains("hashpartitioning"),

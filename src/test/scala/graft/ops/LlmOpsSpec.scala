@@ -1100,6 +1100,22 @@ class LlmOpsSpec extends AnyFunSuite {
     got.foreach { case (_, _, _, _, rate, _) => assert(rate >= 0.0 && rate <= 1.0) }
   }
 
+  test("l56 snapshot diff: every status classifies exactly its constructed cohort") {
+    val got = LlmQueries.l56_snapshot_diff.fn(spark, sf)
+      .as[(Long, String)].collect().toSeq
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (
+      ids.filter(_ % 13 == 0).map(id => (id + 1000000L, "added")) ++
+        ids.filter(_ % 7 == 1).map((_, "removed")) ++
+        // changed = rewritten in v2 AND still present (not removed)
+        ids.filter(id => id % 10 == 0 && id % 7 != 1).map((_, "changed"))
+    ).toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(Set("added", "removed", "changed").subsetOf(got.map(_._2).toSet),
+      "every status must observably fire on the fixture")
+  }
+
   test("l17 md5→xxhash64 production swap: same form, binomial keep-rates, repartition-invariant") {
     import org.apache.spark.sql.expressions.Window
     // the l17 body with the PRODUCTION hash — pmod(xxhash64(key), 100)
