@@ -3173,6 +3173,170 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** The l57 miner over any embedding frame: per query (vec_id % 100 = 2 —
+    * disjoint from l6's query carve and l53's eval carve), the `perQuery`
+    * highest-cosine corpus items whose ROUNDED cosine lies in [lo, hi),
+    * ranked (cos DESC, vec_id) — candidates drawn from the query's
+    * `nprobe` nearest IVF buckets only, exactly l7's probe pruning. */
+  def hardNegatives(lo: Double, hi: Double, perQuery: Int, nprobe: Int = 3,
+      kOpt: Option[Int] = None)(df: DataFrame): DataFrame = {
+    val asg = rankedAssignedCached(df, kOpt)
+    val assigned = asg.select(col("vec_id"), col("v"), col("nrm"),
+      col("ranked").getItem(0).as("bucket"))
+    val q = asg.filter(col("vec_id") % 100 === 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        slice(col("ranked"), 1, nprobe).as("probes"))
+    val cos = round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+    val rk = row_number().over(
+      Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id")))
+    assigned.join(broadcast(q),
+        array_contains(col("probes"), col("bucket")) && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos.as("cos"))
+      // band filter BEFORE the rank window: the top-k race runs over band
+      // survivors only, so the window exchange carries ≪ corpus rows
+      .filter(col("cos") >= lo && col("cos") < hi)
+      .withColumn("rank", rk.cast("long"))
+      .filter(col("rank") <= perQuery)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** L57: hard-negative mining — the contrastive-training data op (DPR,
+    * Karpukhin et al. EMNLP 2020 §5: a dense retriever trains on, per
+    * query, negatives that are SIMILAR but not positive — random negatives
+    * are too easy to carry gradient, paraphrase-level items are false
+    * negatives that poison the loss): for each query vector the top-3
+    * items whose cosine lies in [0.15, 0.32) — the ceiling is l53's
+    * paraphrase/leak cut, so "anything a decontaminator would flag as a
+    * positive match is disqualified as a negative" is one shared constant
+    * across the two ops — ranked tie-deterministically (rounded cos DESC,
+    * vec_id). Mining rides the IVF index exactly like l7's search:
+    * candidates come from the query's nprobe=3 nearest buckets only (hard
+    * negatives are by definition NEAR the query, so probe pruning is the
+    * right recall trade), and the oracle replays fit + pruning + band +
+    * ranking, so the hash check is exact over the pruned semantics.
+    *
+    * 100 TB posture: rides the session's cached assignment frame (the
+    * serving-shape IVF index l7/l11/l28 share — build once, every
+    * consumer probes it); the query set broadcasts WITH its probe lists;
+    * the corpus side is a map-side bucket-membership + band filter; the
+    * only exchange is the per-query top-k window over band survivors
+    * (bounded by band width within probed buckets, ≪ corpus). At k=⌊√N⌋
+    * buckets the candidate set per query is O(nprobe·√N) — the same
+    * O(N^1.5) total-work envelope as l7/l11, never all-pairs. */
+  val l57_hard_negatives = Q(
+    "l57_hard_negatives",
+    s"""WITH $embedPairsCte,
+       |asn1 AS (SELECT vec_id, v, cl AS bucket FROM a2 WHERE rk = 1),
+       |qp AS (SELECT vec_id AS qid, list(cl ORDER BY rk) AS probes
+       |       FROM a2 WHERE rk <= 3 AND vec_id % 100 = 2 GROUP BY vec_id),
+       |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 2),
+       |s AS (SELECT q.qid, a.vec_id,
+       |        round(list_dot_product(a.v, q.qv) /
+       |              (sqrt(list_dot_product(a.v, a.v)) *
+       |               sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+       |      FROM asn1 a JOIN qp p ON list_contains(p.probes, a.bucket)
+       |                  JOIN qe q ON q.qid = p.qid
+       |      WHERE a.vec_id <> q.qid),
+       |b AS (SELECT * FROM s WHERE cos >= 0.15 AND cos < 0.32),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                   ORDER BY cos DESC, vec_id) AS rk FROM b)
+       |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id, cos
+       |FROM r WHERE rk <= 3 ORDER BY qid, rank""".stripMargin
+  ) { (s, d) =>
+    hardNegatives(lo = 0.15, hi = 0.32, perQuery = 3)(embeddings(s, d))
+  }
+
+  /** L58: HTML markup strip — the EXTRACTION stage that runs before every
+    * text filter in a web pipeline (C4 §2.2 extracts text from WET/HTML
+    * before l35's line rules; trafilatura/jusText are the production
+    * tools): remove script blocks WITH their payload (a tag-only strip
+    * would leak "var x = …;" into training text — the classic extraction
+    * bug), strip remaining tags, unescape the five HTML entities, collapse
+    * whitespace. The corpus is synthetically clean, so each doc is first
+    * WRAPPED in deterministic markup on both engines (the l16 dirt idiom):
+    * every doc gets html/body/p tags, every 5th a script block with a
+    * doc_id payload, every 3rd an anchor with entities — each rule
+    * observably fires (LlmOpsSpec pins all three). Unescape order is the
+    * standard one: named/numeric entities first, `&amp;` LAST, so
+    * double-escaped text (`&amp;lt;`) decodes one level per pass instead
+    * of jumping straight to `<` (the double-unescape bug).
+    *
+    * 100 TB posture: a pure per-row regex projection — zero shuffles,
+    * whole-stage codegen, the same streaming-scan shape as l16/l35 (and
+    * stateless, so the body runs on a readStream frame unchanged).
+    * Patterns stay in the Java-regex ∩ RE2 subset (`[^>]`/`[^<]` classes,
+    * no lazy quantifiers, no backrefs) so both engines match identically. */
+  val l58_markup_strip = Q(
+    "l58_markup_strip",
+    """WITH aug AS (SELECT doc_id,
+      |        '<html><body id="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text ||
+      |        CASE WHEN doc_id % 5 = 0
+      |             THEN '</p><script type="text/javascript">var x = ' ||
+      |                  CAST(doc_id AS VARCHAR) || ';</script><p>ignore</p>'
+      |             ELSE '</p>' END ||
+      |        CASE WHEN doc_id % 3 = 0
+      |             THEN '<a href="http://ex.com/' || CAST(doc_id AS VARCHAR) ||
+      |                  '">see &amp; read &lt;more&gt; &#39;here&#39;</a>'
+      |             ELSE '' END || '</body></html>' AS html
+      |      FROM documents),
+      |ns AS (SELECT doc_id, html,
+      |        regexp_replace(html, '<script[^>]*>[^<]*</script>', ' ', 'g') AS noscript
+      |      FROM aug),
+      |nt AS (SELECT doc_id, html, noscript,
+      |        regexp_replace(noscript, '<[^>]+>', ' ', 'g') AS notags
+      |      FROM ns)
+      |SELECT doc_id,
+      |       trim(regexp_replace(
+      |         replace(replace(replace(replace(replace(notags,
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |           '&amp;', '&'),
+      |         ' +', ' ', 'g')) AS clean_text,
+      |       CAST(len(regexp_extract_all(noscript, '<[^>]+>')) AS BIGINT) AS n_tags,
+      |       CAST(len(regexp_extract_all(html, '<script[^>]*>[^<]*</script>'))
+      |            AS BIGINT) AS n_scripts,
+      |       CAST(len(regexp_extract_all(notags, '&(amp|lt|gt|quot|#39);'))
+      |            AS BIGINT) AS n_entities
+      |FROM nt ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val html = concat(
+      lit("<html><body id=\"d"), col("doc_id").cast("string"), lit("\"><p>"),
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("</p><script type=\"text/javascript\">var x = "),
+          col("doc_id").cast("string"), lit(";</script><p>ignore</p>")))
+        .otherwise("</p>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<a href=\"http://ex.com/"), col("doc_id").cast("string"),
+          lit("\">see &amp; read &lt;more&gt; &#39;here&#39;</a>")))
+        .otherwise(""),
+      lit("</body></html>"))
+    markupStripFrame(spread(documents(s, d))
+      .select(col("doc_id"), html.as("html"))).orderBy("doc_id")
+  }
+
+  /** The l58 extraction body over any (doc_id, html) frame — stateless
+    * per-row regex work, so the same function serves batch and stream. */
+  def markupStripFrame(docs: DataFrame): DataFrame = {
+    val scriptPat = "<script[^>]*>[^<]*</script>"
+    val tagPat = "<[^>]+>"
+    val entityPat = "&(amp|lt|gt|quot|#39);"
+    val noscript = regexp_replace(col("html"), scriptPat, " ")
+    val notags = regexp_replace(noscript, tagPat, " ")
+    val unesc = replace(replace(replace(replace(replace(notags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    docs.select(col("doc_id"),
+      trim(regexp_replace(unesc, " +", " ")).as("clean_text"),
+      size(regexp_extract_all(noscript, lit(tagPat), lit(0))).cast("long")
+        .as("n_tags"),
+      size(regexp_extract_all(col("html"), lit(scriptPat), lit(0))).cast("long")
+        .as("n_scripts"),
+      size(regexp_extract_all(notags, lit(entityPat), lit(0))).cast("long")
+        .as("n_entities"))
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -3816,5 +3980,5 @@ object LlmQueries {
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
     l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
     l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly,
-    l56_snapshot_diff)
+    l56_snapshot_diff, l57_hard_negatives, l58_markup_strip)
 }

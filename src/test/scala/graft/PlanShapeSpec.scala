@@ -450,6 +450,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the merge rules are literals in the fold — no join belongs here:\n$p")
   }
 
+  test("L57: the query+probe set broadcasts; only the band survivors reach the rank window") {
+    val p = finalPlan(LlmQueries.l57_hard_negatives)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastNestedLoopJoin") || fin.contains("BroadcastHashJoin"),
+      s"the query set (with probe lists) must broadcast into the corpus side:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"mining must never shuffle-join or cross the corpus:\n$p")
+    // band filter sits UNDER the window: the only qid exchange feeds the
+    // top-k rank over band survivors, not the raw candidate set
+    assert("Exchange hashpartitioning\\(qid".r.findAllMatchIn(fin).size == 1,
+      s"exactly one exchange (the per-query rank window) is the shuffle budget:\n$p")
+    assert(fin.indexOf("cos") < fin.length && fin.contains("Window"),
+      s"the per-query top-k is a rank window:\n$p")
+  }
+
+  test("L58: markup strip is a pure per-row regex scan — no key shuffle, no join") {
+    val p = plan(LlmQueries.l58_markup_strip)
+    assert(!p.contains("hashpartitioning"),
+      s"extraction is per-row; only the result sort may exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join belongs in a per-row scan:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

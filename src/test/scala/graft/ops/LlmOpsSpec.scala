@@ -259,6 +259,86 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r6 >= r3, "recall must not decrease with more probes")
   }
 
+  test("l57 hard negatives: probing every bucket equals brute-force band mining; " +
+      "band bounds and contiguous ranks hold on the declared pruned form") {
+    val docs = graft.Tables.embeddings(spark, sf)
+    // independent driver-side brute-force reference: all (query, item)
+    // rounded cosines, band filter, (cos DESC, vec_id) top-3 — no Spark
+    // expressions shared with the implementation
+    val e = docs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    def rcos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      (qid, qv) <- e.filter(_._1 % 100 == 2)
+      ranked = e.filter(_._1 != qid)
+        .map { case (id, v) => (id, rcos(v, qv)) }
+        .filter { case (_, c) => c >= 0.15 && c < 0.32 }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).zipWithIndex
+      ((id, _), i) <- ranked
+    } yield (qid, (i + 1).toLong, id)).toSet
+    assert(expected.nonEmpty, "fixture must populate the band or the test is vacuous")
+    // k defaults to ⌊√500⌋ = 22 buckets — nprobe=64 probes them all, so
+    // pruning must cost NOTHING and the miner must equal brute force
+    val full = LlmQueries.hardNegatives(0.15, 0.32, 3, nprobe = 64)(docs)
+      .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(full === expected, "probing every bucket must equal brute-force band mining")
+    // the declared pruned form (nprobe=3): band respected, ranks contiguous
+    // from 1, and nothing mined that brute force would not also accept
+    val mined = LlmQueries.l57_hard_negatives.fn(spark, sf).collect()
+    assert(mined.nonEmpty, "pruned mining must still find negatives on the fixture")
+    mined.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"ranks for query $q must be contiguous from 1")
+    }
+    assert(mined.forall(r => r.getDouble(3) >= 0.15 && r.getDouble(3) < 0.32),
+      "every mined negative's cosine must lie inside [lo, hi)")
+    val bandOk = expected.map { case (q, _, id) => (q, id) } ++
+      e.filter(_._1 % 100 == 2).flatMap { case (qid, qv) =>
+        e.filter(_._1 != qid).map { case (id, v) => (id, rcos(v, qv)) }
+          .filter { case (_, c) => c >= 0.15 && c < 0.32 }
+          .map { case (id, _) => (qid, id) }
+      }
+    assert(mined.forall(r => bandOk.contains((r.getLong(0), r.getLong(2)))),
+      "a pruned mine may subset brute-force band membership, never exceed it")
+  }
+
+  test("l58 markup strip: every rule observably fires; script payload never leaks; " +
+      "unescape is one level per pass") {
+    val out = LlmQueries.l58_markup_strip.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, clean, nTags, nScripts, nEntities) =>
+      // the script payload must be REMOVED with its block, not tag-stripped
+      assert(!clean.contains("var x"), s"doc $id leaked a script payload: $clean")
+      assert(!clean.contains("</") && !clean.contains("<a ") &&
+        !clean.contains("<p>") && !clean.contains("<html"),
+        s"doc $id kept a raw tag: $clean")
+      assert(!clean.contains("  "), s"doc $id kept uncollapsed whitespace")
+      assert(nTags >= 6, s"doc $id: the body/p wrapper alone is 6 tags, got $nTags")
+      assert(nScripts == (if (id % 5 == 0) 1L else 0L), s"doc $id script count")
+      assert(nEntities == (if (id % 3 == 0) 5L else 0L), s"doc $id entity count")
+      if (id % 3 == 0)
+        assert(clean.contains("see & read <more> 'here'"),
+          s"doc $id: entities must decode to literal text: $clean")
+      else assert(!clean.contains("<") && !clean.contains("&"),
+        s"doc $id: an unmarked doc must come out markup-free: $clean")
+      if (id % 5 == 0)
+        assert(clean.contains("ignore"),
+          s"doc $id: text AROUND the script block must survive")
+    }
+    // double-escaped text decodes ONE level (&amp;lt; → &lt;, never <):
+    // the &amp; rewrite runs last, so it cannot re-feed the &lt; rewrite
+    val two = LlmQueries.markupStripFrame(
+        Seq((1L, "<p>&amp;lt;x</p>")).toDF("doc_id", "html"))
+      .select("clean_text").as[String].head()
+    assert(two == "&lt;x", s"double-escape must decode one level, got '$two'")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
