@@ -3337,6 +3337,93 @@ object LlmQueries {
         .as("n_entities"))
   }
 
+  /** L59: pairwise corpus-overlap matrix via mergeable bottom-k sketches —
+    * "how much content do these sources share?" is the question asked
+    * before mixing corpora (Pile/Dolma composition reports) and when
+    * hunting double-counted crawls, and answering it exactly means a
+    * per-pair set intersection over trillions of shingles. The bottom-k
+    * estimator (Broder 1997's single-hash MinHash; Cohen & Kaplan 2007
+    * bottom-k sketches — the l46 machinery pointed at SET RESEMBLANCE
+    * instead of quantiles) answers it from k·L rows of state: per group,
+    * keep the k=256 smallest md5 values over the group's DISTINCT trigram
+    * shingles; for a pair (A, B), the bottom-k of A∪B is computable from
+    * the two sketches alone (bottom-k of a union of bottom-ks — the
+    * mergeability that makes the sketch shard-parallel and era-parallel),
+    * and J(A,B) ≈ |{x ∈ bk(A∪B) : x ∈ A ∧ x ∈ B}| / |bk(A∪B)| with
+    * membership testable FROM the sketches (x ∈ bk(A∪B) ∧ x ∈ A ⇒
+    * x ∈ bk(A), since x is below A's k-th smallest). Standard error is
+    * the k-sample binomial bound √(J(1−J)/k) — LlmOpsSpec pins the
+    * estimate against the exact driver-side Jaccard within 4σ and checks
+    * the merge identity against full sets.
+    *
+    * 100 TB posture: the (lang, h) distinct is the one corpus-sized
+    * exchange (map-combinable — the same shape every gram-df op pays);
+    * the per-group bottom-k is l49's WindowGroupLimit rank (per-partition
+    * top-k before the merge); everything pairwise runs on L·k rows — with
+    * L groups and k=256 that is sketch algebra on a frame that fits in a
+    * browser tab, which is the point: the overlap matrix of a 100 TB
+    * corpus is computed from kilobytes of mergeable state. */
+  val l59_overlap_matrix = Q(
+    "l59_overlap_matrix", {
+      val k = 256
+      s"""WITH d AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+         |g AS (SELECT DISTINCT lang,
+         |        unnest(list_transform(range(len(toks) - 2),
+         |          i -> md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS h
+         |      FROM d WHERE len(toks) >= 3),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM g),
+         |s AS (SELECT lang, list_sort(list(h)) AS sk
+         |      FROM r WHERE rk <= $k GROUP BY lang),
+         |p AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.sk AS ska, b.sk AS skb
+         |      FROM s a JOIN s b ON a.lang < b.lang),
+         |u AS (SELECT lang_a, lang_b, ska, skb,
+         |        list_sort(list_distinct(list_concat(ska, skb))) AS un FROM p),
+         |x AS (SELECT lang_a, lang_b, ska, skb,
+         |        un[1:least($k, len(un))] AS xs FROM u),
+         |f AS (SELECT lang_a, lang_b, xs,
+         |        list_filter(xs, h -> list_contains(ska, h) AND
+         |                             list_contains(skb, h)) AS sh FROM x)
+         |SELECT lang_a, lang_b,
+         |       CAST(len(xs) AS BIGINT) AS k_used,
+         |       CAST(len(sh) AS BIGINT) AS n_shared,
+         |       round(len(sh) * 1.0 / len(xs), 6) AS j_est
+         |FROM f ORDER BY lang_a, lang_b""".stripMargin
+    }
+  ) { (s, d) =>
+    overlapMatrix(spread(documents(s, d)), "lang", k = 256)
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** The l59 engine over any (groupCol, text) frame: per-group bottom-k
+    * sketches over distinct trigram-shingle md5 values, then the pairwise
+    * bottom-k union estimate. Unordered. `k` trades accuracy
+    * (σ = √(J(1−J)/k)) for state (k hex strings per group). */
+  def overlapMatrix(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val grams = docs.select(col(groupCol).as("grp"),
+        explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)))
+          .as("g"))
+      .select(col("grp"), md5(col("g").cast("binary")).as("h"))
+      .distinct()
+    val bk = grams
+      .withColumn("rk", row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .filter(col("rk") <= k)
+      .groupBy("grp").agg(sort_array(collect_list("h")).as("sk"))
+    val un = array_sort(array_union(col("a.sk"), col("b.sk")))
+    val pair = bk.as("a").join(broadcast(bk.as("b")), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("lang_a"), col("b.grp").as("lang_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"),
+        slice(un, 1, k).as("xs"))
+      .select(col("lang_a"), col("lang_b"), col("xs"),
+        filter(col("xs"), h => array_contains(col("ska"), h) &&
+          array_contains(col("skb"), h)).as("sh"))
+    pair.select(col("lang_a"), col("lang_b"),
+      size(col("xs")).cast("long").as("k_used"),
+      size(col("sh")).cast("long").as("n_shared"),
+      round(size(col("sh")).cast("double") / size(col("xs")).cast("double"), 6)
+        .as("j_est"))
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -3980,5 +4067,6 @@ object LlmQueries {
     l45_passage_chunks, l46_sample_quantiles, l47_weighted_sample,
     l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
     l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly,
-    l56_snapshot_diff, l57_hard_negatives, l58_markup_strip)
+    l56_snapshot_diff, l57_hard_negatives, l58_markup_strip,
+    l59_overlap_matrix)
 }

@@ -473,6 +473,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no join belongs in a per-row scan:\n$p")
   }
 
+  test("L59: per-group bottom-k is WindowGroupLimit; pair algebra broadcasts k-row sketches") {
+    val p = finalPlan(LlmQueries.l59_overlap_matrix)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("WindowGroupLimit"),
+      s"the rank<=k cut must cap partitions map-side before the group exchange:\n$p")
+    assert(fin.contains("BroadcastNestedLoopJoin") || fin.contains("BroadcastHashJoin"),
+      s"the L-row sketch frame must broadcast into the pair join:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"nothing corpus-sized may reach the pairwise stage:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

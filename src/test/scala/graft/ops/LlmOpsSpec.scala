@@ -339,6 +339,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(two == "&lt;x", s"double-escape must decode one level, got '$two'")
   }
 
+  test("l59 overlap sketch: estimate within 4σ of exact Jaccard; " +
+      "bottom-k of two sketches merges exactly like full sets") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").as[(String, String)].collect().toSeq
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split(" ", -1).toSeq
+      if (toks.size >= 3) toks.sliding(3).map(g => md5hex(g.mkString(" "))).toSet
+      else Set.empty
+    }
+    val sets = docs.groupBy(_._1).map { case (l, ds) =>
+      l -> ds.flatMap(d => grams(d._2)).toSet
+    }
+    def bk(s: Set[String]): Seq[String] = s.toSeq.sorted.take(256)
+    val out = LlmQueries.l59_overlap_matrix.fn(spark, sf).collect()
+    assert(out.length == sets.size * (sets.size - 1) / 2,
+      "one row per unordered group pair")
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (sets(a), sets(b))
+      val jExact = (sa & sb).size.toDouble / (sa | sb).size
+      val jEst = r.getDouble(4)
+      val k = r.getLong(2).toDouble
+      // deterministic, not flaky: the md5 "sample" is fixed, so this
+      // either always holds or the estimator is broken
+      val sigma = math.max(math.sqrt(jExact * (1 - jExact) / k), 1.0 / k)
+      assert(math.abs(jEst - jExact) <= 4 * sigma + 1e-9,
+        s"($a,$b): est $jEst vs exact $jExact exceeds 4σ=${4 * sigma}")
+      // the mergeability identity the 100 TB posture rests on: the
+      // bottom-k of a union is recoverable from the parts' bottom-ks
+      assert(bk((bk(sa) ++ bk(sb)).toSet) == bk(sa | sb),
+        s"($a,$b): sketch merge must equal the full-set bottom-k")
+    }
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
