@@ -3424,6 +3424,66 @@ object LlmQueries {
         .as("j_est"))
   }
 
+  /** L60: shard manifest with order-independent checksums — the release
+    * artifact shipped beside a packed corpus (WebDataset/HF dataset cards
+    * carry exactly this table: per shard, row/token counts and a content
+    * digest a consumer re-derives to detect truncation or corruption).
+    * Shards are l33's md5-keyed layout; the digest is bit_xor over a
+    * 48-bit md5 prefix of each doc's (id, text) — XOR because it is
+    * ORDER-INDEPENDENT and carry-free: any task order, any partitioning,
+    * any merge tree produces the same value (a wrapping sum differs
+    * between engines — DuckDB widens to HUGEINT — and a concat hash would
+    * need a canonical order, i.e. a sort). XOR's known blind spot (a
+    * doc added twice cancels) is acceptable for a transport-integrity
+    * check and is exactly what the paired l56 content diff catches.
+    *
+    * 100 TB posture: count/sum/bit_xor/min/max are all map-side
+    * combinable, so the manifest is ONE shard-keyed exchange of 8
+    * partial-state rows per task — and the checksums are hierarchically
+    * mergeable (xor of shard checksums = corpus checksum, pinned in the
+    * spec), so per-day manifests fold into a release manifest without
+    * touching the data again. */
+  val l60_shard_manifest = Q(
+    "l60_shard_manifest", {
+      def hexVal(h: String, n: Int): String = (1 to n).map(i =>
+        s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * " +
+          s"${java.math.BigInteger.valueOf(16).pow(n - i)}").mkString(" + ")
+      s"""WITH h0 AS (SELECT doc_id, text,
+         |        md5(CAST(doc_id AS VARCHAR)) AS sh_h,
+         |        md5(CAST(doc_id AS VARCHAR) || ':' || text) AS cv_h
+         |      FROM documents),
+         |v AS (SELECT doc_id,
+         |        CAST(${hexVal("sh_h", 8)} AS BIGINT) % 8 AS shard,
+         |        CAST(${hexVal("cv_h", 12)} AS BIGINT) AS cv,
+         |        len(string_split(lower(text), ' ')) AS nt
+         |      FROM h0)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       bit_xor(cv) AS checksum,
+         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM v GROUP BY shard ORDER BY shard""".stripMargin
+    }
+  ) { (s, d) =>
+    shardManifest(spread(documents(s, d)), shards = 8).orderBy("shard")
+  }
+
+  /** The l60 engine over any (doc_id, text) frame: md5-keyed shard, 48-bit
+    * content value, one map-combinable groupBy(shard). Unordered. */
+  def shardManifest(docs: DataFrame, shards: Int): DataFrame = {
+    val shH = md5(col("doc_id").cast("string").cast("binary"))
+    val cvH = md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))
+      .cast("binary"))
+    docs.select(col("doc_id"),
+        (conv(substring(shH, 1, 8), 16, 10).cast("long") % shards).as("shard"),
+        conv(substring(cvH, 1, 12), 16, 10).cast("long").as("cv"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("nt").cast("long").as("n_tokens"),
+        expr("bit_xor(cv)").as("checksum"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -4068,5 +4128,5 @@ object LlmQueries {
     l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
     l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly,
     l56_snapshot_diff, l57_hard_negatives, l58_markup_strip,
-    l59_overlap_matrix)
+    l59_overlap_matrix, l60_shard_manifest)
 }

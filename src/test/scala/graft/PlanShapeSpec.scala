@@ -484,6 +484,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nothing corpus-sized may reach the pairwise stage:\n$p")
   }
 
+  test("L60: the manifest is one map-combinable shard aggregate — no join, no window") {
+    val p = finalPlan(LlmQueries.l60_shard_manifest)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"manifest state must combine map-side before the shard exchange:\n$p")
+    assert(!fin.contains("Join") && !fin.contains("Window"),
+      s"a manifest is a single aggregation pass:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(fin).size
+    assert(exchanges == 1,
+      s"one shard exchange is the whole shuffle budget, got $exchanges:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

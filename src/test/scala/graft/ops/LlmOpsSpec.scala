@@ -373,6 +373,36 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l60 shard manifest: a one-doc mutation flips exactly its shard's checksum; " +
+      "partition-invariant; shard checksums fold to the corpus checksum") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame, shards: Int) =
+      LlmQueries.shardManifest(df, shards).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = manifest(docs, 8)
+    assert(base.size == 8 && base.values.map(_._1).sum == docs.count())
+    // the checksum must not depend on task order or partitioning
+    assert(manifest(docs.repartition(13), 8) === base,
+      "manifest must be partition-invariant")
+    // corrupt ONE doc: only its shard's checksum (and token count) may move
+    val someId = docs.select("doc_id").as[Long].head()
+    val mutShard = hv(someId.toString) % 8
+    val mut = docs.withColumn("text",
+      when(col("doc_id") === someId, concat(col("text"), lit(" corrupted")))
+        .otherwise(col("text")))
+    val after = manifest(mut, 8)
+    (0L until 8L).foreach { sh =>
+      if (sh == mutShard) {
+        assert(after(sh)._3 != base(sh)._3, "the corrupted shard must re-digest")
+        assert(after(sh)._1 == base(sh)._1 && after(sh)._2 == base(sh)._2 + 1)
+      } else assert(after(sh) === base(sh), s"shard $sh must be untouched")
+    }
+    // hierarchical mergeability: xor of shard digests == the corpus digest
+    val corpus = manifest(docs, 1)(0L)._3
+    assert(base.values.map(_._3).reduce(_ ^ _) == corpus,
+      "per-shard checksums must fold to the whole-corpus checksum")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
