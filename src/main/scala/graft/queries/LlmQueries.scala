@@ -3484,6 +3484,75 @@ object LlmQueries {
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
   }
 
+  /** L61: deterministic weighted mixture interleave — the LOADER-ORDER
+    * step that turns l31/l36/l41's "how much of each domain" into "in
+    * what order the trainer sees it": domains must be interleaved
+    * proportionally to their mixture weights THROUGHOUT training (all of
+    * domain A then all of B is a curriculum bug — the loss spikes when
+    * the distribution shifts mid-epoch), and the order must be
+    * deterministic so a resumed run replays byte-identically. Stride
+    * scheduling (Waldspurger & Weihl, OSDI 1995 — the same virtual-time
+    * trick mixture loaders reimplement): within a shard, domain g's r-th
+    * doc (r = md5-order in-domain rank, the l33 epoch-stable order) runs
+    * at virtual time r·⌊K/w_g⌋ (K = 2²⁰, integer-exact on both engines);
+    * sorting by (vt, lang, doc_id) yields an order where every prefix
+    * holds each domain in ≈ weight proportion (LlmOpsSpec pins the
+    * prefix deviation ≤ 3 while no domain is exhausted — the stride
+    * bound plus the ⌊K/w⌋ quantization).
+    *
+    * 100 TB posture: l33's stance — NO global sort. Shard = md5 % 8 is a
+    * deployment knob (shard count ≫ task parallelism at scale); the two
+    * rank windows exchange only (doc_id, lang, h) metadata — never text —
+    * first on (shard, lang), then on shard; a loader consumes shards
+    * independently, so the global order is the shard order concatenation
+    * the l20/l40 packers already assume. */
+  val l61_mixture_interleave = Q(
+    "l61_mixture_interleave",
+    s"""WITH b AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+       |          FROM documents),
+       |w AS (SELECT * FROM (VALUES ('en', 4), ('es', 2), ('fr', 2),
+       |                            ('de', 1), ('zh', 1)) t(lang, wt)),
+       |v AS (SELECT doc_id, b.lang, h, wt,
+       |        CAST(${hexValOf("h")} AS BIGINT) % 8 AS shard
+       |      FROM b JOIN w ON b.lang = w.lang),
+       |r AS (SELECT doc_id, lang, shard, wt,
+       |        row_number() OVER (PARTITION BY shard, lang
+       |                           ORDER BY h, doc_id) AS rk
+       |      FROM v),
+       |o AS (SELECT doc_id, lang, shard, rk * (1048576 // wt) AS vt FROM r)
+       |SELECT shard,
+       |       CAST(row_number() OVER (PARTITION BY shard
+       |                               ORDER BY vt, lang, doc_id) AS BIGINT) AS pos,
+       |       doc_id, lang
+       |FROM o ORDER BY shard, pos""".stripMargin
+  ) { (s, d) =>
+    val session = s
+    import session.implicits._
+    val wdf = Seq(("en", 4L), ("es", 2L), ("fr", 2L), ("de", 1L), ("zh", 1L))
+      .toDF("lang", "wt")
+    mixtureInterleave(spread(documents(s, d)), wdf, shards = 8)
+      .orderBy("shard", "pos")
+  }
+
+  /** The l61 engine: stride-scheduled interleave of `docs` by the (lang,
+    * wt) weight table, per md5-keyed shard. Emits (shard, pos, doc_id,
+    * lang), unordered. Docs whose lang has no weight row are dropped
+    * (inner join — an unweighted domain has no slot share). */
+  def mixtureInterleave(docs: DataFrame, weights: DataFrame,
+      shards: Int): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val shard = conv(substring(h, 1, 8), 16, 10).cast("long") % shards
+    val v = docs.select(col("doc_id"), col("lang"), h.as("h"), shard.as("shard"))
+      .join(broadcast(weights), "lang")
+    val rk = row_number().over(
+      Window.partitionBy("shard", "lang").orderBy("h", "doc_id"))
+    val pos = row_number().over(
+      Window.partitionBy("shard").orderBy("vt", "lang", "doc_id"))
+    v.withColumn("rk", rk.cast("long"))
+      .withColumn("vt", expr("rk * (1048576 div wt)"))
+      .select(col("shard"), pos.cast("long").as("pos"), col("doc_id"), col("lang"))
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -4128,5 +4197,5 @@ object LlmQueries {
     l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
     l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly,
     l56_snapshot_diff, l57_hard_negatives, l58_markup_strip,
-    l59_overlap_matrix, l60_shard_manifest)
+    l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave)
 }

@@ -496,6 +496,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one shard exchange is the whole shuffle budget, got $exchanges:\n$p")
   }
 
+  test("L61: the weight table broadcasts; two metadata exchanges, never a global sort") {
+    val p = finalPlan(LlmQueries.l61_mixture_interleave)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the 5-row weight table must broadcast into the scan:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"no shuffle join may touch the corpus:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(fin).size
+    assert(exchanges == 2,
+      s"(shard,lang) rank + shard position are the whole shuffle budget, " +
+        s"got $exchanges:\n$p")
+    assert(!fin.contains("Exchange SinglePartition") &&
+      !"Sort \\[vt".r.findFirstIn(fin).exists(_ => fin.contains("Exchange rangepartitioning(vt")),
+      s"the interleave must never funnel through a single-task global sort:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

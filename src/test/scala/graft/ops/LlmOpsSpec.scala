@@ -403,6 +403,48 @@ class LlmOpsSpec extends AnyFunSuite {
       "per-shard checksums must fold to the whole-corpus checksum")
   }
 
+  test("l61 mixture interleave: every prefix holds each domain within the stride " +
+      "bound until exhaustion; the order is partition-invariant") {
+    val out = LlmQueries.l61_mixture_interleave.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    val w = Map("en" -> 4L, "es" -> 2L, "fr" -> 2L, "de" -> 1L, "zh" -> 1L)
+    val bigW = w.values.sum.toDouble
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val order = rows.sortBy(_._2).map(_._4).toSeq
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions must be contiguous from 1")
+      val total = order.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // fairness is only promised while every domain still has docs: past
+      // a domain's exhaustion the remaining domains absorb its slots
+      val horizon = math.min(order.length.toLong,
+        w.collect { case (g, wg) if total.contains(g) =>
+          (total(g) * bigW / wg).toLong }.min).toInt
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      order.take(horizon).zipWithIndex.foreach { case (g, i) =>
+        counts(g) += 1
+        val n = i + 1
+        w.keys.foreach { dom =>
+          val exp = n * w(dom) / bigW
+          assert(math.abs(counts(dom) - exp) <= 3.0 + 1e-9,
+            s"shard $shard prefix $n: $dom at ${counts(dom)} vs expected $exp " +
+              s"exceeds the stride bound")
+        }
+      }
+    }
+    // the order must survive repartitioning (md5 ranks, not task order)
+    val session = spark
+    import session.implicits._
+    val wdf = w.toSeq.toDF("lang", "wt")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = LlmQueries.mixtureInterleave(docs, wdf, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = LlmQueries.mixtureInterleave(docs.repartition(17), wdf, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b, "interleave order must be partition-invariant")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
