@@ -3553,6 +3553,84 @@ object LlmQueries {
       .select(col("shard"), pos.cast("long").as("pos"), col("doc_id"), col("lang"))
   }
 
+  /** L62: Zipf token-frequency audit — the statistical sanity check a
+    * corpus release runs beside l54's composition datasheet: natural text
+    * follows Zipf's law (ln freq ≈ a + s·ln rank with s ≈ −1; Zipf 1949,
+    * Piantadosi 2014 review), and a corpus whose fitted slope or
+    * head-mass deviates wildly signals TEMPLATED or machine-generated
+    * content (boilerplate flattens the tail, log spam steepens the head)
+    * before any model ever trains on it. Emits one audit row: type/token
+    * counts, head coverage (mass of the top-10 / top-100 types), and the
+    * closed-form OLS fit of ln(freq) on ln(rank) over the top-1000 types
+    * ranked (count DESC, token) — tie-deterministic, and the regression
+    * folds over the SAME sorted array on both engines so summation order
+    * is pinned by construction.
+    *
+    * 100 TB posture: the type count is THE map-combinable aggregate (the
+    * l32 vocab shape — ~10⁷ types at web scale from any corpus size);
+    * the top-1000 cut is TakeOrderedAndProject (per-partition top-k +
+    * one k·P merge — never a global sort or an unpartitioned rank
+    * window); everything after is arithmetic over one 1000-element row.
+    * The audit of a 100 TB corpus costs one aggregation pass. */
+  val l62_zipf_audit = Q(
+    "l62_zipf_audit",
+    """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+      |          FROM documents),
+      |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t
+      |       WHERE tok <> '' GROUP BY tok),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+      |               CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc),
+      |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+      |        FROM (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT 1000)),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |             sum(ln(rk)) AS sx, sum(ln(cnt)) AS sy,
+      |             sum(ln(rk) * ln(cnt)) AS sxy, sum(ln(rk) * ln(rk)) AS sxx,
+      |             sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS m10,
+      |             sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END) AS m100
+      |      FROM top)
+      |SELECT n_types, n_tokens,
+      |       round(m10 * 1.0 / n_tokens, 6) AS top10_mass,
+      |       round(m100 * 1.0 / n_tokens, 6) AS top100_mass,
+      |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+      |         AS zipf_intercept
+      |FROM s CROSS JOIN tot""".stripMargin
+  ) { (s, d) =>
+    zipfAudit(spread(documents(s, d)), topN = 1000)
+  }
+
+  /** The l62 engine: one-row Zipf audit over any (text) frame. The top-N
+    * ranking collapses to a single bounded array row (the l46 shape), so
+    * the OLS fold runs over an identical sequence on any engine. */
+  def zipfAudit(docs: DataFrame, topN: Int): DataFrame = {
+    val tc = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = tc.agg(count(lit(1)).cast("long").as("n_types"),
+      sum("cnt").cast("long").as("n_tokens"))
+    val arr = tc.orderBy(col("cnt").desc, col("tok")).limit(topN)
+      .agg(collect_list(struct((-col("cnt")).as("nc"), col("tok"))).as("raw"))
+      .select(transform(array_sort(col("raw")),
+        (x, i) => struct((i + 1L).cast("long").as("rk"),
+          (-x.getField("nc")).cast("long").as("cnt"))).as("arr"))
+    def fsum(f: Column => Column): Column =
+      aggregate(col("arr"), lit(0.0), (acc, x) => acc + f(x))
+    val lrk = (x: Column) => log(x.getField("rk").cast("double"))
+    val lcn = (x: Column) => log(x.getField("cnt").cast("double"))
+    val n = size(col("arr")).cast("double")
+    val sx = fsum(lrk); val sy = fsum(lcn)
+    val sxy = fsum(x => lrk(x) * lcn(x)); val sxx = fsum(x => lrk(x) * lrk(x))
+    val slopeRaw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def mass(k: Int): Column = aggregate(slice(col("arr"), 1, k), lit(0L),
+      (acc, x) => acc + x.getField("cnt")).cast("double")
+    arr.crossJoin(broadcast(tot)).select(
+      col("n_types"), col("n_tokens"),
+      round(mass(10) / col("n_tokens"), 6).as("top10_mass"),
+      round(mass(100) / col("n_tokens"), 6).as("top100_mass"),
+      round(slopeRaw, 6).as("zipf_slope"),
+      round((sy - slopeRaw * sx) / n, 6).as("zipf_intercept"))
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -4197,5 +4275,6 @@ object LlmQueries {
     l48_bpe_encode, l49_group_quantiles, l50_line_dedup, l51_token_ids,
     l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly,
     l56_snapshot_diff, l57_hard_negatives, l58_markup_strip,
-    l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave)
+    l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave,
+    l62_zipf_audit)
 }

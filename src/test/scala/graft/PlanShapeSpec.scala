@@ -512,6 +512,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the interleave must never funnel through a single-task global sort:\n$p")
   }
 
+  test("L62: the type count combines map-side; the top-1000 cut is TakeOrdered, no window") {
+    val p = finalPlan(LlmQueries.l62_zipf_audit)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count"),
+      s"the vocabulary count must combine map-side:\n$p")
+    assert(fin.contains("TakeOrderedAndProject"),
+      s"the top-N cut must be per-partition top-k + merge, never a global sort:\n$p")
+    assert(!fin.contains("Window"),
+      s"no rank window belongs in the audit — ranks come from the bounded array:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -445,6 +445,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a === b, "interleave order must be partition-invariant")
   }
 
+  test("l62 zipf audit: matches a driver-side OLS replay; head masses ordered; " +
+      "slope negative on natural-ish text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+    val counts = docs.flatMap(_.toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = counts.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(1000)
+      .zipWithIndex.map { case ((_, c), i) => (i + 1L, c) }
+    val nTokens = counts.values.sum
+    val n = ranked.size.toDouble
+    val sx = ranked.map(r => math.log(r._1.toDouble)).sum
+    val sy = ranked.map(r => math.log(r._2.toDouble)).sum
+    val sxy = ranked.map(r => math.log(r._1.toDouble) * math.log(r._2.toDouble)).sum
+    val sxx = ranked.map(r => math.pow(math.log(r._1.toDouble), 2)).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val row = LlmQueries.l62_zipf_audit.fn(spark, sf).collect()(0)
+    assert(row.getLong(0) == counts.size && row.getLong(1) == nTokens)
+    assert(math.abs(row.getDouble(4) - slope) < 1e-5,
+      s"fitted slope ${row.getDouble(4)} vs driver replay $slope")
+    assert(row.getDouble(4) < 0, "token frequencies must decay with rank")
+    val (m10, m100) = (row.getDouble(2), row.getDouble(3))
+    assert(m10 > 0 && m10 <= m100 && m100 <= 1.0 + 1e-9,
+      "head masses must be ordered fractions")
+    val m10Exact = ranked.take(10).map(_._2).sum.toDouble / nTokens
+    assert(math.abs(m10 - m10Exact) < 1e-6)
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
