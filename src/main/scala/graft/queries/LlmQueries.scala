@@ -3631,6 +3631,71 @@ object LlmQueries {
       round((sy - slopeRaw * sx) / n, 6).as("zipf_intercept"))
   }
 
+  /** L63: length-bucketed batch assembly — the PAD-batching loader shape
+    * for finetuning/seq2seq training, where docs must stay intact and a
+    * batch pads every member to its longest sequence: batching arbitrary
+    * lengths together wastes compute as padding (the motivation for
+    * bucketing in every production loader), so docs are bucketed by
+    * ⌊log₂(len)⌋ — same-bucket lengths differ by < 2× — and batched 8 at
+    * a time within (shard, bucket) in the md5 epoch-stable order. Emits
+    * one row per batch with its padding-waste fraction
+    * 1 − Σlen/(n_docs·max_len): the accounting that tells an infra team
+    * what bucketing buys vs naive batching. Complements l20/l40, which
+    * CONCATENATE for pretraining (no padding at all) — this is the
+    * regime where concatenation is off the table because sequences may
+    * not cross doc boundaries at all.
+    *
+    * 100 TB posture: only (doc_id, len, h) metadata flows — text never
+    * shuffles; the rank window exchanges on (shard, bucket) and the
+    * per-batch aggregate is map-combinable and grid-sized. Shards are
+    * the l33/l40 deployment knob; no global sort anywhere. */
+  val l63_length_batches = Q(
+    "l63_length_batches",
+    s"""WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |        len(string_split(lower(text), ' ')) AS n FROM documents),
+       |v AS (SELECT doc_id, h, n,
+       |        CAST(${hexValOf("h")} AS BIGINT) % 8 AS shard,
+       |        CAST(floor(log2(n)) AS BIGINT) AS bucket
+       |      FROM b),
+       |r AS (SELECT doc_id, shard, bucket, n,
+       |        (row_number() OVER (PARTITION BY shard, bucket
+       |                            ORDER BY h, doc_id) - 1) // 8 AS batch_id
+       |      FROM v)
+       |SELECT shard, bucket, batch_id,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(max(n) AS BIGINT) AS max_len,
+       |       CAST(sum(n) AS BIGINT) AS sum_len,
+       |       round(1.0 - sum(n) * 1.0 / (count(*) * max(n)), 6) AS pad_waste
+       |FROM r GROUP BY shard, bucket, batch_id
+       |ORDER BY shard, bucket, batch_id""".stripMargin
+  ) { (s, d) =>
+    lengthBatches(spread(documents(s, d)), shards = 8, batchSize = 8)
+      .orderBy("shard", "bucket", "batch_id")
+  }
+
+  /** The l63 engine: ⌊log₂(len)⌋ buckets, md5-ordered batches of
+    * `batchSize` within (shard, bucket), per-batch padding accounting.
+    * Unordered. Token lengths are ≥ 1 (split yields ≥ 1), so log₂ is
+    * total. */
+  def lengthBatches(docs: DataFrame, shards: Int, batchSize: Int): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val v = docs.select(col("doc_id"), h.as("h"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .select(col("doc_id"), col("h"), col("n"),
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % shards)
+          .as("shard"),
+        floor(log2(col("n"))).cast("long").as("bucket"))
+    val rk = row_number().over(
+      Window.partitionBy("shard", "bucket").orderBy("h", "doc_id"))
+    v.withColumn("batch_id", ((rk - 1).cast("long") / batchSize)
+        .cast("long"))
+      .groupBy("shard", "bucket", "batch_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max("n").as("max_len"), sum("n").cast("long").as("sum_len"),
+        round(lit(1.0) - sum("n").cast("double") /
+          (count(lit(1)) * max("n")).cast("double"), 6).as("pad_waste"))
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -4276,5 +4341,5 @@ object LlmQueries {
     l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly,
     l56_snapshot_diff, l57_hard_negatives, l58_markup_strip,
     l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave,
-    l62_zipf_audit)
+    l62_zipf_audit, l63_length_batches)
 }

@@ -523,6 +523,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no rank window belongs in the audit — ranks come from the bounded array:\n$p")
   }
 
+  test("L63: only length metadata shuffles — no text column past the scan, no join") {
+    val p = finalPlan(LlmQueries.l63_length_batches)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), s"batch assembly is windows + one aggregate:\n$p")
+    val exchanges = fin.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"the text column must be projected away before any exchange:\n$p")
+    assert(fin.contains("partial_count") || fin.contains("partial_max"),
+      s"the per-batch aggregate must combine map-side:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

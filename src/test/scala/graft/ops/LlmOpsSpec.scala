@@ -472,6 +472,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(m10 - m10Exact) < 1e-6)
   }
 
+  test("l63 length batches: bucket bounds hold, batches fill before a new one opens, " +
+      "padding accounting is exact, and bucketing beats naive batching") {
+    val rows = LlmQueries.l63_length_batches.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sh, bk, bid, nDocs, maxLen, sumLen, waste) =>
+      assert(nDocs >= 1 && nDocs <= 8, s"batch ($sh,$bk,$bid) size $nDocs")
+      // same-bucket lengths differ by < 2×: maxLen sits inside the bucket
+      assert(maxLen >= (1L << bk) && maxLen < (1L << (bk + 1)),
+        s"batch ($sh,$bk,$bid): max_len $maxLen outside bucket [2^$bk, 2^${bk + 1})")
+      assert(sumLen <= nDocs * maxLen && sumLen >= nDocs * (1L << bk),
+        s"batch ($sh,$bk,$bid): member lengths must sit inside the bucket")
+      val exact = BigDecimal(1.0 - sumLen.toDouble / (nDocs * maxLen))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(waste - exact) < 1e-9, s"batch ($sh,$bk,$bid) waste")
+      // bucketing bound: within a bucket max/min < 2 ⇒ waste < 1/2
+      assert(waste < 0.5, s"bucketed padding waste must stay under 50%")
+    }
+    // only the LAST batch of a (shard, bucket) group may be partial
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((sh, bk), bs) =>
+      val sorted = bs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (0L until bs.length).toSeq,
+        s"($sh,$bk): batch ids must be dense from 0")
+      sorted.dropRight(1).foreach { b =>
+        assert(b._4 == 8, s"($sh,$bk): only the last batch may be partial")
+      }
+    }
+    // the accounting justifies the op: total bucketed padding < naive
+    // same-size batching ignoring length (upper-bounded by padding every
+    // doc to the corpus max)
+    val totalPad = rows.map(t => t._4 * t._5 - t._6).sum.toDouble
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+      .map(_.toLowerCase.split(" ", -1).length.toLong)
+    val naivePad = lens.length * lens.max - lens.sum.toDouble
+    assert(totalPad < naivePad * 0.5,
+      s"bucketing must at least halve naive padding: $totalPad vs $naivePad")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
