@@ -3027,6 +3027,68 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L64: tokenizer fertility audit — the evaluation table every
+    * tokenizer paper ships (Sennrich 2016; the mBERT/XLM-R fertility
+    * analyses, Ács 2019; Rust et al. ACL 2021): per language, how many
+    * subwords the frozen l44 tokenizer spends per word (fertility), and
+    * what fraction of subwords are word-INTERNAL continuations (no `</w>`
+    * marker — the pieces that inflate sequence length without finishing a
+    * word). A language with outlier fertility is under-served by the
+    * merge table — the signal that decides vocab size and per-language
+    * merge budgets BEFORE a 100 TB encode is paid for. Closes the
+    * tokenizer loop as its measurement stage: train l44 → encode l48 →
+    * ids l51 → AUDIT l64.
+    *
+    * 100 TB posture: the Spark side is JOINLESS — the native
+    * graft_bpe_encode expression runs per-row with the merge table as
+    * literals (the l48 plan), word/continuation counts are per-row array
+    * arithmetic, and the only exchange is the map-combinable #langs-row
+    * groupBy. The audit of the full corpus costs one codegen'd scan. */
+  val l64_tokenizer_audit = Q(
+    "l64_tokenizer_audit",
+    s"""WITH RECURSIVE
+       |$bpeEncodeCtes,
+       |a AS (SELECT doc.lang,
+       |        len(list_filter(string_split(lower(doc.text), ' '),
+       |                        x -> x <> '')) AS nw,
+       |        len(e.subw) AS ns,
+       |        len(list_filter(e.subw, x -> NOT x LIKE '%</w>')) AS nc
+       |      FROM e JOIN documents doc ON e.doc_id = doc.doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(nw) AS BIGINT) AS n_words,
+       |       CAST(sum(ns) AS BIGINT) AS n_subwords,
+       |       round(sum(ns) * 1.0 / sum(nw), 6) AS fertility,
+       |       round(sum(nc) * 1.0 / sum(ns), 6) AS cont_rate
+       |FROM a GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    tokenizerAudit(spread(documents(s, d)), PinnedBpeMerges).orderBy("lang")
+  }
+
+  /** The l64 engine over any (lang, text) frame and merge table: per-lang
+    * fertility and continuation-rate of the greedy BPE encode. Unordered.
+    * Docs with no words are excluded (they encode to nothing — the l48
+    * inner-join contract). */
+  def tokenizerAudit(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(TextOps.tokens(col("text")), w => w =!= "")
+    val enc = docs.select(col("lang"),
+        size(words).cast("long").as("nw"),
+        graft.functions.TextExprs.bpeEncode(words, merges).as("subw"))
+      .filter(size(col("subw")) > 0)
+      .select(col("lang"), col("nw"),
+        size(col("subw")).cast("long").as("ns"),
+        size(filter(col("subw"), x => !x.endsWith("</w>"))).cast("long")
+          .as("nc"))
+    enc.groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("nw").cast("long").as("n_words"),
+        sum("ns").cast("long").as("n_subwords"),
+        round(sum("ns").cast("double") / sum("nw").cast("double"), 6)
+          .as("fertility"),
+        round(sum("nc").cast("double") / sum("ns").cast("double"), 6)
+          .as("cont_rate"))
+  }
+
   /** L52: distribution-drift monitoring (PSI) — the population stability
     * index every production data pipeline runs between a reference window
     * and the current window (credit-scoring heritage; the standard
@@ -4341,5 +4403,5 @@ object LlmQueries {
     l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly,
     l56_snapshot_diff, l57_hard_negatives, l58_markup_strip,
     l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave,
-    l62_zipf_audit, l63_length_batches)
+    l62_zipf_audit, l63_length_batches, l64_tokenizer_audit)
 }

@@ -534,6 +534,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-batch aggregate must combine map-side:\n$p")
   }
 
+  test("L64: the audit is a joinless codegen scan + one lang aggregate") {
+    val p = finalPlan(LlmQueries.l64_tokenizer_audit)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"),
+      s"the merge table folds in as literals — no join belongs here:\n$p")
+    assert(!fin.contains("Window"), s"no rank window belongs in the audit:\n$p")
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"the per-lang aggregate must combine map-side:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(fin).size
+    assert(exchanges == 1,
+      s"one #langs exchange is the whole shuffle budget, got $exchanges:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -512,6 +512,49 @@ class LlmOpsSpec extends AnyFunSuite {
       s"bucketing must at least halve naive padding: $totalPad vs $naivePad")
   }
 
+  test("l64 tokenizer audit: consistent with the l48 encode output; fertility ≥ 1 " +
+      "and below the char-level (0-merge) ceiling; cont_rate a proper fraction") {
+    val enc = LlmQueries.l48_bpe_encode.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val langOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split(" ", -1).count(_.nonEmpty) }.toMap
+    // independent recomputation from the DECLARED l48 output (itself
+    // oracle-hashed + fuzzed): per-lang sums of words / subwords /
+    // continuation pieces
+    val byLang = enc.filter(_._2 > 0).groupBy(e => langOf(e._1))
+    val audit = LlmQueries.l64_tokenizer_audit.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(audit.keySet == byLang.keySet)
+    byLang.foreach { case (lang, docs) =>
+      val nw = docs.map(e => words(e._1).toLong).sum
+      val ns = docs.map(_._2).sum
+      val nc = docs.map(_._3.split(" ", -1).count(s => s.nonEmpty &&
+        !s.endsWith("</w>")).toLong).sum
+      val (aDocs, aWords, aSubs, fert, cont) = audit(lang)
+      assert(aDocs == docs.size && aWords == nw && aSubs == ns,
+        s"$lang: counts must match the l48 output")
+      assert(math.abs(fert - ns.toDouble / nw) < 1e-6, s"$lang fertility")
+      assert(math.abs(cont - nc.toDouble / ns) < 1e-6, s"$lang cont_rate")
+      assert(fert >= 1.0, "a word encodes to at least one subword")
+      assert(cont >= 0.0 && cont < 1.0, s"$lang cont_rate range")
+    }
+    // the merge table must actually compress: corpus fertility under the
+    // char-level ceiling (0-merge fertility = chars per word)
+    val totalChars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.toLowerCase.split(" ", -1).filter(_.nonEmpty)).map(_.length.toLong).sum
+    val totalWords = words.values.map(_.toLong).sum
+    val totalSubs = enc.map(_._2).sum
+    assert(totalSubs.toDouble / totalWords < totalChars.toDouble / totalWords,
+      "20 merges must compress below the char-level encoding")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
