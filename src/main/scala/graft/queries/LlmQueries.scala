@@ -3089,6 +3089,78 @@ object LlmQueries {
           .as("cont_rate"))
   }
 
+  /** L65: cross-era n-gram novelty audit — "how much of the new crawl is
+    * actually NEW text?": per incoming doc, the fraction of its distinct
+    * 5-grams never seen in the frozen previous era (the novel-n-gram
+    * measure of Lee et al. 2022's dedup analysis, and the aggregate a
+    * crawl team reads to decide whether a recrawl was worth the cost —
+    * near-zero novelty means the crawler is re-eating the same web).
+    * Eras split deterministically (doc_id parity); docs shorter than the
+    * gram width count as fully novel (nothing borrowed — the l27
+    * explode_outer convention keeps them in the output).
+    *
+    * 100 TB posture: UNLIKE l27/l37 (benchmark-sized gram sets that
+    * broadcast), BOTH sides here are corpus-scale, so the honest shape is
+    * a shuffle join on the gram key — but of SKINNY rows only: era-1
+    * grams collapse to a map-combined distinct, era-2 ships (doc_id,
+    * gram) pairs, text never shuffles, and the per-doc novelty count
+    * map-combines after the probe (the l43 stance: when neither side
+    * broadcasts, say so and shuffle the minimum). md5-free: the gram
+    * STRINGS join directly for oracle parity; at scale you'd join on
+    * xxhash64(gram) to quarter the shuffle bytes (the l17-documented
+    * swap). */
+  val l65_novelty_audit = Q(
+    "l65_novelty_audit",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |          FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+      |        list_distinct(list_transform(range(len(toks) - 4),
+      |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] ||
+      |               ' ' || toks[i+4] || ' ' || toks[i+5]))
+      |        ELSE CAST([] AS VARCHAR[]) END AS grams
+      |      FROM d),
+      |old AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      |        WHERE doc_id % 2 = 0),
+      |nw AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 2 = 1),
+      |hit AS (SELECT nw.doc_id, count(nw.gram) AS n_grams,
+      |               count(old.gram) AS n_seen
+      |        FROM nw LEFT JOIN old ON nw.gram = old.gram
+      |        GROUP BY nw.doc_id),
+      |base AS (SELECT doc_id FROM g WHERE doc_id % 2 = 1)
+      |SELECT base.doc_id,
+      |       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(coalesce(n_grams - n_seen, 0) AS BIGINT) AS n_novel,
+      |       CASE WHEN coalesce(n_grams, 0) > 0
+      |            THEN round((n_grams - n_seen) * 1.0 / n_grams, 6)
+      |            ELSE 1.0 END AS novelty
+      |FROM base LEFT JOIN hit ON base.doc_id = hit.doc_id
+      |ORDER BY base.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = spread(documents(s, d))
+    noveltyAudit(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), n = 5).orderBy("doc_id")
+  }
+
+  /** The l65 engine: per `incoming` doc, the fraction of its distinct
+    * n-grams absent from `frozen`. Unordered; gram-less docs are fully
+    * novel. */
+  def noveltyAudit(frozen: DataFrame, incoming: DataFrame, n: Int): DataFrame = {
+    val grams = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n))
+    val old = frozen.select(explode(grams).as("gram")).distinct()
+      .withColumn("seen", lit(1))
+    val nw = incoming.select(col("doc_id"), explode_outer(grams).as("gram"))
+    nw.join(old, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("gram")).cast("long").as("n_grams"),
+        sum(coalesce(col("seen"), lit(0))).cast("long").as("n_seen"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - col("n_seen")).as("n_novel"),
+        when(col("n_grams") > 0,
+          round((col("n_grams") - col("n_seen")).cast("double") /
+            col("n_grams").cast("double"), 6))
+          .otherwise(1.0).as("novelty"))
+  }
+
   /** L52: distribution-drift monitoring (PSI) — the population stability
     * index every production data pipeline runs between a reference window
     * and the current window (credit-scoring heritage; the standard
@@ -4403,5 +4475,6 @@ object LlmQueries {
     l52_drift_psi, l53_embed_decon, l54_corpus_datasheet, l55_psi_weekly,
     l56_snapshot_diff, l57_hard_negatives, l58_markup_strip,
     l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave,
-    l62_zipf_audit, l63_length_batches, l64_tokenizer_audit)
+    l62_zipf_audit, l63_length_batches, l64_tokenizer_audit,
+    l65_novelty_audit)
 }

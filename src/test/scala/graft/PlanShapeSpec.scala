@@ -547,6 +547,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one #langs exchange is the whole shuffle budget, got $exchanges:\n$p")
   }
 
+  test("L65: only skinny gram rows shuffle; the per-doc count combines map-side") {
+    val p = finalPlan(LlmQueries.l65_novelty_audit)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), s"no cartesian belongs here:\n$p")
+    val exchanges = fin.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"text must be projected away before any exchange:\n$p")
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"the per-doc novelty count must combine map-side:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

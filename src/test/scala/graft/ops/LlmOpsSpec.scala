@@ -555,6 +555,38 @@ class LlmOpsSpec extends AnyFunSuite {
       "20 merges must compress below the char-level encoding")
   }
 
+  test("l65 novelty audit: equals a driver-side replay; an exact era-1 copy scores 0; " +
+      "gram-less docs are fully novel") {
+    def grams(text: String): Set[String] = {
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      if (toks.size >= 5) toks.sliding(5).map(_.mkString(" ")).toSet else Set.empty
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val oldGrams = docs.filter(_._1 % 2 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 2 == 1).map { case (id, t) =>
+      val g = grams(t)
+      val novel = g.count(!oldGrams.contains(_)).toLong
+      (id, g.size.toLong, novel,
+        if (g.nonEmpty) BigDecimal(novel.toDouble / g.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 1.0)
+    }.toSet
+    val out = LlmQueries.l65_novelty_audit.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out === expected, "novelty must equal the driver-side replay")
+    // engineered cohorts through the engine directly: a verbatim era-1
+    // copy has novelty 0, a disjoint doc 1, a short doc 1 by convention
+    val frozen = docsDf(Seq((2L, "a b c d e f g h")))
+    val incoming = docsDf(Seq(
+      (1L, "a b c d e f g h"), (3L, "q r s t u v w x"), (5L, "a b c")))
+    val got = LlmQueries.noveltyAudit(frozen, incoming, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 0.0, "an exact copy borrows every gram")
+    assert(got(3L) == 1.0, "disjoint text is fully novel")
+    assert(got(5L) == 1.0, "a sub-gram-width doc is fully novel by convention")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
