@@ -3161,6 +3161,108 @@ object LlmQueries {
           .otherwise(1.0).as("novelty"))
   }
 
+  /** L66: nested scaling-ladder subsamples — the dataset a scaling-law /
+    * data-ablation study actually trains on (Kaplan et al. 2020 §2.2,
+    * Hoffmann et al. 2022 train the SAME distribution at many sizes;
+    * Muennighoff et al. 2023 data-constrained laws): rungs at 1%, 4%,
+    * 20%, 100% of the corpus, STRICTLY NESTED (every 1% doc is in the 4%
+    * set, and so on), so a bigger run's data is a superset of the
+    * smaller's and curves are comparable — independent samples per rung
+    * would confound data content with data quantity. One md5 uniform per
+    * doc gives all rungs at once: doc ∈ rung r iff bucket < rate_r·2³²
+    * (l31/l36's exact integer keep test — nesting is free because the
+    * thresholds are nested). Emits each doc's SMALLEST rung (the run it
+    * first appears in); a consumer takes rung ≤ r for ladder step r.
+    *
+    * 100 TB posture: a pure per-row projection — the md5, four integer
+    * compares, a chained when(). Zero shuffles, zero joins, no fit pass;
+    * the whole ladder materializes in one codegen'd scan (and the same
+    * body runs on a readStream frame — per-row, stateless). */
+  val l66_scaling_ladder = Q(
+    "l66_scaling_ladder", {
+      val hv = hexValOf("mh")
+      // rung thresholds as exact integers: rate·2^32
+      val t1 = (0.01 * 4294967296L).toLong   // 42949672
+      val t2 = (0.04 * 4294967296L).toLong   // 171798691
+      val t3 = (0.20 * 4294967296L).toLong   // 858993459
+      s"""WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ladder') AS mh
+         |          FROM documents),
+         |v AS (SELECT doc_id, CAST($hv AS BIGINT) AS bu FROM b)
+         |SELECT doc_id,
+         |       CAST(CASE WHEN bu < $t1 THEN 1 WHEN bu < $t2 THEN 2
+         |                 WHEN bu < $t3 THEN 3 ELSE 4 END AS BIGINT) AS rung
+         |FROM v ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    scalingLadder(spread(documents(s, d)),
+      Seq(0.01, 0.04, 0.20)).orderBy("doc_id")
+  }
+
+  /** The l66 engine: rung r (1-based) = the first rate in `rates`
+    * (ascending, < 1.0) whose md5-bucket threshold admits the doc; docs
+    * past every rate land in rung rates.size + 1 (the 100% rung).
+    * Unordered. */
+  def scalingLadder(docs: DataFrame, rates: Seq[Double]): DataFrame = {
+    require(rates.nonEmpty && rates == rates.sorted && rates.last < 1.0,
+      s"rates must ascend below 1.0, got $rates")
+    val mh = md5(concat(col("doc_id").cast("string"), lit(":ladder"))
+      .cast("binary"))
+    val bu = conv(substring(mh, 1, 8), 16, 10).cast("long")
+    val rung = rates.zipWithIndex.foldRight(
+        lit(rates.size + 1L): Column) { case ((rate, i), els) =>
+      when(bu < (rate * 4294967296L).toLong, (i + 1).toLong).otherwise(els)
+    }
+    docs.select(col("doc_id"), rung.cast("long").as("rung"))
+  }
+
+  /** L67: per-cell QA probe sample — the "eyeball sample" a corpus
+    * release ships for human review (Dodge et al. 2021's C4 audit did
+    * exactly this post-hoc; a release pipeline does it proactively):
+    * per (lang, source) grid cell, the k=3 deterministic bottom-md5 docs
+    * with a bounded snippet — enough for a reviewer to spot an extraction
+    * bug or a mislabeled source in minutes, chosen by hash so the sample
+    * is UNIFORM within the cell (not the first rows of some file, which
+    * over-represent one crawl segment), reproducible run-to-run, and
+    * STABLE across corpus growth (a doc's priority never changes, so
+    * review history stays attached to the same doc_ids). The md5 salt
+    * ':probe' decorrelates from every other hash-keyed op's sample.
+    *
+    * 100 TB posture: l49's shape — the rank-≤-k window plans as
+    * WindowGroupLimit (each task keeps only k rows per cell before the
+    * exchange), the snippet is capped at 60 chars BEFORE the shuffle so
+    * exchange rows are bounded, and the output is grid·k rows. */
+  val l67_qa_probes = Q(
+    "l67_qa_probes",
+    """WITH b AS (SELECT lang, source, doc_id,
+      |        md5(CAST(doc_id AS VARCHAR) || ':probe') AS h,
+      |        substr(text, 1, 60) AS snippet
+      |      FROM documents),
+      |r AS (SELECT lang, source, doc_id, snippet,
+      |        row_number() OVER (PARTITION BY lang, source
+      |                           ORDER BY h, doc_id) AS rk
+      |      FROM b)
+      |SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id, snippet
+      |FROM r WHERE rk <= 3 ORDER BY lang, source, rk""".stripMargin
+  ) { (s, d) =>
+    qaProbes(spread(documents(s, d)), Seq("lang", "source"), k = 3)
+      .orderBy("lang", "source", "rk")
+  }
+
+  /** The l67 engine: per `cellCols` cell, the k bottom-md5 docs with a
+    * 60-char snippet. Unordered. */
+  def qaProbes(docs: DataFrame, cellCols: Seq[String], k: Int): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":probe"))
+      .cast("binary"))
+    val rk = row_number().over(
+      Window.partitionBy(cellCols.map(col): _*).orderBy("h", "doc_id"))
+    docs.select(cellCols.map(col) ++ Seq(col("doc_id"), h.as("h"),
+        substring(col("text"), 1, 60).as("snippet")): _*)
+      .withColumn("rk", rk.cast("long"))
+      .filter(col("rk") <= k)
+      .select(cellCols.map(col) ++
+        Seq(col("rk"), col("doc_id"), col("snippet")): _*)
+  }
+
   /** L52: distribution-drift monitoring (PSI) — the population stability
     * index every production data pipeline runs between a reference window
     * and the current window (credit-scoring heritage; the standard
@@ -4476,5 +4578,5 @@ object LlmQueries {
     l56_snapshot_diff, l57_hard_negatives, l58_markup_strip,
     l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave,
     l62_zipf_audit, l63_length_batches, l64_tokenizer_audit,
-    l65_novelty_audit)
+    l65_novelty_audit, l66_scaling_ladder, l67_qa_probes)
 }

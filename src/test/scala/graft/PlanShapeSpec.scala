@@ -558,6 +558,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-doc novelty count must combine map-side:\n$p")
   }
 
+  test("L66: the ladder is a pure per-row scan — no shuffle, no join, no fit pass") {
+    val p = plan(LlmQueries.l66_scaling_ladder)
+    assert(!p.contains("hashpartitioning"),
+      s"rung assignment is per-row; only the result sort may exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"one codegen'd scan materializes the whole ladder:\n$p")
+  }
+
+  test("L67: the probe pick is WindowGroupLimit behind ONE cell exchange") {
+    val p = finalPlan(LlmQueries.l67_qa_probes)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("WindowGroupLimit"),
+      s"rank<=k must cap partitions map-side before the exchange:\n$p")
+    assert(!fin.contains("Join"), s"no join belongs in a sample pick:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(fin).size
+    assert(exchanges == 1, s"one cell exchange is the budget, got $exchanges:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

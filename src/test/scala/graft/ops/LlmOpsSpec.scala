@@ -587,6 +587,70 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(5L) == 1.0, "a sub-gram-width doc is fully novel by convention")
   }
 
+  test("l66 scaling ladder: driver md5 replay; cumulative rung rates within binomial " +
+      "bounds; rungs nest by construction") {
+    val out = LlmQueries.l66_scaling_ladder.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    val rates = Seq(0.01, 0.04, 0.20)
+    // independent md5 replay of rung assignment
+    out.foreach { case (id, rung) =>
+      val bu = hv(s"$id:ladder")
+      val expected = rates.indexWhere(r => bu < (r * 4294967296L).toLong) match {
+        case -1 => rates.size + 1
+        case i => i + 1
+      }
+      assert(rung == expected, s"doc $id: rung $rung vs replay $expected")
+    }
+    // cumulative sizes: rung ≤ r is the ladder step, and the md5 uniform
+    // must land each step within 4σ of rate·n (deterministic — fixed hash)
+    val n = out.length
+    rates.zipWithIndex.foreach { case (rate, i) =>
+      val cum = out.count(_._2 <= i + 1)
+      val sigma = math.sqrt(rate * (1 - rate) * n)
+      assert(math.abs(cum - rate * n) <= 4 * sigma + 1,
+        s"step ${i + 1}: $cum docs vs expected ${rate * n} ± ${4 * sigma}")
+    }
+    // nesting is structural: a doc's rung is a single number, so step r is
+    // exactly {rung ≤ r} — monotone supersets with no independent redraws
+    val cums = (1 to rates.size + 1).map(r => out.count(_._2 <= r))
+    assert(cums == cums.sorted && cums.last == n)
+  }
+
+  test("l67 qa probes: driver replay picks the same docs; every populated cell gets " +
+      "min(3, cell size) probes; sample is growth-stable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+      .as[(Long, String, String, String)].collect().toSeq
+    val expected = docs.groupBy(d => (d._2, d._3)).flatMap { case (cell, ds) =>
+      ds.sortBy(d => (md5hex(s"${d._1}:probe"), d._1)).take(3).zipWithIndex
+        .map { case (d, i) => (cell._1, cell._2, (i + 1).toLong, d._1,
+          d._4.take(60)) }
+    }.toSet
+    val out = LlmQueries.l67_qa_probes.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(out === expected, "probes must equal the md5 replay")
+    docs.groupBy(d => (d._2, d._3)).foreach { case (cell, ds) =>
+      assert(out.count(o => (o._1, o._2) == cell) == math.min(3, ds.size),
+        s"cell $cell probe count")
+    }
+    // growth stability: adding docs never reshuffles surviving picks'
+    // relative order (priorities are per-doc constants) — dropping half
+    // the corpus must keep every still-present pick in the same order
+    val half = docs.filter(_._1 % 2 == 0)
+    val kept = expected.filter(e => e._4 % 2 == 0)
+    val session = spark
+    import session.implicits._
+    val halfDf = half.toDF("doc_id", "lang", "source", "text")
+    val halfOut = LlmQueries.qaProbes(halfDf, Seq("lang", "source"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+    kept.foreach { e =>
+      assert(halfOut.contains((e._1, e._2, e._4)),
+        s"a surviving pick must stay picked when the corpus shrinks: $e")
+    }
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
