@@ -3263,6 +3263,61 @@ object LlmQueries {
         Seq(col("rk"), col("doc_id"), col("snippet")): _*)
   }
 
+  /** L68: streaming weekly novelty monitor — l65 deployed as ingest
+    * monitoring (the l55 pattern: same math, production topology): live
+    * docs get a deterministic ingest date (2024-01-01 + doc_id % 28 —
+    * the l16 injection idiom, four Monday-aligned weeks), their distinct
+    * 5-grams probe the frozen even-doc era, and each week reports its
+    * novel-gram rate — the dashboard line that says "this week's crawl
+    * was 80% re-eaten web" in time to stop paying for it. The body is
+    * [[graft.streaming.StreamingOps.weeklyNovelty]]: a STREAM-STATIC
+    * left join (the one streaming join topology the family didn't yet
+    * exercise — static side stateless, re-planned per micro-batch)
+    * feeding one watermark-bounded windowed aggregate; StreamingSpec
+    * proves chunked stream ≡ this batch frame. Gram occurrences only —
+    * a rate needs no short-doc convention (that's l65's per-doc job).
+    *
+    * 100 TB posture: the live side ships (ts, gram) pairs; the frozen
+    * side is the release-refreshed gram table (bucketed or broadcast by
+    * size at deploy); weekly state is two windows of two longs. */
+  val l68_stream_novelty = Q(
+    "l68_stream_novelty",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |          FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+      |        list_distinct(list_transform(range(len(toks) - 4),
+      |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] ||
+      |               ' ' || toks[i+4] || ' ' || toks[i+5]))
+      |        ELSE CAST([] AS VARCHAR[]) END AS grams
+      |      FROM d),
+      |old AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      |        WHERE doc_id % 2 = 0),
+      |live AS (SELECT TIMESTAMP '2024-01-01' + (doc_id % 28) * INTERVAL 1 DAY
+      |                  AS ts,
+      |                unnest(grams) AS gram
+      |         FROM g WHERE doc_id % 2 = 1),
+      |j AS (SELECT live.ts,
+      |        CASE WHEN old.gram IS NULL THEN 1 ELSE 0 END AS novel
+      |      FROM live LEFT JOIN old ON live.gram = old.gram)
+      |SELECT CAST(CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE)
+      |            AS VARCHAR) AS week_ending,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(novel) AS BIGINT) AS n_novel,
+      |       round(sum(novel) * 1.0 / count(*), 6) AS novelty_rate
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val docs = spread(documents(s, d))
+    val frozen = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col("text")), 5))).as("gram"))
+      .distinct()
+    val live = docs.filter(col("doc_id") % 2 === 1)
+      .select(to_timestamp(date_add(to_date(lit("2024-01-01")),
+        (col("doc_id") % 28).cast("int"))).as("ts"), col("text"))
+    graft.streaming.StreamingOps.weeklyNovelty(live, frozen)
+      .orderBy("week_ending")
+  }
+
   /** L52: distribution-drift monitoring (PSI) — the population stability
     * index every production data pipeline runs between a reference window
     * and the current window (credit-scoring heritage; the standard
@@ -4578,5 +4633,6 @@ object LlmQueries {
     l56_snapshot_diff, l57_hard_negatives, l58_markup_strip,
     l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave,
     l62_zipf_audit, l63_length_batches, l64_tokenizer_audit,
-    l65_novelty_audit, l66_scaling_ladder, l67_qa_probes)
+    l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
+    l68_stream_novelty)
 }

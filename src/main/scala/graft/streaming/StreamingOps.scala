@@ -372,4 +372,37 @@ object StreamingOps {
     bucketPairs(banded, evict = tsCol.isDefined && docs.isStreaming,
       horizonMs = intervalMs(horizon))
   }
+
+  /** Weekly NOVELTY monitor against a frozen era — l65's audit deployed
+    * the way ingest monitoring runs: each arriving doc's distinct 5-grams
+    * probe a STATIC frozen-gram frame (the previous corpus release), and
+    * every weekly window reports how much of the week's text was genuinely
+    * new. The STREAM-STATIC join topology: the static side carries no
+    * watermark and no state — Spark re-plans it per micro-batch (at scale:
+    * a bucketed/broadcast-able gram table, refreshed per release) — so the
+    * only streaming state is the windowed count aggregate, bounded to
+    * ~2 windows by the watermark. Same body batch and streaming (the
+    * declared l68 row runs it on the batch frame; withWatermark is a
+    * no-op in batch); gram occurrences only — a gram-less doc contributes
+    * nothing to a RATE (unlike l65's per-doc rows, where short docs get
+    * the fully-novel convention). */
+  def weeklyNovelty(live: DataFrame, frozenGrams: DataFrame,
+      watermark: String = "14 days"): DataFrame = {
+    val grams = array_distinct(
+      TextOps.shingles(TextOps.tokens(col("text")), 5))
+    live.withWatermark("ts", watermark)
+      .select(col("ts"), explode(grams).as("gram"))
+      .join(frozenGrams.select(col("gram"), lit(1).as("seen")),
+        Seq("gram"), "left")
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(
+        date_format(date_add(col("w.end").cast(DateType), -1), "yyyy-MM-dd")
+          .as("week_ending"),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_novel").cast("long").as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty_rate"))
+  }
 }

@@ -503,4 +503,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotR == expR, "streaming normalize+redact must equal batch")
     assert(gotQ.nonEmpty && gotR.nonEmpty)
   }
+
+  test("streaming weekly novelty (stream-static join) equals the batch monitor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    // frozen side: STATIC gram frame (no watermark, no state)
+    val frozen = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(array_distinct(graft.ops.TextOps.shingles(
+        graft.ops.TextOps.tokens(col("text")), 5))).as("gram"))
+      .distinct()
+    val live = docs.filter(col("doc_id") % 2 === 1)
+      .select(to_timestamp(date_add(to_date(lit("2024-01-01")),
+        (col("doc_id") % 28).cast("int"))).as("ts"), col("text"))
+      .as[(java.sql.Timestamp, String)].collect().sortBy(_._1.getTime)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingOps.weeklyNovelty(mem.toDF().toDF("ts", "text"), frozen,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("novelty_stream")
+      .outputMode("append").start()
+    // chronological chunks so the watermark only ever closes PAST weeks
+    live.grouped(live.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    // far-future sentinel closes the last real week; its own week stays open
+    mem.addData((java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+      "w1 w2 w3 w4 w5"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("novelty_stream")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val expected = StreamingOps.weeklyNovelty(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(to_timestamp(date_add(to_date(lit("2024-01-01")),
+            (col("doc_id") % 28).cast("int"))).as("ts"), col("text")), frozen)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got === expected,
+      "the stream-static probe must reproduce the batch weekly novelty")
+    assert(got.nonEmpty && got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
 }
