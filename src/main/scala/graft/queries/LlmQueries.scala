@@ -3318,6 +3318,53 @@ object LlmQueries {
       .orderBy("week_ending")
   }
 
+  /** L69: blocklist page filter — the C4 "bad words" cut (Raffel et al.
+    * 2020 §2.2 drops any page containing a word from a blocklist; beside
+    * l35's LINE rules this is the PAGE-level lexical kill switch, and
+    * beside l15's statistical quality score it is the policy cut that
+    * statistics can't express). The corpus is synthetically clean, so —
+    * the l16/l35 idiom — every 11th doc gets a deterministic blocklisted
+    * token appended on both engines; the op emits (doc_id, n_hits, keep)
+    * in the l15/l27 flag style so the curation capstone can compose it.
+    * Page-level on purpose: C4 drops the whole page, not the line — a
+    * page that needed the word censored is a page whose remainder is not
+    * trusted either.
+    *
+    * 100 TB posture: the blocklist is WORDS (hundreds at production
+    * scale) — it folds in as an array literal, no join, no broadcast
+    * round-trip; the hit count is one per-row HOF over the token array;
+    * ZERO shuffles, stateless (streaming-ready), whole-stage codegen. */
+  val l69_blocklist_filter = Q(
+    "l69_blocklist_filter",
+    """WITH aug AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 11 = 0 THEN text || ' darn' ELSE text END
+      |          AS text
+      |      FROM documents),
+      |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM aug)
+      |SELECT doc_id,
+      |       CAST(len(list_filter(toks,
+      |              x -> list_contains(['darn', 'heck', 'blockedme'], x)))
+      |            AS BIGINT) AS n_hits,
+      |       CAST(len(list_filter(toks,
+      |              x -> list_contains(['darn', 'heck', 'blockedme'], x))) = 0
+      |            AS BIGINT) AS keep
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val aug = spread(documents(s, d)).select(col("doc_id"),
+      when(col("doc_id") % 11 === 0, concat(col("text"), lit(" darn")))
+        .otherwise(col("text")).as("text"))
+    blocklistFilter(aug, Seq("darn", "heck", "blockedme")).orderBy("doc_id")
+  }
+
+  /** The l69 engine over any (doc_id, text) frame: per-doc blocklist hit
+    * count and the page-level keep flag. Unordered; stateless. */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    val hits = size(filter(TextOps.tokens(col("text")),
+      t => t.isin(blocklist: _*)))
+    docs.select(col("doc_id"), hits.cast("long").as("n_hits"),
+      (hits === 0).cast("long").as("keep"))
+  }
+
   /** L52: distribution-drift monitoring (PSI) — the population stability
     * index every production data pipeline runs between a reference window
     * and the current window (credit-scoring heritage; the standard
@@ -4634,5 +4681,5 @@ object LlmQueries {
     l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave,
     l62_zipf_audit, l63_length_batches, l64_tokenizer_audit,
     l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
-    l68_stream_novelty)
+    l68_stream_novelty, l69_blocklist_filter)
 }

@@ -576,6 +576,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"one cell exchange is the budget, got $exchanges:\n$p")
   }
 
+  test("L69: the blocklist folds in as literals — pure per-row scan, no shuffle") {
+    val p = plan(LlmQueries.l69_blocklist_filter)
+    assert(!p.contains("hashpartitioning"),
+      s"the page cut is per-row; only the result sort may exchange:\n$p")
+    assert(!p.contains("Join"),
+      s"a word blocklist is a literal probe, never a join:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

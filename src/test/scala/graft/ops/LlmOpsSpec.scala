@@ -651,6 +651,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l69 blocklist filter: equals a driver replay; injected pages drop; " +
+      "the cut is page-level, not line-level") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val list = Set("darn", "heck", "blockedme")
+    val expected = docs.map { case (id, t) =>
+      val toks = (if (id % 11 == 0) t + " darn" else t)
+        .toLowerCase.split(" ", -1).toSeq
+      val hits = toks.count(list.contains).toLong
+      (id, hits, if (hits == 0) 1L else 0L)
+    }.toSet
+    val out = LlmQueries.l69_blocklist_filter.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === expected, "must equal the driver replay")
+    out.filter(_._1 % 11 == 0).foreach { r =>
+      assert(r._2 >= 1 && r._3 == 0, s"injected doc ${r._1} must drop")
+    }
+    assert(out.exists(_._3 == 1L), "clean pages must survive")
+    // page-level: ONE hit anywhere kills the whole page, even in a long doc
+    val got = LlmQueries.blocklistFilter(
+        docsDf(Seq((1L, ("clean " * 500) + "heck"), (2L, "all clean here"))),
+        Seq("heck")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 0L)) && got(2L) == ((0L, 1L)))
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation

@@ -502,6 +502,25 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(gotR == expR, "streaming normalize+redact must equal batch")
     assert(gotQ.nonEmpty && gotR.nonEmpty)
+
+    // the l58 extraction body makes the same stateless claim — hold it to it
+    val html = docsBatch.select(col("doc_id"),
+      concat(lit("<p>"), col("text"), lit("</p><script>var x = 1;</script>"))
+        .as("html"))
+    val htmlDir = Files.createTempDirectory("graft_stream_html").toString
+    html.repartition(8).write.mode("overwrite").parquet(htmlDir)
+    val htmlSrc = spark.readStream.schema(html.schema)
+      .option("maxFilesPerTrigger", 2).parquet(htmlDir)
+    val q3 = LlmQueries.markupStripFrame(htmlSrc)
+      .writeStream.format("memory").queryName("stream_strip")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    val gotS = spark.table("stream_strip").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val expS = LlmQueries.markupStripFrame(html).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(gotS == expS && gotS.nonEmpty,
+      "streaming markup strip must equal batch")
   }
 
   test("streaming weekly novelty (stream-static join) equals the batch monitor") {
