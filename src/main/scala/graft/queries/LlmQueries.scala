@@ -116,6 +116,66 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L70: language-ID confidence margin — the ROUTING half of l2's
+    * classifier (what fastText's probability threshold and CCNet's
+    * lang-confidence cut do, Wenzek et al. 2020 §4.2: predictions below a
+    * confidence bar go to a slow path — a heavier model or human review —
+    * instead of silently mislabeling a corpus): per doc, the winning
+    * marker count, the runner-up count, their MARGIN, and the review flag
+    * (margin < 2 or zero evidence). Deterministic integer evidence — no
+    * calibration table, the margin IS the confidence — and the argmax
+    * tie-break matches l2 exactly, so l70's prediction never disagrees
+    * with the declared l2 row.
+    *
+    * 100 TB posture: identical to l2 — per-row marker-set probes
+    * (literal word lists), an array_sort over 5 ints for the runner-up,
+    * zero shuffles, stateless. Routing a 100 TB corpus costs the same
+    * scan l2 already pays. */
+  val l70_langid_margin = Q(
+    "l70_langid_margin",
+    { val scores = LangMarkers.map { case (l, ws) =>
+        s"len(list_filter(toks, x -> list_contains(${ws.map("'" + _ + "'").mkString("[", ",", "]")}, x))) AS s_$l"
+      }.mkString(",\n       |       ")
+      val g = LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+      val arr = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("[", ", ", "]")
+      val cases = LangMarkers.map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |       $scores
+         |      FROM d),
+         |m AS (SELECT *, greatest($g) AS g, list_sort($arr) AS sa FROM s)
+         |SELECT doc_id,
+         |       CASE $cases END AS lang_pred,
+         |       CAST(g AS BIGINT) AS top_hits,
+         |       CAST(g - sa[len(sa) - 1] AS BIGINT) AS margin,
+         |       CAST(g - sa[len(sa) - 1] < 2 OR g = 0 AS BIGINT) AS review
+         |FROM m ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    langIdMargin(spread(documents(s, d))).orderBy("doc_id")
+  }
+
+  /** The l70 engine over any (doc_id, text) frame: l2's vote plus the
+    * top-two margin and review flag. Unordered; stateless. */
+  def langIdMargin(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scored = docs.select(
+      Seq(col("doc_id")) ++
+        LangMarkers.map { case (l, ws) =>
+          size(filter(toks, x => x.isInCollection(ws))).as(s"s_$l")
+        }: _*)
+    val g = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = LangMarkers.foldRight(lit(null).cast("string")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === col("g"), lit(l)).otherwise(acc)
+    }
+    val sorted = array_sort(array(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*))
+    val margin = col("g") - element_at(sorted, -2)
+    scored.withColumn("g", g)
+      .select(col("doc_id"), pred.as("lang_pred"),
+        col("g").cast("long").as("top_hits"),
+        margin.cast("long").as("margin"),
+        (margin < 2 || col("g") === 0).cast("long").as("review"))
+  }
+
   // ------------------------------------- multimodal / content-addressed dedup
 
   /** L3: multimodal content-hash dedup — the payload is carried as an opaque
@@ -4681,5 +4741,5 @@ object LlmQueries {
     l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave,
     l62_zipf_audit, l63_length_batches, l64_tokenizer_audit,
     l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
-    l68_stream_novelty, l69_blocklist_filter)
+    l68_stream_novelty, l69_blocklist_filter, l70_langid_margin)
 }

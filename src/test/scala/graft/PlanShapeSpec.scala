@@ -584,6 +584,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a word blocklist is a literal probe, never a join:\n$p")
   }
 
+  test("L70: margin routing is the same per-row scan l2 pays — no shuffle, no join") {
+    val p = plan(LlmQueries.l70_langid_margin)
+    assert(!p.contains("hashpartitioning"),
+      s"routing is per-row; only the result sort may exchange:\n$p")
+    assert(!p.contains("Join"), s"marker lists are literals, never a join:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -677,6 +677,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 0L)) && got(2L) == ((0L, 1L)))
   }
 
+  test("l70 lang-id margin: prediction never disagrees with l2; margin/review " +
+      "arithmetic holds on engineered tie and zero-evidence cohorts") {
+    val l2 = LlmQueries.l2_lang_id.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val out = LlmQueries.l70_langid_margin.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, pred, top, margin, review) =>
+      assert(pred == l2(id), s"doc $id: l70 must route the SAME prediction l2 declares")
+      assert(margin >= 0 && margin <= top, s"doc $id margin bounds")
+      assert(review == (if (margin < 2 || top == 0) 1L else 0L), s"doc $id review rule")
+    }
+    // engineered cohorts: a tie → margin 0 + review; unambiguous → keep;
+    // zero evidence → review regardless of the (vacuous) margin
+    val got = LlmQueries.langIdMargin(docsDf(Seq(
+        (1L, "the and der und"),        // en 2 vs de 2 → tie
+        (2L, "the and is was that"),    // en-only evidence, margin 5
+        (3L, "zzz qqq www"))))          // no markers at all
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L)._1 == 0 && got(1L)._2 == 1, "a tie must route to review")
+    assert(got(2L)._2 == 0, "strong single-language evidence must pass")
+    assert(got(3L)._2 == 1, "zero evidence must route to review")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
