@@ -4094,6 +4094,83 @@ object LlmQueries {
           (count(lit(1)) * max("n")).cast("double"), 6).as("pad_waste"))
   }
 
+  /** L71: shard-level release delta — what the l60 manifest is FOR: given
+    * two corpus versions, compare their per-shard digests and re-ship
+    * only the shards that changed (the rsync decision of a dataset
+    * release — at 100 TB re-uploading unchanged shards is most of the
+    * cost of a naive release). Version 2 mutates docs ONLY in shards
+    * 0-2 (the l56 construction — drop every 7th, rewrite every 10th —
+    * gated on the shard key), so "changed" and "unchanged" are BOTH
+    * observable: shards 3-7 must compare digest-equal, shards 0-2 must
+    * not, and the spec pins exactly that split. Complements l56, which
+    * answers WHICH DOCS changed; this answers which 10-GB artifacts to
+    * re-upload without reading any doc twice.
+    *
+    * 100 TB posture: two l60 manifest passes (each ONE map-combinable
+    * shard exchange) + an 8-row join — the delta of two releases costs
+    * two aggregation scans and no doc-level comparison; with stored
+    * manifests it costs nothing at all (the digests fold, l60's spec). */
+  val l71_release_delta = Q(
+    "l71_release_delta", {
+      def hexVal(h: String, n: Int): String = (1 to n).map(i =>
+        s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * " +
+          s"${java.math.BigInteger.valueOf(16).pow(n - i)}").mkString(" + ")
+      def manifest(src: String, out: String): String =
+        s"""h$out AS (SELECT doc_id, text,
+           |        md5(CAST(doc_id AS VARCHAR)) AS sh_h,
+           |        md5(CAST(doc_id AS VARCHAR) || ':' || text) AS cv_h
+           |      FROM $src),
+           |n$out AS (SELECT CAST(${hexVal("sh_h", 8)} AS BIGINT) % 8 AS shard,
+           |        CAST(${hexVal("cv_h", 12)} AS BIGINT) AS cv
+           |      FROM h$out),
+           |$out AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |        bit_xor(cv) AS checksum
+           |      FROM n$out GROUP BY shard)""".stripMargin
+      s"""WITH sh AS (SELECT doc_id, text,
+         |        CAST(${hexVal("md5(CAST(doc_id AS VARCHAR))", 8)} AS BIGINT) % 8
+         |          AS shard
+         |      FROM documents),
+         |v1 AS (SELECT doc_id, text FROM sh),
+         |v2 AS (SELECT doc_id,
+         |         CASE WHEN shard < 3 AND doc_id % 10 = 0 THEN text || ' v2'
+         |              ELSE text END AS text
+         |       FROM sh WHERE NOT (shard < 3 AND doc_id % 7 = 0)),
+         |${manifest("v1", "m1")},
+         |${manifest("v2", "m2")}
+         |SELECT m1.shard, m1.n_docs AS n_docs_v1, m2.n_docs AS n_docs_v2,
+         |       CAST(m1.checksum <> m2.checksum OR m1.n_docs <> m2.n_docs
+         |            AS BIGINT) AS changed
+         |FROM m1 JOIN m2 ON m1.shard = m2.shard
+         |ORDER BY m1.shard""".stripMargin
+    }
+  ) { (s, d) =>
+    val docs = spread(documents(s, d))
+    val shard = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("long") % 8
+    val v1 = docs.select(col("doc_id"), col("text"))
+    val v2 = docs.withColumn("shard", shard)
+      .filter(!(col("shard") < 3 && col("doc_id") % 7 === 0))
+      .select(col("doc_id"),
+        when(col("shard") < 3 && col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+    releaseDelta(v1, v2, shards = 8).orderBy("shard")
+  }
+
+  /** The l71 engine: the per-shard diff of two [[shardManifest]] passes.
+    * Unordered; `changed` = digest or count mismatch. */
+  def releaseDelta(v1: DataFrame, v2: DataFrame, shards: Int): DataFrame = {
+    val m1 = shardManifest(v1, shards)
+      .select(col("shard"), col("n_docs").as("n_docs_v1"),
+        col("checksum").as("c1"))
+    val m2 = shardManifest(v2, shards)
+      .select(col("shard"), col("n_docs").as("n_docs_v2"),
+        col("checksum").as("c2"))
+    m1.join(m2, Seq("shard"))
+      .select(col("shard"), col("n_docs_v1"), col("n_docs_v2"),
+        (col("c1") =!= col("c2") || col("n_docs_v1") =!= col("n_docs_v2"))
+          .cast("long").as("changed"))
+  }
+
   /** L46: bottom-k priority-sample quantile sketch — the MERGEABLE
     * quantile estimator completing the sketch family beside d13's HLL
     * and d14's count-min (bottom-k sketches, Cohen & Kaplan 2007): keep
@@ -4741,5 +4818,6 @@ object LlmQueries {
     l59_overlap_matrix, l60_shard_manifest, l61_mixture_interleave,
     l62_zipf_audit, l63_length_batches, l64_tokenizer_audit,
     l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
-    l68_stream_novelty, l69_blocklist_filter, l70_langid_margin)
+    l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
+    l71_release_delta)
 }

@@ -591,6 +591,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"marker lists are literals, never a join:\n$p")
   }
 
+  test("L71: two manifest aggregates + an 8-row join — no doc-level comparison") {
+    val p = finalPlan(LlmQueries.l71_release_delta)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"both manifests must combine map-side:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"the delta joins 8-row manifests, never doc rows:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -702,6 +702,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(3L)._2 == 1, "zero evidence must route to review")
   }
 
+  test("l71 release delta: exactly the mutated shards flag changed; identical " +
+      "versions flag nothing; a single flipped byte flags its one shard") {
+    val out = LlmQueries.l71_release_delta.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == (0L until 8L).toSet)
+    // the construction mutates shards 0-2 only
+    (0L until 8L).foreach { sh =>
+      if (sh < 3) assert(out(sh)._3 == 1L, s"mutated shard $sh must flag changed")
+      else {
+        assert(out(sh)._3 == 0L, s"untouched shard $sh must compare equal")
+        assert(out(sh)._1 == out(sh)._2, s"untouched shard $sh doc counts")
+      }
+    }
+    // engine-level: v ≡ v flags nothing; one flipped byte flags ONE shard
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val same = LlmQueries.releaseDelta(docs, docs, 8).collect()
+    assert(same.forall(_.getLong(3) == 0L), "identical releases must be all-clear")
+    val someId = docs.select("doc_id").as[Long].head()
+    val mut = docs.withColumn("text",
+      when(col("doc_id") === someId, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val one = LlmQueries.releaseDelta(docs, mut, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val mutShard = hv(someId.toString) % 8
+    assert(one(mutShard) == 1L && one.count(_._2 == 1L) == 1,
+      "a one-byte flip must flag exactly its own shard")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
