@@ -3735,6 +3735,74 @@ object LlmQueries {
         .as("n_entities"))
   }
 
+  /** L72: within-doc repeated-line removal — the third line-granularity
+    * cut beside l35 (per-line RULES) and l50 (CROSS-doc frequent lines):
+    * a line repeated INSIDE one document (scraper pagination artifacts,
+    * chat-log echoes, templated section headers) is removed at every
+    * occurrence but its FIRST, preserving order — CCNet §3.1 does exactly
+    * this per-doc pass before any corpus statistics exist to consult.
+    * Duplicates are injected deterministically (every 4th doc repeats its
+    * own first chunk, every 6th carries a doubled refresh line) so the
+    * cut observably fires both ways. First-occurrence-keep, NOT
+    * distinct: order is the document's meaning; the kept text is the
+    * original with later echoes deleted in place.
+    *
+    * 100 TB posture: pure per-row array work — the index-aware HOF
+    * filter keeps position i iff it is the line's first occurrence
+    * (O(lines²) per doc, lines per doc are tens) — ZERO shuffles,
+    * stateless, needs no corpus pass at all, which is why pipelines run
+    * it FIRST. */
+  val l72_withindoc_dedup = Q(
+    "l72_withindoc_dedup",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |          FROM documents),
+      |ln AS (SELECT doc_id, list_concat(list_concat(
+      |         list_transform(range(0, len(toks), 12), st ->
+      |           array_to_string(list_slice(toks, st + 1, st + 12), ' ')),
+      |         CASE WHEN doc_id % 4 = 0
+      |              THEN [array_to_string(list_slice(toks, 1, 12), ' ')]
+      |              ELSE CAST([] AS VARCHAR[]) END),
+      |         CASE WHEN doc_id % 6 = 0
+      |              THEN ['refresh the page', 'refresh the page']
+      |              ELSE CAST([] AS VARCHAR[]) END) AS lines
+      |       FROM d),
+      |k AS (SELECT doc_id, lines,
+      |        list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+      |      FROM ln)
+      |SELECT doc_id,
+      |       CAST(len(lines) AS BIGINT) AS n_lines,
+      |       CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+      |       array_to_string(kept, chr(10)) AS text_clean
+      |FROM k ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val chunkLines = transform(
+      sequence(lit(0), size(col("toks")) - 1, lit(12)),
+      st => array_join(slice(col("toks"), st + 1, lit(12)), " "))
+    def inj(m: Int, lines: Column): Column =
+      when(col("doc_id") % m === 0, lines)
+        .otherwise(array().cast("array<string>"))
+    val docLines = spread(documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("lines", concat(chunkLines,
+        inj(4, array(array_join(slice(col("toks"), 1, 12), " "))),
+        inj(6, array(lit("refresh the page"), lit("refresh the page")))))
+      .select(col("doc_id"), col("lines"))
+    withinDocDedup(docLines).orderBy("doc_id")
+  }
+
+  /** The l72 engine over any (doc_id, lines: array<string>) frame:
+    * first-occurrence-keeping within-doc line dedup. Unordered;
+    * stateless per-row work. */
+  def withinDocDedup(docLines: DataFrame): DataFrame = {
+    val kept = filter(col("lines"),
+      (x, i) => array_position(col("lines"), x) === (i + 1).cast("long"))
+    docLines.select(col("doc_id"), col("lines"), kept.as("kept"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        (size(col("lines")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), "\n").as("text_clean"))
+  }
+
   /** L59: pairwise corpus-overlap matrix via mergeable bottom-k sketches —
     * "how much content do these sources share?" is the question asked
     * before mixing corpora (Pile/Dolma composition reports) and when
@@ -4819,5 +4887,5 @@ object LlmQueries {
     l62_zipf_audit, l63_length_batches, l64_tokenizer_audit,
     l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
     l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
-    l71_release_delta)
+    l71_release_delta, l72_withindoc_dedup)
 }

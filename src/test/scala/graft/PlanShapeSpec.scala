@@ -600,6 +600,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the delta joins 8-row manifests, never doc rows:\n$p")
   }
 
+  test("L72: within-doc dedup is a pure per-row scan — no corpus pass at all") {
+    val p = plan(LlmQueries.l72_withindoc_dedup)
+    assert(!p.contains("hashpartitioning"),
+      s"the echo cut needs no corpus statistics; only the result sort may exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row scan:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

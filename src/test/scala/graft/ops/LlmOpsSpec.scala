@@ -732,6 +732,31 @@ class LlmOpsSpec extends AnyFunSuite {
       "a one-byte flip must flag exactly its own shard")
   }
 
+  test("l72 within-doc dedup: first occurrence survives in place, every echo drops; " +
+      "injected cohorts fire; clean docs pass untouched") {
+    val out = LlmQueries.l72_withindoc_dedup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, nLines, nRemoved, clean) =>
+      val kept = clean.split("\n", -1).toSeq
+      assert(kept.distinct == kept, s"doc $id: no echo may survive")
+      assert(kept.size + nRemoved == nLines, s"doc $id accounting")
+      if (id % 4 == 0 || id % 6 == 0)
+        assert(nRemoved >= 1, s"doc $id: the injected duplicate must drop")
+      if (id % 6 == 0)
+        assert(kept.count(_ == "refresh the page") == 1,
+          s"doc $id: exactly one refresh line survives")
+    }
+    // engine-level cohort: order preserved, first kept, interior echo cut
+    val session = spark
+    import session.implicits._
+    val lines = Seq((1L, Seq("alpha", "beta", "alpha", "gamma", "beta", "delta")))
+      .toDF("doc_id", "lines")
+    val got = LlmQueries.withinDocDedup(lines).collect()(0)
+    assert(got.getString(3) == "alpha\nbeta\ngamma\ndelta" && got.getLong(2) == 2,
+      "dedup must keep first occurrences in original order")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
