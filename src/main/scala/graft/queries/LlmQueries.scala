@@ -876,15 +876,12 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
-  /** l7's oracle replays the same deterministic fit as l11's (hash-picked
-    * seeds + one Lloyd refinement — CTEs e..a2 are shared verbatim), then
-    * the IVF search itself: argmax bucket per vector (rk = 1), top-3 probe
-    * set per query (rk ≤ 3), scoring restricted to probed buckets, l6's
-    * tie-deterministic top-5 tail. Green means DuckDB reproduces fit,
-    * pruning AND ranking — l7 graduates from rows-only. */
-  val l7_ann_ivf = Q(
-    "l7_ann_ivf",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** l7's full search chain — fit, argmax assignment, probe sets, pruned
+    * scoring, tie-deterministic ranking (`r`) — shared by the l7 oracle
+    * and l73's recall monitor (which compares `r` against the brute
+    * ranking). */
+  private val ivfSearchCtes =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |prm AS (SELECT greatest(2, CAST(floor(sqrt(count(*))) AS INT)) AS k FROM e),
       |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl, v AS sv
       |       FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT (SELECT k FROM prm)),
@@ -914,10 +911,68 @@ object LlmQueries {
       |      FROM asn a JOIN qp p ON list_contains(p.probes, a.bucket)
       |                 JOIN qv q ON q.qid = p.qid
       |      WHERE a.vec_id <> q.qid),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM s)
-      |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id, cos
-      |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM s)""".stripMargin
+
+  /** l7's oracle replays the same deterministic fit as l11's (hash-picked
+    * seeds + one Lloyd refinement — CTEs e..a2 are shared verbatim), then
+    * the IVF search itself: argmax bucket per vector (rk = 1), top-3 probe
+    * set per query (rk ≤ 3), scoring restricted to probed buckets, l6's
+    * tie-deterministic top-5 tail. Green means DuckDB reproduces fit,
+    * pruning AND ranking — l7 graduates from rows-only. */
+  val l7_ann_ivf = Q(
+    "l7_ann_ivf",
+    s"""WITH $ivfSearchCtes
+       |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id, cos
+       |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
   ) { (s, d) => annIvf(nprobe = 3)(embeddings(s, d)) }
+
+  /** L73: ANN index-quality monitor — recall@5 of the deployed IVF search
+    * (l7's nprobe=3 pruning) against the exact brute-force ranking (l6),
+    * as ONE declared row: the number an ANN deployment watches per index
+    * rebuild (FAISS/ScaNN release notes quote exactly this figure), so
+    * when a quantizer refit degrades the index the dashboard says so
+    * before users do. LlmOpsSpec already asserts recall floors spec-side;
+    * this op makes the metric a monitored QUANTITY with an oracle row —
+    * computed on the same frame, fit, and tie-breaks as the declared l6
+    * and l7 queries, so the three rows can never silently diverge.
+    *
+    * 100 TB posture: rides the session's cached assignment frame for the
+    * pruned side and l6's broadcast-query scan for the truth side; the
+    * comparison joins two (qid, vec_id) top-5 frames — 5·|queries| rows
+    * each — and folds to one row. The monitor costs what the two searches
+    * cost; at scale the truth side runs on a SAMPLE of queries (the
+    * standard recall-estimation practice), which is one filter here. */
+  val l73_ann_recall = Q(
+    "l73_ann_recall",
+    s"""WITH $ivfSearchCtes,
+       |bs AS (SELECT q.qid, e2.vec_id,
+       |         round(list_dot_product(e2.v, q.qv) /
+       |               (sqrt(list_dot_product(e2.v, e2.v)) *
+       |                sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+       |       FROM e e2, qv q WHERE e2.vec_id <> q.qid),
+       |brr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id) AS rk FROM bs),
+       |bt AS (SELECT qid, vec_id FROM brr WHERE rk <= 5),
+       |at AS (SELECT qid, vec_id FROM r WHERE rk <= 5),
+       |j AS (SELECT bt.qid, CASE WHEN at.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+       |      FROM bt LEFT JOIN at ON bt.qid = at.qid AND bt.vec_id = at.vec_id)
+       |SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(sum(hit) AS BIGINT) AS n_hits,
+       |       round(sum(hit) * 1.0 / count(*), 6) AS recall_at_5
+       |FROM j""".stripMargin
+  ) { (s, d) =>
+    val ann = annIvf(nprobe = 3)(embeddings(s, d))
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    // l6's declared output IS the truth set — same frame, fit, tie-breaks
+    val brute = l6_topk_cosine.fn(s, d).select("qid", "vec_id")
+    brute.join(ann, Seq("qid", "vec_id"), "left")
+      .agg(countDistinct(col("qid")).cast("long").as("n_queries"),
+        count(lit(1)).cast("long").as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("recall_at_5"))
+  }
 
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
@@ -4887,5 +4942,5 @@ object LlmQueries {
     l62_zipf_audit, l63_length_batches, l64_tokenizer_audit,
     l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
     l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
-    l71_release_delta, l72_withindoc_dedup)
+    l71_release_delta, l72_withindoc_dedup, l73_ann_recall)
 }

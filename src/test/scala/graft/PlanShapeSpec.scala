@@ -607,6 +607,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join belongs in a per-row scan:\n$p")
   }
 
+  test("L73: the recall monitor folds two top-5 frames — no cartesian, one final row") {
+    val p = finalPlan(LlmQueries.l73_ann_recall)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"),
+      s"the comparison joins per-query top-5 frames on (qid, vec_id):\n$p")
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"the one-row fold must combine map-side:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

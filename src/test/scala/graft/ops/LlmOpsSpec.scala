@@ -757,6 +757,25 @@ class LlmOpsSpec extends AnyFunSuite {
       "dedup must keep first occurrences in original order")
   }
 
+  test("l73 ann recall: the declared row equals recall recomputed from the declared " +
+      "l6/l7 outputs; truth is exactly top-5 per query") {
+    val truth = LlmQueries.l6_topk_cosine.fn(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = LlmQueries.l7_ann_ivf.fn(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val row = LlmQueries.l73_ann_recall.fn(spark, sf).collect()(0)
+    val nQueries = truth.map(_._1).size
+    assert(row.getLong(0) == nQueries)
+    assert(row.getLong(1) == truth.size && truth.size == 5 * nQueries,
+      "the truth set is exactly top-5 per query")
+    assert(row.getLong(2) == (truth & ann).size,
+      "hits must equal the l6∩l7 overlap")
+    val expected = BigDecimal((truth & ann).size.toDouble / truth.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(3) == expected)
+    assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
