@@ -86,6 +86,35 @@ object CoreQueries {
     s.read.schema(schema).option("header", "true").csv(tmp).orderBy("r_regionkey")
   }
 
+  /** A13: raw text-lines source/sink — the format a web pipeline actually
+    * STARTS from (WET dumps, one record per line) and the fourth
+    * interchange family beside CSV (a1), JSON (a8), ORC (a11): serialize
+    * documents as `doc_id<TAB>text` lines via the text sink, read them
+    * back with `spark.read.text` (one `value` column — no schema
+    * machinery, no quoting/escaping pass, the cheapest possible scan),
+    * and re-split with a limit-2 split so tabs INSIDE text would survive
+    * (the corpus has none, but the parse must not depend on that). The
+    * roundtrip must reproduce the parquet-derived oracle rows exactly.
+    * Same scratch-dir contract as a1/a11 (shared filesystem on a real
+    * cluster, unique suffix per invocation). */
+  val a13_text_roundtrip = Q(
+    "a13_text_roundtrip",
+    "SELECT doc_id, text FROM documents ORDER BY doc_id"
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val tmp = s"$base/graft_text_docs_${Integer.toHexString(d.hashCode)}_${java.util.UUID.randomUUID}"
+    documents(s, d)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+        .as("value"))
+      .write.mode("overwrite").text(tmp)
+    s.read.text(tmp)
+      .select(split(col("value"), "\t", 2).as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+        element_at(col("p"), 2).as("text"))
+      .orderBy("doc_id")
+  }
+
   /** A3: parquet scan (TESTDATA.md). */
   val a3_parquet_scan = Q(
     "a3_parquet_scan",
@@ -607,7 +636,7 @@ object CoreQueries {
 
   val all: Seq[Q] = Seq(
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
-    a11_orc_roundtrip,
+    a11_orc_roundtrip, a13_text_roundtrip,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,

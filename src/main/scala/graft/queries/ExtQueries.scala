@@ -89,6 +89,42 @@ object ExtQueries {
       .orderBy("o_custkey")
   }
 
+  /** G5: EXCEPT ALL — the MULTISET difference g3's distinct form erases:
+    * each duplicate occurrence counts, so a customer with three open and
+    * one finished order keeps two rows (bag semantics — what an audit
+    * reconciling row COUNTS needs, where EXCEPT would hide a double-load
+    * that EXCEPT ALL exposes). Spark plans `exceptAll` with a per-row
+    * count aggregate + generate (sum of signed multiplicities), one
+    * shuffle on the row value — no row-by-row anti probe. */
+  val g5_except_all = Q(
+    "g5_except_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** G6: INTERSECT ALL — the multiset intersection: a value appearing m
+    * times on one side and n on the other keeps min(m, n) rows. Same
+    * signed-multiplicity aggregate shape as g5. */
+  val g6_intersect_all = Q(
+    "g6_intersect_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersectAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   /** E6: anti-join — customers with no high-value order (the
     * blocklist/tombstone subtraction every curation pipeline runs).
     * `left_anti` shuffles on the key like any equi-join and broadcasts
@@ -446,7 +482,8 @@ object ExtQueries {
   }
 
   val all: Seq[Q] = Seq(
-    g2_union, g3_except, g4_intersect, e6_anti_join, e7_full_outer_join,
+    g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
+    e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
     b14_unpivot)

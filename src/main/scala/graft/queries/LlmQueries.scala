@@ -3858,6 +3858,61 @@ object LlmQueries {
         array_join(col("kept"), "\n").as("text_clean"))
   }
 
+  /** L74: head+tail context-window truncation — the budget policy for
+    * docs longer than a finetuning context: keep the FIRST 48 and LAST
+    * 16 tokens and cut the middle (the "middle truncation" finetuning
+    * stacks default to, and the empirically-grounded choice — "Lost in
+    * the Middle", Liu et al. TACL 2024, shows models attend to the ends,
+    * so the middle is the cheapest place to cut; plain head-only
+    * truncation loses conclusions/signatures that live at the end). Docs
+    * at or under 64 tokens pass untouched; truncated docs splice an
+    * explicit `<...>` marker so downstream token accounting can see the
+    * cut. Emits per doc the original and kept token counts, the
+    * truncation flag, and the spliced text.
+    *
+    * 100 TB posture: pure per-row array slicing — zero shuffles,
+    * stateless (streaming-ready), and the reason it exists as an ENGINE
+    * op: truncating before tokenize/pack means the 100 TB encode (l48/
+    * l51) and packer (l40/l63) never pay for tokens the trainer would
+    * drop anyway. */
+  val l74_truncate_middle = Q(
+    "l74_truncate_middle",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |          FROM documents),
+      |t AS (SELECT doc_id, toks, len(toks) AS n,
+      |        CASE WHEN len(toks) <= 64 THEN toks
+      |             ELSE list_concat(list_concat(
+      |               toks[1:48], ['<...>']), toks[len(toks)-15:len(toks)])
+      |             END AS kept
+      |      FROM d)
+      |SELECT doc_id,
+      |       CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(CASE WHEN n <= 64 THEN n ELSE 64 END AS BIGINT) AS n_kept,
+      |       CAST(n > 64 AS BIGINT) AS truncated,
+      |       array_to_string(kept, ' ') AS text_trunc
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    truncateMiddle(spread(documents(s, d)), head = 48, tail = 16)
+      .orderBy("doc_id")
+  }
+
+  /** The l74 engine: head+tail token truncation with an explicit `<...>`
+    * splice marker. `n_kept` counts CONTENT tokens (head + tail), not the
+    * marker. Unordered; stateless per-row slicing. */
+  def truncateMiddle(docs: DataFrame, head: Int, tail: Int): DataFrame = {
+    val limit = head + tail
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    val kept = when(n <= limit, toks)
+      .otherwise(concat(slice(toks, 1, head), array(lit("<...>")),
+        slice(toks, -tail, tail)))
+    docs.select(col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      least(n.cast("long"), lit(limit.toLong)).as("n_kept"),
+      (n > limit).cast("long").as("truncated"),
+      array_join(kept, " ").as("text_trunc"))
+  }
+
   /** L59: pairwise corpus-overlap matrix via mergeable bottom-k sketches —
     * "how much content do these sources share?" is the question asked
     * before mixing corpora (Pile/Dolma composition reports) and when
@@ -4942,5 +4997,6 @@ object LlmQueries {
     l62_zipf_audit, l63_length_batches, l64_tokenizer_audit,
     l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
     l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
-    l71_release_delta, l72_withindoc_dedup, l73_ann_recall)
+    l71_release_delta, l72_withindoc_dedup, l73_ann_recall,
+    l74_truncate_middle)
 }

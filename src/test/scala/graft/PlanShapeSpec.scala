@@ -616,6 +616,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the one-row fold must combine map-side:\n$p")
   }
 
+  test("L74: truncation is a pure per-row slice — no shuffle, no join") {
+    val p = plan(LlmQueries.l74_truncate_middle)
+    assert(!p.contains("hashpartitioning"),
+      s"the cut is per-row; only the result sort may exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row scan:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

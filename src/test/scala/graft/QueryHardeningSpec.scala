@@ -157,4 +157,35 @@ class QueryHardeningSpec extends AnyFunSuite {
     assert(auc(d1) == a1, "post-eviction rerun diverged for dir 1")
     assert(auc(d2) == a2, "post-eviction rerun diverged for dir 2")
   }
+
+  test("a13 text roundtrip: a tab INSIDE the text survives the limit-2 split") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text_rt").toString
+    val src = Seq((7L, "left part\tright part"), (8L, "no tab here"))
+      .toDF("doc_id", "text")
+    src.select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+        .as("value"))
+      .write.mode("overwrite").text(s"$tmp/t")
+    val back = spark.read.text(s"$tmp/t")
+      .select(split(col("value"), "\t", 2).as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+        element_at(col("p"), 2).as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(7L) == "left part\tright part",
+      "only the FIRST tab may delimit — text tabs belong to the payload")
+    assert(back(8L) == "no tab here")
+  }
+
+  test("g5/g6: multiset semantics — duplicates keep m-n and min(m,n) rows") {
+    import spark.implicits._
+    // value 1: m=3 vs n=1 → except all 2, intersect all 1
+    // value 2: m=1 vs n=2 → except all 0, intersect all 1
+    val a = Seq(1, 1, 1, 2).toDF("v")
+    val b = Seq(1, 2, 2).toDF("v")
+    assert(a.exceptAll(b).as[Int].collect().sorted.toSeq == Seq(1, 1),
+      "EXCEPT ALL must keep m-n copies")
+    assert(a.intersectAll(b).as[Int].collect().sorted.toSeq == Seq(1, 2),
+      "INTERSECT ALL must keep min(m, n) copies")
+  }
 }

@@ -776,6 +776,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
   }
 
+  test("l74 truncation: short docs pass byte-identical; long docs keep exactly " +
+      "head+tail with the splice marker; accounting exact") {
+    val out = LlmQueries.l74_truncate_middle.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.exists(_._4 == 1L) && out.exists(_._4 == 0L),
+      "the fixture must exercise both branches")
+    out.foreach { case (id, n, kept, truncated, trunc) =>
+      val toks = texts(id).toLowerCase.split(" ", -1).toSeq
+      assert(n == toks.size)
+      if (truncated == 0L) {
+        assert(trunc == toks.mkString(" "), s"doc $id: short docs pass untouched")
+        assert(kept == n)
+      } else {
+        assert(kept == 64L)
+        val expected = (toks.take(48) ++ Seq("<...>") ++ toks.takeRight(16))
+          .mkString(" ")
+        assert(trunc == expected, s"doc $id: head+tail splice mismatch")
+      }
+    }
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
