@@ -3913,6 +3913,58 @@ object LlmQueries {
       array_join(kept, " ").as("text_trunc"))
   }
 
+  /** L75: chat-template rendering with loss-mask spans — the SFT assembly
+    * step that turns raw text into what a finetuning loader feeds the
+    * trainer: wrap content in role markers (the chatml/Alpaca template
+    * family) and emit the TOKEN SPAN the loss applies to — assistant
+    * tokens only; template markers and user turns are context, not
+    * targets (training on them teaches the model to parrot prompts, the
+    * classic SFT masking bug). Turns are carved deterministically (first
+    * ⌈n/2⌉ tokens = user, rest = assistant) so the span arithmetic is
+    * oracle-checkable: rendered = 4 system/user-marker tokens + user +
+    * 1 assistant marker + assistant, hence loss_start = nu + 6 and
+    * loss_end = n + 5 = n_tokens — an identity the spec pins along with
+    * the span's content equality.
+    *
+    * 100 TB posture: pure per-row array slicing and string assembly —
+    * zero shuffles, stateless; masks ship as INDICES into the rendered
+    * token stream (two longs), never as a duplicated token array. */
+  val l75_chat_template = Q(
+    "l75_chat_template",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |          FROM documents),
+      |t AS (SELECT doc_id, toks, len(toks) AS n,
+      |        (len(toks) + 1) // 2 AS nu FROM d)
+      |SELECT doc_id,
+      |       CAST(n + 5 AS BIGINT) AS n_tokens,
+      |       CAST(nu + 6 AS BIGINT) AS loss_start,
+      |       CAST(n + 5 AS BIGINT) AS loss_end,
+      |       '<|system|> be helpful <|user|> ' ||
+      |         array_to_string(toks[1:nu], ' ') ||
+      |         ' <|assistant|> ' || array_to_string(toks[nu+1:n], ' ')
+      |         AS rendered
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    chatTemplate(spread(documents(s, d))).orderBy("doc_id")
+  }
+
+  /** The l75 engine over any (doc_id, text) frame. Unordered; stateless.
+    * Spans are 1-based inclusive token positions in the rendered stream. */
+  def chatTemplate(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    val nu = ((n + 1).cast("long") / 2).cast("long")
+    docs.select(col("doc_id"),
+      (n.cast("long") + 5).as("n_tokens"),
+      (nu + 6).as("loss_start"),
+      (n.cast("long") + 5).as("loss_end"),
+      concat(lit("<|system|> be helpful <|user|> "),
+        array_join(slice(toks, lit(1), nu.cast("int")), " "),
+        lit(" <|assistant|> "),
+        array_join(slice(toks, (nu + 1).cast("int"),
+          (n.cast("long") - nu).cast("int")), " ")).as("rendered"))
+  }
+
   /** L59: pairwise corpus-overlap matrix via mergeable bottom-k sketches —
     * "how much content do these sources share?" is the question asked
     * before mixing corpora (Pile/Dolma composition reports) and when
@@ -4998,5 +5050,5 @@ object LlmQueries {
     l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
     l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
     l71_release_delta, l72_withindoc_dedup, l73_ann_recall,
-    l74_truncate_middle)
+    l74_truncate_middle, l75_chat_template)
 }

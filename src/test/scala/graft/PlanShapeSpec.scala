@@ -623,6 +623,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join belongs in a per-row scan:\n$p")
   }
 
+  test("L75: template rendering is a pure per-row scan — no shuffle, no join") {
+    val p = plan(LlmQueries.l75_chat_template)
+    assert(!p.contains("hashpartitioning"),
+      s"rendering is per-row; only the result sort may exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row scan:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -801,6 +801,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l75 chat template: the loss span selects EXACTLY the assistant tokens — " +
+      "markers and user turns stay out of the loss") {
+    val out = LlmQueries.l75_chat_template.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    out.foreach { case (id, nTok, lossStart, lossEnd, rendered) =>
+      val orig = texts(id).toLowerCase.split(" ", -1).toSeq
+      val rtoks = rendered.split(" ", -1).toSeq
+      assert(rtoks.size.toLong == nTok, s"doc $id: rendered token accounting")
+      assert(lossEnd == nTok, s"doc $id: the loss span must run to the end")
+      val span = rtoks.slice(lossStart.toInt - 1, lossEnd.toInt)
+      val nu = (orig.size + 1) / 2
+      assert(span == orig.drop(nu), s"doc $id: loss span ≠ assistant tokens")
+      // everything BEFORE the span is context: markers + user turn only
+      val ctx = rtoks.take(lossStart.toInt - 1)
+      assert(ctx == Seq("<|system|>", "be", "helpful", "<|user|>") ++
+        orig.take(nu) ++ Seq("<|assistant|>"),
+        s"doc $id: context must be markers + user turn, nothing else")
+      assert(!span.exists(_.startsWith("<|")), s"doc $id: no marker in the loss")
+    }
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
