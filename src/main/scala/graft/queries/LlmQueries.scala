@@ -3965,6 +3965,93 @@ object LlmQueries {
           (n.cast("long") - nu).cast("int")), " ")).as("rendered"))
   }
 
+  /** L76: composite quality router — the TIERED curation decision a real
+    * pipeline acts on (RefinedWeb/Dolma run exactly this cascade), where
+    * l15/l69/l70 each contribute a signal and policy precedence resolves
+    * them: hard policy violations (blocklist) and statistical junk
+    * (Gopher thresholds) DROP; uncertain language identification routes
+    * to REVIEW (the slow path); everything else KEEPS. Reasons ship as a
+    * bitmask (1 = blocklist, 2 = quality, 4 = low-confidence lang) so
+    * the audit trail survives the tier precedence — a dropped doc still
+    * records that its language was also uncertain. Dirt injected as in
+    * l69 (every 11th doc) so the drop tier observably fires.
+    *
+    * 100 TB posture: ONE per-row pass — every signal (blocklist probe,
+    * bigram-run Gopher metrics, marker-vote margin) is row-local
+    * arithmetic; no joins between the signal frames (composing them by
+    * doc_id joins would shuffle the corpus three times for nothing);
+    * zero shuffles, stateless, whole-stage codegen. */
+  val l76_quality_router = Q(
+    "l76_quality_router",
+    { val scores = LangMarkers.map { case (l, ws) =>
+        s"len(list_filter(toks, x -> list_contains(${ws.map("'" + _ + "'").mkString("[", ",", "]")}, x))) AS s_$l"
+      }.mkString(",\n       |        ")
+      val g = LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+      val arr = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("[", ", ", "]")
+      s"""WITH aug AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 11 = 0 THEN text || ' darn' ELSE text END
+         |          AS text
+         |      FROM documents),
+         |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM aug),
+         |b AS (SELECT doc_id, toks, len(toks) AS n,
+         |        list_transform(range(len(toks) - 1),
+         |          i -> toks[i+1] || ' ' || toks[i+2]) AS bg
+         |      FROM t),
+         |m AS (SELECT doc_id, n,
+         |        1.0 - len(list_distinct(bg)) * 1.0 / len(bg) AS dupf,
+         |        list_max(list_transform(list_distinct(bg),
+         |          x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg) AS topf,
+         |        len(list_filter(toks, tk -> length(tk) = 1)) * 1.0 / len(toks)
+         |          AS short1,
+         |        len(list_filter(toks,
+         |          x -> list_contains(['darn', 'heck', 'blockedme'], x))) AS bl,
+         |        $scores
+         |      FROM b),
+         |f AS (SELECT doc_id,
+         |        CAST(bl > 0 AS INT) AS blbit,
+         |        CAST(dupf > 0.05 OR topf > 0.06 OR n < 20 OR short1 > 0.1
+         |             AS INT) AS qbit,
+         |        CAST(greatest($g) - (list_sort($arr))[len($arr) - 1] < 2
+         |             OR greatest($g) = 0 AS INT) AS cbit
+         |      FROM m)
+         |SELECT doc_id,
+         |       CAST(blbit + 2 * qbit + 4 * cbit AS BIGINT) AS reasons,
+         |       CASE WHEN blbit = 1 OR qbit = 1 THEN 'drop'
+         |            WHEN cbit = 1 THEN 'review' ELSE 'keep' END AS tier
+         |FROM f ORDER BY doc_id""".stripMargin }
+  ) { (s, d) =>
+    val aug = spread(documents(s, d)).select(col("doc_id"),
+      when(col("doc_id") % 11 === 0, concat(col("text"), lit(" darn")))
+        .otherwise(col("text")).as("text"))
+    qualityRouter(aug, Seq("darn", "heck", "blockedme")).orderBy("doc_id")
+  }
+
+  /** The l76 engine over any (doc_id, text) frame: one per-row pass
+    * computing all three signals and the tiered decision. Unordered;
+    * stateless. */
+  def qualityRouter(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    val m = qualityMetricsFrame(docs, extra = Seq("text"))
+    val toks = TextOps.tokens(col("text"))
+    val blBit = (size(filter(toks, t => t.isin(blocklist: _*))) > 0)
+      .cast("int")
+    // l15's keep flag IS the Gopher threshold test, computed on the
+    // unrounded metrics inside qualityMetricsFrame
+    val qBit = (col("keep") === 0).cast("int")
+    val scoreCols = LangMarkers.map { case (_, ws) =>
+      size(filter(toks, x => x.isInCollection(ws)))
+    }
+    val gTop = greatest(scoreCols: _*)
+    val second = element_at(array_sort(array(scoreCols: _*)), -2)
+    val cBit = (gTop - second < 2 || gTop === 0).cast("int")
+    m.select(col("doc_id"), blBit.as("blbit"), qBit.as("qbit"),
+        cBit.as("cbit"))
+      .select(col("doc_id"),
+        (col("blbit") + col("qbit") * 2 + col("cbit") * 4).cast("long")
+          .as("reasons"),
+        when(col("blbit") === 1 || col("qbit") === 1, "drop")
+          .when(col("cbit") === 1, "review").otherwise("keep").as("tier"))
+  }
+
   /** L59: pairwise corpus-overlap matrix via mergeable bottom-k sketches —
     * "how much content do these sources share?" is the question asked
     * before mixing corpora (Pile/Dolma composition reports) and when
@@ -5050,5 +5137,5 @@ object LlmQueries {
     l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
     l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
     l71_release_delta, l72_withindoc_dedup, l73_ann_recall,
-    l74_truncate_middle, l75_chat_template)
+    l74_truncate_middle, l75_chat_template, l76_quality_router)
 }

@@ -630,6 +630,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join belongs in a per-row scan:\n$p")
   }
 
+  test("L76: the router composes all three signals in ONE per-row pass — no joins") {
+    val p = plan(LlmQueries.l76_quality_router)
+    assert(!p.contains("hashpartitioning"),
+      s"signals are row-local; only the result sort may exchange:\n$p")
+    assert(!p.contains("Join"),
+      s"composing by doc_id joins would shuffle the corpus three times:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -826,6 +826,39 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l76 quality router: tiers agree with the component signals (l15/l69/l70) " +
+      "under the documented precedence; reasons survive the precedence") {
+    val q15 = LlmQueries.l15_quality_filter.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("keep")).toMap
+    val l70 = LlmQueries.l70_langid_margin.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val out = LlmQueries.l76_quality_router.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._3).toSet.subsetOf(Set("drop", "review", "keep")))
+    assert(Set("drop", "review", "keep").forall(t => out.exists(_._3 == t)),
+      "all three tiers must fire on the fixture")
+    out.foreach { case (id, reasons, tier) =>
+      val blbit = (reasons & 1L) == 1L
+      val qbit = (reasons & 2L) == 2L
+      val cbit = (reasons & 4L) == 4L
+      // the blocklist injection is the l69 construction
+      assert(blbit == (id % 11 == 0), s"doc $id blocklist bit")
+      // the quality bit must agree with the declared l15 keep flag —
+      // EXCEPT for blocklisted docs, where the injected token changes the
+      // metrics' denominator; non-injected docs see l15's exact input
+      if (id % 11 != 0)
+        assert(qbit == (q15(id) == 0L), s"doc $id quality bit vs l15")
+      // the confidence bit matches l70 whenever the injected token cannot
+      // have moved the vote (injected 'darn' is no marker word)
+      if (id % 11 != 0)
+        assert(cbit == (l70(id) == 1L), s"doc $id confidence bit vs l70")
+      val expectedTier =
+        if (blbit || qbit) "drop" else if (cbit) "review" else "keep"
+      assert(tier == expectedTier, s"doc $id precedence")
+    }
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
