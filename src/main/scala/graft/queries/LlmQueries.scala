@@ -1507,6 +1507,47 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L77: duplication-profile histogram — the signature figure of every
+    * dedup paper (Lee et al. 2022 Fig. 1; the RefinedWeb/Dolma dedup
+    * sections): how many near-dup clusters exist at each size, with
+    * unpaired docs counted as size-1 singletons so the histogram
+    * partitions the WHOLE corpus (Σ size·n_clusters = N — the identity
+    * the spec pins). A heavy tail here is the "one boilerplate page
+    * crawled 10 000 times" signal that decides whether hard dedup (l14),
+    * soft reweighting (l42), or sub-document scrubbing (l30) is the
+    * right treatment — the profile is read BEFORE choosing.
+    *
+    * 100 TB posture: rides the session's cached pair/label frames (the
+    * cachebuild lines); adds two grid-sized map-combinable aggregates
+    * (cluster → size, size → count) and a one-row singleton count —
+    * nothing corpus-scale beyond what the dedup pipeline already paid. */
+  val l77_dup_profile = Q(
+    "l77_dup_profile",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |csz AS (SELECT cluster, count(*) AS csize FROM lbl GROUP BY cluster),
+       |h AS (SELECT csize, count(*) AS n_clusters FROM csz GROUP BY csize
+       |      UNION ALL
+       |      SELECT 1, (SELECT count(*) FROM documents) -
+       |                (SELECT count(*) FROM lbl))
+       |SELECT CAST(csize AS BIGINT) AS cluster_size,
+       |       CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+       |FROM h GROUP BY csize ORDER BY csize""".stripMargin
+  ) { (s, d) =>
+    val labels = clusterLabelsCached(s, d)
+    val paired = labels.groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).cast("long").as("n_clusters"))
+    val singles = documents(s, d).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("np"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n") - col("np")).cast("long").as("n_clusters"))
+    paired.unionByName(singles)
+      .groupBy("cluster_size")
+      .agg(sum("n_clusters").cast("long").as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   /** L42: soft-dedup sampling weights — the "downweight, don't drop"
     * alternative to l14's hard keep/drop (the SoftDeDup direction, He et
     * al., ACL 2024: removing near-dups discards signal; reweighting keeps
@@ -5137,5 +5178,6 @@ object LlmQueries {
     l65_novelty_audit, l66_scaling_ladder, l67_qa_probes,
     l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
     l71_release_delta, l72_withindoc_dedup, l73_ann_recall,
-    l74_truncate_middle, l75_chat_template, l76_quality_router)
+    l74_truncate_middle, l75_chat_template, l76_quality_router,
+    l77_dup_profile)
 }

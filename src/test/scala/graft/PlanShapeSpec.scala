@@ -638,6 +638,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"composing by doc_id joins would shuffle the corpus three times:\n$p")
   }
 
+  test("L77: the profile is grid-sized aggregation over the label frame — no corpus join") {
+    // the label input is the session-shared CC frame (lineage already cut
+    // by Graph's localCheckpoint, so it appears as a scan, not a rebuild
+    // of the pair pipeline); this pin guards the aggregation shape
+    val p = finalPlan(LlmQueries.l77_dup_profile)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"the size histogram must combine map-side:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"nothing corpus-scale may join here:\n$p")
+    assert(!fin.contains("graft_sorted_intersect_count"),
+      s"the pair verify pipeline must NOT be re-run inside the profile:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -859,6 +859,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l77 dup profile: the histogram partitions the corpus (Σ size·count = N) " +
+      "and agrees with the declared l14 cluster sizes") {
+    val out = LlmQueries.l77_dup_profile.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map { case (sz, c) => sz * c }.sum == n,
+      "every doc lands in exactly one cluster (singletons included)")
+    assert(out.keySet.forall(_ >= 1) && out.getOrElse(1L, 0L) > 0)
+    // paired part must equal the declared l14 output's cluster sizes
+    val l14 = LlmQueries.l14_dedup_clusters.fn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val fromL14 = l14.groupBy(_._1).map { case (_, rs) => rs.head._2 }
+      .groupBy(identity).map { case (sz, cs) => sz -> cs.size.toLong }
+    assert(fromL14.keys.forall(_ >= 2),
+      "l14 emits only paired docs — every cluster there has ≥ 2 members")
+    fromL14.foreach { case (sz, c) =>
+      assert(out(sz) == c, s"size-$sz cluster count vs l14")
+    }
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
