@@ -1548,6 +1548,58 @@ object LlmQueries {
       .orderBy("cluster_size")
   }
 
+  /** L78: stratified train/val/test split manifest — the artifact every
+    * released dataset ships (the `train/validation/test` directories of
+    * any HF dataset): a 90/5/5 three-way cut, stratified PER LANGUAGE so
+    * low-resource languages hold their share of every split (a global
+    * hash split can leave a small language with an empty or lopsided
+    * val set), keyed on a salted md5 so membership is reproducible
+    * run-to-run and INDEPENDENT of l17's sampling and l66's ladder (one
+    * doc's fate in different hash-keyed ops must not correlate — that is
+    * what the per-op salt buys). Thresholds are l31/l36's exact integer
+    * keep test: split boundaries are integers both engines agree on
+    * bit-for-bit, never a float compare.
+    *
+    * 100 TB posture: a pure per-row projection (md5 + two integer
+    * compares) — zero shuffles, no fit pass, stateless; stratification
+    * costs nothing because the threshold is per-ROW arithmetic, not a
+    * per-language quota walk. */
+  val l78_split_manifest = Q(
+    "l78_split_manifest", {
+      val hv = hexValOf("mh")
+      val t1 = (0.90 * 4294967296L).toLong
+      val t2 = (0.95 * 4294967296L).toLong
+      s"""WITH b AS (SELECT doc_id, lang,
+         |        md5(CAST(doc_id AS VARCHAR) || ':split') AS mh
+         |      FROM documents),
+         |v AS (SELECT doc_id, lang, CAST($hv AS BIGINT) AS bu FROM b)
+         |SELECT doc_id, lang,
+         |       CASE WHEN bu < $t1 THEN 'train'
+         |            WHEN bu < $t2 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM v ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    splitManifest(spread(documents(s, d)), train = 0.90, valid = 0.05)
+      .orderBy("doc_id")
+  }
+
+  /** The l78 engine: salted-md5 three-way split with exact integer
+    * thresholds. Stratification is inherent: the hash is uniform within
+    * every language, so each stratum splits at the same rates. */
+  def splitManifest(docs: DataFrame, train: Double, valid: Double): DataFrame = {
+    require(train > 0 && valid > 0 && train + valid < 1.0,
+      s"need three non-empty splits, got train=$train valid=$valid")
+    val mh = md5(concat(col("doc_id").cast("string"), lit(":split"))
+      .cast("binary"))
+    val bu = conv(substring(mh, 1, 8), 16, 10).cast("long")
+    val t1 = (train * 4294967296L).toLong
+    val t2 = ((train + valid) * 4294967296L).toLong
+    docs.select(col("doc_id"), col("lang"),
+      when(bu < t1, "train").when(bu < t2, "validation").otherwise("test")
+        .as("split"))
+  }
+
   /** L42: soft-dedup sampling weights — the "downweight, don't drop"
     * alternative to l14's hard keep/drop (the SoftDeDup direction, He et
     * al., ACL 2024: removing near-dups discards signal; reweighting keeps
@@ -5179,5 +5231,5 @@ object LlmQueries {
     l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
     l71_release_delta, l72_withindoc_dedup, l73_ann_recall,
     l74_truncate_middle, l75_chat_template, l76_quality_router,
-    l77_dup_profile)
+    l77_dup_profile, l78_split_manifest)
 }

@@ -652,6 +652,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the pair verify pipeline must NOT be re-run inside the profile:\n$p")
   }
 
+  test("L78: the split manifest is a pure per-row scan — no shuffle, no quota walk") {
+    val p = plan(LlmQueries.l78_split_manifest)
+    assert(!p.contains("hashpartitioning"),
+      s"membership is per-row integer arithmetic; only the result sort may exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"stratification needs no per-language quota pass:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

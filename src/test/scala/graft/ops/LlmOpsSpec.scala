@@ -879,6 +879,40 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l78 split manifest: driver md5 replay; per-language rates within binomial " +
+      "bounds; disjoint from l17/l66's hash fates") {
+    val out = LlmQueries.l78_split_manifest.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.nonEmpty)
+    val t1 = (0.90 * 4294967296L).toLong
+    val t2 = (0.95 * 4294967296L).toLong
+    out.foreach { case (id, _, split) =>
+      val bu = hv(s"$id:split")
+      val expected =
+        if (bu < t1) "train" else if (bu < t2) "validation" else "test"
+      assert(split == expected, s"doc $id split replay")
+    }
+    // stratification: every language's split rates inside 4σ binomial
+    out.groupBy(_._2).foreach { case (lang, docs) =>
+      val n = docs.size
+      Seq(("train", 0.90), ("validation", 0.05), ("test", 0.05))
+        .foreach { case (sp, rate) =>
+          val c = docs.count(_._3 == sp)
+          val sigma = math.sqrt(rate * (1 - rate) * n)
+          assert(math.abs(c - rate * n) <= 4 * sigma + 1,
+            s"$lang/$sp: $c of $n outside 4σ of ${rate * n}")
+        }
+    }
+    // the per-op salt must decorrelate this split from l66's ladder: the
+    // test-split docs' ladder rungs still look like the corpus mix, not a
+    // fixed value (a shared key would lock the two fates together)
+    val rungs = LlmQueries.l66_scaling_ladder.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val testRungs = out.filter(_._3 == "test").map(t => rungs(t._1)).toSet
+    assert(testRungs.size > 1,
+      "salted keys must leave the split independent of the ladder rungs")
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
