@@ -1600,6 +1600,59 @@ object LlmQueries {
         .as("split"))
   }
 
+  /** L79: split leakage audit — the check that makes l78's split and the
+    * dedup evidence COMPOSE: an eval doc whose near-dup partner sits in
+    * train is contaminated eval (the model saw a paraphrase of the test
+    * item — the split-level form of l27's benchmark decontamination, and
+    * the audit run before any number from the val/test split is trusted).
+    * Emits each non-train doc with ≥1 train-side near-dup partner, its
+    * split, and its smallest train partner as the evidence pointer. A
+    * hash split CANNOT avoid this by construction (membership ignores
+    * content), which is exactly why the audit exists: either drop the
+    * leaked eval docs or re-home their train partners before release.
+    *
+    * 100 TB posture: split membership is a pure FUNCTION of doc_id (the
+    * l78 expression), so both endpoints' splits compute per-row ON the
+    * cached pair frame — no join against a corpus-sized manifest, no new
+    * corpus pass; the audit costs one grid-sized aggregate over pair
+    * evidence the dedup pipeline already paid for. */
+  val l79_split_leakage = Q(
+    "l79_split_leakage", {
+      val t1 = (0.90 * 4294967296L).toLong
+      val t2 = (0.95 * 4294967296L).toLong
+      def splitOf(idCol: String): String = {
+        val hv = (1 to 8).map(i =>
+          s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR) || ':split'), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+          .mkString(" + ")
+        s"CASE WHEN $hv < $t1 THEN 'train' WHEN $hv < $t2 THEN 'validation' ELSE 'test' END"
+      }
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+         |lk AS (SELECT a AS doc_id, min(b) AS train_partner
+         |       FROM e
+         |       WHERE ${splitOf("a")} <> 'train' AND ${splitOf("b")} = 'train'
+         |       GROUP BY a)
+         |SELECT doc_id, ${splitOf("doc_id")} AS split, train_partner
+         |FROM lk ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val t1 = (0.90 * 4294967296L).toLong
+    val t2 = (0.95 * 4294967296L).toLong
+    def splitOf(c: Column): Column = {
+      val mh = md5(concat(c.cast("string"), lit(":split")).cast("binary"))
+      val bu = conv(substring(mh, 1, 8), 16, 10).cast("long")
+      when(bu < t1, "train").when(bu < t2, "validation").otherwise("test")
+    }
+    val pairs = exactPairsCached(s, d).select(col("i"), col("j"))
+    val e = pairs.unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
+    e.filter(splitOf(col("i")) =!= "train" && splitOf(col("j")) === "train")
+      .groupBy(col("i").as("doc_id"))
+      .agg(min("j").as("train_partner"))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        col("train_partner"))
+      .orderBy("doc_id")
+  }
+
   /** L42: soft-dedup sampling weights — the "downweight, don't drop"
     * alternative to l14's hard keep/drop (the SoftDeDup direction, He et
     * al., ACL 2024: removing near-dups discards signal; reweighting keeps
@@ -5231,5 +5284,5 @@ object LlmQueries {
     l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
     l71_release_delta, l72_withindoc_dedup, l73_ann_recall,
     l74_truncate_middle, l75_chat_template, l76_quality_router,
-    l77_dup_profile, l78_split_manifest)
+    l77_dup_profile, l78_split_manifest, l79_split_leakage)
 }

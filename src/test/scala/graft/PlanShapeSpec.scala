@@ -660,6 +660,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"stratification needs no per-language quota pass:\n$p")
   }
 
+  test("L79: split labels compute per-row ON the pair frame — no manifest join") {
+    val p = finalPlan(LlmQueries.l79_split_leakage)
+    val fin = p.split("== Initial Plan ==")(0)
+    // the pair frame arrives through the session cache; its own BUILD plan
+    // (rendered inside the InMemoryRelation) legitimately joins — the
+    // audit QUERY above that boundary must not
+    val query = fin.split("InMemoryRelation")(0)
+    assert(query.contains("InMemoryTableScan"),
+      s"the pair evidence must come from the session cache:\n$p")
+    assert(!query.contains("Join"),
+      s"split membership is a function of doc_id — joining a corpus-sized manifest would be the bug:\n$p")
+    assert(query.contains("partial_min"),
+      s"the evidence-partner pick must combine map-side:\n$p")
+  }
+
   test("L41: the temperature budget table broadcasts like L36's") {
     val p = finalPlan(LlmQueries.l41_temperature_sample)
     val fin = p.split("== Initial Plan ==")(0)

@@ -913,6 +913,24 @@ class LlmOpsSpec extends AnyFunSuite {
       "salted keys must leave the split independent of the ladder rungs")
   }
 
+  test("l79 split leakage: exactly the non-train docs with a train-side near-dup " +
+      "partner, with the minimal partner as evidence — consistent with l4 and l78") {
+    val splits = LlmQueries.l78_split_manifest.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = LlmQueries.l4_jaccard_neardup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .filter { case (a, b) => splits(a) != "train" && splits(b) == "train" }
+      .groupBy(_._1).map { case (a, es) => (a, splits(a), es.map(_._2).min) }
+      .toSet
+    val out = LlmQueries.l79_split_leakage.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === expected,
+      "leakage must be exactly the cross-split edges of the declared pair set")
+    assert(out.nonEmpty, "the fixture must exhibit real leakage or the audit is vacuous")
+    assert(out.forall(o => Set("validation", "test").contains(o._2)))
+  }
+
   test("l27 decontamination flags exactly the docs sharing a 5-gram with the eval split") {
     // independent driver-side recomputation: md5 bucket split, 5-gram sets,
     // overlap counts — no Spark expressions shared with the implementation
