@@ -324,6 +324,13 @@ object LlmQueries {
   private val qualityCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Public handle to the shared l15 quality frame — the H↔L bridge: l80's
+    * trainer (ml/PinnedQualityLr) fits on exactly the metric frame the
+    * declared l15/l80 queries score, so "train once, freeze, score" shares
+    * one feature definition end to end. */
+  def qualityMetricsFrameFor(s: SparkSession, d: String): DataFrame =
+    qualityCached(s, d)
+
   private def qualityCached(s: SparkSession, d: String): DataFrame =
     qualityCache.get((s, d)) match {
       case Some(q) => q
@@ -1532,7 +1539,12 @@ object LlmQueries {
        |                (SELECT count(*) FROM lbl))
        |SELECT CAST(csize AS BIGINT) AS cluster_size,
        |       CAST(sum(n_clusters) AS BIGINT) AS n_clusters
-       |FROM h GROUP BY csize ORDER BY csize""".stripMargin
+       |FROM h GROUP BY csize
+       |-- the singles row is unconditional, so a corpus where EVERY doc is
+       |-- clustered would emit a spurious size-1 row with n_clusters=0 —
+       |-- drop empty rows on both engines (ADVICE r12)
+       |HAVING sum(n_clusters) > 0
+       |ORDER BY csize""".stripMargin
   ) { (s, d) =>
     val labels = clusterLabelsCached(s, d)
     val paired = labels.groupBy("cluster")
@@ -1545,6 +1557,8 @@ object LlmQueries {
     paired.unionByName(singles)
       .groupBy("cluster_size")
       .agg(sum("n_clusters").cast("long").as("n_clusters"))
+      // mirror of the oracle's HAVING: no zero-count histogram rows
+      .filter(col("n_clusters") > 0)
       .orderBy("cluster_size")
   }
 
@@ -1791,6 +1805,63 @@ object LlmQueries {
         round(col("short1"), 6).as("short_token_frac"),
         (col("dupf") <= 0.05 && col("topf") <= 0.06 && col("n") >= 20 &&
           col("short1") <= 0.1).cast("long").as("keep")) ++ carry: _*)
+  }
+
+  /** L80: model-based quality classifier — the GPT-3 appendix-A / LLaMA
+    * CommonCrawl-filter stage (see [[graft.ml.PinnedQualityLr]] for the
+    * full design + citations): every doc is scored with a FROZEN MLlib
+    * LogisticRegression — sigmoid(w·x + b) over the l15 feature vector —
+    * trained once on deterministic weak labels (lang='en' ∧ l15-keep) and
+    * pinned as literals, the production train-once/score-everywhere
+    * deployment. Emits the weak label (so downstream can measure the
+    * classifier against its own training proxy), the 6-dp score, and the
+    * margin-sign decision.
+    *
+    * Determinism: all four features are the 6-dp-rounded metrics both
+    * engines already hash-agree on (l15's oracle), the coefficients are
+    * the SAME literals in both texts, and the dot product folds
+    * left-to-right in the same order — the margin is bit-identical
+    * cross-engine, so the sign test never flakes. TrainSpec pins
+    * MLlib refit ≡ frozen coefficients ≡ declared scores.
+    *
+    * 100 TB posture: scoring rides the session's cached l15 metric frame
+    * (cachebuild:quality) and adds four multiply-adds + one exp per row —
+    * ZERO shuffles, no fit pass, no broadcast (the model is four literals
+    * folded into codegen). PlanShapeSpec pins the no-join/no-aggregate
+    * shape. */
+  val l80_quality_classifier = Q(
+    "l80_quality_classifier",
+    s"""WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, lang, toks, len(toks) AS n,
+       |        list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bg
+       |      FROM d),
+       |m AS (SELECT doc_id, lang, n,
+       |        1.0 - len(list_distinct(bg)) * 1.0 / len(bg) AS dupf,
+       |        list_max(list_transform(list_distinct(bg),
+       |          x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg) AS topf,
+       |        len(list_filter(toks, t -> length(t) = 1)) * 1.0 / len(toks) AS short1
+       |      FROM b),
+       |f AS (SELECT doc_id,
+       |        CAST(lang = 'en' AND dupf <= 0.05 AND topf <= 0.06
+       |             AND n >= 20 AND short1 <= 0.1 AS BIGINT) AS label,
+       |        round(ln(n), 6) AS x_log_tokens,
+       |        round(dupf, 6) AS dup_bigram_frac,
+       |        round(topf, 6) AS top_bigram_frac,
+       |        round(short1, 6) AS short_token_frac
+       |      FROM m),
+       |g AS (SELECT doc_id, label, ${graft.ml.PinnedQualityLr.marginSql} AS mg FROM f)
+       |SELECT doc_id, label,
+       |       round(1.0 / (1.0 + exp(-mg)), 6) AS score,
+       |       CAST(mg >= 0 AS BIGINT) AS wiki_like
+       |FROM g ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import graft.ml.PinnedQualityLr
+    PinnedQualityLr.featureFrame(qualityCached(s, d))
+      .select(col("doc_id"),
+        PinnedQualityLr.weakLabel.cast("long").as("label"),
+        PinnedQualityLr.score.as("score"),
+        (PinnedQualityLr.margin >= 0).cast("long").as("wiki_like"))
+      .orderBy("doc_id")
   }
 
   // --------------------------------------------- normalization / redaction
@@ -4443,9 +4514,15 @@ object LlmQueries {
       |               CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc),
       |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
       |        FROM (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT 1000)),
+      |-- the four float sums fold over rank-ORDERED lists (list_reduce is a
+      |-- sequential left fold), mirroring the Spark side's aggregate() over
+      |-- the rank-sorted array: both engines sum in the SAME order, so the
+      |-- round(...,6) never sits on a reorder-noise boundary (ADVICE r12)
       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-      |             sum(ln(rk)) AS sx, sum(ln(cnt)) AS sy,
-      |             sum(ln(rk) * ln(cnt)) AS sxy, sum(ln(rk) * ln(rk)) AS sxx,
+      |             list_reduce(list(ln(rk) ORDER BY rk), (a, b) -> a + b) AS sx,
+      |             list_reduce(list(ln(cnt) ORDER BY rk), (a, b) -> a + b) AS sy,
+      |             list_reduce(list(ln(rk) * ln(cnt) ORDER BY rk), (a, b) -> a + b) AS sxy,
+      |             list_reduce(list(ln(rk) * ln(rk) ORDER BY rk), (a, b) -> a + b) AS sxx,
       |             sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS m10,
       |             sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END) AS m100
       |      FROM top)
@@ -5284,5 +5361,6 @@ object LlmQueries {
     l68_stream_novelty, l69_blocklist_filter, l70_langid_margin,
     l71_release_delta, l72_withindoc_dedup, l73_ann_recall,
     l74_truncate_middle, l75_chat_template, l76_quality_router,
-    l77_dup_profile, l78_split_manifest, l79_split_leakage)
+    l77_dup_profile, l78_split_manifest, l79_split_leakage,
+    l80_quality_classifier)
 }

@@ -23,11 +23,31 @@ import graft.ops.TextOps
   */
 object StreamingOps {
 
+  /** Every weekly op here aligns windows Mon..Sun via `startTime "4 days"`
+    * — an offset from the EPOCH, which is timezone-relative: window
+    * boundaries, the `cast(DateType)` of window ends, and `date_format`
+    * all resolve in `spark.sql.session.timeZone`. The Monday/Sunday
+    * labels are only correct under UTC (every engine session sets it:
+    * Verify/Bench/TestSpark builders and Tables.prep), so the weekly ops
+    * REFUSE a non-UTC session instead of silently mislabeling
+    * `week_ending` by a day (ADVICE r12). */
+  private def requireUtc(df: DataFrame): Unit = {
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    // accept any fixed-zero-offset alias (UTC, Etc/UTC, GMT, +00:00) —
+    // the requirement is the RULES, not the spelling
+    val rules = java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getRules
+    require(rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+      s"weekly window alignment requires spark.sql.session.timeZone=UTC, got '$tz'")
+  }
+
   /** Tumbling Mon..Sun weekly average of `value` (the d5 semantics:
     * startTime "4 days" realigns the Thursday epoch to Monday; label =
     * window end − 1 day = the Sunday). Late rows older than `watermark`
-    * are dropped instead of growing state forever. */
-  def weeklyAvg(events: DataFrame, watermark: String = "14 days"): DataFrame =
+    * are dropped instead of growing state forever. UTC session required
+    * (see [[requireUtc]]). */
+  def weeklyAvg(events: DataFrame, watermark: String = "14 days"): DataFrame = {
+    requireUtc(events)
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"))
@@ -35,6 +55,7 @@ object StreamingOps {
       .select(
         date_format(date_add(col("w.end").cast(DateType), -1), "yyyy-MM-dd").as("week_ending"),
         col("avg_value"), col("n"))
+  }
 
   /** Tumbling weekly APPROXIMATE distinct count of `keyCol` — the
     * streaming cardinality dashboard (unique users/ids per window) built
@@ -47,7 +68,8 @@ object StreamingOps {
     * associatively across micro-batches (StreamingSpec pins stream ≡
     * batch). */
   def weeklyApproxDistinct(events: DataFrame, keyCol: String = "event_id",
-      watermark: String = "14 days"): DataFrame =
+      watermark: String = "14 days"): DataFrame = {
+    requireUtc(events)
     graft.ops.Hll.approxDistinctWide(
         events.withWatermark("ts", watermark),
         Seq(window(col("ts"), "7 days", "7 days", "4 days").as("w")),
@@ -55,6 +77,7 @@ object StreamingOps {
       .select(
         date_format(date_add(col("w.end").cast(DateType), -1), "yyyy-MM-dd").as("week_ending"),
         round(col("hll_est"), 4).as("approx_distinct"))
+  }
 
   /** Streaming exact dedup by event_id: keeps the FIRST arrival of each id,
     * with state truncated below the event-time watermark. Must be
@@ -147,6 +170,7 @@ object StreamingOps {
       watermark: String = "14 days"): DataFrame = {
     require(refProps.length == edges.length + 1,
       s"need one reference proportion per bin: ${edges.length + 1}")
+    requireUtc(events)
     val nBins = edges.length + 1
     val bin = size(filter(typedLit(edges), x => col("value") > x)) + 1
     val counts = events
@@ -388,6 +412,7 @@ object StreamingOps {
     * the fully-novel convention). */
   def weeklyNovelty(live: DataFrame, frozenGrams: DataFrame,
       watermark: String = "14 days"): DataFrame = {
+    requireUtc(live)
     val grams = array_distinct(
       TextOps.shingles(TextOps.tokens(col("text")), 5))
     live.withWatermark("ts", watermark)

@@ -683,4 +683,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
       s"no shuffle join may touch the corpus scan:\n$p")
   }
+
+  test("L80: frozen-model scoring is a pure per-row scan over the quality cache") {
+    val p = finalPlan(LlmQueries.l80_quality_classifier)
+    val fin = p.split("== Initial Plan ==")(0)
+    // the l15 metric frame arrives through the session cache (the
+    // cachebuild:quality line); the scoring query above it is four
+    // multiply-adds + one exp per row — no join (the model is literals,
+    // not a table), no aggregation, no shuffle but the result sort
+    assert(fin.contains("InMemoryTableScan"),
+      s"the features must come from the shared l15 cache, not a re-scan:\n$p")
+    assert(!fin.contains("Join"),
+      s"a frozen linear model folds in as literals, never a join:\n$p")
+    assert(!fin.contains("hashpartitioning"),
+      s"scoring is per-row; only the result sort may exchange:\n$p")
+  }
 }

@@ -119,4 +119,51 @@ class TrainSpec extends AnyFunSuite {
     m.unpersist()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("L80 pinned quality LR: refit reproduces the frozen coefficients; frozen scores = model scores") {
+    import org.apache.spark.ml.functions.vector_to_array
+    // (1) the frozen model IS the declared fit: refitting the exact
+    // estimator on the exact fixture must land on the pinned values — a
+    // drifted feature definition, changed hyperparameter, or altered weak
+    // label shows up here as a coefficient mismatch
+    val sf = "/root/testdata/sf0.001"
+    val quality = graft.queries.LlmQueries.qualityMetricsFrameFor(spark, sf)
+    val refit = PinnedQualityLr.fit(quality)
+    assert(math.abs(refit.intercept - PinnedQualityLr.Intercept) < 1e-6,
+      s"intercept drifted: ${refit.intercept} vs pinned ${PinnedQualityLr.Intercept}")
+    refit.coefficients.toArray.zip(PinnedQualityLr.Weights).zip(PinnedQualityLr.FeatureCols)
+      .foreach { case ((got, pinned), name) =>
+        assert(math.abs(got - pinned) <= 1e-6 * math.max(1.0, math.abs(pinned)),
+          s"$name drifted: $got vs pinned $pinned")
+      }
+    // (2) score identity: the frozen-literal sigmoid the declared l80 query
+    // (and its DuckDB oracle) computes must equal the MLlib model's own
+    // P(class 1) — proving the pinned literals and the model are ONE model,
+    // not two approximations of each other
+    val feats = PinnedQualityLr.featureFrame(quality)
+    val frozen = feats.select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-PinnedQualityLr.margin))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(PinnedQualityLr.FeatureCols.toArray).setOutputCol("features")
+      .transform(feats)
+    val modelScores = refit.transform(assembled)
+      .select(col("doc_id"), vector_to_array(col("probability")).getItem(1).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(frozen.size === 500 && modelScores.size === 500)
+    frozen.foreach { case (id, s) =>
+      assert(math.abs(s - modelScores(id)) < 1e-7,
+        s"doc $id: frozen sigmoid $s vs model ${modelScores(id)}")
+    }
+    // (3) the classifier is non-degenerate on its own training corpus:
+    // both decisions fire, and it agrees with the weak label far above
+    // chance (it trained on exactly this proxy)
+    val l80 = graft.queries.LlmQueries.l80_quality_classifier.fn(spark, sf)
+      .select("label", "wiki_like")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(l80.exists(_._2 == 1L) && l80.exists(_._2 == 0L),
+      "both decisions must observably fire on the fixture")
+    val agree = l80.count { case (l, w) => l == w }.toDouble / l80.length
+    assert(agree > 0.75, s"classifier agrees with its weak label only $agree")
+  }
 }
