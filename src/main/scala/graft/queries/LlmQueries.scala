@@ -1934,14 +1934,16 @@ object LlmQueries {
     *
     * md5 is the ORACLE hash (DuckDB can replay it); the production swap
     * every md5-keyed op's scaladoc promises — `pmod(xxhash64(key), m)`,
-    * ~10× cheaper per digest, codegen'd — is DEMONSTRATED on this body by
+    * codegen'd — is DEMONSTRATED on this body by
     * LlmOpsSpec "l17 md5→xxhash64 production swap": identical output
     * schema and bookkeeping form, per-stratum keep-rates within binomial
     * bounds of the configured rates, and bit-identical results under
     * repartitioning. The other md5-keyed ops (l31/l33/l34/l36/l38/l41/
     * l46/l47, the l19 md5 LSH variant) swap the same way — key the
     * bucket/priority on xxhash64 and keep every downstream integer test
-    * unchanged. */
+    * unchanged. Measured line-level effect of the swap: ~0-15%, NOT the
+    * per-digest folklore — see l38's hash-choice note and BENCHNOTES
+    * r13 (the scan cost is string construction, not the digest). */
   val l17_stratified_sample = Q(
     "l17_stratified_sample", {
       // value of the first 8 md5 hex chars, decoded per digit: Σ d_i·16^(8-i)
@@ -2560,7 +2562,40 @@ object LlmQueries {
     * bigrams because this corpus' docs are sentence-scale). Small enough
     * that the fitted log-ratio table is a broadcastable map, large enough
     * that collisions don't flatten the signal. */
-  private val DsirB = 1024
+  private[graft] val DsirB = 1024
+
+  /** The l38 scoring ENGINE over any (doc_id, lang, text) frame, with the
+    * two hash roles pluggable: `bucketOf(gram)` → feature bucket in
+    * [0, DsirB), `uniformOf(doc_id)` → the Gumbel uniform in (0, 1). The
+    * declared query binds both to md5 (the ORACLE hash — DuckDB replays
+    * its hex digits); the production swap every md5 scaladoc promises
+    * binds both to xxhash64 — LlmOpsSpec "l38 md5→xxhash64" runs THIS
+    * body with the swapped hashes and pins form, keep-rate, threshold-cut
+    * and repartition invariants, plus an A/B timing (BENCHNOTES r13).
+    * The likelihood-ratio math is hash-agnostic; nothing downstream of
+    * the two lambdas changes. */
+  def dsirScoreFrame(docs: DataFrame, bucketOf: Column => Column,
+      uniformOf: Column => Column): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      transform(TextOps.shingles(TextOps.tokens(col("text")), 2),
+        g => bucketOf(g)).as("bks"))
+    val st = base.select(col("lang"), explode(col("bks")).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("cq"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"))
+    val tot = st.agg(sum("cq").as("nq"), sum("cp").as("np"))
+    val lrm = st.crossJoin(broadcast(tot))
+      .select(col("bk"),
+        (log(col("cp") + 0.5) - log(col("np") + 512.0)
+          - log(col("cq") + 0.5) + log(col("nq") + 512.0)).as("lr"))
+      .agg(map_from_entries(collect_list(struct(col("bk"), col("lr"))))
+        .as("lrm"))
+    val u = uniformOf(col("doc_id"))
+    base.crossJoin(broadcast(lrm))
+      .withColumn("logw", aggregate(col("bks"), lit(0.0),
+        (acc, b) => acc + element_at(col("lrm"), b)))
+      .withColumn("score", round(col("logw") - log(-log(u)), 6))
+      .select(col("doc_id"), col("lang"), col("logw"), col("score"))
+  }
 
   /** The per-doc DSIR score frame — (doc_id, lang, logw, score), unordered
     * — cached once per (session, sfDir): the threshold fit (an eager
@@ -2569,30 +2604,15 @@ object LlmQueries {
     * bucket log-ratio table is fitted with a map-combinable 1024-key
     * aggregate, collapsed to a one-row MAP column, and broadcast back;
     * per-doc log-weights are then a per-row HOF fold over the doc's own
-    * bucket array. */
+    * bucket array. md5-keyed for the oracle — see [[dsirScoreFrame]] for
+    * the production xxhash64 binding. */
   private def dsirScores(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "dsirscore") {
-      val base = spread(documents(s, d)).select(col("doc_id"), col("lang"),
-        transform(TextOps.shingles(TextOps.tokens(col("text")), 2),
-          g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10)
-            .cast("long") % DsirB).as("bks"))
-      val st = base.select(col("lang"), explode(col("bks")).as("bk"))
-        .groupBy("bk").agg(count(lit(1)).as("cq"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"))
-      val tot = st.agg(sum("cq").as("nq"), sum("cp").as("np"))
-      val lrm = st.crossJoin(broadcast(tot))
-        .select(col("bk"),
-          (log(col("cp") + 0.5) - log(col("np") + 512.0)
-            - log(col("cq") + 0.5) + log(col("nq") + 512.0)).as("lr"))
-        .agg(map_from_entries(collect_list(struct(col("bk"), col("lr"))))
-          .as("lrm"))
-      val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-        1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0)
-      base.crossJoin(broadcast(lrm))
-        .withColumn("logw", aggregate(col("bks"), lit(0.0),
-          (acc, b) => acc + element_at(col("lrm"), b)))
-        .withColumn("score", round(col("logw") - log(-log(u)), 6))
-        .select(col("doc_id"), col("lang"), col("logw"), col("score"))
+      dsirScoreFrame(spread(documents(s, d)),
+        bucketOf = g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10)
+          .cast("long") % DsirB,
+        uniformOf = id => (conv(substring(md5(id.cast("string").cast("binary")),
+          1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0))
     }
 
   /** L38: DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169)
@@ -2628,10 +2648,16 @@ object LlmQueries {
     * digits), smoothing, Gumbel, and quantile_cont end to end.
     *
     * Hash choice: md5 here because ANSI SQL can replay its hex digits
-    * (l8/l19's playbook for keeping a sketch oracle-checked); a
-    * deployment chasing throughput would swap the bucket hash for
-    * xxhash64 (graft_xxhash64_array, ~5× cheaper per digest) — the
-    * likelihood-ratio math is hash-agnostic. */
+    * (l8/l19's playbook for keeping a sketch oracle-checked); the
+    * xxhash64 production binding is DEMONSTRATED on this exact body by
+    * LlmOpsSpec "l38 md5→xxhash64 production swap" (same form, 40% cut,
+    * threshold + repartition invariants) — the likelihood-ratio math is
+    * hash-agnostic. MEASURED effect (BENCHNOTES r13, warmed A/B at
+    * sf0.1): the swap buys only ~0-15% on this line — the scan is
+    * dominated by tokenize/shingle string construction, not the digest,
+    * so the standing "md5 is the throughput tax" assumption is REFUTED
+    * at this gram length: swap for hygiene (one hash family everywhere),
+    * not for a speedup. */
   val l38_dsir_sample = Q(
     "l38_dsir_sample",
     s"""WITH dt AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks

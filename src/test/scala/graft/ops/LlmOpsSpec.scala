@@ -1929,4 +1929,92 @@ class LlmOpsSpec extends AnyFunSuite {
         s"$l kept ${ck.getOrElse(l, 0L)} vs budget $b")
     }
   }
+
+  test("l38 md5→xxhash64 production swap: same form, 40% cut, threshold invariant, repartition-invariant") {
+    // the l38 pipeline with the PRODUCTION hashes — pmod(xxhash64(gram), B)
+    // for the feature buckets and a xxhash64-derived Gumbel uniform — run
+    // through the REAL engine body (LlmQueries.dsirScoreFrame), not a
+    // copy: only the two hash lambdas differ from the declared md5 query
+    // (the oracle-replayable binding). This is the swap point every
+    // md5-keyed scaladoc promises, demonstrated on the suite's most
+    // md5-per-token-bound line (VERDICT r12 next #2).
+    val b = LlmQueries.DsirB
+    def xxScores(docs: org.apache.spark.sql.DataFrame) =
+      LlmQueries.dsirScoreFrame(docs,
+        bucketOf = g => pmod(xxhash64(g), lit(b.toLong)),
+        uniformOf = id =>
+          (pmod(xxhash64(id), lit(4294967296L)).cast("double") + 0.5) /
+            lit(4294967296.0))
+    def sampled(docs: org.apache.spark.sql.DataFrame) = {
+      val sc = xxScores(docs)
+      val t = graft.ops.Stats.exactQuantiles(sc, col("score"), Seq(0.6))
+        .getOrElse(Seq(Double.NegativeInfinity)).head
+      (sc.select(col("doc_id"), col("lang"), round(col("logw"), 6).as("logw"),
+        col("score"), (col("score") >= lit(t)).cast("long").as("keep")), t)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val (out, t) = sampled(docs)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(3), r.getLong(4)))
+    // (1) bookkeeping identical in FORM to the declared md5 query
+    val md5Schema = LlmQueries.l38_dsir_sample.fn(spark, sf).schema
+    assert(out.schema.map(f => (f.name, f.dataType)) ===
+      md5Schema.map(f => (f.name, f.dataType)))
+    // (2) the global 60th-percentile cut keeps 40% — scores are distinct
+    // at 6 dp w.p. ~1, so the exact-quantile threshold slices exactly
+    val n = rows.length
+    val kept = rows.count(_._4 == 1L)
+    assert(math.abs(kept - 0.4 * n) <= math.max(2.0, 0.02 * n),
+      s"kept $kept of $n, expected ~${0.4 * n}")
+    // (3) threshold-cut invariant: the kept set IS the top-40% by score —
+    // min kept score above every dropped score, both sides of t
+    val keptMin = rows.filter(_._4 == 1L).map(_._3).min
+    val dropMax = rows.filter(_._4 == 0L).map(_._3).max
+    assert(keptMin >= t && dropMax < t && keptMin > dropMax,
+      s"threshold cut broken: keptMin=$keptMin dropMax=$dropMax t=$t")
+    // (4) determinism under partition reshuffling — the property rand()
+    // lacks and the reason hash-keyed Gumbel exists at all
+    val (out13, _) = sampled(docs.repartition(13, col("lang")))
+    val again = out13.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(3), r.getLong(4))).toSet
+    assert(rows.toSet === again, "sample membership moved under repartitioning")
+    // (5) A/B digest cost, same session, same work: time one full
+    // materialization of each scoring frame (md5 = the declared binding,
+    // xxhash64 = the production binding). Recorded in BENCHNOTES r13.
+    // Default sf0.001 keeps CI cheap (fixed overheads dominate there);
+    // the recorded number came from SPARK_GRAFT_AB_SF=/root/testdata/sf0.1
+    // where the scan is genuinely digest-bound.
+    val abDocs = sys.env.get("SPARK_GRAFT_AB_SF").fold(docs)(d =>
+      spark.read.parquet(s"$d/documents.parquet").select("doc_id", "lang", "text"))
+    def msOf(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6 }
+    val md5Scores = LlmQueries.dsirScoreFrame(abDocs,
+      bucketOf = g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10)
+        .cast("long") % b,
+      uniformOf = id => (conv(substring(md5(id.cast("string").cast("binary")),
+        1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0))
+    // warm both plans once (codegen compile, parquet footers), then time —
+    // otherwise the first-measured side absorbs the session's one-time costs
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    run(md5Scores); run(xxScores(abDocs))
+    val tMd5 = msOf(run(md5Scores))
+    val tXx = msOf(run(xxScores(abDocs)))
+    // isolate the DIGEST itself: the bucket-array projection alone (one
+    // scan, no fit/broadcast/fold) — this is where the per-gram hash cost
+    // lives, and the honest attribution for "what does the swap buy"
+    import graft.ops.TextOps
+    def buckets(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      abDocs.select(transform(TextOps.shingles(TextOps.tokens(col("text")), 2),
+        g => h(g)).as("bks"))
+    val pMd5 = buckets(g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10)
+      .cast("long") % b)
+    val pXx = buckets(g => pmod(xxhash64(g), lit(b.toLong)))
+    run(pMd5); run(pXx)
+    val tpMd5 = msOf(run(pMd5))
+    val tpXx = msOf(run(pXx))
+    info(f"l38 scoring A/B (${sys.env.getOrElse("SPARK_GRAFT_AB_SF", sf)}): " +
+      f"full pipeline md5=$tMd5%.0f ms xxhash64=$tXx%.0f ms; " +
+      f"bucket projection alone md5=$tpMd5%.0f ms xxhash64=$tpXx%.0f ms")
+  }
 }
