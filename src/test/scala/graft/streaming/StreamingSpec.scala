@@ -270,10 +270,16 @@ class StreamingSpec extends AnyFunSuite {
       "the per-row chunker must emit identical rows on a chunked stream")
   }
 
-  test("lsh bucket store evicts buckets past the horizon (watermark-keyed TTL)") {
-    import spark.implicits._
+  /** The l19 eviction scenario, session-parametric so the SAME script runs
+    * under the default (HDFS-backed in-heap) state store and under
+    * RocksDB: near-dup pair via state → horizon passes → bucket evicted →
+    * post-expiry twin pairs with nothing → sub-watermark straggler
+    * pre-filtered. Returns (emitted pairs, straggler-dropped?). */
+  private def evictionScenario(s: org.apache.spark.sql.SparkSession,
+      name: String): (Set[(Long, Long)], Boolean) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val text = "the quick brown fox jumps over the lazy dog again and again today"
     val other = "completely different content with no shared trigram shingles at all whatsoever"
     def ts(min: Int) = java.sql.Timestamp.valueOf(
@@ -282,7 +288,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamingOps.lshCandidatePairs(
         mem.toDF().toDF("doc_id", "text", "arrive_ts"),
         tsCol = Some("arrive_ts"), horizon = "1 hour")
-      .writeStream.format("memory").queryName("lsh_evict").outputMode("append")
+      .writeStream.format("memory").queryName(name).outputMode("append")
       .start()
     // near-identical docs at t0/t5 share every band bucket → pair via state
     mem.addData(Seq((1L, text, ts(0))))
@@ -314,16 +320,84 @@ class StreamingSpec extends AnyFunSuite {
     val droppedAfter = q.recentProgress
       .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
     q.stop()
-    assert(droppedAfter > droppedBefore,
+    val got = s.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (got, droppedAfter > droppedBefore)
+  }
+
+  private def assertEvictionInvariants(got: Set[(Long, Long)],
+      stragglerDropped: Boolean): Unit = {
+    assert(stragglerDropped,
       "the sub-watermark straggler must be pre-filtered by the watermark " +
         "(numRowsDroppedByWatermark) before reaching the bucket store")
-    val got = spark.table("lsh_evict")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)), "pre-horizon candidates must be unaffected")
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
       "a doc arriving after bucket expiry must not pair with evicted history")
     assert(!got.exists(p => p._1 == 6L || p._2 == 6L),
       "the dropped straggler must not appear in any candidate pair")
+  }
+
+  test("lsh bucket store evicts buckets past the horizon (watermark-keyed TTL)") {
+    val (got, dropped) = evictionScenario(spark, "lsh_evict")
+    assertEvictionInvariants(got, dropped)
+  }
+
+  test("stateful ops run unchanged under RocksDBStateStoreProvider (the 100 TB state store)") {
+    // the default HDFS-backed store keeps every bucket on the executor
+    // HEAP — exactly the state that outgrows memory at corpus scale; the
+    // deployment answer is RocksDB (state on local disk, heap holds a
+    // block cache). A conf-scoped CHILD session (the a12 idiom: shared
+    // context and cache, private conf) flips the provider; the l19
+    // eviction scenario and the l55 chained window aggregation — the two
+    // heaviest state topologies in the engine (flatMapGroupsWithState +
+    // EventTimeTimeout; chained stateful aggs) — must produce IDENTICAL
+    // output, and the progress metrics must prove RocksDB actually served
+    // the state (no silent fallback).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    graft.Tables.prep(s2)
+
+    // (1) l19 eviction: same scenario, same emitted pairs + invariants
+    val (gotDefault, _) = evictionScenario(spark, "lsh_evict_heap")
+    val (gotRocks, droppedRocks) = evictionScenario(s2, "lsh_evict_rocks")
+    assertEvictionInvariants(gotRocks, droppedRocks)
+    assert(gotRocks === gotDefault,
+      "RocksDB-backed bucket store must emit exactly the default store's pairs")
+
+    // (2) l55 chained PSI: stream under RocksDB ≡ batch monitor
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val batchEv = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull).select("ts", "value")
+    val (edges, refProps) = graft.queries.LlmQueries.psiWeeklyFit(batchEv)
+    val rows = batchEv.as[(java.sql.Timestamp, Double)].collect()
+      .sortBy(_._1.getTime)
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamingOps.psiWeekly(mem.toDF().toDF("ts", "value"),
+        edges, refProps, watermark = "1 hour")
+      .writeStream.format("memory").queryName("psi_rocks").outputMode("append")
+      .start()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    mem.addData((java.sql.Timestamp.valueOf("2024-03-15 00:00:00"), 0.0))
+    q.processAllAvailable()
+    // the provider must have ENGAGED: RocksDB registers rocksdb* custom
+    // state metrics in the progress — absent means silent fallback
+    val rocksEngaged = q.recentProgress.flatMap(_.stateOperators)
+      .exists(_.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))
+    q.stop()
+    assert(rocksEngaged,
+      "progress must carry rocksdb* state metrics — the provider did not engage")
+    val got = s2.table("psi_rocks")
+      .as[(String, Long, Double)].collect().toSet
+    val expected = StreamingOps.psiWeekly(batchEv, edges, refProps)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expected,
+      "RocksDB-backed chained aggregation must reproduce the batch PSI per closed week")
   }
 
   test("lsh state-schema migration: evict-on restart from an evict-off checkpoint " +
@@ -521,6 +595,64 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(gotS == expS && gotS.nonEmpty,
       "streaming markup strip must equal batch")
+  }
+
+  test("file-source ingest (a13 text layout): AvailableNow backfill, then resume on new files") {
+    // the production ingest shape every MemoryStream spec abstracts away:
+    // text shards in the a13 `doc_id<TAB>text` line layout (the format a
+    // web pipeline actually lands, CoreQueries a13) arrive in a directory;
+    // `readStream.text` + the a13 parse feeds the LSH bucket store;
+    // Trigger.AvailableNow drains what exists and STOPS (the backfill
+    // contract); a later run with the SAME checkpoint processes ONLY the
+    // new files and the bucket state carries across the restart — so
+    // cross-era candidate pairs (new doc × old history) must emit even
+    // though the old shards are never re-read.
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val inDir = Files.createTempDirectory("graft_a13_in").toString
+    val outDir = Files.createTempDirectory("graft_a13_out").toString
+    val cp = Files.createTempDirectory("graft_a13_cp").toString
+    def writeShards(df: DataFrame): Unit = df
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+        .as("value"))
+      .repartition(4).write.mode("append").text(inDir)
+    def drainOnce(): Unit = {
+      val src = spark.readStream
+        .option("maxFilesPerTrigger", 2) // several micro-batches per drain
+        .text(inDir)
+        .select(split(col("value"), "\t", 2).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+          element_at(col("p"), 2).as("text"))
+      val q = StreamingOps.lshCandidatePairs(src)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+    def emitted(): Set[(Long, Long)] = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val expectedEra1 = StreamingOps.lshCandidatePairs(evens).collect().toSet
+    val expectedAll = StreamingOps.lshCandidatePairs(docs).collect().toSet
+    assert(expectedEra1.nonEmpty && (expectedAll -- expectedEra1).nonEmpty,
+      "fixture must produce candidates in era 1 AND new ones in era 2")
+
+    writeShards(evens)
+    drainOnce() // backfill: drains the existing shards, then terminates
+    assert(emitted() === expectedEra1,
+      "AvailableNow backfill over a13 shards must equal the batch candidates")
+
+    writeShards(odds)
+    drainOnce() // resume: same checkpoint — ONLY the new files process
+    assert(emitted() === expectedAll,
+      "after resume the cumulative candidates must equal the full batch set")
+    // cross-era evidence: at least one pair joins a new doc to RESTORED
+    // bucket state (one even, one odd member) — proving the checkpoint
+    // carried the store, not just the file ledger
+    assert(emitted().exists(p => (p._1 + p._2) % 2 == 1),
+      "a cross-era (old×new) candidate pair must emit from restored state")
   }
 
   test("streaming weekly novelty (stream-static join) equals the batch monitor") {
