@@ -2706,7 +2706,15 @@ object LlmQueries {
     * surrounding doc differs). Fixed-granularity approximation of the
     * paper's suffix-array span discovery: repeats shorter than 8 tokens
     * survive, longer repeats are covered by their constituent grams —
-    * honest ε, a suffix array is not a Spark shape. 100 TB posture: the
+    * honest ε, a suffix array is not a Spark shape. The ε is MEASURED
+    * (LlmOpsSpec "l30 ε quantified", vs a driver-side exact reference):
+    * the scrub is EXACT for min-span 8 (pinned — a repeat of length ≥ 8
+    * is covered end-to-end by its df≥2 8-grams), and on the fixture
+    * corpus 17.6% of tokens covered by ANY cross-doc repeat (length ≥ 2)
+    * sit only under sub-8 repeats and survive (4906/27930 covered
+    * tokens; adversarial small-vocab corpora push that toward 1, which
+    * is why the paper's production threshold is ≥ 50 tokens and the
+    * granularity here is a declared knob). 100 TB posture: the
     * gram-frequency pass is a distinct + count (both map-side-combinable,
     * hot grams pre-collapse per task); the span join shuffles (doc_id,
     * pos) hits only, never token arrays; coverage expands relationally (8
@@ -2738,18 +2746,30 @@ object LlmQueries {
          |FROM k ORDER BY doc_id""".stripMargin
     }
   ) { (s, d) =>
-    val base = spread(documents(s, d)).select(col("doc_id"),
+    repeatedSpanScrub(spread(documents(s, d)), 8).orderBy("doc_id")
+  }
+
+  /** The l30 engine over any (doc_id, text) frame at gram length `m` —
+    * exposed so the ε-quantification spec (LlmOpsSpec "l30 ε") can run the
+    * REAL body against a driver-side exact reference on constructed
+    * corpora. Unordered. Exactness claim the spec pins: for min-span
+    * length = m the gram scrub IS the exact suffix-array answer (a
+    * cross-doc repeat of length ≥ m covers exactly the positions of its
+    * df≥2 m-grams); the ε is only the mass of repeats SHORTER than m. */
+  def repeatedSpanScrub(docs: DataFrame, m: Int): DataFrame = {
+    val base = docs.select(col("doc_id"),
       TextOps.tokens(col("text")).as("toks"))
     // shingles keeps one gram per start position, so posexplode's pos IS
     // the span start — the positional alignment the coverage math needs
     val grams = base.select(col("doc_id"),
-      posexplode(TextOps.shingles(col("toks"), 8)))
+      posexplode(TextOps.shingles(col("toks"), m)))
       .toDF("doc_id", "pos", "gram")
     val rep = grams.select("gram", "doc_id").distinct()
       .groupBy("gram").count().filter(col("count") > 1)
       .select("gram")
     val cov = grams.join(rep, Seq("gram"))
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("cp"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (m - 1))).as("cp"))
       .distinct()
       .groupBy("doc_id").agg(collect_list("cp").as("cov"))
     base.join(cov, Seq("doc_id"), "left")
@@ -2767,7 +2787,6 @@ object LlmQueries {
       .select(col("doc_id"),
         array_join(col("kept"), " ").as("text_clean"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
-      .orderBy("doc_id")
   }
 
   /** L35: C4-style line-level cleaning (Raffel et al. 2020,

@@ -2017,4 +2017,109 @@ class LlmOpsSpec extends AnyFunSuite {
       f"full pipeline md5=$tMd5%.0f ms xxhash64=$tXx%.0f ms; " +
       f"bucket projection alone md5=$tpMd5%.0f ms xxhash64=$tpXx%.0f ms")
   }
+
+  test("l30 ε quantified: exact at span length ≥ 8; measured short-repeat leakage") {
+    // Driver-side exact reference for the scrub at min-span m: a position
+    // is covered iff some m-gram starting within reach of it occurs in
+    // MORE THAN ONE doc — for min-span m this IS the suffix-array answer
+    // (any cross-doc repeat of length L ≥ m covers exactly the positions
+    // of its df≥2 m-grams; a repeat shorter than m covers nothing).
+    def naiveCover(docs: Map[Long, Array[String]], m: Int): Map[Long, Set[Int]] = {
+      val df = scala.collection.mutable.Map.empty[Seq[String], scala.collection.mutable.Set[Long]]
+      docs.foreach { case (id, toks) =>
+        toks.toSeq.sliding(m).foreach(g =>
+          if (g.length == m) df.getOrElseUpdate(g, scala.collection.mutable.Set.empty) += id)
+      }
+      docs.map { case (id, toks) =>
+        val cov = scala.collection.mutable.Set.empty[Int]
+        toks.toSeq.sliding(m).zipWithIndex.foreach { case (g, i) =>
+          if (g.length == m && df(g).exists(_ != id)) cov ++= (i until i + m)
+        }
+        id -> cov.toSet
+      }
+    }
+    def naiveScrub(docs: Map[Long, Array[String]], m: Int): Map[Long, (String, Long)] = {
+      val cov = naiveCover(docs, m)
+      docs.map { case (id, toks) =>
+        val kept = toks.zipWithIndex.collect { case (t, i) if !cov(id)(i) => t }
+        id -> (kept.mkString(" "), (toks.length - kept.length).toLong)
+      }
+    }
+
+    // (1) EXACTNESS on a constructed corpus with known repeats: shared
+    // spans of lengths 3/5/7 (below granularity — must SURVIVE) and
+    // 8/10/15 (at/above — must be fully scrubbed), embedded in otherwise
+    // unique filler
+    val rnd = new scala.util.Random(42)
+    def uniq(n: Int, tag: String): Seq[String] =
+      (0 until n).map(i => s"$tag${rnd.nextInt(1000000)}x$i")
+    val span3 = Seq("alpha", "beta", "gamma")
+    val span7 = (1 to 7).map(i => s"seven$i")
+    val span8 = (1 to 8).map(i => s"eight$i")
+    val span15 = (1 to 15).map(i => s"fifteen$i")
+    val corpus: Map[Long, Array[String]] = Map(
+      1L -> (uniq(5, "a") ++ span3 ++ uniq(4, "b") ++ span8 ++ uniq(3, "c")).toArray,
+      2L -> (uniq(4, "d") ++ span8 ++ uniq(5, "e") ++ span3 ++ uniq(2, "f")).toArray,
+      3L -> (span15 ++ uniq(6, "g") ++ span7).toArray,
+      4L -> (uniq(3, "h") ++ span7 ++ uniq(4, "i") ++ span15).toArray,
+      5L -> uniq(20, "j").toArray)
+    val docsDf = corpus.toSeq.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = LlmQueries.repeatedSpanScrub(docsDf, 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val exact = naiveScrub(corpus, 8)
+    assert(got === exact,
+      "the relational 8-gram scrub must equal the exact min-span-8 reference")
+    // the documented behavior, observable: short repeats survive, long go
+    assert(got(1L)._1.contains("alpha beta gamma") && got(2L)._1.contains("alpha"),
+      "a 3-token cross-doc repeat is below granularity and must survive")
+    assert(got(3L)._1.contains("seven1") && got(4L)._1.contains("seven7"),
+      "a 7-token cross-doc repeat is below granularity and must survive")
+    assert(!got(1L)._1.contains("eight") && !got(2L)._1.contains("eight"),
+      "an 8-token cross-doc repeat must scrub completely")
+    assert(!got(3L)._1.contains("fifteen") && !got(4L)._1.contains("fifteen"),
+      "a 15-token repeat is covered by its sliding 8-grams end to end")
+    assert(got(5L)._2 === 0L, "a repeat-free doc loses nothing")
+
+    // (2) ε MEASURED: on random corpora and on the real fixture, the mass
+    // of tokens covered by SOME cross-doc repeat (length ≥ 2) that the
+    // 8-gram scrub leaves — the honest size of the documented granularity
+    // gap (spans shorter than 8 survive). naiveCover(…, 2) is the
+    // all-repeats cover (any repeat of length L ≥ 2 is covered by its
+    // 2-grams); single shared tokens are noise, not spans, so m=2 is the
+    // floor.
+    def eps(docs: Map[Long, Array[String]]): (Double, Long, Long) = {
+      val all = naiveCover(docs, 2)
+      val c8 = naiveCover(docs, 8)
+      val allMass = all.values.map(_.size.toLong).sum
+      val leaked = docs.keys.map(id => (all(id) -- c8(id)).size.toLong).sum
+      (if (allMass == 0) 0.0 else leaked.toDouble / allMass, leaked, allMass)
+    }
+    // random corpora: vocab small enough that short cross-doc repeats
+    // arise organically, docs long enough that 8-grams stay unique
+    val epsRandom = (1 to 3).map { seed =>
+      val r = new scala.util.Random(seed)
+      val vocab = (0 until 50).map(i => s"w$i")
+      val docs = (1L to 20L).map(id =>
+        id -> Array.fill(40)(vocab(r.nextInt(vocab.size)))).toMap
+      val (e, _, _) = eps(docs); e
+    }
+    // the real fixture corpus
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty))
+      .toMap
+    val (eFix, leakedFix, massFix) = eps(fixture)
+    info(f"l30 ε (mass of <8-token cross-doc repeats the scrub leaves): " +
+      f"random-50-vocab corpora ${epsRandom.map(e => f"$e%.3f").mkString(", ")}; " +
+      f"fixture corpus $eFix%.4f ($leakedFix of $massFix covered tokens)")
+    // the bound the scaladoc cites: on the REAL corpus the leaked mass is
+    // a small fraction of the doc tokens overall (short organic repeats),
+    // while adversarial small-vocab corpora can push ε toward 1 — which is
+    // exactly why the paper's production threshold is ≥ 50 tokens and why
+    // the granularity is a declared knob, not a hidden constant
+    val totalToks = fixture.values.map(_.length.toLong).sum
+    assert(leakedFix.toDouble / totalToks < 0.25,
+      s"fixture leakage mass $leakedFix must stay a minor share of $totalToks corpus tokens")
+  }
 }
