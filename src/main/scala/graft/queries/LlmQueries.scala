@@ -1864,6 +1864,155 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The l80 scored frame (doc_id, label, score) over the session quality
+    * cache — shared by l81 (resamples on it) and l82 (sweeps it). */
+  private def classifierScored(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.PinnedQualityLr
+    PinnedQualityLr.featureFrame(qualityCached(s, d))
+      .select(col("doc_id"),
+        PinnedQualityLr.weakLabel.cast("long").as("label"),
+        PinnedQualityLr.score.as("score"))
+  }
+
+  /** The l80/l81/l82 shared oracle prefix: the l15 metric CTEs ending in
+    * `sc` = (doc_id, label, score) with the frozen-coefficient sigmoid. */
+  private def classifierScoredCte: String =
+    s"""d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, lang, toks, len(toks) AS n,
+       |        list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bg
+       |      FROM d),
+       |m AS (SELECT doc_id, lang, n,
+       |        1.0 - len(list_distinct(bg)) * 1.0 / len(bg) AS dupf,
+       |        list_max(list_transform(list_distinct(bg),
+       |          x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg) AS topf,
+       |        len(list_filter(toks, t -> length(t) = 1)) * 1.0 / len(toks) AS short1
+       |      FROM b),
+       |f AS (SELECT doc_id,
+       |        CAST(lang = 'en' AND dupf <= 0.05 AND topf <= 0.06
+       |             AND n >= 20 AND short1 <= 0.1 AS BIGINT) AS label,
+       |        round(ln(n), 6) AS x_log_tokens,
+       |        round(dupf, 6) AS dup_bigram_frac,
+       |        round(topf, 6) AS top_bigram_frac,
+       |        round(short1, 6) AS short_token_frac
+       |      FROM m),
+       |sc AS (SELECT doc_id, label,
+       |         round(1.0 / (1.0 + exp(-(${graft.ml.PinnedQualityLr.marginSql}))), 6) AS score
+       |       FROM f)""".stripMargin
+
+  /** L81: classifier-guided Pareto resampling — GPT-3's EXACT keep rule
+    * (Brown et al. 2020, appendix A): a document survives iff
+    * `pareto_draw > 1 − score`, with the Pareto(α=9) draw giving
+    * low-scoring documents a small but real survival probability — a hard
+    * score threshold would make the kept corpus a sharp cliff at the
+    * decision boundary and "mostly high-scored but still diverse" is the
+    * published design intent. Deterministic here by deriving the Pareto
+    * uniform from a salted md5(doc_id) (l17's idiom; the paper uses
+    * np.random.pareto): draw = u^(−1/9) − 1, rounded to 6 dp on BOTH
+    * engines before the compare so the keep bit never sits on a libm ULP.
+    *
+    * 100 TB posture: rides the cached l15 metric frame like l80 and adds
+    * one md5 + one pow per row — ZERO shuffles, stateless, the whole
+    * GPT-3 CommonCrawl keep decision as a streaming scan. */
+  val l81_pareto_filter = Q(
+    "l81_pareto_filter", {
+      val u = s"((${hexValOf("md5(CAST(doc_id AS VARCHAR) || ':pareto')")}) + 0.5) / 4294967296.0"
+      s"""WITH $classifierScoredCte,
+         |p AS (SELECT doc_id, label, score,
+         |        round(pow($u, -1.0 / 9.0) - 1.0, 6) AS pareto_draw
+         |      FROM sc)
+         |SELECT doc_id, label, score, pareto_draw,
+         |       CAST(pareto_draw > 1.0 - score AS BIGINT) AS keep
+         |FROM p ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":pareto")).cast("binary")), 1, 8), 16, 10).cast("double") + 0.5) /
+      lit(4294967296.0)
+    classifierScored(s, d)
+      .withColumn("pareto_draw", round(pow(u, -1.0 / 9.0) - 1.0, 6))
+      .select(col("doc_id"), col("label"), col("score"), col("pareto_draw"),
+        (col("pareto_draw") > lit(1.0) - col("score")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** L82: classifier operating-point audit — the precision/recall/F1 sweep
+    * a curation team reads BEFORE choosing l80's production threshold
+    * (every filtering paper reports it; the kept-fraction column is the
+    * corpus-budget axis): for t ∈ {0.1 … 0.9}, the confusion counts of
+    * `score ≥ t` against the weak label, as nine audit rows. Thresholding
+    * compares exact INTEGER micro-scores (round(score·10⁶) vs t·10⁵ —
+    * l31's integer-keep idiom), so bucket membership is bit-deterministic
+    * cross-engine; precision/recall/F1 divide identical integers.
+    *
+    * 100 TB posture: ONE map-combinable aggregate pass computing all nine
+    * thresholds' conditional sums in the same scan (18 sums + 2 totals —
+    * a single-row reduce, no exchange but the final 9-row assembly), then
+    * per-row arithmetic on the one-row frame. The sweep of a 100 TB corpus
+    * costs one aggregation — never nine passes, never a rank window. */
+  val l82_classifier_pr = Q(
+    "l82_classifier_pr", {
+      val sums = (1 to 9).map(k =>
+        s"""sum(CASE WHEN sm >= ${k * 100000L} THEN label ELSE 0 END) AS tp$k,
+           |         sum(CASE WHEN sm >= ${k * 100000L} THEN 1 ELSE 0 END) AS pp$k""".stripMargin)
+        .mkString(",\n         ")
+      val pick = (what: String) => (1 to 9).map(k =>
+        s"WHEN k = $k THEN $what$k").mkString("CASE ", " ", " END")
+      s"""WITH $classifierScoredCte,
+         |sm AS (SELECT doc_id, label, CAST(round(score * 1000000) AS BIGINT) AS sm
+         |       FROM sc),
+         |agg AS (SELECT CAST(sum(label) AS BIGINT) AS npos,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         $sums
+         |        FROM sm),
+         |rows_ AS (SELECT k, npos, n,
+         |         CAST(${pick("tp")} AS BIGINT) AS tp,
+         |         CAST(${pick("pp")} AS BIGINT) AS pp
+         |        FROM agg CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k))
+         |SELECT round(k / 10.0, 1) AS threshold,
+         |       tp, pp - tp AS fp, npos - tp AS fn,
+         |       CASE WHEN pp = 0 THEN NULL ELSE round(tp * 1.0 / pp, 6) END AS precision_,
+         |       CASE WHEN npos = 0 THEN NULL ELSE round(tp * 1.0 / npos, 6) END AS recall_,
+         |       CASE WHEN tp = 0 THEN 0.0
+         |            ELSE round(2.0 * (tp * 1.0 / pp) * (tp * 1.0 / npos)
+         |                       / ((tp * 1.0 / pp) + (tp * 1.0 / npos)), 6) END AS f1,
+         |       round(pp * 1.0 / n, 6) AS kept_frac
+         |FROM rows_ ORDER BY threshold""".stripMargin
+    }
+  ) { (s, d) =>
+    val sm = classifierScored(s, d)
+      .select(col("label"), round(col("score") * 1000000).cast("long").as("sm"))
+    val ks = 1 to 9
+    val aggCols: Seq[Column] =
+      Seq(sum(col("label")).cast("long").as("npos"),
+        count(lit(1)).cast("long").as("n")) ++
+        ks.flatMap(k => Seq(
+          sum(when(col("sm") >= k * 100000L, col("label")).otherwise(0L))
+            .cast("long").as(s"tp$k"),
+          sum(when(col("sm") >= k * 100000L, 1L).otherwise(0L))
+            .cast("long").as(s"pp$k")))
+    val one = sm.agg(aggCols.head, aggCols.tail: _*)
+    val rows = one.select(col("npos"), col("n"),
+        explode(array(ks.map(k => struct(lit(k).as("k"),
+          col(s"tp$k").as("tp"), col(s"pp$k").as("pp"))): _*)).as("r"))
+      .select(col("npos"), col("n"), col("r.k").as("k"),
+        col("r.tp").as("tp"), col("r.pp").as("pp"))
+    rows.select(
+        round(col("k") / 10.0, 1).as("threshold"),
+        col("tp"), (col("pp") - col("tp")).as("fp"),
+        (col("npos") - col("tp")).as("fn"),
+        when(col("pp") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp") * 1.0 / col("pp"), 6)).as("precision_"),
+        when(col("npos") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp") * 1.0 / col("npos"), 6)).as("recall_"),
+        when(col("tp") === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * (col("tp") * 1.0 / col("pp"))
+            * (col("tp") * 1.0 / col("npos"))
+            / ((col("tp") * 1.0 / col("pp")) + (col("tp") * 1.0 / col("npos"))), 6))
+          .as("f1"),
+        round(col("pp") * 1.0 / col("n"), 6).as("kept_frac"))
+      .orderBy("threshold")
+  }
+
   // --------------------------------------------- normalization / redaction
 
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
@@ -5407,5 +5556,5 @@ object LlmQueries {
     l71_release_delta, l72_withindoc_dedup, l73_ann_recall,
     l74_truncate_middle, l75_chat_template, l76_quality_router,
     l77_dup_profile, l78_split_manifest, l79_split_leakage,
-    l80_quality_classifier)
+    l80_quality_classifier, l81_pareto_filter, l82_classifier_pr)
 }

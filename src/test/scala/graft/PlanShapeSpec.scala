@@ -684,6 +684,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no shuffle join may touch the corpus scan:\n$p")
   }
 
+  test("L81: the Pareto keep decision is per-row over the quality cache — no shuffle, no join") {
+    val p = finalPlan(LlmQueries.l81_pareto_filter)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("InMemoryTableScan"),
+      s"the scores must ride the shared l15 cache:\n$p")
+    assert(!fin.contains("Join"),
+      s"one md5 + one pow per row — never a join:\n$p")
+    assert(!fin.contains("hashpartitioning"),
+      s"the keep rule is per-row; only the result sort may exchange:\n$p")
+  }
+
+  test("L82: the 9-threshold sweep is ONE map-combinable aggregate pass") {
+    val p = finalPlan(LlmQueries.l82_classifier_pr)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_sum") || fin.contains("partial_count"),
+      s"all 18 conditional sums must combine map-side in one pass:\n$p")
+    assert(!fin.contains("Join") && !fin.contains("Window"),
+      s"the sweep is one aggregate + 9-row assembly, never a join or rank window:\n$p")
+    assert(!fin.contains("Exchange hashpartitioning"),
+      s"a single-row reduce exchanges once to one partition, never by key:\n$p")
+  }
+
   test("L80: frozen-model scoring is a pure per-row scan over the quality cache") {
     val p = finalPlan(LlmQueries.l80_quality_classifier)
     val fin = p.split("== Initial Plan ==")(0)

@@ -2018,6 +2018,76 @@ class LlmOpsSpec extends AnyFunSuite {
       f"bucket projection alone md5=$tpMd5%.0f ms xxhash64=$tpXx%.0f ms")
   }
 
+  test("l81 Pareto resampling: driver replay exact; low scores survive at the published rate shape") {
+    // driver-side replay of the GPT-3 appendix-A keep rule from the
+    // declared l80 scores: u from the salted md5 (the l17 replay idiom),
+    // draw = u^(-1/9) - 1 rounded 6dp HALF_UP, keep iff draw > 1 - score
+    val l80 = LlmQueries.l80_quality_classifier.fn(spark, sf)
+      .select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = l80.map { case (id, score) =>
+      val hex = md5hex(s"$id:pareto").take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      val draw = r6(math.pow(u, -1.0 / 9.0) - 1.0)
+      id -> (draw, if (draw > 1.0 - score) 1L else 0L)
+    }
+    val got = LlmQueries.l81_pareto_filter.fn(spark, sf)
+      .select("doc_id", "pareto_draw", "keep")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got === expected, "the Pareto keep rule must replay exactly")
+    // the design intent, observable: the kept corpus is mostly-high-score
+    // but NOT a hard threshold — both outcomes fire, some low-score doc
+    // survives (its draw was large), some below-top doc drops, and the
+    // kept rate is ordered by score half
+    val scored = l80.toSeq.map { case (id, s) => (s, got(id)._2) }
+    assert(scored.exists(_._2 == 1L) && scored.exists(_._2 == 0L))
+    val sortedByScore = scored.sortBy(_._1)
+    val (lo, hi) = sortedByScore.splitAt(sortedByScore.length / 2)
+    val rLo = lo.count(_._2 == 1L).toDouble / lo.length
+    val rHi = hi.count(_._2 == 1L).toDouble / hi.length
+    assert(rHi > rLo, s"keep rate must rise with score: lo=$rLo hi=$rHi")
+    // not a hard threshold: the kept/dropped score ranges OVERLAP — some
+    // kept doc scores below some dropped doc (a cliff rule can never do
+    // that). A bottom-half survivor needs draw > 1 ⇔ u < 2⁻⁹ (~0.2% of
+    // docs at α=9), too rare to demand of a 500-doc fixture — overlap at
+    // the boundary is the right-sized observable.
+    val keptScores = scored.filter(_._2 == 1L).map(_._1)
+    val dropScores = scored.filter(_._2 == 0L).map(_._1)
+    assert(keptScores.min < dropScores.max,
+      "kept/dropped score ranges must overlap — the Pareto rule is not a cliff")
+  }
+
+  test("l82 PR sweep reconciles with the declared l80 rows at every threshold") {
+    val l80 = LlmQueries.l80_quality_classifier.fn(spark, sf)
+      .select("label", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val npos = l80.count(_._1 == 1L).toLong
+    val n = l80.length.toLong
+    val got = LlmQueries.l82_classifier_pr.fn(spark, sf)
+      .select("threshold", "tp", "fp", "fn", "kept_frac")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.length === 9)
+    got.foreach { case (t, tp, fp, fn, kf) =>
+      // integer micro-score compare, replayed from the declared scores
+      val sm = (k: Long) => l80.filter { case (_, s) => math.round(s * 1000000) >= k }
+      val k = math.round(t * 1000000)
+      val pp = sm(k).length.toLong
+      val etp = sm(k).count(_._1 == 1L).toLong
+      assert(tp === etp && fp === pp - etp && fn === npos - etp,
+        s"confusion counts at t=$t diverge from the declared l80 scores")
+      assert(math.abs(kf - pp.toDouble / n) < 1e-6)
+    }
+    // sweep-shape invariants: kept fraction and recall never increase
+    // with the threshold; the fixture must exercise a non-trivial sweep
+    val kfs = got.map(_._5)
+    assert(kfs.zip(kfs.tail).forall { case (a, b) => b <= a + 1e-12 })
+    val recalls = got.map { case (_, tp, _, fn, _) => tp.toDouble / (tp + fn) }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(got.head._2 > got.last._2, "tp must actually fall across the sweep")
+  }
+
   test("l30 ε quantified: exact at span length ≥ 8; measured short-repeat leakage") {
     // Driver-side exact reference for the scrub at min-span m: a position
     // is covered iff some m-gram starting within reach of it occurs in
