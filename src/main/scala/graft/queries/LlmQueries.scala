@@ -4376,6 +4376,162 @@ object LlmQueries {
           (n.cast("long") - nu).cast("int")), " ")).as("rendered"))
   }
 
+  /** L83: fill-in-the-middle transformation (Bavarian et al. 2022,
+    * arXiv:2207.14255) — the FIM objective every modern code/completion
+    * model trains with: for a hash-selected half of the corpus (the
+    * paper's 50% FIM rate), two uniform cut points split the doc into
+    * (prefix, middle, suffix) and the doc is re-rendered in PSM order
+    * `<|pre|> prefix <|suf|> suffix <|mid|> middle`, teaching the model
+    * to infill; the other half stays autoregressive. Deterministic: the
+    * apply coin and both cut points derive from salted md5(doc_id)
+    * (l17's idiom — per-op salts keep a doc's FIM fate independent of
+    * its l78 split or l17 sample), so the transform is reproducible and
+    * oracle-replayable; cuts are exact integer arithmetic.
+    *
+    * 100 TB posture: pure per-row slicing + string assembly — zero
+    * shuffles, no fit pass, stateless, streaming-ready; the segment
+    * LENGTH accounting (n_prefix/n_middle/n_suffix) ships as integers
+    * so the loss-masking stage downstream never re-tokenizes. */
+  val l83_fim_transform = Q(
+    "l83_fim_transform", {
+      val coin = s"(${hexValOf("md5(CAST(doc_id AS VARCHAR) || ':fim')")}) % 2"
+      val c1 = s"(${hexValOf("md5(CAST(doc_id AS VARCHAR) || ':fimc1')")}) % (n + 1)"
+      val c2 = s"(${hexValOf("md5(CAST(doc_id AS VARCHAR) || ':fimc2')")}) % (n + 1)"
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |          FROM documents),
+         |t AS (SELECT doc_id, toks, len(toks) AS n, $coin AS coin FROM d),
+         |c AS (SELECT doc_id, toks, n, coin,
+         |        least($c1, $c2) AS lo, greatest($c1, $c2) AS hi
+         |      FROM t)
+         |SELECT doc_id,
+         |       CAST(coin = 0 AS BIGINT) AS fim_applied,
+         |       CAST(CASE WHEN coin = 0 THEN lo ELSE n END AS BIGINT) AS n_prefix,
+         |       CAST(CASE WHEN coin = 0 THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
+         |       CAST(CASE WHEN coin = 0 THEN n - hi ELSE 0 END AS BIGINT) AS n_suffix,
+         |       CASE WHEN coin = 0 THEN
+         |         '<|pre|> ' || coalesce(array_to_string(toks[1:lo], ' '), '') ||
+         |         ' <|suf|> ' || coalesce(array_to_string(toks[hi+1:n], ' '), '') ||
+         |         ' <|mid|> ' || coalesce(array_to_string(toks[lo+1:hi], ' '), '')
+         |       ELSE array_to_string(toks, ' ') END AS rendered
+         |FROM c ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    fimTransform(spread(documents(s, d))).orderBy("doc_id")
+  }
+
+  /** The l83 engine over any (doc_id, text) frame. Unordered; stateless. */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    def h(salt: String): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
+        .cast("binary")), 1, 8), 16, 10).cast("long")
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("toks"),
+      size(toks).cast("long").as("n"), (h(":fim") % 2).as("coin"),
+      h(":fimc1").as("h1"), h(":fimc2").as("h2"))
+      .withColumn("lo", least(col("h1") % (col("n") + 1), col("h2") % (col("n") + 1)))
+      .withColumn("hi", greatest(col("h1") % (col("n") + 1), col("h2") % (col("n") + 1)))
+    base.select(col("doc_id"),
+      (col("coin") === 0).cast("long").as("fim_applied"),
+      when(col("coin") === 0, col("lo")).otherwise(col("n")).as("n_prefix"),
+      when(col("coin") === 0, col("hi") - col("lo")).otherwise(0L).as("n_middle"),
+      when(col("coin") === 0, col("n") - col("hi")).otherwise(0L).as("n_suffix"),
+      when(col("coin") === 0,
+        concat(lit("<|pre|> "),
+          array_join(slice(col("toks"), lit(1), col("lo").cast("int")), " "),
+          lit(" <|suf|> "),
+          array_join(slice(col("toks"), (col("hi") + 1).cast("int"),
+            (col("n") - col("hi")).cast("int")), " "),
+          lit(" <|mid|> "),
+          array_join(slice(col("toks"), (col("lo") + 1).cast("int"),
+            (col("hi") - col("lo")).cast("int")), " ")))
+        .otherwise(array_join(col("toks"), " ")).as("rendered"))
+  }
+
+  /** L84: span-corruption pairs (the T5 denoising objective, Raffel et al.
+    * 2020 §3.1.4: mask ~15% of tokens in multi-token spans, replace each
+    * span with a sentinel in the input and emit sentinel→tokens pairs as
+    * the target) — BLOCK-STRATIFIED here so span selection is relational
+    * and cross-engine exact: each full 20-token block masks ONE 3-token
+    * span at a hash-placed offset (exactly 15% density on full blocks,
+    * spans never straddle blocks, the <20-token tail stays unmasked).
+    * T5's sampled span-length distribution (mean 3) becomes a fixed
+    * length 3 — a documented simplification that keeps (density,
+    * mean span) while making the span walk a per-row array expression
+    * instead of a sequential chain. Sentinels are <extra_id_k> in span
+    * order, exactly the T5 vocabulary convention.
+    *
+    * 100 TB posture: pure per-row array arithmetic (one md5 per block) —
+    * zero shuffles, no fit pass, stateless; corruption of a 100 TB
+    * corpus is a streaming scan emitting (input, target) pairs straight
+    * into l20/l40 packing. */
+  val l84_span_corruption = Q(
+    "l84_span_corruption", {
+      val off = hexValOf("md5(CAST(doc_id AS VARCHAR) || ':t5:' || CAST(b AS VARCHAR))")
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |          FROM documents),
+         |t AS (SELECT doc_id, toks, len(toks) AS n, len(toks) // 20 AS nb FROM d),
+         |st AS (SELECT doc_id, toks, n, nb,
+         |        list_transform(range(nb), b -> b * 20 + ($off) % 18) AS starts
+         |      FROM t),
+         |r AS (SELECT doc_id, nb,
+         |        list_filter(list_transform(range(n), p -> CASE
+         |          WHEN list_contains(starts, p)
+         |            THEN '<extra_id_' || CAST(coalesce(list_position(starts, p), 1) - 1 AS VARCHAR) || '>'
+         |          WHEN list_contains(starts, p - 1) OR list_contains(starts, p - 2)
+         |            THEN NULL
+         |          ELSE toks[p + 1] END), x -> x IS NOT NULL) AS inp,
+         |        list_transform(starts, (s, i) ->
+         |          '<extra_id_' || CAST(i - 1 AS VARCHAR) || '> ' ||
+         |          array_to_string(toks[s+1:s+3], ' ')) AS tgt
+         |      FROM st)
+         |SELECT doc_id,
+         |       CAST(nb AS BIGINT) AS n_spans,
+         |       CAST(nb * 3 AS BIGINT) AS n_masked,
+         |       coalesce(array_to_string(inp, ' '), '') AS input_text,
+         |       coalesce(array_to_string(tgt, ' '), '') AS target_text
+         |FROM r ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    spanCorruption(spread(documents(s, d))).orderBy("doc_id")
+  }
+
+  /** The l84 engine over any (doc_id, text) frame. Unordered; stateless. */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("toks"),
+      size(toks).cast("long").as("n"),
+      (size(toks).cast("long") / 20).cast("long").as("nb"))
+    val offOf = (b: Column) =>
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":t5:"),
+        b.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % 18
+    // nb = 0 must give NO spans: Spark's sequence(0, -1) is NOT empty (it
+    // infers step -1 and yields [0, -1]), so the no-full-block case needs
+    // an explicit empty array; DuckDB's range(0) is empty already
+    val withStarts = base.withColumn("starts",
+      when(col("nb") > 0,
+        transform(sequence(lit(0L), col("nb") - 1), b => b * 20 + offOf(b)))
+        .otherwise(array().cast("array<long>")))
+    val inp = filter(
+      transform(sequence(lit(0L), col("n") - 1), p =>
+        when(array_contains(col("starts"), p),
+          concat(lit("<extra_id_"),
+            (array_position(col("starts"), p) - 1).cast("string"), lit(">")))
+          .when(array_contains(col("starts"), p - 1) ||
+            array_contains(col("starts"), p - 2), lit(null).cast("string"))
+          .otherwise(element_at(col("toks"), (p + 1).cast("int")))),
+      x => x.isNotNull)
+    val tgt = transform(col("starts"), (st, i) =>
+      concat(lit("<extra_id_"), i.cast("string"), lit("> "),
+        array_join(slice(col("toks"), (st + 1).cast("int"), lit(3)), " ")))
+    withStarts.select(col("doc_id"),
+      col("nb").as("n_spans"),
+      (col("nb") * 3).as("n_masked"),
+      // a span-free doc (n < 20) emits its tokens untouched and an empty
+      // target (array_join over the empty starts array)
+      array_join(inp, " ").as("input_text"),
+      array_join(tgt, " ").as("target_text"))
+  }
+
   /** L76: composite quality router — the TIERED curation decision a real
     * pipeline acts on (RefinedWeb/Dolma run exactly this cascade), where
     * l15/l69/l70 each contribute a signal and policy precedence resolves
@@ -5556,5 +5712,6 @@ object LlmQueries {
     l71_release_delta, l72_withindoc_dedup, l73_ann_recall,
     l74_truncate_middle, l75_chat_template, l76_quality_router,
     l77_dup_profile, l78_split_manifest, l79_split_leakage,
-    l80_quality_classifier, l81_pareto_filter, l82_classifier_pr)
+    l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
+    l83_fim_transform, l84_span_corruption)
 }

@@ -706,6 +706,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a single-row reduce exchanges once to one partition, never by key:\n$p")
   }
 
+  test("L83/L84: the training-pair transforms are pure per-row scans — no shuffle, no join") {
+    for (q <- Seq(LlmQueries.l83_fim_transform, LlmQueries.l84_span_corruption)) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"),
+        s"${q.name}: cuts/spans are per-row hash arithmetic; only the result sort may exchange:\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"${q.name}: no join or window belongs in a per-row transform:\n$p")
+    }
+  }
+
   test("L80: frozen-model scoring is a pure per-row scan over the quality cache") {
     val p = finalPlan(LlmQueries.l80_quality_classifier)
     val fin = p.split("== Initial Plan ==")(0)

@@ -2088,6 +2088,88 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.head._2 > got.last._2, "tp must actually fall across the sweep")
   }
 
+  test("l83 FIM: md5 replay exact; splice reconstructs the original; both fates fire") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").toSeq).toMap
+    val got = LlmQueries.l83_fim_transform.fn(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(got.keySet === docs.keySet)
+    def hv(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    got.foreach { case (id, (applied, np, nm, ns, rendered)) =>
+      val toks = docs(id); val n = toks.length.toLong
+      val coin = hv(s"$id:fim") % 2
+      assert(applied === (if (coin == 0) 1L else 0L), s"doc $id coin")
+      if (coin == 0) {
+        val c1 = hv(s"$id:fimc1") % (n + 1); val c2 = hv(s"$id:fimc2") % (n + 1)
+        val (lo, hi) = (math.min(c1, c2), math.max(c1, c2))
+        assert((np, nm, ns) === ((lo, hi - lo, n - hi)), s"doc $id cut accounting")
+        // PSM parse: the markers carve rendered into (pre, suf, mid);
+        // reassembling pre+mid+suf must reproduce the token stream exactly
+        val m = "(?s)^<\\|pre\\|> (.*) <\\|suf\\|> (.*) <\\|mid\\|> (.*)$".r
+        rendered match {
+          case m(p, sfx, mid) =>
+            def tk(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+            assert(tk(p) ++ tk(mid) ++ tk(sfx) === toks, s"doc $id splice")
+            assert(tk(p).length.toLong === np && tk(mid).length.toLong === nm &&
+              tk(sfx).length.toLong === ns, s"doc $id segment lengths")
+          case _ => fail(s"doc $id: rendered is not PSM-shaped: $rendered")
+        }
+      } else {
+        assert(rendered === toks.mkString(" "), s"doc $id passthrough")
+        assert((np, nm, ns) === ((n, 0L, 0L)))
+      }
+    }
+    val applied = got.values.count(_._1 == 1L)
+    assert(applied > 0 && applied < got.size, "both FIM fates must fire")
+    assert(got.exists { case (_, (a, _, nm, _, _)) => a == 1L && nm > 0 },
+      "a non-empty middle must occur")
+  }
+
+  test("l84 span corruption: sentinel round-trip reconstructs the original; exact 15% block density") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").toSeq).toMap
+    val got = LlmQueries.l84_span_corruption.fn(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(got.keySet === docs.keySet)
+    def hv(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    var anySpan = false
+    got.foreach { case (id, (nSpans, nMasked, input, target)) =>
+      val toks = docs(id); val nb = toks.length / 20
+      assert(nSpans === nb.toLong && nMasked === 3L * nb, s"doc $id accounting")
+      val starts = (0 until nb).map(b => b * 20 + (hv(s"$id:t5:$b") % 18).toInt)
+      // target carries exactly the masked spans, sentinel-ordered
+      val expTarget = starts.zipWithIndex.map { case (st, k) =>
+        s"<extra_id_$k> " + toks.slice(st, st + 3).mkString(" ")
+      }.mkString(" ")
+      assert(target === expTarget, s"doc $id target")
+      // ROUND TRIP: substituting sentinel k's span back into the input
+      // reconstructs the original token stream exactly — the property
+      // that makes (input, target) a lossless training pair
+      val spanOf = starts.zipWithIndex
+        .map { case (st, k) => s"<extra_id_$k>" -> toks.slice(st, st + 3) }.toMap
+      val decoded = input.split(" ").filter(_.nonEmpty).toSeq
+        .flatMap(t => spanOf.getOrElse(t, Seq(t)))
+      assert(decoded === toks, s"doc $id round-trip")
+      if (nb > 0) {
+        anySpan = true
+        // exact density on the full-block region: 3 of every 20 tokens
+        assert(nMasked.toDouble / (nb * 20) === 0.15, s"doc $id density")
+        // spans sit inside their blocks — never straddle, never collide
+        starts.zipWithIndex.foreach { case (st, b) =>
+          assert(st >= b * 20 && st + 2 < (b + 1) * 20, s"doc $id span $b bounds")
+        }
+      } else assert(input === toks.mkString(" ") && target === "",
+        s"doc $id passthrough")
+    }
+    assert(anySpan, "fixture must exercise the masked path")
+  }
+
   test("l30 ε quantified: exact at span length ≥ 8; measured short-repeat leakage") {
     // Driver-side exact reference for the scrub at min-span m: a position
     // is covered iff some m-gram starting within reach of it occurs in
