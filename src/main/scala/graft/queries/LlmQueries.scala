@@ -4532,6 +4532,83 @@ object LlmQueries {
       array_join(tgt, " ").as("target_text"))
   }
 
+  /** L85: int8 embedding quantization audit — the index-shipping step of
+    * every large ANN deployment (FAISS `SQ8`, ScaNN's fixed-point modes:
+    * float32 vectors are 4× the storage and memory-bandwidth of int8, and
+    * at 10⁹+ vectors the index must fit RAM): per-vector SYMMETRIC int8
+    * quantization (scale = max|x|/127, q = clamp(round(x/scale))) with
+    * the accounting a rollout reviews — the scale, integer checksums of
+    * the quantized codes (sum + L1), and the reconstruction error
+    * (max-abs + MSE). Round-to-nearest bounds the per-element error by
+    * scale/2 (the spec pins it), which is the lever behind "int8 loses
+    * almost no recall": the error is ~0.4% of the dynamic range —
+    * MEASURED on the fixture as mean top-5 cosine recall 0.96 for the
+    * dequantized vectors vs float truth (LlmOpsSpec "l85 int8").
+    *
+    * Determinism: the float→double widening is EXACT, max/clamp/round are
+    * order-insensitive, the error folds run in index order on both
+    * engines, and checksums are integers — nothing here can wobble.
+    *
+    * 100 TB posture: pure per-row array arithmetic — zero shuffles, no
+    * fit pass (symmetric per-vector scaling needs no calibration scan,
+    * unlike affine per-TABLE schemes), stateless; quantizing a 10⁹-vector
+    * index is one streaming scan. */
+  val l85_int8_quant = Q(
+    "l85_int8_quant",
+    """WITH v AS (SELECT vec_id,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      |      FROM embeddings),
+      |a AS (SELECT vec_id, x,
+      |        list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale
+      |      FROM v),
+      |q AS (SELECT vec_id, x, scale,
+      |        CASE WHEN scale = 0 THEN list_transform(x, e -> CAST(0 AS BIGINT))
+      |             ELSE list_transform(x, e ->
+      |               CAST(greatest(-127.0, least(127.0, round(e / scale))) AS BIGINT))
+      |        END AS qv
+      |      FROM a),
+      |e AS (SELECT vec_id, scale, qv,
+      |        list_transform(x, (e, i) -> abs(e - qv[i] * scale)) AS err,
+      |        list_transform(x, (e, i) ->
+      |          (e - qv[i] * scale) * (e - qv[i] * scale)) AS err2
+      |      FROM q)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+      |       CAST(list_aggregate(list_transform(qv, c -> abs(c)), 'sum') AS BIGINT) AS q_l1,
+      |       round(list_max(err), 6) AS max_abs_err,
+      |       round(list_reduce(err2, (acc, z) -> acc + z) / len(err2), 8) AS mse
+      |FROM e ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    int8Quant(spread(embeddings(s, d))).orderBy("vec_id")
+  }
+
+  /** The l85 engine over any (vec_id, embedding) frame. Unordered. */
+  def int8Quant(vecs: DataFrame): DataFrame = {
+    val x = transform(col("embedding"), e => e.cast("double"))
+    val base = vecs.select(col("vec_id"), x.as("x"))
+      .withColumn("scale", array_max(transform(col("x"), abs(_))) / 127.0)
+      .withColumn("qv",
+        when(col("scale") === 0, transform(col("x"), _ => lit(0L)))
+          .otherwise(transform(col("x"), e =>
+            greatest(lit(-127.0), least(lit(127.0), round(e / col("scale"))))
+              .cast("long"))))
+    // error folds pair x_i with qv_i by INDEX on both engines (Spark's
+    // lambda index is 0-based, DuckDB's 1-based — the l72 convention)
+    val err = transform(col("x"), (e, i) =>
+      abs(e - element_at(col("qv"), (i + 1).cast("int")) * col("scale")))
+    val err2 = transform(col("x"), (e, i) => {
+      val dlt = e - element_at(col("qv"), (i + 1).cast("int")) * col("scale")
+      dlt * dlt
+    })
+    base.withColumn("err", err).withColumn("err2", err2)
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        aggregate(col("qv"), lit(0L), (a, c) => a + c).as("q_sum"),
+        aggregate(col("qv"), lit(0L), (a, c) => a + abs(c)).as("q_l1"),
+        round(array_max(col("err")), 6).as("max_abs_err"),
+        round(aggregate(col("err2"), lit(0.0), (a, z) => a + z)
+          / size(col("err2")).cast("double"), 8).as("mse"))
+  }
+
   /** L76: composite quality router — the TIERED curation decision a real
     * pipeline acts on (RefinedWeb/Dolma run exactly this cascade), where
     * l15/l69/l70 each contribute a signal and policy precedence resolves
@@ -5713,5 +5790,5 @@ object LlmQueries {
     l74_truncate_middle, l75_chat_template, l76_quality_router,
     l77_dup_profile, l78_split_manifest, l79_split_leakage,
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
-    l83_fim_transform, l84_span_corruption)
+    l83_fim_transform, l84_span_corruption, l85_int8_quant)
 }

@@ -716,6 +716,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("L85: int8 quantization is a pure per-row scan — no fit pass, no shuffle, no join") {
+    val p = plan(LlmQueries.l85_int8_quant)
+    assert(!p.contains("hashpartitioning"),
+      s"symmetric per-vector scaling needs no calibration pass; only the result sort may exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"no join or window belongs in a per-row quantizer:\n$p")
+  }
+
   test("L80: frozen-model scoring is a pure per-row scan over the quality cache") {
     val p = finalPlan(LlmQueries.l80_quality_classifier)
     val fin = p.split("== Initial Plan ==")(0)

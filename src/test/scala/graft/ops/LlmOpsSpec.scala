@@ -2170,6 +2170,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(anySpan, "fixture must exercise the masked path")
   }
 
+  test("l85 int8 quantization: driver replay exact; round-to-nearest error bound holds; top-5 cosine recall measured") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val got = LlmQueries.l85_int8_quant.fn(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet === vecs.keySet)
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def quant(x: Array[Double]): (Double, Array[Long]) = {
+      val scale = x.map(math.abs).max / 127.0
+      // HALF_UP (away from zero), matching both engines' round() — NOT
+      // math.rint's banker's rounding
+      val q = if (scale == 0) x.map(_ => 0L)
+        else x.map(v => math.max(-127.0, math.min(127.0,
+          BigDecimal(v / scale).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)).toLong)
+      (scale, q)
+    }
+    got.foreach { case (id, (scale6, qSum, qL1, maxErr, mse)) =>
+      val x = vecs(id)
+      val (scale, q) = quant(x)
+      assert(scale6 === r(scale, 6), s"vec $id scale")
+      assert(qSum === q.sum && qL1 === q.map(math.abs).sum, s"vec $id checksums")
+      val errs = x.zip(q).map { case (v, c) => math.abs(v - c * scale) }
+      assert(maxErr === r(errs.max, 6), s"vec $id max err")
+      assert(mse === r(errs.map(e => e * e).sum / errs.length, 8), s"vec $id mse")
+      // the round-to-nearest guarantee the scaladoc cites: every element's
+      // reconstruction error is within scale/2 (clamp never bites — the
+      // max-|x| element quantizes to exactly ±127)
+      assert(errs.max <= scale / 2 * (1 + 1e-9), s"vec $id error bound")
+    }
+    // what quantization is FOR: int8 scoring preserves neighbor ranking.
+    // Measure top-5 cosine recall of the dequantized vectors against the
+    // float truth for every 50th vector as a query.
+    val ids = vecs.keys.toSeq.sorted
+    val deq = vecs.map { case (id, x) =>
+      val (scale, q) = quant(x); id -> q.map(_ * scale)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (u, v) => u * v }.sum
+      d / (math.sqrt(a.map(v => v * v).sum) * math.sqrt(b.map(v => v * v).sum))
+    }
+    def top5(space: Map[Long, Array[Double]], qid: Long): Set[Long] =
+      ids.filter(_ != qid).sortBy(id => (-cos(space(qid), space(id)), id)).take(5).toSet
+    val queries = ids.zipWithIndex.collect { case (id, i) if i % 50 == 0 => id }
+    val recalls = queries.map(qid => (top5(vecs, qid) & top5(deq, qid)).size / 5.0)
+    val mean = recalls.sum / recalls.size
+    info(f"l85 top-5 cosine recall of int8-dequantized vs float: mean $mean%.3f over ${queries.size} queries")
+    assert(mean >= 0.9, s"int8 must preserve neighbor ranking, got $mean")
+  }
+
   test("l30 ε quantified: exact at span length ≥ 8; measured short-repeat leakage") {
     // Driver-side exact reference for the scrub at min-span m: a position
     // is covered iff some m-gram starting within reach of it occurs in
