@@ -127,6 +127,45 @@ object CoreQueries {
       .orderBy("doc_id")
   }
 
+  /** A14: parquet schema-evolution merge — the lakehouse read path every
+    * long-lived table hits: files written BEFORE a column existed sit next
+    * to files written after, and a `mergeSchema` read must union the
+    * schemas and null-fill the elder files. Staged deterministically: the
+    * even-key half of orders lands as a v1 file (two columns), the odd
+    * half as v2 (three), one directory; the merged read must produce the
+    * full key set with o_totalprice NULL exactly on the v1 rows — which
+    * the oracle expresses over the base table alone (the a1 pattern).
+    * 100 TB posture, stated honestly: mergeSchema reconciles schemas by
+    * reading file FOOTERS across the table — cheap per file but a full
+    * footer sweep at planning time on a million-file table; a production
+    * deployment pins the evolved schema in the catalog (or passes an
+    * explicit schema, as every other scan here does) and pays the sweep
+    * only when the schema actually moves. The demo exercises the sweep;
+    * the explicit-schema posture stays the default everywhere else. */
+  val a14_schema_merge = Q(
+    "a14_schema_merge",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_totalprice AS DOUBLE) END
+      |         AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = s"$base/graft_evolve_orders_${Integer.toHexString(d.hashCode)}"
+    val ord = orders(s, d)
+    // two eras, one directory: distinct subpaths so overwrite of either
+    // era can't clobber the other (real tables append; the demo re-runs)
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/era=v1")
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/era=v2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** A3: parquet scan (TESTDATA.md). */
   val a3_parquet_scan = Q(
     "a3_parquet_scan",
@@ -648,7 +687,7 @@ object CoreQueries {
 
   val all: Seq[Q] = Seq(
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
-    a11_orc_roundtrip, a13_text_roundtrip,
+    a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,
