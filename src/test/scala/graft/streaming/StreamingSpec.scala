@@ -597,17 +597,17 @@ class StreamingSpec extends AnyFunSuite {
       "streaming markup strip must equal batch")
   }
 
-  test("file-source ingest (a13 text layout): AvailableNow backfill, then resume on new files") {
-    // the production ingest shape every MemoryStream spec abstracts away:
-    // text shards in the a13 `doc_id<TAB>text` line layout (the format a
-    // web pipeline actually lands, CoreQueries a13) arrive in a directory;
-    // `readStream.text` + the a13 parse feeds the LSH bucket store;
-    // Trigger.AvailableNow drains what exists and STOPS (the backfill
-    // contract); a later run with the SAME checkpoint processes ONLY the
-    // new files and the bucket state carries across the restart — so
-    // cross-era candidate pairs (new doc × old history) must emit even
-    // though the old shards are never re-read.
-    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+  /** The a13 file-ingest + resume scenario, session-parametric (the same
+    * motive as [[evictionScenario]]): text shards in the a13
+    * `doc_id<TAB>text` line layout arrive in a directory; `readStream.text`
+    * + the a13 parse feeds the LSH bucket store; Trigger.AvailableNow
+    * drains what exists and STOPS (the backfill contract); a later run
+    * with the SAME checkpoint processes ONLY the new files and the bucket
+    * state carries across the restart — so cross-era candidate pairs
+    * (new doc × old history) must emit even though the old shards are
+    * never re-read. */
+  private def a13IngestScenario(s: org.apache.spark.sql.SparkSession): Unit = {
+    val docs = graft.Tables.documents(s, sf).select("doc_id", "text")
     val inDir = Files.createTempDirectory("graft_a13_in").toString
     val outDir = Files.createTempDirectory("graft_a13_out").toString
     val cp = Files.createTempDirectory("graft_a13_cp").toString
@@ -616,7 +616,7 @@ class StreamingSpec extends AnyFunSuite {
         .as("value"))
       .repartition(4).write.mode("append").text(inDir)
     def drainOnce(): Unit = {
-      val src = spark.readStream
+      val src = s.readStream
         .option("maxFilesPerTrigger", 2) // several micro-batches per drain
         .text(inDir)
         .select(split(col("value"), "\t", 2).as("p"))
@@ -629,7 +629,7 @@ class StreamingSpec extends AnyFunSuite {
         .start()
       q.awaitTermination(180000)
     }
-    def emitted(): Set[(Long, Long)] = spark.read.parquet(outDir)
+    def emitted(): Set[(Long, Long)] = s.read.parquet(outDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val evens = docs.filter(col("doc_id") % 2 === 0)
@@ -653,6 +653,23 @@ class StreamingSpec extends AnyFunSuite {
     // carried the store, not just the file ledger
     assert(emitted().exists(p => (p._1 + p._2) % 2 == 1),
       "a cross-era (old×new) candidate pair must emit from restored state")
+  }
+
+  test("file-source ingest (a13 text layout): AvailableNow backfill, then resume on new files") {
+    a13IngestScenario(spark)
+  }
+
+  test("file-source ingest resumes under RocksDB: checkpointed state restores from the production store") {
+    // the restart path a 100 TB deployment actually runs: RocksDB-backed
+    // bucket state written by era 1's AvailableNow drain must RESTORE
+    // from the checkpoint (RocksDB snapshot + changelog) when era 2's
+    // query starts — the store-specific half of checkpoint recovery the
+    // default-store test above can't exercise
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    graft.Tables.prep(s2)
+    a13IngestScenario(s2)
   }
 
   test("streaming weekly novelty (stream-static join) equals the batch monitor") {
