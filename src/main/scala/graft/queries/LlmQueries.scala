@@ -2013,6 +2013,57 @@ object LlmQueries {
       .orderBy("threshold")
   }
 
+  /** L86: classifier reliability (calibration) audit — the companion to
+    * the l82 sweep every deployed scorer ships (Guo et al. 2017, "On
+    * Calibration of Modern Neural Networks"): does score ≈ P(label)?
+    * Ten score-decile bins, each reporting its doc count, MEAN SCORE,
+    * empirical label rate, and the signed gap — the reliability-diagram
+    * table; a big gap means l81's "survival ∝ score" resampling is
+    * over/under-admitting and the scores need recalibration (Platt/
+    * isotonic) before being used as probabilities.
+    *
+    * Determinism without float folds: scores are 6-dp-rounded, so each
+    * is an exact micro-integer (l82's idiom) — binning is integer
+    * division, the bin's score SUM is an exact integer sum (order-free),
+    * and mean/rate/gap divide exact integers. Nothing wobbles.
+    *
+    * 100 TB posture: rides the cached l15 metric frame and adds ONE
+    * map-combinable grid aggregate (≤10 groups) — auditing a 100 TB
+    * corpus's calibration costs one aggregation pass. */
+  val l86_calibration = Q(
+    "l86_calibration",
+    s"""WITH $classifierScoredCte,
+       |cb AS (SELECT label,
+       |        CAST(round(score * 1000000) AS BIGINT) AS sm,
+       |        least(CAST(round(score * 1000000) AS BIGINT) // 100000, 9) AS bin
+       |      FROM sc),
+       |cg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(sm) AS BIGINT) AS sum_micro,
+       |        CAST(sum(label) AS BIGINT) AS n_pos
+       |      FROM cb GROUP BY bin)
+       |SELECT bin, n,
+       |       round(sum_micro * 1.0 / (n * 1000000.0), 6) AS avg_score,
+       |       round(n_pos * 1.0 / n, 6) AS label_rate,
+       |       round(n_pos * 1.0 / n - sum_micro * 1.0 / (n * 1000000.0), 6)
+       |         AS gap
+       |FROM cg ORDER BY bin""".stripMargin
+  ) { (s, d) =>
+    val b = classifierScored(s, d)
+      .select(col("label"),
+        round(col("score") * 1000000).cast("long").as("sm"))
+      .withColumn("bin", least(col("sm") / 100000L, lit(9L)).cast("long"))
+    b.groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("sm").cast("long").as("sum_micro"),
+        sum("label").cast("long").as("n_pos"))
+      .select(col("bin"), col("n"),
+        round(col("sum_micro") * 1.0 / (col("n") * 1000000.0), 6).as("avg_score"),
+        round(col("n_pos") * 1.0 / col("n"), 6).as("label_rate"),
+        round(col("n_pos") * 1.0 / col("n")
+          - col("sum_micro") * 1.0 / (col("n") * 1000000.0), 6).as("gap"))
+      .orderBy("bin")
+  }
+
   // --------------------------------------------- normalization / redaction
 
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
@@ -5790,5 +5841,6 @@ object LlmQueries {
     l74_truncate_middle, l75_chat_template, l76_quality_router,
     l77_dup_profile, l78_split_manifest, l79_split_leakage,
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
-    l83_fim_transform, l84_span_corruption, l85_int8_quant)
+    l83_fim_transform, l84_span_corruption, l85_int8_quant,
+    l86_calibration)
 }

@@ -724,6 +724,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no join or window belongs in a per-row quantizer:\n$p")
   }
 
+  test("L86: calibration is one map-combinable grid aggregate over the quality cache") {
+    val p = finalPlan(LlmQueries.l86_calibration)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_sum") || fin.contains("partial_count"),
+      s"the bin sums must combine map-side:\n$p")
+    assert(!fin.contains("Join") && !fin.contains("Window"),
+      s"a reliability table is one aggregate, never a join or window:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(fin).size
+    assert(exchanges <= 1, s"one ≤10-key bin exchange is the budget, got $exchanges:\n$p")
+  }
+
   test("L80: frozen-model scoring is a pure per-row scan over the quality cache") {
     val p = finalPlan(LlmQueries.l80_quality_classifier)
     val fin = p.split("== Initial Plan ==")(0)

@@ -2223,6 +2223,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"int8 must preserve neighbor ranking, got $mean")
   }
 
+  test("l86 calibration reconciles with the declared l80 rows; bins partition; ECE reported") {
+    val l80 = LlmQueries.l80_quality_classifier.fn(spark, sf)
+      .select("label", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = LlmQueries.l86_calibration.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // replay from the declared scores: same micro-integer binning
+    val byBin = l80.groupBy { case (_, s) =>
+      math.min(math.round(s * 1000000) / 100000, 9L)
+    }
+    assert(got.map(_._1).toSet === byBin.keySet, "occupied bins must agree")
+    got.foreach { case (bin, n, avg, rate, gap) =>
+      val rows = byBin(bin)
+      assert(n === rows.size.toLong, s"bin $bin count")
+      val rawAvg = rows.map(x => math.round(x._2 * 1000000)).sum.toDouble /
+        (rows.size * 1000000.0)
+      val rawRate = rows.count(_._1 == 1L).toDouble / rows.size
+      assert(avg === r6(rawAvg) && rate === r6(rawRate), s"bin $bin stats")
+      // the query rounds the RAW difference (not the rounded columns'),
+      // so the replay must too
+      assert(gap === r6(rawRate - rawAvg), s"bin $bin gap")
+      assert(avg >= 0.0 && avg <= 1.0 && rate >= 0.0 && rate <= 1.0)
+    }
+    // the bins PARTITION the corpus
+    assert(got.map(_._2).sum === l80.length.toLong)
+    // the scalar a monitor alerts on: expected calibration error
+    val ece = got.map { case (_, n, _, _, gap) =>
+      n.toDouble / l80.length * math.abs(gap)
+    }.sum
+    info(f"l86 ECE on the fixture: $ece%.4f over ${got.length} occupied bins")
+    assert(ece >= 0.0 && ece <= 1.0)
+    assert(got.length >= 2, "fixture must occupy several score bins")
+  }
+
   test("l30 ε quantified: exact at span length ≥ 8; measured short-repeat leakage") {
     // Driver-side exact reference for the scrub at min-span m: a position
     // is covered iff some m-gram starting within reach of it occurs in
