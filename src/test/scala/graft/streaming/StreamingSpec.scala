@@ -556,13 +556,32 @@ class StreamingSpec extends AnyFunSuite {
     val src = spark.readStream.schema(docsBatch.schema)
       .option("maxFilesPerTrigger", 2).parquet(dir)
 
+    // the l80 classifier is four literals over the same stateless metric
+    // body — a streaming corpus scores in-flight with zero state
+    def score(df: DataFrame): DataFrame = {
+      import graft.ml.PinnedQualityLr
+      PinnedQualityLr.featureFrame(LlmQueries.qualityMetricsFrame(df))
+        .select(col("doc_id"), PinnedQualityLr.score.as("score"),
+          (PinnedQualityLr.margin >= 0).cast("long").as("wiki_like"))
+    }
+    val q0 = score(src)
+      .writeStream.format("memory").queryName("stream_score")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
     val q1 = LlmQueries.qualityMetricsFrame(src)
       .writeStream.format("memory").queryName("stream_quality")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     val q2 = LlmQueries.normalizeRedactFrame(src)
       .writeStream.format("memory").queryName("stream_redact")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q0.awaitTermination(120000)
     q1.awaitTermination(120000); q2.awaitTermination(120000)
+
+    val gotS0 = spark.table("stream_score").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val expS0 = score(docsBatch).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(gotS0 == expS0 && gotS0.nonEmpty,
+      "streaming classifier scoring must equal batch")
 
     val gotQ = spark.table("stream_quality").orderBy("doc_id")
       .collect().map(_.toSeq).toSeq
