@@ -981,6 +981,117 @@ object LlmQueries {
           count(lit(1)).cast("double"), 6).as("recall_at_5"))
   }
 
+  /** L87: cluster-balanced sampling — the "cluster, then cap per cluster"
+    * curation stage (DataComp's image-based filtering and the
+    * cluster-balanced subset selection of SemDeDup-family pipelines both
+    * end here): after the corpus is clustered in embedding space, take at
+    * most ⌈target / n_clusters⌉ documents from EVERY cluster so the sample
+    * preserves topical coverage instead of letting the head clusters
+    * swamp it (a uniform sample of a skewed corpus is mostly boilerplate;
+    * a cluster-capped one is not). Members are picked inside each cluster
+    * by the corpus-wide deterministic hash order (smallest
+    * md5(vec_id) first — the l17 salted-hash idiom), so the sample is
+    * reproducible and unbiased w.r.t. any document attribute.
+    *
+    * Composes the verified primitives: l7/l11's cached k-means assignment
+    * (argmax bucket per vector — this query adds ZERO fit or assignment
+    * cost in a warm session) plus one per-cluster capped rank. 100 TB
+    * posture: the only new exchange ships skinny (bucket, vec_id,
+    * md5-key) metadata rows — vectors never shuffle; the per-cluster
+    * rank is a bounded WindowGroupLimit shape once the cap is a known
+    * literal (the l49 idiom), and the cluster-count side input is a
+    * one-row broadcast. The oracle replays fit, assignment, hash order
+    * and cap arithmetic end to end ([[ivfSearchCtes]]). */
+  val l87_cluster_sample = Q(
+    "l87_cluster_sample",
+    s"""WITH $ivfSearchCtes,
+       |nc AS (SELECT count(DISTINCT bucket) AS n_clusters FROM asn),
+       |sr AS (SELECT bucket, vec_id,
+       |         row_number() OVER (PARTITION BY bucket
+       |           ORDER BY md5(vec_id::VARCHAR), vec_id) AS srank
+       |       FROM asn)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, vec_id,
+       |       CAST(srank AS BIGINT) AS samp_rank
+       |FROM sr
+       |WHERE srank <= (SELECT greatest(1, CAST(ceil(60.0 / n_clusters) AS BIGINT))
+       |                FROM nc)
+       |ORDER BY bucket, samp_rank""".stripMargin
+  ) { (s, d) =>
+    val asg = rankedAssignedCached(embeddings(s, d), None)
+      .select(col("vec_id"), col("ranked").getItem(0).as("bucket"))
+    val nClusters = asg.agg(countDistinct(col("bucket")).as("n_clusters"))
+    val mdKey = md5(col("vec_id").cast("string").cast("binary"))
+    val srank = row_number().over(
+      Window.partitionBy("bucket").orderBy(mdKey, col("vec_id")))
+    asg.withColumn("samp_rank", srank.cast("long"))
+      .crossJoin(broadcast(nClusters))
+      .filter(col("samp_rank") <=
+        greatest(lit(1L), ceil(lit(60.0) / col("n_clusters"))))
+      .select(col("bucket").cast("long").as("bucket"), col("vec_id"),
+        col("samp_rank"))
+      .orderBy("bucket", "samp_rank")
+  }
+
+  /** L88: per-cluster centroid-distance outlier pruning — the
+    * embedding-space "drop the least typical tail" filter (the keep-rule
+    * side of SemDeDup-style curation, and the standard embedding-quality
+    * prune for web corpora: points far from every centroid are OCR noise,
+    * boilerplate soup, or mis-embedded fragments). For every vector,
+    * cosine similarity to its OWN refined centroid (the same rounded
+    * cosine the assignment ranked by); within each cluster the
+    * ⌊n·0.1⌋ least-similar members (ties broken by vec_id) are flagged
+    * as the prune set, emitted with their similarity and outlier rank so
+    * a release audit can inspect exactly what a 10%-tail cut removes.
+    *
+    * 100 TB posture: rides the session's cached assignment + quantizer
+    * fit (zero added fit cost warm); the one added per-row step is a
+    * single centroid dot (the row's own bucket — NOT the k-dot re-rank),
+    * against the one-row broadcast fit; the only exchange ships skinny
+    * (bucket, vec_id, sim) rows for the per-cluster rank/count windows,
+    * which share one bucket partitioning. The oracle replays fit,
+    * assignment, the per-cluster similarity and the ⌊n/10⌋ cut exactly
+    * ([[ivfSearchCtes]] + the c2 centroid probe). */
+  val l88_centroid_outliers = Q(
+    "l88_centroid_outliers",
+    s"""WITH $ivfSearchCtes,
+       |cs AS (SELECT a.vec_id, a.bucket,
+       |         round(list_dot_product(a.v, c2.cv) /
+       |               (sqrt(list_dot_product(a.v, a.v)) *
+       |                sqrt(list_dot_product(c2.cv, c2.cv))), 6) AS sim
+       |       FROM asn a JOIN c2 ON c2.cl = a.bucket),
+       |rk88 AS (SELECT bucket, vec_id, sim,
+       |           row_number() OVER (PARTITION BY bucket ORDER BY sim, vec_id) AS ork,
+       |           count(*) OVER (PARTITION BY bucket) AS n
+       |         FROM cs)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, vec_id, sim,
+       |       CAST(ork AS BIGINT) AS out_rank
+       |FROM rk88 WHERE ork <= CAST(floor(n * 0.1) AS BIGINT)
+       |ORDER BY bucket, out_rank""".stripMargin
+  ) { (s, d) =>
+    val e = embeddings(s, d)
+    val asg = rankedAssignedCached(e, None)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("ranked").getItem(0).as("bucket"))
+    // probe ONLY the row's own centroid out of the broadcast fit — one
+    // dot per row, not the k-dot re-rank the assignment already paid
+    val cent = filter(col("cents"),
+      c => c.getField("cl") === col("bucket")).getItem(0)
+    val sim = round(
+      dot(col("v"), cent.getField("cv")) / (col("nrm") * cent.getField("cn")), 6)
+    val scored = asg.crossJoin(broadcast(fitQuantizerCached(e, None)))
+      .withColumn("sim", sim)
+      .select(col("bucket"), col("vec_id"), col("sim"))
+    val ork = row_number().over(
+      Window.partitionBy("bucket").orderBy(col("sim"), col("vec_id")))
+    val n = count(lit(1)).over(Window.partitionBy("bucket"))
+    scored.withColumn("out_rank", ork.cast("long"))
+      .withColumn("n", n)
+      .filter(col("out_rank") <= floor(col("n") * lit(0.1)).cast("long"))
+      .select(col("bucket").cast("long").as("bucket"), col("vec_id"),
+        col("sim"), col("out_rank"))
+      .orderBy("bucket", "out_rank")
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -5842,5 +5953,5 @@ object LlmQueries {
     l77_dup_profile, l78_split_manifest, l79_split_leakage,
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
-    l86_calibration)
+    l86_calibration, l87_cluster_sample, l88_centroid_outliers)
 }

@@ -749,4 +749,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("hashpartitioning"),
       s"scoring is per-row; only the result sort may exchange:\n$p")
   }
+
+  test("L87: cluster-balanced sample rides the cached assignment; one bucket " +
+      "exchange; the cluster-count side input broadcasts as one row") {
+    val p = finalPlan(LlmQueries.l87_cluster_sample)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("InMemoryTableScan"),
+      s"the argmax buckets must come from the shared assignment cache:\n$p")
+    assert(!fin.contains("CartesianProduct"),
+      s"the one-row count attaches as a broadcast, never a cartesian:\n$p")
+    assert(fin.contains("BroadcastNestedLoopJoin") || fin.contains("BroadcastExchange"),
+      s"the n_clusters side input must broadcast:\n$p")
+    // count only the query's own exchanges — the printed InMemoryRelation
+    // subtree repeats the (already-materialized) quantizer-fit groupBys
+    val own = fin.split("InMemoryRelation")(0)
+    val bucketEx = "Exchange hashpartitioning\\(bucket".r.findAllMatchIn(own).size
+    assert(bucketEx <= 1,
+      s"the per-cluster rank is ONE skinny metadata exchange, got $bucketEx:\n$p")
+  }
+
+  test("L88: outlier prune rides the cached assignment + broadcast fit; the " +
+      "rank and count windows share one bucket exchange") {
+    val p = finalPlan(LlmQueries.l88_centroid_outliers)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("InMemoryTableScan"),
+      s"assignment and quantizer fit must come from the session caches:\n$p")
+    assert(!fin.contains("CartesianProduct"),
+      s"the one-row fit attaches as a broadcast, never a cartesian:\n$p")
+    // see L87 — exclude the printed cached-subtree exchanges
+    val own = fin.split("InMemoryRelation")(0)
+    val bucketEx = "Exchange hashpartitioning\\(bucket".r.findAllMatchIn(own).size
+    assert(bucketEx <= 1,
+      s"rank and count share ONE bucket exchange, got $bucketEx:\n$p")
+    assert(!own.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join belongs in a per-row centroid probe:\n$p")
+  }
 }

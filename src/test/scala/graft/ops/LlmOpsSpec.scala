@@ -2363,4 +2363,73 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(leakedFix.toDouble / totalToks < 0.25,
       s"fixture leakage mass $leakedFix must stay a minor share of $totalToks corpus tokens")
   }
+
+  test("l87/l88: cluster sample and outlier prune equal a driver-side k-means " +
+      "replay end to end; caps, coverage and bottom-tail invariants hold") {
+    // independent replay of the deterministic quantizer (no Spark
+    // expressions shared with the implementation): md5-ordered seed pick,
+    // one Lloyd refinement with round(·,6) per dimension, argmax by
+    // (rounded cos DESC, cl DESC) — fitQuantizer's declared contract
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dp(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def rcos(a: Seq[Double], b: Seq[Double]): Double =
+      rd(dp(a, b) / (math.sqrt(dp(a, a)) * math.sqrt(dp(b, b))))
+    val k = math.max(2, math.sqrt(e.size.toDouble).toInt)
+    val seeds = e.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(k).map(_._2)
+    def argmax(cents: Seq[(Int, Seq[Double])], v: Seq[Double]): (Int, Double) = {
+      val (c, cl) = cents.map { case (cl, cv) => (rcos(v, cv), cl) }.max
+      (cl, c) // max on (cos, cl) = cos DESC then cl DESC, the a2 tie-break
+    }
+    val seedCents = seeds.zipWithIndex.map { case (v, i) => (i, v) }
+    val a1 = e.map { case (id, v) => (id, v, argmax(seedCents, v)._1) }
+    val refined = a1.groupBy(_._3).map { case (cl, rows) =>
+      val dim = rows.head._2.size
+      (cl, (0 until dim).map(p => rd(rows.map(_._2(p)).sum / rows.size)): Seq[Double])
+    }.toSeq.sortBy(_._1)
+    val a2 = e.map { case (id, v) =>
+      val (cl, sim) = argmax(refined, v); (id, cl, sim)
+    }
+
+    // expected l87: cap = max(1, ceil(60 / n_clusters)); per cluster the
+    // cap smallest (md5(id), id) members, rank = position in that order
+    val nClusters = a2.map(_._2).distinct.size
+    val cap = math.max(1L, math.ceil(60.0 / nClusters).toLong)
+    val expSample = a2.groupBy(_._2).toSeq.flatMap { case (cl, rows) =>
+      rows.map(_._1).sortBy(id => (md5hex(id.toString), id))
+        .take(cap.toInt).zipWithIndex
+        .map { case (id, i) => (cl.toLong, id, (i + 1).toLong) }
+    }.toSet
+    val gotSample = LlmQueries.l87_cluster_sample.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSample === expSample,
+      s"l87 must equal the replayed cluster-capped hash sample (cap=$cap)")
+    assert(gotSample.map(_._1).size === nClusters ||
+      gotSample.groupBy(_._1).size === nClusters,
+      "every non-empty cluster must contribute to the sample")
+
+    // expected l88: per cluster the floor(n/10) (sim ASC, id) least-typical
+    val expOut = a2.groupBy(_._2).toSeq.flatMap { case (cl, rows) =>
+      val dropN = math.floor(rows.size * 0.1).toInt
+      rows.map(r => (r._3, r._1)).sorted.take(dropN).zipWithIndex
+        .map { case ((sim, id), i) => (cl.toLong, id, sim, (i + 1).toLong) }
+    }.toSet
+    val gotOut = LlmQueries.l88_centroid_outliers.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(gotOut === expOut,
+      "l88 must equal the replayed per-cluster bottom-decile outlier set")
+    // bottom-tail invariant: every flagged sim ≤ every unflagged sim of
+    // the same cluster (the cut removes a contiguous tail, never a middle)
+    val keptMin = a2.filterNot(r => gotOut.exists(o => o._2 == r._1))
+      .groupBy(_._2).map { case (cl, rows) => cl.toLong -> rows.map(_._3).min }
+    gotOut.foreach { case (cl, id, sim, _) =>
+      keptMin.get(cl).foreach(m =>
+        assert(sim <= m, s"outlier $id (sim=$sim) above kept minimum $m in cluster $cl"))
+    }
+  }
 }
