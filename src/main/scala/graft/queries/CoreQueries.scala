@@ -166,6 +166,63 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** A15: malformed-record ingest (PERMISSIVE + corrupt-record column) —
+    * the error-handling contract of the JSON ingest path: at 100 TB some
+    * fraction of every real feed is broken (truncated uploads, mixed
+    * producers, encoding damage), and the engine must land the good rows,
+    * QUARANTINE the bad ones losslessly, and account for both — never
+    * fail the job (FAILFAST is for dev) and never silently drop
+    * (DROPMALFORMED loses data with no audit trail). Staged
+    * deterministically: every 7th document serializes as a broken line
+    * (with its id embedded, the way a real truncated record still carries
+    * fragments), the rest as proper JSON; the PERMISSIVE read lands
+    * parsed rows typed and broken rows whole in `_corrupt_record`, and
+    * the declared audit proves BOTH streams are complete — counts and
+    * id-checksums per outcome, the corrupt ids salvaged from the raw
+    * quarantined text (the recovery workflow a quarantine table exists
+    * for). The oracle expresses the expected partition over the base
+    * table alone. 100 TB posture: one scan, per-row parse, the audit is
+    * a 2-key map-combinable aggregate; the quarantine column rides the
+    * same files — no second pass, no job restart. */
+  val a15_corrupt_json = Q(
+    "a15_corrupt_json",
+    """SELECT outcome, n, id_sum FROM (
+      |  SELECT 'corrupt' AS outcome, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 'parsed', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |) ORDER BY outcome""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val tmp = s"$base/graft_badjson_docs_${Integer.toHexString(d.hashCode)}"
+    documents(s, d).select(
+      when(col("doc_id") % 7 === 0,
+        concat(lit("{CORRUPT id="), col("doc_id").cast("string"), lit(" not json")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+        .as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    val salvagedId = regexp_extract(col("_corrupt_record"), "id=(\\d+)", 1).cast("long")
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .select(when(col("_corrupt_record").isNotNull, lit("corrupt"))
+        .otherwise(lit("parsed")).as("outcome"),
+        coalesce(col("doc_id"), salvagedId).as("id"))
+      .groupBy("outcome")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("id")).cast("long").as("id_sum"))
+      .orderBy("outcome")
+  }
+
   /** A3: parquet scan (TESTDATA.md). */
   val a3_parquet_scan = Q(
     "a3_parquet_scan",
@@ -687,7 +744,7 @@ object CoreQueries {
 
   val all: Seq[Q] = Seq(
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
-    a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge,
+    a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge, a15_corrupt_json,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,

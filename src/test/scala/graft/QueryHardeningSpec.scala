@@ -188,4 +188,39 @@ class QueryHardeningSpec extends AnyFunSuite {
     assert(a.intersectAll(b).as[Int].collect().sorted.toSeq == Seq(1, 2),
       "INTERSECT ALL must keep min(m, n) copies")
   }
+
+  test("a15 malformed JSON: PERMISSIVE quarantines the raw line verbatim; " +
+      "DROPMALFORMED keeps only parsed rows; FAILFAST throws") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badjson").toString
+    val badLine = """{CORRUPT id=14 not json"""
+    Seq("""{"doc_id":1,"lang":"en","n_chars":10}""",
+      badLine,
+      """{"doc_id":2,"lang":"de","n_chars":20}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(s"$tmp/j")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$tmp/j").collect()
+    val corrupt = permissive.filter(!_.isNullAt(3))
+    assert(corrupt.length == 1 && corrupt(0).getString(3) == badLine,
+      "the quarantine column must hold the broken line VERBATIM (lossless)")
+    assert(permissive.filter(_.isNullAt(3)).map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "parsed rows must land typed next to the quarantined one")
+    val dropped = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(s"$tmp/j").collect()
+    assert(dropped.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "DROPMALFORMED silently loses the bad row — which is why a15 doesn't use it")
+    val ff = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.fields.dropRight(1)))
+        .option("mode", "FAILFAST").json(s"$tmp/j").collect()
+    }
+    assert(ff.getMessage != null, "FAILFAST must abort the read on the bad row")
+  }
 }
