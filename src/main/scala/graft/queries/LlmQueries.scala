@@ -1092,6 +1092,60 @@ object LlmQueries {
       .orderBy("bucket", "out_rank")
   }
 
+  /** L89: per-source quota cap (character budget) — the per-domain cap
+    * every web-corpus pipeline documents (C4 and RefinedWeb cap what any
+    * single registrable domain may contribute; Gopher reports domain
+    * skew as a top contamination driver): walking each source's documents
+    * in the corpus-wide deterministic hash order (smallest md5(doc_id)
+    * first, the l17 idiom), keep documents while the source's running
+    * character total stays ≤ 2000, drop the rest. The declared output is
+    * the quota LEDGER a release ships — per source: total docs, kept,
+    * dropped, kept characters, and the kept-id checksum that pins the
+    * exact kept SET (not just its size) to the hash order.
+    *
+    * 100 TB posture: one skinny (source, doc_id, n_chars) metadata
+    * exchange — text never shuffles; the running total is a per-source
+    * window cumsum and the ledger aggregate rides the SAME source
+    * partitioning (no second exchange — PlanShapeSpec pins it). Domain
+    * cardinality at web scale (~10⁸ registrable domains) gives the
+    * exchange its parallelism; a pathological mega-domain that outgrows
+    * one task takes the deterministic segment-offset escalation
+    * binaryStats already implements (per-segment cumsum + bounded offset
+    * fold) — same results, documented trade. Ties cannot occur (doc_id
+    * is the final order key), so the RANGE-frame default of both engines'
+    * running sums is row-exact. */
+  val l89_source_cap = Q(
+    "l89_source_cap",
+    """WITH c AS (SELECT source, doc_id, n_chars,
+      |             sum(n_chars) OVER (PARTITION BY source
+      |               ORDER BY md5(doc_id::VARCHAR), doc_id) AS run
+      |           FROM documents)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (WHERE run <= 2000) AS BIGINT) AS kept,
+      |  CAST(count(*) FILTER (WHERE run > 2000) AS BIGINT) AS dropped,
+      |  CAST(coalesce(sum(n_chars) FILTER (WHERE run <= 2000), 0) AS BIGINT)
+      |    AS kept_chars,
+      |  CAST(coalesce(sum(doc_id) FILTER (WHERE run <= 2000), 0) AS BIGINT)
+      |    AS kept_id_sum
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val mdKey = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy("source").orderBy(mdKey, col("doc_id"))
+    val kept = col("run") <= 2000L
+    documents(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("run", sum(col("n_chars")).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).cast("long").as("kept"),
+        sum(when(kept, 0L).otherwise(1L)).cast("long").as("dropped"),
+        coalesce(sum(when(kept, col("n_chars"))), lit(0L)).cast("long")
+          .as("kept_chars"),
+        coalesce(sum(when(kept, col("doc_id"))), lit(0L)).cast("long")
+          .as("kept_id_sum"))
+      .orderBy("source")
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -5953,5 +6007,6 @@ object LlmQueries {
     l77_dup_profile, l78_split_manifest, l79_split_leakage,
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
-    l86_calibration, l87_cluster_sample, l88_centroid_outliers)
+    l86_calibration, l87_cluster_sample, l88_centroid_outliers,
+    l89_source_cap)
 }

@@ -784,4 +784,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!own.contains("SortMergeJoin"),
       s"no corpus-side shuffle join belongs in a per-row centroid probe:\n$p")
   }
+
+  test("L89: the quota ledger is one skinny source exchange — the ledger " +
+      "aggregate rides the window's partitioning, and text never shuffles") {
+    val p = finalPlan(LlmQueries.l89_source_cap)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), s"a quota ledger joins nothing:\n$p")
+    val srcEx = "Exchange hashpartitioning\\(source".r.findAllMatchIn(fin).size
+    assert(srcEx == 1,
+      s"cumsum window + ledger agg must share ONE source exchange, got $srcEx:\n$p")
+    assert(!fin.contains("text#") || !fin.contains("ReadSchema: struct<text"),
+      s"only (source, doc_id, n_chars) metadata may reach the exchange:\n$p")
+  }
 }
