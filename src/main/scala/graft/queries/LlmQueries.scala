@@ -1146,6 +1146,85 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** The l90 scorer: per-doc mean cross-entropy DIFFERENCE between an
+    * in-domain unigram LM (fit on the lang='en' slice, Laplace add-one
+    * over the FULL corpus vocabulary so out-of-slice tokens stay finite)
+    * and the general LM (fit on everything — no OOV possible by
+    * construction). Public so the spec can replay it. */
+  private[queries] def mooreLewisScores(s: SparkSession, d: String): DataFrame = {
+    val toks = spread(documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocabAll = toks.groupBy("tok").agg(count(lit(1)).as("ca"))
+    val vocabIn = toks.filter(col("lang") === "en")
+      .groupBy("tok").agg(count(lit(1)).as("ci"))
+    val v = vocabAll.join(vocabIn, Seq("tok"), "left")
+    val tot = v.agg(sum("ca").as("na"),
+      sum(coalesce(col("ci"), lit(0L))).as("ni"), count(lit(1)).as("vs"))
+    val probs = v.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (-log(col("ca") / col("na"))).as("nll_gen"),
+        (-log((coalesce(col("ci"), lit(0L)) + lit(1.0)) /
+          (col("ni") + col("vs")))).as("nll_in"))
+    toks.join(broadcast(probs), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(col("nll_in") - col("nll_gen")), 6).as("ce_diff"))
+  }
+
+  /** L90: Moore-Lewis cross-entropy-difference selection (Moore & Lewis,
+    * ACL 2010) — the classic in-domain data selection l38's DSIR descends
+    * from: score each document by H_in(doc) − H_gen(doc), the mean
+    * per-token NLL under an IN-DOMAIN LM minus under the GENERAL corpus
+    * LM, and keep the lowest-scoring 40% (docs the in-domain model finds
+    * easy RELATIVE to the background — the difference cancels generic
+    * frequency effects that make raw in-domain NLL prefer short/common
+    * text). Where DSIR estimates the importance ratio on hashed bigram
+    * buckets, Moore-Lewis scores with explicit LMs — here l32's unigram
+    * family: in-domain = the lang='en' slice with Laplace add-one over
+    * the full vocabulary (out-of-slice tokens stay finite, the smoothing
+    * the paper requires), general = the whole corpus. The keep cut is the
+    * exact 0.4-quantile of the 6-dp-rounded scores (the l38/d11 threshold
+    * idiom — rounding before the cut so float summation order cannot
+    * flip a boundary doc on either engine).
+    *
+    * 100 TB posture: both LMs are VOCAB-sized (type counts, not token
+    * counts) and broadcast like l32's — the corpus-scale work is two
+    * map-combinable token aggregations and one broadcast-probe scoring
+    * pass; no corpus shuffle anywhere, and the threshold fit is the
+    * bounded-collect histogram engine (driver state: histogram buckets,
+    * never rows). The oracle replays both fits, the smoothing, the
+    * scoring and the quantile cut. */
+  val l90_moore_lewis = Q(
+    "l90_moore_lewis",
+    """WITH t AS (SELECT doc_id, lang,
+      |             unnest(string_split(lower(text), ' ')) AS tok
+      |           FROM documents),
+      |va AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM t GROUP BY tok),
+      |vi AS (SELECT tok, CAST(count(*) AS BIGINT) AS ci FROM t
+      |       WHERE lang = 'en' GROUP BY tok),
+      |v AS (SELECT va.tok, va.ca, coalesce(vi.ci, 0) AS ci
+      |      FROM va LEFT JOIN vi USING (tok)),
+      |tot AS (SELECT sum(ca) AS na, sum(ci) AS ni, count(*) AS vs FROM v),
+      |p AS (SELECT tok, -ln(ca * 1.0 / na) AS nll_gen,
+      |             -ln((ci + 1.0) / (ni + vs)) AS nll_in
+      |      FROM v CROSS JOIN tot),
+      |sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |              round(avg(p.nll_in - p.nll_gen), 6) AS ce_diff
+      |       FROM t JOIN p USING (tok) GROUP BY t.doc_id),
+      |th AS (SELECT quantile_cont(ce_diff, 0.4) AS t FROM sc)
+      |SELECT doc_id, n_tokens, ce_diff,
+      |       CAST(ce_diff <= th.t AS BIGINT) AS keep
+      |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val sc = mooreLewisScores(s, d)
+    val t = graft.ops.Stats.exactQuantiles(sc, col("ce_diff"), Seq(0.4))
+      .getOrElse(Seq(Double.PositiveInfinity)).head
+    sc.select(col("doc_id"), col("n_tokens"), col("ce_diff"),
+        (col("ce_diff") <= lit(t)).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -6008,5 +6087,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap)
+    l89_source_cap, l90_moore_lewis)
 }

@@ -796,4 +796,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("text#") || !fin.contains("ReadSchema: struct<text"),
       s"only (source, doc_id, n_chars) metadata may reach the exchange:\n$p")
   }
+
+  test("L90: the LM probe broadcasts and the per-doc aggregate map-combines — " +
+      "the corpus never shuffles for scoring") {
+    val p = finalPlan(LlmQueries.l90_moore_lewis)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the vocab-probe scoring join must broadcast:\n$p")
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"token and per-doc aggregates must combine map-side:\n$p")
+    assert(!fin.contains("CartesianProduct"),
+      s"the one-row totals attach as a broadcast, never a cartesian:\n$p")
+  }
 }

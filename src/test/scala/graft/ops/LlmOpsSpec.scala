@@ -2463,4 +2463,50 @@ class LlmOpsSpec extends AnyFunSuite {
     // verify the data premise the equivalence rests on
     assert(docs.forall(_._3 >= 0L), "n_chars must be nonnegative for prefix semantics")
   }
+
+  test("l90 Moore-Lewis: scores and keep cut equal a driver replay; the " +
+      "in-domain slice survives at a higher rate than the background") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, lang, tx) =>
+      (id, lang, tx.toLowerCase.split(" ", -1).toSeq) }
+    val ca = toks.flatMap(_._3).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val ci = toks.filter(_._2 == "en").flatMap(_._3).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val na = ca.values.sum.toDouble
+    val ni = ci.values.sum.toDouble
+    val vs = ca.size.toDouble
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = toks.filter(_._3.nonEmpty).map { case (id, _, ts) =>
+      val ds = ts.map(t => -math.log((ci.getOrElse(t, 0L) + 1.0) / (ni + vs))
+        + math.log(ca(t) / na))
+      (id, ts.size.toLong, rd(ds.sum / ds.size))
+    }
+    // exact interpolated (type-7) 0.4-quantile of the rounded scores —
+    // the same definition Stats.exactQuantiles and quantile_cont share
+    val vals = exp.map(_._3).sorted
+    val pos = 0.4 * (vals.size - 1)
+    val thr = {
+      val lo = vals(pos.toInt)
+      if (pos == pos.toInt.toDouble) lo
+      else lo + (pos - pos.toInt) * (vals(pos.toInt + 1) - lo)
+    }
+    val got = LlmQueries.l90_moore_lewis.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(x => (x._1, x._2, x._3)).toSet === exp.toSet,
+      "per-doc CE differences must equal the replay")
+    got.foreach { case (id, _, ce, keep) =>
+      assert((keep == 1L) == (ce <= thr),
+        s"doc $id keep flag disagrees with replayed threshold $thr")
+    }
+    val en = docs.filter(_._2 == "en").map(_._1).toSet
+    val keptEn = got.filter(g => en(g._1)).count(_._4 == 1L).toDouble / en.size
+    val keptOther = got.filterNot(g => en(g._1)).count(_._4 == 1L).toDouble /
+      (got.length - en.size)
+    assert(keptEn > keptOther,
+      s"in-domain (en) keep rate $keptEn must exceed background $keptOther")
+  }
 }
