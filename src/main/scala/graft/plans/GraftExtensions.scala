@@ -21,6 +21,10 @@ import graft.functions.{SetExprs, SketchExprs, TextExprs, VectorExprs}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // plan-time scale linting (opt-in via spark.graft.scaleguard=true):
+    // unpartitioned windows and hintless cartesian joins fail at
+    // optimization instead of at week-2 of a 100 TB job — see [[ScaleGuardRule]]
+    ext.injectOptimizerRule(_ => ScaleGuardRule)
     ext.injectFunction(VectorExprs.dotInfo)
     ext.injectFunction(SetExprs.sortedIntersectCountInfo)
     ext.injectFunction(SketchExprs.minhashInfo)
