@@ -430,4 +430,30 @@ object StreamingOps {
         round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
           .as("novelty_rate"))
   }
+
+  /** Exactly-once-BY-IDEMPOTENCE file sink for `foreachBatch` — the
+    * production shape for landing a curated stream in plain parquet
+    * without a transactional table format. Structured Streaming's
+    * `foreachBatch` contract is at-least-once: after a crash between
+    * sink write and checkpoint commit, the SAME (batchId, data) is
+    * replayed. Keying the write to a `batch_id=<id>` directory with
+    * overwrite mode makes the replay a no-op-equivalent — the retry
+    * rewrites the identical directory, so the landed table holds each
+    * record exactly once regardless of how many times a batch ran
+    * (StreamingSpec pins a simulated retry). The micro-batch's data is
+    * deterministic per batchId because the checkpoint pins each batch's
+    * source offsets — idempotence holds for ANY retry of a committed-
+    * offset batch, which is the only replay the engine performs.
+    *
+    * 100 TB posture and the honest caveats, stated: (1) a reader scanning
+    * DURING a retry's overwrite can glimpse a partially-rewritten batch
+    * directory — plain parquet has no commit protocol; production fronts
+    * this with a manifest (the l60 shard-manifest shape: readers resolve
+    * the manifest, writers swap it last) or a table format that owns the
+    * commit. (2) One directory per micro-batch is the natural compaction
+    * unit — the c8 keep-latest compactor runs over cold batch dirs. The
+    * sink itself is a plain per-partition parquet write: no shuffle, no
+    * driver data. */
+  def idempotentParquetSink(outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 }

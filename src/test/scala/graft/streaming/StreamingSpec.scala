@@ -730,4 +730,64 @@ class StreamingSpec extends AnyFunSuite {
       "the stream-static probe must reproduce the batch weekly novelty")
     assert(got.nonEmpty && got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
   }
+
+  test("foreachBatch exactly-once file sink: a replayed batch is idempotent and " +
+      "resume lands only the new files") {
+    val (dir, batch) = stage(dups = false)
+    val out = Files.createTempDirectory("graft_eo_out").toString
+    val cp = Files.createTempDirectory("graft_eo_cp").toString
+    val schema = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "value").schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+        .writeStream
+        .foreachBatch(StreamingOps.idempotentParquetSink(out) _)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def landed(): Set[(Long, java.sql.Timestamp, Double)] =
+      spark.read.parquet(out).select("event_id", "ts", "value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+
+    drain()
+    assert(landed() === asSet(batch),
+      "the sink must land the full stream exactly once across micro-batches")
+
+    // simulated at-least-once retry: re-run the LAST committed batch's
+    // write with the same batchId and the same data (what a crash between
+    // sink write and checkpoint commit replays)
+    val ids = Option(new java.io.File(out).listFiles()).get
+      .map(_.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    assert(ids.length > 1, s"maxFilesPerTrigger=2 over 8 files must micro-batch, got $ids")
+    val lastId = ids.max
+    // materialize the replayed batch BEFORE the overwrite — a lazy read
+    // from the very directory being rewritten would race its own input
+    // (the replay in production re-reads the SOURCE offsets, not the sink)
+    val lastRows = spark.read.parquet(s"$out/batch_id=$lastId").collect().toList
+    val lastData = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(lastRows).asJava), schema)
+    StreamingOps.idempotentParquetSink(out)(lastData, lastId)
+    assert(landed() === asSet(batch),
+      "a replayed (batchId, data) write must be a no-op-equivalent — no duplicates")
+
+    // resume: new source files arrive, same checkpoint — only the new rows
+    // land, as fresh batch directories
+    val extra = batch.limit(0).sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(900001L,
+          java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 1.5),
+        org.apache.spark.sql.Row(900002L,
+          java.sql.Timestamp.valueOf("2024-03-02 00:00:00"), 2.5)), schema)
+    extra.coalesce(1).write.mode("append").parquet(dir)
+    drain()
+    assert(landed() === (asSet(batch) ++ asSet(extra)),
+      "resume from the checkpoint must land exactly the new rows")
+  }
 }
