@@ -1225,6 +1225,73 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The l91 character classes, shared by the Spark body and the spec.
+    * Java and RE2 both accept the \x{…} code-point syntax and these are
+    * all BMP code points, so `length` (character count) agrees across
+    * engines. */
+  private[queries] val InvisiblePat =
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"
+
+  /** The l91 scrub over any (doc_id, text) frame — public for the spec's
+    * adversarial fixtures (bidi sandwiches, zero-width splits inside
+    * words). Output: doc_id, n_stripped, n_nbsp, clean_text. */
+  def invisibleScrub(docs: DataFrame): DataFrame = {
+    val noinv = regexp_replace(col("text"), InvisiblePat, "")
+    docs
+      .withColumn("noinv", noinv)
+      .select(col("doc_id"),
+        (length(col("text")) - length(col("noinv"))).cast("long").as("n_stripped"),
+        (length(col("noinv")) -
+          length(regexp_replace(col("noinv"), "\u00A0", ""))).cast("long").as("n_nbsp"),
+        regexp_replace(col("noinv"), "\u00A0", " ").as("clean_text"))
+  }
+
+  /** L91: invisible-character scrub — the Unicode hygiene pass web text
+    * needs before ANY token-level op: zero-width spaces/joiners (U+200B–D),
+    * the byte-order mark (U+FEFF, mid-text after careless concatenation),
+    * soft hyphens (U+00AD), and the bidi control set (U+202A–E,
+    * U+2066–69 — the "Trojan Source" characters that render text
+    * differently than it tokenizes) are DELETED; non-breaking spaces
+    * (U+00A0) normalize to plain spaces. Every downstream op in this file
+    * tokenizes on ' ' — a ZWSP inside a word silently splits every
+    * affected n-gram, dedup signature and token count, which is why the
+    * scrub runs FIRST and why the declared output counts what it removed
+    * (the audit a release ships: how much of the corpus was invisibly
+    * damaged). Staged deterministically: every 9th document is prefixed
+    * with a bidi-wrapped payload plus ZWSP/BOM/soft-hyphen/NBSP (the l16
+    * augmentation idiom — the fixture corpus is clean ASCII).
+    *
+    * 100 TB posture: pure per-row regex over one scan, zero shuffles
+    * (plan-pinned); the character classes are fixed BMP sets so Java and
+    * RE2 agree byte-for-byte, and `length` counts characters identically
+    * on both engines. */
+  val l91_invisible_scrub = Q(
+    "l91_invisible_scrub",
+    """WITH aug AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 0
+      |         THEN chr(8203) || chr(173) || chr(65279) || chr(8238) ||
+      |              'evil' || chr(8236) || chr(160) || ' ' || text
+      |         ELSE text END AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id, text,
+      |        regexp_replace(text,
+      |          '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}\x{202A}-\x{202E}\x{2066}-\x{2069}]',
+      |          '', 'g') AS noinv
+      |      FROM aug)
+      |SELECT doc_id,
+      |  CAST(length(text) - length(noinv) AS BIGINT) AS n_stripped,
+      |  CAST(length(noinv) - length(replace(noinv, chr(160), '')) AS BIGINT)
+      |    AS n_nbsp,
+      |  replace(noinv, chr(160), ' ') AS clean_text
+      |FROM c ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val aug = spread(documents(s, d)).select(col("doc_id"),
+      when(col("doc_id") % 9 === 0,
+        concat(lit("\u200B\u00AD\uFEFF\u202Eevil\u202C\u00A0 "), col("text")))
+        .otherwise(col("text")).as("text"))
+    invisibleScrub(aug).orderBy("doc_id")
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -6087,5 +6154,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub)
 }

@@ -808,4 +808,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct"),
       s"the one-row totals attach as a broadcast, never a cartesian:\n$p")
   }
+
+  test("L91: the invisible-character scrub is a pure per-row scan — no " +
+      "exchange but the result sort, no join, no window, no aggregate") {
+    val p = finalPlan(LlmQueries.l91_invisible_scrub)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("hashpartitioning"),
+      s"a per-row scrub must not exchange:\n$p")
+    assert(!fin.contains("Join") && !fin.contains("Window"),
+      s"no join or window belongs in a character scrub:\n$p")
+  }
 }

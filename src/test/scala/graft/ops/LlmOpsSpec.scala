@@ -2509,4 +2509,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(keptEn > keptOther,
       s"in-domain (en) keep rate $keptEn must exceed background $keptOther")
   }
+
+  test("l91 invisible scrub: zero-width splits, bidi sandwiches, BOM/soft-hyphen " +
+      "and NBSPs are removed or normalized with exact accounting") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "foo\u200Bbar baz"), // ZWSP inside a word — the n-gram splitter
+      (2L, "\u202Aleft\u202C to \u2066iso\u2069"), // bidi embeds + isolates
+      (3L, "a\u00A0b\u00A0c"), // NBSPs normalize, not delete
+      (4L, "plain ascii text"), // untouched
+      (5L, "\uFEFFbom\u00ADsoft")) // mid-corpus BOM + soft hyphen
+    val got = graft.queries.LlmQueries.invisibleScrub(rows.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((1L, 0L, "foobar baz")),
+      "a ZWSP inside a word must delete, restoring the token")
+    assert(got(2L) === ((4L, 0L, "left to iso")),
+      "all four bidi controls must strip with the visible text intact")
+    assert(got(3L) === ((0L, 2L, "a b c")),
+      "NBSPs normalize to plain spaces and count separately")
+    assert(got(4L) === ((0L, 0L, "plain ascii text")), "clean text passes through")
+    assert(got(5L) === ((2L, 0L, "bomsoft")))
+    // the downstream contract: every tokenizer in this engine splits on
+    // ' ' — after the scrub the damaged word is ONE token again
+    assert(got(1L)._3.split(" ").head == "foobar")
+  }
 }
