@@ -1292,6 +1292,64 @@ object LlmQueries {
     invisibleScrub(aug).orderBy("doc_id")
   }
 
+  /** L92: mixed-script (homoglyph) token audit — the detection companion
+    * to l91's deletion pass: a Cyrillic 'а' (U+0430) or Greek 'ο'
+    * (U+03BF) spliced into a Latin word renders identically but breaks
+    * every exact-match op downstream (dedup signatures, blocklist
+    * probes, eval decontamination — the classic dedup-evasion and
+    * spam-cloaking trick), and unlike invisible characters the right
+    * action is REVIEW, not rewrite (legitimate multilingual text mixes
+    * scripts at the token level too). Per doc: how many tokens mix
+    * Latin letters with Cyrillic or Greek in the SAME token, and the
+    * lexicographically-first such token as the review exhibit. Docs with
+    * no mixed token are dropped (the audit table stays corpus-sparse).
+    * Staged deterministically: every 13th document gets one Latin word
+    * with its 'a' swapped for U+0430 (the fixture corpus is clean
+    * ASCII).
+    *
+    * 100 TB posture: pure per-row HOF scan (tokenize → per-token
+    * character-class test → count + min), zero shuffles but the result
+    * sort; fixed BMP classes keep Java and RE2 byte-identical. */
+  val l92_mixed_script = Q(
+    "l92_mixed_script",
+    """WITH aug AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN 'p' || chr(1072) || 'yload ' || text
+      |         ELSE text END AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |      FROM aug),
+      |m AS (SELECT doc_id, tok FROM t
+      |      WHERE regexp_matches(tok, '[a-z]')
+      |        AND regexp_matches(tok, '[\x{0400}-\x{04FF}\x{0370}-\x{03FF}]')),
+      |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_mixed,
+      |             min(tok) AS exhibit
+      |      FROM m GROUP BY doc_id)
+      |SELECT doc_id, n_mixed, exhibit FROM g ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    // 'p' + CYRILLIC SMALL A + 'yload' — escapes only, the l91 rule
+    val aug = spread(documents(s, d)).select(col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        concat(lit("p\u0430yload "), col("text")))
+        .otherwise(col("text")).as("text"))
+    mixedScriptAudit(aug).orderBy("doc_id")
+  }
+
+  /** The l92 audit over any (doc_id, text) frame — public for the spec's
+    * adversarial fixtures (pure-Cyrillic text, accented Latin-1, spliced
+    * omicrons). Unordered output: (doc_id, n_mixed, exhibit), mixed-token
+    * docs only. */
+  def mixedScriptAudit(docs: DataFrame): DataFrame = {
+    val mixed = filter(TextOps.tokens(col("text")),
+      t => t.rlike("[a-z]") &&
+        t.rlike("[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]"))
+    docs.withColumn("mixed", mixed)
+      .filter(size(col("mixed")) > 0)
+      .select(col("doc_id"),
+        size(col("mixed")).cast("long").as("n_mixed"),
+        array_min(col("mixed")).as("exhibit"))
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -6154,5 +6212,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis, l91_invisible_scrub)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script)
 }

@@ -818,4 +818,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("Join") && !fin.contains("Window"),
       s"no join or window belongs in a character scrub:\n$p")
   }
+
+  test("L92: the mixed-script audit is per-row HOFs — no exchange but the " +
+      "result sort, no join, no aggregate (the per-doc count needs no groupBy " +
+      "because a doc's tokens live in one row)") {
+    val p = finalPlan(LlmQueries.l92_mixed_script)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("hashpartitioning"),
+      s"a per-row audit must not exchange:\n$p")
+    assert(!fin.contains("Join") && !fin.contains("HashAggregate"),
+      s"no join or aggregate belongs in a per-row token test:\n$p")
+  }
 }

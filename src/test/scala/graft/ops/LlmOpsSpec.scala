@@ -2535,4 +2535,25 @@ class LlmOpsSpec extends AnyFunSuite {
     // ' ' — after the scrub the damaged word is ONE token again
     assert(got(1L)._3.split(" ").head == "foobar")
   }
+
+  test("l92 mixed-script audit: spliced homoglyphs flag per token; pure-script " +
+      "and accented-Latin text passes clean") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "pаyload normal text"), // Cyrillic а inside a Latin word
+      (2L, "привет мир"), // pure Cyrillic
+      (3L, "café naïve résumé"), // accented Latin-1
+      (4L, "zerο θone two"), // Greek omicron + a θ-prefixed token
+      (5L, "plain ascii"))
+    val got = graft.queries.LlmQueries.mixedScriptAudit(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.keySet === Set(1L, 4L),
+      "only docs with Latin+Cyrillic/Greek MIXED tokens may flag — " +
+        "pure-script and accented text is legitimate multilingual content")
+    assert(got(1L) === ((1L, "pаyload")),
+      "the exhibit is the spoofed token itself")
+    assert(got(4L) === ((2L, "zerο")),
+      "both the omicron splice and the θ-prefixed token count; " +
+        "the exhibit is the lexicographically first")
+  }
 }
