@@ -1350,6 +1350,110 @@ object LlmQueries {
         array_min(col("mixed")).as("exhibit"))
   }
 
+  /** L93: Heaps'-law vocabulary-growth audit — the companion to l62's
+    * Zipf audit on the OTHER axis: how fast the type vocabulary grows as
+    * the corpus grows (V(N) ≈ K·N^β, Heaps/Herdan). Measured on l66's
+    * NESTED scaling ladder (rungs 1/4/20/100% from one salted hash — a
+    * strict-superset chain, so the four (N, V) points are a genuine
+    * growth curve of ONE corpus, not four unrelated samples), with the
+    * closed-form OLS of ln V on ln N folded in RUNG ORDER on both
+    * engines (the l62 ADVICE-hardened convention: a sequential fold on
+    * both sides, so round(·,6) never sits on reorder noise). β far from
+    * the ~0.4–0.6 natural-text band flags templated or synthetic content
+    * the same way a broken Zipf slope does — and unlike Zipf, Heaps
+    * directly predicts tokenizer OOV pressure at the next corpus scale.
+    * Output: the four cumulative (rung, n_tokens, v_types) points with
+    * the fitted (β, K) attached — the growth curve AND the law in one
+    * oracle-hashed table. Assumes every rung is non-empty (l66's spec
+    * pins the fixture rungs; an empty rung 1 would put ln(0) in the fit).
+    *
+    * 100 TB posture: the rung is a pure per-row hash function (no join
+    * against the l66 frame); the corpus-scale work is ONE type-level
+    * map-combinable aggregate (min rung per type) plus a ≤4-key token
+    * count; everything after is ≤4-row array arithmetic in one row. */
+  val l93_heaps_audit = Q(
+    "l93_heaps_audit", {
+      val hv = hexValOf("mh")
+      s"""WITH b AS (SELECT doc_id, text,
+         |            md5(CAST(doc_id AS VARCHAR) || ':ladder') AS mh
+         |          FROM documents),
+         |r0 AS (SELECT CASE WHEN CAST($hv AS BIGINT) < 42949672 THEN 1
+         |                   WHEN CAST($hv AS BIGINT) < 171798691 THEN 2
+         |                   WHEN CAST($hv AS BIGINT) < 858993459 THEN 3
+         |                   ELSE 4 END AS rung, text FROM b),
+         |t AS (SELECT rung, unnest(string_split(lower(text), ' ')) AS tok
+         |      FROM r0),
+         |tt AS (SELECT rung, tok FROM t WHERE tok <> ''),
+         |nr AS (SELECT rung, CAST(count(*) AS BIGINT) AS n FROM tt GROUP BY rung),
+         |vr AS (SELECT rung, CAST(count(*) AS BIGINT) AS v FROM
+         |        (SELECT tok, min(rung) AS rung FROM tt GROUP BY tok)
+         |       GROUP BY rung),
+         |cum AS (SELECT rr.rung,
+         |          (SELECT coalesce(sum(n), 0) FROM nr WHERE nr.rung <= rr.rung) AS cn,
+         |          (SELECT coalesce(sum(v), 0) FROM vr WHERE vr.rung <= rr.rung) AS cv
+         |        FROM (SELECT unnest([1, 2, 3, 4]) AS rung) rr),
+         |s AS (SELECT
+         |        list_reduce(list(ln(cn) ORDER BY rung), (a, b) -> a + b) AS sx,
+         |        list_reduce(list(ln(cv) ORDER BY rung), (a, b) -> a + b) AS sy,
+         |        list_reduce(list(ln(cn) * ln(cv) ORDER BY rung), (a, b) -> a + b) AS sxy,
+         |        list_reduce(list(ln(cn) * ln(cn) ORDER BY rung), (a, b) -> a + b) AS sxx
+         |      FROM cum)
+         |SELECT CAST(cum.rung AS BIGINT) AS rung,
+         |       CAST(cn AS BIGINT) AS n_tokens, CAST(cv AS BIGINT) AS v_types,
+         |       round((4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx), 6) AS heaps_beta,
+         |       round(exp((sy - (4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx) * sx)
+         |             / 4.0), 6) AS heaps_k
+         |FROM cum CROSS JOIN s ORDER BY rung""".stripMargin
+    }
+  ) { (s, d) =>
+    val mh = md5(concat(col("doc_id").cast("string"), lit(":ladder"))
+      .cast("binary"))
+    val bu = conv(substring(mh, 1, 8), 16, 10).cast("long")
+    val rung = Seq(0.01, 0.04, 0.20).zipWithIndex.foldRight(lit(4L): Column) {
+      case ((rate, i), els) =>
+        when(bu < (rate * 4294967296L).toLong, (i + 1).toLong).otherwise(els)
+    }
+    val toks = spread(documents(s, d))
+      .select(rung.as("rung"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val nr = toks.groupBy("rung").agg(count(lit(1)).as("n"))
+    val vr = toks.groupBy("tok").agg(min("rung").as("rung"))
+      .groupBy("rung").agg(count(lit(1)).as("v"))
+    val grid = nr.join(vr, Seq("rung"), "full")
+      .agg(collect_list(struct(col("rung"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("v"), lit(0L)).as("v"))).as("g"))
+    val sortedG = array_sort(col("g"))
+    val cum = transform(sequence(lit(1), lit(4)), r => struct(
+      r.cast("long").as("rung"),
+      aggregate(filter(sortedG, x => x.getField("rung") <= r), lit(0L),
+        (a, x) => a + x.getField("n")).as("cn"),
+      aggregate(filter(sortedG, x => x.getField("rung") <= r), lit(0L),
+        (a, x) => a + x.getField("v")).as("cv")))
+    // sequential left fold in rung order — the engine twin of the
+    // oracle's list_reduce(list(… ORDER BY rung)) (l62 convention)
+    val pts = transform(col("cum"), p => struct(
+      log(p.getField("cn").cast("double")).as("x"),
+      log(p.getField("cv").cast("double")).as("y")))
+    val zero = struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+      lit(0.0).as("sxy"), lit(0.0).as("sxx"))
+    val folded = aggregate(pts, zero, (acc, p) => struct(
+      (acc.getField("sx") + p.getField("x")).as("sx"),
+      (acc.getField("sy") + p.getField("y")).as("sy"),
+      (acc.getField("sxy") + p.getField("x") * p.getField("y")).as("sxy"),
+      (acc.getField("sxx") + p.getField("x") * p.getField("x")).as("sxx")))
+    val beta = (lit(4.0) * col("f.sxy") - col("f.sx") * col("f.sy")) /
+      (lit(4.0) * col("f.sxx") - col("f.sx") * col("f.sx"))
+    val lnk = (col("f.sy") - beta * col("f.sx")) / lit(4.0)
+    grid.select(cum.as("cum"))
+      .withColumn("f", folded)
+      .select(explode(col("cum")).as("c"), col("f"))
+      .select(col("c.rung").as("rung"),
+        col("c.cn").as("n_tokens"), col("c.cv").as("v_types"),
+        round(beta, 6).as("heaps_beta"), round(exp(lnk), 6).as("heaps_k"))
+      .orderBy("rung")
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -6212,5 +6316,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit)
 }

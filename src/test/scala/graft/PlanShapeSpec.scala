@@ -829,4 +829,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("Join") && !fin.contains("HashAggregate"),
       s"no join or aggregate belongs in a per-row token test:\n$p")
   }
+
+  test("L93: the Heaps audit's corpus work is one type-level exchange — the " +
+      "rung is computed inline (no join against the ladder frame)") {
+    val p = finalPlan(LlmQueries.l93_heaps_audit)
+    val fin = p.split("== Initial Plan ==")(0)
+    val tokEx = "Exchange hashpartitioning\\(tok".r.findAllMatchIn(fin).size
+    assert(tokEx == 1,
+      s"exactly ONE type-level exchange is the corpus budget, got $tokEx:\n$p")
+    assert(fin.contains("partial_count") || fin.contains("partial_min"),
+      s"the type aggregate must combine map-side:\n$p")
+    assert(!fin.contains("CartesianProduct"),
+      s"the 4-row grid combine must never cartesian the corpus:\n$p")
+  }
 }

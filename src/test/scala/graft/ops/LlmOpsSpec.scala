@@ -2556,4 +2556,48 @@ class LlmOpsSpec extends AnyFunSuite {
       "both the omicron splice and the θ-prefixed token count; " +
         "the exhibit is the lexicographically first")
   }
+
+  test("l93 Heaps audit: the growth curve and fit equal a driver replay; " +
+      "the curve is monotone and the nested-ladder points are consistent with l66") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def rung(id: Long): Int = {
+      val h = hv(s"$id:ladder") // first-8-hex-digit value of md5
+      if (h < 42949672L) 1 else if (h < 171798691L) 2
+      else if (h < 858993459L) 3 else 4
+    }
+    val toks = docs.flatMap { case (id, tx) =>
+      tx.toLowerCase.split(" ", -1).filter(_.nonEmpty).map(t => (rung(id), t)) }
+    val cum = (1 to 4).map { r =>
+      val in = toks.filter(_._1 <= r)
+      (r.toLong, in.length.toLong, in.map(_._2).distinct.length.toLong)
+    }
+    // ordered OLS fold over the 4 points, exactly as both engines compute
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0
+    cum.foreach { case (_, cn, cv) =>
+      val x = math.log(cn.toDouble); val y = math.log(cv.toDouble)
+      sx += x; sy += y; sxy += x * y; sxx += x * x
+    }
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val beta = (4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx)
+    val k = math.exp((sy - beta * sx) / 4.0)
+    val got = LlmQueries.l93_heaps_audit.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq === cum,
+      "cumulative (rung, tokens, types) must equal the replay")
+    got.foreach { g =>
+      assert(g._4 === rd(beta) && g._5 === rd(k),
+        s"fit (${g._4}, ${g._5}) must equal the replayed (${rd(beta)}, ${rd(k)})")
+    }
+    // structural invariants of a nested ladder: both axes strictly grow,
+    // V never exceeds N, and β sits in (0, 1) — sublinear vocab growth
+    cum.sliding(2).foreach { case Seq((_, n1, v1), (_, n2, v2)) =>
+      assert(n1 < n2 && v1 <= v2, "nested rungs must grow")
+    }
+    assert(cum.forall { case (_, n, v) => v <= n })
+    assert(beta > 0 && beta < 1, s"Heaps β out of the sublinear band: $beta")
+  }
 }
