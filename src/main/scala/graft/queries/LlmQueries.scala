@@ -1350,6 +1350,66 @@ object LlmQueries {
         array_min(col("mixed")).as("exhibit"))
   }
 
+  /** L94: rule-vs-model filter agreement audit — the gate before a
+    * pipeline SWAPS its rules filter for the learned one (the GPT-3/
+    * LLaMA migration every corpus team makes): over the whole corpus,
+    * the confusion between the l15/l80 weak-label RULES decision and
+    * the frozen classifier's decision (margin ≥ 0), folded to the one
+    * row a migration review reads — both-keep/both-drop/disagreement
+    * counts, raw agreement, and Cohen's κ (chance-corrected — raw
+    * agreement flatters any filter pair when one class dominates).
+    * A κ collapse after a classifier refit means the model stopped
+    * tracking the editorial intent the rules encode; disagreement
+    * counts say which DIRECTION it drifted (looser or stricter).
+    *
+    * Determinism without float folds: every cell is an exact integer
+    * count (map-combinable sums of 0/1 products), and agreement/κ are
+    * single arithmetic expressions over those integers — no
+    * summation-order wobble anywhere (the l86 micro-integer stance).
+    * Rides the session's cached quality frame: auditing 100 TB costs
+    * one aggregation pass over already-computed scores. */
+  val l94_filter_agreement = Q(
+    "l94_filter_agreement",
+    s"""WITH $qualityScoreCtes,
+       |x AS (SELECT CAST(label AS BIGINT) AS r,
+       |             CAST(mg >= 0 AS BIGINT) AS md FROM g),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(r * md) AS BIGINT) AS n11,
+       |             CAST(sum((1 - r) * (1 - md)) AS BIGINT) AS n00,
+       |             CAST(sum(r * (1 - md)) AS BIGINT) AS n10,
+       |             CAST(sum((1 - r) * md) AS BIGINT) AS n01
+       |      FROM x)
+       |SELECT n, n11 AS n_both_keep, n00 AS n_both_drop,
+       |       n10 AS n_rules_only, n01 AS n_model_only,
+       |       round((n11 + n00) * 1.0 / n, 6) AS agreement,
+       |       round(((n11 + n00) * 1.0 / n
+       |              - ((n11 + n10) * 1.0 * (n11 + n01)
+       |                 + (n00 + n01) * 1.0 * (n00 + n10)) / (n * 1.0 * n))
+       |             / (1.0 - ((n11 + n10) * 1.0 * (n11 + n01)
+       |                 + (n00 + n01) * 1.0 * (n00 + n10)) / (n * 1.0 * n)),
+       |             6) AS cohen_kappa
+       |FROM a""".stripMargin
+  ) { (s, d) =>
+    import graft.ml.PinnedQualityLr
+    val scored = PinnedQualityLr.featureFrame(qualityCached(s, d))
+      .select(PinnedQualityLr.weakLabel.cast("long").as("r"),
+        (PinnedQualityLr.margin >= 0).cast("long").as("md"))
+    val a = scored.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("r") * col("md")).cast("long").as("n11"),
+      sum((lit(1L) - col("r")) * (lit(1L) - col("md"))).cast("long").as("n00"),
+      sum(col("r") * (lit(1L) - col("md"))).cast("long").as("n10"),
+      sum((lit(1L) - col("r")) * col("md")).cast("long").as("n01"))
+    val pe = ((col("n11") + col("n10")) * lit(1.0) * (col("n11") + col("n01"))
+      + (col("n00") + col("n01")) * lit(1.0) * (col("n00") + col("n10"))) /
+      (col("n") * lit(1.0) * col("n"))
+    val po = (col("n11") + col("n00")) * lit(1.0) / col("n")
+    a.select(col("n"), col("n11").as("n_both_keep"), col("n00").as("n_both_drop"),
+        col("n10").as("n_rules_only"), col("n01").as("n_model_only"),
+        round(po, 6).as("agreement"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("cohen_kappa"))
+  }
+
   /** L93: Heaps'-law vocabulary-growth audit — the companion to l62's
     * Zipf audit on the OTHER axis: how fast the type vocabulary grows as
     * the corpus grows (V(N) ≈ K·N^β, Heaps/Herdan). Measured on l66's
@@ -2302,9 +2362,11 @@ object LlmQueries {
     * ZERO shuffles, no fit pass, no broadcast (the model is four literals
     * folded into codegen). PlanShapeSpec pins the no-join/no-aggregate
     * shape. */
-  val l80_quality_classifier = Q(
-    "l80_quality_classifier",
-    s"""WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+  /** The l80 scoring chain — weak-label features, the rules label, the
+    * frozen-coefficient margin — shared verbatim by the l80 oracle and
+    * l94's agreement audit (which aggregates exactly this frame). */
+  private lazy val qualityScoreCtes =
+    s"""d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
        |b AS (SELECT doc_id, lang, toks, len(toks) AS n,
        |        list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bg
        |      FROM d),
@@ -2322,7 +2384,11 @@ object LlmQueries {
        |        round(topf, 6) AS top_bigram_frac,
        |        round(short1, 6) AS short_token_frac
        |      FROM m),
-       |g AS (SELECT doc_id, label, ${graft.ml.PinnedQualityLr.marginSql} AS mg FROM f)
+       |g AS (SELECT doc_id, label, ${graft.ml.PinnedQualityLr.marginSql} AS mg FROM f)""".stripMargin
+
+  val l80_quality_classifier = Q(
+    "l80_quality_classifier",
+    s"""WITH $qualityScoreCtes
        |SELECT doc_id, label,
        |       round(1.0 / (1.0 + exp(-mg)), 6) AS score,
        |       CAST(mg >= 0 AS BIGINT) AS wiki_like
@@ -6316,5 +6382,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement)
 }

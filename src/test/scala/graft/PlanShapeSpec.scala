@@ -842,4 +842,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct"),
       s"the 4-row grid combine must never cartesian the corpus:\n$p")
   }
+
+  test("L94: the agreement audit is ONE map-combinable aggregate over the " +
+      "cached quality frame — no join, no window, no second pass") {
+    val p = finalPlan(LlmQueries.l94_filter_agreement)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("InMemoryTableScan"),
+      s"the decisions must come from the shared quality cache:\n$p")
+    assert(fin.contains("partial_sum") || fin.contains("partial_count"),
+      s"the confusion cells must combine map-side:\n$p")
+    assert(!fin.contains("Join") && !fin.contains("Window"),
+      s"one grid aggregate, never a join or window:\n$p")
+  }
 }

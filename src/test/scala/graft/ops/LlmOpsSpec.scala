@@ -2600,4 +2600,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cum.forall { case (_, n, v) => v <= n })
     assert(beta > 0 && beta < 1, s"Heaps β out of the sublinear band: $beta")
   }
+
+  test("l94 filter agreement: the audit row reconciles cell-by-cell with the " +
+      "declared l80 decisions, and kappa matches the hand formula") {
+    val l80 = LlmQueries.l80_quality_classifier.fn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3))) // (rules label, model decision)
+    val n = l80.length.toLong
+    val n11 = l80.count(p => p._1 == 1L && p._2 == 1L).toLong
+    val n00 = l80.count(p => p._1 == 0L && p._2 == 0L).toLong
+    val n10 = l80.count(p => p._1 == 1L && p._2 == 0L).toLong
+    val n01 = l80.count(p => p._1 == 0L && p._2 == 1L).toLong
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) +
+      (n00 + n01).toDouble * (n00 + n10)) / (n.toDouble * n)
+    val kappa = (po - pe) / (1.0 - pe)
+    val row = LlmQueries.l94_filter_agreement.fn(spark, sf).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4)) === ((n, n11, n00, n10, n01)),
+      "the confusion cells must reconcile with the declared l80 rows")
+    assert(row.getDouble(5) === rd(po) && row.getDouble(6) === rd(kappa),
+      s"agreement/kappa must equal the hand formula (${rd(po)}, ${rd(kappa)})")
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    info(f"l94: agreement $po%.4f, Cohen's kappa $kappa%.4f " +
+      f"(rules-only $n10, model-only $n01 of $n docs)")
+  }
 }
