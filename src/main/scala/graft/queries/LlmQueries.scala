@@ -1514,6 +1514,126 @@ object LlmQueries {
       .orderBy("rung")
   }
 
+  /** L95: k-means convergence audit — the monitoring half of the
+    * clustering substrate every IVF consumer (l7/l11/l28/l57/l87/l88)
+    * builds on: run the deterministic quantizer THREE assignment rounds
+    * deep (seed assignment, then two Lloyd refinements — one more than
+    * the production fit) and emit per-iteration inertia
+    * (Σ (1 − cos(v, assigned centroid)), the quantity Lloyd descends)
+    * plus the reassignment count versus the previous round. This is the
+    * convergence curve a production index build watches: flat inertia
+    * and near-zero moves certify the fit the pipeline freezes; a curve
+    * still falling says the index shipped under-trained (and quantifies
+    * what another round would buy — the measured answer to "why does
+    * fitQuantizer stop at ONE refinement"). Same conventions as the fit
+    * everywhere: md5-ordered seeds, round(·,6) cosines before ranking,
+    * (cos DESC, cl DESC) tie-break, per-dimension round(avg, 6)
+    * refinement — so iteration 1 of this audit IS the deployed fit.
+    *
+    * 100 TB posture: each round is one broadcast-assign scan (k dots per
+    * row) plus one map-combinable (bucket, pos) refinement aggregate —
+    * exactly the deployed fit's shapes, ×3; the moved-count join ships
+    * (vec_id, bucket) metadata only. Inertia sums 6-dp-rounded per-row
+    * terms and rounds the total to 6 dp — reorder noise is ~1e-12 of the
+    * magnitude, far inside the rounding. */
+  val l95_kmeans_convergence = Q(
+    "l95_kmeans_convergence",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |prm AS (SELECT greatest(2, CAST(floor(sqrt(count(*))) AS INT)) AS k FROM e),
+      |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl, v AS sv
+      |       FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT (SELECT k FROM prm)),
+      |a1 AS (SELECT vec_id, v, cl, rcos,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, cl DESC) AS rk
+      |       FROM (SELECT e.vec_id, e.v, sd.cl,
+      |                    round(list_dot_product(e.v, sd.sv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sd.sv, sd.sv))), 6) AS rcos
+      |             FROM e CROSS JOIN sd)),
+      |m2 AS (SELECT cl, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val
+      |       FROM a1 WHERE rk = 1),
+      |c2 AS (SELECT cl, list(mv ORDER BY pos) AS cv FROM
+      |        (SELECT cl, pos, round(avg(val), 6) AS mv FROM m2 GROUP BY cl, pos)
+      |       GROUP BY cl),
+      |a2 AS (SELECT vec_id, v, cl, rcos,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, cl DESC) AS rk
+      |       FROM (SELECT e.vec_id, e.v, c2.cl,
+      |                    round(list_dot_product(e.v, c2.cv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c2.cv, c2.cv))), 6) AS rcos
+      |             FROM e CROSS JOIN c2)),
+      |m3 AS (SELECT cl, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val
+      |       FROM a2 WHERE rk = 1),
+      |c3 AS (SELECT cl, list(mv ORDER BY pos) AS cv FROM
+      |        (SELECT cl, pos, round(avg(val), 6) AS mv FROM m3 GROUP BY cl, pos)
+      |       GROUP BY cl),
+      |a3 AS (SELECT vec_id, v, cl, rcos,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, cl DESC) AS rk
+      |       FROM (SELECT e.vec_id, e.v, c3.cl,
+      |                    round(list_dot_product(e.v, c3.cv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c3.cv, c3.cv))), 6) AS rcos
+      |             FROM e CROSS JOIN c3)),
+      |i0 AS (SELECT round(sum(1.0 - rcos), 6) AS inertia FROM a1 WHERE rk = 1),
+      |i1 AS (SELECT round(sum(1.0 - rcos), 6) AS inertia FROM a2 WHERE rk = 1),
+      |i2 AS (SELECT round(sum(1.0 - rcos), 6) AS inertia FROM a3 WHERE rk = 1),
+      |mv1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+      |         (SELECT vec_id, cl FROM a2 WHERE rk = 1) x
+      |         JOIN (SELECT vec_id, cl FROM a1 WHERE rk = 1) y USING (vec_id)
+      |        WHERE x.cl <> y.cl),
+      |mv2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+      |         (SELECT vec_id, cl FROM a3 WHERE rk = 1) x
+      |         JOIN (SELECT vec_id, cl FROM a2 WHERE rk = 1) y USING (vec_id)
+      |        WHERE x.cl <> y.cl)
+      |SELECT CAST(iter AS BIGINT) AS iter, inertia, n_moved FROM (
+      |  SELECT 0 AS iter, (SELECT inertia FROM i0) AS inertia,
+      |         CAST(0 AS BIGINT) AS n_moved
+      |  UNION ALL SELECT 1, (SELECT inertia FROM i1), (SELECT n FROM mv1)
+      |  UNION ALL SELECT 2, (SELECT inertia FROM i2), (SELECT n FROM mv2))
+      |ORDER BY iter""".stripMargin
+  ) { (s, d) =>
+    val e = withNorm(embeddings(s, d))
+    val k = math.max(2, math.sqrt(e.count().toDouble).toInt)
+    val mdKey = md5(col("vec_id").cast("string").cast("binary"))
+    val seedArr = e.orderBy(mdKey, col("vec_id")).limit(k)
+      .agg(collect_list(struct(mdKey.as("mk"), col("vec_id"), col("v"))).as("raw"))
+      .select(transform(array_sort(col("raw")), (x, i) => struct(
+        i.as("cl"),
+        x.getField("v").as("cv"),
+        sqrt(dot(x.getField("v"), x.getField("v"))).as("cn")))
+        .as("cents"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("top", rankedCents(col("cents")).getItem(0))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("top").getField("cl").as("bucket"),
+          col("top").getField("cos").as("cos"))
+    def refine(asg: DataFrame): DataFrame =
+      asg.select(col("bucket"), posexplode(col("v")))
+        .groupBy("bucket", "pos").agg(round(avg("col"), 6).as("m"))
+        .groupBy(col("bucket").as("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cv"))
+        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+        .agg(collect_list(struct(col("cl"), col("cv"), col("cn"))).as("cents"))
+    val a0 = assign(seedArr)
+    val a1 = assign(refine(a0))
+    val a2 = assign(refine(a1))
+    def row(i: Long, asg: DataFrame, prev: Option[DataFrame]): DataFrame = {
+      val base = asg.agg(round(sum(lit(1.0) - col("cos")), 6).as("inertia"))
+        .select(lit(i).as("iter"), col("inertia"))
+      prev match {
+        case None => base.withColumn("n_moved", lit(0L))
+        case Some(p) =>
+          val moved = asg.select(col("vec_id"), col("bucket"))
+            .join(p.select(col("vec_id"), col("bucket").as("pb")), "vec_id")
+            .filter(col("bucket") =!= col("pb"))
+            .agg(count(lit(1)).cast("long").as("n_moved"))
+          base.crossJoin(broadcast(moved))
+      }
+    }
+    row(0L, a0, None)
+      .unionByName(row(1L, a1, Some(a0)))
+      .unionByName(row(2L, a2, Some(a1)))
+      .orderBy("iter")
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -6382,5 +6502,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence)
 }

@@ -854,4 +854,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("Join") && !fin.contains("Window"),
       s"one grid aggregate, never a join or window:\n$p")
   }
+
+  test("L95: every convergence round is a broadcast-assign scan + map-combined " +
+      "refinement — never a cartesian, and only metadata joins") {
+    val p = finalPlan(LlmQueries.l95_kmeans_convergence)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"),
+      s"the one-row cents frames attach as broadcasts:\n$p")
+    assert(fin.contains("partial_avg") || fin.contains("partial_sum"),
+      s"centroid refinement must combine map-side:\n$p")
+    assert(fin.contains("BroadcastNestedLoopJoin") || fin.contains("BroadcastExchange"),
+      s"assignment reads the cents via broadcast:\n$p")
+  }
 }

@@ -2626,4 +2626,24 @@ class LlmOpsSpec extends AnyFunSuite {
     info(f"l94: agreement $po%.4f, Cohen's kappa $kappa%.4f " +
       f"(rules-only $n10, model-only $n01 of $n docs)")
   }
+
+  test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
+      "one-refinement production fit is empirically justified") {
+    val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    val Seq(i0, i1, i2) = rows.map(_._2).toSeq
+    val Seq(m0, m1, m2) = rows.map(_._3).toSeq
+    assert(i0 > 0 && i1 > 0 && i2 > 0)
+    assert(i0 > i1 && i1 >= i2 - 1e-6,
+      s"Lloyd inertia must descend on the fixture: $i0 -> $i1 -> $i2")
+    assert(m0 == 0L && m1 > m2,
+      s"reassignments must shrink as the fit settles: $m0, $m1, $m2")
+    // the design claim behind fitQuantizer's single refinement: the first
+    // refinement captures most of the achievable descent on this corpus
+    val gain1 = i0 - i1; val gain2 = i1 - i2
+    assert(gain1 > gain2,
+      s"first-refinement gain $gain1 must dominate the second's $gain2")
+    info(f"l95: inertia $i0%.2f -> $i1%.2f -> $i2%.2f; moves $m1 -> $m2")
+  }
 }
