@@ -44,6 +44,14 @@ object CountMin {
     explode(array((0 until D).map(r =>
       struct(lit(r).as("r"), rowCol(hx, r).as("c"))): _*))
 
+  /** The exploded (r, c) counter coordinates of one value — D rows per
+    * input row, the cell stream both the batch [[sketch]] and the
+    * streaming weekly sketch (StreamingOps.weeklyCmSketch) aggregate.
+    * Public so stateful consumers can group the SAME cells under their
+    * own keys (e.g. a time window) without re-deriving the hash layout. */
+  def cells(value: Column): Column =
+    rcPairs(md5(value.cast("string").cast("binary")))
+
   /** The sketch of `value`'s frequency distribution (nulls ignored):
     * (r, c, cnt) with ≤ D·W rows. One map-side-combinable aggregate over
     * D rows emitted per input row. Two sketches over disjoint data merge

@@ -1634,6 +1634,38 @@ object LlmQueries {
       .orderBy("iter")
   }
 
+  /** L96: weekly count-min sketch maintenance — the heavy-hitters
+    * companion to l12's weekly HLL, as the engine op a streaming
+    * deployment runs (StreamingOps.weeklyCmSketch, one body batch and
+    * streaming): per week, the D×W mergeable counter grid of the
+    * user_id frequency distribution (state ≤ 2048 rows per open window,
+    * NEVER the key set), with point estimation (d14's exact-or-over min
+    * probe) running offline against the emitted cells — the
+    * lambda-architecture split. The declared row hashes the batch form;
+    * StreamingSpec pins the streamed cells ≡ these cells week by week
+    * and the estimate round-trip on top of them. The oracle replays
+    * every counter from the md5 hex digits (the d14 register replay,
+    * plus the l12 week convention). */
+  val l96_weekly_cm_sketch = Q(
+    "l96_weekly_cm_sketch", {
+      val hex8 = (1 to 8).map { i =>
+        s"(strpos('0123456789abcdef', substr(hx, 8*r + $i, 1)) - 1) * ${BigInt(16).pow(8 - i)}"
+      }.mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT CAST(CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE) AS VARCHAR)
+         |             AS week_ending,
+         |           md5(CAST(user_id AS VARCHAR)) AS hx
+         |           FROM events WHERE user_id IS NOT NULL),
+         |rc AS (SELECT week_ending, r, ($hex8) % 512 AS c
+         |       FROM h CROSS JOIN (SELECT unnest(range(4)) AS r) rows_)
+         |SELECT week_ending, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM rc GROUP BY 1, 2, 3 ORDER BY week_ending, r, c""".stripMargin
+    }
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.weeklyCmSketch(events(s, d), col("user_id"))
+      .orderBy("week_ending", "r", "c")
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -6502,5 +6534,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DateType
@@ -429,6 +429,34 @@ object StreamingOps {
         col("n_novel").cast("long").as("n_novel"),
         round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
           .as("novelty_rate"))
+  }
+
+  /** Weekly count-min sketch maintenance — the heavy-hitters companion to
+    * [[weeklyApproxDistinct]]'s HLL: the stream keeps ONE mergeable
+    * D×W counter grid per week (state ≤ 2048 rows per open window, never
+    * the key set), emitting each closed week's sketch cells; point
+    * estimation (CountMin.estimate — min over a key's D counters,
+    * exact-or-over) runs OFFLINE against the emitted cells, the
+    * lambda-architecture split: the stream maintains the sketch, batch
+    * queries it. Same body batch and streaming (withWatermark is a no-op
+    * in batch — the declared l96 row hashes the batch form against the
+    * DuckDB register replay); StreamingSpec pins stream ≡ batch cell for
+    * cell and the estimate round-trip. UTC session required, as every
+    * weekly op here ([[requireUtc]]). */
+  def weeklyCmSketch(events: DataFrame, key: Column,
+      watermark: String = "14 days"): DataFrame = {
+    requireUtc(events)
+    events.filter(key.isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), graft.ops.CountMin.cells(key).as("rc"))
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"),
+        col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(date_add(col("w.end").cast(DateType), -1), "yyyy-MM-dd")
+          .as("week_ending"),
+        col("r").cast("long").as("r"), col("c").cast("long").as("c"),
+        col("cnt").cast("long").as("cnt"))
   }
 
   /** Exactly-once-BY-IDEMPOTENCE file sink for `foreachBatch` — the

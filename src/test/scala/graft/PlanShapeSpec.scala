@@ -866,4 +866,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(fin.contains("BroadcastNestedLoopJoin") || fin.contains("BroadcastExchange"),
       s"assignment reads the cents via broadcast:\n$p")
   }
+
+  test("L96: the weekly CM sketch is one map-combinable grid aggregate — " +
+      "cells combine before the exchange, no join, no window function") {
+    val p = finalPlan(LlmQueries.l96_weekly_cm_sketch)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count"),
+      s"counter cells must combine map-side (the mergeable-sketch property):\n$p")
+    assert(!fin.contains("Join"), s"a sketch build joins nothing:\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllMatchIn(fin).size
+    assert(ex <= 1, s"one (week, r, c) exchange is the budget, got $ex:\n$p")
+  }
 }

@@ -78,6 +78,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming weekly count-min sketch equals the batch cells; offline " +
+      "estimation over the streamed cells is exact-or-over") {
+    import spark.implicits._
+    // duplicated input: every event arrives twice, so each key's exact
+    // weekly count is 2 and the exact-or-over contract is observable
+    val (dir, batch) = stage(dups = true)
+    val doubled = batch.union(batch)
+    val expected = StreamingOps.weeklyCmSketch(doubled, col("event_id"))
+      .collect().map(_.toSeq).toSet
+    val got = runStream(dir,
+        StreamingOps.weeklyCmSketch(_, col("event_id")), "cm_stream", "complete")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected,
+      "micro-batch counter merges must reproduce the batch sketch cell for cell")
+    // the lambda split: estimation runs OFFLINE against the streamed cells
+    val wk = got.map(_(0).asInstanceOf[String]).min
+    val sk = got.toSeq.filter(_(0) == wk)
+      .map(s => (s(1).asInstanceOf[Long], s(2).asInstanceOf[Long],
+        s(3).asInstanceOf[Long]))
+      .toDF("r", "c", "cnt")
+    val weekKeys = doubled
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"),
+        col("event_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(date_format(date_add(col("w.end").cast("date"), -1),
+        "yyyy-MM-dd").as("week_ending"), col("event_id"), col("n_exact"))
+      .filter(col("week_ending") === wk)
+      .limit(50)
+    val ests = graft.ops.CountMin.estimate(sk, weekKeys, col("event_id"))
+      .join(weekKeys.withColumnRenamed("event_id", "key"), Seq("key"))
+      .select("key", "cm_est", "n_exact").collect()
+    assert(ests.nonEmpty)
+    ests.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CM estimate for key ${r.getLong(0)} under-counted: " +
+          s"${r.getLong(1)} < ${r.getLong(2)} — the sketch must never under-estimate")
+    }
+  }
+
   test("streaming dedup emits each event_id exactly once") {
     // files arrive in arbitrary (non-time) order, so the watermark must
     // exceed the table's time span or re-arrivals of old rows would be
