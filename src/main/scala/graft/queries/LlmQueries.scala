@@ -1666,6 +1666,83 @@ object LlmQueries {
       .orderBy("week_ending", "r", "c")
   }
 
+  /** L4's INCREMENTAL form over two shingle frames: which increment docs
+    * near-duplicate BASE docs, without ever pairing the base against
+    * itself or the increment against itself — the production ingest
+    * shape (every new crawl dedups against the standing index, and
+    * re-pairing a 100 TB base per ingest would dwarf the ingest itself).
+    * The prefix theorem needs only a COMMON total order over shingles on
+    * both sides; the incremental setting uses document frequency IN THE
+    * BASE INDEX (absent-from-base → df 0 = rarest, hash as tie-break) —
+    * the order an ingest actually has on hand, since the base index is
+    * built and the increment is not. Base prefixes index; increment
+    * prefixes probe; the same length + positional filters prune in the
+    * join; survivors pay l4's exact sorted-merge verify. Candidate
+    * generation stays EXACT (any common total order satisfies the
+    * theorem — IncrementalDedupProps checks ≡ the naive cross join). */
+  def jaccardIncrementalFrom(baseSh: DataFrame, incSh: DataFrame,
+      tau: Double = NearDupTau): DataFrame = {
+    def hashed(sh: DataFrame) = sh.select(col("doc_id"),
+      size(col("ss")).as("nf"),
+      array_distinct(graft.functions.TextExprs.xxhash64Array(col("ss"))).as("hss"))
+    val baseEx = hashed(baseSh)
+      .select(col("doc_id"), col("nf"), explode(col("hss")).as("sng"))
+    val incEx = hashed(incSh)
+      .select(col("doc_id"), col("nf"), explode(col("hss")).as("sng"))
+    val baseDf = baseEx.groupBy("sng").agg(count(lit(1)).as("bdf"))
+    def prefixed(ex: DataFrame) = {
+      val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sng"))
+      ex.join(baseDf, Seq("sng"), "left")
+        .withColumn("df", coalesce(col("bdf"), lit(0L)))
+        .withColumn("rk", row_number().over(byRarity))
+        .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1)
+        .select(col("doc_id"), col("nf"), col("sng"), col("rk"))
+    }
+    val cand = prefixed(baseEx).as("a").join(prefixed(incEx).as("b"),
+        col("a.sng") === col("b.sng") &&
+          least(col("a.nf"), col("b.nf")).cast("double") >=
+            lit(tau) * greatest(col("a.nf"), col("b.nf")) - 1e-9 &&
+          (lit(1) + least(col("a.nf") - col("a.rk"), col("b.nf") - col("b.rk")))
+            .cast("double") >=
+            lit(tau / (1 + tau)) * (col("a.nf") + col("b.nf")) - 1e-9)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyPairs(cand, baseSh.unionByName(incSh), tau)
+  }
+
+  /** L97: incremental near-dup ingest — [[jaccardIncrementalFrom]] with
+    * base = even doc_ids (the standing corpus) and increment = odd (the
+    * arriving crawl), riding the session shingle cache. Output: every
+    * (base, new) pair at J ≥ τ — the rows an ingest acts on (drop the
+    * new doc, or supersede the old). The oracle is blocking-free (all
+    * cross-parity pairs by shared shingle + exact Jaccard), so a green
+    * hash certifies the incremental index's EXACTNESS, not just its
+    * candidates; the within-side silence is structural (the join's two
+    * sides are the two eras). */
+  val l97_incremental_dedup = Q(
+    "l97_incremental_dedup",
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(len(toks) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
+       |       FROM d),
+       |sz AS (SELECT doc_id, len(ss) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM ex a JOIN ex b ON a.s = b.s
+       |        AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |      GROUP BY 1, 2),
+       |pr AS (SELECT i, j, round(c * 1.0 / (si.n + sj.n - c), 6) AS jac
+       |       FROM p JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+       |       WHERE c * 1.0 / (si.n + sj.n - c) >= $NearDupTau)
+       |SELECT i, j, jac FROM pr ORDER BY i, j""".stripMargin
+  ) { (s, d) =>
+    val sh = shingledCached(s, d)
+    jaccardIncrementalFrom(
+      sh.filter(col("doc_id") % 2 === 0),
+      sh.filter(col("doc_id") % 2 === 1))
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -6534,5 +6611,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup)
 }

@@ -877,4 +877,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val ex = "Exchange hashpartitioning".r.findAllMatchIn(fin).size
     assert(ex <= 1, s"one (week, r, c) exchange is the budget, got $ex:\n$p")
   }
+
+  test("L97: incremental dedup probes the base inverted index as an equi-join " +
+      "on shingle hashes — never a cartesian, never all-pairs") {
+    val p = finalPlan(LlmQueries.l97_incremental_dedup)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"),
+      s"the candidate join must block on shingle hashes:\n$p")
+    assert("hashpartitioning\\(sng|hashpartitioning\\(.*sng".r
+        .findAllMatchIn(fin).nonEmpty || fin.contains("sng"),
+      s"the inverted-index probe must key on the shingle hash:\n$p")
+  }
 }

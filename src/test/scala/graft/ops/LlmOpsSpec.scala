@@ -195,6 +195,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental dedup (l97 core) is exact vs the naive cross join on " +
+      "random era splits — including increment shingles the base never saw") {
+    val rnd = new scala.util.Random(23)
+    for (tau <- Seq(0.3, 0.5); trial <- 0 until 2) {
+      // base-era docs over one vocab; increment mixes base vocab (dup
+      // candidates) with fresh vocab (df-0-in-base shingles — the order
+      // edge the incremental prefix ranking must survive)
+      val docs = docsDf((0 until 36).map { i =>
+        val fresh = i % 2 == 1 && i % 3 == 0
+        val voc = if (fresh) "n" else "t"
+        val n = 4 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(s"$voc${rnd.nextInt(12)}").mkString(" "))
+      })
+      val sh = shingleFrame(docs).filter(size(col("ss")) > 0)
+      val base = sh.filter(col("doc_id") % 2 === 0)
+      val inc = sh.filter(col("doc_id") % 2 === 1)
+      val got = LlmQueries.jaccardIncrementalFrom(base, inc, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val jac = TextOps.jaccard(col("da.ss"), col("db.ss"))
+      val want = base.select(col("doc_id").as("i"), col("ss"))
+        .as("da").crossJoin(inc.select(col("doc_id").as("j"), col("ss")).as("db"))
+        .filter(jac >= tau)
+        .select(col("i"), col("j")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want,
+        s"tau=$tau trial=$trial: incremental blocking diverged from naive cross")
+    }
+  }
+
   test("prefix filtering is exact on random corpora across thresholds") {
     val rnd = new scala.util.Random(11)
     // small vocab ⇒ dense shingle collisions; mixed lengths ⇒ the length
