@@ -1679,7 +1679,7 @@ object LlmQueries {
     * prefixes probe; the same length + positional filters prune in the
     * join; survivors pay l4's exact sorted-merge verify. Candidate
     * generation stays EXACT (any common total order satisfies the
-    * theorem — IncrementalDedupProps checks ≡ the naive cross join). */
+    * theorem — LlmOpsSpec's era-split property checks ≡ the naive cross join). */
   def jaccardIncrementalFrom(baseSh: DataFrame, incSh: DataFrame,
       tau: Double = NearDupTau): DataFrame = {
     def hashed(sh: DataFrame) = sh.select(col("doc_id"),
