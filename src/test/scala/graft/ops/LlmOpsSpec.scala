@@ -2438,8 +2438,7 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotSample === expSample,
       s"l87 must equal the replayed cluster-capped hash sample (cap=$cap)")
-    assert(gotSample.map(_._1).size === nClusters ||
-      gotSample.groupBy(_._1).size === nClusters,
+    assert(gotSample.map(_._1).size === nClusters,
       "every non-empty cluster must contribute to the sample")
 
     // expected l88: per cluster the floor(n/10) (sim ASC, id) least-typical
