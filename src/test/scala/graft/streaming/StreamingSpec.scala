@@ -437,6 +437,31 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSet
     assert(got === expected,
       "RocksDB-backed chained aggregation must reproduce the batch PSI per closed week")
+
+    // (3) l96 weekly CM sketch: the newest stateful topology (windowed
+    // counter grid) — streamed cells under RocksDB ≡ the batch cells
+    val evKeys = graft.Tables.events(spark, sf)
+      .filter(col("event_id").isNotNull).select("ts", "event_id")
+    val kRows = evKeys.as[(java.sql.Timestamp, Long)].collect()
+      .sortBy(_._1.getTime)
+    val mem2 = MemoryStream[(java.sql.Timestamp, Long)]
+    val q2 = StreamingOps.weeklyCmSketch(
+        mem2.toDF().toDF("ts", "event_id"), col("event_id"))
+      .writeStream.format("memory").queryName("cm_rocks")
+      .outputMode("complete").start()
+    kRows.grouped(kRows.length / 3 + 1).foreach { c =>
+      mem2.addData(c.toSeq: _*); q2.processAllAvailable()
+    }
+    val rocksEngaged2 = q2.recentProgress.flatMap(_.stateOperators)
+      .exists(_.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))
+    q2.stop()
+    assert(rocksEngaged2,
+      "the CM sketch query must carry rocksdb* state metrics too")
+    val gotCm = s2.table("cm_rocks").collect().map(_.toSeq).toSet
+    val expCm = StreamingOps.weeklyCmSketch(evKeys, col("event_id"))
+      .collect().map(_.toSeq).toSet
+    assert(gotCm === expCm,
+      "RocksDB-backed CM counters must equal the batch cells exactly")
   }
 
   test("lsh state-schema migration: evict-on restart from an evict-off checkpoint " +
