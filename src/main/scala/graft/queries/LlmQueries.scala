@@ -1743,6 +1743,56 @@ object LlmQueries {
       sh.filter(col("doc_id") % 2 === 1))
   }
 
+  /** L98: behavioral session sequences — l13's sessionization composed
+    * with l51's ID-encoding idea, over events: every 12-hour-gap session
+    * serialized as its ordered event-type-ID sequence (frequency-ranked
+    * dense vocabulary, count DESC then type ASC — the l51 convention;
+    * ties in event time broken by event_id). This is the assembly step
+    * of behavioral-LM / recommendation pretraining — the (user, session,
+    * id-sequence) rows a sequence model trains on — and it runs
+    * UNCHANGED as a stream (StreamingOps.sessionSequences: one
+    * stream-static broadcast vocab join + the session-window aggregate,
+    * state bounded to open sessions by the watermark, exactly
+    * sessionAgg's posture).
+    *
+    * 100 TB posture: the vocabulary is enum-sized and broadcast (built
+    * here with the seed-rank array idiom — no unpartitioned window); the
+    * corpus-scale work is the one session-window exchange on user_id
+    * that sessionization already pays; sequences serialize as
+    * space-joined strings so the oracle hash is over scalar cells. */
+  val l98_session_sequences = Q(
+    "l98_session_sequences",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |           FROM events),
+      |v AS (SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type) - 1 AS tid
+      |      FROM e GROUP BY event_type),
+      |o AS (SELECT user_id, event_id, ts, event_type,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+      |g AS (SELECT s.user_id, s.sid, min(s.ts) AS session_start,
+      |             CAST(count(*) AS BIGINT) AS n_events,
+      |             string_agg(CAST(v.tid AS VARCHAR), ' ' ORDER BY s.ts, s.event_id) AS seq
+      |      FROM s JOIN v USING (event_type) GROUP BY 1, 2)
+      |SELECT user_id, strftime(session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       n_events, seq
+      |FROM g ORDER BY user_id, session_start""".stripMargin
+  ) { (s, d) =>
+    val ev = events(s, d)
+    // dense frequency-ranked type ids WITHOUT an unpartitioned window:
+    // the vocab is enum-sized, so rank inside one sorted array (the
+    // fitQuantizer seed idiom)
+    val typeIds = ev.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .agg(collect_list(struct((-col("c")).as("nc"), col("event_type"))).as("raw"))
+      .select(posexplode(array_sort(col("raw"))))
+      .select(col("col").getField("event_type").as("event_type"),
+        col("pos").cast("long").as("tid"))
+    graft.streaming.StreamingOps.sessionSequences(ev, typeIds)
+      .orderBy("user_id", "session_start")
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -6611,5 +6661,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences)
 }

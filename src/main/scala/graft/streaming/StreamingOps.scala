@@ -116,6 +116,34 @@ object StreamingOps {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Behavioral session SEQUENCES — the training-data assembly on top of
+    * [[sessionAgg]]'s sessionization: each 12-hour-gap session becomes an
+    * ordered event-type-ID sequence (ties broken by event_id, the
+    * engine-wide total-order rule), the events-table analogue of l51's
+    * token-ID encoding: behavioral-LM / recommendation pretraining
+    * consumes exactly these (user, session, id-sequence) rows. The type
+    * vocabulary arrives as a side input (tid per event_type — broadcast;
+    * type cardinality is enum-like), so the stream side is ONE
+    * stream-static broadcast join plus the session-window aggregate;
+    * per-session state is the event list of OPEN sessions only —
+    * bounded by the watermark exactly like sessionAgg. The sequence is
+    * emitted as a space-joined string so the cross-engine hash is over
+    * scalar cells. */
+  def sessionSequences(events: DataFrame, typeIds: DataFrame,
+      gap: String = "12 hours", watermark: String = "14 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(typeIds), Seq("event_type"))
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("tid")))).as("evs"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events").cast("long").as("n_events"),
+        concat_ws(" ",
+          transform(col("evs"), e => e.getField("tid").cast("string"))).as("seq"))
+
   /** Stream-stream INTERVAL join: each 'error' event joined to the same
     * user's 'click' events from the preceding `lookback` — the
     * cause-within-window correlation shape (click → error attribution).

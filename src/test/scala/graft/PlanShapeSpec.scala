@@ -888,4 +888,15 @@ class PlanShapeSpec extends AnyFunSuite {
         .findAllMatchIn(fin).nonEmpty || fin.contains("sng"),
       s"the inverted-index probe must key on the shingle hash:\n$p")
   }
+
+  test("L98: session sequences broadcast the vocab — the events never " +
+      "shuffle for the id join, only for the session window itself") {
+    val p = finalPlan(LlmQueries.l98_session_sequences)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the enum-sized type vocabulary must broadcast:\n$p")
+    assert(!fin.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join belongs in an id-encode:\n$p")
+    assert(!fin.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

@@ -182,6 +182,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.exists(_(3).asInstanceOf[Long] > 1L))
   }
 
+  test("streaming session sequences (l98 body) equal the batch assembly, " +
+      "order intact across micro-batch session merges") {
+    val batch = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+    val dir = Files.createTempDirectory("graft_stream_seq").toString
+    batch.repartition(8).write.mode("overwrite").parquet(dir)
+    // the vocab side input is batch-built either way (stream-static join)
+    val typeIds = batch.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .agg(collect_list(struct((-col("c")).as("nc"), col("event_type"))).as("raw"))
+      .select(posexplode(array_sort(col("raw"))))
+      .select(col("col").getField("event_type").as("event_type"),
+        col("pos").cast("long").as("tid"))
+    val wm = "3650 days"
+    val expected = StreamingOps.sessionSequences(batch, typeIds, watermark = wm)
+      .collect().map(_.toSeq).toSet
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val q = StreamingOps.sessionSequences(src, typeIds, watermark = wm)
+      .writeStream.format("memory").queryName("seq_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("seq_stream").collect().map(_.toSeq).toSet
+    assert(got === expected,
+      "session merges across micro-batches must preserve the event order " +
+        "inside every emitted id-sequence")
+    // the sequences are real multi-event trails, not singletons
+    assert(expected.exists(_(3).asInstanceOf[String].contains(" ")))
+  }
+
   test("stream-stream interval join equals the batch inequality join") {
     val batch = graft.Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type")
