@@ -1793,6 +1793,72 @@ object LlmQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** L99: negative-sampling distribution — the word2vec/NCE artifact
+    * (Mikolov et al. 2013: draw negatives ∝ count^0.75, the smoothing
+    * that up-weights the tail enough to make contrastive gradients
+    * informative; the same table drives sampled-softmax and
+    * recommendation negative mining): P(w) = c(w)^0.75 / Σ c^0.75 over
+    * the corpus unigrams, emitted as the top-50 sampling table with
+    * cumulative mass (the inverse-CDF lookup a sampler binary-searches).
+    * Smoothed probabilities round to 6 dp (the l32 convention — Z is a
+    * corpus-wide double fold); the cumulative column folds in RANK order
+    * on both engines (the l62/l93 sequential-fold convention).
+    *
+    * 100 TB posture: one map-combinable type-level aggregate + a one-row
+    * Z fold; the table is TakeOrdered top-50 (never a global sort); at
+    * vocab scale the full table is type-level anyway — kilobytes per
+    * million types. */
+  val l99_negative_sampling = Q(
+    "l99_negative_sampling",
+    """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t
+      |       WHERE tok <> '' GROUP BY tok),
+      |z AS (SELECT sum(pow(cnt, 0.75)) AS z FROM tc),
+      |top AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+      |        FROM (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT 50)),
+      |p AS (SELECT rk, tok, cnt, round(pow(cnt, 0.75) / z.z, 6) AS p_smooth
+      |      FROM top CROSS JOIN z),
+      |c AS (SELECT rk, tok, cnt, p_smooth,
+      |        round(sum(p_smooth) OVER (ORDER BY rk
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_p
+      |      FROM p)
+      |SELECT CAST(rk AS BIGINT) AS rank, tok, cnt, p_smooth, cum_p
+      |FROM c ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    val tc = spread(documents(s, d))
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val z = tc.agg(sum(pow(col("cnt"), 0.75)).as("z"))
+    // top-50 by (count DESC, tok) via TakeOrdered; ranks + cumulative
+    // mass from ONE sorted array with a sequential fold — both engines
+    // accumulate in rank order, so round(·,6) is stable
+    val top = tc.orderBy(col("cnt").desc, col("tok")).limit(50)
+      .crossJoin(broadcast(z))
+      .select(col("tok"), col("cnt"),
+        round(pow(col("cnt"), 0.75) / col("z"), 6).as("p"))
+    top.agg(collect_list(struct((-col("cnt")).as("nc"), col("tok"),
+        col("cnt"), col("p"))).as("raw"))
+      .select(array_sort(col("raw")).as("sorted"))
+      .select(aggregate(col("sorted"),
+        struct(lit(0.0).as("acc"),
+          array().cast("array<struct<rank:long,tok:string,cnt:long,p:double,cum:double>>")
+            .as("rows")),
+        (st, x) => {
+          val acc = st.getField("acc") + x.getField("p")
+          struct(acc.as("acc"),
+            concat(st.getField("rows"), array(struct(
+              (size(st.getField("rows")) + 1).cast("long").as("rank"),
+              x.getField("tok").as("tok"), x.getField("cnt").as("cnt"),
+              x.getField("p").as("p"), acc.as("cum")))).as("rows"))
+        }).getField("rows").as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.rank").as("rank"), col("r.tok").as("tok"),
+        col("r.cnt").as("cnt"), col("r.p").as("p_smooth"),
+        round(col("r.cum"), 6).as("cum_p"))
+      .orderBy("rank")
+  }
+
   /** Deterministic ±1 hyperplane components for the sign-projection LSH:
     * component (p, d) is +1 iff the first hex digit of md5("hp:<p>:<d>")
     * is even — the hash-derived Rademacher matrix that stands in for the
@@ -6661,5 +6727,5 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences, l99_negative_sampling)
 }

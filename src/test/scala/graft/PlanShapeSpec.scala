@@ -899,4 +899,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no corpus-side shuffle join belongs in an id-encode:\n$p")
     assert(!fin.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("L99: the sampling table is TakeOrdered top-50 over a map-combined " +
+      "type aggregate — never a global sort, never a corpus window") {
+    val p = finalPlan(LlmQueries.l99_negative_sampling)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("TakeOrderedAndProject"),
+      s"the top-50 must be a TakeOrdered, not a full sort + limit:\n$p")
+    assert(fin.contains("partial_count"),
+      s"type counts must combine map-side:\n$p")
+    assert(!fin.contains("Window"), s"ranks come from the sorted array, " +
+      s"never a corpus window:\n$p")
+  }
 }

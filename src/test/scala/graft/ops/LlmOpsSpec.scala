@@ -2655,6 +2655,43 @@ class LlmOpsSpec extends AnyFunSuite {
       f"(rules-only $n10, model-only $n01 of $n docs)")
   }
 
+  test("l99 negative sampling: table equals a driver replay; the 0.75 " +
+      "smoothing provably up-weights the tail vs raw frequency") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1).filter(_.nonEmpty))
+    val tc = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val z = tc.values.map(c => math.pow(c.toDouble, 0.75)).sum
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val top = tc.toSeq.sortBy { case (t, c) => (-c, t) }.take(50)
+    var cum = 0.0
+    val exp = top.zipWithIndex.map { case ((t, c), i) =>
+      val p = rd(math.pow(c.toDouble, 0.75) / z)
+      cum += p
+      (i + 1L, t, c, p, rd(cum))
+    }
+    val got = LlmQueries.l99_negative_sampling.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === exp,
+      "the sampling table must equal the replay rank for rank")
+    // the point of the 0.75 exponent: relative to raw frequency the HEAD
+    // loses mass and the TAIL gains — check head vs tail of the table
+    val n = tc.values.sum.toDouble
+    val headRawShare = top.head._2 / n
+    val headSmoothShare = exp.head._4
+    assert(headSmoothShare < headRawShare,
+      s"smoothing must shrink the head's share: $headSmoothShare !< $headRawShare")
+    val (tailTok, tailCnt) = top.last
+    assert(rd(math.pow(tailCnt.toDouble, 0.75) / z) > tailCnt / n ||
+      tailCnt == top.head._2,
+      s"smoothing must grow the tail token $tailTok's share")
+    // cum is strictly increasing and bounded by 1
+    exp.sliding(2).foreach { case Seq(a, b) => assert(a._5 < b._5) }
+    assert(exp.last._5 <= 1.0 + 1e-9)
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
