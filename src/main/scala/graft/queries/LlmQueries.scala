@@ -6678,6 +6678,302 @@ object LlmQueries {
           .when(col("h2").isNull, "removed")
           .otherwise("changed").as("status"))
 
+  // ------------------------------------------- lexical retrieval (l100)
+
+  /** Fixed retrieval query for l100 — four mid-frequency corpus terms,
+    * scored in THIS literal order on both engines. */
+  private val Bm25Query = Seq("window", "merge", "hash", "stream")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** L100: Okapi BM25 top-k retrieval (Robertson et al., TREC-3, 1994 —
+    * with the non-negative `ln(1 + (N−df+0.5)/(df+0.5))` idf variant and
+    * the k1=1.2, b=0.75 defaults that Lucene standardized) — the lexical
+    * counterpart of l6's dense top-k and the RANKING upgrade over l18's
+    * tf-idf term lists: score(D,Q) = Σ_q idf(q)·tf·(k1+1)/(tf +
+    * k1·(1−b+b·|D|/avgdl)), top-20 by (score DESC, doc_id).
+    *
+    * 100 TB posture: the query is a LITERAL, so per-doc term frequencies
+    * are row-local HOFs (zero shuffle); N/avgdl/df(q) reduce to ONE
+    * (|Q|+2)-wide row of map-combinable sums, broadcast back; scoring is
+    * one codegen scan and the top-20 is TakeOrdered — the corpus never
+    * shuffles and nothing is all-pairs. Determinism: the score folds over
+    * query terms in FIXED literal order on both engines (Spark `aggregate`
+    * from 0.0; DuckDB `list_reduce` over the 0.0-prepended term list), so
+    * round(·,6) compares exactly. */
+  val l100_bm25_topk = Q(
+    "l100_bm25_topk",
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |           FROM documents),
+       |t AS (SELECT doc_id, len(toks) AS dl,
+       |        list_transform(${Bm25Query.map("'" + _ + "'").mkString("[", ", ", "]")},
+       |                       qt -> len(list_filter(toks, x -> x = qt))) AS tf
+       |      FROM d),
+       |st AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM t),
+       |df AS (SELECT ${Bm25Query.indices.map(i => s"sum(CASE WHEN tf[${i + 1}] > 0 THEN 1 ELSE 0 END)").mkString("[", ", ", "]")} AS dfs FROM t),
+       |sc AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       |         CAST(len(list_filter(tf, x -> x > 0)) AS BIGINT) AS n_matched,
+       |         round(list_reduce(list_prepend(0.0,
+       |           list_transform(range(${Bm25Query.length}), i ->
+       |             ln(1 + (st.n - dfs[i+1] + 0.5) / (dfs[i+1] + 0.5))
+       |             * tf[i+1] * ${Bm25K1 + 1.0}
+       |             / (tf[i+1] + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / st.avgdl)))),
+       |           (a, b) -> a + b), 6) AS bm25
+       |       FROM t CROSS JOIN st CROSS JOIN df)
+       |SELECT doc_id, dl, n_matched, bm25 FROM sc
+       |WHERE n_matched > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val qArr = array(Bm25Query.map(lit): _*)
+    val toks = spread(documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val t = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"),
+      transform(qArr, qt => size(filter(col("toks"), x => x === qt))).as("tf"))
+    val st = t.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum("dl") / count(lit(1))).as("avgdl"),
+      array(Bm25Query.indices.map(i =>
+        sum(when(element_at(col("tf"), i + 1) > 0, 1L).otherwise(0L))): _*)
+        .as("dfs"))
+    val k1 = lit(Bm25K1); val b = lit(Bm25B)
+    t.crossJoin(broadcast(st))
+      .select(col("doc_id"), col("dl"),
+        size(filter(col("tf"), x => x > 0)).cast("long").as("n_matched"),
+        round(aggregate(sequence(lit(0), lit(Bm25Query.length - 1)), lit(0.0),
+          (acc, i) => {
+            val tf = element_at(col("tf"), i + 1).cast("double")
+            val dfq = element_at(col("dfs"), i + 1).cast("double")
+            acc + log(lit(1.0) + (col("n") - dfq + 0.5) / (dfq + 0.5)) *
+              tf * (k1 + 1) /
+              (tf + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
+          }), 6).as("bm25"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  // --------------------------------- Kneser-Ney smoothed bigram LM (l101)
+
+  /** L101: interpolated Kneser-Ney bigram scoring (Kneser & Ney, ICASSP
+    * 1995; the interpolated form of Chen & Goodman 1999 §3 with a fixed
+    * absolute discount D=0.75) — the smoothing production LM filters
+    * actually ship (CCNet's KenLM models are modified-KN), next to which
+    * l43's stupid backoff is the cheap web-scale approximation:
+    *
+    *   p seen:   P(c|p) = (max(c(pc)−D, 0) + D·N1+(p·)·Pcont(c)) / c(p·)
+    *   p unseen: P(c|p) = Pcont(c)
+    *   Pcont(c) = N1+(·c) / N1+(··), with a 0.5 pseudo-type for c never
+    *              observed as a continuation (keeps P total and > 0).
+    *
+    * Fit on the md5-bucket<50 split (l43's held-out idiom, so all tiers
+    * fire on out-of-fit docs); per doc: bigram-position count and mean
+    * −ln P rounded to 6 dp, 0.0 for docs with <2 tokens — the same output
+    * contract as l43, so the two smoothers compare row for row.
+    *
+    * 100 TB posture (l43's, exactly): the bigram table grows with the
+    * corpus and CANNOT broadcast — the score attach is the one honest
+    * (p,c) equi-join; the prefix (c(p·), N1+(p·)) and continuation
+    * (N1+(·c)) tables are vocab-sized and BROADCAST; N1+(··) is a one-row
+    * broadcast. All four fit tables aggregate the SAME (p,c) exchange —
+    * AQE's ReusedExchange materializes it once (pinned in PlanShapeSpec).
+    * Scoring is join + coalesce + map-combinable avg; the corpus text
+    * never shuffles. */
+  val l101_kneser_ney = Q(
+    "l101_kneser_ney",
+    s"""WITH t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+       |        CAST(${hexValOf("md5(CAST(doc_id AS VARCHAR))")} AS BIGINT) % 100 AS bucket
+       |      FROM documents),
+       |pr AS (SELECT doc_id, bucket,
+       |         CASE WHEN len(toks) >= 2 THEN
+       |           list_transform(range(len(toks) - 1),
+       |                          i -> {'p': toks[i+1], 'c': toks[i+2]})
+       |         ELSE [] END AS bgs FROM t0),
+       |po AS (SELECT doc_id, bucket, unnest(bgs) AS bg FROM pr),
+       |px AS (SELECT doc_id, bucket, bg.p AS p, bg.c AS c FROM po),
+       |b2 AS (SELECT p, c, CAST(count(*) AS BIGINT) AS c2
+       |       FROM px WHERE bucket < 50 GROUP BY p, c),
+       |pref AS (SELECT p, CAST(sum(c2) AS BIGINT) AS cp,
+       |                CAST(count(*) AS BIGINT) AS n1p FROM b2 GROUP BY p),
+       |cont AS (SELECT c, CAST(count(*) AS BIGINT) AS n1c FROM b2 GROUP BY c),
+       |npp AS (SELECT CAST(count(*) AS BIGINT) AS n1pp FROM b2),
+       |sc AS (SELECT px.doc_id,
+       |         CASE WHEN pref.cp IS NOT NULL THEN
+       |           -ln((greatest(coalesce(b2.c2, 0) - 0.75, 0.0)
+       |                + 0.75 * pref.n1p
+       |                  * (coalesce(cont.n1c, 0.5) / npp.n1pp)) / pref.cp)
+       |         ELSE -ln(coalesce(cont.n1c, 0.5) / npp.n1pp) END AS nll
+       |       FROM px LEFT JOIN b2 ON px.p = b2.p AND px.c = b2.c
+       |               LEFT JOIN pref ON px.p = pref.p
+       |               LEFT JOIN cont ON px.c = cont.c
+       |               CROSS JOIN npp),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |              round(avg(nll), 6) AS avg_nll_kn
+       |       FROM sc GROUP BY doc_id)
+       |SELECT t0.doc_id, CAST(coalesce(ag.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       coalesce(ag.avg_nll_kn, 0.0) AS avg_nll_kn
+       |FROM t0 LEFT JOIN ag ON t0.doc_id = ag.doc_id
+       |ORDER BY t0.doc_id""".stripMargin
+  ) { (s, d) => knScores(spread(documents(s, d))).orderBy("doc_id") }
+
+  /** The l101 scorer over any (doc_id, text) frame — public so the spec
+    * can drive synthetic corpora that fire every tier (seen bigram, seen
+    * prefix + unseen continuation, unseen prefix, never-a-continuation
+    * floor) and verify the KN identities (Σ_c P(c|p) = 1 over the fit
+    * vocabulary). Output is unordered: (doc_id, n_bigrams, avg_nll_kn). */
+  def knScores(docs: DataFrame): DataFrame = {
+    val D = lit(0.75)
+    val bucket = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long") % 100
+    val docsT = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"), bucket.as("bucket"))
+    val bgArr = when(size(col("toks")) >= 2,
+      transform(sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("p"),
+          element_at(col("toks"), i + 2).as("c"))))
+      .otherwise(array().cast("array<struct<p:string,c:string>>"))
+    val prs = docsT
+      .select(col("doc_id"), col("bucket"), explode_outer(bgArr).as("bg"))
+      .select(col("doc_id"), col("bucket"),
+        col("bg.p").as("p"), col("bg.c").as("c"))
+    val b2 = prs.filter(col("bucket") < 50 && col("p").isNotNull)
+      .groupBy("p", "c").agg(count(lit(1)).as("c2"))
+    val pref = b2.groupBy("p")
+      .agg(sum("c2").as("cp"), count(lit(1)).as("n1p"))
+    val cont = b2.groupBy("c").agg(count(lit(1)).as("n1c"))
+    val npp = b2.agg(count(lit(1)).as("n1pp"))
+    val pcont = coalesce(col("n1c").cast("double"), lit(0.5)) / col("n1pp")
+    prs.join(b2, Seq("p", "c"), "left")
+      .join(broadcast(pref), Seq("p"), "left")
+      .join(broadcast(cont), Seq("c"), "left")
+      .crossJoin(broadcast(npp))
+      .select(col("doc_id"),
+        when(col("p").isNull, lit(null).cast("double"))
+          .otherwise(when(col("cp").isNotNull,
+            -log((greatest(coalesce(col("c2"), lit(0L)).cast("double") - D,
+              lit(0.0)) + D * col("n1p") * pcont) / col("cp")))
+            .otherwise(-log(pcont))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(col("nll")).cast("long").as("n_bigrams"),
+        coalesce(round(avg(col("nll")), 6), lit(0.0)).as("avg_nll_kn"))
+  }
+
+  // ------------------------------- entropy + diversity audits (l102/l103)
+
+  /** L102: per-document Shannon entropy over characters and tokens — the
+    * randomness test that catches what length/ratio rules (l15) miss:
+    * keyboard-mash and binary-paste pages score HIGH char entropy with
+    * near-zero token repetition, boilerplate/template pages score LOW
+    * (both are standard heuristic-filter signals; e.g. RefinedWeb's
+    * line-quality heuristics, Penedo et al. 2023, and the
+    * character-distribution checks in Rae et al. 2021 §A1.1). Evenness is
+    * Pielou's J = H/ln(k) (Pielou 1966), the scale-free 0..1 form.
+    *
+    * 100 TB posture: pure per-row HOFs — ZERO shuffles, one codegen scan;
+    * the histogram fold runs over the row's own sorted distinct symbols
+    * (O(k·len) per row, k ≤ alphabet). Determinism: both engines fold
+    * −p·ln p in SORTED symbol order from 0.0, so the doubles are
+    * bit-identical and round(·,6) compares exactly. */
+  val l102_char_entropy = Q(
+    "l102_char_entropy",
+    """WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+      |             list_transform(range(length(text)), i -> substr(text, i+1, 1)) AS chs
+      |           FROM documents),
+      |e AS (SELECT doc_id,
+      |        CAST(length(text) AS BIGINT) AS n_chars,
+      |        CAST(len(list_distinct(chs)) AS BIGINT) AS n_char_types,
+      |        list_reduce(list_prepend(0.0,
+      |          list_transform(list_sort(list_distinct(chs)),
+      |            x -> -(len(list_filter(chs, y -> y = x)) * 1.0 / len(chs))
+      |                 * ln(len(list_filter(chs, y -> y = x)) * 1.0 / len(chs)))),
+      |          (a, b) -> a + b) AS hc,
+      |        list_reduce(list_prepend(0.0,
+      |          list_transform(list_sort(list_distinct(toks)),
+      |            x -> -(len(list_filter(toks, y -> y = x)) * 1.0 / len(toks))
+      |                 * ln(len(list_filter(toks, y -> y = x)) * 1.0 / len(toks)))),
+      |          (a, b) -> a + b) AS ht,
+      |        len(list_distinct(chs)) AS kc
+      |      FROM d)
+      |SELECT doc_id, n_chars, n_char_types, round(hc, 6) AS char_entropy,
+      |       round(ht, 6) AS token_entropy,
+      |       CASE WHEN kc > 1 THEN round(hc / ln(kc), 6) ELSE 0.0 END AS evenness
+      |FROM e ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    def entropyOf(arr: Column): Column = {
+      val n = size(arr).cast("double")
+      aggregate(array_sort(array_distinct(arr)), lit(0.0), (acc, x) => {
+        val p = size(filter(arr, y => y === x)) / n
+        acc - p * log(p)
+      })
+    }
+    val base = spread(documents(s, d)).select(col("doc_id"),
+      split(col("text"), "").as("chs"), TextOps.tokens(col("text")).as("toks"),
+      length(col("text")).cast("long").as("n_chars"))
+    base.select(col("doc_id"), col("n_chars"),
+        size(array_distinct(col("chs"))).cast("long").as("n_char_types"),
+        entropyOf(col("chs")).as("hc"), entropyOf(col("toks")).as("ht"))
+      .select(col("doc_id"), col("n_chars"), col("n_char_types"),
+        round(col("hc"), 6).as("char_entropy"),
+        round(col("ht"), 6).as("token_entropy"),
+        when(col("n_char_types") > 1,
+          round(col("hc") / log(col("n_char_types").cast("double")), 6))
+          .otherwise(0.0).as("evenness"))
+      .orderBy("doc_id")
+  }
+
+  /** L103: distinct-n diversity audit per source (distinct-1/2/3 of Li et
+    * al., NAACL 2016 — the degeneration metric of Holtzman et al. 2020,
+    * here applied as a CORPUS health check: a source whose distinct-2
+    * ratio collapses is template spam or a scraper loop, a core signal in
+    * dataset-mixing dashboards). Per (source, n ∈ {1,2,3}): total gram
+    * tokens, distinct gram types, and their ratio.
+    *
+    * 100 TB posture: gram construction is per-row HOFs; the one honest
+    * exchange is the (source, n, gram)-keyed distinct — skinny type-level
+    * rows with map-side partial dedup, the l30/l65 gram-shuffle family.
+    * Nothing collects, nothing is all-pairs; counts are map-combinable. */
+  val l103_distinct_ngrams = Q(
+    "l103_distinct_ngrams",
+    """WITH d AS (SELECT source, string_split(lower(text), ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT source, 1 AS n, unnest(toks) AS g FROM d
+      |  UNION ALL
+      |  SELECT source, 2, unnest(CASE WHEN len(toks) >= 2 THEN
+      |    list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [] END) FROM d
+      |  UNION ALL
+      |  SELECT source, 3, unnest(CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(range(len(toks)-2),
+      |                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+      |    ELSE [] END) FROM d)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |       CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+      |       CAST(count(*) AS BIGINT) AS total_grams,
+      |       round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio
+      |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin
+  ) { (s, d) =>
+    val docs = spread(documents(s, d))
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+    def gramsOf(n: Int): Column =
+      if (n == 1) col("toks")
+      else when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val perN = (1 to 3).map { n =>
+      docs.select(col("source"), lit(n).cast("long").as("n"),
+        explode(gramsOf(n)).as("g"))
+    }.reduce(_ unionAll _)
+    perN.groupBy("source", "n")
+      .agg(countDistinct("g").as("distinct_grams"),
+        count(lit(1)).as("total_grams"))
+      .select(col("source"), col("n"), col("distinct_grams"),
+        col("total_grams"),
+        round(col("distinct_grams") / col("total_grams"), 6)
+          .as("distinct_ratio"))
+      .orderBy("source", "n")
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -6727,5 +7023,6 @@ object LlmQueries {
     l80_quality_classifier, l81_pareto_filter, l82_classifier_pr,
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
-    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences, l99_negative_sampling)
+    l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences, l99_negative_sampling,
+    l100_bm25_topk, l101_kneser_ney, l102_char_entropy, l103_distinct_ngrams)
 }

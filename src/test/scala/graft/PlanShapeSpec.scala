@@ -900,6 +900,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("L100: BM25 never hash-shuffles the corpus — stats reduce to one " +
+      "broadcast row, scoring is a codegen scan, top-20 is TakeOrdered") {
+    val p = finalPlan(LlmQueries.l100_bm25_topk)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a TakeOrdered, never a global sort:\n$p")
+    assert(!fin.contains("Exchange hashpartitioning"),
+      s"the only exchange is the one-row stats SinglePartition — the " +
+        s"corpus must never hash-shuffle:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"the stats row attaches as a broadcast:\n$p")
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"N/avgdl/df must combine map-side:\n$p")
+  }
+
+  test("L101: the KN fit tables aggregate ONE shared (p,c) exchange and " +
+      "the vocab-sized tables attach as broadcasts") {
+    val p = finalPlan(LlmQueries.l101_kneser_ney)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"prefix/continuation tables must broadcast:\n$p")
+    assert(!fin.contains("CartesianProduct"),
+      s"the one-row N1+(..) frame attaches as a broadcast:\n$p")
+    assert(fin.contains("ReusedExchange"),
+      s"pref/cont/npp must reuse the b2 (p,c) exchange, not rescan the " +
+        s"corpus per fit table:\n$p")
+  }
+
+  test("L102: entropy is a single-pass per-row scan — no hash exchange, " +
+      "no join, no window") {
+    val p = finalPlan(LlmQueries.l102_char_entropy)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Exchange hashpartitioning"),
+      s"per-row entropy must not shuffle the corpus:\n$p")
+    assert(!fin.contains("Join") && !fin.contains("Window"),
+      s"no join or window belongs in a per-row audit:\n$p")
+  }
+
+  test("L103: distinct-n aggregates partially before its gram exchange — " +
+      "type-level rows only, no join") {
+    val p = finalPlan(LlmQueries.l103_distinct_ngrams)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count"),
+      s"counts must combine map-side:\n$p")
+    assert(!fin.contains("Join"), s"a diversity audit joins nothing:\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllMatchIn(fin).size
+    assert(ex <= 2,
+      s"(source,n,gram) dedup + (source,n) rollup is the exchange budget, got $ex:\n$p")
+  }
+
   test("L99: the sampling table is TakeOrdered top-50 over a map-combined " +
       "type aggregate — never a global sort, never a corpus window") {
     val p = finalPlan(LlmQueries.l99_negative_sampling)

@@ -2692,6 +2692,181 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(exp.last._5 <= 1.0 + 1e-9)
   }
 
+  test("l100 BM25: top-20 equals a driver replay of the Okapi formula") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val q = Seq("window", "merge", "hash", "stream")
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val dfs = q.map(t => docs.count(_._2.contains(t)).toDouble)
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.length
+      var s = 0.0
+      q.indices.foreach { i =>
+        val tf = toks.count(_ == q(i)).toDouble
+        val idf = math.log(1 + (n - dfs(i) + 0.5) / (dfs(i) + 0.5))
+        s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      }
+      (id, dl.toLong, q.count(toks.contains(_)).toLong, rd(s))
+    }.filter(_._3 > 0).sortBy(x => (-x._4, x._1)).take(20)
+    val got = LlmQueries.l100_bm25_topk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === scored.toSeq,
+      "the BM25 top-20 must equal the hand-computed Okapi ranking")
+    // every idf is non-negative by construction of the +1 variant, so a
+    // doc with at least one query term always outranks a no-match doc
+    assert(scored.forall(_._4 > 0.0))
+    info(f"l100: rank-1 doc ${scored.head._1} scores ${scored.head._4}%.4f " +
+      f"matching ${scored.head._3} of ${q.length} terms")
+  }
+
+  test("l101 Kneser-Ney: every tier fires on an engineered corpus, P(c|p) " +
+      "sums to 1 over the fit vocabulary, and scores equal an exact replay") {
+    // engineer the md5 split: first ids landing in the fit bucket (<50)
+    // carry the patterned corpus; holdout ids (>=50) exercise the tiers
+    val ids = (0L until 400L)
+    val fitIds = ids.filter(id => hv(id.toString) % 100 < 50).take(8)
+    val holdIds = ids.filter(id => hv(id.toString) % 100 >= 50).take(6)
+    val fitTexts = Seq(
+      "a b a c b d", "b a c a d b", "a b c d a b", "c a b d c a",
+      "d b a b c d", "a c d b a c", "b d c a b d", "c d a b c d")
+    val holdTexts = Seq(
+      "a b c d",   // all bigrams seen in fit
+      "a a b b",   // seen prefixes, some unseen continuations
+      "e a b c",   // unseen prefix 'e', then seen material
+      "a e b e",   // seen prefix -> 'e' never a continuation (the floor)
+      "e e e",     // wholly out-of-vocab
+      "x")         // single token: zero bigram positions
+    val df = docsDf(fitIds.zip(fitTexts) ++ holdIds.zip(holdTexts))
+    val got = LlmQueries.knScores(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // exact replay of the interpolated-KN definition
+    val D = 0.75
+    val fitBgs = fitIds.zip(fitTexts).flatMap { case (_, t) =>
+      val w = t.split(" ", -1); w.zip(w.tail)
+    }
+    val c2 = fitBgs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cp = fitBgs.groupBy(_._1).map { case (p, v) => p -> v.length.toLong }
+    val n1p = c2.keys.toSeq.groupBy(_._1).map { case (p, v) => p -> v.length.toLong }
+    val n1c = c2.keys.toSeq.groupBy(_._2).map { case (c, v) => c -> v.length.toLong }
+    val n1pp = c2.size.toDouble
+    def pcont(c: String): Double = n1c.get(c).map(_.toDouble).getOrElse(0.5) / n1pp
+    def pkn(p: String, c: String): Double = cp.get(p) match {
+      case Some(cpv) =>
+        (math.max(c2.getOrElse((p, c), 0L).toDouble - D, 0.0) +
+          D * n1p(p) * pcont(c)) / cpv
+      case None => pcont(c)
+    }
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = (fitIds.zip(fitTexts) ++ holdIds.zip(holdTexts)).map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val bgs = w.zip(w.tail)
+      if (bgs.isEmpty) (id, 0L, 0.0)
+      else (id, bgs.length.toLong,
+        rd(bgs.map { case (p, c) => -math.log(pkn(p, c)) }.sum / bgs.length))
+    }.sortBy(_._1)
+    assert(got.toSeq === exp, "knScores must equal the interpolated-KN replay")
+    // the KN identity: for every seen prefix, the smoothed conditional
+    // sums to EXACTLY 1 over the observed continuation vocabulary
+    cp.keys.foreach { p =>
+      // .toSeq: mapping over the KEY SET would dedupe equal probabilities
+      // (two continuations with identical n1c collapse) and undercount
+      val s = n1c.keys.toSeq.map(c => pkn(p, c)).sum
+      assert(math.abs(s - 1.0) < 1e-9,
+        s"sum_c P(c|'$p') = $s must be 1 (the discount mass exactly " +
+          "funds the continuation interpolation)")
+    }
+    // every tier fired: seen bigram, seen-prefix/unseen-cont, unseen
+    // prefix, and the never-a-continuation floor
+    assert(c2.contains(("a", "b")) && cp.contains("a") &&
+      !cp.contains("e") && !n1c.contains("e"))
+    info(f"l101: ${c2.size} fit bigram types over ${cp.size} prefixes; " +
+      f"floor mass ${0.5 / n1pp}%.4f")
+  }
+
+  test("l101/l43: the two smoothers share the output contract — same docs, " +
+      "same bigram-position counts, different probability models") {
+    val kn = LlmQueries.l101_kneser_ney.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sb = LlmQueries.l43_bigram_lm_score.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(kn.keySet === sb.keySet)
+    kn.foreach { case (id, (nk, _)) =>
+      assert(nk === sb(id)._1,
+        s"doc $id: KN and stupid-backoff must count the same positions")
+    }
+    // and the models genuinely differ somewhere (KN discounts mass that
+    // stupid backoff does not)
+    assert(kn.exists { case (id, (n, s)) => n > 0 && s != sb(id)._2 })
+  }
+
+  test("l102 entropy: char/token entropy equals a driver replay and " +
+      "respects the Shannon bounds") {
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ent(xs: Seq[String]): Double = {
+      val n = xs.length.toDouble
+      xs.distinct.sorted.foldLeft(0.0) { (acc, x) =>
+        val p = xs.count(_ == x) / n; acc - p * math.log(p)
+      }
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = docs.map { case (id, t) =>
+      val chs = t.split("").toSeq
+      val toks = t.toLowerCase.split(" ", -1).toSeq
+      val k = chs.distinct.length
+      val hc = ent(chs)
+      (id, t.length.toLong, k.toLong, rd(hc), rd(ent(toks)),
+        if (k > 1) rd(hc / math.log(k.toDouble)) else 0.0)
+    }.sortBy(_._1)
+    val got = LlmQueries.l102_char_entropy.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === exp.toSeq,
+      "entropy columns must equal the sorted-symbol-fold replay")
+    // Shannon bounds: 0 <= H <= ln(k); Pielou evenness in [0, 1]
+    got.foreach { case (id, _, k, hc, _, j) =>
+      assert(hc >= 0.0 && hc <= math.log(k.toDouble) + 1e-9, s"doc $id")
+      assert(j >= 0.0 && j <= 1.0 + 1e-9, s"doc $id evenness $j")
+    }
+  }
+
+  test("l103 distinct-n: per-source ratios equal a driver replay; longer " +
+      "grams are strictly more diverse on natural text") {
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split(" ", -1).toSeq))
+    val exp = (for {
+      n <- 1 to 3
+      (src, grouped) <- docs.groupBy(_._1)
+    } yield {
+      val grams = grouped.flatMap(_._2.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")))
+      (src, n.toLong, grams.distinct.length.toLong, grams.length.toLong,
+        rd(grams.distinct.length.toDouble / grams.length))
+    }).sortBy(x => (x._1, x._2))
+    val got = LlmQueries.l103_distinct_ngrams.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === exp.toSeq,
+      "distinct-n cells must equal the replay")
+    // the diversity signal this audit exists for: distinct-3 > distinct-1
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val byN = rows.map(r => r._2 -> r._5).toMap
+      assert(byN(3L) > byN(1L),
+        s"source $src: trigram diversity ${byN(3L)} must exceed unigram ${byN(1L)}")
+    }
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
