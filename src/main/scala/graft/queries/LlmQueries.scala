@@ -6974,6 +6974,281 @@ object LlmQueries {
       .orderBy("source", "n")
   }
 
+  // ----------------------- DoReMi mixture weights (l104)
+
+  private val DoremiRounds = 10
+  private val DoremiEta = 0.5
+  private val DoremiEps = 0.01
+
+  /** The l104 fit frame — per-source mean LM loss, (source, loss) with
+    * loss rounded to 6 dp so both engines iterate from IDENTICAL inputs.
+    * Public for the plan pin: THIS side is the corpus work. */
+  def doremiLosses(s: SparkSession, d: String): DataFrame =
+    spread(documents(s, d)).select(col("doc_id"), col("source"))
+      .join(nllFrame(s, d), Seq("doc_id"))
+      .groupBy("source").agg(round(avg("avg_nll"), 6).as("loss"))
+
+  /** L104: DoReMi-style domain reweighting (Xie et al., NeurIPS 2023 —
+    * Group-DRO multiplicative weights over per-domain excess loss,
+    * Algorithm 1 with the proxy-loss signal fixed to the l32 unigram LM
+    * mean per source): for T=10 rounds over the SORTED domain list,
+    *   excess_i = max(ℓ_i − Σ_j α_j·ℓ_j, 0)
+    *   w_i     = α_i · exp(η·excess_i)                      (η = 0.5)
+    *   α'_i    = (1−ε)·w_i/Σ w + ε/k                        (ε = 0.01)
+    * Output: (source, loss, final α) — the sampling weights a mixture
+    * stage (l31/l61) would consume.
+    *
+    * 100 TB posture: the corpus work is [[doremiLosses]] — one skinny
+    * doc_id join against the shared l32 nll cache plus one
+    * domain-level aggregate; the T-round fixed point runs on ONE ROW PER
+    * DOMAIN (dozens at any scale) on the driver — exactly where the real
+    * algorithm keeps its proxy weights (the trainer loop) — under the
+    * file's bounded-collect contract (the l36 waterfill / l44 argmax
+    * idiom). The corpus is never iterated and never shuffles. Cross-engine
+    * determinism: losses are rounded BEFORE iterating, both engines fold
+    * the k-row state in sorted-source order, and the final α rounds to
+    * 6 dp (exp ulp drift over 10 rounds ≪ the rounding grain). */
+  val l104_doremi_weights = Q(
+    "l104_doremi_weights",
+    s"""WITH RECURSIVE $nllCte,
+       |sl AS (SELECT d2.source AS source, round(avg(nl.avg_nll), 6) AS loss
+       |       FROM nl JOIN documents d2 USING (doc_id) GROUP BY d2.source),
+       |arr AS (SELECT list({'source': source, 'loss': loss} ORDER BY source) AS ls
+       |        FROM sl),
+       |it(t, ws) AS (
+       |  SELECT 0, list_transform(ls, x -> 1.0 / len(ls)) FROM arr
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    list_transform(w2, x -> (1 - $DoremiEps) * x / z + $DoremiEps / k)
+       |  FROM (
+       |    SELECT t, w2, k,
+       |      list_reduce(list_prepend(0.0, w2), (a, b) -> a + b) AS z
+       |    FROM (
+       |      SELECT q.t AS t, len(q.ws) AS k,
+       |        list_transform(range(len(q.ws)), i -> q.ws[i+1] *
+       |          exp($DoremiEta * greatest(q.ls[i+1].loss - q.mix, 0))) AS w2
+       |      FROM (
+       |        SELECT it.t, it.ws, arr.ls,
+       |          list_reduce(list_prepend(0.0,
+       |            list_transform(range(len(it.ws)),
+       |                           i -> it.ws[i+1] * arr.ls[i+1].loss)),
+       |            (a, b) -> a + b) AS mix
+       |        FROM it, arr WHERE it.t < $DoremiRounds
+       |      ) q
+       |    )
+       |  )
+       |),
+       |fin AS (SELECT list_transform(range(len(ws)), i ->
+       |          {'source': ls[i+1].source, 'loss': ls[i+1].loss,
+       |           'weight': round(ws[i+1], 6)}) AS rows
+       |        FROM it, arr WHERE t = $DoremiRounds),
+       |ex2 AS (SELECT unnest(rows) AS r FROM fin)
+       |SELECT r.source AS source, r.loss AS loss, r.weight AS weight
+       |FROM ex2 ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    // bounded collect: one row per DOMAIN (documented contract above)
+    val ls = doremiLosses(s, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    val k = ls.length
+    var w = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to DoremiRounds) {
+      var mix = 0.0
+      ls.indices.foreach(i => mix += w(i) * ls(i)._2)
+      val w2 = ls.indices.map(i =>
+        w(i) * math.exp(DoremiEta * math.max(ls(i)._2 - mix, 0.0))).toArray
+      var z = 0.0
+      w2.foreach(z += _)
+      w = w2.map(x => (1 - DoremiEps) * x / z + DoremiEps / k)
+    }
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ls.indices.map(i => (ls(i)._1, ls(i)._2, rd(w(i))))
+      .toSeq.toDF("source", "loss", "weight")
+      .orderBy("source")
+  }
+
+  // ------------------- PageRank canonical selection (l105)
+
+  /** L105: PageRank over the verified near-dup pair graph (Page et al.
+    * 1999; damping 0.85, 5 iterations) with per-cluster canonical
+    * selection — the centrality upgrade over l14's min-id canonical: the
+    * kept representative is the doc most linked-to by its duplicates
+    * (the idiom web-dedup pipelines use to keep the canonical URL rather
+    * than the lexicographically-first mirror). Every node appears on both
+    * edge ends (pairs are symmetrized), so there is no dangling mass.
+    *
+    * 100 TB posture: rides the cached l4 pair frame; each of the 5 rounds
+    * is one (source-node) equi-join plus one map-combinable sum — skinny
+    * (node, rank) rows only, the Graph.connectedComponents exchange
+    * family; nothing is all-pairs and nothing collects. Cross-engine
+    * determinism: contribution sums are order-free after the
+    * per-iteration round(·,12) both engines apply (absorbs the ~1e-16
+    * reorder wobble without touching the 1e-6 result grain); the oracle
+    * replays the same 5 rounds over the sorted node list. */
+  val l105_pair_pagerank = Q(
+    "l105_pair_pagerank",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |ed AS (SELECT i AS a, j AS b FROM pr UNION ALL SELECT j, i FROM pr),
+       |nodes AS (SELECT list(a ORDER BY a) AS ns
+       |          FROM (SELECT DISTINCT a FROM ed)),
+       |el AS (SELECT list({'a': a, 'b': b} ORDER BY a, b) AS es FROM ed),
+       |dg AS (SELECT list_transform(n2.ns, v ->
+       |         len(list_filter(e2.es, x -> x.a = v))) AS ds
+       |       FROM nodes n2, el e2),
+       |it(t, rs) AS (
+       |  SELECT 0, list_transform(ns, x -> 1.0 / len(ns)) FROM nodes
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    list_transform(range(len(n2.ns)), v ->
+       |      round(0.15 / len(n2.ns) + 0.85 * list_reduce(list_prepend(0.0,
+       |        list_transform(list_filter(e2.es, x -> x.b = n2.ns[v+1]),
+       |          x -> it.rs[list_position(n2.ns, x.a)]
+       |               / d2.ds[list_position(n2.ns, x.a)])),
+       |        (a, b) -> a + b), 12))
+       |  FROM it, nodes n2, el e2, dg d2 WHERE it.t < 5
+       |),
+       |rk AS (SELECT unnest(list_transform(range(len(n2.ns)), v ->
+       |         {'node': n2.ns[v+1], 'pr': it.rs[v+1]})) AS r
+       |       FROM it, nodes n2 WHERE it.t = 5),
+       |rk2 AS (SELECT r.node AS doc_id, r.pr AS prk FROM rk),
+       |$clusterLabelCte,
+       |j AS (SELECT lbl.cluster, lbl.doc_id, rk2.prk
+       |      FROM lbl JOIN rk2 USING (doc_id)),
+       |w AS (SELECT cluster, doc_id, prk,
+       |        row_number() OVER (PARTITION BY cluster
+       |                           ORDER BY prk DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY cluster) AS n_members FROM j)
+       |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+       |       doc_id AS canonical_doc, round(prk, 6) AS pr
+       |FROM w WHERE rn = 1 ORDER BY cluster""".stripMargin
+  ) { (s, d) =>
+    val pairs = exactPairsCached(s, d).select(col("i"), col("j"))
+    val ranks = pagerank(pairs, iters = 5)
+    val labels = clusterLabelsCached(s, d)
+    ranks.join(labels, ranks("node") === labels("node"))
+      .select(labels("cluster"), ranks("node").as("doc_id"), col("pr"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("pr"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster"), col("n_members"),
+        (-col("m.nd")).as("canonical_doc"), round(col("m.pr"), 6).as("pr"))
+      .orderBy("cluster")
+  }
+
+  /** Damped PageRank over an undirected (i, j) pair frame — public for
+    * the spec (ranks on an engineered star/chain graph). Symmetrizes,
+    * initializes uniform, runs `iters` rounds of
+    * r'(v) = 0.15/n + 0.85·Σ_{u→v} r(u)/deg(u), each rounded to 12 dp
+    * (the cross-engine sum-order pin). Returns (node, pr) unordered. */
+  def pagerank(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(pairs.select(col("j").as("a"), col("i").as("b")))
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    val nF = deg.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = deg.select(col("a").as("node"))
+      .crossJoin(broadcast(nF))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = edges.join(deg, Seq("a"))
+        .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("b").as("node"), (col("pr") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("sc"))
+        .crossJoin(broadcast(nF))
+        .select(col("node"),
+          round(lit(0.15) / col("n") + lit(0.85) * col("sc"), 12).as("pr"))
+    }
+    ranks
+  }
+
+  // ----------------------------- CUSUM drift detection (l106)
+
+  /** L106: CUSUM change detection on the weekly event-value mean (Page,
+    * Biometrika 1954 — the tabular two-sided form with reference value
+    * κ = σ/2 and decision interval h = 4σ, the SPC textbook defaults) —
+    * the SEQUENTIAL drift alarm next to l52/l55's distributional PSI:
+    * PSI compares two eras, CUSUM accumulates small persistent shifts
+    * and flags the first week the cumulative drift crosses h.
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − μ₀ − κ))
+    *   S⁻_t = max(0, S⁻_{t−1} + (μ₀ − κ − x_t))     alarm ⇔ S± > h
+    *
+    * μ₀/σ fit on the first 8 weeks (rounded to 6 dp, as are the weekly
+    * means, so both engines fold IDENTICAL doubles in week order — the
+    * recursion is then bit-deterministic; outputs round at 6 dp).
+    *
+    * 100 TB posture: one map-combinable weekly aggregate is the only
+    * corpus exchange; the recursion runs over the BOUNDED week list
+    * (years × 52 rows) as a single-row array fold — the l99/l93
+    * sequential-fold idiom, never a driver loop over corpus data. */
+  val l106_cusum_drift = Q(
+    "l106_cusum_drift",
+    """WITH RECURSIVE wk AS (
+      |  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) + INTERVAL 6 DAY AS DATE) AS we,
+      |         round(avg(value), 6) AS x
+      |  FROM events GROUP BY 1),
+      |o AS (SELECT CAST(we AS VARCHAR) AS we, x,
+      |             row_number() OVER (ORDER BY we) AS rn FROM wk),
+      |base AS (SELECT round(avg(x), 6) AS mu, round(stddev_samp(x), 6) AS sig
+      |         FROM o WHERE rn <= 8),
+      |r(rn, we, x, sp, sn) AS (
+      |  SELECT o.rn, o.we, o.x,
+      |    greatest(0.0 + (o.x - b.mu - 0.5 * b.sig), 0.0),
+      |    greatest(0.0 + (b.mu - 0.5 * b.sig - o.x), 0.0)
+      |  FROM o, base b WHERE o.rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.we, o.x,
+      |    greatest(r.sp + (o.x - b.mu - 0.5 * b.sig), 0.0),
+      |    greatest(r.sn + (b.mu - 0.5 * b.sig - o.x), 0.0)
+      |  FROM r, o, base b WHERE o.rn = r.rn + 1
+      |)
+      |SELECT r.we AS week_ending, r.x AS weekly_mean,
+      |       round(r.sp, 6) AS s_pos, round(r.sn, 6) AS s_neg,
+      |       CAST(CASE WHEN r.sp > 4 * b.sig OR r.sn > 4 * b.sig
+      |            THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM r, base b ORDER BY week_ending""".stripMargin
+  ) { (s, d) =>
+    val weekly = events(s, d)
+      .groupBy(date_format(date_add(date_trunc("week", col("ts"))
+        .cast("date"), 6), "yyyy-MM-dd").as("we"))
+      .agg(round(avg("value"), 6).as("x"))
+    cusum(weekly, baselineWeeks = 8).orderBy("week_ending")
+  }
+
+  /** The l106 engine over any (we: string, x: double) weekly frame —
+    * public so the spec can inject a level shift and watch the alarm
+    * latch. Output unordered: (week_ending, weekly_mean, s_pos, s_neg,
+    * alarm). */
+  def cusum(weekly: DataFrame, baselineWeeks: Int): DataFrame = {
+    val base = weekly.orderBy("we").limit(baselineWeeks)
+      .agg(round(avg("x"), 6).as("mu"),
+        round(stddev_samp(col("x")), 6).as("sig"))
+    val arr = weekly.agg(collect_list(struct(col("we"), col("x"))).as("raw"))
+      .select(array_sort(col("raw")).as("ws"))
+    arr.crossJoin(broadcast(base))
+      .select(aggregate(col("ws"),
+        struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+          array().cast(
+            "array<struct<we:string,x:double,sp:double,sn:double,al:long>>")
+            .as("rows")),
+        (st, e) => {
+          val nsp = greatest(st.getField("sp") +
+            (e.getField("x") - col("mu") - lit(0.5) * col("sig")), lit(0.0))
+          val nsn = greatest(st.getField("sn") +
+            (col("mu") - lit(0.5) * col("sig") - e.getField("x")), lit(0.0))
+          struct(nsp.as("sp"), nsn.as("sn"),
+            concat(st.getField("rows"), array(struct(
+              e.getField("we").as("we"), e.getField("x").as("x"),
+              round(nsp, 6).as("sp"), round(nsn, 6).as("sn"),
+              (nsp > lit(4.0) * col("sig") || nsn > lit(4.0) * col("sig"))
+                .cast("long").as("al")))).as("rows"))
+        }).getField("rows").as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.we").as("week_ending"), col("r.x").as("weekly_mean"),
+        col("r.sp").as("s_pos"), col("r.sn").as("s_neg"),
+        col("r.al").as("alarm"))
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -7024,5 +7299,6 @@ object LlmQueries {
     l83_fim_transform, l84_span_corruption, l85_int8_quant,
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
     l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences, l99_negative_sampling,
-    l100_bm25_topk, l101_kneser_ney, l102_char_entropy, l103_distinct_ngrams)
+    l100_bm25_topk, l101_kneser_ney, l102_char_entropy, l103_distinct_ngrams,
+    l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift)
 }

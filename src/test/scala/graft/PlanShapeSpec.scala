@@ -950,6 +950,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"(source,n,gram) dedup + (source,n) rollup is the exchange budget, got $ex:\n$p")
   }
 
+  test("L104: the DoReMi corpus side is one skinny join + one map-combined " +
+      "domain aggregate — the iteration never touches the corpus") {
+    val df = LlmQueries.doremiLosses(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_avg") || fin.contains("partial_sum"),
+      s"per-source losses must combine map-side:\n$p")
+    assert(!fin.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("L105: each PageRank round is an equi-join + map-combined sum — " +
+      "no cartesian, the n-row frame broadcasts") {
+    val p = finalPlan(LlmQueries.l105_pair_pagerank)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"),
+      s"contributions must flow through equi-joins:\n$p")
+    assert(fin.contains("partial_sum"),
+      s"rank contributions must combine map-side:\n$p")
+    assert(fin.contains("BroadcastExchange"),
+      s"the one-row n frame must broadcast:\n$p")
+  }
+
+  test("L106: CUSUM's only corpus exchange is the weekly aggregate; the " +
+      "recursion is an array fold, never a corpus window or join") {
+    val p = finalPlan(LlmQueries.l106_cusum_drift)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_avg"),
+      s"weekly means must combine map-side:\n$p")
+    // a ReusedExchange line quotes its target's "Exchange hashpartitioning"
+    // text — count only lines that ARE an exchange, not references to one
+    val ex = fin.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        !l.contains("ReusedExchange"))
+    assert(ex <= 1, s"one weekly exchange is the budget, got $ex:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("Window"),
+      s"the fold rides a broadcast, not a join or window:\n$p")
+  }
+
   test("L99: the sampling table is TakeOrdered top-50 over a map-combined " +
       "type aggregate — never a global sort, never a corpus window") {
     val p = finalPlan(LlmQueries.l99_negative_sampling)

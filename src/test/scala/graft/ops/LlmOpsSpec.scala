@@ -2867,6 +2867,136 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l104 DoReMi: weights equal an independent replay from raw text; " +
+      "mass moves monotonically toward high-loss domains above the ε floor") {
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent loss replay: unigram LM over the whole corpus, per-doc
+    // mean nll rounded 6, per-source mean rounded 6 (the nllFrame contract)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split(" ", -1).toSeq))
+    val vocab = docs.flatMap(_._3).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val total = vocab.values.sum.toDouble
+    val docNll = docs.map { case (id, src, toks) =>
+      (id, src, rd(toks.map(t => -math.log(vocab(t) / total)).sum / toks.length))
+    }
+    val losses = docNll.groupBy(_._2).map { case (src, xs) =>
+      src -> rd(xs.map(_._3).sum / xs.length)
+    }.toSeq.sortBy(_._1)
+    // iterate exactly as declared
+    val k = losses.length
+    var w = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to 10) {
+      var mix = 0.0
+      losses.indices.foreach(i => mix += w(i) * losses(i)._2)
+      val w2 = losses.indices.map(i =>
+        w(i) * math.exp(0.5 * math.max(losses(i)._2 - mix, 0.0))).toArray
+      var z = 0.0; w2.foreach(z += _)
+      w = w2.map(x => 0.99 * x / z + 0.01 / k)
+    }
+    val exp = losses.indices.map(i => (losses(i)._1, losses(i)._2, rd(w(i))))
+    val got = LlmQueries.l104_doremi_weights.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq === exp,
+      "weights must equal the from-raw-text replay of fit + iteration")
+    // invariants: simplex (up to output rounding), ε floor, monotone in loss
+    val sumW = got.map(_._3).sum
+    assert(math.abs(sumW - 1.0) < 1e-4, s"weights must sum to 1, got $sumW")
+    got.foreach { case (src, _, wt) =>
+      assert(wt >= 0.01 / k - 1e-9, s"$src below the ε/k floor: $wt")
+    }
+    val byLoss = got.sortBy(_._2)
+    byLoss.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 <= hi._3 + 1e-9,
+        s"monotonicity: ${hi._1} (loss ${hi._2}) must weigh >= ${lo._1}")
+    }
+    info(f"l104: weight range ${byLoss.head._3}%.4f..${byLoss.last._3}%.4f " +
+      f"over $k domains")
+  }
+
+  test("l105 PageRank: an engineered star outranks its leaves, ranks sum " +
+      "to 1, and the iteration equals a driver power-iteration replay") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L),
+      (11L, 12L)).toDF("i", "j")
+    val got = LlmQueries.pagerank(pairs, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver replay with the same per-iteration round(·,12)
+    def rd12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (n, xs) => n -> xs.length }
+    var r = nodes.map(_ -> 1.0 / nodes.length).toMap
+    for (_ <- 1 to 5) {
+      r = nodes.map { v =>
+        val in = edges.filter(_._2 == v).map { case (u, _) => r(u) / deg(u) }
+        v -> rd12(0.15 / nodes.length + 0.85 * in.sum)
+      }.toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-9,
+        s"node $v: ${got(v)} vs replay ${r(v)}")
+    }
+    // structure: the star center dominates its leaves; leaves tie; total ~1
+    assert(got(0L) > got(1L) * 2, s"center ${got(0L)} vs leaf ${got(1L)}")
+    assert(got(1L) === got(2L) && got(2L) === got(3L) && got(3L) === got(4L))
+    assert(got(11L) > got(10L), "the chain middle outranks its ends")
+    assert(math.abs(got.values.sum - 1.0) < 1e-6,
+      s"rank mass must be conserved, got ${got.values.sum}")
+    // and on the real corpus: each canonical doc belongs to its cluster
+    val canon = LlmQueries.l105_pair_pagerank.fn(spark, sf).collect()
+    assert(canon.nonEmpty)
+    canon.foreach { row =>
+      assert(row.getLong(1) >= 2, "a near-dup cluster has at least 2 members")
+    }
+    assert(canon.map(_.getLong(2)).distinct.length === canon.length,
+      "canonical docs are distinct across clusters")
+  }
+
+  test("l106 CUSUM: a +5σ level shift latches the alarm within three weeks " +
+      "while the in-control prefix stays silent; rows equal a replay") {
+    // 16 flat weeks then 8 shifted weeks; deterministic 'noise'
+    val mk = (i: Int) => f"2024-${1 + i / 4}%02d-${(i % 4) * 7 + 1}%02d"
+    val flat = (0 until 16).map(i => (mk(i), 10.0 + 0.1 * (i % 3 - 1)))
+    val shifted = (16 until 24).map(i => (mk(i), 12.5))
+    val weekly = (flat ++ shifted).toDF("we", "x")
+    val got = LlmQueries.cusum(weekly, baselineWeeks = 8).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    // replay
+    def rd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = (flat ++ shifted).sortBy(_._1)
+    val b8 = xs.take(8).map(_._2)
+    val mu = rd(b8.sum / 8, 6)
+    val sig = rd(math.sqrt(b8.map(v => (v - b8.sum / 8) * (v - b8.sum / 8))
+      .sum / 7), 6)
+    var sp = 0.0; var sn = 0.0
+    val exp = xs.map { case (we, x) =>
+      sp = math.max(sp + (x - mu - 0.5 * sig), 0.0)
+      sn = math.max(sn + (mu - 0.5 * sig - x), 0.0)
+      (we, x, rd(sp, 6), rd(sn, 6),
+        if (sp > 4 * sig || sn > 4 * sig) 1L else 0L)
+    }
+    assert(got.toSeq === exp, "CUSUM rows must equal the recursion replay")
+    val shiftStart = xs(16)._1
+    assert(got.filter(_._1 < shiftStart).forall(_._5 === 0L),
+      "the in-control prefix must not alarm")
+    val firstAlarm = got.find(_._5 === 1L).map(_._1)
+    assert(firstAlarm.exists(_ <= xs(18)._1),
+      s"the +5σ shift must latch within 3 weeks, first alarm: $firstAlarm")
+    assert(got.dropWhile(_._5 === 0L).forall(_._5 === 1L),
+      "once latched under a sustained shift, the alarm stays on")
+    // real corpus: the declared query matches the week count of d5
+    val real = LlmQueries.l106_cusum_drift.fn(spark, sf).collect()
+    assert(real.nonEmpty && real.forall(r => r.getDouble(2) >= 0 &&
+      r.getDouble(3) >= 0))
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
