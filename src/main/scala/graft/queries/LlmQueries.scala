@@ -7249,6 +7249,150 @@ object LlmQueries {
         col("r.al").as("alarm"))
   }
 
+  // --------------------------- product-quantization ADC search (l107)
+
+  private val PqM = 4       // subspaces
+  private val PqSubDim = 16 // dims per subspace (64-dim embeddings)
+  private val PqK = 8       // codes per subspace codebook
+
+  /** Deterministic squared-L2 over one subspace: both engines fold
+    * (a_i−b_i)² from 0.0 in index order, so the doubles are
+    * bit-identical before the round(·,6) that argmin/rank consume. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(sequence(lit(1), lit(PqSubDim)), lit(0.0), (acc, i) =>
+      acc + (element_at(a, i) - element_at(b, i)) *
+        (element_at(a, i) - element_at(b, i)))
+
+  private def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range($PqSubDim), " +
+      s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))), (x, y) -> x + y)"
+
+  /** The PQ codebook fit — md5-picked seed vectors (the fitQuantizer seed
+    * idiom) assigned per subspace by rounded squared-L2, then ONE Lloyd
+    * refinement per (subspace, code) with round(avg,6) means. Returns a
+    * ONE-ROW frame `cb` = array<struct<s,cl,cv>> (M·K entries — kilobytes
+    * at any corpus size) that callers attach with crossJoin(broadcast). */
+  private[queries] def pqFit(df: DataFrame): DataFrame = {
+    val e = withNorm(df)
+    val mdKey = md5(col("vec_id").cast("string").cast("binary"))
+    val seeds = e.orderBy(mdKey, col("vec_id")).limit(PqK)
+      .agg(collect_list(struct(mdKey.as("mk"), col("vec_id"), col("v"))).as("raw"))
+      .select(transform(array_sort(col("raw")),
+        (x, i) => struct(i.as("cl"), x.getField("v").as("sv"))).as("seeds"))
+    val subv = (0 until PqM).map { sI =>
+      e.select(col("vec_id"), lit(sI).as("s"),
+        slice(col("v"), sI * PqSubDim + 1, PqSubDim).as("sub"))
+    }.reduce(_ unionAll _)
+    subv.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("s"), col("sub"),
+        element_at(array_sort(transform(col("seeds"), c => struct(
+          round(l2sq(col("sub"),
+            slice(c.getField("sv"), col("s") * PqSubDim + 1, lit(PqSubDim))), 6)
+            .as("d"),
+          c.getField("cl").as("cl")))), 1).getField("cl").as("cl"))
+      .select(col("s"), col("cl"), posexplode(col("sub")))
+      .groupBy("s", "cl", "pos").agg(round(avg("col"), 6).as("m"))
+      .groupBy("s", "cl")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+      .agg(collect_list(struct(col("s"), col("cl"), col("cv"))).as("cb"))
+  }
+
+  /** L107: product-quantization ADC search (Jégou, Douze & Schmid, TPAMI
+    * 2011 — the memory-side half of IVF-PQ/FAISS): each 64-dim vector is
+    * encoded as M=4 one-byte codes (argmin rounded-L2 per 16-dim
+    * subspace against an 8-entry codebook), and query-to-corpus distance
+    * is the ASYMMETRIC sum Σ_s ‖q_s − cv[s, code_s]‖² — the scan reads
+    * 4 bytes per vector instead of 64 floats (16× memory traffic cut;
+    * 256-entry codebooks make it 64×). Top-5 by (ADC, vec_id), self
+    * excluded — the l6/l7 output contract on L2-ADC footing.
+    *
+    * 100 TB posture: the codebook is M·K rows — a broadcast, like l7's
+    * centroid array; fit is one subspace-exploded scan + map-combinable
+    * means; encoding is one scan; scoring broadcasts the query set (the
+    * l6 shape) over the CODES, with the per-query 4×8 LUT the inline
+    * `filter(cb,…)` expression stands for. At deployment the bucket
+    * route (l7's IVF) composes in front so ADC scans only probed
+    * partitions — IVF-PQ exactly. Determinism: every distance folds in
+    * index order and rounds at 6 dp before any argmin/rank; ADC sums
+    * the 4 rounded terms in subspace order on both engines. */
+  val l107_pq_adc = Q(
+    "l107_pq_adc",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sd0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl,
+       |               v AS sv
+       |        FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqK),
+       |sub AS (SELECT vec_id, s, list_slice(v, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS sub
+       |        FROM e, (SELECT unnest(range($PqM)) AS s)),
+       |a1 AS (SELECT vec_id, s, sub, cl,
+       |         row_number() OVER (PARTITION BY vec_id, s ORDER BY rdist, cl) AS rk
+       |       FROM (SELECT b.vec_id, b.s, b.sub, sd0.cl,
+       |               round(${l2sqSql("b.sub", s"list_slice(sd0.sv, b.s*$PqSubDim+1, b.s*$PqSubDim+$PqSubDim)")}, 6) AS rdist
+       |             FROM sub b CROSS JOIN sd0)),
+       |m AS (SELECT s, cl, unnest(generate_series(1, len(sub))) AS pos,
+       |             unnest(sub) AS val
+       |      FROM a1 WHERE rk = 1),
+       |mm AS (SELECT s, cl, pos, round(avg(val), 6) AS mv FROM m GROUP BY s, cl, pos),
+       |cb AS (SELECT s, cl, list(mv ORDER BY pos) AS cv FROM mm GROUP BY s, cl),
+       |enc AS (SELECT vec_id, s, cl AS code FROM (
+       |          SELECT b.vec_id, b.s, cb.cl,
+       |                 row_number() OVER (PARTITION BY b.vec_id, b.s
+       |                   ORDER BY round(${l2sqSql("b.sub", "cb.cv")}, 6), cb.cl) AS rk
+       |          FROM sub b JOIN cb ON b.s = cb.s)
+       |        WHERE rk = 1),
+       |qsub AS (SELECT vec_id AS qid, s, sub AS qs FROM sub WHERE vec_id % 100 = 0),
+       |term AS (SELECT enc.vec_id, q.qid, enc.s,
+       |           round(${l2sqSql("q.qs", "cb.cv")}, 6) AS t
+       |         FROM enc JOIN cb ON cb.s = enc.s AND cb.cl = enc.code
+       |                  JOIN qsub q ON q.s = enc.s
+       |         WHERE enc.vec_id <> q.qid),
+       |adc AS (SELECT vec_id, qid,
+       |          round(list_reduce(list_prepend(0.0, list(t ORDER BY s)),
+       |                            (a, b) -> a + b), 6) AS adc
+       |        FROM term GROUP BY vec_id, qid),
+       |r AS (SELECT qid, vec_id, adc,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk
+       |      FROM adc)
+       |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id, adc
+       |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
+  ) { (s, d) => pqAdcSearch(embeddings(s, d)).orderBy("qid", "rank") }
+
+  /** The l107 engine over any (vec_id, embedding, label) frame — public
+    * for the spec (recall vs exact L2, code-range and determinism
+    * checks). Queries are vec_id % 100 = 0; output unordered:
+    * (qid, rank, vec_id, adc). */
+  def pqAdcSearch(df: DataFrame): DataFrame = {
+    val cbF = cachedFrame(df.sparkSession,
+      df.queryExecution.analyzed.canonicalized.toString, "pq_cb")(pqFit(df))
+    val e = withNorm(df)
+    val enc = e.crossJoin(broadcast(cbF))
+      .select(col("vec_id"), col("cb"),
+        transform(sequence(lit(0), lit(PqM - 1)), sC => {
+          val sub = slice(col("v"), sC * PqSubDim + 1, lit(PqSubDim))
+          val cands = filter(col("cb"), cc => cc.getField("s") === sC)
+          element_at(array_sort(transform(cands, cc => struct(
+            round(l2sq(sub, cc.getField("cv")), 6).as("d"),
+            cc.getField("cl").as("cl")))), 1).getField("cl")
+        }).as("codes"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, sC) => {
+      val qsub = slice(col("qv"), sC * PqSubDim + 1, lit(PqSubDim))
+      val cv = element_at(filter(col("cb"),
+        cc => cc.getField("s") === sC &&
+          cc.getField("cl") === element_at(col("codes"), sC + 1)), 1)
+        .getField("cv")
+      acc + round(l2sq(qsub, cv), 6)
+    })
+    val rk = row_number().over(
+      Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id")))
+    enc.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(adc, 6).as("adc"))
+      .withColumn("rank", rk.cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adc"))
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -7300,5 +7444,5 @@ object LlmQueries {
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
     l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences, l99_negative_sampling,
     l100_bm25_topk, l101_kneser_ney, l102_char_entropy, l103_distinct_ngrams,
-    l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift)
+    l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc)
 }

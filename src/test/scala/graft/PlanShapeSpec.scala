@@ -989,6 +989,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the fold rides a broadcast, not a join or window:\n$p")
   }
 
+  test("L107: the PQ codebook broadcasts and the query set attaches as a " +
+      "broadcast — codes never shuffle, the fit means combine map-side") {
+    val p = finalPlan(LlmQueries.l107_pq_adc)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_avg"),
+      s"codebook means must combine map-side:\n$p")
+    assert(fin.contains("BroadcastNestedLoopJoin") ||
+      fin.contains("BroadcastExchange"),
+      s"the query set must broadcast over the codes scan (the l6 shape):\n$p")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("SortMergeJoin"),
+      s"nothing may shuffle-join in an ADC scan:\n$p")
+  }
+
   test("L99: the sampling table is TakeOrdered top-50 over a map-combined " +
       "type aggregate — never a global sort, never a corpus window") {
     val p = finalPlan(LlmQueries.l99_negative_sampling)

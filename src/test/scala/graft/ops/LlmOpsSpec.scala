@@ -2997,6 +2997,71 @@ class LlmOpsSpec extends AnyFunSuite {
       r.getDouble(3) >= 0))
   }
 
+  test("l107 PQ-ADC: the search equals a full fit+encode+score replay; " +
+      "ADC is exactly the reconstructed distance and obeys the triangle bound") {
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val M = 4; val S = 16; val K = 8
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      a.indices.foreach(i => acc += (a(i) - b(i)) * (a(i) - b(i)))
+      acc
+    }
+    def sub(v: Array[Double], s: Int): Array[Double] =
+      v.slice(s * S, s * S + S)
+    // fit replay: md5-ordered seeds, rounded-L2 argmin, round(avg,6) means
+    val seeds = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(K).map(_._2)
+    val cb = Array.tabulate(M, K) { (s, cl) =>
+      val assigned = vecs.map(_._2).filter { v =>
+        (0 until K).minBy(c => (rd(l2(sub(v, s), sub(seeds(c), s))), c)) == cl
+      }
+      Array.tabulate(S)(p => rd(assigned.map(v => sub(v, s)(p)).sum / assigned.length))
+    }
+    def code(v: Array[Double], s: Int): Int =
+      (0 until K).minBy(c => (rd(l2(sub(v, s), cb(s)(c))), c))
+    val qs = vecs.filter(_._1 % 100 == 0)
+    val expected = qs.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (id, v) =>
+        val adc = rd((0 until M).map(s => rd(l2(sub(qv, s), cb(s)(code(v, s))))).sum)
+        (qid, id, adc)
+      }.sortBy(x => (x._3, x._2)).take(5).zipWithIndex
+        .map { case ((q, id, adc), i) => (q, i + 1L, id, adc) }
+    }
+    val got = LlmQueries.pqAdcSearch(
+      spark.read.parquet(s"$sf/embeddings.parquet")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.toSeq === expected.toSeq,
+      "the ADC top-5 must equal the driver fit+encode+score replay")
+    // ADC(q,x) IS ||q - x_hat||^2 for the reconstruction x_hat, so
+    // | ||q-x_hat|| - ||q-x|| | <= ||x - x_hat||  (triangle inequality)
+    val vm = vecs.toMap
+    got.foreach { case (qid, _, id, adc) =>
+      val (qv, v) = (vm(qid), vm(id))
+      val xhat = (0 until M).flatMap(s => cb(s)(code(v, s))).toArray
+      val exactAdc = (0 until M).map(s => rd(l2(sub(qv, s), cb(s)(code(v, s))))).sum
+      assert(math.abs(adc - rd(exactAdc)) < 1e-9,
+        s"ADC must equal the reconstructed distance for ($qid, $id)")
+      val gap = math.abs(math.sqrt(exactAdc) - math.sqrt(l2(qv, v)))
+      assert(gap <= math.sqrt(l2(v, xhat)) + 1e-6,
+        s"triangle bound violated for ($qid, $id)")
+    }
+    // honest recall report (K=8 on unstructured vectors is coarse by
+    // design — the op's value is the 16x memory-traffic cut, composed
+    // with l7's IVF routing at deployment)
+    val exact = qs.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (id, v) => (qid, id, l2(qv, v)) }
+        .sortBy(x => (x._3, x._2)).take(5).map(x => (qid, x._2))
+    }.toSet
+    val recall = got.count(g => exact((g._1, g._3))).toDouble / exact.size
+    assert(recall > 0.0, "ADC must recover at least some true neighbors")
+    info(f"l107: recall@5 vs exact L2 = $recall%.2f at K=$K")
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
