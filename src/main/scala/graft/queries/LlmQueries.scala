@@ -7393,6 +7393,149 @@ object LlmQueries {
       .select(col("qid"), col("rank"), col("vec_id"), col("adc"))
   }
 
+  // ---------------------- unigram-LM tokenizer, one EM round (l108)
+
+  private val UniMaxPiece = 4
+  private val UniMinCount = 5
+  private val UniTop = 40
+
+  /** L108: unigram-LM tokenizer training, one exact EM round (Kudo, ACL
+    * 2018, arXiv:1804.10959 — the SentencePiece `unigram` model, the
+    * tokenizer family next to which l44/l48's BPE is the merge-based
+    * alternative). Seed vocabulary: every character plus every substring
+    * of length ≤ 4 with corpus count ≥ 5, p₀ ∝ count. E-step: per WORD
+    * TYPE, the Viterbi segmentation under −ln p₀ (DP over end positions;
+    * ties resolved to the candidate earliest in (end, len) order — both
+    * engines fold the same sorted candidate list with strict <, so the
+    * segmentations are identical). M-step: piece counts over the Viterbi
+    * segmentations weighted by word frequency, renormalized. Output: the
+    * top-40 pieces by (seg count, piece) with seed count and the
+    * re-estimated probability — one exact EM unit, the l44 pinned-round
+    * idiom (the production trainer iterates this unit and prunes by
+    * likelihood loss).
+    *
+    * 100 TB posture: everything after the first scan is TYPE-level — the
+    * word table is one map-combinable exchange, candidate substrings
+    * explode ≤ 4 rows per char of word TYPE (not corpus token), the
+    * piece-vocab attach is the one honest equi-join (the l43 bigram-table
+    * posture: type-level but corpus-growing, cannot broadcast), the
+    * Viterbi fold is a per-row HOF over each word's own candidate list,
+    * and the M-step is a map-combinable sum + TakeOrdered top-40. The
+    * corpus text is read exactly once. */
+  val l108_unigram_tokenizer = Q(
+    "l108_unigram_tokenizer",
+    s"""WITH RECURSIVE t AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |                    FROM documents),
+       |wt AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM t
+       |       WHERE w <> '' GROUP BY w),
+       |c0 AS (SELECT w, wc, unnest(list_transform(range(length(w)), x -> x)) AS i
+       |       FROM wt),
+       |cand AS (SELECT w, wc, i, l, substr(w, i + 1, l) AS pc
+       |         FROM c0, (SELECT unnest([1, 2, 3, 4]) AS l)
+       |         WHERE i + l <= length(w)),
+       |pcnt AS (SELECT pc, CAST(sum(wc) AS BIGINT) AS cnt FROM cand GROUP BY pc),
+       |voc AS (SELECT pc, cnt FROM pcnt
+       |        WHERE length(pc) = 1 OR cnt >= $UniMinCount),
+       |tot AS (SELECT sum(cnt) AS tot FROM voc),
+       |vn AS (SELECT pc, cnt, -ln(cnt / (SELECT tot FROM tot)) AS nll FROM voc),
+       |cs AS (SELECT c.w, c.wc,
+       |         list({'j': c.i + c.l, 'l': c.l, 'nll': vn.nll, 'piece': c.pc}
+       |              ORDER BY c.i + c.l, c.l) AS cs
+       |       FROM cand c JOIN vn ON c.pc = vn.pc GROUP BY c.w, c.wc),
+       |dpr(w, idx, st) AS (
+       |  SELECT w, 0, [{'sc': CAST(0.0 AS DOUBLE), 'segs': CAST([] AS VARCHAR[])}] FROM cs
+       |  UNION ALL
+       |  SELECT q.w, q.idx,
+       |    CASE WHEN len(q.st) = q.j THEN list_append(q.st, q.nw)
+       |         WHEN q.nw.sc < q.st[len(q.st)].sc
+       |           THEN list_append(list_slice(q.st, 1, len(q.st) - 1), q.nw)
+       |         ELSE q.st END
+       |  FROM (
+       |    SELECT d.w, d.idx + 1 AS idx, d.st, cs.cs[d.idx + 1].j AS j,
+       |      {'sc': d.st[cs.cs[d.idx+1].j - cs.cs[d.idx+1].l + 1].sc
+       |               + cs.cs[d.idx+1].nll,
+       |       'segs': list_append(
+       |         d.st[cs.cs[d.idx+1].j - cs.cs[d.idx+1].l + 1].segs,
+       |         cs.cs[d.idx+1].piece)} AS nw
+       |    FROM dpr d JOIN cs ON cs.w = d.w
+       |    WHERE d.idx < len(cs.cs)
+       |  ) q
+       |),
+       |best AS (SELECT d.w, d.st[len(d.st)].segs AS segs
+       |         FROM dpr d JOIN cs ON cs.w = d.w AND d.idx = len(cs.cs)),
+       |sg AS (SELECT b.w, wt.wc, unnest(b.segs) AS piece
+       |       FROM best b JOIN wt ON wt.w = b.w),
+       |sc2 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS seg_cnt
+       |        FROM sg GROUP BY piece),
+       |tots AS (SELECT sum(seg_cnt) AS ts FROM sc2),
+       |top AS (SELECT piece, seg_cnt FROM sc2
+       |        ORDER BY seg_cnt DESC, piece LIMIT $UniTop)
+       |SELECT t2.piece AS piece, vn.cnt AS seed_cnt, t2.seg_cnt AS seg_cnt,
+       |       round(t2.seg_cnt / (SELECT ts FROM tots), 6) AS p_new
+       |FROM top t2 JOIN vn ON vn.pc = t2.piece
+       |ORDER BY seg_cnt DESC, piece""".stripMargin
+  ) { (s, d) =>
+    unigramEmRound(spread(documents(s, d)))
+      .orderBy(col("seg_cnt").desc, col("piece"))
+  }
+
+  /** The l108 engine over any (doc_id, text) frame — public so the spec
+    * can drive corpora with engineered segmentation structure (a frequent
+    * multi-char piece must beat its char-by-char split) and replay the
+    * whole round driver-side. Output unordered:
+    * (piece, seed_cnt, seg_cnt, p_new) for the top-40 pieces. */
+  def unigramEmRound(docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val candRows = words.select(col("w"), col("wc"), explode(
+      flatten(transform(sequence(lit(0), length(col("w")) - 1), i =>
+        filter(transform(sequence(lit(1), lit(UniMaxPiece)), l =>
+          when(i + l <= length(col("w")),
+            struct((i + l).as("j"), l.as("l"),
+              col("w").substr(i + 1, l).as("piece")))),
+          x => x.isNotNull)))).as("c"))
+      .select(col("w"), col("wc"), col("c.j").as("j"), col("c.l").as("l"),
+        col("c.piece").as("piece"))
+    val pieces = candRows.groupBy("piece").agg(sum("wc").as("cnt"))
+    val vocab = pieces.filter(length(col("piece")) === 1 ||
+      col("cnt") >= UniMinCount)
+    val tot = vocab.agg(sum("cnt").as("tot"))
+    val vnll = vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (-log(col("cnt") / col("tot"))).as("nll"))
+    // the one honest corpus-scale join: candidate -> piece nll
+    val cands = candRows.join(vnll.select(col("piece"), col("nll")), Seq("piece"))
+      .groupBy("w", "wc")
+      .agg(array_sort(collect_list(
+        struct(col("j"), col("l"), col("nll"), col("piece")))).as("cs"))
+    val dpInit = array(struct(lit(0.0).as("sc"),
+      array().cast("array<string>").as("segs")))
+    val dpCol = aggregate(col("cs"), dpInit, (st, c) => {
+      val prev = element_at(st, c.getField("j") - c.getField("l") + 1)
+      val cand = struct(
+        (prev.getField("sc") + c.getField("nll")).as("sc"),
+        concat(prev.getField("segs"), array(c.getField("piece"))).as("segs"))
+      when(size(st) === c.getField("j"), concat(st, array(cand)))
+        .otherwise(
+          when(cand.getField("sc") < element_at(st, size(st)).getField("sc"),
+            concat(slice(st, lit(1), size(st) - 1), array(cand)))
+            .otherwise(st))
+    })
+    val segs = cands
+      .select(col("w"), col("wc"),
+        element_at(dpCol, size(dpCol)).getField("segs").as("segs"))
+      .select(col("wc"), explode(col("segs")).as("piece"))
+      .groupBy("piece").agg(sum("wc").as("seg_cnt"))
+    val totSeg = segs.agg(sum("seg_cnt").as("ts"))
+    val top = segs.orderBy(col("seg_cnt").desc, col("piece")).limit(UniTop)
+    vnll.select(col("piece"), col("cnt").as("seed_cnt"))
+      .join(broadcast(top), Seq("piece"))
+      .crossJoin(broadcast(totSeg))
+      .select(col("piece"), col("seed_cnt"), col("seg_cnt"),
+        round(col("seg_cnt") / col("ts"), 6).as("p_new"))
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -7444,5 +7587,6 @@ object LlmQueries {
     l86_calibration, l87_cluster_sample, l88_centroid_outliers,
     l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences, l99_negative_sampling,
     l100_bm25_topk, l101_kneser_ney, l102_char_entropy, l103_distinct_ngrams,
-    l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc)
+    l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc,
+    l108_unigram_tokenizer)
 }

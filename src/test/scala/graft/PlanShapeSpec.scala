@@ -1002,6 +1002,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nothing may shuffle-join in an ADC scan:\n$p")
   }
 
+  test("L108: the tokenizer round is type-level — map-combined counts, " +
+      "TakeOrdered top-40, the vocab attach is the only shuffle join") {
+    val p = finalPlan(LlmQueries.l108_unigram_tokenizer)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"word/piece counts must combine map-side:\n$p")
+    assert(fin.contains("TakeOrderedAndProject"),
+      s"the top-40 must be a TakeOrdered, never a global sort:\n$p")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("Window"),
+      s"no cartesian, no corpus window in an EM round:\n$p")
+  }
+
   test("L99: the sampling table is TakeOrdered top-50 over a map-combined " +
       "type aggregate — never a global sort, never a corpus window") {
     val p = finalPlan(LlmQueries.l99_negative_sampling)

@@ -3062,6 +3062,70 @@ class LlmOpsSpec extends AnyFunSuite {
     info(f"l107: recall@5 vs exact L2 = $recall%.2f at K=$K")
   }
 
+  test("l108 unigram tokenizer: Viterbi prefers the frequent whole piece, " +
+      "rare words fall back to chars, and the round equals a driver replay") {
+    // engineered corpus: 'abab' x20 -> the len-4 piece wins its own word;
+    // 'qxyz' once -> all multi-char substrings are sub-threshold
+    val docs = docsDf(Seq(
+      (1L, ("abab " * 20).trim), (2L, "qxyz"), (3L, "abab abab abab")))
+    val got = LlmQueries.unigramEmRound(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byPiece = got.map(r => r._1 -> r).toMap
+    assert(byPiece.contains("abab") && byPiece("abab")._3 === 23L,
+      s"the whole frequent word must win Viterbi 23 times: ${byPiece.get("abab")}")
+    assert(!got.exists(r => r._1 == "ab" && r._3 > 0) || byPiece.get("ab").forall(_._3 == 0),
+      "no 'ab' split survives when the longer piece is as frequent")
+    Seq("q", "x", "y", "z").foreach { c =>
+      assert(byPiece.contains(c) && byPiece(c)._3 === 1L,
+        s"rare-word char '$c' must segment out exactly once")
+    }
+    // full replay on the real corpus
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1).filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val pieceCnt = collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, wc) =>
+      for (i <- 0 until w.length; l <- 1 to 4 if i + l <= w.length)
+        pieceCnt(w.substring(i, i + l)) =
+          pieceCnt.getOrElse(w.substring(i, i + l), 0L) + wc
+    }
+    val vocab = pieceCnt.filter { case (p, c) => p.length == 1 || c >= 5 }.toMap
+    val tot = vocab.values.sum.toDouble
+    val nll = vocab.map { case (p, c) => p -> -math.log(c / tot) }
+    val segCnt = collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, wc) =>
+      val dp = Array.fill(w.length + 1)((Double.MaxValue, List.empty[String]))
+      dp(0) = (0.0, Nil)
+      for (j <- 1 to w.length; l <- 1 to math.min(4, j)) {
+        val piece = w.substring(j - l, j)
+        nll.get(piece).foreach { n =>
+          val sc = dp(j - l)._1 + n
+          if (sc < dp(j)._1) dp(j) = (sc, piece :: dp(j - l)._2)
+        }
+      }
+      dp(w.length)._2.foreach(p => segCnt(p) = segCnt.getOrElse(p, 0L) + wc)
+    }
+    val totSeg = segCnt.values.sum.toDouble
+    val exp = segCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(40)
+      .map { case (p, c) => (p, vocab(p), c, rd(c / totSeg)) }
+    val real = LlmQueries.l108_unigram_tokenizer.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(real.toSeq === exp,
+      "the EM round must equal the driver replay piece for piece")
+    // seg occurrences are a subset of raw occurrences; p_new non-increasing
+    real.foreach { case (p, seed, seg, _) =>
+      assert(seg <= seed, s"piece '$p': seg $seg must be <= seed $seed")
+    }
+    real.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4, "probabilities must be non-increasing down the table")
+    }
+    info(f"l108: top piece '${real.head._1}' p_new=${real.head._4}%.4f " +
+      f"over ${segCnt.size} active pieces")
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
