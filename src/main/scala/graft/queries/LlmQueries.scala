@@ -7536,6 +7536,140 @@ object LlmQueries {
         round(col("seg_cnt") / col("ts"), 6).as("p_new"))
   }
 
+  // ----------------- takedown propagation + loop detection (l109/l110)
+
+  /** L109: takedown propagation through the dedup graph — the
+    * right-to-erasure / opt-out stage a production corpus ships with
+    * (GDPR Art. 17; the "data removal" hygiene of dataset governance,
+    * e.g. Gebru et al. 2021's datasheet maintenance questions): given a
+    * tombstone predicate (here doc_id % 5 = 2, the l56 engineered-cohort
+    * idiom), every near-dup cluster touched by a removal re-elects its
+    * canonical among survivors (min surviving id, the l14 convention;
+    * −1 when the cluster is wholly erased) and reports its shrinkage —
+    * the downstream artifacts (l60 manifests, l78 splits) re-derive from
+    * the surviving set.
+    *
+    * 100 TB posture: one grid aggregate over the CACHED cluster labels —
+    * no corpus scan at all; a real tombstone list attaches as a broadcast
+    * semi-join where this fixture uses a predicate. */
+  val l109_takedown_propagation = Q(
+    "l109_takedown_propagation",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte
+       |SELECT cluster,
+       |       CAST(count(*) AS BIGINT) AS n_before,
+       |       CAST(sum(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST(coalesce(min(CASE WHEN doc_id % 5 <> 2 THEN doc_id END), -1) AS BIGINT) AS new_canonical,
+       |       CAST(CASE WHEN coalesce(min(CASE WHEN doc_id % 5 <> 2 THEN doc_id END), -1) <> cluster
+       |            THEN 1 ELSE 0 END AS BIGINT) AS canonical_changed
+       |FROM lbl GROUP BY cluster
+       |HAVING sum(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) > 0
+       |ORDER BY cluster""".stripMargin
+  ) { (s, d) =>
+    val gone = col("node") % 5 === 2
+    clusterLabelsCached(s, d).groupBy("cluster")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(gone, 1L).otherwise(0L)).as("n_removed"),
+        coalesce(min(when(!gone, col("node"))), lit(-1L)).as("new_canonical"))
+      .filter(col("n_removed") > 0)
+      .select(col("cluster"), col("n_before"), col("n_removed"),
+        col("new_canonical"),
+        (col("new_canonical") =!= col("cluster")).cast("long")
+          .as("canonical_changed"))
+      .orderBy("cluster")
+  }
+
+  /** L110: generation-loop artifact detector — the trailing-repetition
+    * degeneration of neural text (Holtzman et al., ICLR 2020 §3) that
+    * self-generated / synthetic training data must be screened for
+    * (model-collapse hygiene, Shumailov et al. 2024): a document whose
+    * tail is the same ≤5-token block repeated ≥3 times covering ≥30% of
+    * the doc is a loop artifact. Per doc: the best (period, repeats)
+    * by coverage, smallest period on ties (both engines iterate periods
+    * ascending keeping strictly-greater coverage). The declared row
+    * augments the corpus with engineered looped variants (the l3/l56
+    * injected-cohort idiom) so the detector's firing set is non-trivial
+    * at every SF.
+    *
+    * 100 TB posture: pure per-row HOFs — zero shuffles, one codegen
+    * scan; O(Σ_p n/p) ≈ O(n·H₅) block compares per row. */
+  val l110_loop_detector = Q(
+    "l110_loop_detector",
+    """WITH a0 AS (SELECT doc_id, lower(text) AS text FROM documents),
+      |aug AS (SELECT doc_id, text FROM a0
+      |        UNION ALL
+      |        SELECT doc_id + 200000,
+      |               text || repeat(' ' || array_to_string(
+      |                 list_slice(string_split(text, ' '),
+      |                   len(string_split(text, ' ')) - 2,
+      |                   len(string_split(text, ' '))), ' '), 6)
+      |        FROM a0 WHERE doc_id % 11 = 3),
+      |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+      |det AS (SELECT doc_id, len(toks) AS n,
+      |  list_reduce(list_prepend(
+      |    {'cov': CAST(0.0 AS DOUBLE), 'p': CAST(0 AS BIGINT), 'k': CAST(0 AS BIGINT)},
+      |    list_transform([1, 2, 3, 4, 5], p ->
+      |      {'cov': (coalesce(list_position(
+      |           list_transform(range(1, len(toks) // p + 1), m ->
+      |             list_slice(toks, len(toks) - m*p + 1, len(toks) - (m-1)*p)
+      |               = list_slice(toks, len(toks) - p + 1, len(toks))),
+      |           false) - 1,
+      |           len(toks) // p) * p) * 1.0 / len(toks),
+      |       'p': CAST(p AS BIGINT),
+      |       'k': CAST(coalesce(list_position(
+      |           list_transform(range(1, len(toks) // p + 1), m ->
+      |             list_slice(toks, len(toks) - m*p + 1, len(toks) - (m-1)*p)
+      |               = list_slice(toks, len(toks) - p + 1, len(toks))),
+      |           false) - 1,
+      |           len(toks) // p) AS BIGINT)})
+      |    ), (b, c) -> CASE WHEN c.k >= 3 AND c.cov > b.cov THEN c ELSE b END) AS best
+      |  FROM t2)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, best.p AS period,
+      |       best.k AS repeats, round(best.cov, 6) AS coverage
+      |FROM det WHERE best.k >= 3 AND best.cov >= 0.3
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val a0 = spread(documents(s, d)).select(col("doc_id"),
+      lower(col("text")).as("text"))
+    val tail3 = array_join(slice(split(col("text"), " "), -3, 3), " ")
+    val looped = a0.filter(col("doc_id") % 11 === 3)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat((Seq(col("text")) ++
+          Seq.fill(6)(concat(lit(" "), tail3))): _*).as("text"))
+    loopDetect(a0.unionByName(looped)).orderBy("doc_id")
+  }
+
+  /** The l110 detector over any (doc_id, text) frame — public for the
+    * spec (exact period/repeat/coverage accounting on engineered loops,
+    * and silence on loop-free text). Emits only firing docs, unordered:
+    * (doc_id, n_tokens, period, repeats, coverage). */
+  def loopDetect(docs: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val n = size(toks)
+    def kOf(p: Column): Column = {
+      val block = slice(toks, n - p + 1, p)
+      val eqs = transform(sequence(lit(1), (n / p).cast("int")),
+        m => slice(toks, n - m * p + 1, p) === block)
+      val pos = array_position(eqs, false)
+      when(pos === 0, size(eqs).cast("long")).otherwise(pos - 1)
+    }
+    val best = aggregate(sequence(lit(1), lit(5)),
+      struct(lit(0.0).as("cov"), lit(0L).as("p"), lit(0L).as("k")),
+      (b, p) => {
+        val k = kOf(p)
+        val cand = struct(
+          ((k * p).cast("double") * 1.0 / n).as("cov"),
+          p.cast("long").as("p"), k.as("k"))
+        when(cand.getField("k") >= 3 &&
+          cand.getField("cov") > b.getField("cov"), cand).otherwise(b)
+      })
+    docs.select(col("doc_id"), n.cast("long").as("n_tokens"),
+        best.as("best"))
+      .filter(col("best.k") >= 3 && col("best.cov") >= 0.3)
+      .select(col("doc_id"), col("n_tokens"), col("best.p").as("period"),
+        col("best.k").as("repeats"), round(col("best.cov"), 6).as("coverage"))
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -7588,5 +7722,5 @@ object LlmQueries {
     l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences, l99_negative_sampling,
     l100_bm25_topk, l101_kneser_ney, l102_char_entropy, l103_distinct_ngrams,
     l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc,
-    l108_unigram_tokenizer)
+    l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector)
 }

@@ -1014,6 +1014,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no cartesian, no corpus window in an EM round:\n$p")
   }
 
+  test("L109: takedown is one grid aggregate over the cached labels — " +
+      "no corpus join, no re-run of the pair pipeline") {
+    val p = finalPlan(LlmQueries.l109_takedown_propagation)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_count") || fin.contains("partial_sum"),
+      s"cluster shrinkage must combine map-side:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"nothing corpus-scale may join in a label aggregate:\n$p")
+    assert(!fin.contains("graft_sorted_intersect_count"),
+      s"the pair verify pipeline must NOT re-run here:\n$p")
+  }
+
+  test("L110: the loop detector is a single-pass per-row scan — no hash " +
+      "exchange, no join, no window") {
+    val p = finalPlan(LlmQueries.l110_loop_detector)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Exchange hashpartitioning"),
+      s"per-row detection must not shuffle the corpus:\n$p")
+    assert(!fin.contains("Join") && !fin.contains("Window"),
+      s"no join or window belongs in a per-row detector:\n$p")
+  }
+
   test("L99: the sampling table is TakeOrdered top-50 over a map-combined " +
       "type aggregate — never a global sort, never a corpus window") {
     val p = finalPlan(LlmQueries.l99_negative_sampling)

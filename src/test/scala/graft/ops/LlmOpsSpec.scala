@@ -3126,6 +3126,76 @@ class LlmOpsSpec extends AnyFunSuite {
       f"over ${segCnt.size} active pieces")
   }
 
+  test("l109 takedown: cluster shrinkage reconciles with the declared l14 " +
+      "labels; re-elected canonicals are survivors outside the tombstone set") {
+    val labels = LlmQueries.l14_dedup_clusters.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster)
+    val exp = labels.groupBy(_._2).toSeq.map { case (cl, members) =>
+      val ids = members.map(_._1)
+      val removed = ids.count(_ % 5 == 2).toLong
+      val survivors = ids.filter(_ % 5 != 2)
+      (cl, ids.length.toLong, removed,
+        if (survivors.isEmpty) -1L else survivors.min,
+        if ((if (survivors.isEmpty) -1L else survivors.min) != cl) 1L else 0L)
+    }.filter(_._3 > 0).sortBy(_._1)
+    val got = LlmQueries.l109_takedown_propagation.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === exp,
+      "takedown rows must reconcile with the declared cluster labels")
+    got.foreach { case (cl, nb, nr, canon, changed) =>
+      assert(nr >= 1 && nr <= nb)
+      if (canon >= 0) {
+        assert(canon % 5 != 2, s"cluster $cl re-elected a tombstoned doc")
+        assert(changed === (if (canon != cl) 1L else 0L))
+      } else assert(nr === nb && changed === 1L,
+        s"cluster $cl: -1 canonical must mean total erasure")
+    }
+    info(s"l109: ${got.length} clusters touched, " +
+      s"${got.count(_._4 == -1L)} wholly erased")
+  }
+
+  test("l110 loop detector: exact period/repeat/coverage accounting on " +
+      "engineered loops; silence on clean and sub-threshold text") {
+    val docs = docsDf(Seq(
+      (1L, "w1 w2 a b a b a b a b"),          // p=2, k=4, cov 0.8
+      (2L, "c c c c c c"),                    // p=1, k=6, cov 1.0
+      (3L, ("t " * 17).trim + " x x x"),      // k=3 but cov 3/20 < 0.3
+      (4L, "q w e r t y u i o p"),            // clean
+      (5L, "u v w u v w u v w")))             // p=3, k=3, cov 1.0
+    val got = LlmQueries.loopDetect(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 10L, 2L, 4L, 0.8),
+      (2L, 6L, 1L, 6L, 1.0),
+      (5L, 9L, 3L, 3L, 1.0)),
+      s"detector must fire exactly on the engineered loops: ${got.toSeq}")
+    // declared query: every synthetic id traces to the injected cohort,
+    // and the injection is detected whenever coverage can clear the gate
+    val real = LlmQueries.l110_loop_detector.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    real.filter(_._1 >= 200000).foreach { case (id, _, cov) =>
+      assert((id - 200000) % 11 === 3L,
+        s"emitted synthetic id $id must come from the injected cohort")
+      assert(cov >= 0.3)
+    }
+    val shortInjected = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(r => r.getLong(0) % 11 == 3)
+      .map { r =>
+        val n = r.getString(1).split(" ", -1).length
+        (r.getLong(0) + 200000, n + 18, 21.0 * 3 / (3 * (n + 18)))
+      }
+      .filter { case (_, n2, _) => 21.0 / n2 >= 0.3 }
+    val emitted = real.map(_._1).toSet
+    shortInjected.foreach { case (id, _, _) =>
+      assert(emitted(id), s"injected loop $id clears the gate but was missed")
+    }
+    info(s"l110: ${real.length} firing docs, " +
+      s"${real.count(_._1 >= 200000)} from the injected cohort")
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()

@@ -117,6 +117,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming drift monitor: CUSUM over streamed weekly means equals " +
+      "the batch chart, and an injected late-era shift raises the alarm " +
+      "through the streaming path") {
+    import spark.implicits._
+    val (dir, batch) = stage(dups = false)
+    // append a drifted era: three extra weeks far above the baseline,
+    // landing as new source files the stream picks up like any arrival
+    val maxTs = batch.agg(max("ts")).collect()(0).getTimestamp(0)
+    val drift = (1 to 21).map { d =>
+      (900000L + d, new java.sql.Timestamp(
+        maxTs.getTime + (7L + d) * 24 * 3600 * 1000), 1000.0)
+    }.toDF("event_id", "ts", "value")
+    drift.repartition(1).write.mode("append").parquet(dir)
+    def weekly(df: DataFrame): DataFrame =
+      StreamingOps.weeklyAvg(df)
+        .select(col("week_ending").as("we"),
+          col("avg_value").cast("double").as("x"))
+    val streamedWeekly =
+      runStream(dir, StreamingOps.weeklyAvg(_), "cusum_stream", "complete")
+        .select(col("week_ending").as("we"),
+          col("avg_value").cast("double").as("x"))
+    val gotChart = graft.queries.LlmQueries.cusum(streamedWeekly, 4)
+      .collect().map(_.toSeq).toSet
+    val expChart = graft.queries.LlmQueries
+      .cusum(weekly(batch.unionByName(drift)), 4)
+      .collect().map(_.toSeq).toSet
+    assert(gotChart === expChart,
+      "the chart over streamed weekly rows must equal the batch chart")
+    val rows = gotChart.toSeq.map(s => (s(0).asInstanceOf[String],
+      s(4).asInstanceOf[Long])).sortBy(_._1)
+    val baseWeeks = rows.take(4).map(_._1)
+    assert(rows.filter(r => baseWeeks.contains(r._1)).forall(_._2 == 0L),
+      "the baseline era must not alarm")
+    assert(rows.last._2 === 1L,
+      s"the +shift era must latch the alarm through the streamed path: $rows")
+  }
+
   test("streaming dedup emits each event_id exactly once") {
     // files arrive in arbitrary (non-time) order, so the watermark must
     // exceed the table's time span or re-arrivals of old rows would be
