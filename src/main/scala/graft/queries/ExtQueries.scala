@@ -481,10 +481,44 @@ object ExtQueries {
       .orderBy(col("n_exact").desc, col("l_suppkey"))
   }
 
+  /** D15: HOPPING (sliding) event-time windows — 14-day windows advancing
+    * 7 days, Monday-aligned (the d5 startTime-"4 days" epoch shift), so
+    * every event lands in exactly TWO overlapping windows. The window
+    * family d5's tumbling form cannot express: trailing two-week rolling
+    * aggregates emitted weekly, the standard dashboard smoothing window
+    * and the Structured Streaming hop shape (the same `window()` call is
+    * streaming-legal against a watermark).
+    *
+    * 100 TB posture: `window(slide < length)` explodes each row into
+    * length/slide = 2 window replicas BEFORE one map-combinable
+    * aggregate — a constant-factor row expansion, never a self-join of
+    * weekly frames (the shape that doubles exchanges). The oracle
+    * replays the 2-replica expansion arithmetically. */
+  val d15_hopping_window = Q(
+    "d15_hopping_window",
+    """WITH w AS (SELECT CAST(CAST(date_trunc('week',
+      |             CAST(ts AS TIMESTAMP) - k * INTERVAL 7 DAY)
+      |             + INTERVAL 13 DAY AS DATE) AS VARCHAR) AS window_ending,
+      |           value
+      |           FROM events, (SELECT unnest([0, 1]) AS k))
+      |SELECT window_ending, round(avg(value), 4) AS avg_value,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "14 days", "7 days", "4 days").as("w"))
+      .agg(round(avg("value"), 4).as("avg_value"),
+        count(lit(1)).as("n"))
+      .select(date_format(date_add(col("w.end").cast("date"), -1),
+        "yyyy-MM-dd").as("window_ending"),
+        col("avg_value"), col("n"))
+      .orderBy("window_ending")
+  }
+
   val all: Seq[Q] = Seq(
     g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
     e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
-    b14_unpivot)
+    b14_unpivot, d15_hopping_window)
 }

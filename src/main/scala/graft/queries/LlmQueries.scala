@@ -7316,45 +7316,51 @@ object LlmQueries {
     * partitions — IVF-PQ exactly. Determinism: every distance folds in
     * index order and rounds at 6 dp before any argmin/rank; ADC sums
     * the 4 rounded terms in subspace order on both engines. */
-  val l107_pq_adc = Q(
-    "l107_pq_adc",
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |sd0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl,
+  /** l107's full PQ search chain — fit, encode, ADC, tie-deterministic
+    * ranking (`pr2`) — with pq-prefixed CTE names so it composes with
+    * [[ivfSearchCtes]] in one statement (l111). */
+  private val pqSearchCtes =
+    s"""pe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |psd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl,
        |               v AS sv
-       |        FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqK),
-       |sub AS (SELECT vec_id, s, list_slice(v, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS sub
-       |        FROM e, (SELECT unnest(range($PqM)) AS s)),
-       |a1 AS (SELECT vec_id, s, sub, cl,
+       |        FROM pe ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqK),
+       |psub AS (SELECT vec_id, s, list_slice(v, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS sub
+       |        FROM pe, (SELECT unnest(range($PqM)) AS s)),
+       |pa1 AS (SELECT vec_id, s, sub, cl,
        |         row_number() OVER (PARTITION BY vec_id, s ORDER BY rdist, cl) AS rk
-       |       FROM (SELECT b.vec_id, b.s, b.sub, sd0.cl,
-       |               round(${l2sqSql("b.sub", s"list_slice(sd0.sv, b.s*$PqSubDim+1, b.s*$PqSubDim+$PqSubDim)")}, 6) AS rdist
-       |             FROM sub b CROSS JOIN sd0)),
-       |m AS (SELECT s, cl, unnest(generate_series(1, len(sub))) AS pos,
+       |       FROM (SELECT b.vec_id, b.s, b.sub, psd.cl,
+       |               round(${l2sqSql("b.sub", s"list_slice(psd.sv, b.s*$PqSubDim+1, b.s*$PqSubDim+$PqSubDim)")}, 6) AS rdist
+       |             FROM psub b CROSS JOIN psd)),
+       |pm AS (SELECT s, cl, unnest(generate_series(1, len(sub))) AS pos,
        |             unnest(sub) AS val
-       |      FROM a1 WHERE rk = 1),
-       |mm AS (SELECT s, cl, pos, round(avg(val), 6) AS mv FROM m GROUP BY s, cl, pos),
-       |cb AS (SELECT s, cl, list(mv ORDER BY pos) AS cv FROM mm GROUP BY s, cl),
-       |enc AS (SELECT vec_id, s, cl AS code FROM (
-       |          SELECT b.vec_id, b.s, cb.cl,
+       |      FROM pa1 WHERE rk = 1),
+       |pmm AS (SELECT s, cl, pos, round(avg(val), 6) AS mv FROM pm GROUP BY s, cl, pos),
+       |pcb AS (SELECT s, cl, list(mv ORDER BY pos) AS cv FROM pmm GROUP BY s, cl),
+       |penc AS (SELECT vec_id, s, cl AS code FROM (
+       |          SELECT b.vec_id, b.s, pcb.cl,
        |                 row_number() OVER (PARTITION BY b.vec_id, b.s
-       |                   ORDER BY round(${l2sqSql("b.sub", "cb.cv")}, 6), cb.cl) AS rk
-       |          FROM sub b JOIN cb ON b.s = cb.s)
+       |                   ORDER BY round(${l2sqSql("b.sub", "pcb.cv")}, 6), pcb.cl) AS rk
+       |          FROM psub b JOIN pcb ON b.s = pcb.s)
        |        WHERE rk = 1),
-       |qsub AS (SELECT vec_id AS qid, s, sub AS qs FROM sub WHERE vec_id % 100 = 0),
-       |term AS (SELECT enc.vec_id, q.qid, enc.s,
-       |           round(${l2sqSql("q.qs", "cb.cv")}, 6) AS t
-       |         FROM enc JOIN cb ON cb.s = enc.s AND cb.cl = enc.code
-       |                  JOIN qsub q ON q.s = enc.s
-       |         WHERE enc.vec_id <> q.qid),
-       |adc AS (SELECT vec_id, qid,
+       |pqs AS (SELECT vec_id AS qid, s, sub AS qs FROM psub WHERE vec_id % 100 = 0),
+       |pterm AS (SELECT penc.vec_id, q.qid, penc.s,
+       |           round(${l2sqSql("q.qs", "pcb.cv")}, 6) AS t
+       |         FROM penc JOIN pcb ON pcb.s = penc.s AND pcb.cl = penc.code
+       |                  JOIN pqs q ON q.s = penc.s
+       |         WHERE penc.vec_id <> q.qid),
+       |padc AS (SELECT vec_id, qid,
        |          round(list_reduce(list_prepend(0.0, list(t ORDER BY s)),
        |                            (a, b) -> a + b), 6) AS adc
-       |        FROM term GROUP BY vec_id, qid),
-       |r AS (SELECT qid, vec_id, adc,
+       |        FROM pterm GROUP BY vec_id, qid),
+       |pr2 AS (SELECT qid, vec_id, adc,
        |        row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk
-       |      FROM adc)
+       |      FROM padc)""".stripMargin
+
+  val l107_pq_adc = Q(
+    "l107_pq_adc",
+    s"""WITH $pqSearchCtes
        |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id, adc
-       |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
+       |FROM pr2 WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
   ) { (s, d) => pqAdcSearch(embeddings(s, d)).orderBy("qid", "rank") }
 
   /** The l107 engine over any (vec_id, embedding, label) frame — public
@@ -7670,6 +7676,86 @@ object LlmQueries {
         col("best.k").as("repeats"), round(col("best.cov"), 6).as("coverage"))
   }
 
+  // ------------------- ANN backend agreement via RBO (l111)
+
+  /** L111: rank-biased overlap between the engine's two approximate ANN
+    * backends — l7's IVF cosine top-5 vs l107's PQ-ADC top-5 per query
+    * (Webber, Moffat & Zobel, TOIS 2010: RBO_5 = (1−p)·Σ_{d≤5}
+    * p^{d−1}·|A_d∩B_d|/d, p=0.9, the top-weighted agreement metric) —
+    * the monitoring row a serving stack alerts on when two index
+    * generations (or an index and its re-build) drift apart; the l73
+    * recall-monitor sibling with the brute-force oracle replaced by a
+    * second approximation.
+    *
+    * 100 TB posture: rides BOTH cached rankings (the IVF assignment
+    * cache and the PQ codebook cache); everything downstream of the two
+    * top-5 frames is per-query metadata — a 5-row join and a 5-term
+    * ordered fold per query. Determinism: p^{d−1} is carried
+    * multiplicatively inside the fold (no libm pow), both engines fold
+    * the d-sorted list from the same state, round(·,6) on output. */
+  /** p^{d−1} for d = 1..5 at p = 0.9, materialized once by the SAME
+    * multiplicative fold on the driver and embedded as literals in both
+    * engines (Double.toString round-trips exactly) — DuckDB's
+    * list_reduce mis-evaluates struct-state lambdas on chains ≥ 3 (the
+    * pd field updates before the acc field reads it), so the weights
+    * must not be derived inside the fold. */
+  private val RboWeights: Seq[Double] = Seq.iterate(1.0, 5)(_ * 0.9)
+
+  val l111_ann_agreement = Q(
+    "l111_ann_agreement",
+    s"""WITH $ivfSearchCtes,
+       |$pqSearchCtes,
+       |ia AS (SELECT qid, vec_id, rk FROM r WHERE rk <= 5),
+       |pa5 AS (SELECT qid, vec_id, rk FROM pr2 WHERE rk <= 5),
+       |jj AS (SELECT ia.qid, ia.vec_id, ia.rk AS ra, pa5.rk AS rb
+       |       FROM ia JOIN pa5 USING (qid, vec_id)),
+       |grid AS (SELECT qid, d FROM (SELECT DISTINCT qid FROM ia),
+       |                             (SELECT unnest([1, 2, 3, 4, 5]) AS d)),
+       |ov AS (SELECT g.qid, g.d,
+       |         CAST(coalesce(sum(CASE WHEN jj.ra <= g.d AND jj.rb <= g.d
+       |                           THEN 1 END), 0) AS BIGINT) AS inter
+       |       FROM grid g LEFT JOIN jj ON jj.qid = g.qid
+       |       GROUP BY g.qid, g.d),
+       |tm AS (SELECT qid, d,
+       |         (CASE ${RboWeights.zipWithIndex.map { case (w, i) => s"WHEN d = ${i + 1} THEN $w" }.mkString(" ")} END)
+       |           * inter / d AS term,
+       |         inter
+       |       FROM ov),
+       |ord2 AS (SELECT qid, list(term ORDER BY d) AS xs,
+       |                max(CASE WHEN d = 5 THEN inter END) AS overlap5
+       |         FROM tm GROUP BY qid)
+       |SELECT qid, CAST(overlap5 AS BIGINT) AS overlap5,
+       |       round((1 - 0.9) * list_reduce(list_prepend(0.0, xs),
+       |                                     (a, b) -> a + b), 6) AS rbo
+       |FROM ord2 ORDER BY qid""".stripMargin
+  ) { (s, d) =>
+    val ivf = annIvf(nprobe = 3)(embeddings(s, d))
+      .select(col("qid"), col("vec_id"), col("rank").as("ra"))
+    val pq = pqAdcSearch(embeddings(s, d))
+      .select(col("qid"), col("vec_id"), col("rank").as("rb"))
+    val jj = ivf.join(pq, Seq("qid", "vec_id"))
+    val grid = ivf.select("qid").distinct()
+      .select(col("qid"), explode(sequence(lit(1), lit(5))).as("d"))
+    val ov = grid.join(jj, Seq("qid"), "left")
+      .groupBy("qid", "d")
+      .agg(coalesce(sum(when(col("ra") <= col("d") && col("rb") <= col("d"),
+        1L)), lit(0L)).as("inter"))
+    val wCol = RboWeights.zipWithIndex
+      .foldLeft(lit(Double.NaN)) { case (acc, (w, i)) =>
+        when(col("d") === i + 1, lit(w)).otherwise(acc)
+      }
+    val tm = ov.select(col("qid"), col("d"),
+      (wCol * col("inter") / col("d")).as("term"), col("inter"))
+    val rboCol = round((lit(1.0) - lit(0.9)) *
+      aggregate(transform(array_sort(col("xs")), x => x.getField("term")),
+        lit(0.0), (a, b) => a + b), 6)
+    tm.groupBy("qid")
+      .agg(collect_list(struct(col("d"), col("term"))).as("xs"),
+        max(when(col("d") === 5, col("inter"))).as("overlap5"))
+      .select(col("qid"), col("overlap5"), rboCol.as("rbo"))
+      .orderBy("qid")
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -7722,5 +7808,6 @@ object LlmQueries {
     l89_source_cap, l90_moore_lewis, l91_invisible_scrub, l92_mixed_script, l93_heaps_audit, l94_filter_agreement, l95_kmeans_convergence, l96_weekly_cm_sketch, l97_incremental_dedup, l98_session_sequences, l99_negative_sampling,
     l100_bm25_topk, l101_kneser_ney, l102_char_entropy, l103_distinct_ngrams,
     l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc,
-    l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector)
+    l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector,
+    l111_ann_agreement)
 }

@@ -1036,6 +1036,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no join or window belongs in a per-row detector:\n$p")
   }
 
+  test("D15: the hopping window is one map-combined aggregate over the " +
+      "2x window expansion — no self-join of weekly frames") {
+    val p = finalPlan(graft.queries.ExtQueries.d15_hopping_window)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("partial_avg") || fin.contains("partial_count"),
+      s"the hop must combine map-side:\n$p")
+    assert(!fin.contains("Join"),
+      s"window(slide<length) expands rows, it must not self-join:\n$p")
+    val ex = fin.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(ex <= 1, s"one window exchange is the budget, got $ex:\n$p")
+  }
+
+  test("L111: the agreement rides the two cached rankings — metadata joins " +
+      "only, no corpus-scale shuffle") {
+    val p = finalPlan(LlmQueries.l111_ann_agreement)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"),
+      s"the 5-row frames join on (qid, vec_id):\n$p")
+    assert(fin.contains("partial_sum") || fin.contains("partial_count"),
+      s"depth intersections must combine map-side:\n$p")
+  }
+
   test("L99: the sampling table is TakeOrdered top-50 over a map-combined " +
       "type aggregate — never a global sort, never a corpus window") {
     val p = finalPlan(LlmQueries.l99_negative_sampling)

@@ -223,4 +223,34 @@ class QueryHardeningSpec extends AnyFunSuite {
     }
     assert(ff.getMessage != null, "FAILFAST must abort the read on the bad row")
   }
+
+  test("d15: every event lands in exactly two hopping windows, and each " +
+      "window aggregates exactly the events inside its 14-day span") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val got = graft.queries.ExtQueries.d15_hopping_window.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._3).sum === 2 * nEvents,
+      "the 2x replication invariant of a 14d/7d hop must hold exactly")
+    // replay each window membership from raw timestamps (UTC Mondays)
+    val rows = ev.select(col("ts").cast("date").as("d"), col("value"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    def weekStart(d: java.time.LocalDate) =
+      d.minusDays((d.getDayOfWeek.getValue + 6) % 7)
+    val exp = rows.flatMap { case (d, v) =>
+      Seq(0, 1).map(k => weekStart(d).minusDays(7L * k).plusDays(13) -> v)
+    }.groupBy(_._1).map { case (we, xs) =>
+      (we.toString,
+        BigDecimal(xs.map(_._2).sum / xs.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        xs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq.map(x => (x._1, x._3)) === exp.map(x => (x._1, x._3)),
+      "window memberships must equal the replay")
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g._2 - e._2) < 1e-9, s"window ${g._1}: ${g._2} vs ${e._2}")
+    }
+  }
 }

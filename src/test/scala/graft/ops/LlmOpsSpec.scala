@@ -3196,6 +3196,41 @@ class LlmOpsSpec extends AnyFunSuite {
       s"${real.count(_._1 >= 200000)} from the injected cohort")
   }
 
+  test("l111 RBO: agreement equals a driver replay over the two declared " +
+      "rankings; bounds and zero-overlap equivalence hold") {
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = LlmQueries.annIvf(nprobe = 3)(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val b = LlmQueries.pqAdcSearch(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val qids = a.keys.map(_._1).toSeq.distinct.sorted
+    val exp = qids.map { q =>
+      var rbo = 0.0; var pd = 1.0; var inter5 = 0L
+      (1 to 5).foreach { d =>
+        val inter = a.count { case ((aq, v), ra) =>
+          aq == q && ra <= d && b.get((q, v)).exists(_ <= d) }
+        rbo += pd * inter / d
+        pd *= 0.9
+        if (d == 5) inter5 = inter.toLong
+      }
+      (q, inter5, rd((1.0 - 0.9) * rbo))
+    }
+    val got = LlmQueries.l111_ann_agreement.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === exp,
+      "RBO rows must equal the replay over the two declared top-5 lists")
+    got.foreach { case (q, o5, rbo) =>
+      assert(rbo >= 0.0 && rbo <= 1.0 + 1e-9, s"qid $q: rbo $rbo out of [0,1]")
+      assert((rbo == 0.0) === (o5 == 0L),
+        s"qid $q: rbo is zero exactly when the top-5 sets are disjoint")
+      assert(o5 < 5 || rbo <= 1.0)
+    }
+    info(s"l111: agreement ${got.map(_._3).sum / got.length} mean RBO over " +
+      s"${got.length} queries")
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
