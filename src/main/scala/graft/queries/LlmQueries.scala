@@ -7756,6 +7756,155 @@ object LlmQueries {
       .orderBy("qid")
   }
 
+  // -------------- exact common-substring + clustered split (l112/l113)
+
+  /** L112: exact longest common token-substring per verified near-dup
+    * pair — the span-level evidence behind Lee et al. 2022's
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) 50-token exact-substring criterion: l4 says HOW
+    * similar a pair is (set Jaccard), this says WHAT is literally shared
+    * (the longest contiguous run), the number a span-dedup policy
+    * thresholds on. DP: the classic O(|a|·|b|) suffix-match recurrence
+    * row[j] = a_i = b_j ? prev[j−1]+1 : 0, folded row by row — INTEGER
+    * state, so cross-engine equality is exact with no rounding stance.
+    *
+    * 100 TB posture: runs ONLY on the cached verified pair frame (never
+    * all-pairs); texts attach by two skinny id equi-joins; the DP is a
+    * per-row fold. Pair counts are the near-dup rate × corpus — the same
+    * cardinality l4 already materializes. */
+  val l112_common_substring = Q(
+    "l112_common_substring",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |px AS (SELECT pr.i, pr.j, a.toks AS ta, b.toks AS tb
+       |       FROM pr JOIN tk a ON a.doc_id = pr.i
+       |               JOIN tk b ON b.doc_id = pr.j),
+       |lr(i, j, r, row, best) AS (
+       |  SELECT i, j, 0, list_transform(tb, x -> 0), 0 FROM px
+       |  UNION ALL
+       |  SELECT q.i, q.j, q.r, q.nrow,
+       |    greatest(q.best, coalesce(list_max(q.nrow), 0))
+       |  FROM (
+       |    SELECT lr.i, lr.j, lr.r + 1 AS r, lr.best,
+       |      list_transform(range(len(px.tb)), jj ->
+       |        CASE WHEN px.ta[lr.r + 1] = px.tb[jj + 1]
+       |             THEN coalesce(CASE WHEN jj > 0 THEN lr.row[jj] END, 0) + 1
+       |             ELSE 0 END) AS nrow
+       |    FROM lr JOIN px ON px.i = lr.i AND px.j = lr.j
+       |    WHERE lr.r < len(px.ta)
+       |  ) q
+       |),
+       |fin AS (SELECT lr.i, lr.j, lr.best
+       |        FROM lr JOIN px ON px.i = lr.i AND px.j = lr.j
+       |        WHERE lr.r = len(px.ta))
+       |SELECT f.i, f.j, CAST(f.best AS BIGINT) AS lcs_tokens,
+       |       round(f.best * 1.0 / least(len(p2.ta), len(p2.tb)), 6) AS lcs_ratio
+       |FROM fin f JOIN px p2 ON p2.i = f.i AND p2.j = f.j
+       |ORDER BY f.i, f.j""".stripMargin
+  ) { (s, d) =>
+    val tk = spread(documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val px = exactPairsCached(s, d).select(col("i"), col("j"))
+      .join(tk.select(col("doc_id").as("i"), col("toks").as("ta")), Seq("i"))
+      .join(tk.select(col("doc_id").as("j"), col("toks").as("tb")), Seq("j"))
+    commonSubstring(px).orderBy("i", "j")
+  }
+
+  /** The l112 DP over any (i, j, ta, tb) token-pair frame — public for
+    * the spec (known-LCS fixtures, the shingle lower bound). Output
+    * unordered: (i, j, lcs_tokens, lcs_ratio). */
+  def commonSubstring(px: DataFrame): DataFrame = {
+    val dp = aggregate(col("ta"),
+      struct(transform(col("tb"), _ => lit(0)).as("row"), lit(0).as("best")),
+      (st, a) => {
+        val old = st.getField("row")
+        val nrow = transform(sequence(lit(0), size(col("tb")) - 1), jj =>
+          when(a === element_at(col("tb"), jj + 1),
+            coalesce(when(jj > 0, element_at(old, jj)), lit(0)) + 1)
+            .otherwise(0))
+        struct(nrow.as("row"),
+          greatest(st.getField("best"),
+            coalesce(array_max(nrow), lit(0))).as("best"))
+      }).getField("best")
+    px.select(col("i"), col("j"), dp.cast("long").as("lcs_tokens"),
+      round(dp.cast("double") * 1.0 /
+        least(size(col("ta")), size(col("tb"))), 6).as("lcs_ratio"))
+  }
+
+  /** L113: near-dup-aware split assignment — the CONSTRUCTIVE fix for
+    * what l79 audits: assigning train/val/test by DOCUMENT lets a
+    * near-dup pair straddle splits (validation contamination); assigning
+    * by CLUSTER (every doc inherits its connected component's md5 draw;
+    * singletons draw on their own id) makes cross-split leakage zero BY
+    * CONSTRUCTION (Søgaard et al. 2021's split-contamination concern,
+    * the dedup-aware split used for The Pile's held-out sets). 80/10/10
+    * by the md5 hex value, the l78 salt idiom. Output: per (split,
+    * clustered?) doc counts plus the leakage edge count, which a spec
+    * and the oracle both pin at zero.
+    *
+    * 100 TB posture: one broadcast-shaped join of docs against the
+    * CACHED label frame (labels are the near-dup subset — tiny next to
+    * the corpus; at scale an equi-join on doc_id), one md5 per CLUSTER
+    * key, one grid aggregate. The pair frame re-checks leakage with two
+    * label probes — metadata-only. */
+  val l113_clustered_split = Q(
+    "l113_clustered_split",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |alldocs AS (SELECT d2.doc_id, coalesce(lbl.cluster, d2.doc_id) AS grp,
+       |              CASE WHEN lbl.cluster IS NOT NULL THEN 1 ELSE 0 END AS clustered
+       |            FROM documents d2 LEFT JOIN lbl ON lbl.doc_id = d2.doc_id),
+       |sp AS (SELECT doc_id, grp, clustered,
+       |         CASE WHEN CAST(${hexValOf("md5('split:' || CAST(grp AS VARCHAR))")} AS BIGINT) % 10 < 8 THEN 'train'
+       |              WHEN CAST(${hexValOf("md5('split:' || CAST(grp AS VARCHAR))")} AS BIGINT) % 10 < 9 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM alldocs),
+       |leak AS (SELECT CAST(count(*) AS BIGINT) AS n
+       |         FROM pr JOIN sp a ON a.doc_id = pr.i
+       |                 JOIN sp b ON b.doc_id = pr.j
+       |         WHERE a.split <> b.split)
+       |SELECT split, CAST(clustered AS BIGINT) AS clustered,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       (SELECT n FROM leak) AS leaked_pairs
+       |FROM sp GROUP BY split, clustered
+       |ORDER BY split, clustered""".stripMargin
+  ) { (s, d) =>
+    val labels = clusterLabelsCached(s, d)
+      .select(col("node").as("doc_id"), col("cluster"))
+    val alldocs = spread(documents(s, d)).select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("grp"),
+        col("cluster").isNotNull.cast("long").as("clustered"))
+    val hv = conv(substring(md5(concat(lit("split:"),
+      col("grp").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 10
+    val sp = alldocs.select(col("doc_id"), col("grp"), col("clustered"),
+      when(hv < 8, "train").when(hv < 9, "val").otherwise("test").as("split"))
+    // both ends of any pair are label docs, so the leak probe needs only
+    // the (tiny) label-side splits — broadcast those, never the corpus
+    val lblHv = conv(substring(md5(concat(lit("split:"),
+      col("cluster").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 10
+    val lblSplit = labels.select(col("doc_id"),
+      when(lblHv < 8, "train").when(lblHv < 9, "val").otherwise("test")
+        .as("split"))
+    val pairs = exactPairsCached(s, d).select(col("i"), col("j"))
+    val leak = pairs
+      .join(broadcast(lblSplit.select(col("doc_id").as("i"),
+        col("split").as("sa"))), Seq("i"))
+      .join(broadcast(lblSplit.select(col("doc_id").as("j"),
+        col("split").as("sb"))), Seq("j"))
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    sp.groupBy("split", "clustered")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("clustered"), col("n_docs"),
+        col("leaked_pairs"))
+      .orderBy("split", "clustered")
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -7809,5 +7958,5 @@ object LlmQueries {
     l100_bm25_topk, l101_kneser_ney, l102_char_entropy, l103_distinct_ngrams,
     l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc,
     l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector,
-    l111_ann_agreement)
+    l111_ann_agreement, l112_common_substring, l113_clustered_split)
 }

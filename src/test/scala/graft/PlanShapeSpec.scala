@@ -1059,6 +1059,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"depth intersections must combine map-side:\n$p")
   }
 
+  test("L112: the LCS DP runs only on the cached pair frame — two skinny " +
+      "id joins, no cartesian, no re-verify of the pair pipeline") {
+    val p = finalPlan(LlmQueries.l112_common_substring)
+    val fin = p.split("== Initial Plan ==")(0)
+    // the pair frame arrives through the session cache; its BUILD plan
+    // (rendered inside the InMemoryRelation) legitimately verifies — the
+    // DP query above that boundary must not (the L79 boundary idiom)
+    val query = fin.split("InMemoryRelation")(0)
+    assert(query.contains("InMemoryTableScan"),
+      s"the pair evidence must come from the session cache:\n$p")
+    assert(!query.contains("CartesianProduct"),
+      s"texts attach by equi-join, never all-pairs:\n$p")
+    assert(!query.contains("graft_sorted_intersect_count"),
+      s"the pair verify pipeline must NOT re-run in the DP query:\n$p")
+  }
+
+  test("L113: the split attaches labels as a broadcast and aggregates " +
+      "map-side — the corpus never shuffles for the assignment") {
+    val p = finalPlan(LlmQueries.l113_clustered_split)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the tiny label frame must broadcast onto the docs scan:\n$p")
+    assert(fin.contains("partial_count"),
+      s"split counts must combine map-side:\n$p")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("SortMergeJoin"),
+      s"no corpus-scale shuffle join in a split assignment:\n$p")
+  }
+
   test("L99: the sampling table is TakeOrdered top-50 over a map-combined " +
       "type aggregate — never a global sort, never a corpus window") {
     val p = finalPlan(LlmQueries.l99_negative_sampling)

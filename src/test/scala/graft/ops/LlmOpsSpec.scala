@@ -3231,6 +3231,91 @@ class LlmOpsSpec extends AnyFunSuite {
       s"${got.length} queries")
   }
 
+  test("l112 LCS: known-answer fixtures, a driver DP replay on the real " +
+      "pairs, and the shingle lower bound lcs >= 3 on every near-dup pair") {
+    import spark.implicits._
+    // fixtures with known longest common token runs
+    val px = Seq(
+      (1L, 2L, Seq("a", "b", "c", "d", "e"), Seq("x", "a", "b", "c", "y")),
+      (3L, 4L, Seq("p", "q"), Seq("p", "q")),
+      (5L, 6L, Seq("m", "n"), Seq("u", "v", "w")),
+      (7L, 8L, Seq("r", "r", "r", "s"), Seq("r", "r")))
+      .toDF("i", "j", "ta", "tb")
+    val got = LlmQueries.commonSubstring(px).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, 3L, 0.6), (3L, 4L, 2L, 1.0),
+      (5L, 6L, 0L, 0.0), (7L, 8L, 2L, 1.0)),
+      s"DP must return the known longest runs: ${got.toSeq}")
+    // real corpus: replay the DP per declared pair and check the
+    // trigram-shingle theorem (jaccard >= tau pairs share a 3-gram)
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      var prev = Array.fill(b.length)(0)
+      a.foreach { x =>
+        val row = Array.tabulate(b.length)(j =>
+          if (x == b(j)) (if (j > 0) prev(j - 1) else 0) + 1 else 0)
+        best = math.max(best, if (row.isEmpty) 0 else row.max)
+        prev = row
+      }
+      best
+    }
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)).toMap
+    val real = LlmQueries.l112_common_substring.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(real.nonEmpty)
+    real.foreach { case (i, j, n, ratio) =>
+      assert(n === lcs(toks(i), toks(j)).toLong,
+        s"pair ($i,$j): engine $n vs replay ${lcs(toks(i), toks(j))}")
+      assert(n >= 3,
+        s"pair ($i,$j): a trigram-Jaccard >= tau pair shares a 3-shingle, " +
+          s"so its LCS cannot be $n < 3")
+      val expRatio = BigDecimal(n.toDouble / math.min(toks(i).length,
+        toks(j).length)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ratio === expRatio)
+    }
+    info(s"l112: ${real.length} pairs, max shared run " +
+      s"${real.map(_._3).max} tokens")
+  }
+
+  test("l113 clustered split: zero leakage by construction, counts " +
+      "reconcile, same-cluster docs share a split") {
+    val rows = LlmQueries.l113_clustered_split.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall(_._4 === 0L),
+      "cluster-keyed assignment must yield ZERO cross-split near-dup pairs")
+    val total = rows.map(_._3).sum
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total === nDocs, s"split counts must cover the corpus: $total")
+    // full table replay: every doc draws on its GROUP key (cluster for
+    // label docs, own id otherwise) — same md5 idiom, driver-side
+    val labels = LlmQueries.l14_dedup_clusters.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusterOf = labels.toMap
+    def splitOf(grp: Long): String = {
+      val v = java.lang.Long.parseLong(
+        md5hex(s"split:$grp").take(8), 16) % 10
+      if (v < 8) "train" else if (v < 9) "val" else "test"
+    }
+    val allIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val exp = allIds.groupBy { id =>
+      val grp = clusterOf.getOrElse(id, id)
+      (splitOf(grp), if (clusterOf.contains(id)) 1L else 0L)
+    }.map { case ((sp, cl), ids) => (sp, cl, ids.length.toLong, 0L) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(rows.toSeq.sortBy(x => (x._1, x._2)) === exp,
+      "the split table must equal the per-doc md5 replay")
+    val clusteredCount = rows.filter(_._2 == 1L).map(_._3).sum
+    assert(clusteredCount === labels.length.toLong,
+      s"clustered=1 rows must cover exactly the label docs: " +
+        s"$clusteredCount vs ${labels.length}")
+    info(s"l113: $total docs over ${rows.length} (split, clustered) cells, " +
+      s"0 leaked pairs")
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
