@@ -7650,28 +7650,45 @@ object LlmQueries {
     * and silence on loop-free text). Emits only firing docs, unordered:
     * (doc_id, n_tokens, period, repeats, coverage). */
   def loopDetect(docs: DataFrame): DataFrame = {
-    val toks = split(lower(col("text")), " ")
-    val n = size(toks)
-    def kOf(p: Column): Column = {
-      val block = slice(toks, n - p + 1, p)
-      val eqs = transform(sequence(lit(1), (n / p).cast("int")),
-        m => slice(toks, n - m * p + 1, p) === block)
-      val pos = array_position(eqs, false)
-      when(pos === 0, size(eqs).cast("long")).otherwise(pos - 1)
+    // HOFs evaluate interpreted with NO subexpression caching, and
+    // materializing the token array "as a column first" does NOT survive
+    // the optimizer: CollapseProject (and PushProjectionThroughUnion, when
+    // the input is a union) substitutes the split(...) tree back into
+    // every lambda-element reference, so each block compare re-tokenized
+    // the document — O(n²·split), 324 s at sf0.1 (BENCHNOTES r13). Two
+    // structural defenses that the optimizer provably cannot undo:
+    //   1. Bind the token array as a LAMBDA VARIABLE (transform over a
+    //      1-element array): a NamedLambdaVariable is a bound VALUE —
+    //      references inside the body fetch it, never re-evaluate a tree,
+    //      and HOF bodies are opaque to projection collapsing.
+    //   2. Emit through a GENERATOR (inline): the detector struct is
+    //      evaluated exactly ONCE per row, instead of 5× when the filter
+    //      (k, cov) and the three field projections each inline their own
+    //      copy of the full expression after CollapseProject.
+    def bestOf(toks: Column, n: Column): Column = {
+      def kOf(p: Column): Column = {
+        val block = slice(toks, n - p + 1, p)
+        val eqs = transform(sequence(lit(1), (n / p).cast("int")),
+          m => slice(toks, n - m * p + 1, p) === block)
+        val pos = array_position(eqs, false)
+        when(pos === 0, size(eqs).cast("long")).otherwise(pos - 1)
+      }
+      val ks = transform(sequence(lit(1), lit(5)), p => kOf(p))
+      val cands = zip_with(ks, sequence(lit(1), lit(5)), (k, p) => struct(
+        ((k * p).cast("double") * 1.0 / n).as("cov"),
+        p.cast("long").as("p"), k.as("k")))
+      aggregate(cands,
+        struct(lit(0.0).as("cov"), lit(0L).as("p"), lit(0L).as("k")),
+        (b, c) => when(c.getField("k") >= 3 &&
+          c.getField("cov") > b.getField("cov"), c).otherwise(b))
     }
-    val best = aggregate(sequence(lit(1), lit(5)),
-      struct(lit(0.0).as("cov"), lit(0L).as("p"), lit(0L).as("k")),
-      (b, p) => {
-        val k = kOf(p)
-        val cand = struct(
-          ((k * p).cast("double") * 1.0 / n).as("cov"),
-          p.cast("long").as("p"), k.as("k"))
-        when(cand.getField("k") >= 3 &&
-          cand.getField("cov") > b.getField("cov"), cand).otherwise(b)
-      })
-    docs.select(col("doc_id"), n.cast("long").as("n_tokens"),
-        best.as("best"))
-      .filter(col("best.k") >= 3 && col("best.cov") >= 0.3)
+    val scored = transform(array(split(lower(col("text")), " ")), tk =>
+      struct(size(tk).cast("long").as("n_tokens"),
+        bestOf(tk, size(tk)).as("best")))
+    val hit = filter(scored, s =>
+      s.getField("best").getField("k") >= 3 &&
+        s.getField("best").getField("cov") >= 0.3)
+    docs.select(col("doc_id"), inline(hit))
       .select(col("doc_id"), col("n_tokens"), col("best.p").as("period"),
         col("best.k").as("repeats"), round(col("best.cov"), 6).as("coverage"))
   }
@@ -7905,6 +7922,73 @@ object LlmQueries {
       .orderBy("split", "clustered")
   }
 
+  // ------------------------------ asymmetric containment dedup (l114)
+
+  /** L114: shingle CONTAINMENT detection (Broder 1997's asymmetric
+    * containment C(A→B) = |A∩B|/|A|, the measure his resemblance paper
+    * defines alongside Jaccard) — catches what symmetric near-dup (l4/l5)
+    * structurally misses: a document wholly embedded in a longer one
+    * (quote farms, aggregator pages, concatenated crawls). A jac ≥ 0.5
+    * pair of equal-size docs has C = 2/3 < 0.8, so the τ=0.8 containment
+    * set is NOT derivable from l4's output. The declared row augments the
+    * corpus with engineered aggregator docs (doc ⊕ next doc, the l110
+    * injected-cohort idiom) so the firing set is non-trivial at every SF.
+    *
+    * 100 TB posture: the same inverted shingle index as l4 — join on
+    * shingle, never all-pairs, df-capped at scale — but DIRECTED: both
+    * orders of each co-shingle pair are counted, and the ratio divides by
+    * the CONTAINED side's set size only. */
+  val l114_containment = Q(
+    "l114_containment",
+    s"""WITH a0 AS (SELECT doc_id, lower(text) AS text FROM documents),
+       |nx AS (SELECT a.doc_id, a.text || ' ' || b.text AS text
+       |       FROM a0 a JOIN a0 b ON b.doc_id = a.doc_id + 1
+       |       WHERE a.doc_id % 13 = 0),
+       |aug AS (SELECT doc_id, text FROM a0
+       |        UNION ALL SELECT doc_id + 300000, text FROM nx),
+       |d2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(len(toks) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
+       |       FROM d2),
+       |sz AS (SELECT doc_id, len(ss) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT p.i, p.j, CAST(p.c AS BIGINT) AS shared,
+       |       round(p.c * 1.0 / si.n, 6) AS containment
+       |FROM p JOIN sz si ON si.doc_id = p.i
+       |WHERE p.c * 1.0 / si.n >= 0.8
+       |ORDER BY i, j""".stripMargin
+  ) { (s, d) =>
+    val a0 = spread(documents(s, d)).select(col("doc_id"),
+      lower(col("text")).as("text"))
+    val nx = a0.filter(col("doc_id") % 13 === 0)
+      .join(a0.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("t2")), Seq("doc_id"))
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" "), col("t2")).as("text"))
+    containmentPairs(a0.unionByName(nx), tau = 0.8).orderBy("i", "j")
+  }
+
+  /** The l114 engine over any (doc_id, text) frame — public for the spec
+    * (engineered containments, the C ≥ jac identity). Directed output,
+    * unordered: (i = contained, j = container, shared, containment). */
+  def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), ShingleN).as("ss"))
+    val sz = sh.select(col("doc_id"), size(col("ss")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("ss")).as("s"))
+    ex.join(ex.select(col("doc_id").as("j"), col("s")), Seq("s"))
+      .filter(col("doc_id") =!= col("j"))
+      .groupBy(col("doc_id").as("i"), col("j")).agg(count(lit(1)).as("c"))
+      .join(sz.select(col("doc_id").as("i"), col("n")), Seq("i"))
+      .filter(col("c") * 1.0 / col("n") >= tau)
+      .select(col("i"), col("j"), col("c").cast("long").as("shared"),
+        round(col("c") * 1.0 / col("n"), 6).as("containment"))
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -7958,5 +8042,6 @@ object LlmQueries {
     l100_bm25_topk, l101_kneser_ney, l102_char_entropy, l103_distinct_ngrams,
     l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc,
     l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector,
-    l111_ann_agreement, l112_common_substring, l113_clustered_split)
+    l111_ann_agreement, l112_common_substring, l113_clustered_split,
+    l114_containment)
 }

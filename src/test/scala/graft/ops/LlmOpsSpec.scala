@@ -3316,6 +3316,60 @@ class LlmOpsSpec extends AnyFunSuite {
       s"0 leaked pairs")
   }
 
+  test("l114 containment: exact directed replay on a fixture, asymmetry, " +
+      "C >= Jaccard, and the real-corpus aggregator cohort fires at 1.0") {
+    // A is wholly embedded as a prefix of B; B has enough extra tail that
+    // the reverse direction stays under tau. C and D are near-identical
+    // same-size docs — high Jaccard but symmetric containment < 1.
+    val fx = docsDf(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> ("the quick brown fox jumps over the lazy dog and then " +
+        "ran far away into the deep dark woods tonight"),
+      3L -> "alpha beta gamma delta epsilon zeta eta theta",
+      4L -> "alpha beta gamma delta epsilon zeta eta iota"))
+    val got = LlmQueries.containmentPairs(fx, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(p => (p._1, p._2))
+    // driver replay: distinct 3-token shingle sets, directed ratio
+    def sh(t: String): Set[String] =
+      t.toLowerCase.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val texts = fx.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = (for {
+      (i, ti) <- texts.toSeq; (j, tj) <- texts.toSeq if i != j
+      c = (sh(ti) & sh(tj)).size if sh(ti).nonEmpty
+      ratio = c.toDouble / sh(ti).size if ratio >= 0.5
+    } yield (i, j, c.toLong, r6(ratio))).sortBy(p => (p._1, p._2))
+    assert(got.toSeq === exp, "directed pairs must equal the set replay")
+    val dir = got.map(p => (p._1, p._2) -> p._4).toMap
+    assert(dir((1L, 2L)) === 1.0, "prefix-embedded doc: C(A->B) = 1")
+    assert(!dir.contains((2L, 1L)),
+      "container->contained must stay below tau (asymmetry)")
+    // C(A->B) >= J(A,B) for every emitted pair, by denominator dominance
+    got.foreach { case (i, j, c, cont) =>
+      val jac = c.toDouble / (sh(texts(i)) | sh(texts(j))).size
+      assert(cont >= jac - 1e-9, s"containment($i->$j) must dominate Jaccard")
+    }
+    // real corpus: every engineered aggregator (base doc % 13 == 0 with a
+    // successor) contains its source doc completely -> a 1.0-containment
+    // row (doc_id, doc_id + 300000) must be in the declared output
+    val real = LlmQueries.l114_containment.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val realDir = real.map(p => (p._1, p._2) -> p._3).toMap
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val srcs = ids.filter(i => i % 13 == 0 && ids.contains(i + 1))
+    assert(srcs.nonEmpty, "fixture cohort must be non-trivial at this SF")
+    srcs.foreach { i =>
+      assert(realDir.get((i, i + 300000L)).contains(1.0),
+        s"doc $i must be fully contained in its aggregator ${i + 300000}")
+    }
+    info(s"l114: ${real.length} directed pairs at sf0.001, " +
+      s"${srcs.size}-doc aggregator cohort all at containment 1.0")
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
