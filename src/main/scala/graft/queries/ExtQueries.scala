@@ -515,10 +515,99 @@ object ExtQueries {
       .orderBy("window_ending")
   }
 
+  /** D16: full CUBE grouping sets — all four (flag, status) marginal
+    * combinations in ONE pass, the shape d9's ROLLUP cannot produce (a
+    * rollup never emits the (ALL, status) cells). grouping_id() pins the
+    * cell identity independently of the coalesce'd labels.
+    *
+    * 100 TB posture: CUBE is an Expand (×4 replicas of each input row,
+    * a constant factor) feeding ONE partial+final aggregate — a single
+    * exchange on the grouping columns, never four scans union'd (the
+    * naive form that quadruples the read). The replication factor is
+    * 2^dims: bounded here (4), and the idiom documents that a
+    * high-dimensional cube should enumerate explicit GROUPING SETS
+    * instead of exploding 2^n replicas. */
+  val d16_cube = Q(
+    "d16_cube",
+    """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+      |         AS BIGINT) AS gid,
+      |       coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(avg(l_extendedprice), 4) AS avg_price
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY 1, 2, 3""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      // grouping_id() must be computed IN the aggregate (it reads the
+      // grouping-set id the Expand emits; after the agg the context is
+      // gone) — same contract as d9's grouping()
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("avg_price"))
+      .orderBy("gid", "flag", "status")
+  }
+
+  /** F6: the ranking window family — rank / dense_rank / percent_rank /
+    * cume_dist over a tie-bearing order (order DATE: rankings are
+    * tie-stable, so deterministic without a total order), plus ntile(4)
+    * over a tiebroken total order (ntile is NOT tie-stable — quartile
+    * assignment within a tie run depends on physical order, so it gets
+    * its own (date, key) ordering; same WINDOW distinction in the
+    * oracle). Emits the first 20 ranks per priority class, ties
+    * included (a rank-≤-k cut is a deterministic SET even at a tie
+    * boundary, unlike row_number ≤ k).
+    *
+    * 100 TB posture: ONE exchange on the partition key serves both
+    * window specs (same partitioning, different orderings → two Window
+    * operators over one shuffle, the second adding only a local
+    * re-sort). The rank filter is a per-group limit — Spark ≥3.5 pushes
+    * it into the sort where the ntile window doesn't force full-group
+    * retention anyway. */
+  val f6_ranking = Q(
+    "f6_ranking",
+    """WITH r AS (
+      |  SELECT o_orderpriority AS priority, o_orderkey,
+      |         rank() OVER w AS rnk,
+      |         dense_rank() OVER w AS drnk,
+      |         percent_rank() OVER w AS prnk,
+      |         cume_dist() OVER w AS cd,
+      |         ntile(4) OVER (PARTITION BY o_orderpriority
+      |           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS tile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY CAST(o_orderdate AS DATE)))
+      |SELECT priority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |       CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+      |       round(prnk, 6) AS prnk, round(cd, 6) AS cd,
+      |       CAST(tile AS BIGINT) AS tile
+      |FROM r WHERE rnk <= 20
+      |ORDER BY priority, rnk, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val base = orders(s, d).select(
+      col("o_orderpriority").as("priority"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("od"))
+    val w = Window.partitionBy("priority").orderBy("od")
+    val wT = Window.partitionBy("priority").orderBy("od", "o_orderkey")
+    base.select(col("priority"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(wT).cast("long").as("tile"))
+      .filter(col("rnk") <= 20)
+      .orderBy("priority", "rnk", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
     e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
-    b14_unpivot, d15_hopping_window)
+    b14_unpivot, d15_hopping_window, d16_cube, f6_ranking)
 }

@@ -148,6 +148,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rollup must keep the map-side combine phase:\n$p")
   }
 
+  test("D16: cube expands x4 in ONE pass — partial agg, no union of scans") {
+    val p = plan(graft.queries.ExtQueries.d16_cube)
+    assert(p.contains("Expand"), s"CUBE must plan via Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_avg"),
+      s"cube must keep the map-side combine phase:\n$p")
+    assert(!p.contains("Union"),
+      s"one Expand pass, never four scans union'd:\n$p")
+    // the 2^dims replication must come from ONE scan of the fact table
+    assert(p.split("FileScan").length - 1 === 1,
+      s"cube must read lineitem exactly once:\n$p")
+  }
+
+  test("F6: both ranking windows ride ONE exchange on the partition key") {
+    // AQE's executed-plan string repeats the tree under "== Initial
+    // Plan ==" — pin shapes on the FINAL section only
+    val p = finalPlan(graft.queries.ExtQueries.f6_ranking)
+      .split("== Initial Plan ==")(0)
+    // two Window operators (tie-stable family + tiebroken ntile) ...
+    assert(p.split("\\bWindow \\[").length - 1 === 2,
+      s"expected two window operators:\n$p")
+    // ... but only ONE hash exchange on priority — the second spec adds a
+    // local re-sort, never a second shuffle (the final orderBy's range
+    // exchange is the only other one)
+    assert(p.contains("Exchange hashpartitioning(priority"),
+      s"windows must partition on priority:\n$p")
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1,
+      s"both window specs must share one partition-key exchange:\n$p")
+  }
+
   test("E6: anti-join plans as a real join, never a per-row subquery") {
     val p = finalPlan(graft.queries.ExtQueries.e6_anti_join)
     assert(p.contains("LeftAnti"), s"expected an anti-join operator:\n$p")
