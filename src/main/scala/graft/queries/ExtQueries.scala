@@ -604,10 +604,78 @@ object ExtQueries {
       .orderBy("priority", "rnk", "o_orderkey")
   }
 
+  /** D17: per-group exponentially-weighted moving average — pandas'
+    * `.ewm(alpha).mean()` with `adjust=False` (the recursive SPC/finance
+    * form y_t = α·x_t + (1−α)·y_{t−1}, y_1 = x_1), the infinite-memory
+    * smoother next to F5's finite rolling frame: a rolling mean forgets
+    * a level shift after its window passes; EWMA discounts it
+    * geometrically forever. Per event type over weekly means, α = 0.3.
+    *
+    * Determinism: weekly means round to 6 dp BEFORE the recursion (avg's
+    * float sum order is engine-unspecified), then BOTH engines fold the
+    * identical doubles in week order — Spark as a single-row array
+    * fold per group, DuckDB as a recursive CTE on the week rank — so
+    * the recursion is bit-deterministic; outputs round at 6 dp.
+    *
+    * 100 TB posture: the one map-combinable weekly aggregate is the only
+    * corpus exchange (the l106 CUSUM posture, grouped); the recursion
+    * runs over each type's BOUNDED week list (years × 52 entries) as an
+    * aggregate() fold — per-group state is the week list, never corpus
+    * rows, and no window function orders the corpus. */
+  val d17_ewma = Q(
+    "d17_ewma",
+    """WITH RECURSIVE wk AS (
+      |  SELECT event_type,
+      |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+      |              + INTERVAL 6 DAY AS DATE) AS we,
+      |         round(avg(value), 6) AS x
+      |  FROM events GROUP BY 1, 2),
+      |o AS (SELECT event_type, CAST(we AS VARCHAR) AS we, x,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY we)
+      |               AS rn FROM wk),
+      |r(event_type, rn, we, x, y) AS (
+      |  SELECT event_type, rn, we, x, x FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.event_type, o.rn, o.we, o.x, 0.3 * o.x + 0.7 * r.y
+      |  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+      |SELECT event_type, we AS week_ending, x AS weekly_mean,
+      |       round(y, 6) AS ewma
+      |FROM r ORDER BY event_type, week_ending""".stripMargin
+  ) { (s, d) =>
+    val weekly = events(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_add(date_trunc("week", col("ts")).cast("date"), 6),
+          "yyyy-MM-dd").as("we"))
+      .agg(round(avg("value"), 6).as("x"))
+    ewma(weekly, alpha = 0.3).orderBy("event_type", "week_ending")
+  }
+
+  /** The d17 engine over any (event_type, we: string, x: double) weekly
+    * frame — public for the spec (constant series is a fixed point;
+    * impulse decays geometrically). Output unordered:
+    * (event_type, week_ending, weekly_mean, ewma). */
+  def ewma(weekly: DataFrame, alpha: Double): DataFrame = {
+    val zero = struct(lit(null).cast("double").as("prev"),
+      array().cast("array<struct<we:string,x:double,y:double>>").as("rows"))
+    weekly.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("we"), col("x")))).as("ws"))
+      .select(col("event_type"), explode(aggregate(col("ws"), zero,
+        (st, e) => {
+          val y = when(st.getField("prev").isNull, e.getField("x"))
+            .otherwise(lit(alpha) * e.getField("x") +
+              lit(1.0 - alpha) * st.getField("prev"))
+          struct(y.as("prev"), concat(st.getField("rows"),
+            array(struct(e.getField("we").as("we"),
+              e.getField("x").as("x"), y.as("y")))).as("rows"))
+        }).getField("rows")).as("r"))
+      .select(col("event_type"), col("r.we").as("week_ending"),
+        col("r.x").as("weekly_mean"), round(col("r.y"), 6).as("ewma"))
+  }
+
   val all: Seq[Q] = Seq(
     g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
     e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
-    b14_unpivot, d15_hopping_window, d16_cube, f6_ranking)
+    b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma)
 }

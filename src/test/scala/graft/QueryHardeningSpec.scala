@@ -41,6 +41,33 @@ class QueryHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("d17 ewma engine: fixed point, geometric impulse decay, group " +
+      "isolation, partitioning invariance") {
+    import spark.implicits._
+    val rows = Seq(
+      // group a: constant series — EWMA must be the fixed point
+      ("a", "2024-01-07", 5.0), ("a", "2024-01-14", 5.0),
+      ("a", "2024-01-21", 5.0),
+      // group b: unit impulse — y decays as (1-alpha)^t exactly
+      ("b", "2024-01-07", 1.0), ("b", "2024-01-14", 0.0),
+      ("b", "2024-01-21", 0.0), ("b", "2024-01-28", 0.0))
+    val df = rows.toDF("event_type", "we", "x")
+    def run(v: org.apache.spark.sql.DataFrame) =
+      ExtQueries.ewma(v, alpha = 0.3)
+        .orderBy("event_type", "week_ending").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSeq
+    val got = run(df)
+    assert(got.filter(_._1 == "a").map(_._3) === Seq(5.0, 5.0, 5.0),
+      "a constant series is an EWMA fixed point")
+    assert(got.filter(_._1 == "b").map(_._3) === Seq(1.0, 0.7, 0.49, 0.343),
+      "an impulse must decay by (1-alpha) per step: the recursive form")
+    // groups fold independently (b's impulse never leaks into a), and the
+    // single-row-fold result cannot depend on physical layout
+    assert(run(df.repartition(7)) === got &&
+      run(df.orderBy($"x".desc).repartition(3)) === got,
+      "ewma depended on input order/partitioning")
+  }
+
   test("h11: degenerate confusion matrices yield null (None), never NaN") {
     // every prediction negative → class-1 precision denominator is 0
     val r1 = MlQueries.reportRow(1L, 0L, 0L, 5L, 5L)
