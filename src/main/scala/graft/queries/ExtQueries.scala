@@ -650,6 +650,56 @@ object ExtQueries {
     ewma(weekly, alpha = 0.3).orderBy("event_type", "week_ending")
   }
 
+  /** F7: time-based RANGE window frame — the frame type F5's ROWS frame
+    * cannot express: a trailing 28-DAY average over a daily series WITH
+    * GAPS. A rows-frame of 28 rows silently widens its time span across
+    * missing days; the range frame bounds the frame by the ORDER-BY
+    * VALUE (days-since-epoch), so a sparse series still averages exactly
+    * the last 29 calendar days. n_days (exact integer) exposes the
+    * varying frame population that proves the distinction.
+    *
+    * Determinism: the daily mean scales to an EXACT micro-unit integer
+    * (×1e6, int64 — l86's micro-integer stance), so the frame aggregate
+    * is an integer sum: order-independent, bit-equal on both engines,
+    * immune to the round-at-a-boundary flake a float frame-avg carries
+    * (observed live at sf0.001: spark=…934 vs duck=…935). Date ORDER-BY
+    * keys are unique per type, so the frame SET is deterministic; the
+    * single final division rounds at 6 dp.
+    *
+    * 100 TB posture: the corpus pays one map-combinable daily aggregate;
+    * the window runs over the bounded daily frame (days × types), one
+    * hash exchange on the partition key. */
+  val f7_range_frame = Q(
+    "f7_range_frame",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |         CAST(round(avg(value) * 1000000, 0) AS BIGINT) AS xi
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(d AS VARCHAR) AS day,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_days,
+      |       round(sum(xi) OVER w * 1.0
+      |             / (count(*) OVER w * 1000000), 6) AS trail28
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |             RANGE BETWEEN INTERVAL 28 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+  ) { (s, d) =>
+    val daily = events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(avg("value") * 1e6, 0).cast("long").as("xi"))
+      // rangeBetween needs a numeric order key: days since epoch carries
+      // the calendar distance the INTERVAL frame bounds
+      .withColumn("dnum", datediff(col("d"), lit("1970-01-01")))
+    val w = Window.partitionBy("event_type").orderBy("dnum")
+      .rangeBetween(-28, 0)
+    daily.select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        count(lit(1)).over(w).as("n_days"),
+        round(sum(col("xi")).over(w) * 1.0 /
+          (count(lit(1)).over(w) * 1e6), 6).as("trail28"))
+      .orderBy("event_type", "day")
+  }
+
   /** The d17 engine over any (event_type, we: string, x: double) weekly
     * frame — public for the spec (constant series is a fixed point;
     * impulse decays geometrically). Output unordered:
@@ -677,5 +727,6 @@ object ExtQueries {
     e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
-    b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma)
+    b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
+    f7_range_frame)
 }

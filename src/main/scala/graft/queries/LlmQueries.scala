@@ -7989,6 +7989,142 @@ object LlmQueries {
         round(col("c") * 1.0 / col("n"), 6).as("containment"))
   }
 
+  // ------------------------------ log-likelihood keyness (l115)
+
+  /** L115: G² keyness per source (Dunning, CL 1993's log-likelihood ratio;
+    * the corpus-linguistics "keyness" of Rayson & Garside, WCC 2000) —
+    * which tokens are characteristically OVER-represented in each source
+    * vs the rest of the corpus. For token g in source s with a = c(g,s),
+    * b = c(g,¬s), c1 = tokens(s), c2 = tokens(¬s), C = c1+c2:
+    *
+    *   G² = 2·[ a·ln(a·C/(c1·(a+b))) + b·ln(b·C/(c2·(a+b))) ]
+    *
+    * (each term 0 when its count is 0); only overuse rows (a/c1 >
+    * (a+b)/C) are ranked — underuse of a common word scores the same G²
+    * but answers a different question. Top-5 per source, G² desc,
+    * token asc. The l103 diversity audit says a source is degenerate;
+    * THIS says what it is full of — the profiling row a mixture designer
+    * (l31/l104) reads before weighting a source up.
+    *
+    * 100 TB posture: one corpus-scale (source, token) count is the only
+    * document-volume exchange; token totals re-aggregate that TYPE-level
+    * frame (vocab-scale), source totals are a handful of rows broadcast,
+    * and the top-5 cut is a per-source window group limit over the
+    * vocab-scale frame — never a global sort of it. Determinism: counts
+    * are exact integers, G² rounds to 6 dp before ranking, token
+    * tiebreak. */
+  val l115_keyness = Q(
+    "l115_keyness",
+    """WITH d AS (SELECT source, unnest(string_split(lower(text), ' ')) AS g
+      |           FROM documents),
+      |tk AS (SELECT source, g, count(*) AS a FROM d GROUP BY 1, 2),
+      |tot AS (SELECT g, sum(a) AS t FROM tk GROUP BY 1),
+      |src AS (SELECT source, sum(a) AS c1 FROM tk GROUP BY 1),
+      |allc AS (SELECT sum(a) AS c FROM tk),
+      |sc AS (SELECT tk.source, tk.g, tk.a, tot.t - tk.a AS b,
+      |              src.c1, allc.c - src.c1 AS c2, allc.c AS c
+      |       FROM tk JOIN tot USING (g) JOIN src USING (source)
+      |       CROSS JOIN allc),
+      |g2t AS (SELECT source, g, a,
+      |         round(2.0 * (a * ln(a * 1.0 * c / (c1 * (a + b)))
+      |           + (CASE WHEN b > 0
+      |              THEN b * ln(b * 1.0 * c / (c2 * (a + b)))
+      |              ELSE 0.0 END)), 6) AS g2
+      |        FROM sc WHERE a * 1.0 * c > c1 * 1.0 * (a + b)),
+      |rk AS (SELECT source, g, a, g2,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY g2 DESC, g) AS rk FROM g2t)
+      |SELECT source, g AS token, CAST(a AS BIGINT) AS n,
+      |       g2, CAST(rk AS BIGINT) AS rk
+      |FROM rk WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+  ) { (s, d) =>
+    val tk = spread(documents(s, d))
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("a"))
+    val tot = tk.groupBy("g").agg(sum("a").as("t"))
+    val src = tk.groupBy("source").agg(sum("a").as("c1"))
+    val allc = tk.agg(sum("a").as("c"))
+    val sc = tk.join(tot, Seq("g")).join(broadcast(src), Seq("source"))
+      .crossJoin(broadcast(allc))
+      .select(col("source"), col("g"), col("a"),
+        (col("t") - col("a")).as("b"), col("c1"),
+        (col("c") - col("c1")).as("c2"), col("c"))
+    val term = (x: Column, cc: Column) =>
+      x * log(x * lit(1.0) * col("c") / (cc * (col("a") + col("b"))))
+    val g2 = sc
+      .filter(col("a") * 1.0 * col("c") > col("c1") * 1.0 *
+        (col("a") + col("b")))
+      .select(col("source"), col("g"), col("a"),
+        round(lit(2.0) * (term(col("a"), col("c1")) +
+          when(col("b") > 0, term(col("b"), col("c2")))
+            .otherwise(lit(0.0))), 6).as("g2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("g2").desc, col("g"))
+    g2.select(col("source"), col("g").as("token"), col("a").as("n"),
+        col("g2"), row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 5)
+      .orderBy("source", "rk")
+  }
+
+  // ------------------------------ PMI collocations (l116)
+
+  /** L116: pointwise-mutual-information collocations (Church & Hanks,
+    * CL 1990): PMI(x,y) = ln(c(xy)·N / (c(x)·c(y))) over the corpus
+    * bigram stream, min pair count 5 (the hapax guard the original paper
+    * applies), top-20 by PMI desc / bigram asc — the lexical-association
+    * table behind phrase mining and tokenizer-vocab seeding (a high-PMI
+    * pair is exactly what l44's BPE will merge early).
+    *
+    * 100 TB posture: two map-combinable count aggregates (bigrams,
+    * unigrams) are the corpus work; the PMI join runs on the TYPE-level
+    * frames (vocab-scale, AQE picks the strategy), N is a one-row
+    * broadcast, and the result is a TakeOrdered top-20 — never a global
+    * sort. Determinism: integer counts, PMI rounds to 6 dp, bigram
+    * tiebreak makes the limit a deterministic set. */
+  val l116_pmi = Q(
+    "l116_pmi",
+    """WITH d AS (SELECT string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |bg AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+      |         list_transform(range(len(toks)-1),
+      |           i -> [toks[i+1], toks[i+2]])
+      |         ELSE [] END) AS p FROM d),
+      |bc AS (SELECT p[1] AS x, p[2] AS y, count(*) AS cxy
+      |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+      |uc AS (SELECT unnest(toks) AS t FROM d),
+      |ucc AS (SELECT t, count(*) AS cx FROM uc GROUP BY 1),
+      |n AS (SELECT count(*) AS nb FROM bg)
+      |SELECT x || ' ' || y AS bigram, CAST(cxy AS BIGINT) AS n_pair,
+      |       round(ln(cxy * 1.0 * n.nb / (u1.cx * 1.0 * u2.cx)), 6) AS pmi
+      |FROM bc JOIN ucc u1 ON u1.t = bc.x
+      |        JOIN ucc u2 ON u2.t = bc.y
+      |CROSS JOIN n
+      |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val toks = spread(documents(s, d))
+      .select(TextOps.tokens(col("text")).as("toks"))
+    val bg = toks.select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("x"),
+            element_at(col("toks"), i + 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("p"))
+      .select(col("p.x"), col("p.y"))
+    val bc = bg.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val ucc = toks.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cx"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    bc.join(ucc.select(col("t").as("x"), col("cx")), Seq("x"))
+      .join(ucc.select(col("t").as("y"), col("cx").as("cy")), Seq("y"))
+      .crossJoin(broadcast(nb))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("cxy").cast("long").as("n_pair"),
+        round(log(col("cxy") * lit(1.0) * col("nb") /
+          (col("cx") * lit(1.0) * col("cy"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(20)
+  }
+
   /** Named builders for every shared session cache in this file, in
     * dependency order (pairs reads shingles, cc_labels reads pairs, decon
     * reads dgrams, ivf_assign reads the quantizer fit). Bench runs these
@@ -8043,5 +8179,5 @@ object LlmQueries {
     l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc,
     l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector,
     l111_ann_agreement, l112_common_substring, l113_clustered_split,
-    l114_containment)
+    l114_containment, l115_keyness, l116_pmi)
 }

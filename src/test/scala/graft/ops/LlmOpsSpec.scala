@@ -3370,6 +3370,63 @@ class LlmOpsSpec extends AnyFunSuite {
       s"${srcs.size}-doc aggregator cohort all at containment 1.0")
   }
 
+  test("l115 keyness: equals a full driver G2 replay; only overuse rows; " +
+      "ranks consecutive per source") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val tk = docs.flatMap { case (s0, ts) => ts.map(t => (s0, t)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tot = tk.groupBy(_._1._2).map { case (g, m) => g -> m.values.sum }
+    val c1 = tk.groupBy(_._1._1).map { case (s0, m) => s0 -> m.values.sum }
+    val cAll = tk.values.sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = tk.toSeq.flatMap { case ((s0, g), a) =>
+      val b = tot(g) - a; val cs = c1(s0); val c2 = cAll - cs
+      if (a.toDouble * cAll > cs.toDouble * (a + b)) {
+        val t1 = a * math.log(a.toDouble * cAll / (cs.toDouble * (a + b)))
+        val t2 = if (b > 0)
+          b * math.log(b.toDouble * cAll / (c2.toDouble * (a + b))) else 0.0
+        Some((s0, g, a, r6(2.0 * (t1 + t2))))
+      } else None
+    }.groupBy(_._1).toSeq.flatMap { case (s0, rows) =>
+      rows.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex
+        .map { case ((_, g, a, g2), i) => (s0, g, a, g2, (i + 1).toLong) }
+    }.sortBy(r => (r._1, r._5))
+    val got = LlmQueries.l115_keyness.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got === exp, "keyness table must equal the driver G2 replay")
+    assert(got.forall(_._4 > 0), "overuse-only rows all carry positive G2")
+    info(s"l115: ${got.length} rows over ${got.map(_._1).distinct.length} " +
+      "sources, replay exact")
+  }
+
+  test("l116 PMI: equals a driver replay; min-count guard holds; the " +
+      "top pair beats any same-count pair it outranks") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).toLowerCase.split(" ", -1))
+    val bigrams = texts.flatMap(ts => ts.zip(ts.drop(1)))
+    val uni = texts.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val nb = bigrams.length.toLong
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = bigrams.groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+      .filter(_._2 >= 5)
+      .map { case ((x, y), cxy) =>
+        (s"$x $y", cxy, r6(math.log(cxy.toDouble * nb / (uni(x).toDouble * uni(y)))))
+      }.toSeq.sortBy(r => (-r._3, r._1)).take(20)
+    val got = LlmQueries.l116_pmi.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === exp, "PMI top-20 must equal the driver replay")
+    assert(got.forall(_._2 >= 5), "the min-count hapax guard must hold")
+    info(s"l116: top pair '${got.head._1}' pmi=${got.head._3} " +
+      s"over $nb bigram instances")
+  }
+
   test("l95 kmeans convergence: the curve descends, moves shrink, and the " +
       "one-refinement production fit is empirically justified") {
     val rows = LlmQueries.l95_kmeans_convergence.fn(spark, sf).collect()
