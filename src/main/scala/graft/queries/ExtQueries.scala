@@ -722,11 +722,145 @@ object ExtQueries {
         col("r.x").as("weekly_mean"), round(col("r.y"), 6).as("ewma"))
   }
 
+  /** B15: schema-on-read JSON extraction — `from_json` with an EXPLICIT
+    * schema over the events.props payload column, then a typed aggregate
+    * on the extracted field. The semi-structured pattern every event
+    * pipeline hits: the payload stays an opaque string at rest and types
+    * on read.
+    *
+    * 100 TB posture: the schema is pinned as a literal (`schema_of_json`
+    * inference would sample-scan the corpus per query and is
+    * type-unstable across batches — the a8 posture); parsing is a
+    * per-row codegen'd expression inside the scan projection, and the
+    * only exchange is the map-combinable per-type aggregate. A parse
+    * failure yields null (PERMISSIVE), so the null-count column doubles
+    * as the feed-health meter (a15's quarantine is the full workflow
+    * when broken payloads must be kept). */
+  val b15_json_extract = Q(
+    "b15_json_extract",
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+      |            AS BIGINT) AS sum_k,
+      |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+      |            AS BIGINT) AS max_k,
+      |       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+      .getField("k")
+    events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        max("k").as("max_k"),
+        sum(col("k").isNull.cast("long")).as("n_bad"))
+      .orderBy("event_type")
+  }
+
+  /** E8: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+    * semantics corner plain `=` gets silently wrong: under three-valued
+    * logic NULL = NULL is UNKNOWN, so an unknown-bucket key drops out of
+    * a plain join even when BOTH sides carry it. Both sides here bucket
+    * by a nullable key (every 7th customer / 5th supplier degraded to an
+    * unknown nation — the dirty-dimension shape), and the full-outer
+    * null-safe join pairs the two unknown buckets in one row instead of
+    * emitting two half-rows.
+    *
+    * 100 TB posture: EqualNullSafe is an EQUI-join predicate — Catalyst
+    * plans the same hash/sort-merge strategies as `=` (coalesced key
+    * internally), never a nested-loop fallback; here both sides are
+    * nation-sized aggregates. eq_would_match marks the rows a plain
+    * join would have kept — the one NULL row is exactly the diff. */
+  val e8_null_safe_join = Q(
+    "e8_null_safe_join",
+    """WITH c AS (
+      |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |              ELSE c_nationkey END AS k,
+      |         count(*) AS n_cust
+      |  FROM customer GROUP BY 1),
+      |s AS (
+      |  SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL
+      |              ELSE s_nationkey END AS k,
+      |         count(*) AS n_supp
+      |  FROM supplier GROUP BY 1)
+      |SELECT coalesce(CAST(coalesce(c.k, s.k) AS VARCHAR), 'UNKNOWN')
+      |         AS nation_key,
+      |       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+      |       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp,
+      |       CAST(c.k IS NOT NULL AND s.k IS NOT NULL AS BIGINT)
+      |         AS eq_would_match
+      |FROM c FULL OUTER JOIN s ON c.k IS NOT DISTINCT FROM s.k
+      |ORDER BY nation_key""".stripMargin
+  ) { (s, d) =>
+    val c = customer(s, d)
+      .select(when(col("c_custkey") % 7 === 0, lit(null))
+        .otherwise(col("c_nationkey")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_cust"))
+    val sp = supplier(s, d)
+      .select(when(col("s_suppkey") % 5 === 0, lit(null))
+        .otherwise(col("s_nationkey")).as("ks"))
+      .groupBy("ks").agg(count(lit(1)).as("n_supp"))
+    c.join(sp, col("k") <=> col("ks"), "full_outer")
+      .select(coalesce(coalesce(col("k"), col("ks")).cast("string"),
+          lit("UNKNOWN")).as("nation_key"),
+        coalesce(col("n_cust"), lit(0L)).cast("long").as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).cast("long").as("n_supp"),
+        (col("k").isNotNull && col("ks").isNotNull).cast("long")
+          .as("eq_would_match"))
+      .orderBy("nation_key")
+  }
+
+  /** C9: winsorization — clipping at the DATA's own p01/p99 exact
+    * quantiles (the robust-statistics upgrade over B6's constant-bound
+    * clip): the bounds come from [[graft.ops.Stats.exactQuantiles]] (the
+    * shared histogram-refinement engine, never a single-buffer
+    * percentile aggregate), and the audit row reports the bounds, the
+    * exact clip counts, and the mean shift. One row out — the fit a
+    * cleaning pipeline would fold back as literals to winsorize at
+    * corpus scale.
+    *
+    * 100 TB posture: the quantile fit is the d11 engine (driver holds
+    * histogram buckets, never rows); the audit is one map-combinable
+    * aggregate with the two bounds folded in as literals — the corpus
+    * never sorts. */
+  val c9_winsorize = Q(
+    "c9_winsorize",
+    """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+      |                  quantile_cont(l_extendedprice, 0.99) AS hi
+      |           FROM lineitem)
+      |SELECT round(b.lo, 6) AS p01, round(b.hi, 6) AS p99,
+      |       CAST(sum(CASE WHEN l_extendedprice < b.lo THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_low,
+      |       CAST(sum(CASE WHEN l_extendedprice > b.hi THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_high,
+      |       round(avg(l_extendedprice), 6) AS mean_raw,
+      |       round(avg(greatest(least(l_extendedprice, b.hi), b.lo)), 6)
+      |         AS mean_winsorized
+      |FROM lineitem, b
+      |GROUP BY b.lo, b.hi""".stripMargin
+  ) { (s, d) =>
+    val li = lineitem(s, d)
+    val Seq(lo, hi) = graft.ops.Stats
+      .exactQuantiles(li, col("l_extendedprice"), Seq(0.01, 0.99))
+      .getOrElse(Seq(Double.NaN, Double.NaN))
+    val x = col("l_extendedprice")
+    li.agg(
+        round(lit(lo), 6).as("p01"), round(lit(hi), 6).as("p99"),
+        sum((x < lo).cast("long")).as("n_low"),
+        sum((x > hi).cast("long")).as("n_high"),
+        round(avg(x), 6).as("mean_raw"),
+        round(avg(greatest(least(x, lit(hi)), lit(lo))), 6)
+          .as("mean_winsorized"))
+  }
+
   val all: Seq[Q] = Seq(
     g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
     e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
     b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
-    f7_range_frame)
+    f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize)
 }

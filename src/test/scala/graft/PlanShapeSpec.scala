@@ -177,6 +177,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both window specs must share one partition-key exchange:\n$p")
   }
 
+  test("E8: the null-safe join is an EQUI-join plan — no nested loop") {
+    val p = finalPlan(graft.queries.ExtQueries.e8_null_safe_join)
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"<=> must plan as a keyed join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"EqualNullSafe must never fall back to a nested loop:\n$p")
+  }
+
   test("E6: anti-join plans as a real join, never a per-row subquery") {
     val p = finalPlan(graft.queries.ExtQueries.e6_anti_join)
     assert(p.contains("LeftAnti"), s"expected an anti-join operator:\n$p")
