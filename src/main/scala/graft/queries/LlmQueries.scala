@@ -7989,6 +7989,85 @@ object LlmQueries {
         round(col("c") * 1.0 / col("n"), 6).as("containment"))
   }
 
+  // ------------------------------ triangle census (l117)
+
+  /** L117: triangle census of the near-dup graph — node/edge/wedge/
+    * triangle counts and the global clustering coefficient 3·T/W
+    * (Watts & Strogatz 1998's transitivity): exact-duplicate families
+    * form near-cliques (high transitivity), while template chains (A~B,
+    * B~C by shared boilerplate, A≁C) stay open — so this one row says
+    * whether l14's clusters are tight duplicate sets or sprawling
+    * boilerplate chains BEFORE a mixture/dedup decision trusts them.
+    *
+    * 100 TB posture: compact-forward counting (Latapy 2008; the
+    * Chiba–Nishizeki degree orientation): every edge directs from its
+    * lower (degree, id)-ranked endpoint, so each triangle is generated
+    * exactly once at its minimum-rank apex and the wedge join's fan-out
+    * is bounded by out-degree ≤ O(√m) — the hot-vertex join that makes
+    * naive node-iterator counting die on skew never forms. Wedge totals
+    * come from the degree frame alone (Σ d(d−1)/2, integer). Rides the
+    * cached verified-pair frame; all joins are edge-keyed equi-joins. */
+  val l117_triangles = Q(
+    "l117_triangles",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |e AS (SELECT i, j FROM pr),
+       |deg AS (SELECT v, count(*) AS dg FROM (
+       |          SELECT i AS v FROM e UNION ALL SELECT j AS v FROM e)
+       |        GROUP BY 1),
+       |t AS (SELECT count(*) AS n_tri FROM e e1
+       |      JOIN e e2 ON e2.i = e1.j
+       |      JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j),
+       |w AS (SELECT coalesce(sum(dg * (dg - 1) // 2), 0) AS n_wedge
+       |      FROM deg)
+       |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       |       CAST(w.n_wedge AS BIGINT) AS n_wedges,
+       |       CAST(t.n_tri AS BIGINT) AS n_triangles,
+       |       round(3.0 * t.n_tri / w.n_wedge, 6) AS clustering
+       |FROM t, w""".stripMargin
+  ) { (s, d) =>
+    triangleStats(exactPairsCached(s, d).select(col("i"), col("j")))
+  }
+
+  /** The l117 engine over any undirected (i, j) pair frame (each edge
+    * once, any orientation) — public for the spec (K4 closed form,
+    * open-path zero, input-orientation invariance). One row out:
+    * (n_nodes, n_edges, n_wedges, n_triangles, clustering). */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("i"), col("j"))
+    val deg = e.select(col("i").as("v"))
+      .unionAll(e.select(col("j").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val rk = deg.select(col("v"), struct(col("dg"), col("v")).as("r"))
+    // orient every edge low-rank -> high-rank: the apex of each triangle
+    // is unique, and out-degree under this orientation is O(sqrt m)
+    val dir = e
+      .join(rk.select(col("v").as("i"), col("r").as("ri")), Seq("i"))
+      .join(rk.select(col("v").as("j"), col("r").as("rj")), Seq("j"))
+      .select(
+        when(col("ri") < col("rj"),
+          struct(col("i").as("a"), col("j").as("b"), col("rj").as("rb")))
+          .otherwise(
+            struct(col("j").as("a"), col("i").as("b"), col("ri").as("rb")))
+          .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.rb").as("rb"))
+    val wedges = dir.as("x").join(dir.as("y"),
+        col("x.a") === col("y.a") && col("x.rb") < col("y.rb"))
+      .select(col("x.b").as("u"), col("y.b").as("w"))
+    val tri = wedges
+      .join(dir.select(col("a").as("u"), col("b").as("w")), Seq("u", "w"))
+      .agg(count(lit(1)).as("n_tri"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("dg") * (col("dg") - 1)) / 2).cast("long").as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        col("n_tri").as("n_triangles"),
+        round(lit(3.0) * col("n_tri") / col("n_wedges"), 6)
+          .as("clustering"))
+  }
+
   // ------------------------------ log-likelihood keyness (l115)
 
   /** L115: G² keyness per source (Dunning, CL 1993's log-likelihood ratio;
@@ -8179,5 +8258,5 @@ object LlmQueries {
     l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc,
     l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector,
     l111_ann_agreement, l112_common_substring, l113_clustered_split,
-    l114_containment, l115_keyness, l116_pmi)
+    l114_containment, l115_keyness, l116_pmi, l117_triangles)
 }

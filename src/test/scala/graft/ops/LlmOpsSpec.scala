@@ -3370,6 +3370,30 @@ class LlmOpsSpec extends AnyFunSuite {
       s"${srcs.size}-doc aggregator cohort all at containment 1.0")
   }
 
+  test("l117 triangles: K4 closed form, open path zero, orientation " +
+      "invariance") {
+    import spark.implicits._
+    // K4 on {1..4}: 4 triangles, 12 wedges, clustering exactly 1;
+    // plus a disjoint path 10-11-12: 0 triangles, 1 wedge
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val path = Seq((10L, 11L), (11L, 12L))
+    val edges = (k4 ++ path).toDF("i", "j")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LlmQueries.triangleStats(df).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).head
+    val got = run(edges)
+    assert(got === ((7L, 8L, 13L, 4L,
+      BigDecimal(12.0 / 13).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      s"census must match the hand count: $got")
+    // the census cannot depend on edge orientation or physical layout
+    val flipped = edges.select(col("j").as("i"), col("i").as("j"))
+      .repartition(7)
+    assert(run(flipped) === got, "orientation/partitioning changed the census")
+    info(s"l117: K4+path census $got")
+  }
+
   test("l115 keyness: equals a full driver G2 replay; only overuse rows; " +
       "ranks consecutive per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
