@@ -7989,6 +7989,39 @@ object LlmQueries {
         round(col("c") * 1.0 / col("n"), 6).as("containment"))
   }
 
+  // ------------------- unattributed errors via outer interval join (l118)
+
+  /** L118: the NEGATIVE space of l22 — errors with NO click from the same
+    * user in the preceding hour, via the stream-stream LEFT OUTER
+    * interval join ([[graft.streaming.StreamingOps.intervalJoinLeftOuter]]
+    * — the one join form whose streaming semantics REQUIRE a watermark:
+    * an unmatched error is held in join state and its null-padded row is
+    * released only when the watermark proves no matching click can still
+    * arrive; batch gets the nulls immediately, and StreamingSpec pins the
+    * two equal). The declared row keeps the null side — the
+    * unattributed-error cohort an alerting pipeline pages on — against a
+    * NOT-EXISTS oracle.
+    *
+    * 100 TB posture: one shuffle on user_id (the equi half of the
+    * condition); the interval residual evaluates inside the join; state
+    * on a stream is watermark-bounded on BOTH sides. */
+  val l118_unattributed_errors = Q(
+    "l118_unattributed_errors",
+    """SELECT e.user_id, e.event_id AS err_id,
+      |       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts
+      |FROM events e
+      |WHERE e.event_type = 'error' AND NOT EXISTS (
+      |  SELECT 1 FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |    AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts)
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.intervalJoinLeftOuter(events(s, d))
+      .filter(col("click_id").isNull)
+      .select(col("user_id"), col("err_id"), col("err_ts"))
+      .orderBy("user_id", "err_id")
+  }
+
   // ------------------------------ triangle census (l117)
 
   /** L117: triangle census of the near-dup graph — node/edge/wedge/
@@ -8258,5 +8291,6 @@ object LlmQueries {
     l104_doremi_weights, l105_pair_pagerank, l106_cusum_drift, l107_pq_adc,
     l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector,
     l111_ann_agreement, l112_common_substring, l113_clustered_split,
-    l114_containment, l115_keyness, l116_pmi, l117_triangles)
+    l114_containment, l115_keyness, l116_pmi, l117_triangles,
+    l118_unattributed_errors)
 }

@@ -174,6 +174,39 @@ object StreamingOps {
         date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the NEGATIVE space of
+    * [[intervalJoin]]: every error keeps a row even when NO click
+    * preceded it within `lookback` (click fields null). The semantics
+    * only watermarks make possible on a stream: an unmatched error
+    * cannot be emitted when first seen (a matching click may still
+    * arrive), so Spark holds it in join state and emits the null-padded
+    * row exactly when the watermark proves no future click can land in
+    * its lookback window. Batch runs the same body and gets the nulls
+    * immediately — StreamingSpec pins stream ≡ batch, and that the null
+    * rows appear only after the watermark passes. The declared
+    * l118 row filters to the null rows (the unattributed-error cohort)
+    * against a NOT-EXISTS oracle. */
+  def intervalJoinLeftOuter(events: DataFrame, lookback: String = "1 hour",
+      watermark: String = "30 days"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", watermark)
+    errors.join(clicks,
+        col("user_id") === col("err_user") &&
+          col("click_ts") >= col("err_ts") - expr(s"INTERVAL $lookback") &&
+          col("click_ts") <= col("err_ts"),
+        "left_outer")
+      .select(col("err_user").as("user_id"), col("err_id"), col("click_id"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("click_ts"))
+  }
+
   /** Weekly PSI drift against a FROZEN reference distribution — the
     * streaming form of the l52 monitor, how production actually deploys
     * it: edges and reference proportions are FIT OFFLINE (a batch job

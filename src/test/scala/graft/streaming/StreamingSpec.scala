@@ -275,6 +275,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture must produce at least one joined pair")
   }
 
+  test("stream-stream LEFT OUTER interval join: equals batch once the " +
+      "watermark finalizes; null rows are withheld until it does") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wm = "1 hour"
+    val real = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(_._2.getTime)
+    // far-future sentinels on an unused user, ONE OF EACH TYPE per wave:
+    // the global watermark is the MIN across both sides' watermark
+    // nodes, and each side only sees its own event type post-filter — a
+    // click-only sentinel would leave the errors-side watermark at the
+    // last real error and hold that error's null row forever (observed
+    // live: exactly the max-ts error row missing). Wave 1 drives both
+    // watermarks past every real error's window; wave 2 triggers the
+    // batch in which that watermark APPLIES (batch N's watermark
+    // finalizes state in batch N+1). Sentinel rows themselves are
+    // excluded from the comparison on both sides.
+    val maxTs = real.last._2.getTime
+    def sentinels(id: Long, offsetH: Int) = Seq(
+      (id, new java.sql.Timestamp(maxTs + offsetH * 3600L * 1000), -1L, "click"),
+      (id + 1, new java.sql.Timestamp(maxTs + offsetH * 3600L * 1000), -1L, "error"))
+    val batchDf = real.toSeq.toDF("event_id", "ts", "user_id", "event_type")
+    val expected = StreamingOps.intervalJoinLeftOuter(batchDf, watermark = wm)
+      .collect().map(_.toSeq).toSet
+    val (expNull, expMatched) = expected.partition(_(2) == null)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamingOps.intervalJoinLeftOuter(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+        watermark = wm)
+      .writeStream.format("memory").queryName("loj_stream")
+      .outputMode("append").start()
+    // feed in event-time order, three slices, watermark advancing between
+    real.grouped((real.length + 2) / 3).foreach { slice =>
+      mem.addData(slice.toIndexedSeq); q.processAllAvailable()
+    }
+    // before finalization: every match is already out (inner rows don't
+    // wait), but the tail errors' null rows MUST still be withheld
+    val early = spark.table("loj_stream").collect().map(_.toSeq).toSet
+    assert(early.filter(_(2) != null) === expMatched,
+      "matched rows must stream out without waiting for the watermark")
+    assert(early.count(_(2) == null) < expNull.size,
+      "some null rows must still be held in state before finalization")
+    mem.addData(sentinels(900001L, 24)); q.processAllAvailable()
+    mem.addData(sentinels(900011L, 48)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("loj_stream").collect().map(_.toSeq)
+      .filter(_(0) != -1L).toSet
+    assert(got === expected,
+      "after watermark finalization the stream must equal the batch " +
+        "outer join exactly")
+    assert(expNull.nonEmpty && expMatched.nonEmpty,
+      "fixture must exercise both the matched and the null paths")
+    info(s"l118 stream: ${expMatched.size} matched, ${expNull.size} null " +
+      s"rows, ${early.count(_(2) == null)} released pre-finalization")
+  }
+
   test("streaming LSH near-dup candidates equal the batch candidate set") {
     import spark.implicits._
     // the expected-set pipeline below uses the TextExprs natives directly
