@@ -66,23 +66,37 @@ object Hll {
       .otherwise(raw)
   }
 
-  /** Per-group HLL distinct estimate of `value` (nulls ignored, as in
-    * COUNT(DISTINCT)). Returns one row per group: groupCols :+ hll_est.
-    * Groups with no non-null value emit no row. */
-  def approxDistinct(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+  /** The per-group REGISTER frame — (groupCols..., __j, __mj), ≤ 64 rows
+    * per group. Public because this is the sketch's merge currency: any
+    * union of groups is `groupBy(newKeys, __j).agg(max(__mj))` over
+    * these rows (associative/commutative max — the property that makes
+    * HLL unionable across shards without re-reading data), and
+    * [[estimateFromRegisters]] turns any such merged frame back into
+    * estimates. d18 exercises the algebra pairwise. */
+  def registers(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
     val h = TextOps.md5Hash64(value.cast("string"))
-    val regs = df.filter(value.isNotNull)
+    df.filter(value.isNotNull)
       .select(groupCols.map(col) :+
         registerIndex(h).as("__j") :+ rank(h).as("__rho"): _*)
       .groupBy((groupCols :+ "__j").map(col): _*)
       .agg(max(col("__rho")).as("__mj"))
-    regs.groupBy(groupCols.map(col): _*)
+  }
+
+  /** Estimates from a register frame keyed by `keys` (each group ≤ 64
+    * (__j, __mj) rows): groups to one `hll_est` row per key. */
+  def estimateFromRegisters(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__seen"),
         sum(pow(lit(2.0), -col("__mj"))).as("__zp"))
       .withColumn("hll_est", estimate(
         col("__zp") + (lit(M) - col("__seen")), lit(M) - col("__seen")))
-      .select(groupCols.map(col) :+ col("hll_est"): _*)
-  }
+      .select(keys.map(col) :+ col("hll_est"): _*)
+
+  /** Per-group HLL distinct estimate of `value` (nulls ignored, as in
+    * COUNT(DISTINCT)). Returns one row per group: groupCols :+ hll_est.
+    * Groups with no non-null value emit no row. */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    estimateFromRegisters(registers(df, groupCols, value), groupCols)
 
   /** ONE-aggregation form: the 64 registers pivot into 64 conditional
     * `max` columns (the simhashes bit-sum pattern), so the whole sketch is

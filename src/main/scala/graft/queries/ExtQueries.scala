@@ -856,11 +856,83 @@ object ExtQueries {
           .as("mean_winsorized"))
   }
 
+  /** D18: HLL sketch ALGEBRA — pairwise audience overlap across event
+    * types from the REGISTER frames alone: est(|A|), est(|B|), the
+    * union estimate from element-wise register max (the merge that makes
+    * HLL a sketch, not just an estimator), and the inclusion–exclusion
+    * intersection estimate |A∩B| ≈ ê_A + ê_B − ê_{A∪B} (Flajolet et al.
+    * 2007 §5's composition; the estimator production overlap dashboards
+    * run). The point the declared row proves: every union estimate is
+    * computed WITHOUT touching the corpus again — d13 pays the one
+    * corpus pass, all 2^k slice combinations after that are arithmetic
+    * on 64-long register vectors.
+    *
+    * 100 TB posture: the corpus work is the register build (two
+    * map-combinable aggregates, Hll's posture); everything pairwise
+    * runs on type-level frames (#types × 64 rows — the OR-condition
+    * pair expansion is a broadcast over kilobytes, never a corpus
+    * join). Inclusion–exclusion error compounds (±13% per term at
+    * m=64), and small intersections can even go negative — the sketch
+    * answers "roughly how much do these audiences overlap", not a
+    * hash-exact count; the oracle replays every register digit-for-digit
+    * so the ARITHMETIC is still bit-checked. */
+  val d18_sketch_union = Q(
+    "d18_sketch_union", {
+      val rho = HllOracleSql.rho
+      val j = HllOracleSql.j
+      s"""WITH h AS (SELECT event_type AS t, md5(CAST(user_id AS VARCHAR)) AS hx
+         |           FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT t, $j AS j, max($rho) AS mj FROM h GROUP BY 1, 2),
+         |e AS (SELECT t, count(*) AS seen, sum(power(2.0, -mj)) AS zp
+         |      FROM r GROUP BY 1),
+         |s AS (SELECT t, round(${HllOracleSql.estimate("zp", "seen")}, 6)
+         |               AS est FROM e),
+         |tp AS (SELECT a.t AS t1, b.t AS t2
+         |       FROM (SELECT DISTINCT t FROM r) a
+         |       JOIN (SELECT DISTINCT t FROM r) b ON a.t < b.t),
+         |ur AS (SELECT tp.t1, tp.t2, r.j, max(r.mj) AS mj
+         |       FROM tp JOIN r ON r.t = tp.t1 OR r.t = tp.t2
+         |       GROUP BY 1, 2, 3),
+         |ue AS (SELECT t1, t2, count(*) AS seen, sum(power(2.0, -mj)) AS zp
+         |       FROM ur GROUP BY 1, 2),
+         |ux AS (SELECT t1, t2,
+         |              round(${HllOracleSql.estimate("zp", "seen")}, 6)
+         |                AS est_union FROM ue)
+         |SELECT ux.t1, ux.t2, s1.est AS est_t1, s2.est AS est_t2,
+         |       ux.est_union,
+         |       round(s1.est + s2.est - ux.est_union, 6) AS est_intersect
+         |FROM ux JOIN s s1 ON s1.t = ux.t1 JOIN s s2 ON s2.t = ux.t2
+         |ORDER BY t1, t2""".stripMargin
+    }
+  ) { (s, d) =>
+    val ev = events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type").as("t"), col("user_id"))
+    val regs = graft.ops.Hll.registers(ev, Seq("t"), col("user_id"))
+    val singles = graft.ops.Hll.estimateFromRegisters(regs, Seq("t"))
+      .select(col("t"), round(col("hll_est"), 6).as("est"))
+    val types = regs.select("t").distinct()
+    val tp = types.select(col("t").as("t1"))
+      .crossJoin(types.select(col("t").as("t2")))
+      .filter(col("t1") < col("t2"))
+    val ur = tp.join(regs, col("t") === col("t1") || col("t") === col("t2"))
+      .groupBy("t1", "t2", "__j").agg(max("__mj").as("__mj"))
+    val ue = graft.ops.Hll.estimateFromRegisters(ur, Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), round(col("hll_est"), 6).as("est_union"))
+    ue.join(singles.select(col("t").as("t1"), col("est").as("est_t1")), Seq("t1"))
+      .join(singles.select(col("t").as("t2"), col("est").as("est_t2")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("est_t1"), col("est_t2"),
+        col("est_union"),
+        round(col("est_t1") + col("est_t2") - col("est_union"), 6)
+          .as("est_intersect"))
+      .orderBy("t1", "t2")
+  }
+
   val all: Seq[Q] = Seq(
     g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
     e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
     b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
-    f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize)
+    f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
+    d18_sketch_union)
 }

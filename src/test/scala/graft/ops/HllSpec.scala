@@ -37,6 +37,31 @@ class HllSpec extends AnyFunSuite {
     assert(a == b, s"partitioning changed the estimate: $a vs $b")
   }
 
+  test("register-max merge of two slices equals the sketch of their " +
+      "union (the d18 algebra)") {
+    // two overlapping slices: merge-then-estimate must equal
+    // recompute-over-the-union EXACTLY (not approximately) — registers
+    // from merged data ARE the max-merge of the slices' registers
+    val a = spark.range(0L, 4000L)
+      .select(lit("a").as("g"), (col("id") * 2654435761L).as("v"))
+    val b = spark.range(2000L, 7000L)
+      .select(lit("b").as("g"), (col("id") * 2654435761L).as("v"))
+    val regs = Hll.registers(a.unionAll(b), Seq("g"), col("v"))
+    val merged = regs.groupBy(lit("u").as("g"), col("__j"))
+      .agg(max("__mj").as("__mj"))
+    val viaMerge = Hll.estimateFromRegisters(merged, Seq("g"))
+      .collect().head.getDouble(1)
+    val recomputed = Hll.approxDistinct(
+        a.unionAll(b).select(lit("u").as("g"), col("v")), Seq("g"), col("v"))
+      .collect().head.getDouble(1)
+    assert(viaMerge === recomputed,
+      s"merge must equal recompute bit-for-bit: $viaMerge vs $recomputed")
+    val Seq(ea, eb) = Hll.approxDistinct(a.unionAll(b), Seq("g"), col("v"))
+      .orderBy("g").collect().map(_.getDouble(1)).toSeq
+    assert(viaMerge >= math.max(ea, eb) - 1e-9,
+      "a union estimate cannot fall below either slice's estimate")
+  }
+
   test("duplicates don't move the estimate; nulls are ignored") {
     val base = (1 to 400).map(i => (("g"), s"u$i"))
     val dups = base ++ base ++ base
