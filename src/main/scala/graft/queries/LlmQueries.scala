@@ -216,6 +216,24 @@ object LlmQueries {
   /** The CTE chain computing all trigram-Jaccard ≥ τ pairs, shared by the
     * l4/l5 oracle and the l14 clustering oracle (which continues from
     * `pr`). Exact — any pair with J > 0 shares a shingle. */
+  /** DuckDB replay of [[graft.ops.TextOps.md5Hash64]] arithmetic — shared
+    * by the l19 bucket-store oracle and l119's estimator audit. */
+  private[queries] object MinhashMd5Sql {
+    /** 16-char md5 hex prefix → the signed 64-bit value md5Hash64 builds. */
+    def hex2signed(h: String): String = {
+      val u = (1 to 16).map { i =>
+        s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)::HUGEINT * ${BigInt(16).pow(16 - i)}"
+      }.mkString("(", " + ", ")")
+      s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - 18446744073709551616 ELSE $u END AS BIGINT)"
+    }
+    /** h1 + i·h2 with Java Long wraparound, in HUGEINT then back to signed. */
+    val wrap: String = {
+      val x = "(h1::HUGEINT + i * h2::HUGEINT)"
+      val y = s"((($x % 18446744073709551616) + 18446744073709551616) % 18446744073709551616)"
+      s"CAST(CASE WHEN $y >= 9223372036854775808 THEN $y - 18446744073709551616 ELSE $y END AS BIGINT)"
+    }
+  }
+
   private val jaccardPairsCte =
     s"""d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
        |sh AS (SELECT doc_id,
@@ -4004,19 +4022,8 @@ object LlmQueries {
     * batch for the bucket store itself. */
   val l19_lsh_history = Q(
     "l19_lsh_history", {
-      // 16-char md5 hex prefix → the signed 64-bit value md5Hash64 builds
-      def hex2signed(h: String): String = {
-        val u = (1 to 16).map { i =>
-          s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)::HUGEINT * ${BigInt(16).pow(16 - i)}"
-        }.mkString("(", " + ", ")")
-        s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - 18446744073709551616 ELSE $u END AS BIGINT)"
-      }
-      // h1 + i*h2 with Java Long wraparound, in HUGEINT then back to signed
-      val wrap = {
-        val x = "(h1::HUGEINT + i * h2::HUGEINT)"
-        val y = s"((($x % 18446744073709551616) + 18446744073709551616) % 18446744073709551616)"
-        s"CAST(CASE WHEN $y >= 9223372036854775808 THEN $y - 18446744073709551616 ELSE $y END AS BIGINT)"
-      }
+      def hex2signed(h: String): String = MinhashMd5Sql.hex2signed(h)
+      val wrap = MinhashMd5Sql.wrap
       s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
          |sh AS (SELECT doc_id,
          |         list_distinct(list_transform(range(len(toks) - 2),
@@ -8022,6 +8029,120 @@ object LlmQueries {
       .orderBy("user_id", "err_id")
   }
 
+  // -------------------- minhash estimator fidelity audit (l119)
+
+  /** L119: MinHash estimator fidelity — the sketch-quality audit l73/l111
+    * run for the ANN backends, here for the DEDUP sketch: on every
+    * verified near-dup pair, the k=16 md5-family signature agreement
+    * fraction (the unbiased Jaccard estimator, E[ĵ]=J, per-pair sd
+    * √(J(1−J)/16) ≈ 0.08 at J=0.9) laid beside the exact Jaccard, with
+    * the absolute error per pair. The row a pipeline reads before
+    * trusting l5's banding math at a new shingle size or threshold: if
+    * the estimator drifts from exact on the VERIFIED pairs, the
+    * P[miss] = (1−J^r)^b guarantee is built on sand.
+    *
+    * 100 TB posture: rides the cached pair + shingle frames; signatures
+    * are the per-row native [[graft.functions.SketchExprs.minhash]] fold
+    * (each shingle hashed exactly twice, codegen'd); the only new work
+    * is two signature joins on the PAIR frame (near-dup-sparse, ≪
+    * corpus). Every hash replays digit-for-digit in the oracle (the l19
+    * HUGEINT machinery, shared via [[MinhashMd5Sql]]). */
+  val l119_minhash_fidelity = Q(
+    "l119_minhash_fidelity", {
+      val wrap = MinhashMd5Sql.wrap
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |hx AS (SELECT doc_id, md5(s) AS a1, md5('g:' || s) AS a2 FROM ex),
+         |hv AS (SELECT doc_id, ${MinhashMd5Sql.hex2signed("a1")} AS h1,
+         |               ${MinhashMd5Sql.hex2signed("a2")} AS h2 FROM hx),
+         |pm AS (SELECT doc_id, i, min($wrap) AS mv
+         |       FROM hv, (SELECT unnest(range(16)) AS i) fams
+         |       GROUP BY 1, 2),
+         |sg AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM pm GROUP BY 1),
+         |eqc AS (SELECT pr.i, pr.j, pr.jac,
+         |          len(list_filter(range(16),
+         |            k -> sa.sig[k+1] = sb.sig[k+1])) AS eq
+         |        FROM pr JOIN sg sa ON sa.doc_id = pr.i
+         |                JOIN sg sb ON sb.doc_id = pr.j)
+         |SELECT i, j, jac, round(eq / 16.0, 6) AS mh_est,
+         |       round(abs(jac - eq / 16.0), 6) AS abs_err
+         |FROM eqc ORDER BY i, j""".stripMargin
+    }
+  ) { (s, d) =>
+    val sigs = shingledCached(s, d).filter(size(col("ss")) > 0)
+      .select(col("doc_id"), graft.functions.SketchExprs.minhash(
+        transform(col("ss"), x => TextOps.md5Hash64(x)),
+        transform(col("ss"), x => TextOps.md5Hash64(concat(lit("g:"), x))),
+        16).as("sig"))
+    val eq = aggregate(
+      zip_with(col("si"), col("sj"), (a, b) => (a === b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    exactPairsCached(s, d)
+      .join(sigs.select(col("doc_id").as("i"), col("sig").as("si")), Seq("i"))
+      .join(sigs.select(col("doc_id").as("j"), col("sig").as("sj")), Seq("j"))
+      .select(col("i"), col("j"), col("jac"),
+        round(eq / 16.0, 6).as("mh_est"),
+        round(abs(col("jac") - eq / 16.0), 6).as("abs_err"))
+      .orderBy("i", "j")
+  }
+
+  // ---------------------- dedup threshold sensitivity sweep (l120)
+
+  /** L120: dedup threshold sensitivity — pair count, touched-doc count,
+    * cluster count and largest-cluster size at every τ ∈ {.5 … .9},
+    * computed from ONE pair pass: the design-time audit that picks the
+    * production τ (Lee et al. 2022 §4 sweep thresholds before fixing
+    * one; SemDeDup's ε-sweep is the embedding analogue). A τ where the
+    * largest cluster explodes marks the boilerplate-chain regime; a τ
+    * where pairs vanish marks over-tightening — the knee in between is
+    * the operating point, and this row is the evidence.
+    *
+    * 100 TB posture: the corpus paid for the pair frame ONCE (cached,
+    * jac is monotone-filterable); each τ re-labels the ≤pair-sparse
+    * graph with the shared CC engine (star/clique-biased init — one
+    * confirming round on duplicate cliques). The oracle runs the
+    * transitive closure for ALL τ in one recursive CTE by carrying τ
+    * through the reach relation. */
+  val l120_tau_sweep = Q(
+    "l120_tau_sweep",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |taus AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS tau),
+       |pt AS (SELECT t.tau, pr.i, pr.j FROM pr, taus t WHERE pr.jac >= t.tau),
+       |e AS (SELECT tau, i AS a, j AS b FROM pt
+       |      UNION SELECT tau, j, i FROM pt),
+       |reach(tau, a, b) AS (SELECT tau, a, b FROM e
+       |  UNION SELECT r.tau, r.a, e2.b
+       |        FROM reach r JOIN e e2 ON e2.tau = r.tau AND e2.a = r.b),
+       |lbl AS (SELECT tau, a AS doc_id, least(a, min(b)) AS cluster
+       |        FROM reach GROUP BY tau, a),
+       |pc AS (SELECT t.tau, count(pt.i) AS n_pairs
+       |       FROM taus t LEFT JOIN pt ON pt.tau = t.tau GROUP BY 1),
+       |cs AS (SELECT tau, cluster, count(*) AS csize FROM lbl GROUP BY 1, 2),
+       |ag AS (SELECT tau, sum(csize) AS n_docs, count(*) AS n_clusters,
+       |              max(csize) AS max_cluster FROM cs GROUP BY 1)
+       |SELECT CAST(pc.tau AS DOUBLE) AS tau,
+       |       CAST(n_pairs AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+       |       CAST(coalesce(n_clusters, 0) AS BIGINT) AS n_clusters,
+       |       CAST(coalesce(max_cluster, 0) AS BIGINT) AS max_cluster
+       |FROM pc LEFT JOIN ag ON ag.tau = pc.tau
+       |ORDER BY tau""".stripMargin
+  ) { (s, d) =>
+    val pairs = exactPairsCached(s, d)
+    val perTau = Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { tau =>
+      val pt = pairs.filter(col("jac") >= tau)
+      val nPairs = pt.agg(count(lit(1)).as("n_pairs"))
+      val labels = graft.ops.Graph.connectedComponents(
+        pt.select(col("i"), col("j")))
+      val cl = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
+        .agg(coalesce(sum("csize"), lit(0L)).cast("long").as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          coalesce(max("csize"), lit(0L)).cast("long").as("max_cluster"))
+      nPairs.crossJoin(cl).select(lit(tau).as("tau"), col("n_pairs"),
+        col("n_docs"), col("n_clusters"), col("max_cluster"))
+    }
+    perTau.reduce(_ unionByName _).orderBy("tau")
+  }
+
   // ------------------------------ triangle census (l117)
 
   /** L117: triangle census of the near-dup graph — node/edge/wedge/
@@ -8292,5 +8413,5 @@ object LlmQueries {
     l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector,
     l111_ann_agreement, l112_common_substring, l113_clustered_split,
     l114_containment, l115_keyness, l116_pmi, l117_triangles,
-    l118_unattributed_errors)
+    l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep)
 }
