@@ -8143,6 +8143,69 @@ object LlmQueries {
     perTau.reduce(_ unionByName _).orderBy("tau")
   }
 
+  // ------------------------- curation funnel attrition (l121)
+
+  /** L121: the curation FUNNEL — the attrition table every corpus paper
+    * prints (C4's Table 1, RefinedWeb Fig. 2, Gopher A1.2): document
+    * counts in and out of each sequential stage — raw → quality rules
+    * (l15) → blocklist (l69's word probe, UN-augmented: a zero-attrition
+    * row here is the honest finding that this corpus is clean) → dedup
+    * canonical (l14: non-canonical cluster members drop). l54 reports
+    * final COMPOSITION per cell; this reports WHERE the mass went, the
+    * row a curation review reads first.
+    *
+    * 100 TB posture: every stage predicate is a session-cached stage
+    * frame (the same materializations l21/l34/l54 read) composed with
+    * semi/anti joins on doc_id — the funnel adds ZERO recomputation; the
+    * four counts are driver-held scalars (the bounded-collect contract:
+    * four longs). */
+  val l121_curation_funnel = Q(
+    "l121_curation_funnel",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |$qualityCte,
+       |s2 AS (SELECT s1.doc_id FROM (SELECT doc_id FROM q) s1
+       |       JOIN t ON t.doc_id = s1.doc_id
+       |       WHERE len(list_filter(t.toks,
+       |         x -> list_contains(['darn', 'heck', 'blockedme'], x))) = 0),
+       |s3 AS (SELECT s2.doc_id FROM s2 LEFT JOIN lbl ON lbl.doc_id = s2.doc_id
+       |       WHERE lbl.doc_id IS NULL OR lbl.cluster = s2.doc_id),
+       |c AS (SELECT (SELECT count(*) FROM documents) AS n0,
+       |             (SELECT count(*) FROM q) AS n1,
+       |             (SELECT count(*) FROM s2) AS n2,
+       |             (SELECT count(*) FROM s3) AS n3)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+       |         CAST(n0 AS BIGINT) AS n_in, CAST(n0 AS BIGINT) AS n_out,
+       |         CAST(0 AS BIGINT) AS n_dropped FROM c
+       |  UNION ALL SELECT 1, 'quality', n0, n1, n0 - n1 FROM c
+       |  UNION ALL SELECT 2, 'blocklist', n1, n2, n1 - n2 FROM c
+       |  UNION ALL SELECT 3, 'dedup_canonical', n2, n3, n2 - n3 FROM c)
+       |ORDER BY stage_idx""".stripMargin
+  ) { (s, d) =>
+    val docs = spread(documents(s, d))
+    val s0 = docs.select("doc_id")
+    val s1 = s0.join(qualityCached(s, d).filter(col("keep") === 1)
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val s2 = s1.join(
+      blocklistFilter(docs.select(col("doc_id"), col("text")),
+        Seq("darn", "heck", "blockedme"))
+        .filter(col("keep") === 1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val s3 = s2.join(
+      clusterLabelsCached(s, d).filter(col("node") =!= col("cluster"))
+        .select(col("node").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val Seq(n0, n1, n2, n3) = Seq(s0, s1, s2, s3).map(_.count())
+    import s.implicits._
+    Seq((0L, "raw", n0, n0, 0L),
+      (1L, "quality", n0, n1, n0 - n1),
+      (2L, "blocklist", n1, n2, n1 - n2),
+      (3L, "dedup_canonical", n2, n3, n2 - n3))
+      .toDF("stage_idx", "stage", "n_in", "n_out", "n_dropped")
+      .orderBy("stage_idx")
+  }
+
   // ------------------------------ triangle census (l117)
 
   /** L117: triangle census of the near-dup graph — node/edge/wedge/
@@ -8413,5 +8476,6 @@ object LlmQueries {
     l108_unigram_tokenizer, l109_takedown_propagation, l110_loop_detector,
     l111_ann_agreement, l112_common_substring, l113_clustered_split,
     l114_containment, l115_keyness, l116_pmi, l117_triangles,
-    l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep)
+    l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep,
+    l121_curation_funnel)
 }
