@@ -927,6 +927,62 @@ object ExtQueries {
       .orderBy("t1", "t2")
   }
 
+  /** G7: the TPC-H Q5-shaped star flagship — six tables, a region
+    * filter, a date window, revenue per supplier nation: the canonical
+    * "is this an analytics engine" join-cascade. Declared because the
+    * engine's join surface (e1/e2/a9/a12/f4) is otherwise exercised one
+    * join at a time; this one lets Catalyst order a real cascade.
+    *
+    * Determinism: revenue is a DECIMAL sum (price and (1−discount) cast
+    * to DECIMAL(18,2) BEFORE multiplying — exact fixed-point arithmetic,
+    * order-independent on both engines; the d9 idiom), converted to
+    * DOUBLE only at output.
+    *
+    * 100 TB posture: region → nation → supplier is a broadcast cascade
+    * (kilobytes); the fact-side work is lineitem ⋈ orders (the one real
+    * shuffle pair) with the date filter pushed to the orders SCAN before
+    * the join, and customer joining on the already-filtered orders.
+    * PlanShapeSpec pins: pushed date filter, broadcast dims, no
+    * cartesian. */
+  val g7_star_join = Q(
+    "g7_star_join",
+    """SELECT n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1997-01-01'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+  ) { (s, d) =>
+    val asiaNations = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaSupp = supplier(s, d)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"))
+    lineitem(s, d)
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(
     g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
     e6_anti_join, e7_full_outer_join,
@@ -934,5 +990,5 @@ object ExtQueries {
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
     b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
     f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
-    d18_sketch_union)
+    d18_sketch_union, g7_star_join)
 }

@@ -177,6 +177,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both window specs must share one partition-key exchange:\n$p")
   }
 
+  test("G7: the star cascade pushes the date window to the orders scan, " +
+      "broadcasts the dims, and never goes cartesian") {
+    val p = finalPlan(graft.queries.ExtQueries.g7_star_join)
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the date window must reach the orders scan's PushedFilters:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim cascade must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"a star cascade must stay key-based:\n$p")
+  }
+
   test("E8: the null-safe join is an EQUI-join plan — no nested loop") {
     val p = finalPlan(graft.queries.ExtQueries.e8_null_safe_join)
       .split("== Initial Plan ==")(0)
