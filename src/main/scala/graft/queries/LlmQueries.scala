@@ -8206,6 +8206,59 @@ object LlmQueries {
       .orderBy("stage_idx")
   }
 
+  // ------------------------------ readability scoring (l122)
+
+  /** L122: Flesch reading-ease scoring (Flesch 1948; the formula Kincaid
+    * et al. 1975 re-fit for grade levels) — the CLASSIC document-level
+    * readability signal beside the l15 ratio rules and the l80 learned
+    * classifier: FRE = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with the standard computational proxies
+    * (syllables ≈ maximal vowel runs per token — the deterministic
+    * approximation every open implementation ships; sentences ≈
+    * [.!?]+ runs, floored at 1). Emitted with the textbook band
+    * (≥ 60 easy, ≥ 30 standard, else difficult) an education-targeted
+    * mixture (the FineWeb-Edu shape) would stratify on.
+    *
+    * 100 TB posture: three integer counts per row (regexp runs + token
+    * length), zero shuffles before the result sort; all ratios fold
+    * from exact integers so the only float work is the final affine
+    * formula, identical on both engines, rounded at 4 dp. */
+  val l122_readability = Q(
+    "l122_readability",
+    """WITH t AS (SELECT doc_id, lower(text) AS tx,
+      |        string_split(lower(text), ' ') AS toks FROM documents),
+      |m AS (SELECT doc_id,
+      |        len(toks) AS w,
+      |        greatest(len(regexp_extract_all(tx, '[.!?]+')), 1) AS sn,
+      |        len(regexp_extract_all(tx, '[aeiou]+')) AS sy
+      |      FROM t)
+      |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+      |       CAST(sn AS BIGINT) AS n_sentences,
+      |       CAST(sy AS BIGINT) AS n_syllables,
+      |       round(206.835 - 1.015 * (w * 1.0 / sn)
+      |             - 84.6 * (sy * 1.0 / w), 4) AS fre,
+      |       CASE WHEN 206.835 - 1.015 * (w * 1.0 / sn)
+      |                 - 84.6 * (sy * 1.0 / w) >= 60 THEN 'easy'
+      |            WHEN 206.835 - 1.015 * (w * 1.0 / sn)
+      |                 - 84.6 * (sy * 1.0 / w) >= 30 THEN 'standard'
+      |            ELSE 'difficult' END AS band
+      |FROM m ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val tx = lower(col("text"))
+    val w = size(TextOps.tokens(col("text")))
+    val sn = greatest(regexp_count(tx, lit("[.!?]+")), lit(1))
+    val sy = regexp_count(tx, lit("[aeiou]+"))
+    val fre = lit(206.835) - lit(1.015) * (w * lit(1.0) / sn) -
+      lit(84.6) * (sy * lit(1.0) / w)
+    spread(documents(s, d)).select(col("doc_id"),
+        w.cast("long").as("n_words"), sn.cast("long").as("n_sentences"),
+        sy.cast("long").as("n_syllables"),
+        round(fre, 4).as("fre"),
+        when(fre >= 60, "easy").when(fre >= 30, "standard")
+          .otherwise("difficult").as("band"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------ triangle census (l117)
 
   /** L117: triangle census of the near-dup graph — node/edge/wedge/
@@ -8477,5 +8530,5 @@ object LlmQueries {
     l111_ann_agreement, l112_common_substring, l113_clustered_split,
     l114_containment, l115_keyness, l116_pmi, l117_triangles,
     l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep,
-    l121_curation_funnel)
+    l121_curation_funnel, l122_readability)
 }
