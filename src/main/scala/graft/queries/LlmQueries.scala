@@ -8206,6 +8206,60 @@ object LlmQueries {
       .orderBy("stage_idx")
   }
 
+  // ----------------- text-vs-embedding dedup agreement (l123)
+
+  /** L123: dedup-family agreement — the l94 pattern (rules vs model)
+    * applied to the two near-dup detectors: the lexical pair set (l4's
+    * trigram Jaccard ≥ .5) against the semantic pair set (l11's
+    * IVF-bucketed cosine ≥ .4) over the SAME ids, folded to one row of
+    * set algebra (both / text-only / emb-only / pair-set Jaccard).
+    * SemDeDup's premise is that the sets differ (paraphrases have low
+    * lexical overlap); a pipeline shipping BOTH dedup stages reads this
+    * row to know how much the second pass actually adds — emb_only IS
+    * that increment, and a collapse of pair_jaccard after an embedding
+    * refresh means the semantic detector moved.
+    *
+    * 100 TB posture: both pair frames are session-cached (near-dup
+    * sparse, ≪ corpus); the agreement is one (i, j) equi-join plus
+    * three counts — metadata-scale. */
+  val l123_dedup_agreement = Q(
+    "l123_dedup_agreement", {
+      val embCte = embedPairsCte
+        .replace("p AS (SELECT DISTINCT", "embp AS (SELECT DISTINCT")
+      s"""WITH $jaccardPairsCte,
+         |$embCte,
+         |tpr AS (SELECT i, j FROM pr),
+         |epr AS (SELECT i, j FROM embp WHERE cos >= 0.4),
+         |bt AS (SELECT count(*) AS n_both
+         |       FROM tpr JOIN epr USING (i, j)),
+         |tt AS (SELECT count(*) AS n_text FROM tpr),
+         |et AS (SELECT count(*) AS n_emb FROM epr)
+         |SELECT CAST(n_text AS BIGINT) AS n_text,
+         |       CAST(n_emb AS BIGINT) AS n_emb,
+         |       CAST(n_both AS BIGINT) AS n_both,
+         |       CAST(n_text - n_both AS BIGINT) AS text_only,
+         |       CAST(n_emb - n_both AS BIGINT) AS emb_only,
+         |       round(n_both * 1.0 / nullif(n_text + n_emb - n_both, 0), 6)
+         |         AS pair_jaccard
+         |FROM tt, et, bt""".stripMargin
+    }
+  ) { (s, d) =>
+    val tpr = exactPairsCached(s, d).select(col("i"), col("j"))
+    val epr = embedNearDup(tau = 0.4)(embeddings(s, d))
+      .select(col("i"), col("j"))
+    val nBoth = tpr.join(epr, Seq("i", "j")).count()
+    val nText = tpr.count(); val nEmb = epr.count()
+    import s.implicits._
+    val union = nText + nEmb - nBoth
+    Seq((nText, nEmb, nBoth, nText - nBoth, nEmb - nBoth,
+      if (union == 0) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(
+        BigDecimal(nBoth.toDouble / union)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n_text", "n_emb", "n_both", "text_only", "emb_only",
+        "pair_jaccard")
+  }
+
   // ------------------------------ readability scoring (l122)
 
   /** L122: Flesch reading-ease scoring (Flesch 1948; the formula Kincaid
@@ -8530,5 +8584,5 @@ object LlmQueries {
     l111_ann_agreement, l112_common_substring, l113_clustered_split,
     l114_containment, l115_keyness, l116_pmi, l117_triangles,
     l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep,
-    l121_curation_funnel, l122_readability)
+    l121_curation_funnel, l122_readability, l123_dedup_agreement)
 }

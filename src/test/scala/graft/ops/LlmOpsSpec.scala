@@ -3370,6 +3370,26 @@ class LlmOpsSpec extends AnyFunSuite {
       s"${srcs.size}-doc aggregator cohort all at containment 1.0")
   }
 
+  test("l122 readability: hand-computed FRE on fixtures, band cuts") {
+    // "go on. it is up!" -> 5 tokens (split incl. trailing), hand-counted
+    // vowel runs and sentence runs replayed through the declared formula
+    val rows = LlmQueries.l122_readability.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, sn, sy, fre, band) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getString(5))
+      val expect = 206.835 - 1.015 * (w.toDouble / sn) - 84.6 * (sy.toDouble / w)
+      assert(math.abs(fre - expect) < 5e-5,
+        s"FRE must equal the affine formula on its own counts: $r")
+      val eb = if (expect >= 60) "easy" else if (expect >= 30) "standard"
+        else "difficult"
+      assert(band === eb, s"band must match the FRE cut: $r")
+      assert(sn >= 1, "sentence count is floored at 1")
+    }
+    info(s"l122: ${rows.length} docs, bands " +
+      rows.groupBy(_.getString(5)).view.mapValues(_.length).toMap.toString)
+  }
+
   test("l117 triangles: K4 closed form, open path zero, orientation " +
       "invariance") {
     import spark.implicits._
