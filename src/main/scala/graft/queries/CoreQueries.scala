@@ -75,6 +75,39 @@ object CoreQueries {
     s.read.schema(schema).orc(tmp).orderBy("o_orderkey")
   }
 
+  /** A16: compression-codec roundtrip — zstd-compressed parquet written
+    * and read back, with the chained snappy→zstd rewrite in the middle
+    * (the codec-migration path a lakehouse walks when it swaps its
+    * default: old files re-encoded file-by-file, no row-level work). The
+    * oracle reads the ORIGINAL table, so a green hash proves the data
+    * survives BOTH codecs bit-exactly — codec choice is a
+    * size/CPU/split-ability tradeoff, never a fidelity one, and this row
+    * is the proof the engine can state that. Codec is set per-WRITE via
+    * option("compression", …), not session conf: at 100 TB different
+    * tables legitimately run different codecs (hot = snappy/lz4 for
+    * cheap decode, cold = zstd for the ratio), and a session-global
+    * default can't express that. */
+  val a16_codec_roundtrip = Q(
+    "a16_codec_roundtrip",
+    """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+      |       CAST(s_nationkey AS BIGINT) AS s_nationkey,
+      |       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val t1 = s"$base/graft_codec_sn_${Integer.toHexString(d.hashCode)}"
+    val t2 = s"$base/graft_codec_zs_${Integer.toHexString(d.hashCode)}"
+    supplier(s, d).write.mode("overwrite")
+      .option("compression", "snappy").parquet(t1)
+    s.read.parquet(t1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(t2)
+    s.read.parquet(t2)
+      .select(col("s_suppkey").cast("long"), col("s_name"),
+        col("s_nationkey").cast("long"), col("s_acctbal").cast("double"))
+      .orderBy("s_suppkey")
+  }
+
   val a1_csv_roundtrip = Q(
     "a1_csv_roundtrip",
     "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey"
@@ -745,6 +778,7 @@ object CoreQueries {
   val all: Seq[Q] = Seq(
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
     a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge, a15_corrupt_json,
+    a16_codec_roundtrip,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,
