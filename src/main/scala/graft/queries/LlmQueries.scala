@@ -7368,7 +7368,15 @@ object LlmQueries {
     s"""WITH $pqSearchCtes
        |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id, adc
        |FROM pr2 WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
-  ) { (s, d) => pqAdcSearch(embeddings(s, d)).orderBy("qid", "rank") }
+  ) { (s, d) => pqSearchCached(s, d).orderBy("qid", "rank") }
+
+  /** The declared PQ top-5 ranking, session-cached: l107 emits it and
+    * l111 scores it against IVF — one ADC search per corpus, not one per
+    * consumer (the exactPairsCached discipline for the ANN family). The
+    * SPEC path deliberately bypasses this ([[pqAdcSearch]] stays
+    * uncached) so determinism/recall checks rebuild from scratch. */
+  private def pqSearchCached(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "pq_rank")(pqAdcSearch(embeddings(s, d)))
 
   /** The l107 engine over any (vec_id, embedding, label) frame — public
     * for the spec (recall vs exact L2, code-range and determinism
@@ -7755,7 +7763,7 @@ object LlmQueries {
   ) { (s, d) =>
     val ivf = annIvf(nprobe = 3)(embeddings(s, d))
       .select(col("qid"), col("vec_id"), col("rank").as("ra"))
-    val pq = pqAdcSearch(embeddings(s, d))
+    val pq = pqSearchCached(s, d)
       .select(col("qid"), col("vec_id"), col("rank").as("rb"))
     val jj = ivf.join(pq, Seq("qid", "vec_id"))
     val grid = ivf.select("qid").distinct()
@@ -8544,6 +8552,15 @@ object LlmQueries {
     ("cc_labels", (s, d) => { clusterLabelsCached(s, d).count(); () }),
     ("quality", (s, d) => { qualityCached(s, d).count(); () }),
     ("ivf_assign", (s, d) => { rankedAssignedCached(embeddings(s, d), None).count(); () }),
+    // the PQ codebook + declared top-5 ranking l107/l111 share —
+    // attributed here so the alphabetically-first consumer's bench line
+    // measures its own work, not the shared fit/search
+    ("pq_cb", (s, d) => {
+      val df = embeddings(s, d)
+      cachedFrame(s, df.queryExecution.analyzed.canonicalized.toString,
+        "pq_cb")(pqFit(df)).count(); ()
+    }),
+    ("pq_rank", (s, d) => { pqSearchCached(s, d).count(); () }),
     ("nll", (s, d) => { nllFrame(s, d).count(); () }),
     ("dgrams", (s, d) => { deconGrams(s, d).count(); () }),
     ("decon", (s, d) => { deconFrame(s, d).count(); () }),
