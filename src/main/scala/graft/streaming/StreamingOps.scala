@@ -545,4 +545,65 @@ object StreamingOps {
     * driver data. */
   def idempotentParquetSink(outDir: String)(batch: DataFrame, batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Per-user arrival QUOTA — each user's first k events pass, every
+    * later one is suppressed — on Spark 4's `transformWithState`
+    * arbitrary-state API (SPARK-46815), the successor to
+    * `flatMapGroupsWithState` the rest of this file uses: typed state
+    * handles (here ONE ValueState[Long] counter per user — the state is
+    * a long, never the event list), per-state TTL, and a RocksDB-only
+    * contract (the API requires the multi-column-family store — the
+    * provider a 100 TB deployment runs anyway; StreamingSpec sets it).
+    *
+    * This is a row-emission decision no built-in aggregation can make in
+    * append mode: emitting "the first k per key, as they arrive, exactly
+    * once" needs per-row state consultation. Batch equivalent:
+    * row_number over (ts, event_id) per user ≤ k — and the stream equals
+    * it WHEN arrival order follows that order (the spec feeds time-
+    * ordered slices; rows are (ts, event_id)-sorted WITHIN each batch by
+    * the processor, so intra-batch shuffle order cannot leak in).
+    *
+    * Returns (user_id, event_id) of admitted events, unordered. */
+  def perUserQuota(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("timestamp"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .transformWithState(
+        new ArrivalQuotaProcessor(k), ss.TimeMode.None(),
+        OutputMode.Append(), Encoders.product[(Long, Long)])
+      .toDF("user_id", "event_id")
+  }
+}
+
+/** The [[StreamingOps.perUserQuota]] processor: one ValueState[Long]
+  * counter per key; a batch's rows sort by (ts, event_id) before the
+  * quota cut so emission is deterministic given time-ordered feeding. */
+class ArrivalQuotaProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, java.sql.Timestamp), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Long]("seen",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val have = if (seen.exists()) seen.get() else 0L
+    val room = math.max(0L, k - have).toInt
+    if (room == 0) Iterator.empty
+    else {
+      val admitted = rows.toSeq
+        .sortBy(r => (r._3.getTime, r._2)).take(room)
+      seen.update(have + admitted.size)
+      admitted.iterator.map(r => (key, r._2))
+    }
+  }
 }

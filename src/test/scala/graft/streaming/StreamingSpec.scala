@@ -506,6 +506,57 @@ class StreamingSpec extends AnyFunSuite {
     assertEvictionInvariants(got, dropped)
   }
 
+  test("transformWithState per-user quota: first-k admission equals the " +
+      "batch cut, later arrivals suppressed (the Spark-4 state API)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // transformWithState REQUIRES the multi-column-family store — RocksDB
+    // (the conf-scoped child-session idiom of the RocksDB suite below)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    graft.Tables.prep(s2)
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val rows = graft.Tables.events(s2, sf)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("timestamp"))
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .sortBy(r => (r._3.getTime, r._2))
+    val k = 3
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      rs.sortBy(r => (r._3.getTime, r._2)).take(k).map(r => (u, r._2))
+    }.toSet
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamingOps.perUserQuota(
+        mem.toDF().toDF("user_id", "event_id", "ts"), k)
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode("append").start()
+    // time-ordered slices: quota state must carry ACROSS batches (a user
+    // admitted twice in slice 1 has room for exactly one more later)
+    rows.grouped((rows.length + 3) / 4).foreach { slice =>
+      mem.addData(slice.toIndexedSeq); q.processAllAvailable()
+    }
+    // replay probe: re-sending the earliest slice must admit NOTHING new
+    // (every user's counter is already at quota or their events were
+    // admitted — the suppression is stateful, not per-batch)
+    val sizeBefore = s2.table("quota_stream").count()
+    mem.addData(rows.take(rows.length / 4).toIndexedSeq)
+    q.processAllAvailable()
+    val got = s2.table("quota_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got.size.toLong === sizeBefore,
+      "a replayed slice must admit nothing once quotas are consumed")
+    assert(got === expected,
+      "streamed first-k admission must equal the batch row_number cut")
+    assert(got.groupBy(_._1).values.forall(_.size <= k),
+      "no user may exceed the quota")
+    assert(rows.groupBy(_._1).exists(_._2.length > k),
+      "fixture must contain a user who actually hits the quota")
+    info(s"quota: ${got.size} admitted of ${rows.length} events, " +
+      s"${rows.map(_._1).distinct.length} users, k=$k")
+  }
+
   test("stateful ops run unchanged under RocksDBStateStoreProvider (the 100 TB state store)") {
     // the default HDFS-backed store keeps every bucket on the executor
     // HEAP — exactly the state that outgrows memory at corpus scale; the
