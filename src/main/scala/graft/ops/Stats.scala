@@ -111,6 +111,31 @@ object Stats {
       Seq(MedianSpec("q", c, r.getLong(0), r.getDouble(1), r.getDouble(2))), ps)("q"))
   }
 
+  /** Exact DISCRETE quantiles (`quantile_disc` / SQL PERCENTILE_DISC):
+    * the smallest element whose cumulative rank reaches p — order stat
+    * k = max(0, ⌈p·n⌉ − 1), zero-based. Always a REAL data value (never
+    * interpolated — the semantics a report needs when the column is a
+    * code, a price tier, or anything where a synthetic midpoint is
+    * meaningless). Same shared histogram-refinement jobs as the CONT
+    * form; None on empty/all-null input. */
+  def exactQuantilesDisc(df: DataFrame, c: Column, ps: Seq[Double]): Option[Seq[Double]] = {
+    require(ps.forall(p => p >= 0.0 && p <= 1.0))
+    val r = df.agg(
+      count(c.cast(DoubleType)).as("n"),
+      min(c.cast(DoubleType)).as("lo"),
+      max(c.cast(DoubleType)).as("hi")).collect()(0)
+    if (r.getLong(0) == 0L) None
+    else {
+      val n = r.getLong(0)
+      val spec = MedianSpec("q", c, n, r.getDouble(1), r.getDouble(2))
+      val wanted = Seq(spec -> ps.zipWithIndex.map { case (p, i) =>
+        i -> math.max(0L, math.ceil(p * n).toLong - 1L)
+      })
+      val resolved = orderStats(df, wanted, 8192, 1L << 20)
+      Some(ps.indices.map(i => resolved(("q", i))))
+    }
+  }
+
   /** Exact interpolated quantiles per GROUP of a (small, enum-like) key:
     * each group is one predicated spec in the SAME shared jobs — no
     * executor ever buffers a group's values (Spark's grouped `percentile`

@@ -515,6 +515,33 @@ object ExtQueries {
       .orderBy("window_ending")
   }
 
+  /** D19: exact DISCRETE quantiles — `quantile_disc` / PERCENTILE_DISC
+    * beside d11's interpolated CONT form: the smallest element whose
+    * cumulative rank reaches p, always a REAL data value (the semantics
+    * a report needs when a synthetic midpoint is meaningless). Resolved
+    * by [[graft.ops.Stats.exactQuantilesDisc]] through the SAME shared
+    * histogram-refinement jobs (order stat k = ⌈p·n⌉−1) — never a
+    * single-buffer percentile aggregate, never a global sort. Values
+    * emit UNROUNDED: a discrete quantile is an exact element of the
+    * data, bit-identical on both engines by construction. */
+  val d19_quantile_disc = Q(
+    "d19_quantile_disc",
+    """SELECT CAST(pct AS DOUBLE) AS pct, val FROM (
+      |  SELECT 0.1 AS pct, quantile_disc(l_extendedprice, 0.1) AS val FROM lineitem
+      |  UNION ALL SELECT 0.25, quantile_disc(l_extendedprice, 0.25) FROM lineitem
+      |  UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+      |  UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
+      |  UNION ALL SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem)
+      |ORDER BY pct""".stripMargin
+  ) { (s, d) =>
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val vals = graft.ops.Stats.exactQuantilesDisc(
+      lineitem(s, d), col("l_extendedprice"), ps)
+    import s.implicits._
+    ps.zipWithIndex.map { case (p, i) => (p, vals.map(_(i))) }
+      .toDF("pct", "val").orderBy("pct")
+  }
+
   /** D16: full CUBE grouping sets — all four (flag, status) marginal
     * combinations in ONE pass, the shape d9's ROLLUP cannot produce (a
     * rollup never emits the (ALL, status) cells). grouping_id() pins the
@@ -990,5 +1017,5 @@ object ExtQueries {
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
     b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
     f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
-    d18_sketch_union, g7_star_join)
+    d18_sketch_union, g7_star_join, d19_quantile_disc)
 }

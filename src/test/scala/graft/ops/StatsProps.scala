@@ -69,6 +69,21 @@ object StatsProps extends Properties("Stats") {
       }
     }
 
+  property("exactQuantilesDisc == naive order-stat pick (quantile_disc)") =
+    Prop.forAll(values, Gen.choose(0.0, 1.0)) { (xs, pRaw) =>
+      if (xs.isEmpty) Prop.passed else {
+        val ps = Seq(0.0, 0.25, 0.5, pRaw, 1.0)
+        val df = xs.map(Option(_)).appended(None).toDF("v")
+        val got = Stats.exactQuantilesDisc(df, col("v"), ps).get
+        val s = xs.sorted
+        val want = ps.map(p =>
+          s(math.max(0L, math.ceil(p * xs.length).toLong - 1L).toInt))
+        // a discrete quantile is an exact element — bit equality, no eps
+        Prop(got == want) :| s"got $got want $want" &&
+          Prop(got.forall(xs.contains)) :| "every value must be a real element"
+      }
+    }
+
   property("exactQuantiles is None on empty/all-null; groupQuantiles handles null keys and all-null groups") =
     Prop.secure {
       val empty = Seq.empty[Option[Double]].toDF("v")
