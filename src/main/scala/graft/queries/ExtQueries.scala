@@ -542,6 +542,58 @@ object ExtQueries {
       .toDF("pct", "val").orderBy("pct")
   }
 
+  /** C10: robust outlier detection by modified z-score (Iglewicz &
+    * Hoaglin 1993: M = 0.6745·(x−median)/MAD, flag |M| > 3.5) — the
+    * robust companion to C9's winsorization: mean/σ rules break when the
+    * outliers themselves inflate σ; median/MAD have a 50% breakdown
+    * point. Both location and scale come from the shared exact-quantile
+    * engine (median, then median of |x−median|); the audit row reports
+    * the fit and the exact outlier counts. The flag compares
+    * |x−med|·0.6745 > 3.5·MAD — multiplication only, the SAME float
+    * expression on both engines, no division-order hazard.
+    *
+    * 100 TB posture: two histogram-refinement fits (driver holds
+    * buckets) + one map-combinable count aggregate with the fit folded
+    * as literals; no sort, no collect of values. The declared row
+    * augments every 997th row ×50 (the engineered-cohort idiom): the
+    * synthetic prices are uniform — a distribution with NO 3.5-MAD
+    * outliers — so without the cohort the flag path would never fire at
+    * any SF, and the injected count makes the detector's sensitivity
+    * part of the hash. */
+  val c10_mad_outliers = Q(
+    "c10_mad_outliers",
+    """WITH li AS (SELECT CASE WHEN l_orderkey % 997 = 0
+      |                        THEN l_extendedprice * 50
+      |                        ELSE l_extendedprice END AS x
+      |            FROM lineitem),
+      |m AS (SELECT quantile_cont(x, 0.5) AS med FROM li),
+      |md AS (SELECT quantile_cont(abs(x - m.med), 0.5) AS mad
+      |       FROM li, m)
+      |SELECT round(m.med, 6) AS median, round(md.mad, 6) AS mad,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN (m.med - x) * 0.6745
+      |                          > 3.5 * md.mad THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_low,
+      |       CAST(sum(CASE WHEN (x - m.med) * 0.6745
+      |                          > 3.5 * md.mad THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_high
+      |FROM li, m, md
+      |GROUP BY m.med, md.mad""".stripMargin
+  ) { (s, d) =>
+    val li = lineitem(s, d).select(
+      when(col("l_orderkey") % 997 === 0, col("l_extendedprice") * 50)
+        .otherwise(col("l_extendedprice")).as("x"))
+    val x = col("x")
+    val med = graft.ops.Stats.exactQuantiles(li, x, Seq(0.5)).get.head
+    val mad = graft.ops.Stats.exactQuantiles(
+      li.select(abs(x - med).as("dv")), col("dv"), Seq(0.5)).get.head
+    li.agg(
+      round(lit(med), 6).as("median"), round(lit(mad), 6).as("mad"),
+      count(lit(1)).as("n"),
+      sum(((lit(med) - x) * 0.6745 > 3.5 * mad).cast("long")).as("n_low"),
+      sum(((x - lit(med)) * 0.6745 > 3.5 * mad).cast("long")).as("n_high"))
+  }
+
   /** D16: full CUBE grouping sets — all four (flag, status) marginal
     * combinations in ONE pass, the shape d9's ROLLUP cannot produce (a
     * rollup never emits the (ALL, status) cells). grouping_id() pins the
@@ -1017,5 +1069,5 @@ object ExtQueries {
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
     b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
     f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
-    d18_sketch_union, g7_star_join, d19_quantile_disc)
+    d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers)
 }
