@@ -8268,6 +8268,71 @@ object LlmQueries {
         "pair_jaccard")
   }
 
+  // ------------------------- bootstrap confidence interval (l124)
+
+  /** L124: deterministic bootstrap CI for a corpus metric (Efron 1979's
+    * percentile bootstrap) — the error bar a datasheet point estimate
+    * (l54's means, l62's fits) should ship with: B=32 resamples of the
+    * per-doc token count, each replicate drawing n docs WITH replacement
+    * via md5(b:i:bs) mod n (doc_ids are dense 0..n−1, so the draw IS the
+    * id — no order dependence, no RNG state), CI = the 2nd smallest /
+    * 2nd largest replicate mean (the 93.75% percentile interval B=32
+    * admits exactly).
+    *
+    * Determinism: every draw is a pinned md5; replicate means are
+    * integer sums (token counts) divided once — exact int64 arithmetic
+    * until a single rounded division, so the 32 means are bit-identical
+    * cross-engine and the order-stat picks are value-deterministic.
+    *
+    * 100 TB posture: the resample grid is B×n rows of (b, doc_id)
+    * METADATA — the only corpus-width work is the token-count frame the
+    * engine already materializes elsewhere; the B means are
+    * map-combinable integer sums, and the driver folds exactly B=32
+    * doubles (the bounded-collect contract). */
+  val l124_bootstrap_ci = Q(
+    "l124_bootstrap_ci", {
+      val hv = hexValOf("mh")
+      s"""WITH tc AS (SELECT doc_id,
+         |        len(string_split(lower(text), ' ')) AS nt FROM documents),
+         |nn AS (SELECT count(*) AS n FROM tc),
+         |g AS (SELECT t.b, r.i,
+         |        md5(CAST(t.b AS VARCHAR) || ':' || CAST(r.i AS VARCHAR)
+         |            || ':bs') AS mh
+         |      FROM range(32) t(b)
+         |      CROSS JOIN (SELECT unnest(range((SELECT n FROM nn))) AS i) r),
+         |p AS (SELECT b, CAST($hv AS BIGINT) % (SELECT n FROM nn) AS pick
+         |      FROM g),
+         |bm AS (SELECT b, round(sum(tc.nt) * 1.0 / count(*), 6) AS m
+         |       FROM p JOIN tc ON tc.doc_id = p.pick GROUP BY b),
+         |ord AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM bm)
+         |SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_docs,
+         |       (SELECT round(sum(nt) * 1.0 / count(*), 6) FROM tc)
+         |         AS mean_full,
+         |       (SELECT m FROM ord WHERE rk = 2) AS ci_lo,
+         |       (SELECT m FROM ord WHERE rk = 31) AS ci_hi""".stripMargin
+    }
+  ) { (s, d) =>
+    val tc = spread(documents(s, d)).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+    val nDocs = tc.count()
+    val pick = conv(substring(md5(concat(
+        col("b").cast("string"), lit(":"), col("i").cast("string"),
+        lit(":bs")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % nDocs
+    val bm = s.range(32).select(col("id").as("b"))
+      .crossJoin(s.range(nDocs).select(col("id").as("i")))
+      .select(col("b"), pick.as("doc_id"))
+      .join(tc, Seq("doc_id"))
+      .groupBy("b")
+      .agg(round(sum("nt") * 1.0 / count(lit(1)), 6).as("m"))
+    val ms = bm.orderBy("m").collect().map(_.getDouble(1))
+    val meanFull = tc
+      .agg(round(sum("nt") * 1.0 / count(lit(1)), 6)).collect()(0).getDouble(0)
+    import s.implicits._
+    Seq((nDocs, meanFull, ms(1), ms(30)))
+      .toDF("n_docs", "mean_full", "ci_lo", "ci_hi")
+  }
+
   // ------------------------------ readability scoring (l122)
 
   /** L122: Flesch reading-ease scoring (Flesch 1948; the formula Kincaid
@@ -8601,5 +8666,6 @@ object LlmQueries {
     l111_ann_agreement, l112_common_substring, l113_clustered_split,
     l114_containment, l115_keyness, l116_pmi, l117_triangles,
     l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep,
-    l121_curation_funnel, l122_readability, l123_dedup_agreement)
+    l121_curation_funnel, l122_readability, l123_dedup_agreement,
+    l124_bootstrap_ci)
 }
