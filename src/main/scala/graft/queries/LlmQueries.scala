@@ -8333,6 +8333,70 @@ object LlmQueries {
       .toDF("n_docs", "mean_full", "ci_lo", "ci_hi")
   }
 
+  // --------------------- keep-rate significance test (l125)
+
+  /** L125: two-proportion z-test per source — is a source's l15 keep
+    * rate SIGNIFICANTLY different from the rest of the corpus, or noise?
+    * The inferential upgrade over l54's raw rates (a 2-point gap on 50
+    * docs is nothing; on 50k it's a finding): pooled
+    * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)), flagged at |z| > 1.96 — the
+    * alarm a curation review sorts by before investigating a feed.
+    * l115 says what a source is full of; THIS says whether its quality
+    * deviation is real.
+    *
+    * Determinism: all inputs are exact integer counts off the cached
+    * quality frame; the z expression is the identical float tree on
+    * both engines, rounded at 6 dp; the flag tests the UNROUNDED value
+    * (the l15 threshold discipline).
+    *
+    * 100 TB posture: one map-combinable (source, keep) count over the
+    * cached frame; everything after is #sources-row arithmetic. */
+  val l125_keep_rate_ztest = Q(
+    "l125_keep_rate_ztest", {
+      s"""WITH RECURSIVE d2 AS (SELECT doc_id, source FROM documents),
+         |$qualityCte,
+         |kk AS (SELECT d2.source,
+         |         count(*) AS n,
+         |         sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS k
+         |       FROM d2 LEFT JOIN q ON q.doc_id = d2.doc_id
+         |       GROUP BY 1),
+         |tot AS (SELECT sum(n) AS nt, sum(k) AS kt FROM kk),
+         |z AS (SELECT kk.source, kk.n, kk.k,
+         |        kk.k * 1.0 / kk.n AS p1,
+         |        (tot.kt - kk.k) * 1.0 / (tot.nt - kk.n) AS p2,
+         |        (tot.kt * 1.0 / tot.nt) AS pp,
+         |        (kk.k * 1.0 / kk.n - (tot.kt - kk.k) * 1.0 / (tot.nt - kk.n))
+         |          / sqrt((tot.kt * 1.0 / tot.nt) * (1 - tot.kt * 1.0 / tot.nt)
+         |                 * (1.0 / kk.n + 1.0 / (tot.nt - kk.n))) AS zv
+         |      FROM kk, tot)
+         |SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+         |       round(p1, 6) AS keep_rate, round(p2, 6) AS rest_rate,
+         |       round(zv, 6) AS z,
+         |       CAST(abs(zv) > 1.96 AS BIGINT) AS significant
+         |FROM z ORDER BY source""".stripMargin
+    }
+  ) { (s, d) =>
+    val kk = spread(documents(s, d)).select(col("doc_id"), col("source"))
+      .join(qualityCached(s, d).select(col("doc_id"),
+        col("keep").as("qk")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("qk"), lit(0L))).as("k"))
+    val tot = kk.agg(sum("n").as("nt"), sum("k").as("kt"))
+    val p1 = col("k") * 1.0 / col("n")
+    val p2 = (col("kt") - col("k")) * 1.0 / (col("nt") - col("n"))
+    val pp = col("kt") * 1.0 / col("nt")
+    val zv = (p1 - p2) /
+      sqrt(pp * (lit(1) - pp) * (lit(1.0) / col("n") +
+        lit(1.0) / (col("nt") - col("n"))))
+    kk.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"), col("k"),
+        round(p1, 6).as("keep_rate"), round(p2, 6).as("rest_rate"),
+        round(zv, 6).as("z"),
+        (abs(zv) > 1.96).cast("long").as("significant"))
+      .orderBy("source")
+  }
+
   // ------------------------------ readability scoring (l122)
 
   /** L122: Flesch reading-ease scoring (Flesch 1948; the formula Kincaid
@@ -8667,5 +8731,5 @@ object LlmQueries {
     l114_containment, l115_keyness, l116_pmi, l117_triangles,
     l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep,
     l121_curation_funnel, l122_readability, l123_dedup_agreement,
-    l124_bootstrap_ci)
+    l124_bootstrap_ci, l125_keep_rate_ztest)
 }
