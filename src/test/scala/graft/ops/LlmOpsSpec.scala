@@ -3370,6 +3370,55 @@ class LlmOpsSpec extends AnyFunSuite {
       s"${srcs.size}-doc aggregator cohort all at containment 1.0")
   }
 
+  test("l120 tau sweep: monotone in tau, tau=.5 row equals the l4/l14 " +
+      "frames, clusters bounded by docs") {
+    val rows = LlmQueries.l120_tau_sweep.fn(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(rows.map(_._1) === Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // tightening tau can only remove pairs/docs and shrink the largest
+    // cluster; it can split clusters but never merge them
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 >= b._2, s"pairs must be non-increasing: $a -> $b")
+      assert(a._3 >= b._3, s"touched docs must be non-increasing: $a -> $b")
+      assert(a._5 >= b._5, s"max cluster must be non-increasing: $a -> $b")
+    }
+    rows.foreach { r =>
+      assert(r._4 <= r._3, s"clusters cannot exceed touched docs: $r")
+      assert(r._3 <= 2L * r._2, s"each pair touches at most 2 docs: $r")
+    }
+    // the tau=.5 row is exactly the l4 pair count and the l14 clustering
+    val basePairs = LlmQueries.l4_jaccard_neardup.fn(spark, sf).count()
+    val labels = LlmQueries.l14_dedup_clusters.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.head._2 === basePairs, "tau=.5 pairs must equal l4")
+    assert(rows.head._3 === labels.length.toLong,
+      "tau=.5 touched docs must equal l14's labeled docs")
+    assert(rows.head._4 === labels.map(_._2).distinct.length.toLong,
+      "tau=.5 cluster count must equal l14's distinct clusters")
+    info(s"l120: ${rows.map(r => s"${r._1}->${r._2}p/${r._4}c").mkString(", ")}")
+  }
+
+  test("l121 funnel: stages only shrink, arithmetic reconciles, and the " +
+      "dedup stage drops exactly the non-canonical members") {
+    val rows = LlmQueries.l121_curation_funnel.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(rows.map(_._2) ===
+      Seq("raw", "quality", "blocklist", "dedup_canonical"))
+    rows.foreach { r =>
+      assert(r._4 <= r._3 && r._5 === r._3 - r._4,
+        s"each stage must shrink and reconcile: $r")
+    }
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 === a._4, s"stage n_in must chain from prior n_out: $a $b")
+    }
+    assert(rows.head._3 ===
+      spark.read.parquet(s"$sf/documents.parquet").count(),
+      "the raw stage must count the whole corpus")
+    info(s"l121: ${rows.map(r => s"${r._2}=${r._4}").mkString(" -> ")}")
+  }
+
   test("l122 readability: hand-computed FRE on fixtures, band cuts") {
     // "go on. it is up!" -> 5 tokens (split incl. trailing), hand-counted
     // vowel runs and sentence runs replayed through the declared formula
