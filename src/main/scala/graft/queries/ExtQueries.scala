@@ -986,7 +986,17 @@ object ExtQueries {
   ) { (s, d) =>
     val ev = events(s, d).filter(col("user_id").isNotNull)
       .select(col("event_type").as("t"), col("user_id"))
+    // The register frame feeds THREE branches (singles, the type grid,
+    // the pairwise union) — left as a plan subtree each branch would
+    // re-scan the corpus. It is #types × 64 rows, so materialize it ONCE
+    // through the driver (the bounded-collect contract) and fan out from
+    // the local frame: exactly one corpus pass, everything downstream is
+    // kilobyte arithmetic.
+    import s.implicits._
     val regs = graft.ops.Hll.registers(ev, Seq("t"), col("user_id"))
+      .select(col("t"), col("__j").cast("long"), col("__mj").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("t", "__j", "__mj")
     val singles = graft.ops.Hll.estimateFromRegisters(regs, Seq("t"))
       .select(col("t"), round(col("hll_est"), 6).as("est"))
     val types = regs.select("t").distinct()

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.{CoreQueries, LlmQueries}
 
@@ -175,6 +176,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"windows must partition on priority:\n$p")
     assert(p.split("Exchange hashpartitioning").length - 1 === 1,
       s"both window specs must share one partition-key exchange:\n$p")
+  }
+
+  test("D17: the EWMA recursion never windows the corpus — two hash " +
+      "exchanges, single-row folds") {
+    val weekly = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(date_add(date_trunc("week", col("ts")).cast("date"), 6),
+          "yyyy-MM-dd").as("we"))
+      .agg(round(avg("value"), 6).as("x"))
+    val df = graft.queries.ExtQueries.ewma(weekly, alpha = 0.3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Window ["),
+      s"the fold must not be a window function over the corpus:\n$p")
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"weekly agg + per-group fold = at most two exchanges:\n$p")
+  }
+
+  test("F7: the trailing average runs as a RANGE frame on one exchange") {
+    val p = finalPlan(graft.queries.ExtQueries.f7_range_frame)
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("RangeFrame"),
+      s"the 28-day window must be a RANGE frame, not a row frame:\n$p")
+    // daily agg keys (type, day) ≠ window key (type): two hash
+    // exchanges is the honest floor, and nothing beyond it may appear
+    assert(p.split("Exchange hashpartitioning").length - 1 === 2,
+      s"daily agg + frame repartition = exactly two exchanges:\n$p")
+  }
+
+  test("D18: the pairwise sketch algebra never rescans the corpus") {
+    // the register build runs ONCE as the bounded collect inside the
+    // query builder; the declared result plan must then be pure local
+    // arithmetic — ZERO file scans means no branch re-reads events
+    val p = finalPlan(graft.queries.ExtQueries.d18_sketch_union)
+      .split("== Initial Plan ==")(0)
+    assert(p.split("FileScan").length - 1 === 0,
+      s"all pairwise work must run on the local register frame:\n$p")
   }
 
   test("G7: the star cascade pushes the date window to the orders scan, " +
