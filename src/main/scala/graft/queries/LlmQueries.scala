@@ -8397,6 +8397,39 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  // --------------------------- per-user arrival quota (l126)
+
+  /** L126: the batch surface of
+    * [[graft.streaming.StreamingOps.perUserQuota]] — each user's first
+    * 3 events by (ts, event_id): the per-key admission cap a rate-limited
+    * ingest or a per-user data-collection budget enforces. Declared so
+    * the driver hash-checks the semantics the transformWithState twin is
+    * spec-pinned equal to (StreamingSpec: stream ≡ this cut,
+    * cross-batch quota carry, replay suppression — the Spark-4
+    * arbitrary-state API's RocksDB-backed form).
+    *
+    * 100 TB posture: one window shuffle on user_id with a rank-≤-k
+    * filter — Spark ≥3.5's WindowGroupLimit pushes the cap into the
+    * sort, so no task materializes a user's full history. */
+  val l126_arrival_quota = Q(
+    "l126_arrival_quota",
+    """SELECT user_id, event_id
+      |FROM (SELECT user_id, event_id,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS rk
+      |      FROM events)
+      |WHERE rk <= 3 ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .select(col("user_id"), col("event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ------------------------------ readability scoring (l122)
 
   /** L122: Flesch reading-ease scoring (Flesch 1948; the formula Kincaid
@@ -8731,5 +8764,5 @@ object LlmQueries {
     l114_containment, l115_keyness, l116_pmi, l117_triangles,
     l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep,
     l121_curation_funnel, l122_readability, l123_dedup_agreement,
-    l124_bootstrap_ci, l125_keep_rate_ztest)
+    l124_bootstrap_ci, l125_keep_rate_ztest, l126_arrival_quota)
 }
