@@ -578,6 +578,38 @@ object StreamingOps {
         OutputMode.Append(), Encoders.product[(Long, Long)])
       .toDF("user_id", "event_id")
   }
+
+  /** Per-user INACTIVITY detection — emit (user_id, last_ts) exactly when
+    * a user has been silent for `gap` of EVENT TIME: the semantics only a
+    * state TIMER can express (every aggregation/join emits on data
+    * arriving; this emits on data NOT arriving). Each event re-arms the
+    * user's event-time timer at ts + gap (deleting the previous one); the
+    * timer fires when the WATERMARK passes its expiry — so "quiet" is
+    * judged on event time, robust to late/slow feeds, and a user who
+    * resumes before the watermark reaches the old deadline never fires.
+    * transformWithState (timers need the arbitrary-state API; the
+    * fMGWS ops' EventTimeTimeout can only time out a whole group's
+    * state, not carry per-key deadlines alongside live state), RocksDB
+    * contract as with [[perUserQuota]].
+    *
+    * Returns (user_id, last_ts: yyyy-MM-dd HH:mm:ss.SSSSSS, quiet_after)
+    * rows as watermark progress proves silence. */
+  def inactivityAlerts(events: DataFrame, gap: String = "3 days"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    val gapMs = intervalMs(gap)
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .transformWithState(
+        new InactivityProcessor(gapMs), ss.TimeMode.EventTime(),
+        OutputMode.Append(), Encoders.product[(Long, String, String)])
+      .toDF("user_id", "last_ts", "quiet_after")
+  }
 }
 
 /** The [[StreamingOps.perUserQuota]] processor: one ValueState[Long]
@@ -605,5 +637,47 @@ class ArrivalQuotaProcessor(k: Int)
       seen.update(have + admitted.size)
       admitted.iterator.map(r => (key, r._2))
     }
+  }
+}
+
+/** The [[StreamingOps.inactivityAlerts]] processor: ValueState[Long]
+  * last-event-time per key plus ONE armed event-time timer — re-armed
+  * (old deadline deleted) on every event, fired by watermark passage.
+  * The fire emits the stored last_ts and clears state: a user who
+  * returns later starts a fresh silence window. */
+class InactivityProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, java.sql.Timestamp), (Long, String, String)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var lastTs: ValueState[Long] = _
+
+  private def fmt(ms: Long): String = {
+    val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f.format(new java.util.Date(ms)) + "000"
+  }
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastTs = getHandle.getValueState[Long]("last_ts",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[(Long, String, String)] = {
+    val newest = rows.map(_._3.getTime).max
+    val prev = if (lastTs.exists()) Some(lastTs.get()) else None
+    if (prev.forall(_ < newest)) {
+      prev.foreach(p => getHandle.deleteTimer(p + gapMs))
+      lastTs.update(newest)
+      getHandle.registerTimer(newest + gapMs)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, String, String)] = {
+    val last = lastTs.get()
+    lastTs.clear()
+    Iterator.single((key, fmt(last), fmt(expiredTimerInfo.getExpiryTimeInMs)))
   }
 }

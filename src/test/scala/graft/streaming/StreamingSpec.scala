@@ -557,6 +557,58 @@ class StreamingSpec extends AnyFunSuite {
       s"${rows.map(_._1).distinct.length} users, k=$k")
   }
 
+  test("transformWithState inactivity timers: silence fires exactly at " +
+      "watermark passage; re-arming suppresses; resumption re-opens") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    graft.Tables.prep(s2)
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    def t(d: String) = java.sql.Timestamp.valueOf(d)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamingOps.inactivityAlerts(
+        mem.toDF().toDF("user_id", "event_id", "ts"), gap = "3 days")
+      .writeStream.format("memory").queryName("quiet_stream")
+      .outputMode("append").start()
+    def rows() = s2.table("quiet_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // user 1: two close events then silence; user 2: one event, long
+    // silence, then resumption (two separate quiet periods)
+    mem.addData((1L, 10L, t("2024-03-01 00:00:00")),
+      (1L, 11L, t("2024-03-01 06:00:00")),
+      (2L, 20L, t("2024-03-01 00:00:00")))
+    q.processAllAvailable()
+    assert(rows().isEmpty, "no one is provably quiet yet")
+    // a driver event pushes the watermark past 2024-03-04 06:00 (+3d
+    // after user 1's last) — BOTH users' deadlines pass; then user 2
+    // resumes, re-opening a fresh window
+    mem.addData((9L, 90L, t("2024-03-06 00:00:00")))
+    q.processAllAvailable()
+    mem.addData((2L, 21L, t("2024-03-06 12:00:00")))
+    q.processAllAvailable()
+    val mid = rows()
+    assert(mid === Set((1L, "2024-03-01 06:00:00.000000"),
+      (2L, "2024-03-01 00:00:00.000000")),
+      s"both silent users must fire with their LAST event time: $mid")
+    // push the watermark past everyone: user 2's second window and the
+    // driver user's own window fire; user 1 must NOT fire again (state
+    // cleared at first fire, no new events)
+    mem.addData((8L, 80L, t("2024-04-01 00:00:00")))
+    q.processAllAvailable()
+    mem.addData((8L, 81L, t("2024-05-01 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val fin = rows()
+    assert(fin.count(_._1 == 1L) === 1, "one quiet row per silence period")
+    assert(fin.contains((2L, "2024-03-06 12:00:00.000000")),
+      s"resumption must open a fresh window that fires on its own: $fin")
+    assert(fin.contains((9L, "2024-03-06 00:00:00.000000")), s"$fin")
+    info(s"inactivity: ${fin.size} quiet rows across " +
+      s"${fin.map(_._1).toSet.size} users")
+  }
+
   test("stateful ops run unchanged under RocksDBStateStoreProvider (the 100 TB state store)") {
     // the default HDFS-backed store keeps every bucket on the executor
     // HEAP — exactly the state that outgrows memory at corpus scale; the
