@@ -8487,6 +8487,62 @@ object LlmQueries {
       .toDF("n_view", "n_click_after", "n_purchase_after", "conversion")
   }
 
+  // --------------------------- cohort retention matrix (l128)
+
+  /** L128: weekly cohort retention — users cohorted by their FIRST
+    * signup week, activity tracked per week offset: the retention
+    * triangle every growth dashboard renders, and the longitudinal
+    * companion to l127's one-shot funnel. retention = active distinct
+    * users / cohort size, offset 0 is 1.0 by construction (the signup
+    * itself is activity — a cell below 1.0 there would mean the cohort
+    * definition is broken, which makes this row a self-checking
+    * artifact).
+    *
+    * 100 TB posture: one per-user min-aggregate (cohort assignment)
+    * broadcast back onto the event stream (user-keyed join), then ONE
+    * map-combinable (cohort, offset) distinct-count — the matrix is
+    * weeks² cells of integers; no window, no per-user sort. The l12
+    * Mon..Sun week convention throughout. */
+  val l128_cohort_retention = Q(
+    "l128_cohort_retention",
+    """WITH su AS (SELECT user_id,
+      |         CAST(date_trunc('week', min(ts)) + INTERVAL 6 DAY AS DATE)
+      |           AS cw
+      |       FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |act AS (SELECT DISTINCT e.user_id, su.cw,
+      |          CAST((CAST(date_trunc('week', e.ts) + INTERVAL 6 DAY AS DATE)
+      |                - su.cw) / 7 AS BIGINT) AS wk_off
+      |        FROM events e JOIN su ON su.user_id = e.user_id),
+      |cs AS (SELECT cw, count(*) AS cohort_n FROM su GROUP BY 1)
+      |SELECT CAST(act.cw AS VARCHAR) AS cohort_week, act.wk_off,
+      |       CAST(count(*) AS BIGINT) AS n_active,
+      |       CAST(cs.cohort_n AS BIGINT) AS cohort_n,
+      |       round(count(*) * 1.0 / cs.cohort_n, 6) AS retention
+      |FROM act JOIN cs ON cs.cw = act.cw
+      |WHERE act.wk_off >= 0
+      |GROUP BY act.cw, act.wk_off, cs.cohort_n
+      |ORDER BY cohort_week, wk_off""".stripMargin
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val weekEnd = (c: Column) =>
+      date_add(date_trunc("week", c).cast("date"), 6)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(weekEnd(min("ts")).as("cw"))
+    val act = ev.join(su, Seq("user_id"))
+      .select(col("user_id"), col("cw"),
+        (datediff(weekEnd(col("ts")), col("cw")) / 7).cast("long")
+          .as("wk_off"))
+      .filter(col("wk_off") >= 0)
+      .distinct()
+    val cs = su.groupBy("cw").agg(count(lit(1)).as("cohort_n"))
+    act.groupBy("cw", "wk_off").agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cs), Seq("cw"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("wk_off"), col("n_active"), col("cohort_n"),
+        round(col("n_active") * 1.0 / col("cohort_n"), 6).as("retention"))
+      .orderBy("cohort_week", "wk_off")
+  }
+
   // ------------------------------ readability scoring (l122)
 
   /** L122: Flesch reading-ease scoring (Flesch 1948; the formula Kincaid
@@ -8822,5 +8878,5 @@ object LlmQueries {
     l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep,
     l121_curation_funnel, l122_readability, l123_dedup_agreement,
     l124_bootstrap_ci, l125_keep_rate_ztest, l126_arrival_quota,
-    l127_behavior_funnel)
+    l127_behavior_funnel, l128_cohort_retention)
 }
