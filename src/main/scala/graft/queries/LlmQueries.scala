@@ -8543,6 +8543,57 @@ object LlmQueries {
       .orderBy("cohort_week", "wk_off")
   }
 
+  // --------------------------- length tail-index audit (l129)
+
+  /** L129: Hill tail-index of the document-length distribution (Hill,
+    * Ann. Stat. 1975): α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k = 100
+    * largest lengths — the heavy-tail diagnostic beside l62's Zipf
+    * token audit (that one asks whether TOKEN frequencies are power-law
+    * templated; this asks whether DOC LENGTHS are): a small α̂ means a
+    * fat tail of mega-documents that will dominate token budgets and
+    * skew packing (l40) unless truncation (l74) runs first — the number
+    * that justifies the truncation stage.
+    *
+    * Determinism: the top-(k+1) lengths are integers picked by
+    * TakeOrdered with doc_id tiebreak; the ln-ratio sum folds in RANK
+    * order on both engines (the l62/l99 sequential-fold convention);
+    * output rounds at 6 dp.
+    *
+    * 100 TB posture: one per-row length scan + TakeOrdered(k+1) — no
+    * global sort; the fold runs over k+1 driver-side values (the
+    * bounded-collect contract). */
+  val l129_tail_index = Q(
+    "l129_tail_index",
+    """WITH n AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS x
+      |           FROM documents),
+      |top AS (SELECT x, row_number() OVER (ORDER BY x DESC, doc_id) AS rk
+      |        FROM n QUALIFY rk <= 101),
+      |xk AS (SELECT x AS xmin FROM top WHERE rk = 101),
+      |lx AS (SELECT list(ln(top.x * 1.0 / xk.xmin) ORDER BY top.rk) AS ls
+      |       FROM top, xk WHERE top.rk <= 100),
+      |s AS (SELECT list_reduce(list_prepend(0.0, ls), (a, b) -> a + b)
+      |        AS lsum FROM lx)
+      |SELECT CAST(100 AS BIGINT) AS k,
+      |       CAST(xk.xmin AS BIGINT) AS x_kplus1,
+      |       round(100.0 / s.lsum, 6) AS hill_alpha
+      |FROM s, xk""".stripMargin
+  ) { (s, d) =>
+    val k = 100
+    val lens = spread(documents(s, d))
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("x"))
+      .orderBy(col("x").desc, col("doc_id")).limit(k + 1)
+      .collect().map(_.getInt(1))
+    val xmin = lens(k).toDouble
+    // fold in rank order — the same sequential sum the oracle states
+    val lsum = lens.take(k).foldLeft(0.0)((acc, x) =>
+      acc + math.log(x / xmin))
+    import s.implicits._
+    Seq((k.toLong, lens(k).toLong,
+      BigDecimal(k / lsum).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("k", "x_kplus1", "hill_alpha")
+  }
+
   // ------------------------------ readability scoring (l122)
 
   /** L122: Flesch reading-ease scoring (Flesch 1948; the formula Kincaid
@@ -8878,5 +8929,5 @@ object LlmQueries {
     l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep,
     l121_curation_funnel, l122_readability, l123_dedup_agreement,
     l124_bootstrap_ci, l125_keep_rate_ztest, l126_arrival_quota,
-    l127_behavior_funnel, l128_cohort_retention)
+    l127_behavior_funnel, l128_cohort_retention, l129_tail_index)
 }
