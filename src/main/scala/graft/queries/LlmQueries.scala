@@ -8594,6 +8594,56 @@ object LlmQueries {
       .toDF("k", "x_kplus1", "hill_alpha")
   }
 
+  // --------------------------- unseen-mass estimate (l130)
+
+  /** L130: Good–Turing unseen-probability mass per source (Good 1953;
+    * the Turing estimator P₀ = n₁/N, with n₂ and the smoothed
+    * singleton count r* = 2·n₂/n₁ alongside) — the forward-looking
+    * companion to l93's Heaps fit: Heaps says how fast vocabulary GREW,
+    * P₀ says how much probability mass the NEXT document will spend on
+    * never-seen types — the number that sizes tokenizer byte-fallback
+    * pressure and OOV handling per source before a scale-up.
+    *
+    * Determinism: every quantity is an exact integer count off one
+    * (source, token) aggregate; the two ratios round at 6 dp.
+    *
+    * 100 TB posture: one corpus-scale (source, token) count, then a
+    * TYPE-level frequency-of-frequencies aggregate — n₁/n₂ are
+    * map-combinable conditional sums; output is #sources rows. */
+  val l130_unseen_mass = Q(
+    "l130_unseen_mass",
+    """WITH tk AS (SELECT source, g, count(*) AS c
+      |           FROM (SELECT source, unnest(string_split(lower(text), ' '))
+      |                   AS g FROM documents)
+      |           GROUP BY 1, 2)
+      |SELECT source,
+      |       CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS vocab,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+      |             / sum(c), 6) AS p_unseen,
+      |       round(2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+      |             / nullif(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0), 6)
+      |         AS r_star
+      |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val tk = spread(documents(s, d))
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("c"))
+    tk.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum((col("c") === 1).cast("long")).as("n1"),
+        sum((col("c") === 2).cast("long")).as("n2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        round(col("n1") * 1.0 / col("n_tokens"), 6).as("p_unseen"),
+        round(lit(2.0) * col("n2") /
+          when(col("n1") === 0, lit(null)).otherwise(col("n1")), 6)
+          .as("r_star"))
+      .orderBy("source")
+  }
+
   // ------------------------------ readability scoring (l122)
 
   /** L122: Flesch reading-ease scoring (Flesch 1948; the formula Kincaid
@@ -8929,5 +8979,6 @@ object LlmQueries {
     l118_unattributed_errors, l119_minhash_fidelity, l120_tau_sweep,
     l121_curation_funnel, l122_readability, l123_dedup_agreement,
     l124_bootstrap_ci, l125_keep_rate_ztest, l126_arrival_quota,
-    l127_behavior_funnel, l128_cohort_retention, l129_tail_index)
+    l127_behavior_funnel, l128_cohort_retention, l129_tail_index,
+    l130_unseen_mass)
 }
