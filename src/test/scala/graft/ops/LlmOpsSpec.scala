@@ -3419,6 +3419,51 @@ class LlmOpsSpec extends AnyFunSuite {
     info(s"l121: ${rows.map(r => s"${r._2}=${r._4}").mkString(" -> ")}")
   }
 
+  test("l127 funnel: equals a driver replay of the chained windowed " +
+      "minima; stages monotone") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    val t1 = byUser.flatMap { case (u, rs) =>
+      rs.filter(_._2 == "view").map(_._3).minOption.map(u -> _) }
+    val t2 = t1.flatMap { case (u, v) =>
+      byUser(u).filter(r => r._2 == "click" && r._3 > v &&
+        r._3 <= v + 24L * 3600 * 1000).map(_._3).minOption.map(u -> _) }
+    val t3 = t2.flatMap { case (u, c) =>
+      byUser(u).filter(r => r._2 == "purchase" && r._3 > c &&
+        r._3 <= c + 72L * 3600 * 1000).map(_._3).minOption.map(u -> _) }
+    val row = LlmQueries.l127_behavior_funnel.fn(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((t1.size.toLong, t2.size.toLong, t3.size.toLong)),
+      "funnel counts must equal the driver replay")
+    assert(row.getLong(0) >= row.getLong(1) &&
+      row.getLong(1) >= row.getLong(2), "stages can only shrink")
+    info(s"l127: ${row.getLong(0)} -> ${row.getLong(1)} -> ${row.getLong(2)}")
+  }
+
+  test("l128 retention: offset-0 is exactly 1.0 per cohort; cells bounded; " +
+      "cohort sizes partition the signup users") {
+    val rows = LlmQueries.l128_cohort_retention.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val z = rows.filter(_._2 == 0L)
+    assert(z.nonEmpty && z.forall(r => r._3 == r._4 && r._5 == 1.0),
+      "offset 0 must retain the full cohort (the self-check column)")
+    rows.foreach { r =>
+      assert(r._3 <= r._4 && r._5 <= 1.0 && r._5 > 0.0,
+        s"active users cannot exceed the cohort: $r")
+    }
+    val signups = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(z.map(_._4).sum === signups,
+      "cohort sizes must partition the signup-user population")
+    info(s"l128: ${z.length} cohorts over $signups users, " +
+      s"${rows.length} cells")
+  }
+
   test("l122 readability: hand-computed FRE on fixtures, band cuts") {
     // "go on. it is up!" -> 5 tokens (split incl. trailing), hand-counted
     // vowel runs and sentence runs replayed through the declared formula
