@@ -1169,7 +1169,17 @@ object LlmQueries {
     * over the FULL corpus vocabulary so out-of-slice tokens stay finite)
     * and the general LM (fit on everything — no OOV possible by
     * construction). Public so the spec can replay it. */
-  private[queries] def mooreLewisScores(s: SparkSession, d: String): DataFrame = {
+  private[queries] def mooreLewisScores(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "ml90")(mooreLewisScoresUncached(s, d))
+
+  /** The uncached construction behind [[mooreLewisScores]]. The declared
+    * l90 row reads the score frame FOUR times (the quantile fit's stats +
+    * histogram + pick jobs, then the output), and the frame is a
+    * two-aggregation + broadcast-probe pipeline — uncached, that is three
+    * wasted corpus passes (VERDICT r13 finding 2; measured 5.7 s → the
+    * cachebuild:ml90 line + sub-second consumers). Same `cachedFrame`
+    * discipline as l38's dsirscore. */
+  private def mooreLewisScoresUncached(s: SparkSession, d: String): DataFrame = {
     val toks = spread(documents(s, d))
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(col("text"))).as("tok"))
@@ -7949,10 +7959,12 @@ object LlmQueries {
     * corpus with engineered aggregator docs (doc ⊕ next doc, the l110
     * injected-cohort idiom) so the firing set is non-trivial at every SF.
     *
-    * 100 TB posture: the same inverted shingle index as l4 — join on
-    * shingle, never all-pairs, df-capped at scale — but DIRECTED: both
-    * orders of each co-shingle pair are counted, and the ratio divides by
-    * the CONTAINED side's set size only. */
+    * 100 TB posture: the l4 PREFIX-FILTERED inverted index, adapted to
+    * the DIRECTED measure (see [[containmentPairs]]): the contained side
+    * indexes only its |A| − ⌈τ·|A|⌉ + 1 globally-rarest shingles, the
+    * container side the full set, so a stopword trigram's posting list
+    * is probed only by docs rare-dominated enough to genuinely need it —
+    * never the Σ df² all-pairs blowup of the unfiltered self-join. */
   val l114_containment = Q(
     "l114_containment",
     s"""WITH a0 AS (SELECT doc_id, lower(text) AS text FROM documents),
@@ -7988,20 +8000,71 @@ object LlmQueries {
   }
 
   /** The l114 engine over any (doc_id, text) frame — public for the spec
-    * (engineered containments, the C ≥ jac identity). Directed output,
-    * unordered: (i = contained, j = container, shared, containment). */
+    * (engineered containments, the C ≥ jac identity, the ≡-naive-index
+    * property). Directed output, unordered:
+    * (i = contained, j = container, shared, containment).
+    *
+    * Candidate generation is the l4 prefix filter, re-proved for the
+    * ASYMMETRIC measure: C(A→B) = |A∩B|/|A| ≥ τ forces overlap ≥ ⌈τ·|A|⌉
+    * (overlap is an integer ≥ τ|A|), and A's suffix past its
+    * |A| − ⌈τ|A|⌉ + 1 rarest shingles holds only ⌈τ|A|⌉ − 1 elements —
+    * too few to hide the whole overlap. So indexing ONLY the contained
+    * side's prefix against the container side's FULL posting lists is
+    * lossless: every qualifying pair shares a prefix(A)-element with B
+    * under the one global (df, shingle) order, exactly the
+    * [[jaccardNearDupFrom]] theorem with the τ/(1+τ) Jaccard bound
+    * replaced by containment's τ|A|. (No length filter exists here — a
+    * container may be arbitrarily larger than the contained doc; that
+    * asymmetry is the operator's point.) Join cost per shingle drops
+    * from df² to df_prefix·df — a corpus-hot trigram sorts LAST in every
+    * doc's rarity order and enters the probe side only for docs so
+    * hot-dominated that their prefix genuinely needs it.
+    *
+    * Hash discipline = l4's (LQ:495-513): sizes and the final verify run
+    * on the STRING sets, only prefix MEMBERSHIP runs over xxhash64
+    * longs, so an in-doc collision shrinks a doc's hash suffix at least
+    * as fast as it shrinks the pair's common-hash count and the counting
+    * argument survives verbatim; false extras die in the sorted-merge
+    * verify ([[graft.functions.SortedIntersectCount]]). */
   def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
     val sh = docs.select(col("doc_id"),
       TextOps.shingleSet(TextOps.tokens(col("text")), ShingleN).as("ss"))
-    val sz = sh.select(col("doc_id"), size(col("ss")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("ss")).as("s"))
-    ex.join(ex.select(col("doc_id").as("j"), col("s")), Seq("s"))
-      .filter(col("doc_id") =!= col("j"))
-      .groupBy(col("doc_id").as("i"), col("j")).agg(count(lit(1)).as("c"))
-      .join(sz.select(col("doc_id").as("i"), col("n")), Seq("i"))
-      .filter(col("c") * 1.0 / col("n") >= tau)
-      .select(col("i"), col("j"), col("c").cast("long").as("shared"),
-        round(col("c") * 1.0 / col("n"), 6).as("containment"))
+    graft.functions.SetExprs.register(sh.sparkSession)
+    val hashed = sh.select(col("doc_id"), size(col("ss")).as("nf"),
+      array_distinct(graft.functions.TextExprs.xxhash64Array(col("ss"))).as("hss"))
+      .filter(col("nf") > 0)
+    val ex = hashed.select(col("doc_id"), col("nf"), explode(col("hss")).as("sng"))
+    // one df-annotation pass shared by BOTH index sides (the l4 window
+    // form: annotate in place on the sng-partitioned exchange, never
+    // groupBy + join-back); lazy localCheckpoint because the candidate
+    // join below reads it twice
+    val withDf = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sng")))
+      .localCheckpoint(false)
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sng"))
+    // contained-side prefix: the nf − ⌈τ·nf⌉ + 1 rarest hashes; the 1e-9
+    // guard can only LENGTHEN the prefix under float rounding (sound)
+    val prefix = withDf
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1)
+      .select(col("doc_id").as("i"), col("sng"))
+    val full = withDf.select(col("doc_id").as("j"), col("sng"))
+    val cand = prefix.join(full, Seq("sng"))
+      .filter(col("i") =!= col("j"))
+      .select("i", "j").distinct()
+    // exact verify on the sorted STRING sets: shared = |A∩B| via the
+    // native allocation-free merge; the τ cut divides by the CONTAINED
+    // side's size only (directed), bit-identical to the oracle's ratio
+    val shS = sh.select(col("doc_id"), size(col("ss")).as("n"),
+      sort_array(col("ss")).as("ss"))
+    cand.join(shS.as("da"), col("i") === col("da.doc_id"))
+      .join(shS.as("db"), col("j") === col("db.doc_id"))
+      .withColumn("c",
+        graft.functions.SetExprs.sortedIntersectCount(
+          col("da.ss"), col("db.ss")).cast("long"))
+      .filter(col("c") * 1.0 / col("da.n") >= tau)
+      .select(col("i"), col("j"), col("c").as("shared"),
+        round(col("c") * 1.0 / col("da.n"), 6).as("containment"))
   }
 
   // ------------------- unattributed errors via outer interval join (l118)
@@ -8446,8 +8509,10 @@ object LlmQueries {
     *
     * 100 TB posture: three map-combinable per-user min-aggregates
     * chained by user-keyed joins (each stage's frame shrinks
-    * monotonically) — never a per-user event-list sort; conversion
-    * arithmetic runs on three driver-sized counts. */
+    * monotonically) — never a per-user event-list sort; the three 1-row
+    * stage counts crossJoin into ONE action (broadcast frames, the d6
+    * idiom), with ReuseExchange collapsing the shared v/c stages so the
+    * cascade executes once. */
   val l127_behavior_funnel = Q(
     "l127_behavior_funnel",
     """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
@@ -8479,12 +8544,17 @@ object LlmQueries {
       .filter(col("ts") > col("t2") &&
         col("ts") <= col("t2") + expr("INTERVAL 72 HOURS"))
       .groupBy("user_id").agg(min("ts").as("t3"))
-    val Seq(nv, nc, np) = Seq(v, c, p).map(_.count())
-    import s.implicits._
-    Seq((nv, nc, np,
-      BigDecimal(np.toDouble / nv).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("n_view", "n_click_after", "n_purchase_after", "conversion")
+    // ONE action, not three .count()s (VERDICT r13 finding 3): the three
+    // 1-row count aggregates fold into a single plan via the d6/c9
+    // broadcast-crossJoin idiom. v's (and c's) aggregate exchange appears
+    // identically in every branch, so Spark's ReuseExchange materializes
+    // each stage once — the p→c→v cascade is computed one time, where the
+    // three-action form re-ran v three times and c twice.
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_after"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_after"))))
+      .select(col("n_view"), col("n_click_after"), col("n_purchase_after"),
+        round(col("n_purchase_after") * 1.0 / col("n_view"), 6).as("conversion"))
   }
 
   // --------------------------- cohort retention matrix (l128)
@@ -8938,6 +9008,7 @@ object LlmQueries {
     }),
     ("pq_rank", (s, d) => { pqSearchCached(s, d).count(); () }),
     ("nll", (s, d) => { nllFrame(s, d).count(); () }),
+    ("ml90", (s, d) => { mooreLewisScores(s, d).count(); () }),
     ("dgrams", (s, d) => { deconGrams(s, d).count(); () }),
     ("decon", (s, d) => { deconFrame(s, d).count(); () }),
     ("mixkept", (s, d) => { mixKeptDocs(s, d).count(); () }))
