@@ -153,6 +153,33 @@ object ScaleQueries {
       .orderBy("l_linestatus")
   }
 
+  /** The conf-scoped child session f8 plans its skew-split join in (the
+    * a12 idiom): AQE's `OptimizeSkewedJoin` is what a real cluster reaches
+    * for FIRST when a shuffle key is hot — its thresholds are sized for
+    * cluster partitions (256 MB skew threshold), so the child session
+    * lowers them to test-SF sizes, forces the split even when it costs an
+    * extra exchange, and disables auto-broadcast (a broadcastable dim
+    * would dodge the shuffle the demo is about — when the dim CAN
+    * broadcast, broadcasting is the right fix; skew-join handles the dims
+    * too big for that). The shared session's conf is never touched. */
+  private val skewSessionCache =
+    scala.collection.concurrent.TrieMap
+      .empty[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]
+
+  private def skewSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    skewSessionCache.getOrElseUpdate(s, {
+      val s2 = graft.Tables.prep(s.newSession())
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2
+    })
+
   private val SaltBuckets = 16
 
   /** F4: salted skew join — 90% of fact rows share ONE foreign key, the
@@ -182,6 +209,146 @@ object ScaleQueries {
         col("nk") === col("n_nationkey") && fact("salt") === dim("salt"))
       .select(col("l_orderkey"), col("l_linenumber"), col("n_name"))
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** F8: AQE skew-join split — f4's hot-key fixture (90% of fact rows on
+    * ONE foreign key) joined PLAIN, letting Spark's own
+    * `OptimizeSkewedJoin` split the hot shuffle partition at runtime
+    * instead of hand-salting it. This is the fix a real cluster applies
+    * first — zero query rewrite, the dim side of each split is duplicated
+    * by the AQE shuffle read, and the answer is bit-identical to the plain
+    * join (same oracle as f4, so the two skew strategies are pinned
+    * equivalent). ScaleOpsSpec pins `skew=true` on the executed
+    * SortMergeJoin and compares the split count against the single hot
+    * partition the static plan would have had.
+    *
+    * The `repartition(32)` on the fact exists because the skew split
+    * regroups MAP outputs: a reduce partition can only split at mapper
+    * boundaries, and the single-file test fixture scans as ONE map task
+    * (one row group), which makes the hot partition atomic no matter how
+    * skewed. At 100 TB the scan has thousands of input splits and the
+    * repartition would be dropped — it stands in for the mapper
+    * parallelism the fixture lacks, not for any part of the skew fix. */
+  val f8_aqe_skew_join = Q(
+    "f8_aqe_skew_join",
+    """WITH fact AS (SELECT l_orderkey, l_linenumber,
+      |         CASE WHEN l_orderkey % 10 <> 0 THEN 0 ELSE l_orderkey % 25 END AS nk
+      |       FROM lineitem)
+      |SELECT f.l_orderkey, CAST(f.l_linenumber AS BIGINT) AS l_linenumber, n.n_name
+      |FROM fact f JOIN nation n ON f.nk = n.n_nationkey
+      |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val s2 = skewSession(s)
+    val fact = lineitem(s2, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 10 =!= 0, 0L).otherwise(col("l_orderkey") % 25).as("nk"))
+      .repartition(32) // mapper parallelism the one-file fixture lacks (scaladoc)
+    fact.join(nation(s2, d).select(col("n_nationkey"), col("n_name")).hint("merge"),
+        col("nk") === col("n_nationkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("n_name"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** C11 mechanics, factored into stages so the overwrite-scope spec can
+    * observe the table directory BETWEEN the base load and the upsert:
+    * the claim under test is that applying a changes batch rewrites ONLY
+    * the partitions the batch touches (1995/1996), leaving every other
+    * year's files byte- and mtime-identical — the write-side half of c8's
+    * keep-latest shape (the CDC upsert-log → current-state landing). */
+  private[graft] object PartitionUpsert {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+
+    /** Current-state table: orders keyed by o_orderkey, laid out as
+      * hive-style year partitions (7 directories at every test SF). */
+    def baseFrame(s: SparkSession, d: String): DataFrame =
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("o_year"))
+
+    /** The CDC batch, derived deterministically from the source so the
+      * oracle can replay it: price updates for keys ≡ 0 (mod 7) and brand-
+      * new rows (key + 900 000 000, beyond any test-SF keyspace) for keys
+      * ≡ 0 (mod 11), both restricted to the 1995/1996 partitions — five of
+      * the seven year partitions are untouched by construction. */
+    def changesFrame(s: SparkSession, d: String): DataFrame = {
+      val base = baseFrame(s, d).filter(col("o_year").isin(1995, 1996))
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+      val inserts = base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+      updates.unionByName(inserts)
+    }
+
+    def writeBase(s: SparkSession, d: String, dir: String): Unit =
+      baseFrame(s, d)
+        .repartition(col("o_year")) // one write task per partition → one file each
+        .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+
+    /** The upsert job: merge the changes batch into the CURRENT state of
+      * the touched partitions (keep-latest per key, batch wins — c8's
+      * max_by idiom) and land it with dynamic partition overwrite, so the
+      * commit replaces exactly the touched directories. The touched-
+      * partition read is `localCheckpoint`ed to break lineage before the
+      * self-overwrite — materialized state is touched-partitions-sized
+      * (the whole point of partition-scoped upserts at 100 TB), never
+      * table-sized. The touched-year collect is bounded by the partition
+      * count (≤7 here; a real table's partition key is chosen so this is
+      * always catalog-scale, not data-scale). */
+    def applyChanges(s: SparkSession, d: String, dir: String): Unit = {
+      val chg = changesFrame(s, d)
+      val touched = chg.select("o_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val current = s.read.parquet(dir)
+        .filter(col("o_year").isin(touched.map(Integer.valueOf): _*))
+        .localCheckpoint()
+      val merged = current.withColumn("v", lit(0))
+        .unionByName(chg.withColumn("v", lit(1)))
+        .groupBy("o_orderkey")
+        .agg(max_by(
+          struct(col("o_custkey"), col("o_totalprice"), col("o_year")),
+          col("v")).as("last"))
+        .select(col("o_orderkey"), col("last.o_custkey").as("o_custkey"),
+          col("last.o_totalprice").as("o_totalprice"),
+          col("last.o_year").as("o_year"))
+      merged
+        .repartition(col("o_year"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_year").mode("overwrite").parquet(dir)
+    }
+
+    def readState(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_year").cast("long").as("o_year"))
+        .orderBy("o_orderkey")
+  }
+
+  /** C11: write-side partition upsert — the missing half of c8: the CDC
+    * changes batch LANDS as a dynamic-partition-overwrite commit that
+    * rewrites only the partitions the batch touches (here 2 of 7 year
+    * directories; ScaleOpsSpec pins the other five files mtime-identical
+    * across the upsert). The oracle replays keep-latest over base ∪
+    * changes — hash-green means the landed table state equals the merge
+    * semantics, and the untouched partitions got it for free. */
+  val c11_partition_upsert = Q(
+    "c11_partition_upsert",
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |                     year(o_orderdate) AS o_year FROM orders),
+      |chg AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice, o_year
+      |  FROM base WHERE o_year IN (1995, 1996) AND o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 900000000, o_custkey, o_totalprice, o_year
+      |  FROM base WHERE o_year IN (1995, 1996) AND o_orderkey % 11 = 0),
+      |u AS (SELECT *, 0 AS v FROM base UNION ALL SELECT *, 1 AS v FROM chg),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+      |      FROM u)
+      |SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_year AS BIGINT) AS o_year
+      |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val dir = scratchDir(s, d, "graft_upsert")
+    PartitionUpsert.writeBase(s, d, dir)
+    PartitionUpsert.applyChanges(s, d, dir)
+    PartitionUpsert.readState(s, dir)
   }
 
   /** E4: as-of join (extension) — for each 'purchase' event, the most
@@ -331,6 +498,6 @@ object ScaleQueries {
   }
 
   val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
-    a9_dynamic_pruning, a10_zorder, a12_runtime_bloom, f4_salted_join,
-    e4_asof_join, e5_range_join)
+    a9_dynamic_pruning, a10_zorder, a12_runtime_bloom, c11_partition_upsert,
+    f4_salted_join, f8_aqe_skew_join, e4_asof_join, e5_range_join)
 }

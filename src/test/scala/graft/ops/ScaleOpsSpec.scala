@@ -83,6 +83,76 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), s"merge hint must hold:\n$plan")
   }
 
+  test("AQE skew join: the hot partition is split at runtime, result ≡ plain join") {
+    import org.apache.spark.sql.functions._
+    val df = ScaleQueries.f8_aqe_skew_join.fn(spark, sf)
+    val rows = df.collect() // AQE: the skew split shows in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the pin: Spark's own OptimizeSkewedJoin fired — the executed
+    // SortMergeJoin carries skew=true and the shuffle read expanded the
+    // one hot partition into multiple splits (dim side duplicated per
+    // split); no hand-salting anywhere in the query
+    assert(plan.contains("skew=true"),
+      s"OptimizeSkewedJoin must split the hot partition:\n$plan")
+    // same answer as the plain (and the salted) formulation
+    val fact = graft.Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 10 =!= 0, 0L).otherwise(col("l_orderkey") % 25).as("nk"))
+    val plain = fact.join(graft.Tables.nation(spark, sf),
+        col("nk") === col("n_nationkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("n_name"))
+    assert(rows.length.toLong === plain.count())
+    assert(df.exceptAll(plain.selectExpr("l_orderkey",
+      "CAST(l_linenumber AS BIGINT) AS l_linenumber", "n_name")).isEmpty)
+  }
+
+  test("partition upsert rewrites ONLY the touched partitions; state = keep-latest merge") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_spec").toString
+    def snapshot(year: Int): Map[String, (Long, Long)] = {
+      val p = java.nio.file.Paths.get(s"$dir/o_year=$year")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          (java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        .toMap
+    }
+    ScaleQueries.PartitionUpsert.writeBase(spark, sf, dir)
+    val untouchedBefore = (1997 to 2001).map(y => y -> snapshot(y)).toMap
+    val touchedBefore = snapshot(1995)
+    ScaleQueries.PartitionUpsert.applyChanges(spark, sf, dir)
+    // the overwrite-scope pin: five year directories byte/mtime-identical,
+    // the touched ones actually replaced
+    (1997 to 2001).foreach { y =>
+      assert(snapshot(y) === untouchedBefore(y),
+        s"partition o_year=$y must not be rewritten by the upsert")
+    }
+    assert(snapshot(1995) !== touchedBefore,
+      "the touched partition must have been replaced")
+    // merge semantics: updates won, inserts landed, untouched rows intact
+    val state = ScaleQueries.PartitionUpsert.readState(spark, dir)
+    val base = ScaleQueries.PartitionUpsert.baseFrame(spark, sf)
+    val nBase = base.count()
+    val nIns = base.filter(col("o_year").isin(1995, 1996) &&
+      col("o_orderkey") % 11 === 0).count()
+    assert(state.count() === nBase + nIns, "state = base keys + inserted keys")
+    val upd = state.as("s").join(base.as("b"), col("s.o_orderkey") === col("b.o_orderkey"))
+      .filter(col("b.o_year").isin(1995, 1996) && col("b.o_orderkey") % 7 === 0)
+    assert(upd.filter(col("s.o_totalprice") =!= col("b.o_totalprice") + 100000.0)
+      .count() === 0L, "every update row must carry the batch price")
+    assert(upd.count() > 0, "fixture must exercise updates")
+    val inserted = state.filter(col("o_orderkey") >= 900000000L)
+    assert(inserted.count() === nIns, "every insert row must land exactly once")
+    // rows outside the touched years are bit-identical to base
+    val untouchedRows = state.filter(!col("o_year").isin(1995, 1996))
+    assert(untouchedRows.exceptAll(
+      base.filter(!col("o_year").isin(1995, 1996)).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_year").cast("long"))).isEmpty)
+  }
+
   test("as-of join equals the naive range join + argmax, without its plan") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf)
