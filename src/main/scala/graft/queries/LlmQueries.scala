@@ -9013,6 +9013,194 @@ object LlmQueries {
     ("decon", (s, d) => { deconFrame(s, d).count(); () }),
     ("mixkept", (s, d) => { mixKeptDocs(s, d).count(); () }))
 
+  // --------------------- two-sample distribution drift tests (l131/l132)
+
+  /** Shared per-(source, token-count) distribution frames for the l131/
+    * l132 drift tests: counts per source per value, counts per value, the
+    * per-source doc totals, and the corpus total — all map-combinable
+    * aggregates over ONE corpus scan of per-row token counts. The grid
+    * (every source × every distinct count value) is #sources × #distinct-
+    * lengths rows of METADATA, never corpus-scale. */
+  /** The corpus (source, token-count) frame both tests read. */
+  private def lengthTc(s: SparkSession, d: String): DataFrame =
+    spread(documents(s, d)).select(col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+
+  private def lengthDistFrames(tc: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val srcs = tc.groupBy("source").agg(count(lit(1)).as("n1"))
+    val callv = tc.groupBy("nt").agg(count(lit(1)).as("call"))
+    val cnt = tc.groupBy("source", "nt").agg(count(lit(1)).as("cs"))
+    val tot = tc.agg(count(lit(1)).as("n"))
+    (srcs, callv, cnt, tot)
+  }
+
+  /** l131 core over any (source, nt) frame — factored so LlmOpsSpec can
+    * feed a synthetic corpus with an INJECTED length shift and pin the
+    * significance flag actually firing (the c10 sensitivity discipline:
+    * the real testdata is uniform by construction, so every corpus row
+    * legitimately reads significant=0). */
+  private[graft] def ksDrift(tc: DataFrame): DataFrame = {
+    val (srcs, callv, cnt, tot) = lengthDistFrames(tc)
+    val grid = callv.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "nt"), "left")
+      .select(col("source"), col("n1"), col("nt"), col("call"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val w = Window.partitionBy("source").orderBy("nt")
+    val cum = grid.select(col("source"), col("n1"),
+      sum("cs").over(w).as("cums"), sum("call").over(w).as("cumall"))
+    val dd = cum.crossJoin(broadcast(tot))
+      .groupBy("source", "n1", "n")
+      .agg(max(abs(col("cums") * (col("n") - col("n1")) -
+        (col("cumall") - col("cums")) * col("n1"))).as("dnum"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    dd.select(col("source"),
+        col("n1").as("n_src"),
+        (col("n") - col("n1")).as("n_rest"),
+        col("dnum").as("d_num"),
+        round(col("dnum") * 1.0 / (col("n1") * (col("n") - col("n1"))), 6)
+          .as("ks"),
+        (dec(col("dnum")) * col("dnum") * lit(1000000L) >
+          dec(lit(1844164L)) * col("n") * col("n1") * (col("n") - col("n1")))
+          .cast("long").as("significant"))
+      .orderBy("source")
+  }
+
+  /** l132 core over any (source, nt) frame (same spec rationale as
+    * [[ksDrift]]). */
+  private[graft] def mannWhitneyTest(tc: DataFrame): DataFrame = {
+    val (srcs, callv, cnt, tot) = lengthDistFrames(tc)
+    val ties = callv.agg(
+      sum(col("call") * col("call") * col("call") - col("call")).as("tsum"))
+    val grid = callv.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "nt"), "left")
+      .select(col("source"), col("n1"), col("nt"), col("call"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val w = Window.partitionBy("source").orderBy("nt")
+    val cum = grid.withColumn("cumprev",
+      sum("call").over(w) - col("call"))
+    val r = cum.groupBy("source", "n1")
+      .agg(sum(col("cs") * (lit(2) * col("cumprev") + col("call") + 1))
+        .as("r2"))
+    val zz = r.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .withColumn("num",
+        col("r2") - col("n1") * (col("n1") + 1) -
+          col("n1") * (col("n") - col("n1")))
+    val sigma2 = (col("n1") * (col("n") - col("n1")) / 12.0) *
+      ((col("n") + 1) - col("tsum") * 1.0 / (col("n") * (col("n") - 1)))
+    val zv = col("num") / (lit(2) * sqrt(sigma2))
+    zz.select(col("source"),
+        col("n1").as("n_src"),
+        (col("n") - col("n1")).as("n_rest"),
+        col("num").as("u_num"),
+        round(zv, 6).as("z"),
+        (abs(zv) > 1.96).cast("long").as("significant"))
+      .orderBy("source")
+  }
+
+  /** L131: two-sample Kolmogorov–Smirnov drift test per source — is a
+    * source's document-LENGTH distribution the same as the rest of the
+    * corpus? The DISTRIBUTION-level alarm beside l125 (which tests one
+    * proportion) and l52's PSI (which buckets first and can hide
+    * within-bucket shifts): KS is the exact sup-norm CDF distance
+    * D = sup_v |F_src(v) − F_rest(v)|, sensitive to ANY shape change, and
+    * its critical value needs no binning choices — the feed-intake test a
+    * curation pipeline runs when a source re-crawls.
+    *
+    * Determinism: D is computed as an exact INTEGER numerator
+    * max|cums·n₂ − cumrest·n₁| over the value grid (one division at the
+    * end, rounded 6 dp); the α=0.05 significance flag
+    * D > 1.358·√((n₁+n₂)/(n₁n₂)) is cross-multiplied into the exact
+    * integer compare dnum²·10⁶ > 1844164·n·n₁·n₂ (1.358² = 1.844164) in
+    * 128-bit arithmetic (DECIMAL(38)/HUGEINT) — no float boundary
+    * anywhere.
+    *
+    * 100 TB posture: one corpus scan → three map-combinable counts; the
+    * CDF window runs over the (source × distinct-length) metadata grid
+    * partitioned BY SOURCE (never one task); the flag arithmetic is
+    * #sources rows. */
+  val l131_ks_drift = Q(
+    "l131_ks_drift",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |srcs AS (SELECT source, count(*) AS n1 FROM tc GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM tc),
+      |callv AS (SELECT nt, count(*) AS call FROM tc GROUP BY 1),
+      |cnt AS (SELECT source, nt, count(*) AS cs FROM tc GROUP BY 1, 2),
+      |grid AS (SELECT s.source, s.n1, v.nt, v.call, coalesce(c.cs, 0) AS cs
+      |         FROM srcs s CROSS JOIN callv v
+      |         LEFT JOIN cnt c ON c.source = s.source AND c.nt = v.nt),
+      |cum AS (SELECT source, n1,
+      |          sum(cs) OVER (PARTITION BY source ORDER BY nt) AS cums,
+      |          sum(call) OVER (PARTITION BY source ORDER BY nt) AS cumall
+      |        FROM grid),
+      |dd AS (SELECT c.source, c.n1, t.n,
+      |         max(abs(c.cums * (t.n - c.n1)
+      |                 - (c.cumall - c.cums) * c.n1)) AS dnum
+      |       FROM cum c CROSS JOIN tot t GROUP BY 1, 2, 3)
+      |SELECT source,
+      |       CAST(n1 AS BIGINT) AS n_src,
+      |       CAST(n - n1 AS BIGINT) AS n_rest,
+      |       CAST(dnum AS BIGINT) AS d_num,
+      |       round(dnum * 1.0 / (n1 * (n - n1)), 6) AS ks,
+      |       CAST(CASE WHEN CAST(dnum AS HUGEINT) * dnum * 1000000 >
+      |                      CAST(1844164 AS HUGEINT) * n * n1 * (n - n1)
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM dd ORDER BY source""".stripMargin
+  ) { (s, d) => ksDrift(lengthTc(s, d)) }
+
+  /** L132: Mann–Whitney U rank-sum test per source (Mann & Whitney 1947)
+    * — the nonparametric LOCATION-shift companion to l131: KS asks "same
+    * distribution?", this asks the sharper "does one source's length
+    * distribution stochastically dominate the rest?", robust to the
+    * heavy tails l129 measures (where l125-style mean tests are
+    * inflated). Tie-averaged ranks are exact by construction: for value
+    * v, 2·rank̄(v) = 2·cumall(v−1) + call(v) + 1 — all integers off the
+    * l131 grid — so the doubled rank sum R₂ = Σ cs·(2·cumprev + call + 1)
+    * and the centered numerator 2U₁ − n₁n₂ are exact int64; the normal
+    * approximation z = (U₁ − n₁n₂/2)/σ uses the standard tie-corrected
+    * σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))) with Σ(t³−t) an exact
+    * integer — the only float work is one sqrt and one division,
+    * identical trees both engines, rounded 6 dp (the flag tests the
+    * unrounded value, l125 discipline).
+    *
+    * 100 TB posture: identical to l131 — the corpus is touched once for
+    * the counts; ranks are never materialized per row (the grid IS the
+    * rank structure), so no corpus-wide sort ever happens. */
+  val l132_mann_whitney = Q(
+    "l132_mann_whitney",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |srcs AS (SELECT source, count(*) AS n1 FROM tc GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM tc),
+      |callv AS (SELECT nt, count(*) AS call FROM tc GROUP BY 1),
+      |cnt AS (SELECT source, nt, count(*) AS cs FROM tc GROUP BY 1, 2),
+      |ties AS (SELECT sum(call * call * call - call) AS tsum FROM callv),
+      |grid AS (SELECT s.source, s.n1, v.nt, v.call, coalesce(c.cs, 0) AS cs
+      |         FROM srcs s CROSS JOIN callv v
+      |         LEFT JOIN cnt c ON c.source = s.source AND c.nt = v.nt),
+      |cum AS (SELECT source, n1, nt, call, cs,
+      |          sum(call) OVER (PARTITION BY source ORDER BY nt) - call
+      |            AS cumprev
+      |        FROM grid),
+      |r AS (SELECT source, n1,
+      |        sum(cs * (2 * cumprev + call + 1)) AS r2
+      |      FROM cum GROUP BY 1, 2),
+      |zz AS (SELECT r.source, r.n1, t.n, ti.tsum,
+      |         r.r2 - r.n1 * (r.n1 + 1) - r.n1 * (t.n - r.n1) AS num
+      |       FROM r CROSS JOIN tot t CROSS JOIN ties ti)
+      |SELECT source,
+      |       CAST(n1 AS BIGINT) AS n_src,
+      |       CAST(n - n1 AS BIGINT) AS n_rest,
+      |       CAST(num AS BIGINT) AS u_num,
+      |       round(num / (2 * sqrt((n1 * (n - n1) / 12.0)
+      |             * ((n + 1) - tsum * 1.0 / (n * (n - 1))))), 6) AS z,
+      |       CAST(abs(num / (2 * sqrt((n1 * (n - n1) / 12.0)
+      |             * ((n + 1) - tsum * 1.0 / (n * (n - 1)))))) > 1.96
+      |         AS BIGINT) AS significant
+      |FROM zz ORDER BY source""".stripMargin
+  ) { (s, d) => mannWhitneyTest(lengthTc(s, d)) }
+
   val all: Seq[Q] = Seq(
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
@@ -9051,5 +9239,5 @@ object LlmQueries {
     l121_curation_funnel, l122_readability, l123_dedup_agreement,
     l124_bootstrap_ci, l125_keep_rate_ztest, l126_arrival_quota,
     l127_behavior_funnel, l128_cohort_retention, l129_tail_index,
-    l130_unseen_mass)
+    l130_unseen_mass, l131_ks_drift, l132_mann_whitney)
 }

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.queries.LlmQueries
+
+/** Sensitivity + exactness pins for the l131/l132 two-sample drift tests.
+  * The corpus oracle can only pin significant=0 rows (the synthetic
+  * testdata is uniform by construction, so no source genuinely drifts) —
+  * these specs feed the factored cores a corpus with an INJECTED length
+  * shift so the flag observably fires (the c10 sensitivity discipline),
+  * and replay both statistics driver-side in exact integer arithmetic.
+  */
+class DriftTestsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Plain-Scala exact replay of the KS integer numerator and its
+    * 128-bit significance compare. */
+  private def ksReplay(data: Seq[(String, Long)])
+      : Map[String, (Long, Long, Long, Int)] = {
+    val n = data.size.toLong
+    val all = data.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val vals = all.keys.toSeq.sorted
+    data.map(_._1).distinct.map { src =>
+      val mine = data.filter(_._1 == src).groupBy(_._2)
+        .view.mapValues(_.size.toLong).toMap
+      val n1 = data.count(_._1 == src).toLong
+      val n2 = n - n1
+      var cums = 0L; var cumall = 0L; var dnum = 0L
+      vals.foreach { v =>
+        cums += mine.getOrElse(v, 0L); cumall += all(v)
+        dnum = math.max(dnum, math.abs(cums * n2 - (cumall - cums) * n1))
+      }
+      val sig = if (BigInt(dnum) * BigInt(dnum) * 1000000 >
+        BigInt(1844164) * n * n1 * n2) 1 else 0
+      src -> (n1, n2, dnum, sig)
+    }.toMap
+  }
+
+  /** Plain-Scala exact replay of the MWU doubled-centered numerator and
+    * tie-corrected z. */
+  private def mwuReplay(data: Seq[(String, Long)])
+      : Map[String, (Long, Double)] = {
+    val n = data.size.toLong
+    val all = data.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val vals = all.keys.toSeq.sorted
+    // 2·avg-rank per value, from the cumulative count below it
+    val rank2 = {
+      var cumprev = 0L
+      vals.map { v =>
+        val r = 2 * cumprev + all(v) + 1; cumprev += all(v); v -> r
+      }.toMap
+    }
+    val tsum = all.values.map(t => t * t * t - t).sum
+    data.map(_._1).distinct.map { src =>
+      val nt = data.filter(_._1 == src).map(_._2)
+      val n1 = nt.size.toLong
+      val n2 = n - n1
+      val r2 = nt.map(rank2).sum
+      val num = r2 - n1 * (n1 + 1) - n1 * n2
+      val sigma2 = (n1 * n2 / 12.0) * ((n + 1) - tsum.toDouble / (n * (n - 1)))
+      src -> (num, num / (2 * math.sqrt(sigma2)))
+    }.toMap
+  }
+
+  /** Two identical flat sources on 10..40 plus one SMALL source shifted
+    * to 50..80. Each source is tested against its complement, so the
+    * shifted docs sit in the flats' "rest" too — the cohort is sized so
+    * that contamination stays sub-critical for the flats (D = 20/420 ≈
+    * 0.048 < crit ≈ 0.095; |z| ≈ 1.17 < 1.96) while the shifted source
+    * itself is maximal (disjoint support ⇒ D = 1; z ≈ 7.6). Ties exist
+    * at every value, so the tie-corrected σ path is exercised. */
+  private def shiftedCorpus: Seq[(String, Long)] =
+    (0 until 400).map(i => ("a", 10L + i % 31)) ++
+      (0 until 400).map(i => ("b", 10L + i % 31)) ++
+      (0 until 20).map(i => ("shifted", 50L + i % 31))
+
+  test("l131 KS: injected shift fires the flag; flats stay quiet; exact replay") {
+    import spark.implicits._
+    val tc = shiftedCorpus.toDF("source", "nt")
+    val got = LlmQueries.ksDrift(tc).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toMap
+    val want = ksReplay(shiftedCorpus)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (src, (n1, n2, dnum, ks, sig)) =>
+      val (wn1, wn2, wdnum, wsig) = want(src)
+      assert((n1, n2, dnum) === (wn1, wn2, wdnum), s"replay mismatch at $src")
+      assert(sig === wsig.toLong, s"flag mismatch at $src")
+      assert(math.abs(ks - wdnum.toDouble / (wn1 * wn2)) < 1e-6)
+    }
+    assert(got("shifted")._5 === 1L, "the injected shift must be significant")
+    assert(got("a")._5 === 0L && got("b")._5 === 0L,
+      "same-distribution sources must not flag")
+    // disjoint supports ⇒ the sup-CDF gap for the shifted source is exactly 1
+    assert(got("shifted")._4 === 1.0)
+  }
+
+  test("l132 MWU: injected shift fires the flag; flats stay quiet; exact replay") {
+    import spark.implicits._
+    val tc = shiftedCorpus.toDF("source", "nt")
+    val got = LlmQueries.mannWhitneyTest(tc).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4),
+        r.getLong(5))).toMap
+    val want = mwuReplay(shiftedCorpus)
+    got.foreach { case (src, (num, z, _)) =>
+      val (wnum, wz) = want(src)
+      assert(num === wnum, s"exact numerator mismatch at $src")
+      assert(math.abs(z - wz) < 1e-6, s"z mismatch at $src: $z vs $wz")
+    }
+    assert(got("shifted")._3 === 1L && got("shifted")._2 > 0,
+      "the stochastically-larger source must flag positive")
+    assert(got("a")._3 === 0L && got("b")._3 === 0L)
+  }
+
+  test("corpus run: both tests agree with the driver replay on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val data = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.size(
+          TextOps.tokens(org.apache.spark.sql.functions.col("text")))
+          .cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ks = LlmQueries.l131_ks_drift.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(5))).toMap
+    val wantKs = ksReplay(data)
+    ks.foreach { case (src, (dnum, sig)) =>
+      assert(dnum === wantKs(src)._3 && sig === wantKs(src)._4.toLong,
+        s"corpus KS mismatch at $src")
+    }
+    val mwu = LlmQueries.l132_mann_whitney.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val wantMwu = mwuReplay(data)
+    mwu.foreach { case (src, num) =>
+      assert(num === wantMwu(src)._1, s"corpus MWU mismatch at $src")
+    }
+  }
+}
