@@ -1072,7 +1072,68 @@ object ExtQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** D20: quantile-SKETCH accuracy audit — the one-pass mergeable
+    * `approx_percentile` (Spark's Greenwald–Khanna variant) checked
+    * against the exact engine. This is the missing half of the d11 story:
+    * d11/d12/d19's histogram refinement IS the exact path, but at 100 TB
+    * an ad-hoc percentile runs the ONE-PASS sketch (mergeable partials,
+    * no refinement rounds, no driver round-trips) and leans on its
+    * published rank-error contract |rank(v̂_p) − p·N| ≤ N/accuracy. The
+    * declared rows pin that contract as data: for each p, the observed
+    * rank interval of the sketch's answer (count <, count ≤ — exact
+    * integer counts) must bracket the target rank within εN (+1 for the
+    * rank-definition boundary), emitted as rank_ok beside the exact
+    * quantile. The oracle replays the exact values and states rank_ok=1 —
+    * a sketch regression (or a mis-sized accuracy for this N) flips the
+    * hash. StatsProps measures the actual observed rank error, including
+    * on a heavy-duplicate adversarial distribution.
+    *
+    * Plan shape: ONE sketch aggregate pass (4 probes share one buffer),
+    * one conditional-count pass over the 4 collected sketch values
+    * (bounded collect: 4 doubles), plus the shared exact-quantile jobs —
+    * no sort anywhere. */
+  val d20_quantile_sketch_audit = Q(
+    "d20_quantile_sketch_audit",
+    """WITH nn AS (SELECT count(l_extendedprice) AS n FROM lineitem)
+      |SELECT CAST(q.pct AS DOUBLE) AS pct,
+      |       CAST(nn.n AS BIGINT) AS n_rows,
+      |       round(q.val, 6) AS exact_val,
+      |       CAST(1 AS BIGINT) AS rank_ok
+      |FROM (SELECT 0.25 AS pct, quantile_cont(l_extendedprice, 0.25) AS val FROM lineitem
+      |      UNION ALL SELECT 0.5, quantile_cont(l_extendedprice, 0.5) FROM lineitem
+      |      UNION ALL SELECT 0.75, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+      |      UNION ALL SELECT 0.95, quantile_cont(l_extendedprice, 0.95) FROM lineitem) q
+      |CROSS JOIN nn ORDER BY pct""".stripMargin
+  ) { (s, d) =>
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val accuracy = 10000
+    val c = col("l_extendedprice")
+    val li = lineitem(s, d)
+    // one sketch pass, 4 probes in one buffer; bounded collect of 4 doubles
+    val approxRow = li.agg(percentile_approx(c,
+      array(ps.map(lit): _*), lit(accuracy)).as("a")).collect()(0)
+    val approx = approxRow.getSeq[Double](0)
+    val n = li.agg(count(c)).collect()(0).getLong(0)
+    val eps = math.ceil(n.toDouble / accuracy).toLong + 1
+    // exact ranks of the sketch answers: one conditional-count pass
+    val rankExprs =
+      ps.indices.map(i => sum((c < approx(i)).cast("long")).as(s"lo$i")) ++
+        ps.indices.map(i => sum((c <= approx(i)).cast("long")).as(s"hi$i"))
+    val cnts = li.agg(rankExprs.head, rankExprs.tail: _*)
+    val cr = cnts.collect()(0)
+    val exact = graft.ops.Stats.exactQuantiles(li, c, ps).get
+    import s.implicits._
+    ps.zipWithIndex.map { case (p, i) =>
+      val lo = cr.getLong(i); val hi = cr.getLong(ps.size + i)
+      val target = p * n
+      val ok = lo <= target + eps && hi >= target - eps
+      (p, n, BigDecimal(exact(i)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, if (ok) 1L else 0L)
+    }.toDF("pct", "n_rows", "exact_val", "rank_ok").orderBy("pct")
+  }
+
   val all: Seq[Q] = Seq(
+    d20_quantile_sketch_audit,
     g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
     e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,

@@ -171,4 +171,42 @@ object StatsProps extends Properties("Stats") {
     val nulls = Seq[Option[String]](None, None).toDF("v")
     Prop(Stats.exactModeString(nulls, col("v")).isEmpty)
   }
+
+  /** Duplicate-heavy distributions — the adversarial case for rank-error
+    * sketches (a single value can own a wide rank interval). */
+  private val skewedValues: Gen[List[Double]] = for {
+    n <- Gen.choose(50, 300)
+    dup <- Gen.chooseNum(-100.0, 100.0).map(math.rint)
+    fracPct <- Gen.choose(30, 90)
+    rest <- Gen.listOfN(n, Gen.chooseNum(-1e4, 1e4).map(math.rint))
+  } yield rest.take(n - n * fracPct / 100) ++
+    List.fill(n * fracPct / 100)(dup)
+
+  /** The contract d20_quantile_sketch_audit declares as data: the sketch
+    * answer's exact rank interval [count(<v̂), count(≤v̂)] brackets the
+    * target rank p·N within εN = N/accuracy (+1 for the rank-definition
+    * boundary) — measured here with a deliberately COARSE accuracy so the
+    * bound is non-trivial, on duplicate-heavy inputs. */
+  property("approx_percentile rank error ≤ N/accuracy on duplicate-heavy data") =
+    Prop.forAll(skewedValues) { xs =>
+      Prop(xs.size >= 50) ==> {
+        val accuracy = 100
+        val df = xs.toDF("v")
+        val c = col("v")
+        val ps = Seq(0.25, 0.5, 0.75)
+        val approx = df.agg(org.apache.spark.sql.functions.percentile_approx(
+            c, org.apache.spark.sql.functions.array(
+              ps.map(org.apache.spark.sql.functions.lit): _*),
+            org.apache.spark.sql.functions.lit(accuracy)))
+          .collect()(0).getSeq[Double](0)
+        val n = xs.size.toLong
+        val eps = math.ceil(n.toDouble / accuracy).toLong + 1
+        val ok = ps.zipWithIndex.forall { case (p, i) =>
+          val lo = xs.count(_ < approx(i)).toLong
+          val hi = xs.count(_ <= approx(i)).toLong
+          lo <= p * n + eps && hi >= p * n - eps
+        }
+        Prop(ok) :| s"n=$n approx=$approx"
+      }
+    }
 }
