@@ -7988,7 +7988,13 @@ object LlmQueries {
        |FROM p JOIN sz si ON si.doc_id = p.i
        |WHERE p.c * 1.0 / si.n >= 0.8
        |ORDER BY i, j""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => containmentFixture(s, d).transform(
+    containmentPairs(_, tau = 0.8)).orderBy("i", "j") }
+
+  /** The l114/l134 shared fixture: the corpus augmented with engineered
+    * aggregator docs (doc ⊕ next doc) so the containment firing set is
+    * non-trivial at every SF. */
+  private def containmentFixture(s: SparkSession, d: String): DataFrame = {
     val a0 = spread(documents(s, d)).select(col("doc_id"),
       lower(col("text")).as("text"))
     val nx = a0.filter(col("doc_id") % 13 === 0)
@@ -7996,7 +8002,7 @@ object LlmQueries {
         col("text").as("t2")), Seq("doc_id"))
       .select((col("doc_id") + 300000).as("doc_id"),
         concat(col("text"), lit(" "), col("t2")).as("text"))
-    containmentPairs(a0.unionByName(nx), tau = 0.8).orderBy("i", "j")
+    a0.unionByName(nx)
   }
 
   /** The l114 engine over any (doc_id, text) frame — public for the spec
@@ -8065,6 +8071,139 @@ object LlmQueries {
       .filter(col("c") * 1.0 / col("da.n") >= tau)
       .select(col("i"), col("j"), col("c").as("shared"),
         round(col("c") * 1.0 / col("da.n"), 6).as("containment"))
+  }
+
+  /** l134's engine: [[containmentPairs]] with the index DF-CAPPED — the
+    * scale valve the round-14 audit showed the lossless prefix bound
+    * still needs on a saturated shingle universe (BENCHNOTES r14: the
+    * filtered candidate count grew at row-exponent +3.69/decade because
+    * a fixed-vocabulary corpus drives every shingle's df ∝ N). Postings
+    * with df > cap are refused by the index, so candidate cost per
+    * shingle is bounded by cap·df → the blowup term is gone; the price
+    * is pairs whose every surviving prefix shingle misses — which l134
+    * DECLARES as the measured ε (the l30 pattern) instead of assuming
+    * zero. Candidate generation runs on raw shingle strings (no
+    * xxhash64) so the oracle can replay the (df, shingle) rarity order
+    * exactly — cap discipline differs from the lossless engine, whose
+    * hash order never surfaces in results. */
+  private[graft] def cappedContainmentPairs(
+      docs: DataFrame, tau: Double, cap: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), ShingleN).as("ss"))
+    graft.functions.SetExprs.register(sh.sparkSession)
+    val sized = sh.select(col("doc_id"), size(col("ss")).as("nf"), col("ss"))
+      .filter(col("nf") > 0)
+    val ex = sized.select(col("doc_id"), col("nf"), explode(col("ss")).as("s"))
+    val withDf = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .localCheckpoint(false)
+    // rank over the FULL rarity order (df, s) — the cap then drops hot
+    // entries FROM the lossless prefix, and that drop is exactly the ε
+    // the declared audit measures
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefix = withDf
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1 &&
+        col("df") <= cap)
+      .select(col("doc_id").as("i"), col("s"))
+    val full = withDf.filter(col("df") <= cap)
+      .select(col("doc_id").as("j"), col("s"))
+    val cand = prefix.join(full, Seq("s"))
+      .filter(col("i") =!= col("j"))
+      .select("i", "j").distinct()
+    val shS = sized.select(col("doc_id"), col("nf").as("n"),
+      sort_array(col("ss")).as("ss"))
+    cand.join(shS.as("da"), col("i") === col("da.doc_id"))
+      .join(shS.as("db"), col("j") === col("db.doc_id"))
+      .withColumn("c",
+        graft.functions.SetExprs.sortedIntersectCount(
+          col("da.ss"), col("db.ss")).cast("long"))
+      .filter(col("c") * 1.0 / col("da.n") >= tau)
+      .select(col("i"), col("j"))
+  }
+
+  private val ContainCap = 4
+
+  /** L134: df-capped containment with its miss-rate DECLARED as data —
+    * the measured-ε scale path for l114 (the l30 discipline: a lossy
+    * valve ships with its loss quantified, not assumed). One audit row:
+    * the exact pair count (l114's lossless engine), the capped engine's
+    * count, the missed pairs and ε, plus how many index postings the
+    * cap refused — so the oracle hash pins BOTH that the cap bites
+    * (postings_kept < postings_total) AND precisely what it cost
+    * (missed/eps). cap=4 is the demo knob: it bites at every test SF on
+    * this saturated-vocabulary corpus; a production corpus sets it
+    * orders of magnitude higher (it exists to refuse stopword-class
+    * shingles, not real signal).
+    *
+    * 100 TB posture: the capped index's join cost per shingle is
+    * ≤ cap·df (prefix side bounded by the cap) — the Σ df² term the
+    * round-14 audit measured is structurally gone; everything else is
+    * the l114 machinery. */
+  val l134_capped_containment = Q(
+    "l134_capped_containment",
+    s"""WITH a0 AS (SELECT doc_id, lower(text) AS text FROM documents),
+       |nx AS (SELECT a.doc_id, a.text || ' ' || b.text AS text
+       |       FROM a0 a JOIN a0 b ON b.doc_id = a.doc_id + 1
+       |       WHERE a.doc_id % 13 = 0),
+       |aug AS (SELECT doc_id, text FROM a0
+       |        UNION ALL SELECT doc_id + 300000, text FROM nx),
+       |d2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(len(toks) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
+       |       FROM d2),
+       |sz AS (SELECT doc_id, len(ss) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+       |dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+       |exd AS (SELECT ex.doc_id, ex.s, dfc.df FROM ex JOIN dfc USING (s)),
+       |pr AS (SELECT doc_id, s, df,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk
+       |       FROM exd),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |      GROUP BY 1, 2),
+       |tp AS (SELECT p.i, p.j FROM p JOIN sz si ON si.doc_id = p.i
+       |       WHERE p.c * 1.0 / si.n >= 0.8),
+       |cp AS (SELECT DISTINCT tp.i, tp.j
+       |       FROM tp JOIN sz si ON si.doc_id = tp.i
+       |       JOIN pr ON pr.doc_id = tp.i
+       |       JOIN ex b ON b.doc_id = tp.j AND b.s = pr.s
+       |       WHERE pr.rk <= si.n - ceil(0.8 * si.n - 1e-9) + 1
+       |         AND pr.df <= $ContainCap),
+       |post AS (SELECT count(*) AS total,
+       |           sum(CASE WHEN df <= $ContainCap THEN 1 ELSE 0 END) AS kept
+       |         FROM exd)
+       |SELECT CAST($ContainCap AS BIGINT) AS cap,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_exact,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_capped,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM tp)
+       |         - (SELECT CAST(count(*) AS BIGINT) FROM cp) AS missed,
+       |       round(((SELECT count(*) FROM tp) - (SELECT count(*) FROM cp))
+       |             * 1.0 / nullif((SELECT count(*) FROM tp), 0), 6) AS eps,
+       |       CAST(post.total AS BIGINT) AS postings_total,
+       |       CAST(post.kept AS BIGINT) AS postings_kept
+       |FROM post""".stripMargin
+  ) { (s, d) =>
+    val fixture = containmentFixture(s, d)
+    val nExact = containmentPairs(fixture, tau = 0.8).count()
+    val nCapped = cappedContainmentPairs(fixture, tau = 0.8, ContainCap).count()
+    val sh = fixture.select(col("doc_id"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), ShingleN).as("ss"))
+    val exd = sh.filter(size(col("ss")) > 0)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    val postRow = exd.agg(count(lit(1)).as("total"),
+      sum((col("df") <= ContainCap).cast("long")).as("kept")).collect()(0)
+    val missed = nExact - nCapped
+    import s.implicits._
+    Seq((ContainCap.toLong, nExact, nCapped, missed,
+        if (nExact == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(BigDecimal(missed.toDouble / nExact)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        postRow.getLong(0), postRow.getLong(1)))
+      .toDF("cap", "n_exact", "n_capped", "missed", "eps",
+        "postings_total", "postings_kept")
   }
 
   // ------------------- unattributed errors via outer interval join (l118)
@@ -9201,7 +9340,138 @@ object LlmQueries {
       |FROM zz ORDER BY source""".stripMargin
   ) { (s, d) => mannWhitneyTest(lengthTc(s, d)) }
 
+  // ------------------- chi-square independence audit (l133)
+
+  /** l133 core over any (g, k) categorical frame — factored for the same
+    * reason as [[ksDrift]]: the spec feeds an injected-dependence fixture
+    * so the significance flag observably fires. Pearson's χ² with the
+    * FULL r×c grid (absent cells enter with o=0 — dropping them understates
+    * the statistic), summed as a driver-side fold over the (g, k)-ordered
+    * cell list (bounded collect: r×c rows — the l129/l62 sequential-fold
+    * convention, so both engines add the identical doubles in the
+    * identical order). */
+  private[graft] def chiSquareIndep(tc: DataFrame): DataFrame = {
+    val s = tc.sparkSession
+    val cells = tc.groupBy("g", "k").agg(count(lit(1)).as("o"))
+    val rt = tc.groupBy("g").agg(count(lit(1)).as("rt"))
+    val ct = tc.groupBy("k").agg(count(lit(1)).as("ct"))
+    val grid = rt.crossJoin(broadcast(ct))
+      .join(cells, Seq("g", "k"), "left")
+      .select(col("g"), col("k"), col("rt"), col("ct"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .orderBy("g", "k")
+      .collect() // bounded: #groups × #classes cells of integers
+    val n = grid.map(r => r.getLong(4)).sum
+    val rCnt = grid.map(_.get(0)).distinct.length.toLong
+    val cCnt = grid.map(_.get(1)).distinct.length.toLong
+    var chi2 = 0.0
+    grid.foreach { r =>
+      // identical expression tree to the oracle: exact int64 margin
+      // product → one double division; delta squared via multiplication
+      // (never pow — libm pow(x,2) is not pinned to x*x)
+      val ev = (r.getLong(2) * r.getLong(3)).toDouble / n
+      val dlt = r.getLong(4) - ev
+      chi2 += dlt * dlt / ev
+    }
+    val dof = (rCnt - 1) * (cCnt - 1)
+    val rd = (x: Double) => BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val minDim = math.min(rCnt - 1, cCnt - 1)
+    val cramers =
+      if (minDim == 0) None else Some(rd(math.sqrt(chi2 / (n * minDim))))
+    // Wilson–Hilferty normal approximation of the χ²_dof upper tail —
+    // closed-form on both engines (no χ² quantile table needed). The z
+    // DISPLAY uses cbrt (engines differ by ≤1 ulp — absorbed by the
+    // checker's float tolerance); the integer FLAG must be bit-exact, so
+    // it compares chi2 against the CUBED threshold instead: only sqrt
+    // (correctly rounded per IEEE 754) and multiplication enter.
+    val z =
+      if (dof == 0) None
+      else Some((math.cbrt(chi2 / dof) - (1 - 2.0 / (9 * dof))) /
+        math.sqrt(2.0 / (9 * dof)))
+    val sig =
+      if (dof == 0) 0L
+      else {
+        val t = 1 - 2.0 / (9 * dof) +
+          1.6449 * math.sqrt(2.0 / (9 * dof))
+        if (chi2 > dof * (t * t * t)) 1L else 0L
+      }
+    import s.implicits._
+    Seq((n, rCnt, cCnt, dof, rd(chi2), cramers, z.map(rd), sig))
+      .toDF("n", "r", "c", "dof", "chi2", "cramers_v", "z", "significant")
+  }
+
+  /** L133: χ² test of independence between LANGUAGE and the l15 quality
+    * gate — the omnibus categorical companion closing the drift-test
+    * family (l131/l132 continuous, l125 one proportion, this one the
+    * whole contingency): does quality pass/fail depend on language AT
+    * ALL? One row; Cramér's V attaches the effect size (a corpus-scale n
+    * makes trivial dependences "significant" — V says whether anyone
+    * should care), and the α=0.05 flag uses the Wilson–Hilferty cube-root
+    * normal approximation so no quantile table enters the contract.
+    *
+    * Determinism: cell/margin counts are exact integers; the χ² fold runs
+    * driver-side over the (lang, keep)-ordered cell list mirrored by the
+    * oracle's ORDER BY list_reduce — bit-identical doubles in bit-identical
+    * order; outputs round 6 dp (flag on the unrounded z, l125 discipline).
+    *
+    * 100 TB posture: ONE map-combinable (lang, keep) count over the
+    * session-cached quality frame; margins derive from the cells; the
+    * grid is #langs × 2 METADATA rows. */
+  val l133_chi2_independence = Q(
+    "l133_chi2_independence", {
+      s"""WITH RECURSIVE d2 AS (SELECT doc_id, lang FROM documents),
+         |$qualityCte,
+         |tc AS (SELECT d2.lang AS g,
+         |         CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS k
+         |       FROM d2 LEFT JOIN q ON q.doc_id = d2.doc_id),
+         |rt AS (SELECT g, count(*) AS rt FROM tc GROUP BY 1),
+         |ct AS (SELECT k, count(*) AS ct FROM tc GROUP BY 1),
+         |cells AS (SELECT g, k, count(*) AS o FROM tc GROUP BY 1, 2),
+         |grid AS (SELECT rt.g, ct.k, rt.rt, ct.ct, coalesce(cells.o, 0) AS o
+         |         FROM rt CROSS JOIN ct
+         |         LEFT JOIN cells ON cells.g = rt.g AND cells.k = ct.k),
+         |nn AS (SELECT sum(o) AS n FROM grid),
+         |terms AS (SELECT list(
+         |    (o - (rt * ct) * 1.0 / nn.n) * (o - (rt * ct) * 1.0 / nn.n)
+         |      / ((rt * ct) * 1.0 / nn.n)
+         |    ORDER BY g, k) AS ts
+         |  FROM grid, nn),
+         |dims AS (SELECT count(DISTINCT g) AS r, count(DISTINCT k) AS c
+         |         FROM grid),
+         |x2 AS (SELECT list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
+         |         AS chi2 FROM terms),
+         |f AS (SELECT nn.n, dims.r, dims.c,
+         |        (dims.r - 1) * (dims.c - 1) AS dof, x2.chi2,
+         |        (cbrt(x2.chi2 / nullif((dims.r - 1) * (dims.c - 1), 0))
+         |         - (1 - 2.0 / (9 * nullif((dims.r - 1) * (dims.c - 1), 0))))
+         |        / sqrt(2.0 / (9 * nullif((dims.r - 1) * (dims.c - 1), 0)))
+         |          AS zv,
+         |        1 - 2.0 / (9 * nullif((dims.r - 1) * (dims.c - 1), 0))
+         |          + 1.6449 * sqrt(2.0 /
+         |              (9 * nullif((dims.r - 1) * (dims.c - 1), 0))) AS th
+         |      FROM nn, dims, x2)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+         |       CAST(c AS BIGINT) AS c, CAST(dof AS BIGINT) AS dof,
+         |       round(chi2, 6) AS chi2,
+         |       round(sqrt(chi2 / (n * nullif(least(r - 1, c - 1), 0))), 6)
+         |         AS cramers_v,
+         |       round(zv, 6) AS z,
+         |       CAST(coalesce(chi2 > dof * (th * th * th), FALSE) AS BIGINT)
+         |         AS significant
+         |FROM f""".stripMargin
+    }
+  ) { (s, d) =>
+    val tc = spread(documents(s, d)).select(col("doc_id"), col("lang"))
+      .join(qualityCached(s, d).select(col("doc_id"), col("keep").as("qk")),
+        Seq("doc_id"), "left")
+      .select(col("lang").as("g"),
+        coalesce(col("qk"), lit(0L)).cast("long").as("k"))
+    chiSquareIndep(tc)
+  }
+
   val all: Seq[Q] = Seq(
+    l133_chi2_independence,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
@@ -9239,5 +9509,6 @@ object LlmQueries {
     l121_curation_funnel, l122_readability, l123_dedup_agreement,
     l124_bootstrap_ci, l125_keep_rate_ztest, l126_arrival_quota,
     l127_behavior_funnel, l128_cohort_retention, l129_tail_index,
-    l130_unseen_mass, l131_ks_drift, l132_mann_whitney)
+    l130_unseen_mass, l131_ks_drift, l132_mann_whitney,
+    l134_capped_containment)
 }

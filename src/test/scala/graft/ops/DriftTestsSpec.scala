@@ -113,6 +113,48 @@ class DriftTestsSpec extends AnyFunSuite {
     assert(got("a")._3 === 0L && got("b")._3 === 0L)
   }
 
+  /** Plain-Scala replay of the χ² fold in the same (g, k) order. */
+  private def chi2Replay(data: Seq[(String, Long)]): (Double, Long) = {
+    val n = data.size.toLong
+    val rt = data.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = data.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cells = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var chi2 = 0.0
+    rt.keys.toSeq.sorted.foreach { g =>
+      ct.keys.toSeq.sorted.foreach { k =>
+        val ev = (rt(g) * ct(k)).toDouble / n
+        val dlt = cells.getOrElse((g, k), 0L) - ev
+        chi2 += dlt * dlt / ev
+      }
+    }
+    (chi2, (rt.size - 1).toLong * (ct.size - 1))
+  }
+
+  test("l133 chi2: injected dependence fires; independence stays quiet; exact replay") {
+    import spark.implicits._
+    // independent: every group keeps exactly half
+    val indep = (0 until 600).map(i => (s"g${i % 3}", (i / 3 % 2).toLong))
+    // dependent: g0 keeps 90%, g2 keeps 10%
+    val dep = (0 until 200).map(i => ("g0", if (i < 180) 1L else 0L)) ++
+      (0 until 200).map(i => ("g1", (i % 2).toLong)) ++
+      (0 until 200).map(i => ("g2", if (i < 20) 1L else 0L))
+    def run(data: Seq[(String, Long)]) = {
+      val row = LlmQueries.chiSquareIndep(data.toDF("g", "k")).collect()(0)
+      (row.getLong(0), row.getLong(3), row.getDouble(4), row.getLong(7))
+    }
+    val (nI, dofI, chi2I, sigI) = run(indep)
+    val (wChi2I, wDofI) = chi2Replay(indep)
+    assert(nI === 600L && dofI === wDofI && sigI === 0L)
+    assert(math.abs(chi2I - wChi2I) < 1e-6,
+      s"chi2 replay mismatch: $chi2I vs $wChi2I")
+    assert(chi2I === 0.0, "the balanced fixture is exactly independent")
+    val (_, dofD, chi2D, sigD) = run(dep)
+    val (wChi2D, _) = chi2Replay(dep)
+    assert(math.abs(chi2D - wChi2D) < 1e-6)
+    assert(sigD === 1L && dofD === 2L,
+      s"the 90/50/10 dependence must flag (chi2=$chi2D)")
+  }
+
   test("corpus run: both tests agree with the driver replay on real data") {
     val sf = "/root/testdata/sf0.001"
     val data = graft.Tables.documents(spark, sf)
