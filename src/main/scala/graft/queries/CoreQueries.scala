@@ -256,6 +256,64 @@ object CoreQueries {
       .orderBy("outcome")
   }
 
+  /** A17: malformed-record CSV ingest — a15's contract on the OTHER
+    * text-ingest path, with the CSV-specific hazards made load-bearing:
+    * every 9th row serializes with an uncastable key field (CSV marks a
+    * record corrupt on a failed type cast, not on token count — short
+    * rows just null-fill, so the breakage must be a cast), and every
+    * GOOD row carries a QUOTED field with an embedded comma between the
+    * key and the numeric column — if quote handling slipped, the numeric
+    * column would receive a string fragment, the cast would fail, and
+    * the parsed/corrupt counts (and the n_chars checksum) would flip the
+    * hash. Quarantine discipline is a15's: land good rows typed, keep
+    * bad lines whole in `_corrupt_record`, salvage ids from the raw
+    * text, account for both streams — never FAILFAST, never silently
+    * DROPMALFORMED. 100 TB posture identical to a15: one scan, per-row
+    * parse, 2-key map-combinable audit. */
+  val a17_corrupt_csv = Q(
+    "a17_corrupt_csv",
+    """SELECT outcome, n, id_sum, ch_sum FROM (
+      |  SELECT 'corrupt' AS outcome, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(doc_id) AS BIGINT) AS id_sum, CAST(0 AS BIGINT) AS ch_sum
+      |  FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT 'parsed', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+      |         CAST(sum(n_chars) AS BIGINT)
+      |  FROM documents WHERE doc_id % 9 <> 0
+      |) ORDER BY outcome""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val tmp = s"$base/graft_badcsv_docs_${Integer.toHexString(d.hashCode)}"
+    documents(s, d).select(
+      when(col("doc_id") % 9 === 0,
+        concat(lit("id="), col("doc_id").cast("string"), lit("x,broken,line")))
+        .otherwise(concat(col("doc_id").cast("string"),
+          lit(",\""), col("lang"), lit(",quoted\","),
+          col("n_chars").cast("string")))
+        .as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    val salvagedId = regexp_extract(col("_corrupt_record"), "id=(\\d+)", 1).cast("long")
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(tmp)
+      .select(when(col("_corrupt_record").isNotNull, lit("corrupt"))
+        .otherwise(lit("parsed")).as("outcome"),
+        coalesce(col("doc_id"), salvagedId).as("id"),
+        col("n_chars"))
+      .groupBy("outcome")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("id")).cast("long").as("id_sum"),
+        coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("ch_sum"))
+      .orderBy("outcome")
+  }
+
   /** A3: parquet scan (TESTDATA.md). */
   val a3_parquet_scan = Q(
     "a3_parquet_scan",
@@ -778,7 +836,7 @@ object CoreQueries {
   val all: Seq[Q] = Seq(
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
     a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge, a15_corrupt_json,
-    a16_codec_roundtrip,
+    a16_codec_roundtrip, a17_corrupt_csv,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,

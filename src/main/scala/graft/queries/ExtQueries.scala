@@ -252,6 +252,44 @@ object ExtQueries {
       .orderBy("g_flag", "g_status", "flag", "status")
   }
 
+  /** D21: explicit GROUPING SETS — the third member of the grouping-set
+    * trio (D9 ROLLUP = hierarchical prefixes, D16 CUBE = all 2^n subsets):
+    * a HAND-PICKED set list — both one-dimensional marginals plus the
+    * full cross, but NO grand total — which neither rollup nor cube
+    * states without waste. This is the 100 TB dashboard shape: enumerate
+    * exactly the slices the report needs and pay one Expand×3 pass, not
+    * a 2^n cube (the d16 scaladoc's own advice, now exercised as a
+    * first-class operator via Spark 4's `Dataset.groupingSets`). Same
+    * single-Expand + partial-aggregate plan family as d9/d16. */
+  val d21_grouping_sets = Q(
+    "d21_grouping_sets",
+    """SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |       coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus))
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("g_flag"), col("g_status"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("g_flag", "g_status", "flag", "status")
+  }
+
   /** D10: distinct aggregation — suppliers and parts per return flag.
     * Spark plans multi-distinct as an Expand (one replica per distinct
     * set) + two-phase aggregate — distributed, never a per-group set
@@ -1140,5 +1178,6 @@ object ExtQueries {
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
     b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
     f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
-    d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers)
+    d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers,
+    d21_grouping_sets)
 }

@@ -7988,8 +7988,14 @@ object LlmQueries {
        |FROM p JOIN sz si ON si.doc_id = p.i
        |WHERE p.c * 1.0 / si.n >= 0.8
        |ORDER BY i, j""".stripMargin
-  ) { (s, d) => containmentFixture(s, d).transform(
-    containmentPairs(_, tau = 0.8)).orderBy("i", "j") }
+  ) { (s, d) => containExactCached(s, d).orderBy("i", "j") }
+
+  /** The exact containment pair frame l114 declares and l134 audits
+    * against — session-cached (pair-evidence-sized: hundreds of rows at
+    * test SF) so the audit does not re-run the lossless engine. */
+  private def containExactCached(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "contain")(
+      containmentPairs(containmentFixture(s, d), tau = 0.8))
 
   /** The l114/l134 shared fixture: the corpus augmented with engineered
     * aggregator docs (doc ⊕ next doc) so the containment firing set is
@@ -8186,7 +8192,7 @@ object LlmQueries {
        |FROM post""".stripMargin
   ) { (s, d) =>
     val fixture = containmentFixture(s, d)
-    val nExact = containmentPairs(fixture, tau = 0.8).count()
+    val nExact = containExactCached(s, d).count()
     val nCapped = cappedContainmentPairs(fixture, tau = 0.8, ContainCap).count()
     val sh = fixture.select(col("doc_id"),
       TextOps.shingleSet(TextOps.tokens(col("text")), ShingleN).as("ss"))
@@ -9150,7 +9156,8 @@ object LlmQueries {
     ("ml90", (s, d) => { mooreLewisScores(s, d).count(); () }),
     ("dgrams", (s, d) => { deconGrams(s, d).count(); () }),
     ("decon", (s, d) => { deconFrame(s, d).count(); () }),
-    ("mixkept", (s, d) => { mixKeptDocs(s, d).count(); () }))
+    ("mixkept", (s, d) => { mixKeptDocs(s, d).count(); () }),
+    ("contain", (s, d) => { containExactCached(s, d).count(); () }))
 
   // --------------------- two-sample distribution drift tests (l131/l132)
 
@@ -9340,6 +9347,136 @@ object LlmQueries {
       |FROM zz ORDER BY source""".stripMargin
   ) { (s, d) => mannWhitneyTest(lengthTc(s, d)) }
 
+  // --------------------- weekday seasonality profile (l136)
+
+  /** L136: day-of-week seasonality profile of the event stream — the
+    * load-shape audit beside d5's weekly resample (that one aggregates
+    * weeks; this one asks WHICH weekdays carry the value): per weekday
+    * (Mon=0, the b10/b12 convention), days observed, events, total
+    * value, and the seasonal index = that weekday's mean daily value
+    * over the all-days mean (>1 = heavy day). An ingest scheduler sizes
+    * its batch windows off exactly this table.
+    *
+    * Determinism: value sums fold as DECIMAL(18,6) (order-independent
+    * exact arithmetic — the d9 idiom); the index is two double casts of
+    * exact decimals then one multiply/divide, identical both engines,
+    * rounded 6 dp. No float summation anywhere.
+    *
+    * 100 TB posture: one map-combinable (day, weekday) aggregate, then
+    * a 7-row weekday regroup — metadata-scale after the first pass. */
+  val l136_weekday_seasonality = Q(
+    "l136_weekday_seasonality",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |dd AS (SELECT CAST(ts AS DATE) AS day, isodow(ts) - 1 AS wd,
+      |              CAST(value AS DECIMAL(18,6)) AS v FROM e),
+      |byday AS (SELECT day, wd, sum(v) AS dv, count(*) AS n
+      |          FROM dd GROUP BY 1, 2),
+      |w AS (SELECT wd, count(*) AS n_days, sum(n) AS n_events,
+      |             sum(dv) AS wv FROM byday GROUP BY 1),
+      |tot AS (SELECT sum(wv) AS tv, sum(n_days) AS td FROM w)
+      |SELECT CAST(w.wd AS BIGINT) AS weekday,
+      |       CAST(w.n_days AS BIGINT) AS n_days,
+      |       CAST(w.n_events AS BIGINT) AS n_events,
+      |       CAST(w.wv AS DOUBLE) AS total_value,
+      |       round(CAST(w.wv AS DOUBLE) * tot.td
+      |             / (w.n_days * CAST(tot.tv AS DOUBLE)), 6) AS seasonal_idx
+      |FROM w, tot ORDER BY weekday""".stripMargin
+  ) { (s, d) =>
+    val dd = events(s, d).select(col("ts").cast("date").as("day"),
+      weekday(col("ts")).as("wd"),
+      col("value").cast("decimal(18,6)").as("v"))
+    val byday = dd.groupBy("day", "wd")
+      .agg(sum("v").as("dv"), count(lit(1)).as("n"))
+    val w = byday.groupBy("wd")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"),
+        sum("dv").as("wv"))
+    val tot = w.agg(sum("wv").as("tv"), sum("n_days").as("td"))
+    w.crossJoin(broadcast(tot))
+      .select(col("wd").cast("long").as("weekday"),
+        col("n_days"), col("n_events"),
+        col("wv").cast("double").as("total_value"),
+        round(col("wv").cast("double") * col("td") /
+          (col("n_days") * col("tv").cast("double")), 6).as("seasonal_idx"))
+      .orderBy("weekday")
+  }
+
+  // --------------------- keep-rate power analysis (l135)
+
+  /** L135: minimum-detectable-effect audit per source — the POWER
+    * companion to l125's z-test: at this source's sample size, what
+    * keep-rate gap COULD the test even see (α=0.05 two-sided, power
+    * 0.8)? mde = (z_{α/2} + z_β)·√(p̄(1−p̄)(1/n₁+1/n₂)) — a "quiet"
+    * l125 row with mde ≫ the gap of interest is an underpowered test,
+    * not evidence of health, and the n_per_arm column states the sample
+    * size that WOULD resolve the observed gap — the number a curation
+    * team reads before declaring a small source clean. Statistical
+    * rigor about the audits themselves: every significance family ships
+    * with its resolution limit declared.
+    *
+    * Determinism: counts are exact integers off the cached quality
+    * frame; mde/gap/n_per_arm are identical float trees both engines
+    * (sqrt + arithmetic only; the z constants are literal doubles);
+    * the detectable flag and the ceil() land on identical doubles so
+    * the integer outputs cannot diverge.
+    *
+    * 100 TB posture: one map-combinable (source, keep) count; all the
+    * analysis is #sources-row arithmetic. */
+  val l135_keep_rate_power = Q(
+    "l135_keep_rate_power", {
+      s"""WITH RECURSIVE d2 AS (SELECT doc_id, source FROM documents),
+         |$qualityCte,
+         |kk AS (SELECT d2.source, count(*) AS n,
+         |         sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS k
+         |       FROM d2 LEFT JOIN q ON q.doc_id = d2.doc_id GROUP BY 1),
+         |tot AS (SELECT sum(n) AS nt, sum(k) AS kt FROM kk),
+         |m AS (SELECT kk.source, kk.n, tot.nt,
+         |        kk.k * 1.0 / kk.n AS p1,
+         |        (tot.kt - kk.k) * 1.0 / (tot.nt - kk.n) AS p2,
+         |        tot.kt * 1.0 / tot.nt AS pp
+         |      FROM kk, tot),
+         |x AS (SELECT source, n, nt, p1, pp,
+         |        (1.96 + 0.8416) * sqrt(pp * (1 - pp)
+         |          * (1.0 / n + 1.0 / (nt - n))) AS mde,
+         |        abs(p1 - p2) AS gap
+         |      FROM m)
+         |SELECT source, CAST(n AS BIGINT) AS n_src,
+         |       CAST(nt - n AS BIGINT) AS n_rest,
+         |       round(p1, 6) AS keep_rate,
+         |       round(mde, 6) AS mde,
+         |       CAST(gap > mde AS BIGINT) AS detectable,
+         |       CAST(CASE WHEN gap > 0 THEN
+         |         ceil(2 * pp * (1 - pp) * ((1.96 + 0.8416) / gap)
+         |              * ((1.96 + 0.8416) / gap))
+         |         ELSE NULL END AS BIGINT) AS n_per_arm
+         |FROM x ORDER BY source""".stripMargin
+    }
+  ) { (s, d) =>
+    val kk = spread(documents(s, d)).select(col("doc_id"), col("source"))
+      .join(qualityCached(s, d).select(col("doc_id"),
+        col("keep").as("qk")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("qk"), lit(0L))).as("k"))
+    val tot = kk.agg(sum("n").as("nt"), sum("k").as("kt"))
+    val p1 = col("k") * 1.0 / col("n")
+    val p2 = (col("kt") - col("k")) * 1.0 / (col("nt") - col("n"))
+    val pp = col("kt") * 1.0 / col("nt")
+    val zsum = lit(1.96) + lit(0.8416)
+    val mde = zsum * sqrt(pp * (lit(1) - pp) *
+      (lit(1.0) / col("n") + lit(1.0) / (col("nt") - col("n"))))
+    val gap = abs(p1 - p2)
+    kk.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_src"),
+        (col("nt") - col("n")).as("n_rest"),
+        round(p1, 6).as("keep_rate"),
+        round(mde, 6).as("mde"),
+        (gap > mde).cast("long").as("detectable"),
+        when(gap > 0,
+          ceil(lit(2) * pp * (lit(1) - pp) * (zsum / gap) * (zsum / gap)))
+          .otherwise(lit(null)).cast("long").as("n_per_arm"))
+      .orderBy("source")
+  }
+
   // ------------------- chi-square independence audit (l133)
 
   /** l133 core over any (g, k) categorical frame — factored for the same
@@ -9510,5 +9647,6 @@ object LlmQueries {
     l124_bootstrap_ci, l125_keep_rate_ztest, l126_arrival_quota,
     l127_behavior_funnel, l128_cohort_retention, l129_tail_index,
     l130_unseen_mass, l131_ks_drift, l132_mann_whitney,
-    l134_capped_containment)
+    l134_capped_containment, l135_keep_rate_power,
+    l136_weekday_seasonality)
 }
