@@ -290,6 +290,67 @@ object ExtQueries {
       .orderBy("g_flag", "g_status", "flag", "status")
   }
 
+  /** C12: forward fill (pandas `ffill` / LOCF) — the time-series
+    * imputation shape the constant/median/mode fills (C1–C3) cannot
+    * express: each null takes the LAST OBSERVED value of its group's
+    * ordered history (here per customer in order-date order; ties broken
+    * by key so the order is total — the F2 discipline). The canonical
+    * gap-fill for sensor/CDC streams where a missing reading means "no
+    * change", stated as `last(col, ignoreNulls)` over a running frame —
+    * incremental frame accumulation, one hash exchange on the group key,
+    * never a self-join against history. Nulls synthesized deterministically
+    * (every 5th order, the c1 NULLIF idiom) so leading-edge nulls (no
+    * prior observation → stays null) are exercised at every SF. */
+  val c12_forward_fill = Q(
+    "c12_forward_fill",
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+      |        CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS v
+      |      FROM orders)
+      |SELECT o_orderkey, o_custkey,
+      |       last_value(v IGNORE NULLS) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM o ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("v",
+        when(col("o_orderkey") % 5 === 0, lit(null)).otherwise(col("o_totalprice")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy("o_orderkey")
+  }
+
+  /** E9: shuffled-hash join — the third physical equi-join strategy,
+    * completing the surface (E2 broadcast, A6/F4 sort-merge): both sides
+    * hash-exchange on the key and the smaller side BUILDS an in-memory
+    * hash map per partition — no sort on either side, which beats SMJ
+    * when one side is much smaller than the other but too big to
+    * broadcast (the fact ⋈ mid-size-dim shape). Forced by the
+    * SHUFFLE_HASH hint (hints outrank the broadcast threshold);
+    * PlanShapeSpec pins ShuffledHashJoin in the executed plan. Result ≡
+    * the plain join — strategy choice must never change the answer. */
+  val e9_shuffle_hash_join = Q(
+    "e9_shuffle_hash_join",
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'P'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      .join(orders(s, d).filter(col("o_orderstatus") === "P")
+          .select("o_orderkey", "o_orderpriority").hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .orderBy("o_orderpriority")
+  }
+
   /** D10: distinct aggregation — suppliers and parts per return flag.
     * Spark plans multi-distinct as an Expand (one replica per distinct
     * set) + two-phase aggregate — distributed, never a per-group set
@@ -1179,5 +1240,5 @@ object ExtQueries {
     b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
     f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
     d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers,
-    d21_grouping_sets)
+    d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join)
 }

@@ -1192,4 +1192,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("Window"), s"ranks come from the sorted array, " +
       s"never a corpus window:\n$p")
   }
+
+  test("E9: the SHUFFLE_HASH hint holds — hash join per partition, no sort " +
+      "on either side, and the strategy does not fall back") {
+    val p = finalPlan(graft.queries.ExtQueries.e9_shuffle_hash_join)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("ShuffledHashJoin"),
+      s"the hint must force the shuffled hash join:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("BroadcastHashJoin"),
+      s"no silent strategy fallback:\n$p")
+    assert(fin.contains("partial_count"),
+      s"the aggregate must combine map-side above the join:\n$p")
+  }
+
+  test("D21: explicit grouping sets expand ONCE and aggregate with map-side " +
+      "partials — never one scan per set") {
+    val p = plan(graft.queries.ExtQueries.d21_grouping_sets)
+    assert(p.contains("Expand"), s"grouping sets must be one Expand pass:\n$p")
+    assert(p.split("FileScan parquet").length - 1 == 1,
+      s"exactly ONE lineitem scan feeds all three sets:\n$p")
+    assert(p.contains("partial_count"),
+      s"the grouped aggregate must combine map-side:\n$p")
+  }
+
+  test("C12: forward fill is a running frame over one hash exchange — " +
+      "never a self-join against history") {
+    val p = plan(graft.queries.ExtQueries.c12_forward_fill)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected the running-window form:\n$p")
+    assert(!p.contains("Join"), s"LOCF must not self-join:\n$p")
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1,
+      s"one exchange on the group key (got $exchanges):\n$p")
+  }
 }
