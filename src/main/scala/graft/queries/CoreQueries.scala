@@ -75,6 +75,34 @@ object CoreQueries {
     s.read.schema(schema).orc(tmp).orderBy("o_orderkey")
   }
 
+  /** A18: XML source/sink roundtrip — Spark 4's BUILT-IN xml datasource
+    * (SPARK-44265), the enterprise-feed format every ingest edge still
+    * meets: one row element per record, `rowTag` addressing, explicit
+    * schema (inference never ships — the a1/a8 discipline). The oracle
+    * reads the ORIGINAL table, so a green hash proves values survive the
+    * XML text encoding bit-exactly (doubles included — Spark writes
+    * round-trippable representations). n_chars rides along so a numeric
+    * column crosses the format beside the strings; doc text is NOT
+    * roundtripped here (XML escaping of arbitrary corpus text is a
+    * different test — a13 owns the raw-text hazards). */
+  val a18_xml_roundtrip = Q(
+    "a18_xml_roundtrip",
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val tmp = s"$base/graft_xml_docs_${Integer.toHexString(d.hashCode)}"
+    documents(s, d).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").option("rowTag", "doc").format("xml").save(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).option("rowTag", "doc").format("xml").load(tmp)
+      .orderBy("doc_id")
+  }
+
   /** A16: compression-codec roundtrip — zstd-compressed parquet written
     * and read back, with the chained snappy→zstd rewrite in the middle
     * (the codec-migration path a lakehouse walks when it swaps its
@@ -836,7 +864,7 @@ object CoreQueries {
   val all: Seq[Q] = Seq(
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
     a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge, a15_corrupt_json,
-    a16_codec_roundtrip, a17_corrupt_csv,
+    a16_codec_roundtrip, a17_corrupt_csv, a18_xml_roundtrip,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,
