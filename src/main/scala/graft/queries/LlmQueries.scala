@@ -9347,6 +9347,98 @@ object LlmQueries {
       |FROM zz ORDER BY source""".stripMargin
   ) { (s, d) => mannWhitneyTest(lengthTc(s, d)) }
 
+  // --------------------- ranking quality: NDCG@5 (l137)
+
+  /** L137: NDCG@5 of the l6 cosine ranking with LABEL agreement as
+    * graded relevance (Järvelin & Kekäläinen 2002) — the ranking-QUALITY
+    * member of the eval-metric family (h9 ROC = classification, h10 AP =
+    * precision mass, l73 = recall of an ANN against brute force, l111
+    * RBO = agreement of two rankings; THIS scores one ranking against
+    * ground truth with position discounting). Per query: corpus-wide
+    * relevant count, relevant-in-top-5, DCG, and NDCG against the ideal
+    * ordering — the retrieval scorecard an embedding-quality gate reads.
+    *
+    * Determinism: the ranking is l6's (cosines rounded 6 dp BEFORE
+    * ranking, vec_id tiebreak); DCG folds the per-position terms in
+    * RANK order on both engines (sort_array + aggregate ↔ ordered
+    * list_reduce — the l129 fold convention); the ideal DCG folds the
+    * first min(n_rel, 5) discounts in sequence order. ln() may differ
+    * by 1 ulp across engines — all float outputs round at 6 dp and the
+    * integer columns derive from exact 0/1 sums, never from logs.
+    *
+    * 100 TB posture: the query set broadcasts (l6's contract); the
+    * per-query fold state is 5 structs; the label-count ideal is a
+    * #classes-row broadcast. */
+  val l137_ndcg_at5 = Q(
+    "l137_ndcg_at5",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS qlbl, v AS qv FROM e
+      |      WHERE vec_id % 100 = 0),
+      |s AS (SELECT qid, qlbl, vec_id, label,
+      |        round(list_dot_product(v, qv) /
+      |              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |      FROM e, q WHERE vec_id <> qid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+      |      FROM s),
+      |t AS (SELECT qid, qlbl, rk,
+      |        CASE WHEN label = qlbl THEN 1.0 ELSE 0.0 END AS rel
+      |      FROM r WHERE rk <= 5),
+      |lc AS (SELECT label, count(*) AS lc FROM e GROUP BY 1),
+      |g AS (SELECT t.qid, t.qlbl,
+      |        list(t.rel / (ln(t.rk + 1) / ln(2)) ORDER BY t.rk) AS terms,
+      |        sum(CASE WHEN t.rel = 1.0 THEN 1 ELSE 0 END) AS rel5
+      |      FROM t GROUP BY 1, 2),
+      |x AS (SELECT g.qid, lc.lc - 1 AS n_rel, g.rel5,
+      |        list_reduce(list_prepend(0.0, g.terms), (a, b) -> a + b) AS dcg,
+      |        list_reduce(list_prepend(0.0,
+      |          list_transform(range(1, CAST(least(lc.lc - 1, 5) AS INTEGER) + 1),
+      |            rr -> 1.0 / (ln(rr + 1) / ln(2)))), (a, b) -> a + b) AS idcg
+      |      FROM g JOIN lc ON lc.label = g.qlbl)
+      |SELECT qid, CAST(n_rel AS BIGINT) AS n_rel,
+      |       CAST(rel5 AS BIGINT) AS rel_at_5,
+      |       round(dcg, 6) AS dcg,
+      |       round(dcg / nullif(idcg, 0), 6) AS ndcg
+      |FROM x ORDER BY qid""".stripMargin
+  ) { (s, d) => ndcgAt5(withNorm(embeddings(s, d))) }
+
+  /** l137 core over any (vec_id, label, v, nrm) frame — factored so the
+    * spec can feed an engineered clustered corpus where every top-5
+    * neighbor shares the query's label (NDCG must be exactly 1.0) —
+    * the random testdata legitimately scores ≈0. */
+  private[graft] def ndcgAt5(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("qlbl"))
+    val cos = round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+    val rk = row_number().over(
+      Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id")))
+    val top = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlbl"), col("vec_id"), col("label"),
+        cos.as("cos"))
+      .withColumn("rank", rk.cast("long")).filter(col("rank") <= 5)
+      .withColumn("rel", (col("label") === col("qlbl")).cast("double"))
+      .withColumn("term",
+        col("rel") / (log(col("rank") + 1) / log(lit(2.0))))
+    val lcnt = e.groupBy("label").agg(count(lit(1)).as("lc"))
+    val g = top.groupBy("qid", "qlbl")
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("term"), col("rel")))).as("rr"))
+      .join(broadcast(lcnt), col("qlbl") === col("label"))
+    val dcg = aggregate(col("rr"), lit(0.0),
+      (acc, x) => acc + x.getField("term"))
+    val rel5 = aggregate(col("rr"), lit(0.0),
+      (acc, x) => acc + x.getField("rel")).cast("long")
+    val nRel = (col("lc") - 1).cast("long")
+    val ideal = least(col("lc") - 1, lit(5L))
+    val idcg = when(ideal > 0,
+      aggregate(sequence(lit(1L), ideal), lit(0.0),
+        (acc, r) => acc + lit(1.0) / (log(r + 1) / log(lit(2.0)))))
+    g.select(col("qid"), nRel.as("n_rel"), rel5.as("rel_at_5"),
+        round(dcg, 6).as("dcg"),
+        round(dcg / when(idcg > 0, idcg), 6).as("ndcg"))
+      .orderBy("qid")
+  }
+
   // --------------------- weekday seasonality profile (l136)
 
   /** L136: day-of-week seasonality profile of the event stream — the
@@ -9648,5 +9740,5 @@ object LlmQueries {
     l127_behavior_funnel, l128_cohort_retention, l129_tail_index,
     l130_unseen_mass, l131_ks_drift, l132_mann_whitney,
     l134_capped_containment, l135_keep_rate_power,
-    l136_weekday_seasonality)
+    l136_weekday_seasonality, l137_ndcg_at5)
 }
