@@ -1231,8 +1231,67 @@ object ExtQueries {
     }.toDF("pct", "n_rows", "exact_val", "rank_ok").orderBy("pct")
   }
 
+  /** D22: cardinality-SKETCH accuracy audit — the d20 contract pattern
+    * applied to distinct counting: Spark's TWO native one-pass mergeable
+    * estimators (`approx_count_distinct` = HyperLogLog++, Heule et al.
+    * 2013; `hll_sketch_agg` = Apache DataSketches HLL with an explicit
+    * union step across groups) checked against the exact distinct count,
+    * their within-tolerance verdicts DECLARED as data. d13's replayable
+    * sketch exists so the ORACLE can rebuild registers; these natives are
+    * what a 100 TB job actually calls (mergeable partials, re-aggregable
+    * stores), and this row pins their error contract per group PLUS the
+    * merged-union estimate against the global exact — a regression in
+    * either estimator or in sketch union flips the hash. Tolerance 5%
+    * ≈ 3σ for both defaults (HLL++ rsd 0.05 default would be trivial, so
+    * it runs at rsd=0.01 ≈ lgK 14; DataSketches lgK=12 → σ ≈ 1.6%).
+    *
+    * Plan shape: one exact distinct (two-phase), one pass per sketch
+    * family (partials combine map-side like any aggregate); the union
+    * row merges GROUP sketches — #groups of kilobyte state, never a
+    * second corpus scan. */
+  val d22_distinct_sketch_audit = Q(
+    "d22_distinct_sketch_audit",
+    """SELECT grp, n_exact, hllpp_ok, ds_ok FROM (
+      |  SELECT l_returnflag AS grp,
+      |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+      |         CAST(1 AS BIGINT) AS hllpp_ok, CAST(1 AS BIGINT) AS ds_ok
+      |  FROM lineitem GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'ALL', CAST(count(DISTINCT l_orderkey) AS BIGINT),
+      |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+      |  FROM lineitem
+      |) ORDER BY grp""".stripMargin
+  ) { (s, d) =>
+    val li = lineitem(s, d).select("l_returnflag", "l_orderkey")
+    val perGroup = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(count_distinct(col("l_orderkey")).as("n_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("hllpp"),
+        hll_sketch_agg(col("l_orderkey"), lit(12)).as("sk"))
+    // the union row: merge the GROUP sketches (never a second corpus
+    // scan); global exact from the same grouped exacts is NOT possible
+    // (distinct keys overlap groups), so one global exact distinct runs
+    val globalExact = li.agg(count_distinct(col("l_orderkey"))).collect()(0).getLong(0)
+    val merged = perGroup.agg(hll_union_agg(col("sk")).as("mk"))
+      .select(hll_sketch_estimate(col("mk")).as("est"))
+      .collect()(0).getLong(0)
+    val globalHllpp = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.01)).collect()(0).getLong(0)
+    val ok = (est: Long, exact: Long) =>
+      if (math.abs(est - exact) <= 0.05 * exact) 1L else 0L
+    val groups = perGroup.select(col("grp"), col("n_exact"),
+        col("hllpp"), hll_sketch_estimate(col("sk")).as("ds"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        ok(r.getLong(2), r.getLong(1)), ok(r.getLong(3), r.getLong(1))))
+    import s.implicits._
+    (groups.toSeq :+ (("ALL", globalExact, ok(globalHllpp, globalExact),
+        ok(merged, globalExact))))
+      .toDF("grp", "n_exact", "hllpp_ok", "ds_ok")
+      .orderBy("grp")
+  }
+
   val all: Seq[Q] = Seq(
-    d20_quantile_sketch_audit,
+    d20_quantile_sketch_audit, d22_distinct_sketch_audit,
     g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
     e6_anti_join, e7_full_outer_join,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
