@@ -288,7 +288,64 @@ object MlQueries {
       : Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
     ("ml_stats", (s, d) => { binaryStatsCached(s, d).count(); () }))
 
+  /** H15: regression metrics for the OLS scorer — MAE, RMSE, Brier score
+    * (= MSE of the clamped probability against the 0/1 label) and R²,
+    * completing the metric surface (h8 thresholded accuracy, h9 ranking
+    * AUC, h10 precision mass, h11 per-class report all score the
+    * DISCRETIZED prediction; these score the raw probability, which is
+    * what a calibration-sensitive consumer — l86's bins, a reweighting
+    * stage — actually uses).
+    *
+    * Determinism: per-row errors use the identical (a,b,clamp) trees the
+    * h6 family shares; |e|, e², and the mean-deviation squares are
+    * rounded at 12 dp and summed as DECIMAL(28,12) — order-independent
+    * exact addition, so the only cross-engine wobble left is the fit's
+    * own covar/var aggregation, absorbed by the 6-dp output rounding and
+    * the checker's float tolerance (the h8/h9 posture). n is the one
+    * integer output and derives from count(*).
+    *
+    * 100 TB posture: ONE map-combinable aggregate over the scored frame
+    * (the fit broadcast back, the d6 single-pass shape); no window, no
+    * sort, no second scan. */
+  val h15_regression_metrics = Q(
+    "h15_regression_metrics",
+    s"""WITH s AS ($scoredSql),
+       |f AS (SELECT regr_slope(label, x) AS b, regr_intercept(label, x) AS a FROM s),
+       |p AS (SELECT label, least(greatest(a + b * x, 0.0), 1.0) AS proba FROM s, f),
+       |m AS (SELECT avg(label) AS ybar FROM p),
+       |agg AS (SELECT count(*) AS n,
+       |          sum(CAST(round(abs(label - proba), 12) AS DECIMAL(28,12))) AS sae,
+       |          sum(CAST(round((label - proba) * (label - proba), 12)
+       |                   AS DECIMAL(28,12))) AS sse,
+       |          sum(CAST(round((label - m.ybar) * (label - m.ybar), 12)
+       |                   AS DECIMAL(28,12))) AS sst
+       |        FROM p, m)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       round(CAST(sae AS DOUBLE) / n, 6) AS mae,
+       |       round(sqrt(CAST(sse AS DOUBLE) / n), 6) AS rmse,
+       |       round(CAST(sse AS DOUBLE) / n, 6) AS brier,
+       |       round(1 - CAST(sse AS DOUBLE) / CAST(sst AS DOUBLE), 6) AS r2
+       |FROM agg""".stripMargin
+  ) { (s, d) =>
+    val sc = scored(s, d)
+    val ybar = sc.agg(avg("label")).collect()(0).getDouble(0)
+    val proba = least(greatest(col("a") + col("b") * col("x"), lit(0.0)), lit(1.0))
+    val err = col("label") - proba
+    val dev = col("label") - lit(ybar)
+    val dec = (c: org.apache.spark.sql.Column) =>
+      sum(round(c, 12).cast("decimal(28,12)"))
+    sc.crossJoin(broadcast(olsFit(sc)))
+      .agg(count(lit(1)).as("n"), dec(abs(err)).as("sae"),
+        dec(err * err).as("sse"), dec(dev * dev).as("sst"))
+      .select(col("n"),
+        round(col("sae").cast("double") / col("n"), 6).as("mae"),
+        round(sqrt(col("sse").cast("double") / col("n")), 6).as("rmse"),
+        round(col("sse").cast("double") / col("n"), 6).as("brier"),
+        round(lit(1) - col("sse").cast("double") / col("sst").cast("double"), 6)
+          .as("r2"))
+  }
+
   val all: Seq[Q] = Seq(
     h6_ols_scorer, h8_accuracy, h9_roc_auc, h10_avg_precision, h11_class_report,
-    h13_cv_folds)
+    h13_cv_folds, h15_regression_metrics)
 }
