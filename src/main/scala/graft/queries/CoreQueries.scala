@@ -103,6 +103,45 @@ object CoreQueries {
       .orderBy("doc_id")
   }
 
+  /** A19: selective recursive ingest — the directory-hygiene options a
+    * real data lake needs on day one: `recursiveFileLookup` walks
+    * arbitrarily nested producer layouts (no hive partition scheme
+    * required or inferred), and `pathGlobFilter` skips the sidecar junk
+    * that accumulates next to data files (manifests, logs, half-written
+    * temp files). The fixture nests the two halves of the corpus at
+    * DIFFERENT depths and plants a non-parquet sidecar in the tree: if
+    * the recursive walk fails a nested half vanishes (row count flips
+    * the hash); if the glob filter fails the parquet reader hits the
+    * sidecar and the job dies — green proves BOTH options did their job.
+    * 100 TB posture: both options act at file-LISTING time on the
+    * driver-side index; no data-plane cost. */
+  val a19_selective_ingest = Q(
+    "a19_selective_ingest",
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = s"$base/graft_nested_docs_${Integer.toHexString(d.hashCode)}"
+    val docs = documents(s, d).select("doc_id", "lang", "n_chars")
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/feed_a/2026/batch")
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$dir/feed_b/deep/nested/batch")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/feed_a/manifest.txt"),
+      "sidecar junk the glob filter must skip")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .orderBy("doc_id")
+  }
+
   /** A16: compression-codec roundtrip — zstd-compressed parquet written
     * and read back, with the chained snappy→zstd rewrite in the middle
     * (the codec-migration path a lakehouse walks when it swaps its
@@ -865,6 +904,7 @@ object CoreQueries {
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
     a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge, a15_corrupt_json,
     a16_codec_roundtrip, a17_corrupt_csv, a18_xml_roundtrip,
+    a19_selective_ingest,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,
