@@ -25,7 +25,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "d1_group_mean", "d2_group_count", "d7_topk_counts", "d8_confusion_pivot",
     "d9_rollup",
     "e1_left_join", "e6_anti_join", "e7_full_outer_join",
-    "g2_union", "g3_except", "g4_intersect", "g5_except_all", "g6_intersect_all")
+    "g2_union", "g3_except", "g4_intersect", "g5_except_all", "g6_intersect_all",
+    "d21_grouping_sets", "e9_shuffle_hash_join", "a17_corrupt_csv")
 
   /** Widen int-ish cells so an INT-vs-BIGINT dtype difference between the
     * two routes can't fail a value-equal comparison (Q.normalize widens
