@@ -9347,6 +9347,68 @@ object LlmQueries {
       |FROM zz ORDER BY source""".stripMargin
   ) { (s, d) => mannWhitneyTest(lengthTc(s, d)) }
 
+  // --------------------- vocabulary coverage curve (l138)
+
+  /** L138: inventory-size vs occurrence-coverage curve over TRIGRAMS —
+    * for k ∈ {100, 1000, 10000}: what fraction of all corpus trigram
+    * occurrences the top-k most frequent trigram types cover. THE
+    * merge-budget design table for a subword/phrase tokenizer (BPE
+    * merges live in n-gram space — how many entries before the long
+    * tail is rare?), completing the vocabulary quartet: l93 says how
+    * vocabulary GREW, l130 what the NEXT doc spends on unseen types,
+    * l64 what a FROZEN vocab costs per word — this one says where the
+    * frequency mass actually sits. (Trigrams, not unigrams: the
+    * synthetic corpus has only 31 word types, so the unigram curve is
+    * degenerately 1.0 at every cut; the ~16.5k trigram types make all
+    * three cuts bite.)
+    *
+    * Determinism: everything is exact integer counts; ranks order by
+    * (count DESC, gram) so ties are engine-stable; the three cut sums
+    * are conditional integer sums in ONE aggregate (no cumulative
+    * window); coverage is one division rounded 6 dp.
+    *
+    * 100 TB posture: one corpus-scale map-combinable type count; the
+    * rank window runs over TYPES (inventory-scale, the l51 documented
+    * exception class — an inventory is bounded, a corpus is not) and
+    * the final aggregate is map-combinable over the ranked types. */
+  val l138_vocab_coverage = Q(
+    "l138_vocab_coverage",
+    """WITH d2 AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+      |tk AS (SELECT unnest(list_transform(range(len(toks) - 2),
+      |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+      |       FROM d2),
+      |tc AS (SELECT g, count(*) AS c FROM tk GROUP BY 1),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, g) AS rk FROM tc),
+      |t AS (SELECT sum(c) AS total, count(*) AS vocab FROM tc)
+      |SELECT CAST(ks.k AS BIGINT) AS k,
+      |       CAST(least(ks.k, t.vocab) AS BIGINT) AS vocab_cut,
+      |       CAST((SELECT sum(c) FROM r WHERE rk <= ks.k) AS BIGINT)
+      |         AS covered_tokens,
+      |       CAST(t.total AS BIGINT) AS total_tokens,
+      |       round((SELECT sum(c) FROM r WHERE rk <= ks.k) * 1.0 / t.total, 6)
+      |         AS coverage
+      |FROM (VALUES (100), (1000), (10000)) ks(k), t ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    val ks = Seq(100L, 1000L, 10000L)
+    val tc = spread(documents(s, d))
+      .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    val rk = row_number().over(Window.orderBy(col("c").desc, col("g")))
+    val ranked = tc.withColumn("rk", rk)
+    val aggs = sum("c").as("total") +: count(lit(1)).as("vocab") +:
+      ks.map(k => sum(when(col("rk") <= k, col("c")).otherwise(0L)).as(s"s$k"))
+    val row = ranked.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = row.getLong(0); val vocab = row.getLong(1)
+    import s.implicits._
+    ks.zipWithIndex.map { case (k, i) =>
+      val covered = row.getLong(2 + i)
+      (k, math.min(k, vocab), covered, total,
+        BigDecimal(covered.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("k", "vocab_cut", "covered_tokens", "total_tokens", "coverage")
+      .orderBy("k")
+  }
+
   // --------------------- ranking quality: NDCG@5 (l137)
 
   /** L137: NDCG@5 of the l6 cosine ranking with LABEL agreement as
@@ -9740,5 +9802,5 @@ object LlmQueries {
     l127_behavior_funnel, l128_cohort_retention, l129_tail_index,
     l130_unseen_mass, l131_ks_drift, l132_mann_whitney,
     l134_capped_containment, l135_keep_rate_power,
-    l136_weekday_seasonality, l137_ndcg_at5)
+    l136_weekday_seasonality, l137_ndcg_at5, l138_vocab_coverage)
 }
