@@ -153,6 +153,22 @@ class ScaleOpsSpec extends AnyFunSuite {
         col("o_year").cast("long"))).isEmpty)
   }
 
+  test("partition upsert is idempotent: re-applying the batch is a no-op on state") {
+    // THE operational property of a CDC landing: a retried/replayed job
+    // (driver restart, at-least-once orchestration) must not change the
+    // table. Content equality is the contract; file identity is not
+    // (dynamic overwrite rewrites the touched partitions each run).
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_idem").toString
+    ScaleQueries.PartitionUpsert.writeBase(spark, sf, dir)
+    ScaleQueries.PartitionUpsert.applyChanges(spark, sf, dir)
+    val first = ScaleQueries.PartitionUpsert.readState(spark, dir).collect()
+    ScaleQueries.PartitionUpsert.applyChanges(spark, sf, dir)
+    val second = ScaleQueries.PartitionUpsert.readState(spark, dir).collect()
+    assert(first.length === second.length)
+    assert(first.map(_.toSeq).toSeq === second.map(_.toSeq).toSeq,
+      "replaying the changes batch must leave the state bit-identical")
+  }
+
   test("as-of join equals the naive range join + argmax, without its plan") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf)
