@@ -10,7 +10,14 @@ Sub-noise-floor lines (both timings under --floor seconds, default 1.0) are
 exponent-meaningless (fixed per-query session overhead dominates; the box
 noise band on such lines is +-50%) and are summarized, not flagged.
 
+No silent caps (ADVICE r14): a line with a zero/absent timing on either
+side cannot yield an exponent — such lines are FLAGGED explicitly (a zero
+wall-clock in a bench artifact is itself a finding, never a skip), and
+queries present in only one of the two logs are listed by name instead of
+being dropped by the set intersection.
+
 Usage: scaling_audit.py BENCHLOG.sf001.json BENCHLOG.json [--flag 1.3] [--floor 1.0]
+Exit status: number of flagged lines (0 = clean), so the gate can chain it.
 """
 import json
 import math
@@ -29,11 +36,15 @@ def main(argv):
     floor = float(argv[argv.index("--floor") + 1]) if "--floor" in argv else 1.0
     lo, hi = load(lo_path), load(hi_path)
     shared = sorted(set(lo) & set(hi))
-    rows = []
+    only_lo = sorted(set(lo) - set(hi))
+    only_hi = sorted(set(hi) - set(lo))
+    rows, degenerate = [], []
     for q in shared:
         tl, th = lo[q], hi[q]
-        e = math.log10(th / tl) if tl > 0 and th > 0 else float("nan")
-        rows.append((q, tl, th, e))
+        if tl > 0 and th > 0:
+            rows.append((q, tl, th, math.log10(th / tl)))
+        else:
+            degenerate.append((q, tl, th))
     rows.sort(key=lambda r: -r[3])
     sub_floor = [r for r in rows if r[1] < floor and r[2] < floor]
     measurable = [r for r in rows if not (r[1] < floor and r[2] < floor)]
@@ -43,16 +54,24 @@ def main(argv):
     for q, tl, th, e in measurable:
         mark = "**FLAG**" if e > flag_at else ""
         print(f"| {q} | {tl:.2f} | {th:.2f} | {e:+.2f} | {mark} |")
+    for q, tl, th in degenerate:
+        print(f"| {q} | {tl:.2f} | {th:.2f} | n/a | **FLAG (zero/absent "
+              f"timing — no exponent computable)** |")
     print()
     print(f"{len(shared)} shared lines; {len(measurable)} above the "
-          f"{floor:.1f}s noise floor at either SF; {len(flagged)} flagged "
-          f"(exponent > {flag_at}).")
+          f"{floor:.1f}s noise floor at either SF; "
+          f"{len(flagged) + len(degenerate)} flagged "
+          f"(exponent > {flag_at} or degenerate timing).")
     if sub_floor:
         worst = max(sub_floor, key=lambda r: r[3])
         print(f"{len(sub_floor)} lines under the floor at BOTH SFs "
               f"(overhead-dominated; worst exponent among them: "
               f"{worst[0]} {worst[3]:+.2f}).")
-    return 0
+    for name, qs in (("sf0.01-only", only_lo), ("sf0.1-only", only_hi)):
+        if qs:
+            print(f"{len(qs)} lines present {name} (no exponent, listed, "
+                  f"not silently dropped): {', '.join(qs)}")
+    return len(flagged) + len(degenerate)
 
 
 if __name__ == "__main__":

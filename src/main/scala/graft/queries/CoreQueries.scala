@@ -38,9 +38,7 @@ object CoreQueries {
       |       CAST(n_regionkey AS BIGINT) AS n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val tmp = s"$base/graft_json_nation_${Integer.toHexString(d.hashCode)}"
+    val tmp = graft.Tables.scratchDir(s, d, "graft_json_nation")
     nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
       .write.mode("overwrite").json(tmp)
     val schema = StructType(Seq(
@@ -63,9 +61,7 @@ object CoreQueries {
       |       CAST(o_totalprice AS DOUBLE) AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val tmp = s"$base/graft_orc_orders_${Integer.toHexString(d.hashCode)}"
+    val tmp = graft.Tables.scratchDir(s, d, "graft_orc_orders")
     orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       .write.mode("overwrite").orc(tmp)
     val schema = StructType(Seq(
@@ -90,9 +86,7 @@ object CoreQueries {
     """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val tmp = s"$base/graft_xml_docs_${Integer.toHexString(d.hashCode)}"
+    val tmp = graft.Tables.scratchDir(s, d, "graft_xml_docs")
     documents(s, d).select("doc_id", "lang", "n_chars")
       .write.mode("overwrite").option("rowTag", "doc").format("xml").save(tmp)
     val schema = StructType(Seq(
@@ -120,16 +114,16 @@ object CoreQueries {
     """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val dir = s"$base/graft_nested_docs_${Integer.toHexString(d.hashCode)}"
+    val dir = graft.Tables.scratchDir(s, d, "graft_nested_docs")
     val docs = documents(s, d).select("doc_id", "lang", "n_chars")
     docs.filter(col("doc_id") % 2 === 0)
       .write.mode("overwrite").parquet(s"$dir/feed_a/2026/batch")
     docs.filter(col("doc_id") % 2 === 1)
       .write.mode("overwrite").parquet(s"$dir/feed_b/deep/nested/batch")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/feed_a/manifest.txt"),
+    // through the session's Hadoop FS, not java.nio — the sidecar must
+    // land on the SAME filesystem as the data when scratchDir is a
+    // non-local URI (ADVICE r14)
+    graft.Tables.writeSidecar(s, s"$dir/feed_a/manifest.txt",
       "sidecar junk the glob filter must skip")
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -161,10 +155,8 @@ object CoreQueries {
       |       CAST(s_acctbal AS DOUBLE) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val t1 = s"$base/graft_codec_sn_${Integer.toHexString(d.hashCode)}"
-    val t2 = s"$base/graft_codec_zs_${Integer.toHexString(d.hashCode)}"
+    val t1 = graft.Tables.scratchDir(s, d, "graft_codec_sn")
+    val t2 = graft.Tables.scratchDir(s, d, "graft_codec_zs")
     supplier(s, d).write.mode("overwrite")
       .option("compression", "snappy").parquet(t1)
     s.read.parquet(t1).write.mode("overwrite")
@@ -179,9 +171,7 @@ object CoreQueries {
     "a1_csv_roundtrip",
     "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey"
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val tmp = s"$base/graft_csv_region_${Integer.toHexString(d.hashCode)}"
+    val tmp = graft.Tables.scratchDir(s, d, "graft_csv_region")
     region(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
       StructField("r_regionkey", LongType),
@@ -209,9 +199,7 @@ object CoreQueries {
     "a13_text_roundtrip",
     "SELECT doc_id, text FROM documents ORDER BY doc_id"
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val tmp = s"$base/graft_text_docs_${Integer.toHexString(d.hashCode)}"
+    val tmp = graft.Tables.scratchDir(s, d, "graft_text_docs")
     documents(s, d)
       .select(concat(col("doc_id").cast("string"), lit("\t"),
         when(col("text").rlike("[\\n\\r]"),
@@ -249,9 +237,7 @@ object CoreQueries {
       |         AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val dir = s"$base/graft_evolve_orders_${Integer.toHexString(d.hashCode)}"
+    val dir = graft.Tables.scratchDir(s, d, "graft_evolve_orders")
     val ord = orders(s, d)
     // two eras, one directory: distinct subpaths so overwrite of either
     // era can't clobber the other (real tables append; the demo re-runs)
@@ -295,9 +281,7 @@ object CoreQueries {
       |  FROM documents WHERE doc_id % 7 <> 0
       |) ORDER BY outcome""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val tmp = s"$base/graft_badjson_docs_${Integer.toHexString(d.hashCode)}"
+    val tmp = graft.Tables.scratchDir(s, d, "graft_badjson_docs")
     documents(s, d).select(
       when(col("doc_id") % 7 === 0,
         concat(lit("{CORRUPT id="), col("doc_id").cast("string"), lit(" not json")))
@@ -349,9 +333,7 @@ object CoreQueries {
       |  FROM documents WHERE doc_id % 9 <> 0
       |) ORDER BY outcome""".stripMargin
   ) { (s, d) =>
-    val base = s.conf.getOption("spark.graft.scratchDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val tmp = s"$base/graft_badcsv_docs_${Integer.toHexString(d.hashCode)}"
+    val tmp = graft.Tables.scratchDir(s, d, "graft_badcsv_docs")
     documents(s, d).select(
       when(col("doc_id") % 9 === 0,
         concat(lit("id="), col("doc_id").cast("string"), lit("x,broken,line")))

@@ -7315,27 +7315,44 @@ object LlmQueries {
       .agg(collect_list(struct(col("s"), col("cl"), col("cv"))).as("cb"))
   }
 
-  /** L107: product-quantization ADC search (Jégou, Douze & Schmid, TPAMI
-    * 2011 — the memory-side half of IVF-PQ/FAISS): each 64-dim vector is
-    * encoded as M=4 one-byte codes (argmin rounded-L2 per 16-dim
-    * subspace against an 8-entry codebook), and query-to-corpus distance
-    * is the ASYMMETRIC sum Σ_s ‖q_s − cv[s, code_s]‖² — the scan reads
-    * 4 bytes per vector instead of 64 floats (16× memory traffic cut;
-    * 256-entry codebooks make it 64×). Top-5 by (ADC, vec_id), self
-    * excluded — the l6/l7 output contract on L2-ADC footing.
+  /** L107: IVF-PQ search — the full Jégou, Douze & Schmid (TPAMI 2011,
+    * §IV) composition, as FAISS's `IVFxx,PQ4` index serves it. The PQ
+    * half: each 64-dim vector is encoded as M=4 one-byte codes (argmin
+    * rounded-L2 per 16-dim subspace against an 8-entry codebook), and
+    * query-to-corpus distance is the ASYMMETRIC sum
+    * Σ_s ‖q_s − cv[s, code_s]‖² — the scan reads 4 bytes per vector
+    * instead of 64 floats (16× memory traffic cut; 256-entry codebooks
+    * make it 64×). The IVF half (this round's addition — VERDICT r14 #1):
+    * l7's coarse quantizer routes each query to its nprobe=3 nearest
+    * centroid buckets and the ADC scan runs ONLY over vectors assigned
+    * to those buckets, so per-query work drops from N to nprobe·N/k =
+    * O(nprobe·√N) — the flat scan was the suite's one quadratic-work
+    * surface (|queries| ∝ N times N candidates each). Top-5 by
+    * (ADC, vec_id), self excluded — the l6/l7 output contract.
     *
     * 100 TB posture: the codebook is M·K rows — a broadcast, like l7's
     * centroid array; fit is one subspace-exploded scan + map-combinable
-    * means; encoding is one scan; scoring broadcasts the query set (the
-    * l6 shape) over the CODES, with the per-query 4×8 LUT the inline
-    * `filter(cb,…)` expression stands for. At deployment the bucket
-    * route (l7's IVF) composes in front so ADC scans only probed
-    * partitions — IVF-PQ exactly. Determinism: every distance folds in
-    * index order and rounds at 6 dp before any argmin/rank; ADC sums
-    * the 4 rounded terms in subspace order on both engines. */
-  /** l107's full PQ search chain — fit, encode, ADC, tie-deterministic
-    * ranking (`pr2`) — with pq-prefixed CTE names so it composes with
-    * [[ivfSearchCtes]] in one statement (l111). */
+    * means; encoding reads the cached IVF assignment (codes and buckets
+    * come off ONE frame, no corpus self-join); scoring broadcasts the
+    * query set with its probe lists over the codes (the l7 probe shape),
+    * with the per-query 4×8 LUT the inline `filter(cb,…)` expression
+    * stands for. At cluster scale the codes table is partitioned by
+    * bucket so a probe is partition pruning. Approximation stance: the
+    * routing changes the candidate set (a true ADC-top-5 vector outside
+    * the probed buckets is missed — the IVF recall trade, monitored by
+    * l73 for the cosine path and l111 for this one), so the ORACLE
+    * replays the same routing: the declared rows are exact for the
+    * declared index shape. Determinism: every distance folds in index
+    * order and rounds at 6 dp before any argmin/rank; ADC sums the 4
+    * rounded terms in subspace order on both engines; probe sets rank by
+    * (rounded cos DESC, cl) identically on both engines (l7's green
+    * proof). LlmOpsSpec pins nprobe ≥ k ≡ the flat ADC scan
+    * ([[pqAdcSearch]], kept public as the spec baseline). */
+  /** l107's full PQ search chain — fit, encode, IVF-routed ADC,
+    * tie-deterministic ranking (`pr2`) — pq-prefixed CTE names because it
+    * MUST compose after [[ivfSearchCtes]] in one statement (pterm reads
+    * `asn`/`qp`, the coarse assignment and probe sets): l107 and l111
+    * both do. */
   private val pqSearchCtes =
     s"""pe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |psd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl,
@@ -7364,6 +7381,9 @@ object LlmQueries {
        |           round(${l2sqSql("q.qs", "pcb.cv")}, 6) AS t
        |         FROM penc JOIN pcb ON pcb.s = penc.s AND pcb.cl = penc.code
        |                  JOIN pqs q ON q.s = penc.s
+       |                  JOIN asn ON asn.vec_id = penc.vec_id
+       |                  JOIN qp ON qp.qid = q.qid
+       |                        AND list_contains(qp.probes, asn.bucket)
        |         WHERE penc.vec_id <> q.qid),
        |padc AS (SELECT vec_id, qid,
        |          round(list_reduce(list_prepend(0.0, list(t ORDER BY s)),
@@ -7375,23 +7395,71 @@ object LlmQueries {
 
   val l107_pq_adc = Q(
     "l107_pq_adc",
-    s"""WITH $pqSearchCtes
+    s"""WITH $ivfSearchCtes,
+       |$pqSearchCtes
        |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id, adc
        |FROM pr2 WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
   ) { (s, d) => pqSearchCached(s, d).orderBy("qid", "rank") }
 
-  /** The declared PQ top-5 ranking, session-cached: l107 emits it and
-    * l111 scores it against IVF — one ADC search per corpus, not one per
-    * consumer (the exactPairsCached discipline for the ANN family). The
-    * SPEC path deliberately bypasses this ([[pqAdcSearch]] stays
-    * uncached) so determinism/recall checks rebuild from scratch. */
+  /** The declared IVF-PQ top-5 ranking, session-cached: l107 emits it and
+    * l111 scores it against IVF-cosine — one routed ADC search per
+    * corpus, not one per consumer (the exactPairsCached discipline for
+    * the ANN family). The SPEC path deliberately bypasses this
+    * ([[pqAdcSearch]]/[[pqAdcSearchIvf]] stay uncached) so
+    * determinism/recall checks rebuild from scratch. */
   private def pqSearchCached(s: SparkSession, d: String): DataFrame =
-    cachedFrame(s, d, "pq_rank")(pqAdcSearch(embeddings(s, d)))
+    cachedFrame(s, d, "pq_rank")(pqAdcSearchIvf(nprobe = 3)(embeddings(s, d)))
 
-  /** The l107 engine over any (vec_id, embedding, label) frame — public
-    * for the spec (recall vs exact L2, code-range and determinism
-    * checks). Queries are vec_id % 100 = 0; output unordered:
-    * (qid, rank, vec_id, adc). */
+  /** The declared l107 engine: [[pqAdcSearch]]'s ADC scoring with l7's
+    * coarse route composed in front (IVF-PQ). Codes, buckets and query
+    * probe lists all read off the CACHED full-ranking IVF assignment
+    * ([[rankedAssignedCached]] — the same frame l7/l11/l57 ride), so the
+    * search adds no corpus-side work beyond one broadcast cross-join with
+    * the M·K codebook; the candidate join is the l7 probe shape (query
+    * set + probe lists broadcast, `array_contains` routing). nprobe ≥ k
+    * probes every bucket and reproduces the flat scan exactly
+    * (LlmOpsSpec pins it). */
+  def pqAdcSearchIvf(nprobe: Int, kOpt: Option[Int] = None)(df: DataFrame): DataFrame = {
+    val cbF = cachedFrame(df.sparkSession,
+      df.queryExecution.analyzed.canonicalized.toString, "pq_cb")(pqFit(df))
+    val asg = rankedAssignedCached(df, kOpt)
+    val enc = asg.crossJoin(broadcast(cbF))
+      .select(col("vec_id"), col("cb"),
+        col("ranked").getItem(0).as("bucket"),
+        transform(sequence(lit(0), lit(PqM - 1)), sC => {
+          val sub = slice(col("v"), sC * PqSubDim + 1, lit(PqSubDim))
+          val cands = filter(col("cb"), cc => cc.getField("s") === sC)
+          element_at(array_sort(transform(cands, cc => struct(
+            round(l2sq(sub, cc.getField("cv")), 6).as("d"),
+            cc.getField("cl").as("cl")))), 1).getField("cl")
+        }).as("codes"))
+    val q = asg.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        slice(col("ranked"), 1, nprobe).as("probes"))
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, sC) => {
+      val qsub = slice(col("qv"), sC * PqSubDim + 1, lit(PqSubDim))
+      val cv = element_at(filter(col("cb"),
+        cc => cc.getField("s") === sC &&
+          cc.getField("cl") === element_at(col("codes"), sC + 1)), 1)
+        .getField("cv")
+      acc + round(l2sq(qsub, cv), 6)
+    })
+    val rk = row_number().over(
+      Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id")))
+    enc.join(broadcast(q),
+        array_contains(col("probes"), col("bucket")) && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(adc, 6).as("adc"))
+      .withColumn("rank", rk.cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adc"))
+  }
+
+  /** The FLAT ADC engine over any (vec_id, embedding, label) frame — the
+    * spec baseline ([[pqAdcSearchIvf]] at nprobe ≥ k must reproduce it
+    * exactly; the driver fit+encode+score replay checks it directly).
+    * Queries are vec_id % 100 = 0; output unordered:
+    * (qid, rank, vec_id, adc). Work is |queries|·N — deliberately NOT the
+    * declared shape (VERDICT r14 #1). */
   def pqAdcSearch(df: DataFrame): DataFrame = {
     val cbF = cachedFrame(df.sparkSession,
       df.queryExecution.analyzed.canonicalized.toString, "pq_cb")(pqFit(df))
@@ -9186,6 +9254,33 @@ object LlmQueries {
     * significance flag actually firing (the c10 sensitivity discipline:
     * the real testdata is uniform by construction, so every corpus row
     * legitimately reads significant=0). */
+  /** The exact-integer α=0.05 KS flag dnum²·10⁶ > 1844164·n·n₁·n₂, with
+    * its DECIMAL(38,0) headroom DECLARED and ENFORCED (ADVICE r14): under
+    * ANSI-off a decimal overflow is a silent null, and null > x is null →
+    * the flag would read 0 exactly when the corpus got large enough to
+    * matter. Both products stay inside 38 digits whenever
+    * max(n, n₁·n₂) ≤ 10¹⁵ (LHS ≤ 10³⁶, RHS < 1.9·10³⁶) — per-source
+    * intake batches up to ~3·10⁷ docs against a 10¹⁵-pair rest, far past
+    * any single drift-test invocation; beyond the window the expression
+    * RAISES (raise_error, loud and engine-local) instead of null-flagging.
+    * At genuinely larger n the right fix is comparing on pre-aggregated
+    * strata or 256-bit arithmetic, not a silent zero. Factored over plain
+    * Columns so DriftTestsSpec can drive the guard with literal counts
+    * (10¹⁵-row inputs are not synthesizable). */
+  private[graft] def ksSignificantExact(dnum: Column, n: Column,
+      n1: Column): Column = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val inWindow = n <= lit(1000000000000000L) &&
+      dec(n1) * (n - n1) <= dec(lit(1000000000000000L))
+    when(inWindow,
+      (dec(dnum) * dnum * lit(1000000L) >
+        dec(lit(1844164L)) * n * n1 * (n - n1)).cast("long"))
+      .otherwise(raise_error(concat(lit("l131 exact KS flag out of its " +
+        "DECIMAL(38,0) headroom window (max(n, n1*n2) <= 10^15); refusing " +
+        "to null-flag silently: n="), n.cast("string"), lit(" n1="),
+        n1.cast("string"))))
+  }
+
   private[graft] def ksDrift(tc: DataFrame): DataFrame = {
     val (srcs, callv, cnt, tot) = lengthDistFrames(tc)
     val grid = callv.crossJoin(broadcast(srcs))
@@ -9199,16 +9294,13 @@ object LlmQueries {
       .groupBy("source", "n1", "n")
       .agg(max(abs(col("cums") * (col("n") - col("n1")) -
         (col("cumall") - col("cums")) * col("n1"))).as("dnum"))
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     dd.select(col("source"),
         col("n1").as("n_src"),
         (col("n") - col("n1")).as("n_rest"),
         col("dnum").as("d_num"),
         round(col("dnum") * 1.0 / (col("n1") * (col("n") - col("n1"))), 6)
           .as("ks"),
-        (dec(col("dnum")) * col("dnum") * lit(1000000L) >
-          dec(lit(1844164L)) * col("n") * col("n1") * (col("n") - col("n1")))
-          .cast("long").as("significant"))
+        ksSignificantExact(col("dnum"), col("n"), col("n1")).as("significant"))
       .orderBy("source")
   }
 
@@ -9259,7 +9351,10 @@ object LlmQueries {
     * D > 1.358·√((n₁+n₂)/(n₁n₂)) is cross-multiplied into the exact
     * integer compare dnum²·10⁶ > 1844164·n·n₁·n₂ (1.358² = 1.844164) in
     * 128-bit arithmetic (DECIMAL(38)/HUGEINT) — no float boundary
-    * anywhere.
+    * anywhere. The 128-bit headroom is a declared, enforced window —
+    * max(n, n₁·n₂) ≤ 10¹⁵, raise-don't-null beyond it
+    * ([[ksSignificantExact]]); the oracle's HUGEINT side shares the same
+    * magnitude wall and the same in-window values.
     *
     * 100 TB posture: one corpus scan → three map-combinable counts; the
     * CDF window runs over the (source × distinct-length) metadata grid

@@ -1083,15 +1083,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the fold rides a broadcast, not a join or window:\n$p")
   }
 
-  test("L107: the PQ codebook broadcasts and the query set attaches as a " +
-      "broadcast — codes never shuffle, the fit means combine map-side") {
+  test("L107: the routed ADC scan rides the cached IVF assignment, the " +
+      "codebook and query probe set broadcast — codes never shuffle-join") {
     val p = finalPlan(LlmQueries.l107_pq_adc)
     val fin = p.split("== Initial Plan ==")(0)
-    assert(fin.contains("partial_avg"),
-      s"codebook means must combine map-side:\n$p")
+    // codes + buckets + probes all come off the cached full-ranking
+    // assignment (rankedAssignedCached) — the IVF-PQ serving shape: no
+    // re-fit, no corpus self-join
+    assert(fin.contains("InMemoryTableScan") || fin.contains("TableCacheQueryStage"),
+      s"the search must read the cached IVF assignment:\n$p")
     assert(fin.contains("BroadcastNestedLoopJoin") ||
       fin.contains("BroadcastExchange"),
-      s"the query set must broadcast over the codes scan (the l6 shape):\n$p")
+      s"the query set + probes must broadcast over the codes scan (the l7 probe shape):\n$p")
     assert(!fin.contains("CartesianProduct") && !fin.contains("SortMergeJoin"),
       s"nothing may shuffle-join in an ADC scan:\n$p")
   }

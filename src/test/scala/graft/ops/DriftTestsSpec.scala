@@ -96,6 +96,31 @@ class DriftTestsSpec extends AnyFunSuite {
     assert(got("shifted")._4 === 1.0)
   }
 
+  test("l131 KS headroom guard: in-window counts flag exactly, counts past " +
+      "the 10^15 DECIMAL window raise instead of silently null-flagging") {
+    import org.apache.spark.sql.functions._
+    // literal-count drive (ADVICE r14): 10^15-row corpora are not
+    // synthesizable, so the guard is exercised on the factored flag
+    // expression directly. In-window, just under the wall: n1*n2 = 10^15.
+    val edge = spark.range(1).select(
+      LlmQueries.ksSignificantExact(
+        lit(100000000000L), lit(1000033333L), lit(30000L)).as("sig"))
+    assert(edge.collect().head.getLong(0) === 0L,
+      "an in-window compare must evaluate, not overflow (null would " +
+        "surface as a NullPointerException on getLong)")
+    // the same expression with a clearly significant in-window numerator
+    val hot = spark.range(1).select(
+      LlmQueries.ksSignificantExact(lit(900L), lit(70L), lit(30L)).as("sig"))
+    assert(hot.collect().head.getLong(0) === 1L)
+    // out of window: n1*n2 > 10^15 must raise loudly, never read 0
+    val boom = spark.range(1).select(
+      LlmQueries.ksSignificantExact(
+        lit(2000000000000000L), lit(100000000L), lit(50000000L)).as("sig"))
+    val e = intercept[Exception](boom.collect())
+    assert(e.getMessage.contains("headroom window"),
+      s"the refusal must name the declared window: ${e.getMessage}")
+  }
+
   test("l132 MWU: injected shift fires the flag; flats stay quiet; exact replay") {
     import spark.implicits._
     val tc = shiftedCorpus.toDF("source", "nt")

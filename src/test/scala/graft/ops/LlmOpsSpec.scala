@@ -3062,6 +3062,46 @@ class LlmOpsSpec extends AnyFunSuite {
     info(f"l107: recall@5 vs exact L2 = $recall%.2f at K=$K")
   }
 
+  test("l107 IVF-PQ: probing every bucket reproduces the flat ADC scan " +
+      "exactly, and the declared nprobe=3 routing only restricts candidates") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // k = the quantizer's own default (⌊√N⌋) — nprobe ≥ k probes every
+    // bucket, so the routed search must equal the flat scan row for row
+    // (the annIvf exactness-at-nprobe-≥-k pattern, VERDICT r14 #1)
+    val k = math.max(2, math.sqrt(emb.count().toDouble).toInt)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val flat = LlmQueries.pqAdcSearch(emb).collect().map(key).sortBy(x => (x._1, x._2))
+    val all = LlmQueries.pqAdcSearchIvf(nprobe = k)(emb).collect()
+      .map(key).sortBy(x => (x._1, x._2))
+    assert(all.toSeq === flat.toSeq,
+      s"nprobe=$k (≥ k buckets) must reproduce the flat ADC ranking exactly")
+    // nprobe=3 (the declared shape): a SUBSET of the flat candidate set
+    // scored by the same ADC (the nprobe≥k equality above proves the
+    // scoring path is identical), so per query the routed best can only
+    // be equal-or-worse than the flat best, a routed hit that IS in the
+    // flat top-5 carries the identical distance, and each routed ranking
+    // is ADC-monotone
+    val routed = LlmQueries.pqAdcSearchIvf(nprobe = 3)(emb).collect().map(key)
+    assert(routed.nonEmpty && routed.forall(_._2 <= 5))
+    val flatByPair = flat.map(r => (r._1, r._3) -> r._4).toMap
+    routed.foreach { case (qid, _, vid, adc) =>
+      flatByPair.get((qid, vid)).foreach(fa => assert(fa === adc,
+        s"routed ADC for ($qid, $vid) must equal the flat ADC — routing may " +
+          "only restrict the candidate set, never change a distance"))
+    }
+    val flatBest = flat.filter(_._2 == 1L).map(r => r._1 -> r._4).toMap
+    routed.filter(_._2 == 1L).foreach { case (qid, _, _, adc) =>
+      assert(adc >= flatBest(qid) - 1e-9,
+        s"query $qid: pruning buckets cannot find a better neighbor than the flat scan")
+    }
+    routed.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a <= b },
+        "each routed ranking must be ADC-monotone")
+    }
+  }
+
   test("l108 unigram tokenizer: Viterbi prefers the frequent whole piece, " +
       "rare words fall back to chars, and the round equals a driver replay") {
     // engineered corpus: 'abab' x20 -> the len-4 piece wins its own word;
@@ -3203,7 +3243,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = LlmQueries.annIvf(nprobe = 3)(emb).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
-    val b = LlmQueries.pqAdcSearch(emb).collect()
+    val b = LlmQueries.pqAdcSearchIvf(nprobe = 3)(emb).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
     val qids = a.keys.map(_._1).toSeq.distinct.sorted
     val exp = qids.map { q =>

@@ -169,6 +169,37 @@ class ScaleOpsSpec extends AnyFunSuite {
       "replaying the changes batch must leave the state bit-identical")
   }
 
+  test("c11 commit posture: the upsert runs on FileOutputCommitter v1 and " +
+      "refuses the non-atomic v2 committer (VERDICT r14 #4)") {
+    // the conf pin: this session's effective committer resolves to v1
+    // (Hadoop's default, not overridden anywhere in the repo), so task
+    // output publishes only at job commit — mid-job failure leaves the
+    // landed table untouched
+    assert(ScaleQueries.PartitionUpsert.committerVersion(spark) === 1,
+      "the bench/verify sessions must land c11 under the v1 committer")
+    // the pin is executable, not advisory: a session tuned to v2 (the
+    // rename-at-task-commit speedup that silently gives up failure
+    // atomicity) must fail the job loudly before any file moves
+    val key = "mapreduce.fileoutputcommitter.algorithm.version"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = Option(hc.get(key))
+    hc.setInt(key, 2)
+    try {
+      assert(ScaleQueries.PartitionUpsert.committerVersion(spark) === 2,
+        "the probe conf must reach the session's effective hadoop conf")
+      val dir = java.nio.file.Files.createTempDirectory("graft_upsert_v2").toString
+      val e = intercept[IllegalArgumentException] {
+        ScaleQueries.PartitionUpsert.writeBase(spark, sf, dir)
+      }
+      assert(e.getMessage.contains("algorithm v1"),
+        s"the refusal must name the committer contract: ${e.getMessage}")
+    } finally {
+      prev match { case Some(v) => hc.set(key, v); case None => hc.unset(key) }
+    }
+    assert(ScaleQueries.PartitionUpsert.committerVersion(spark) === 1,
+      "the probe must restore the session posture")
+  }
+
   test("as-of join equals the naive range join + argmax, without its plan") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf)
