@@ -25,10 +25,30 @@ import org.apache.spark.sql.functions._
   * `end`'s own second, so a sub-second interval tail can admit one
   * harmless extra candidate bucket — the full-precision containment
   * filter keeps semantics exact.
+  *
+  * Measured candidate scaling (WorkRowAudit r15, the e5 fixture over
+  * events at sf0.001 → 0.01 → 0.1): 323 → 3 425 → 34 155 match rows —
+  * +1.03 / +1.00 per decade, i.e. LINEAR. The events table's keys and
+  * time span both grow with SF, so per-(key, bucket) density stays flat;
+  * this is the audit family's clean row, and the one whose failure mode
+  * (a hot key × wide interval) is ordinary equi-join skew rather than
+  * filter saturation.
   */
 object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
       ts: String, start: String, end: String,
+      bucketSeconds: Long = 86400L): DataFrame =
+    candidates(points, intervals, key, ts, start, end, bucketSeconds)
+      .filter(col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__b")
+
+  /** The (key, bucket) equi-join match rows BEFORE the exact containment
+    * filter — the operator's work-row frame, exposed for the candidate
+    * scaling audit (graft.WorkRowAudit): bucket-width tuning is exactly a
+    * trade on this count, and a hot (key, bucket) pair blowing up here is
+    * the operator's one superlinear failure mode. */
+  private[graft] def candidates(points: DataFrame, intervals: DataFrame,
+      key: String, ts: String, start: String, end: String,
       bucketSeconds: Long = 86400L): DataFrame = {
     require(!(points.columns ++ intervals.columns).contains("__b"),
       "frames may not contain the reserved column __b")
@@ -40,7 +60,5 @@ object RangeJoin {
     val pc = points.withColumn("__b",
       floor(unix_timestamp(col(ts)) / w).cast("long"))
     pc.join(ic, Seq(key, "__b"))
-      .filter(col(ts) >= col(start) && col(ts) < col(end))
-      .drop("__b")
   }
 }

@@ -509,8 +509,28 @@ object LlmQueries {
     * in the string-set verify. (The previous form measured sizes on the
     * hash sets, where one in-intersection collision could fail the length
     * filter for a true pair — a ~2⁻⁶⁴ per-pair hole that stops being
-    * ignorable past the 64-bit birthday bound at corpus scale.) */
-  def jaccardNearDupFrom(sh: DataFrame, tau: Double = NearDupTau): DataFrame = {
+    * ignorable past the 64-bit birthday bound at corpus scale.)
+    *
+    * Measured candidate scaling (WorkRowAudit r15, three document
+    * decades 500 → 5 000 → 50 000): 29 → 124 839 → 19 027 757 distinct
+    * candidate pairs (+3.63 / +2.18 per decade) against 250 true pairs
+    * at the top point — on a SATURATED vocabulary the prefix+positional
+    * bound is lossless but not candidate-bounding, because every doc's
+    * rarest-(1−τ) shingles still have df ∝ N (the l114 finding of r14,
+    * now measured for this family too). On real web text the shingle
+    * universe grows with the corpus and the prefix index stays near-
+    * linear; where it doesn't, [[l139_capped_neardup]] is the declared
+    * valve — df-capped postings with the miss rate ε measured against
+    * THIS engine's exact pairs and shipped as oracle-hashed data. */
+  def jaccardNearDupFrom(sh: DataFrame, tau: Double = NearDupTau): DataFrame =
+    verifyPairs(jaccardCandidates(sh, tau), sh, tau)
+
+  /** l4's candidate stage alone — the distinct (i, j) pairs that survive
+    * the prefix + length + positional filters and enter exact
+    * verification. Factored out (VERDICT r14 #2) so the work-row scaling
+    * audit ([[graft.WorkRowAudit]]) counts the REAL candidate frame, not
+    * a re-derivation that could drift from the production filters. */
+  private[graft] def jaccardCandidates(sh: DataFrame, tau: Double = NearDupTau): DataFrame = {
     val hashed = sh.select(col("doc_id"), size(col("ss")).as("nf"),
       array_distinct(graft.functions.TextExprs.xxhash64Array(col("ss"))).as("hss"))
     val ex = hashed.select(col("doc_id"), col("nf"), explode(col("hss")).as("sng"))
@@ -557,7 +577,7 @@ object LlmQueries {
             lit(tau / (1 + tau)) * (col("a.nf") + col("b.nf")) - 1e-9)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyPairs(cand, sh, tau)
+    cand
   }
 
   /** L4: exact n-gram-Jaccard near-dup pairs via the prefix-filtered
@@ -573,9 +593,25 @@ object LlmQueries {
     * exact-verified against the FULL shingle sets. The oracle is the SAME
     * exact-Jaccard SQL as l4: CORRECTNESS green means the LSH lost
     * nothing. (P[miss a J=0.89 pair] = (1-0.89⁴)¹⁶ ≈ 2e-7; the corpus'
-    * near-dups all sit at J ≥ 0.89.) */
+    * near-dups all sit at J ≥ 0.89.)
+    *
+    * Measured candidate scaling (WorkRowAudit r15, 500 → 5 000 → 50 000
+    * docs): 26 → 365 → 14 626 (+1.15 / +1.60 per decade) — mildly
+    * superlinear because a saturated shingle universe raises pairwise
+    * J across the board and band-key collisions with it. The standard
+    * valve is the (bands, rows) knob itself: band collision probability
+    * is J^rows, so widening rows as density grows re-bounds bucket
+    * sizes — a config change, not a rewrite (the l29 adaptive-width
+    * rule is this valve for the hyperplane family). */
   val l5_minhash_lsh = Q("l5_minhash_lsh", jaccardOracle) { (s, d) =>
     val sh = shingledCached(s, d)
+    verifyPairs(minhashCandidates(sh), sh, NearDupTau)
+  }
+
+  /** l5's candidate stage alone — the distinct same-(band, key) pairs the
+    * banded LSH shuffle generates, before exact verification (factored
+    * for the work-row audit, VERDICT r14 #2). */
+  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
     // per-ROW signature (native graft_minhash over the shingle set), not
     // the exploded groupBy form: value-identical (LlmOpsSpec pins it), and
     // it computes signatures with ZERO shuffle — the exploded form moves
@@ -587,12 +623,11 @@ object LlmQueries {
     val bands = sigs.select(col("doc_id"),
         explode(TextOps.lshBands(col("sig"), 16, 4)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyPairs(cand, sh, NearDupTau)
   }
 
   /** L8: SimHash near-dup — 64-bit signature per doc, candidates pair up
@@ -1707,8 +1742,24 @@ object LlmQueries {
     * prefixes probe; the same length + positional filters prune in the
     * join; survivors pay l4's exact sorted-merge verify. Candidate
     * generation stays EXACT (any common total order satisfies the
-    * theorem — LlmOpsSpec's era-split property checks ≡ the naive cross join). */
+    * theorem — LlmOpsSpec's era-split property checks ≡ the naive cross join).
+    *
+    * Measured candidate scaling (WorkRowAudit r15, 500 → 5 000 → 50 000
+    * docs): 12 → 65 062 → 9 796 252 (+3.73 / +2.18 per decade) — the
+    * same saturated-vocabulary blowup as l4, and the same valve applies:
+    * cap the base-df postings (l139's engine runs unchanged here, since
+    * the probe order is already df-in-the-base). */
   def jaccardIncrementalFrom(baseSh: DataFrame, incSh: DataFrame,
+      tau: Double = NearDupTau): DataFrame =
+    verifyPairs(incrementalCandidates(baseSh, incSh, tau),
+      baseSh.unionByName(incSh), tau)
+
+  /** l97's candidate stage alone — the distinct (base, increment) pairs
+    * the base-df-ordered prefix probe emits before exact verification
+    * (factored for the work-row audit, VERDICT r14 #2: this family's
+    * failure mode is the same saturated-vocabulary candidate blowup l134
+    * caps). */
+  private[graft] def incrementalCandidates(baseSh: DataFrame, incSh: DataFrame,
       tau: Double = NearDupTau): DataFrame = {
     def hashed(sh: DataFrame) = sh.select(col("doc_id"),
       size(col("ss")).as("nf"),
@@ -1735,7 +1786,7 @@ object LlmQueries {
             lit(tau / (1 + tau)) * (col("a.nf") + col("b.nf")) - 1e-9)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyPairs(cand, baseSh.unionByName(incSh), tau)
+    cand
   }
 
   /** L97: incremental near-dup ingest — [[jaccardIncrementalFrom]] with
@@ -1922,9 +1973,38 @@ object LlmQueries {
     * 32·2^rows ≥ N, i.e. (32, 8, 4) for N ≤ 512 and (48, 8, 6) at sf0.1's
     * N = 2000 — and LlmOpsSpec pins the replay + 100% recall of the
     * sf0.001 τ-pairs (where the derived geometry IS the (32, 8, 4)
-    * fixture). */
+    * fixture).
+    *
+    * Measured candidate scaling (WorkRowAudit r15, 500 → 2 000 → 20 000
+    * vectors, each at its own derived geometry): 50 568 → 252 785 →
+    * 7 272 401 (+1.16/decade equivalent over the span; +1.46 in the top
+    * decade). The top-decade uptick is exactly the derived rule hitting
+    * its declared ceiling — rows caps at 8 (a 256-key band space is the
+    * largest the cross-engine oracle replays affordably at test SF), so
+    * past N ≈ 8 192 the N²/2^rows band load grows unchecked. The rule
+    * itself is the valve: at deployment rows keeps following log₂(N/32)
+    * (the md5 hash family is unbounded — nothing but the test-SF cap
+    * stops rows = 12 at N = 10⁵), which re-bounds the load per decade. */
   def srpNearDup(tau: Double, planes: Int = 32, bands: Int = 8,
-      rows: Int = 4, dim: Int = 64)(df: DataFrame): DataFrame = {
+      rows: Int = 4, dim: Int = 64)(df: DataFrame): DataFrame =
+    srpBucketPairs(planes, bands, rows, dim)(df)
+      // filter before distinct — dedupe the τ survivors, not the multi-band
+      // candidate multiset (the l11 convention)
+      .filter(col("cos") >= tau)
+      .distinct()
+      .orderBy("i", "j")
+
+  /** l29's candidate stage alone — distinct same-(band, key) pairs before
+    * the τ cut (work-row audit, VERDICT r14 #2). */
+  private[graft] def srpCandidates(planes: Int = 32, bands: Int = 8,
+      rows: Int = 4, dim: Int = 64)(df: DataFrame): DataFrame =
+    srpBucketPairs(planes, bands, rows, dim)(df).select("i", "j").distinct()
+
+  /** The hyperplane-LSH bucket self-join with exact cosine attached but
+    * NOT yet τ-filtered — shared by srpNearDup and the candidate
+    * counter. */
+  private def srpBucketPairs(planes: Int, bands: Int, rows: Int, dim: Int)(
+      df: DataFrame): DataFrame = {
     require(bands * rows == planes,
       s"bands*rows must cover the planes exactly, got $bands*$rows vs $planes")
     val session = df.sparkSession
@@ -1947,11 +2027,6 @@ object LlmQueries {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cos.as("cos"))
-      // filter before distinct — dedupe the τ survivors, not the multi-band
-      // candidate multiset (the l11 convention)
-      .filter(col("cos") >= tau)
-      .distinct()
-      .orderBy("i", "j")
   }
 
   /** l29's oracle replays the ENTIRE index from the same md5 digits —
@@ -2189,8 +2264,37 @@ object LlmQueries {
     * (both roles — the join is symmetric over one frame) is a LOSSLESS
     * candidate filter: bounded fan-out ((k+1)·(2k+1) probe keys per doc),
     * exact recall, and the join shuffles short segment keys, not strings.
-    * Survivors pay one exact levenshtein against the full prefixes. */
-  def editNearDupFrom(s: DataFrame, k: Int = 2): DataFrame = {
+    * Survivors pay one exact levenshtein against the full prefixes.
+    *
+    * Measured candidate scaling (WorkRowAudit r15, 500 → 5 000 → 50 000
+    * docs): 2 874 → 284 886 → 28 131 714 (+2.00 / +1.99 per decade).
+    * Two saturations stack on this corpus: (a) the SEGMENT space
+    * saturates (7-char segments over a 30-token vocabulary ⇒ segment df
+    * ∝ N, so same-segment pairs ∝ N² — on real text a 20-char prefix is
+    * high-entropy and segment dfs stay O(1)); and (b) the MEASURE itself
+    * saturates — 21 358 of the 50k-point pairs are genuine dist ≤ 2
+    * prefix twins (the slice's planted rate is 250), i.e. the true
+    * output is also growing ~quadratically because near-identical
+    * prefixes are genuinely everywhere. Where (a) dominates on real
+    * data, the PassJoin valves are: lengthen the blocked prefix (more
+    * entropy per segment), or pre-cluster exact-equal prefixes (the l50
+    * exact-line pattern) so the segment join runs over cluster
+    * representatives — both config-level, neither changes the lemma. */
+  def editNearDupFrom(s: DataFrame, k: Int = 2): DataFrame =
+    editMatchRows(s, k)
+      .filter(col("dist") <= k)
+      .distinct()
+
+  /** l26's candidate stage alone — the distinct pairs sharing a PassJoin
+    * segment, before the exact levenshtein verify (work-row audit,
+    * VERDICT r14 #2). */
+  private[graft] def editCandidates(s: DataFrame, k: Int = 2): DataFrame =
+    editMatchRows(s, k).select("i", "j").distinct()
+
+  /** The PassJoin segment-match rows with the exact distance attached but
+    * NOT yet filtered — shared by the production verify and the
+    * candidate counter. */
+  private def editMatchRows(s: DataFrame, k: Int): DataFrame = {
     val L = 20
     val bounds = { // k+1 segments covering [1, L], lengths L/(k+1) ±1
       val base = L / (k + 1); val extra = L % (k + 1)
@@ -2220,8 +2324,6 @@ object LlmQueries {
         when(col("a.doc_id") < col("b.doc_id"),
           levenshtein(col("a.s20"), col("b.s20")))
           .otherwise(levenshtein(col("b.s20"), col("a.s20"))).as("dist"))
-      .filter(col("dist") <= k)
-      .distinct()
   }
 
   /** L26: edit-distance near-dup — all pairs whose normalized 20-char
@@ -9856,8 +9958,118 @@ object LlmQueries {
     chiSquareIndep(tc)
   }
 
+  // ------------- df-capped Jaccard near-dup with declared ε (l139)
+
+  private val JacCap = 4
+
+  /** l139's capped engine over any (doc_id, ss) STRING-shingle frame —
+    * l4's prefix-filtered candidate generation with postings refused
+    * above the df cap, then the exact verify. String shingles and
+    * (df, shingle) ordering (the l134 convention) so the DuckDB oracle
+    * replays the EXACT candidate set — production l4 runs the same
+    * pipeline over xxhash64 longs, and the theorem is order-insensitive,
+    * so cap-off here ≡ the lossless engine (CappedJaccardSpec pins it). */
+  private[graft] def cappedJaccardPairs(sh: DataFrame, tau: Double,
+      cap: Long): DataFrame = {
+    val ex = sh.filter(size(col("ss")) > 0)
+      .select(col("doc_id"), size(col("ss")).as("nf"), explode(col("ss")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefix = ex.withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1 &&
+        col("df") <= cap)
+      .select(col("doc_id"), col("s"))
+      .localCheckpoint(false) // both sides of the self-join read it
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyPairs(cand, sh, tau)
+  }
+
+  /** L139: df-capped Jaccard near-dup with its miss rate DECLARED as data
+    * — the l134 valve applied to the SYMMETRIC dedup family, closing this
+    * round's work-row finding: the three-point audit (WorkRowAudit,
+    * BENCHNOTES r15) measured l4's prefix+positional candidate set
+    * growing at +2.18/decade and l97's at +2.18 on the saturated-
+    * vocabulary corpus — the prefix theorem is lossless but NOT
+    * candidate-bounding when every doc's rarest shingles still have
+    * df ∝ N (exactly the l114 finding of r14, now measured across TWO
+    * document decades). The cap makes the per-shingle join cost ≤ cap²
+    * postings-pairs, killing the Σ df² term structurally; what it may
+    * cost in recall is MEASURED against l4's own exact pair frame and
+    * declared in the oracle-hashed row (the l30/l134 discipline: a lossy
+    * valve ships with its loss quantified, not assumed). cap=4 is the
+    * demo knob (it bites at every test SF on this corpus — postings_kept
+    * < postings_total is part of the hash); a real-text corpus sets it
+    * orders of magnitude higher, where it refuses only stopword-class
+    * shingles.
+    *
+    * 100 TB posture: identical machinery to l4 minus the unbounded hot
+    * posting lists; the exact-count row is test-SF bookkeeping (at scale
+    * one runs the capped engine and MONITORS ε on a sampled stratum, the
+    * l30 pattern). */
+  val l139_capped_neardup = Q(
+    "l139_capped_neardup",
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(len(toks) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
+       |       FROM d),
+       |sz AS (SELECT doc_id, len(ss) AS n FROM sh WHERE len(ss) > 0),
+       |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE len(ss) > 0),
+       |dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+       |exd AS (SELECT ex.doc_id, ex.s, dfc.df FROM ex JOIN dfc USING (s)),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jac AS (SELECT p.i, p.j FROM p
+       |        JOIN sz si ON si.doc_id = p.i JOIN sz sj ON sj.doc_id = p.j
+       |        WHERE p.c * 1.0 / (si.n + sj.n - p.c) >= $NearDupTau),
+       |pr AS (SELECT exd.doc_id, exd.s, exd.df, sz.n,
+       |         row_number() OVER (PARTITION BY exd.doc_id ORDER BY exd.df, exd.s) AS rk
+       |       FROM exd JOIN sz ON sz.doc_id = exd.doc_id),
+       |pf AS (SELECT doc_id, s FROM pr
+       |       WHERE rk <= n - ceil($NearDupTau * n - 1e-9) + 1 AND df <= $JacCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM pf a JOIN pf b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |cp AS (SELECT cand.i, cand.j FROM cand
+       |       JOIN jac ON jac.i = cand.i AND jac.j = cand.j),
+       |post AS (SELECT count(*) AS total,
+       |           sum(CASE WHEN df <= $JacCap THEN 1 ELSE 0 END) AS kept
+       |         FROM exd)
+       |SELECT CAST($JacCap AS BIGINT) AS cap,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM jac) AS n_exact,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_capped,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM jac)
+       |         - (SELECT CAST(count(*) AS BIGINT) FROM cp) AS missed,
+       |       round(((SELECT count(*) FROM jac) - (SELECT count(*) FROM cp))
+       |             * 1.0 / nullif((SELECT count(*) FROM jac), 0), 6) AS eps,
+       |       CAST(post.total AS BIGINT) AS postings_total,
+       |       CAST(post.kept AS BIGINT) AS postings_kept
+       |FROM post""".stripMargin
+  ) { (s, d) =>
+    val sh = shingledCached(s, d)
+    val nExact = exactPairsCached(s, d).count()
+    val nCapped = cappedJaccardPairs(sh, NearDupTau, JacCap).count()
+    val exd = sh.filter(size(col("ss")) > 0)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    val postRow = exd.agg(count(lit(1)).as("total"),
+      sum((col("df") <= JacCap).cast("long")).as("kept")).collect()(0)
+    val missed = nExact - nCapped
+    import s.implicits._
+    Seq((JacCap.toLong, nExact, nCapped, missed,
+        if (nExact == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(BigDecimal(missed.toDouble / nExact)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        postRow.getLong(0), postRow.getLong(1)))
+      .toDF("cap", "n_exact", "n_capped", "missed", "eps",
+        "postings_total", "postings_kept")
+  }
+
   val all: Seq[Q] = Seq(
-    l133_chi2_independence,
+    l133_chi2_independence, l139_capped_neardup,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Work-row scaling audit (VERDICT r14 #2 + #6): candidate counts per SF
+  * for every candidate-generating operator family, at THREE corpus sizes
+  * for the document families.
+  *
+  * Why counts, not wall clocks: local[32] capacity-masks superlinear work
+  * (the r14 positive control: naive containment's wall exponent +0.47
+  * while its candidate rows grew at +1.99/decade), so each family's
+  * CANDIDATE frame — now factored out of the production operators
+  * (LlmQueries.jaccardCandidates / minhashCandidates / editCandidates /
+  * incrementalCandidates / srpCandidates, RangeJoin.candidates) — is
+  * counted directly. The audit reads the REAL candidate stage; there is
+  * no re-derivation that can drift from the production filters (the one
+  * exception: the l114 containment prefix filter is re-stated here in
+  * the NaiveContainmentControl shape, kept as the saturated-vocabulary
+  * positive control).
+  *
+  * Third document point (VERDICT r14 #6): `documents.parquet` is 500 rows
+  * at BOTH sf0.001 and sf0.01 and 5 000 at sf0.1, so the committed
+  * testdata spans exactly ONE document decade. [[genDocs]] materializes
+  * an AUDIT-ONLY sf1-equivalent slice (50 000 docs, scratch path, never a
+  * correctness input, regenerated on demand) that reproduces the
+  * committed corpus's generative shape measured off sf0.1: the SAME
+  * saturated 30-token vocabulary, uniform unigram draw, uniform lengths
+  * 10–100, ~0.5% planted near-dup pairs (copy of the preceding doc with
+  * the last token replaced by the 'dup' marker). Same for embeddings
+  * (500 → 2 000 committed; 20 000 generated, value range matched).
+  *
+  * Run: `sbt 'Test/runMain graft.WorkRowAudit'` — prints one markdown
+  * table (counts + per-decade row exponents) for BENCHNOTES.
+  */
+object WorkRowAudit {
+  // the committed corpus's 30 live tokens (uniform unigram draw at every
+  // SF; the 31st type 'dup' is the planted near-dup marker)
+  private val Vocab = Seq(
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch")
+
+  /** The sf1-equivalent documents slice: deterministic (hash-indexed —
+    * no RNG state), same schema as the committed table. */
+  def genDocs(spark: SparkSession, path: String, nDocs: Long): Unit = {
+    val vocabCol = array(Vocab.map(lit): _*)
+    val base = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id") % 200 === 1, col("id") - 1).otherwise(col("id")).as("src_id"),
+      (col("id") % 200 === 1).as("is_dup"))
+    val len = (pmod(xxhash64(col("src_id"), lit("len")), lit(91)) + 10).cast("int")
+    val toks = transform(sequence(lit(1), len), pos =>
+      element_at(vocabCol, pmod(xxhash64(col("src_id"), pos), lit(30)).cast("int") + 1))
+    // planted near-dup: previous doc's tokens with the tail swapped for
+    // the marker — J well above the τ=0.8 verify bar, like the committed
+    // corpus's 'dup' cohort
+    val toks2 = when(col("is_dup"),
+      concat(slice(toks, lit(1), size(toks) - 1), array(lit("dup")))).otherwise(toks)
+    base.select(col("doc_id"), concat_ws(" ", toks2).as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The sf1-equivalent embeddings slice (value range matched to the
+    * committed table's ~[-0.3, 0.3]). */
+  def genEmbeddings(spark: SparkSession, path: String, n: Long): Unit = {
+    spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), pos =>
+          (pmod(xxhash64(col("id"), pos), lit(600001)).cast("double") / lit(1e6)
+            - lit(0.3)).cast("float")).as("embedding"),
+        pmod(col("id"), lit(3)).cast("int").as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def sh(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.ops.TextOps.shingleSet(graft.ops.TextOps.tokens(col("text")), 3).as("ss"))
+
+  /** The l114 containment prefix-filter candidate count — the
+    * NaiveContainmentControl shape, kept as the positive control the
+    * saturated vocabulary is known to blow up (+3.69/decade measured in
+    * r14 over the single committed decade). */
+  private def containCandidates(docs: DataFrame): Long = {
+    val tau = 0.8
+    val hashed = sh(docs).select(col("doc_id"), size(col("ss")).as("nf"),
+      array_distinct(graft.functions.TextExprs.xxhash64Array(col("ss"))).as("hss"))
+      .filter(col("nf") > 0)
+    val ex = hashed.select(col("doc_id"), col("nf"), explode(col("hss")).as("sng"))
+    val withDf = ex.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("sng"))).localCheckpoint(false)
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("sng"))
+    val prefix = withDf.withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1)
+      .select(col("doc_id").as("i"), col("sng"))
+    val full = withDf.select(col("doc_id").as("j"), col("sng"))
+    prefix.join(full, Seq("sng")).filter(col("i") =!= col("j"))
+      .select("i", "j").distinct().count()
+  }
+
+  /** l29's declared adaptive signature width (the l29 query's own rule). */
+  private def srpRows(n: Long): Int =
+    (4 to 8).find(r => (32L << r) >= n).getOrElse(8)
+
+  private def e5Candidates(spark: SparkSession, d: String): Long = {
+    val ev = Tables.events(spark, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("s_ts"), (col("ts") + expr("INTERVAL 3 DAYS")).as("s_end"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+    graft.ops.RangeJoin.candidates(
+      errors, signups, "user_id", "e_ts", "s_ts", "s_end").count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val genBase = s"${System.getProperty("java.io.tmpdir")}/graft_sf1_audit"
+    val docsGen = s"$genBase/documents.parquet"
+    val embGen = s"$genBase/embeddings.parquet"
+    genDocs(spark, docsGen, 50000L)
+    genEmbeddings(spark, embGen, 20000L)
+
+    def docsAt(p: String): DataFrame = spark.read.parquet(p)
+    val docPoints = Seq(
+      ("sf0.01", "/root/testdata/sf0.01/documents.parquet"),
+      ("sf0.1", "/root/testdata/sf0.1/documents.parquet"),
+      ("sf1*", docsGen))
+    val embPoints = Seq(
+      ("sf0.01", "/root/testdata/sf0.01/embeddings.parquet"),
+      ("sf0.1", "/root/testdata/sf0.1/embeddings.parquet"),
+      ("sf1*", embGen))
+
+    import graft.queries.LlmQueries
+    val docFamilies: Seq[(String, DataFrame => Long)] = Seq(
+      ("l4 prefix+positional (PPJoin)",
+        (d: DataFrame) => LlmQueries.jaccardCandidates(sh(d)).count()),
+      ("l5 minhash band buckets",
+        (d: DataFrame) => LlmQueries.minhashCandidates(sh(d)).count()),
+      ("l26 PassJoin segments",
+        (d: DataFrame) => LlmQueries.editCandidates(
+          d.select(col("doc_id"), lower(substring(col("text"), 1, 20)).as("s20"))).count()),
+      ("l97 incremental probe",
+        (d: DataFrame) => LlmQueries.incrementalCandidates(
+          sh(d.filter(col("doc_id") % 2 === 0)),
+          sh(d.filter(col("doc_id") % 2 === 1))).count()),
+      ("l114 containment prefix (control)",
+        (d: DataFrame) => containCandidates(d)))
+
+    val out = new StringBuilder
+    out ++= "| family | " + docPoints.map(_._1).mkString(" | ") +
+      " | exp/decade |\n"
+    out ++= "|---|" + docPoints.map(_ => "---").mkString("|") + "|---|\n"
+    def expStr(cs: Seq[Long]): String =
+      cs.sliding(2).map { case Seq(a, b) =>
+        if (a > 0 && b > 0) f"${math.log10(b.toDouble / a)}%+.2f" else "n/a"
+      }.mkString(" / ")
+    docFamilies.foreach { case (name, f) =>
+      val cs = docPoints.map { case (_, p) => f(docsAt(p)) }
+      out ++= s"| $name | " + cs.mkString(" | ") + s" | ${expStr(cs)} |\n"
+      println(s"[audit] $name: ${cs.mkString(", ")}")
+    }
+    // l29: embeddings, the query's own adaptive width per point
+    val l29cs = embPoints.map { case (_, p) =>
+      val e = spark.read.parquet(p)
+      val n = e.count()
+      val r = srpRows(n)
+      LlmQueries.srpCandidates(planes = 8 * r, bands = 8, rows = r)(e).count()
+    }
+    out ++= s"| l29 hyperplane-LSH buckets (adaptive rows) | " +
+      l29cs.mkString(" | ") + s" | ${expStr(l29cs)} |\n"
+    println(s"[audit] l29: ${l29cs.mkString(", ")}")
+    // e5: events DO scale with SF — three committed decades, no slice
+    val e5points = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val e5cs = e5points.map(d => e5Candidates(spark, d))
+    out ++= s"| e5 range-join buckets (events sf0.001→0.1) | " +
+      e5cs.mkString(" | ") + s" | ${expStr(e5cs)} |\n"
+    println(s"[audit] e5: ${e5cs.mkString(", ")}")
+    println()
+    println("rows = docs 500 / 5000 / 50000*; vectors 500 / 2000 / 20000*; " +
+      "* = generated audit slice (see scaladoc)")
+    println(out.result())
+  }
+}
