@@ -323,6 +323,50 @@ object ExtQueries {
       .orderBy("o_orderkey")
   }
 
+  /** C13: SCD Type 2 history build — the slowly-changing-dimension
+    * versioning every warehouse keeps for "what did this record say at
+    * time t" queries (Kimball's Type 2: never update in place, close the
+    * old row and open a new one): from a change log keyed by (entity,
+    * change time), emit one row per VERSION with
+    * [valid_from, valid_to) half-open validity — valid_to = the next
+    * version's valid_from, null (open-ended) on the current row, plus
+    * the version ordinal and an is_current flag. The c8/c11 family's
+    * read-side complement: c8 keeps only the latest state, THIS keeps
+    * the full history queryable by as-of timestamp (an e4 as-of join
+    * against valid_from does exactly that).
+    *
+    * Change log here = purchase events per user (value = the changing
+    * attribute). All three window functions (version, lead, flag) share
+    * ONE spec — one hash exchange on user_id, one sort, zero self-joins
+    * (the naive SCD2 build joins the log to itself on "next change";
+    * lead() is that join for free). Total order (ts, event_id) — the f2
+    * tie discipline. Timestamps serialize at full microsecond fidelity
+    * (the e4/l13 convention). */
+  val c13_scd2_history = Q(
+    "c13_scd2_history",
+    """WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT user_id,
+      |       CAST(row_number() OVER w AS BIGINT) AS version,
+      |       value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |       CAST(lead(ts) OVER w IS NULL AS BIGINT) AS is_current
+      |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("version"),
+        col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(lead(col("ts"), 1).over(w),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        lead(col("ts"), 1).over(w).isNull.cast("long").as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** E9: shuffled-hash join — the third physical equi-join strategy,
     * completing the surface (E2 broadcast, A6/F4 sort-merge): both sides
     * hash-exchange on the key and the smaller side BUILDS an in-memory
@@ -1306,5 +1350,6 @@ object ExtQueries {
     b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
     f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
     d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers,
-    d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join)
+    d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join,
+    c13_scd2_history)
 }

@@ -10068,8 +10068,184 @@ object LlmQueries {
         "postings_total", "postings_kept")
   }
 
+  // -------------------- IVF-PQ recall vs exact L2 (l140)
+
+  /** L140: recall@5 of the declared IVF-PQ search (l107) against the
+    * exact uncompressed L2 ranking — the l73 monitor on the ADC footing,
+    * completing the round's IVF-PQ landing: l111 says how the two
+    * APPROXIMATE backends agree, this says what the composition (coarse
+    * routing recall loss × K=8 quantization distortion) costs against
+    * ground truth, which is the number a FAISS deployment tracks per
+    * index build (nprobe and K are tuned against exactly this curve).
+    * Truth is computed on the identical arithmetic footing the ADC
+    * approximates — Σ over the 4 subspaces of the 6-dp-rounded exact
+    * subspace L2, rounded at 6 dp, ranked (d², vec_id) — so the
+    * comparison isolates quantization+routing error with no
+    * summation-order noise in the baseline itself.
+    *
+    * 100 TB posture: the truth scan is the l6-class brute baseline (the
+    * declared |q|·N reference every recall monitor needs somewhere — at
+    * scale it runs on a SAMPLED query stratum, the l30 pattern); the PQ
+    * side rides the session-cached l107 ranking, adding nothing. */
+  val l140_pq_recall = Q(
+    "l140_pq_recall",
+    s"""WITH $ivfSearchCtes,
+       |$pqSearchCtes,
+       |xterm AS (SELECT b.vec_id, q.qid, b.s,
+       |            round(${l2sqSql("q.qs", "b.sub")}, 6) AS t
+       |          FROM psub b JOIN pqs q ON q.s = b.s
+       |          WHERE b.vec_id <> q.qid),
+       |xd AS (SELECT vec_id, qid,
+       |         round(list_reduce(list_prepend(0.0, list(t ORDER BY s)),
+       |                           (a, b) -> a + b), 6) AS d2
+       |       FROM xterm GROUP BY 1, 2),
+       |xr AS (SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
+       |       FROM xd),
+       |xt AS (SELECT qid, vec_id FROM xr WHERE rk <= 5),
+       |pt AS (SELECT qid, vec_id FROM pr2 WHERE rk <= 5),
+       |jj2 AS (SELECT xt.qid, CASE WHEN pt.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+       |        FROM xt LEFT JOIN pt ON xt.qid = pt.qid AND xt.vec_id = pt.vec_id)
+       |SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(sum(hit) AS BIGINT) AS n_hits,
+       |       round(sum(hit) * 1.0 / count(*), 6) AS recall_at_5
+       |FROM jj2""".stripMargin
+  ) { (s, d) =>
+    val e = withNorm(embeddings(s, d))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val d2 = (0 until PqM).map { sC =>
+      round(l2sq(slice(col("v"), sC * PqSubDim + 1, PqSubDim),
+        slice(col("qv"), sC * PqSubDim + 1, PqSubDim)), 6)
+    }.reduce(_ + _)
+    val rk = row_number().over(
+      Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id")))
+    val truth = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(d2, 6).as("d2"))
+      .withColumn("rk", rk).filter(col("rk") <= 5)
+      .select("qid", "vec_id")
+    val pq = pqSearchCached(s, d)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    truth.join(pq, Seq("qid", "vec_id"), "left")
+      .agg(countDistinct(col("qid")).cast("long").as("n_queries"),
+        count(lit(1)).cast("long").as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("recall_at_5"))
+  }
+
+  // ---------------- df-cap tuning curve for the l139 valve (l141)
+
+  private val SweepCaps = Seq(1L, 2L, 4L, 8L, 16L)
+
+  /** L141: the cap → ε tuning curve for l139's df valve — the l120
+    * (τ sweep) discipline applied to the cap knob: for cap ∈ {1, 2, 4,
+    * 8, 16}, how many true near-dup pairs the capped index still
+    * discovers, the miss rate ε, and how many index postings the cap
+    * refuses. An operator that ships a knob ships the knob's curve;
+    * picking a production cap IS reading this table (postings_kept =
+    * cost, ε = loss — the knee is the setting).
+    *
+    * ONE engine pass, not one per cap: a pair is discoverable at cap c
+    * iff SOME shared prefix shingle has df ≤ c, so the uncapped
+    * (lossless, l4-exact) prefix join annotates every true pair with its
+    * DISCOVERY THRESHOLD t = min df over shared prefix shingles; the
+    * per-cap counts are then conditional sums over the τ-verified pair
+    * frame (pair-count-sized) and the postings costs conditional sums
+    * over the ≤|vocab|-row df histogram. Sweeping the knob costs one
+    * extra integer annotation on work the lossless engine already does.
+    *
+    * 100 TB posture: identical cost to l4's candidate+verify pass (the
+    * sweep is metadata arithmetic on top); at scale the same
+    * threshold-annotation trick prices ANY monotone posting filter
+    * without re-running the index per setting. */
+  val l141_cap_sweep = Q(
+    "l141_cap_sweep",
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(len(toks) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
+       |       FROM d),
+       |sz AS (SELECT doc_id, len(ss) AS n FROM sh WHERE len(ss) > 0),
+       |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE len(ss) > 0),
+       |dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+       |exd AS (SELECT ex.doc_id, ex.s, dfc.df FROM ex JOIN dfc USING (s)),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jac AS (SELECT p.i, p.j FROM p
+       |        JOIN sz si ON si.doc_id = p.i JOIN sz sj ON sj.doc_id = p.j
+       |        WHERE p.c * 1.0 / (si.n + sj.n - p.c) >= $NearDupTau),
+       |pr AS (SELECT exd.doc_id, exd.s, exd.df, sz.n,
+       |         row_number() OVER (PARTITION BY exd.doc_id ORDER BY exd.df, exd.s) AS rk
+       |       FROM exd JOIN sz ON sz.doc_id = exd.doc_id),
+       |pf AS (SELECT doc_id, s, df FROM pr
+       |       WHERE rk <= n - ceil($NearDupTau * n - 1e-9) + 1),
+       |cand AS (SELECT a.doc_id AS i, b.doc_id AS j, min(a.df) AS t
+       |         FROM pf a JOIN pf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |ver AS (SELECT cand.i, cand.j, cand.t FROM cand
+       |        JOIN jac ON jac.i = cand.i AND jac.j = cand.j),
+       |caps AS (SELECT unnest([${SweepCaps.mkString(", ")}]) AS cap),
+       |byc AS (SELECT caps.cap,
+       |          (SELECT count(*) FROM ver) AS n_exact,
+       |          (SELECT count(*) FROM ver WHERE ver.t <= caps.cap) AS n_capped,
+       |          (SELECT sum(CASE WHEN df <= caps.cap THEN 1 ELSE 0 END) FROM exd) AS kept,
+       |          (SELECT count(*) FROM exd) AS total
+       |        FROM caps)
+       |SELECT CAST(cap AS BIGINT) AS cap,
+       |       CAST(n_exact AS BIGINT) AS n_exact,
+       |       CAST(n_capped AS BIGINT) AS n_capped,
+       |       CAST(n_exact - n_capped AS BIGINT) AS missed,
+       |       round((n_exact - n_capped) * 1.0 / nullif(n_exact, 0), 6) AS eps,
+       |       CAST(total AS BIGINT) AS postings_total,
+       |       CAST(kept AS BIGINT) AS postings_kept
+       |FROM byc ORDER BY cap""".stripMargin
+  ) { (s, d) =>
+    val sh = shingledCached(s, d)
+    val tau = NearDupTau
+    val ex = sh.filter(size(col("ss")) > 0)
+      .select(col("doc_id"), size(col("ss")).as("nf"), explode(col("ss")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefix = ex.withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1)
+      .select(col("doc_id"), col("s"), col("df"))
+      .localCheckpoint(false)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(min(col("a.df")).as("t")) // df is the shared shingle's — same both sides
+    val ver = verifyPairs(cand.select("i", "j"), sh, tau)
+      .join(cand, Seq("i", "j")).select("i", "j", "t").localCheckpoint(false)
+    val hist = ex.groupBy("df").agg(count(lit(1)).as("c"))
+    import s.implicits._
+    val caps = SweepCaps.toDF("cap")
+    val pairRow = ver.crossJoin(broadcast(caps))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_exact"),
+        sum((col("t") <= col("cap")).cast("long")).as("n_capped"))
+    val postRow = hist.crossJoin(broadcast(caps))
+      .groupBy("cap")
+      .agg(sum("c").as("postings_total"),
+        sum(when(col("df") <= col("cap"), col("c")).otherwise(0L)).as("postings_kept"))
+    caps.join(pairRow, Seq("cap"), "left").join(postRow, Seq("cap"), "left")
+      .select(col("cap"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_capped"), lit(0L)).as("n_capped"),
+        (coalesce(col("n_exact"), lit(0L)) -
+          coalesce(col("n_capped"), lit(0L))).as("missed"),
+        round((coalesce(col("n_exact"), lit(0L)) -
+          coalesce(col("n_capped"), lit(0L))).cast("double") /
+          nullif(coalesce(col("n_exact"), lit(0L)), lit(0L)), 6).as("eps"),
+        col("postings_total"), col("postings_kept"))
+      .orderBy("cap")
+  }
+
   val all: Seq[Q] = Seq(
-    l133_chi2_independence, l139_capped_neardup,
+    l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
+    l141_cap_sweep,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

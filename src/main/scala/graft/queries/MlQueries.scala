@@ -345,7 +345,85 @@ object MlQueries {
           .as("r2"))
   }
 
+  /** H16: decile lift / gains table over the OLS scores — the targeting
+    * artifact beside h9's AUC and h10's AP: rank the population by score,
+    * cut into 10 equal-depth deciles, and report per decile the response
+    * rate and the CUMULATIVE lift (top-k deciles' rate over the base
+    * rate) — "mail the top 2 deciles" decisions read exactly this table,
+    * and a model whose AUC moved but whose top-decile lift didn't has
+    * drifted where it doesn't matter.
+    *
+    * Scale posture: NO corpus-wide rank window. The score takes ≤ 1000
+    * distinct values (x is a 3-digit fraction and proba is monotone in
+    * x), so the global rank decomposes as cumulative-count-of-greater-
+    * values (a ≤1000-row VALUE-grid cumulative — the l131 grid idiom,
+    * metadata-sized, the l51 documented exception class) plus a
+    * row_number PARTITIONED by value (tie-broken by key) — every
+    * corpus-scale exchange is hash-partitioned. Decile boundaries use
+    * exact integer division ((rank−1)·10 div n), never float floor, so
+    * the cut is engine-exact; lift multiplies integers before the one
+    * rounded division. */
+  val h16_lift_table = Q(
+    "h16_lift_table",
+    s"""WITH s AS ($scoredSql),
+       |f AS (SELECT regr_slope(label, x) AS b, regr_intercept(label, x) AS a FROM s),
+       |pr AS (SELECT key, label,
+       |         round(least(greatest(a + b * x, 0.0), 1.0), 6) AS proba
+       |       FROM s, f),
+       |tot AS (SELECT count(*) AS n, sum(label) AS p FROM pr),
+       |rk AS (SELECT label, row_number() OVER (ORDER BY proba DESC, key) AS rk
+       |       FROM pr),
+       |dd AS (SELECT ((rk - 1) * 10) // (SELECT n FROM tot) + 1 AS decile, label
+       |       FROM rk),
+       |g AS (SELECT decile, count(*) AS n_d, sum(label) AS pos_d FROM dd GROUP BY 1),
+       |c AS (SELECT decile, n_d, pos_d,
+       |        sum(n_d) OVER (ORDER BY decile) AS cum_n,
+       |        sum(pos_d) OVER (ORDER BY decile) AS cum_pos
+       |      FROM g)
+       |SELECT CAST(decile AS BIGINT) AS decile,
+       |       CAST(n_d AS BIGINT) AS n,
+       |       CAST(pos_d AS BIGINT) AS positives,
+       |       round(pos_d * 1.0 / n_d, 6) AS resp_rate,
+       |       round(cum_pos * (SELECT n FROM tot) * 1.0
+       |             / (cum_n * (SELECT p FROM tot)), 6) AS cum_lift
+       |FROM c ORDER BY decile""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sc = scored(s, d)
+    val pr = sc.crossJoin(broadcast(olsFit(sc)))
+      .select(col("key"), col("label"),
+        round(least(greatest(col("a") + col("b") * col("x"), lit(0.0)),
+          lit(1.0)), 6).as("proba"))
+    // value-grid cumulative: rows with a strictly GREATER score (score
+    // DESC order) — <=1000 metadata rows, the documented exception class
+    val grid = pr.groupBy("proba").agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("proba").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumb = grid.select(col("proba"),
+      coalesce(sum("c").over(wv), lit(0L)).as("cumb"))
+    val wpk = Window.partitionBy("proba").orderBy("key")
+    val tot = pr.agg(count(lit(1)).as("n"), sum("label").as("p"))
+    val ranked = pr.join(cumb, Seq("proba"))
+      .withColumn("rk", col("cumb") + row_number().over(wpk))
+      .crossJoin(broadcast(tot))
+      .select(col("label"),
+        (expr("((rk - 1) * 10) div n") + 1).as("decile"),
+        col("n"), col("p"))
+    val wd = Window.orderBy("decile")
+    ranked.groupBy("decile", "n", "p")
+      .agg(count(lit(1)).as("n_d"), sum("label").as("pos_d"))
+      .select(col("decile"), col("n_d"), col("pos_d"), col("n"), col("p"),
+        sum("n_d").over(wd).as("cum_n"), sum("pos_d").over(wd).as("cum_pos"))
+      .select(col("decile"),
+        col("n_d").as("n"),
+        col("pos_d").as("positives"),
+        round(col("pos_d").cast("double") / col("n_d"), 6).as("resp_rate"),
+        round(col("cum_pos") * col("n") * lit(1.0) /
+          (col("cum_n") * col("p")), 6).as("cum_lift"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] = Seq(
     h6_ols_scorer, h8_accuracy, h9_roc_auc, h10_avg_precision, h11_class_report,
-    h13_cv_folds, h15_regression_metrics)
+    h13_cv_folds, h15_regression_metrics, h16_lift_table)
 }
