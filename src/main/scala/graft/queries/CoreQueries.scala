@@ -136,6 +136,31 @@ object CoreQueries {
       .orderBy("doc_id")
   }
 
+  /** A20: manifest-checked read (ops/Manifest) — the integrity companion
+    * to c11's commit-posture declaration: path-based parquet has no table
+    * format, so a lost task file, a half-replaced partition or a stray
+    * writer's leftover silently changes what a read returns. The write
+    * records per-file row counts and an order-independent xxhash64-XOR
+    * content signature in a `_`-prefixed sidecar (plain readers already
+    * skip it, like _SUCCESS); the checked read re-derives both in ONE
+    * map-combinable pass and REFUSES loudly on any disagreement —
+    * ManifestSpec tampers a data file and pins the refusal naming it.
+    * Transactional formats keep exactly these stats in their commit log;
+    * this is the path-based stand-in. The declared output is the
+    * validated table itself (the a1 roundtrip contract: green hash =
+    * write → manifest → validate → read is lossless). */
+  val a20_manifest_checked_read = Q(
+    "a20_manifest_checked_read",
+    """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+      |       CAST(s_nationkey AS BIGINT) AS s_nationkey
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+  ) { (s, d) =>
+    val dir = graft.Tables.scratchDir(s, d, "graft_manifest_sup")
+    graft.ops.Manifest.write(s,
+      supplier(s, d).select("s_suppkey", "s_name", "s_nationkey"), dir)
+    graft.ops.Manifest.checkedRead(s, dir).orderBy("s_suppkey")
+  }
+
   /** A16: compression-codec roundtrip — zstd-compressed parquet written
     * and read back, with the chained snappy→zstd rewrite in the middle
     * (the codec-migration path a lakehouse walks when it swaps its
@@ -886,7 +911,7 @@ object CoreQueries {
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
     a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge, a15_corrupt_json,
     a16_codec_roundtrip, a17_corrupt_csv, a18_xml_roundtrip,
-    a19_selective_ingest,
+    a19_selective_ingest, a20_manifest_checked_read,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,
