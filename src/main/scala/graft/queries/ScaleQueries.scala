@@ -466,6 +466,42 @@ object ScaleQueries {
       .orderBy("error_id", "signup_id")
   }
 
+  /** E10: value band join (extension, ops/BandJoin) — every purchase
+    * matched to the same user's views whose value agrees to within
+    * ±5.0: the VALUE-space member of the inequality-join family (e4
+    * as-of on time order, e5 point-in-interval on time containment,
+    * THIS on numeric tolerance — reconciliation/price-matching shape).
+    * Bucketed at width δ with a {b−1, b, b+1} neighbor replication of
+    * one side, so the plan is an equi-join on (user, bucket) + the exact
+    * tolerance filter — never the per-key nested loop Spark would plan
+    * for the raw theta join (PlanShapeSpec pins no cartesian/BNLJ). The
+    * oracle is DuckDB's plain inequality join: two independent
+    * formulations, row-identical — green certifies the bucketing is
+    * lossless, not just plausible. */
+  val e10_band_join = Q(
+    "e10_band_join",
+    """WITH e AS (SELECT event_id, user_id, event_type, value FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, value AS pv FROM e
+      |      WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id AS view_id, user_id, value AS vv FROM e
+      |      WHERE event_type = 'view')
+      |SELECT p.purchase_id, p.user_id, p.pv, v.view_id, v.vv
+      |FROM p JOIN v ON p.user_id = v.user_id AND abs(p.pv - v.vv) <= 5.0
+      |ORDER BY p.purchase_id, v.view_id""".stripMargin
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("value").as("pv"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("value").as("vv"))
+    graft.ops.BandJoin.join(p, v, "user_id", "pv", "vv", 5.0)
+      .select(col("purchase_id"), col("user_id"), col("pv"),
+        col("view_id"), col("vv"))
+      .orderBy("purchase_id", "view_id")
+  }
+
   /** A10: z-order clustered layout (ops/ZOrder) — lineitem written
     * range-partitioned + sorted by the Morton key of (l_partkey,
     * l_suppkey), then read back through a 2-D box predicate. The layout
@@ -540,5 +576,6 @@ object ScaleQueries {
 
   val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
     a9_dynamic_pruning, a10_zorder, a12_runtime_bloom, c11_partition_upsert,
-    f4_salted_join, f8_aqe_skew_join, e4_asof_join, e5_range_join)
+    f4_salted_join, f8_aqe_skew_join, e4_asof_join, e5_range_join,
+    e10_band_join)
 }

@@ -255,6 +255,30 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"range join must stay an equi-join:\n$plan")
   }
 
+  test("band join equals the naive theta join, as a bucketed equi-join plan") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("value").as("pv"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("value").as("vv"))
+    val got = graft.ops.BandJoin.join(p, v, "user_id", "pv", "vv", 5.0)
+    val naive = p.as("a").join(v.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          abs(col("pv") - col("vv")) <= 5.0)
+      .select(col("purchase_id"), col("view_id"))
+    val gotSet = got.select("purchase_id", "view_id").collect().map(_.toSeq).toSet
+    assert(gotSet === naive.collect().map(_.toSeq).toSet)
+    assert(gotSet.nonEmpty, "corpus must produce matches")
+    // single home bucket on the probe side ⇒ provably dup-free, no dedup
+    assert(got.count() === gotSet.size.toLong)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join must stay an equi-join:\n$plan")
+  }
+
   test("bucket-pruned embedding near-dup: perfect precision, measured recall") {
     import org.apache.spark.sql.functions._
     val tau = 0.3 // low enough that cross-bucket pairs exist at sf0.001
