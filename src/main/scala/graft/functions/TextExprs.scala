@@ -4,10 +4,10 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** graft_shingle_set(toks, n): the DISTINCT ordered-token n-gram set of an
@@ -541,6 +541,77 @@ case class BpeEncodeWords(left: Expression, right: Expression)
     })
 }
 
+/** graft_luhn_check(s): Luhn mod-10 checksum validation (ISO/IEC 7812 —
+  * the check digit scheme of payment-card / IMEI / account numbers), the
+  * precision half of a PII detector: a digit-run regex alone over-fires
+  * on timestamps, ids and phone numbers, and the checksum is what
+  * separates "13–19 digits" from "a number that could actually be a
+  * card" (~90% of random digit strings fail it).
+  *
+  * Contract (replayed verbatim by the DuckDB oracle in l143): null → null;
+  * empty or any non-digit character → false; otherwise, summing from the
+  * RIGHTMOST digit with every second digit doubled (>9 → −9), valid iff
+  * the total ≡ 0 (mod 10). Digits are validated at the BYTE level —
+  * any multi-byte (non-ASCII) character falls outside '0'..'9' and
+  * yields false, so no decode happens at all.
+  *
+  * Why native: the detector runs inside a corpus scan (the l16/l91
+  * redaction family); this is one branch-free-ish byte loop inside
+  * whole-stage codegen — no string decode, no per-char boxing, no
+  * interpreted HOF lambda. Interpreted eval shares the same byte walk
+  * (TextExprsSpec pins codegen ≡ interpreted ≡ a driver-side replay on
+  * known vectors). */
+case class LuhnCheck(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_luhn_check"
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnCheck =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any =
+    LuhnOps.valid(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("luhnN"); val sum = ctx.freshName("luhnSum")
+      val ok = ctx.freshName("luhnOk"); val i = ctx.freshName("luhnI")
+      val d = ctx.freshName("luhnD"); val pos = ctx.freshName("luhnPos")
+      s"""
+         |final int $n = $a.numBytes();
+         |int $sum = 0; boolean $ok = $n > 0;
+         |for (int $i = $n - 1, $pos = 0; $ok && $i >= 0; $i--, $pos++) {
+         |  final int $d = (int) $a.getByte($i) - (int) '0';
+         |  if ($d < 0 || $d > 9) { $ok = false; break; }
+         |  $sum += ($pos % 2 == 1) ? ($d > 4 ? $d * 2 - 9 : $d * 2) : $d;
+         |}
+         |${ev.value} = $ok && $sum % 10 == 0;
+       """.stripMargin
+    })
+}
+
+/** The interpreted twin of [[LuhnCheck]]'s codegen loop — same byte walk,
+  * shared with the spec's driver-side replay. */
+object LuhnOps {
+  def valid(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    if (n == 0) return false
+    var sum = 0; var i = n - 1; var pos = 0
+    while (i >= 0) {
+      val d = s.getByte(i).toInt - '0'.toInt
+      if (d < 0 || d > 9) return false
+      sum += (if (pos % 2 == 1) { if (d > 4) d * 2 - 9 else d * 2 } else d)
+      i -= 1; pos += 1
+    }
+    sum % 10 == 0
+  }
+}
+
 object TextExprs {
 
   val shingleSetInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -589,10 +660,18 @@ object TextExprs {
       BpeEncodeWords(exprs.head, exprs(1))
     })
 
+  val luhnInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_luhn_check"),
+    new ExpressionInfo(classOf[LuhnCheck].getName, "graft_luhn_check"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, s"graft_luhn_check takes 1 argument, got ${exprs.length}")
+      LuhnCheck(exprs.head)
+    })
+
   /** Idempotent per-session registration, mirroring [[VectorExprs.register]]. */
   def register(spark: SparkSession): Unit = {
     Seq(shingleSetInfo, xxhash64ArrayInfo, winnowInfo, simhashInfo,
-      bpeEncodeInfo).foreach {
+      bpeEncodeInfo, luhnInfo).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -618,6 +697,11 @@ object TextExprs {
   /** Elementwise chained xxhash64 ≡ transform(arr, s -> xxhash64(s, lit(k))). */
   def xxhash64Array(arr: Column, chainSeed: Long): Column =
     call_function("graft_xxhash64_array", arr, lit(chainSeed))
+
+  /** Luhn mod-10 checksum validity of a digit string (boolean; false on
+    * empty/non-digit, null on null). */
+  def luhnCheck(s: Column): Column =
+    call_function("graft_luhn_check", s)
 
   /** Flattened per-doc BPE subwords of a word array under the given merge
     * rules (rank order), as the native one-pass encode. */

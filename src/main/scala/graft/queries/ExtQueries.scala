@@ -367,6 +367,70 @@ object ExtQueries {
       .orderBy("user_id", "version")
   }
 
+  /** C14: single-pass column profile — the data-quality summary every
+    * ingest run computes before anything downstream trusts the batch
+    * (the Deequ/TFDV analyzer shape): per numeric column, row count,
+    * null count, exact distinct count, min/max and 6-dp mean. The whole
+    * point is the PASS COUNT: a naive profiler loops `for c in cols:
+    * df.agg(...)` = k full scans; this computes every analyzer for every
+    * column in ONE aggregate over ONE scan, then explodes the single
+    * result row into the per-column report frame (driver-side shape: the
+    * explode input is 1 row × k structs, never data).
+    *
+    * Plan note (the d22 lesson applies): the k count(DISTINCT c) columns
+    * plan as ONE Expand (k+1 replicas: one per distinct group + one for
+    * the plain min/max/sum/count battery) feeding a partial aggregate —
+    * still a single FileScan, and every aggregate stays map-combinable
+    * declarative (no imperative buffer beside the distincts, so the
+    * hash-agg path survives). At 100 TB the exact-distinct column is the
+    * knob you relax first: swap countDistinct for the d13 HLL sketch
+    * (±2% — the d22 audit row quantifies exactly what that trade costs)
+    * and the Expand disappears with it.
+    *
+    * Determinism: mean = exact DECIMAL(28,10) sum cast to double, THEN
+    * one IEEE division by the non-null count and one 6-dp round — no
+    * float summation order anywhere. Null counting is pinned on an
+    * engineered frame in QueryHardeningSpec (the committed tables carry
+    * no numeric nulls — the oracle verifies the zero, the spec verifies
+    * the counter). */
+  private val ProfileCols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  val c14_column_profile = Q(
+    "c14_column_profile",
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+         |  round(CAST(sum(CAST($c AS DECIMAL(28,10))) AS DOUBLE) / count($c), 6)
+         |    AS mean_v
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  ) { (s, d) => columnProfile(lineitem(s, d), ProfileCols) }
+
+  /** c14's engine over any frame + numeric column list — factored so the
+    * hardening spec can feed an engineered frame WITH nulls. */
+  private[graft] def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("double").as(s"${c}__mn"),
+      max(col(c)).cast("double").as(s"${c}__mx"),
+      sum(col(c).cast("decimal(28,10)")).cast("double").as(s"${c}__sm")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_v"),
+        col(s"${c}__mx").as("max_v"),
+        round(col(s"${c}__sm") / col(s"${c}__nn"), 6).as("mean_v"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   /** E9: shuffled-hash join — the third physical equi-join strategy,
     * completing the surface (E2 broadcast, A6/F4 sort-merge): both sides
     * hash-exchange on the key and the smaller side BUILDS an in-memory
@@ -1351,5 +1415,5 @@ object ExtQueries {
     f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
     d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers,
     d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join,
-    c13_scd2_history)
+    c13_scd2_history, c14_column_profile)
 }

@@ -9970,6 +9970,13 @@ object LlmQueries {
     * pipeline over xxhash64 longs, and the theorem is order-insensitive,
     * so cap-off here ≡ the lossless engine (CappedJaccardSpec pins it). */
   private[graft] def cappedJaccardPairs(sh: DataFrame, tau: Double,
+      cap: Long): DataFrame =
+    verifyPairs(cappedJaccardCandidates(sh, tau, cap), sh, tau)
+
+  /** l139's candidate stage alone — factored so WorkRowAudit counts the
+    * REAL capped frame beside l4's unbounded one (the valve's whole claim
+    * is a flattened candidate exponent; the audit measures it). */
+  private[graft] def cappedJaccardCandidates(sh: DataFrame, tau: Double,
       cap: Long): DataFrame = {
     val ex = sh.filter(size(col("ss")) > 0)
       .select(col("doc_id"), size(col("ss")).as("nf"), explode(col("ss")).as("s"))
@@ -9980,11 +9987,10 @@ object LlmQueries {
         col("df") <= cap)
       .select(col("doc_id"), col("s"))
       .localCheckpoint(false) // both sides of the self-join read it
-    val cand = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyPairs(cand, sh, tau)
   }
 
   /** L139: df-capped Jaccard near-dup with its miss rate DECLARED as data
@@ -10243,9 +10249,158 @@ object LlmQueries {
       .orderBy("cap")
   }
 
+  // ------------- Bradley–Terry preference-strength fit (l142)
+
+  /** L142: Bradley–Terry preference-strength fit, two exact MM rounds
+    * (Bradley & Terry 1952; Hunter, "MM algorithms for generalized
+    * Bradley-Terry models", Ann. Statist. 2004 — the model behind
+    * reward-model training and RLHF preference-data analysis: pairwise
+    * "A beats B" comparisons → per-item strength p, where
+    * P(i beats j) = p_i/(p_i+p_j)). Comparisons here are revealed
+    * preferences in the events table: per user, item = event type,
+    * winner of (i, j) = the type with the strictly greater per-user
+    * total value (DECIMAL-exact totals so the comparison cannot flip on
+    * float summation order; exact ties drop the pair). Output per item:
+    * wins, comparisons, and the strength after MM rounds 1 and 2 from
+    * the uniform start — the l44/l108 pinned-round idiom (the
+    * production fit iterates this exact unit to convergence).
+    *
+    * Determinism: round 1 from p⁰≡1 collapses to round(2W_k/Σn_k, 6) —
+    * pure integer ratio; round 2's denominator Σ_j n_kj/(p1_k + p1_j)
+    * folds over the OPPONENT-ORDERED term list on both engines (the
+    * l62/l93 sequential-fold convention) over the 6-dp-rounded p1
+    * values, so both engines add identical doubles in identical order.
+    *
+    * 100 TB posture: per-user totals are ONE map-combinable DECIMAL
+    * aggregate; the pairing self-join is per-user with enum-bounded
+    * fan-out (≤ |types|² rows per user); everything after the pair
+    * aggregation is #types² metadata arithmetic. At item-vocabulary
+    * scale (ranking millions of documents, not 5 event types) the MM
+    * round stays two equi-joins + one map-combinable aggregate per
+    * iteration — linear in the comparison count, the Hunter result. */
+  val l142_bradley_terry = Q(
+    "l142_bradley_terry",
+    """WITH tv AS (SELECT user_id, event_type,
+      |              sum(CAST(value AS DECIMAL(18,2))) AS tv
+      |            FROM events GROUP BY 1, 2),
+      |pr AS (SELECT a.event_type AS i, b.event_type AS j, count(*) AS n,
+      |         sum(CASE WHEN a.tv > b.tv THEN 1 ELSE 0 END) AS wi
+      |       FROM tv a JOIN tv b ON a.user_id = b.user_id
+      |                          AND a.event_type < b.event_type
+      |       WHERE a.tv <> b.tv GROUP BY 1, 2),
+      |sym AS (SELECT i AS k, j AS o, n, wi AS w FROM pr
+      |        UNION ALL SELECT j AS k, i AS o, n, n - wi AS w FROM pr),
+      |r1 AS (SELECT k, sum(w) AS wins, sum(n) AS comps,
+      |         round(sum(w) * 2.0 / sum(n), 6) AS p1
+      |       FROM sym GROUP BY k),
+      |d2 AS (SELECT s.k,
+      |         list_reduce(list_prepend(0.0,
+      |           list(s.n * 1.0 / (rk.p1 + ro.p1) ORDER BY s.o)),
+      |           (a, b) -> a + b) AS dk
+      |       FROM sym s JOIN r1 rk ON rk.k = s.k JOIN r1 ro ON ro.k = s.o
+      |       GROUP BY s.k)
+      |SELECT r1.k AS event_type, CAST(r1.wins AS BIGINT) AS wins,
+      |       CAST(r1.comps AS BIGINT) AS comparisons, r1.p1,
+      |       round(r1.wins / d2.dk, 6) AS p2
+      |FROM r1 JOIN d2 ON d2.k = r1.k ORDER BY 1""".stripMargin
+  ) { (s, d) => bradleyTerry(events(s, d)
+    .select(col("user_id"), col("event_type"), col("value"))) }
+
+  /** l142 core over any (user_id, event_type, value) frame — factored so
+    * LlmOpsSpec can feed an engineered preference matrix with a known
+    * closed-form fixed point. */
+  private[graft] def bradleyTerry(ev: DataFrame): DataFrame = {
+    val tv = ev.groupBy("user_id", "event_type")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("tv"))
+    val pr = tv.as("a").join(tv.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .filter(col("a.tv") =!= col("b.tv"))
+      .groupBy(col("a.event_type").as("i"), col("b.event_type").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("a.tv") > col("b.tv")).cast("long")).as("wi"))
+    val sym = pr.select(col("i").as("k"), col("j").as("o"), col("n"),
+        col("wi").as("w"))
+      .unionByName(pr.select(col("j").as("k"), col("i").as("o"), col("n"),
+        (col("n") - col("wi")).as("w")))
+      .localCheckpoint(false) // read by both MM rounds below
+    val r1 = sym.groupBy("k")
+      .agg(sum("w").as("wins"), sum("n").as("comps"))
+      .withColumn("p1", round(col("wins") * 2.0 / col("comps"), 6))
+    val d2 = sym
+      .join(r1.select(col("k"), col("p1").as("pk")), Seq("k"))
+      .join(r1.select(col("k").as("o"), col("p1").as("po")), Seq("o"))
+      .groupBy("k")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("o"),
+          (col("n") * lit(1.0) / (col("pk") + col("po"))).as("term")))),
+          x => x.getField("term")),
+        lit(0.0), (a, b) => a + b).as("dk"))
+    r1.join(d2, Seq("k"))
+      .select(col("k").as("event_type"), col("wins"), col("comps").as("comparisons"),
+        col("p1"), round(col("wins") / col("dk"), 6).as("p2"))
+      .orderBy("event_type")
+  }
+
+  // ------------- checksum-validated PII detection (l143)
+
+  /** L143: Luhn-validated identifier detection — the PRECISION stage of
+    * the PII/redaction family (l16 regex redaction, l91 invisible scrub):
+    * a digit-run regex alone over-fires on timestamps, row ids and order
+    * numbers, so a production detector validates the ISO/IEC 7812 mod-10
+    * checksum before treating a digit run as a payment-card/account
+    * number (~90% of random digit strings fail it — the measured
+    * valid_rate here is exactly that prior). Pipeline: extract the digit
+    * run (regexp_extract — the candidate generator), validate with the
+    * native [[graft.functions.LuhnCheck]] byte-loop expression (doGenCode
+    * — no decode, no UDF, stays inside whole-stage codegen), aggregate
+    * the detector's fire rate per segment.
+    *
+    * Determinism: pure integer arithmetic end to end; the DuckDB oracle
+    * replays the identical rightmost-first double-every-second walk via
+    * list_transform. Rate = post-aggregation integer ratio rounded 6dp.
+    *
+    * 100 TB posture: one corpus scan, the checksum is a per-row byte loop
+    * on the extracted run (no shuffle added), and the aggregate is
+    * map-combinable over |segments| groups. On a real corpus the same
+    * expression gates which regex candidates reach the l16 redaction
+    * writer — checksum-filtering BEFORE the rewrite pass is what keeps
+    * false-positive redactions from corrupting training text. */
+  val l143_luhn_pii = Q(
+    "l143_luhn_pii",
+    """WITH c AS (SELECT c_mktsegment, regexp_extract(c_name, '[0-9]+') AS ds
+      |           FROM customer),
+      |v AS (SELECT c_mktsegment,
+      |        CASE WHEN length(ds) = 0 THEN FALSE
+      |             ELSE list_sum(list_transform(range(length(ds)),
+      |               i -> CASE WHEN i % 2 = 1 THEN
+      |                      CASE WHEN CAST(ds[length(ds)-i] AS INT) > 4
+      |                           THEN CAST(ds[length(ds)-i] AS INT) * 2 - 9
+      |                           ELSE CAST(ds[length(ds)-i] AS INT) * 2 END
+      |                    ELSE CAST(ds[length(ds)-i] AS INT) END)) % 10 = 0
+      |        END AS ok
+      |      FROM c)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_ids,
+      |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+      |       round(sum(CASE WHEN ok THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+      |         AS valid_rate
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    customer(s, d)
+      .select(col("c_mktsegment"),
+        graft.functions.TextExprs.luhnCheck(
+          regexp_extract(col("c_name"), "[0-9]+", 0)).as("ok"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_ids"),
+        sum(col("ok").cast("long")).as("n_luhn_valid"))
+      .select(col("c_mktsegment"), col("n_ids"), col("n_luhn_valid"),
+        round(col("n_luhn_valid") * lit(1.0) / col("n_ids"), 6).as("valid_rate"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
-    l141_cap_sweep,
+    l141_cap_sweep, l142_bradley_terry, l143_luhn_pii,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

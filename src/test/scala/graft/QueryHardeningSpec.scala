@@ -280,4 +280,30 @@ class QueryHardeningSpec extends AnyFunSuite {
       assert(math.abs(g._2 - e._2) < 1e-9, s"window ${g._1}: ${g._2} vs ${e._2}")
     }
   }
+
+  test("c14: the profile's null / distinct / mean counters on a frame " +
+      "WITH nulls (the committed tables have none), and the all-null column") {
+    import spark.implicits._
+    // x: 2 nulls, 3 distinct non-null values; y: ALL null (min/max/mean
+    // must go null, not 0); z: constant
+    val df = Seq(
+      (Some(1.0), None: Option[Double], 5.0),
+      (Some(2.0), None, 5.0),
+      (Some(2.0), None, 5.0),
+      (None, None, 5.0),
+      (Some(4.0), None, 5.0),
+      (None, None, 5.0)).toDF("x", "y", "z")
+    val got = ExtQueries.columnProfile(df, Seq("x", "y", "z")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getLong(1) === 6L && x.getLong(2) === 2L && x.getLong(3) === 3L)
+    assert(x.getDouble(4) === 1.0 && x.getDouble(5) === 4.0)
+    assert(x.getDouble(6) === 2.25, "mean over NON-NULL rows only (9/4)")
+    val y = got("y")
+    assert(y.getLong(1) === 6L && y.getLong(2) === 6L && y.getLong(3) === 0L)
+    assert(y.isNullAt(4) && y.isNullAt(5) && y.isNullAt(6),
+      "an all-null column profiles to null stats, not zeros")
+    val z = got("z")
+    assert(z.getLong(2) === 0L && z.getLong(3) === 1L && z.getDouble(6) === 5.0)
+  }
 }

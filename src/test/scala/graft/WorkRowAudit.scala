@@ -151,7 +151,10 @@ object WorkRowAudit {
           sh(d.filter(col("doc_id") % 2 === 0)),
           sh(d.filter(col("doc_id") % 2 === 1))).count()),
       ("l114 containment prefix (control)",
-        (d: DataFrame) => containCandidates(d)))
+        (d: DataFrame) => containCandidates(d)),
+      ("l139 df-capped Jaccard (cap=4, the valve)",
+        (d: DataFrame) => LlmQueries.cappedJaccardCandidates(
+          sh(d), tau = 0.8, cap = 4).count()))
 
     val out = new StringBuilder
     out ++= "| family | " + docPoints.map(_._1).mkString(" | ") +

@@ -234,4 +234,51 @@ class TextExprsSpec extends AnyFunSuite {
     }
     assert(anyMerged, "no random case produced a merge — the property is vacuous")
   }
+
+  /** Independent driver-side Luhn (char-based, reversed-list fold — a
+    * different shape from the expression's byte walk on purpose). */
+  private def refLuhn(s: String): Boolean =
+    s.nonEmpty && s.forall(_.isDigit) && {
+      s.reverse.zipWithIndex.map { case (ch, pos) =>
+        val d = ch - '0'
+        if (pos % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum % 10 == 0
+    }
+
+  test("luhn check: known vectors, codegen = interpreted = driver replay, " +
+      "and the check-digit property") {
+    TextExprs.register(spark)
+    import org.apache.spark.unsafe.types.UTF8String
+    // classic vector + its nine mutated check digits: exactly one valid
+    val classic = (0 to 9).map(d => s"7992739871$d")
+    assert(refLuhn("79927398713"))
+    val rnd = new scala.util.Random(11)
+    val randoms = (0 until 300).map(_ =>
+      (1 to (7 + rnd.nextInt(12))).map(_ => rnd.nextInt(10)).mkString)
+    // check-digit property: body + the one completing digit is valid
+    val completed = randoms.map { body =>
+      (0 to 9).map(d => body + d).find(refLuhn)
+        .getOrElse(fail(s"no completing check digit for $body"))
+    }
+    val weird = Seq("", "0", "00", "59", "4111 1111", "x79927398713",
+      "٧٩٩٢", "1234567890123456789")
+    val inputs = (classic ++ randoms ++ completed ++ weird).distinct
+    val got = inputs.toDF("s")
+      .select(col("s"), TextExprs.luhnCheck(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    inputs.foreach { s =>
+      assert(got(s) === refLuhn(s), s"codegen diverges from replay on '$s'")
+      assert(LuhnOps.valid(UTF8String.fromString(s)) === refLuhn(s),
+        s"interpreted diverges from replay on '$s'")
+    }
+    assert(classic.count(got) === 1 && got("79927398713"),
+      "exactly the classic vector must validate among its mutations")
+    assert(completed.forall(got), "every completed random body must validate")
+    assert(!got("") && !got("4111 1111") && !got("٧٩٩٢"),
+      "empty / spaced / non-ASCII digits must be false")
+    // null propagates (nullSafeEval)
+    val nv = Seq((1, null: String)).toDF("id", "s")
+      .select(TextExprs.luhnCheck(col("s"))).collect()
+    assert(nv.head.isNullAt(0), "null input must stay null")
+  }
 }

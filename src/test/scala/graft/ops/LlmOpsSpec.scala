@@ -3667,4 +3667,38 @@ class LlmOpsSpec extends AnyFunSuite {
       s"first-refinement gain $gain1 must dominate the second's $gain2")
     info(f"l95: inertia $i0%.2f -> $i1%.2f -> $i2%.2f; moves $m1 -> $m2")
   }
+
+  test("l142 Bradley-Terry: a dominant item's strength grows across rounds, " +
+      "a dominated one's shrinks, and both rounds equal a driver replay") {
+    // engineered revealed preferences: per user u, value totals order the
+    // items strictly A > B > C, so every pairwise comparison is A beats
+    // B, A beats C, B beats C, over 10 users
+    val ev = (1 to 10).flatMap { u =>
+      Seq((u.toLong, "A", 30.0), (u.toLong, "B", 20.0), (u.toLong, "C", 10.0))
+    }.toDF("user_id", "event_type", "value")
+    val got = LlmQueries.bradleyTerry(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // wins: A 20/20, B 10/20, C 0/20; round 1 = 2W/n exactly
+    assert(got("A")._1 === 20L && got("B")._1 === 10L && got("C")._1 === 0L)
+    assert(got.values.forall(_._2 === 20L))
+    assert(got("A")._3 === 2.0 && got("B")._3 === 1.0 && got("C")._3 === 0.0)
+    // round 2 replay: p2_k = W_k / sum_j n_kj / (p1_k + p1_j), opponent-
+    // ordered fold like both engines
+    val p1 = Map("A" -> 2.0, "B" -> 1.0, "C" -> 0.0)
+    val nkj = 10.0
+    def p2(k: String) = {
+      val others = p1.keys.filter(_ != k).toSeq.sorted
+      val dk = others.map(o => nkj / (p1(k) + p1(o))).sum
+      r6(got(k)._1 / dk)
+    }
+    Seq("A", "B", "C").foreach { k =>
+      assert(got(k)._4 === p2(k), s"round-2 strength mismatch at $k")
+    }
+    // monotone story: the dominant item strengthens, the dominated decays
+    assert(got("A")._4 > got("A")._3 && got("C")._4 <= got("C")._3)
+    info(s"l142: A ${got("A")._3} -> ${got("A")._4}, C ${got("C")._3} -> ${got("C")._4}")
+  }
 }
