@@ -10398,9 +10398,97 @@ object LlmQueries {
       .orderBy("c_mktsegment")
   }
 
+  // ------------- Spearman rank correlation (l144)
+
+  /** L144: Spearman rank correlation between two per-document signals
+    * (token count vs distinct-type count, per language) — the
+    * monotone-association number a data-quality dashboard tracks between
+    * any two scorers (Spearman 1904; ties by average ranks, the textbook
+    * tie correction). On this corpus it MEASURES vocabulary saturation:
+    * under a 30-type vocabulary, type count tracks length for short docs
+    * and plateaus for long ones, so ρ < 1 quantifies how saturated the
+    * length→diversity relation is.
+    *
+    * Scale design — exact tie-averaged ranks WITHOUT a corpus sort: a
+    * global rank window (no partition key) would funnel the corpus
+    * through ONE task. Instead rank assignment moves to the VALUE
+    * HISTOGRAM: group by (lang, value) → counts (map-combinable), run
+    * the cumulative window over histogram rows (≤ |distinct values| —
+    * metadata-sized for integer signals; both signals here have < 100
+    * distinct values at any corpus size), broadcast-join the per-value
+    * average rank back, then ONE map-combinable moment aggregate.
+    * The corpus pays two group-bys and two broadcast joins — no sort,
+    * no single-task stage.
+    *
+    * Determinism: average ranks are half-integers, so everything runs in
+    * DOUBLED-rank space — rx2 = 2·(cum_before) + c + 1 is a pure BIGINT;
+    * moments are exact DECIMAL(38,0) sums (DuckDB's HUGEINT mirror); the
+    * 2× factors cancel in ρ. The variance product is NOT multiplied
+    * before the sqrt — √a·√b keeps each operand ≤ n³ (double-exact to
+    * n ≈ 2·10⁵ per group; beyond that the 6-dp round absorbs the ulp,
+    * the l62/l93 stance). Constant signal ⇒ zero variance ⇒ null (never
+    * NaN), both engines via nullif. */
+  val l144_spearman = Q(
+    "l144_spearman",
+    """WITH d AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+      |t AS (SELECT lang, len(toks) AS x, len(list_distinct(toks)) AS y FROM d),
+      |hx AS (SELECT lang, x, count(*) AS c FROM t GROUP BY 1, 2),
+      |rx AS (SELECT lang, x,
+      |         2 * (sum(c) OVER (PARTITION BY lang ORDER BY x) - c) + c + 1 AS rx2
+      |       FROM hx),
+      |hy AS (SELECT lang, y, count(*) AS c FROM t GROUP BY 1, 2),
+      |ry AS (SELECT lang, y,
+      |         2 * (sum(c) OVER (PARTITION BY lang ORDER BY y) - c) + c + 1 AS ry2
+      |       FROM hy),
+      |j AS (SELECT t.lang, rx.rx2, ry.ry2 FROM t
+      |      JOIN rx ON rx.lang = t.lang AND rx.x = t.x
+      |      JOIN ry ON ry.lang = t.lang AND ry.y = t.y),
+      |m AS (SELECT lang, count(*) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+      |        sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy,
+      |        sum(rx2 * ry2) AS sxy
+      |      FROM j GROUP BY 1)
+      |SELECT lang, CAST(n AS BIGINT) AS n,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6)
+      |         AS rho
+      |FROM m ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val toks = TextOps.tokens(col("text"))
+    spearmanRho(spread(documents(s, d)).select(col("lang"),
+      size(toks).as("x"), size(array_distinct(toks)).as("y")))
+  }
+
+  /** l144's engine over any (lang, x, y) integer-signal frame — factored
+    * so LlmOpsSpec can pin known-ρ fixtures (monotone, reversed, tied). */
+  private[graft] def spearmanRho(t: DataFrame): DataFrame = {
+    def rank2(v: String, r: String): DataFrame = {
+      val w = Window.partitionBy("lang").orderBy(v)
+      t.groupBy(col("lang"), col(v)).agg(count(lit(1)).as("c"))
+        .select(col("lang"), col(v),
+          (lit(2) * (sum("c").over(w) - col("c")) + col("c") + 1).as(r))
+    }
+    val dec = "decimal(38,0)"
+    val j = t.join(broadcast(rank2("x", "rx2")), Seq("lang", "x"))
+      .join(broadcast(rank2("y", "ry2")), Seq("lang", "y"))
+      .select(col("lang"), col("rx2").cast(dec).as("rxd"),
+        col("ry2").cast(dec).as("ryd")) // decimal BEFORE the squares
+    val m = j.groupBy("lang").agg(count(lit(1)).as("n"),
+      sum(col("rxd")).as("sx"), sum(col("ryd")).as("sy"),
+      sum(col("rxd") * col("rxd")).as("sxx"),
+      sum(col("ryd") * col("ryd")).as("syy"),
+      sum(col("rxd") * col("ryd")).as("sxy"))
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+      sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    m.select(col("lang"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          when(den === 0.0, lit(null)).otherwise(den), 6).as("rho"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
-    l141_cap_sweep, l142_bradley_terry, l143_luhn_pii,
+    l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

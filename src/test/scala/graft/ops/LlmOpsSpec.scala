@@ -3701,4 +3701,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got("A")._4 > got("A")._3 && got("C")._4 <= got("C")._3)
     info(s"l142: A ${got("A")._3} -> ${got("A")._4}, C ${got("C")._3} -> ${got("C")._4}")
   }
+
+  test("l144 Spearman: monotone=1, reversed=-1, ties match a driver replay " +
+      "with average ranks, constant signal yields null not NaN") {
+    // independent replay: textbook average-rank Spearman via Pearson
+    def refRho(xs: Seq[Int], ys: Seq[Int]): Option[Double] = {
+      def avgRanks(v: Seq[Int]): Seq[Double] = {
+        val sorted = v.sorted.zipWithIndex // rank = index+1
+        val byVal = sorted.groupBy(_._1)
+          .map { case (k, g) => k -> g.map(_._2 + 1.0).sum / g.size }
+        v.map(byVal)
+      }
+      val (rx, ry) = (avgRanks(xs), avgRanks(ys))
+      val n = xs.size.toDouble
+      val (mx, my) = (rx.sum / n, ry.sum / n)
+      val num = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val den = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum) *
+        math.sqrt(ry.map(b => (b - my) * (b - my)).sum)
+      if (den == 0.0) None
+      else Some(BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val mono = (1 to 20).map(i => ("mono", i, i * i))
+    val rev = (1 to 20).map(i => ("rev", i, 100 - i))
+    val tied = Seq(("tied", 1, 1), ("tied", 2, 2), ("tied", 2, 3),
+      ("tied", 3, 3), ("tied", 3, 1), ("tied", 5, 4))
+    val const = (1 to 9).map(i => ("const", 7, i))
+    val df = (mono ++ rev ++ tied ++ const).toDF("lang", "x", "y")
+    val got = LlmQueries.spearmanRho(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("mono") === (20L, Some(1.0)) && got("rev") === (20L, Some(-1.0)))
+    assert(got("tied")._2 === refRho(tied.map(_._2), tied.map(_._3)),
+      "tie-averaged ranks must match the replay")
+    assert(got("const")._2 === None, "zero variance must be null, never NaN")
+    // replay agreement on the non-degenerate groups too
+    assert(got("mono")._2 === refRho(mono.map(_._2), mono.map(_._3)))
+    info(s"l144: tied rho = ${got("tied")._2.get}")
+  }
 }
