@@ -10486,9 +10486,94 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  // ------------- Kendall tau-b (l145)
+
+  /** L145: Kendall τ-b rank correlation, exact, per group — l144's
+    * companion (Kendall 1938; τ-b tie correction, Agresti's contingency-
+    * table form): the concordant/discordant-pair statistic preferred over
+    * Spearman when the scorer scales are ordinal with heavy ties. Same
+    * two signals (token count vs distinct-type count per language).
+    *
+    * Scale design — the O(n²) pair enumeration never touches the corpus:
+    * C and D are computed from the JOINT VALUE HISTOGRAM (groupBy
+    * (lang, x, y) → n_xy, map-combinable, the only corpus pass), then
+    * concordant mass = Σ n_ij·n_kl over histogram-cell pairs with
+    * k<i, l<j — a self-join bounded by |X|·|Y| cells per group (value-
+    * domain-sized: <3k cells here, NEVER corpus-sized), not n². Tie
+    * terms n1/n2 come off the two marginal histograms. The corpus pays
+    * ONE aggregate; everything else is metadata arithmetic — the same
+    * posture as l144's histogram ranks.
+    *
+    * Determinism: C, D, n0, n1, n2 are pure integers (DECIMAL(38,0)
+    * sums; products cast to DECIMAL before multiplying); τ-b divides
+    * C−D by √(n0−n1)·√(n0−n2) — two exact-integer casts, two correctly-
+    * rounded sqrts, one IEEE multiply/divide, 6-dp round (the l144
+    * headroom discipline). Zero variance (all-tied signal) ⇒ null. */
+  val l145_kendall_tau = Q(
+    "l145_kendall_tau",
+    """WITH d AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+      |t AS (SELECT lang, len(toks) AS x, len(list_distinct(toks)) AS y FROM d),
+      |h AS (SELECT lang, x, y, CAST(count(*) AS DECIMAL(38,0)) AS c
+      |      FROM t GROUP BY 1, 2, 3),
+      |cd AS (SELECT a.lang,
+      |         sum(CASE WHEN b.x < a.x AND b.y < a.y THEN a.c * b.c ELSE 0 END) AS conc,
+      |         sum(CASE WHEN b.x < a.x AND b.y > a.y THEN a.c * b.c ELSE 0 END) AS disc
+      |       FROM h a JOIN h b ON a.lang = b.lang GROUP BY 1),
+      |mx AS (SELECT lang, sum(c * (c - 1)) AS t1
+      |       FROM (SELECT lang, x, CAST(sum(c) AS DECIMAL(38,0)) AS c
+      |             FROM h GROUP BY 1, 2) GROUP BY 1),
+      |my AS (SELECT lang, sum(c * (c - 1)) AS t2
+      |       FROM (SELECT lang, y, CAST(sum(c) AS DECIMAL(38,0)) AS c
+      |             FROM h GROUP BY 1, 2) GROUP BY 1),
+      |nn AS (SELECT lang, CAST(sum(c) AS DECIMAL(38,0)) AS n FROM h GROUP BY 1)
+      |SELECT nn.lang, CAST(nn.n AS BIGINT) AS n,
+      |       round(CAST(cd.conc - cd.disc AS DOUBLE)
+      |             / nullif(sqrt(CAST((nn.n * (nn.n - 1) - mx.t1) / 2 AS DOUBLE))
+      |                      * sqrt(CAST((nn.n * (nn.n - 1) - my.t2) / 2 AS DOUBLE)), 0.0), 6)
+      |         AS tau_b
+      |FROM nn JOIN cd ON cd.lang = nn.lang JOIN mx ON mx.lang = nn.lang
+      |JOIN my ON my.lang = nn.lang
+      |ORDER BY nn.lang""".stripMargin
+  ) { (s, d) =>
+    val toks = TextOps.tokens(col("text"))
+    kendallTauB(spread(documents(s, d)).select(col("lang"),
+      size(toks).as("x"), size(array_distinct(toks)).as("y")))
+  }
+
+  /** l145's engine over any (lang, x, y) integer-signal frame. The cell
+    * self-join is broadcast (value-domain-sized by contract — the caller
+    * guarantees bounded distinct signal values, the l144 precondition). */
+  private[graft] def kendallTauB(t: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = t.groupBy("lang", "x", "y")
+      .agg(count(lit(1)).cast(dec).as("c"))
+      .localCheckpoint(false) // feeds cd + both marginals + n
+    val cd = h.as("a").join(broadcast(h.as("b")), col("a.lang") === col("b.lang"))
+      .groupBy(col("a.lang").as("lang"))
+      .agg(
+        sum(when(col("b.x") < col("a.x") && col("b.y") < col("a.y"),
+          col("a.c") * col("b.c")).otherwise(lit(0).cast(dec))).as("conc"),
+        sum(when(col("b.x") < col("a.x") && col("b.y") > col("a.y"),
+          col("a.c") * col("b.c")).otherwise(lit(0).cast(dec))).as("disc"))
+    def marginalTies(v: String, out: String): DataFrame =
+      h.groupBy(col("lang"), col(v)).agg(sum("c").cast(dec).as("c"))
+        .groupBy("lang").agg(sum(col("c") * (col("c") - 1)).as(out))
+    val nn = h.groupBy("lang").agg(sum("c").cast(dec).as("n"))
+    val den = sqrt(((col("n") * (col("n") - 1) - col("t1")) / 2).cast("double")) *
+      sqrt(((col("n") * (col("n") - 1) - col("t2")) / 2).cast("double"))
+    nn.join(cd, Seq("lang"))
+      .join(marginalTies("x", "t1"), Seq("lang"))
+      .join(marginalTies("y", "t2"), Seq("lang"))
+      .select(col("lang"), col("n").cast("long").as("n"),
+        round((col("conc") - col("disc")).cast("double") /
+          when(den === 0.0, lit(null)).otherwise(den), 6).as("tau_b"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
+    l145_kendall_tau,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

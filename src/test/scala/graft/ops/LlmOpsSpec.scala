@@ -3739,4 +3739,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got("mono")._2 === refRho(mono.map(_._2), mono.map(_._3)))
     info(s"l144: tied rho = ${got("tied")._2.get}")
   }
+
+  test("l145 Kendall tau-b: histogram-space C/D equals the O(n^2) pair " +
+      "replay on random tied data; monotone=1; all-tied yields null") {
+    // independent O(n^2) replay: enumerate every pair
+    def refTau(xs: Seq[Int], ys: Seq[Int]): Option[Double] = {
+      val n = xs.size
+      var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+      for (i <- 0 until n; k <- i + 1 until n) {
+        val dx = Integer.compare(xs(i), xs(k))
+        val dy = Integer.compare(ys(i), ys(k))
+        if (dx != 0 && dy != 0) { if (dx == dy) conc += 1 else disc += 1 }
+        if (dx == 0) tx += 1
+        if (dy == 0) ty += 1
+      }
+      val n0 = n.toLong * (n - 1) / 2
+      val den = math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble)
+      if (den == 0.0) None
+      else Some(BigDecimal((conc - disc) / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val rnd = new scala.util.Random(23)
+    // small value domains force heavy ties in BOTH signals
+    val noisy = (1 to 120).map(_ => ("noisy", rnd.nextInt(6), rnd.nextInt(4)))
+    val mono = (1 to 15).map(i => ("mono", i, 2 * i))
+    val alltied = (1 to 10).map(_ => ("alltied", 3, rnd.nextInt(5)))
+    val df = (noisy ++ mono ++ alltied).toDF("lang", "x", "y")
+    val got = LlmQueries.kendallTauB(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("mono") === (15L, Some(1.0)))
+    assert(got("noisy")._2 === refTau(noisy.map(_._2), noisy.map(_._3)),
+      "histogram-space tau must equal the pair enumeration under heavy ties")
+    assert(got("alltied")._2 === None, "an all-tied signal must be null, never NaN")
+    info(s"l145: noisy tau_b = ${got("noisy")._2.get}")
+  }
 }
