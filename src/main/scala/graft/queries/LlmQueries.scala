@@ -8415,6 +8415,30 @@ object LlmQueries {
       .orderBy("user_id", "err_id")
   }
 
+  /** L147: attributed errors — the stream-stream LEFT SEMI interval join,
+    * completing the l22/l118 join-mode matrix (inner / left outer / semi).
+    * Semi is the right mode when existence is the question: one row per
+    * error with ≥1 click in its prior hour, emitted on FIRST match (no
+    * click fan-out to deduplicate, no watermark wait, state = pending
+    * unmatched errors only — see
+    * [[graft.streaming.StreamingOps.intervalJoinLeftSemi]]). The declared
+    * surface is the same body on the batch frame; StreamingSpec pins the
+    * MemoryStream run ≡ batch with exactly-once-per-error emission. */
+  val l147_attributed_errors = Q(
+    "l147_attributed_errors",
+    """SELECT e.user_id, e.event_id AS err_id,
+      |       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts
+      |FROM events e
+      |WHERE e.event_type = 'error' AND EXISTS (
+      |  SELECT 1 FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |    AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts)
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.intervalJoinLeftSemi(events(s, d))
+      .orderBy("user_id", "err_id")
+  }
+
   // -------------------- minhash estimator fidelity audit (l119)
 
   /** L119: MinHash estimator fidelity — the sketch-quality audit l73/l111
@@ -10570,10 +10594,70 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  // ------------- Benford first-digit audit (l146)
+
+  /** L146: Benford's-law first-digit audit (Newcomb 1881 / Benford 1938;
+    * Nigrini's forensic-accounting use) over the purchase-value column —
+    * the synthetic-data / tampering smell test: organically-grown
+    * multiplicative quantities follow P(d) = log₁₀(1+1/d); uniform or
+    * fabricated generators don't, and THIS corpus's uniform synthetic
+    * values are expected to fail loudly — the audit's value is the
+    * deviation report itself (per digit: observed share vs Benford
+    * expectation, signed gap, and the digit's χ² contribution).
+    *
+    * Determinism: the digit is extracted WITHOUT transcendentals —
+    * floor(value) → BIGINT → string → first char (log₁₀-based
+    * significand extraction can flip a digit by 1 ulp near powers of
+    * ten across engines; string-of-integer cannot). Counts are exact
+    * integers; the Benford expectation and χ² contribution are float
+    * OUTPUT columns (6-dp, the isclose-absorbed class), never flags.
+    * Values < 1 are excluded by declared contract (no first significant
+    * digit in the integer part) and counted nowhere.
+    *
+    * 100 TB posture: one scan, one 9-group map-combinable aggregate;
+    * the expectation join is a 9-row literal frame. */
+  val l146_benford = Q(
+    "l146_benford",
+    """WITH v AS (SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS s
+      |           FROM events WHERE event_type = 'purchase' AND value >= 1),
+      |o AS (SELECT CAST(s[1] AS INT) AS digit, count(*) AS n FROM v GROUP BY 1),
+      |t AS (SELECT sum(n) AS tot FROM o),
+      |e AS (SELECT d.digit, log10(1.0 + 1.0 / d.digit) AS p_benford
+      |      FROM (SELECT unnest(range(1, 10)) AS digit) d)
+      |SELECT e.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+      |       round(coalesce(o.n, 0) * 1.0 / t.tot, 6) AS p_obs,
+      |       round(e.p_benford, 6) AS p_benford,
+      |       round(coalesce(o.n, 0) * 1.0 / t.tot - e.p_benford, 6) AS gap,
+      |       round(t.tot * (coalesce(o.n, 0) * 1.0 / t.tot - e.p_benford)
+      |             * (coalesce(o.n, 0) * 1.0 / t.tot - e.p_benford)
+      |             / e.p_benford, 6) AS chi2_part
+      |FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN t
+      |ORDER BY e.digit""".stripMargin
+  ) { (s, d) =>
+    val v = events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") >= 1)
+      .select(substring(floor(col("value")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val o = v.groupBy("digit").agg(count(lit(1)).as("n"))
+    val e = s.range(1, 10).select(col("id").cast("int").as("digit"),
+      log10(lit(1.0) + lit(1.0) / col("id")).as("p_benford"))
+    val tot = o.agg(sum("n").as("tot"))
+    val j = e.join(o, Seq("digit"), "left").crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)) * lit(1.0) / col("tot")).as("po"),
+        col("p_benford"), col("tot"))
+    j.select(col("digit"), col("n"), round(col("po"), 6).as("p_obs"),
+        round(col("p_benford"), 6).as("p_benford"),
+        round(col("po") - col("p_benford"), 6).as("gap"),
+        round(col("tot") * (col("po") - col("p_benford"))
+          * (col("po") - col("p_benford")) / col("p_benford"), 6).as("chi2_part"))
+      .orderBy("digit")
+  }
+
   val all: Seq[Q] = Seq(
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
-    l145_kendall_tau,
+    l145_kendall_tau, l146_benford, l147_attributed_errors,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

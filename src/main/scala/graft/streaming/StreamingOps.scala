@@ -207,6 +207,35 @@ object StreamingOps {
           .as("click_ts"))
   }
 
+  /** Stream-stream LEFT SEMI interval join — the third join mode of the
+    * l22/l118 family (inner emits one row PER matching click; left outer
+    * adds watermark-finalized null rows; SEMI emits each error exactly
+    * once as soon as ANY prior-hour click shows up, and never a null).
+    * The production shape for "attributed errors": existence is the
+    * question, so materializing the click fan-out (inner) or holding
+    * rows for finalization (outer) is pure waste — semi state is one
+    * pending-left entry per unmatched error, dropped at the watermark,
+    * and matched rows need no watermark wait at all. Same body runs on a
+    * batch frame (the declared l147 oracle) and under MemoryStream
+    * (StreamingSpec pins stream ≡ batch and once-per-error emission). */
+  def intervalJoinLeftSemi(events: DataFrame, lookback: String = "1 hour",
+      watermark: String = "30 days"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", watermark)
+    errors.join(clicks,
+        col("user_id") === col("err_user") &&
+          col("click_ts") >= col("err_ts") - expr(s"INTERVAL $lookback") &&
+          col("click_ts") <= col("err_ts"),
+        "left_semi")
+      .select(col("err_user").as("user_id"), col("err_id"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"))
+  }
+
   /** Weekly PSI drift against a FROZEN reference distribution — the
     * streaming form of the l52 monitor, how production actually deploys
     * it: edges and reference proportions are FIT OFFLINE (a batch job

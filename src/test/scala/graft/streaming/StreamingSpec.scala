@@ -334,6 +334,44 @@ class StreamingSpec extends AnyFunSuite {
       s"rows, ${early.count(_(2) == null)} released pre-finalization")
   }
 
+  test("stream-stream LEFT SEMI interval join: equals the batch EXISTS, " +
+      "one row per error regardless of click fan-out, no null rows ever") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wm = "1 hour"
+    val real = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(_._2.getTime)
+    val batchDf = real.toSeq.toDF("event_id", "ts", "user_id", "event_type")
+    val expected = StreamingOps.intervalJoinLeftSemi(batchDf, watermark = wm)
+      .collect().map(_.toSeq).toSet
+    // fan-out premise: at least one attributed error has >1 click in its
+    // window — the mode distinction from inner is non-vacuous
+    val fanOut = StreamingOps.intervalJoin(batchDf, watermark = wm)
+      .groupBy("err_id").count().filter(col("count") > 1).count()
+    assert(fanOut > 0, "fixture must contain an error with multiple clicks")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamingOps.intervalJoinLeftSemi(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+        watermark = wm)
+      .writeStream.format("memory").queryName("semi_stream")
+      .outputMode("append").start()
+    real.grouped((real.length + 2) / 3).foreach { slice =>
+      mem.addData(slice.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("semi_stream").collect().map(_.toSeq)
+    assert(rows.toSet === expected,
+      "semi rows emit on match without any watermark wait — the final " +
+        "table must equal the batch EXISTS exactly")
+    assert(rows.length === rows.toSet.size,
+      "exactly one emission per attributed error, even with click fan-out")
+    info(s"l147 stream: ${rows.length} attributed errors, " +
+      s"$fanOut with multi-click windows, 0 duplicates")
+  }
+
   test("streaming LSH near-dup candidates equal the batch candidate set") {
     import spark.implicits._
     // the expected-set pipeline below uses the TextExprs natives directly
