@@ -1473,6 +1473,82 @@ object LlmQueries {
         round((po - pe) / (lit(1.0) - pe), 6).as("cohen_kappa"))
   }
 
+  /** L148: McNemar's paired test on the two quality filters — the
+    * significance companion to l94's agreement/κ row (McNemar 1947,
+    * Edwards' continuity correction): l94 SCORES how often the rules
+    * filter and the pinned LR disagree; THIS answers whether the
+    * disagreement is DIRECTIONAL (one filter systematically keeps what
+    * the other drops) or symmetric churn. The paired design is the
+    * point — l125's two-proportion z-test assumes independent samples
+    * and is the WRONG test for two classifiers scored on the SAME
+    * documents; McNemar conditions on the discordant pairs (b = rules-
+    * only keeps, c = model-only keeps) and ignores the concordant mass
+    * entirely. χ²_cc = (|b−c|−1)²/(b+c), 1 df.
+    *
+    * Determinism (the l131/l133 exact-flag discipline): the α=0.05 flag
+    * is the pure integer cross-multiplication
+    * (|b−c|−1)²·10⁶ > 3841459·(b+c) — the 6-dp χ²₍₁₎ critical value as
+    * an integer constant, no transcendentals anywhere near the flag; the
+    * reported χ² statistic itself is a float OUTPUT column (exact
+    * integer ratio, 6-dp). DECIMAL(38,0) headroom: LHS ≤ (b+c)²·10⁶ —
+    * inside 38 digits whenever b+c ≤ 10¹⁵, ENFORCED like l131
+    * (raise_error beyond the window, never a silent null flag); the
+    * DuckDB mirror runs the same products in HUGEINT.
+    *
+    * 100 TB posture: rides the cached quality-score frame; one
+    * map-combinable 2×2 aggregate; everything after is one-row
+    * arithmetic. */
+  val l148_mcnemar = Q(
+    "l148_mcnemar",
+    s"""WITH $qualityScoreCtes,
+       |x AS (SELECT CAST(label AS BIGINT) AS r,
+       |             CAST(mg >= 0 AS BIGINT) AS md FROM g),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(r * (1 - md)) AS BIGINT) AS b,
+       |             CAST(sum((1 - r) * md) AS BIGINT) AS c
+       |      FROM x)
+       |SELECT n, b AS n_rules_only, c AS n_model_only,
+       |       CASE WHEN b + c = 0 THEN NULL
+       |            ELSE round((abs(b - c) - 1) * (abs(b - c) - 1) * 1.0
+       |                       / (b + c), 6) END AS chi2_cc,
+       |       CAST(CASE WHEN b + c > 0 AND
+       |              CAST((abs(b - c) - 1) AS HUGEINT)
+       |                * (abs(b - c) - 1) * 1000000
+       |              > CAST(3841459 AS HUGEINT) * (b + c)
+       |            THEN 1 ELSE 0 END AS BIGINT) AS significant
+       |FROM a""".stripMargin
+  ) { (s, d) =>
+    import graft.ml.PinnedQualityLr
+    val scored = PinnedQualityLr.featureFrame(qualityCached(s, d))
+      .select(PinnedQualityLr.weakLabel.cast("long").as("r"),
+        (PinnedQualityLr.margin >= 0).cast("long").as("md"))
+    val a = scored.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("r") * (lit(1L) - col("md"))).cast("long").as("b"),
+      sum((lit(1L) - col("r")) * col("md")).cast("long").as("c"))
+    a.select(col("n"), col("b").as("n_rules_only"), col("c").as("n_model_only"),
+      when(col("b") + col("c") === 0, lit(null)).otherwise(
+        round((abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1)
+          * lit(1.0) / (col("b") + col("c")), 6)).as("chi2_cc"),
+      mcnemarSignificantExact(col("b"), col("c")).as("significant"))
+  }
+
+  /** The exact-integer α=0.05 McNemar flag with its DECIMAL(38,0)
+    * headroom window (b+c ≤ 10¹⁵) declared and ENFORCED — the l131
+    * pattern. Factored over plain Columns so the spec drives the guard
+    * with literal counts. */
+  private[graft] def mcnemarSignificantExact(b: Column, c: Column): Column = {
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val dm1 = abs(b - c) - 1
+    when(b + c === 0, lit(0L))
+      .when(b + c <= lit(1000000000000000L),
+        (dec(dm1) * dm1 * lit(1000000L) >
+          dec(lit(3841459L)) * (b + c)).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("l148 exact McNemar flag out of its DECIMAL(38,0) headroom " +
+          "window (b+c <= 10^15); refusing to null-flag silently: b="),
+        b.cast("string"), lit(" c="), c.cast("string"))))
+  }
+
   /** L93: Heaps'-law vocabulary-growth audit — the companion to l62's
     * Zipf audit on the OTHER axis: how fast the type vocabulary grows as
     * the corpus grows (V(N) ≈ K·N^β, Heaps/Herdan). Measured on l66's
@@ -10657,7 +10733,7 @@ object LlmQueries {
   val all: Seq[Q] = Seq(
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
-    l145_kendall_tau, l146_benford, l147_attributed_errors,
+    l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

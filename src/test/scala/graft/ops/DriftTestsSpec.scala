@@ -202,4 +202,29 @@ class DriftTestsSpec extends AnyFunSuite {
       assert(num === wantMwu(src)._1, s"corpus MWU mismatch at $src")
     }
   }
+
+  test("l148 McNemar: directional disagreement fires the exact flag, " +
+      "symmetric churn stays quiet, zero-discordant is 0, window raises") {
+    import org.apache.spark.sql.functions._
+    def flag(b: Long, c: Long): Long = spark.range(1).select(
+      LlmQueries.mcnemarSignificantExact(lit(b), lit(c)).as("sig"))
+      .collect().head.getLong(0)
+    // (|100-50|-1)^2*10^6 = 2.401e9 > 3841459*150 = 5.76e8 -> fires
+    assert(flag(100L, 50L) === 1L, "a 2:1 directional split at 150 " +
+      "discordant pairs is significant at alpha=0.05")
+    // near-symmetric churn: (|10-8|-1)^2*10^6 = 1e6 < 3841459*18
+    assert(flag(10L, 8L) === 0L)
+    assert(flag(0L, 0L) === 0L, "no discordant pairs -> quiet, not null")
+    // the flip across the critical region at b+c = 504 (3841459*504 =
+    // 1.936e9): d=44 gives 43^2*10^6 = 1.849e9 (quiet), d=46 gives
+    // 45^2*10^6 = 2.025e9 (fires)
+    assert(flag(274L, 230L) === 0L && flag(275L, 229L) === 1L,
+      "the flag must flip exactly across the integer-exact critical region")
+    val boom = spark.range(1).select(
+      LlmQueries.mcnemarSignificantExact(
+        lit(900000000000000L), lit(200000000000000L)).as("sig"))
+    val e = intercept[Exception](boom.collect())
+    assert(e.getMessage.contains("headroom window"),
+      s"out-of-window must raise loudly: ${e.getMessage}")
+  }
 }
