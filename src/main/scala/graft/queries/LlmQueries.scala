@@ -10511,14 +10511,15 @@ object LlmQueries {
     *
     * Scale design — exact tie-averaged ranks WITHOUT a corpus sort: a
     * global rank window (no partition key) would funnel the corpus
-    * through ONE task. Instead rank assignment moves to the VALUE
-    * HISTOGRAM: group by (lang, value) → counts (map-combinable), run
-    * the cumulative window over histogram rows (≤ |distinct values| —
-    * metadata-sized for integer signals; both signals here have < 100
-    * distinct values at any corpus size), broadcast-join the per-value
-    * average rank back, then ONE map-combinable moment aggregate.
-    * The corpus pays two group-bys and two broadcast joins — no sort,
-    * no single-task stage.
+    * through ONE task. Instead the corpus is touched EXACTLY ONCE — the
+    * joint (lang, x, y) histogram aggregate (map-combinable) — and
+    * everything after runs on cells: marginal counts, the cumulative
+    * rank window (over ≤ |distinct values| metadata rows; both signals
+    * here have < 100 distinct values at any corpus size), the broadcast
+    * rank joins, and the moments themselves (Σ_rows rx·ry =
+    * Σ_cells c·rx(x)·ry(y), exact integers either way). One corpus
+    * aggregate, no sort, no single-task stage — PlanShapeSpec pins the
+    * single FileScan and the broadcast joins.
     *
     * Determinism: average ranks are half-integers, so everything runs in
     * DOUBLED-rank space — rx2 = 2·(cum_before) + c + 1 is a pure BIGINT;
@@ -10560,24 +10561,30 @@ object LlmQueries {
   }
 
   /** l144's engine over any (lang, x, y) integer-signal frame — factored
-    * so LlmOpsSpec can pin known-ρ fixtures (monotone, reversed, tied). */
+    * so LlmOpsSpec can pin known-ρ fixtures (monotone, reversed, tied).
+    * The corpus is touched EXACTLY ONCE (the joint-histogram aggregate —
+    * PlanShapeSpec pins one FileScan): marginals, average ranks AND the
+    * rank moments all derive from the (lang, x, y, c) cells — Σ_rows
+    * rx2·ry2 = Σ_cells c·rx2(x)·ry2(y), exact integer either way. */
   private[graft] def spearmanRho(t: DataFrame): DataFrame = {
+    val h = t.groupBy("lang", "x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds both marginals + the moment join
     def rank2(v: String, r: String): DataFrame = {
       val w = Window.partitionBy("lang").orderBy(v)
-      t.groupBy(col("lang"), col(v)).agg(count(lit(1)).as("c"))
+      h.groupBy(col("lang"), col(v)).agg(sum("c").as("c"))
         .select(col("lang"), col(v),
           (lit(2) * (sum("c").over(w) - col("c")) + col("c") + 1).as(r))
     }
     val dec = "decimal(38,0)"
-    val j = t.join(broadcast(rank2("x", "rx2")), Seq("lang", "x"))
+    val j = h.join(broadcast(rank2("x", "rx2")), Seq("lang", "x"))
       .join(broadcast(rank2("y", "ry2")), Seq("lang", "y"))
-      .select(col("lang"), col("rx2").cast(dec).as("rxd"),
+      .select(col("lang"), col("c"), col("rx2").cast(dec).as("rxd"),
         col("ry2").cast(dec).as("ryd")) // decimal BEFORE the squares
-    val m = j.groupBy("lang").agg(count(lit(1)).as("n"),
-      sum(col("rxd")).as("sx"), sum(col("ryd")).as("sy"),
-      sum(col("rxd") * col("rxd")).as("sxx"),
-      sum(col("ryd") * col("ryd")).as("syy"),
-      sum(col("rxd") * col("ryd")).as("sxy"))
+    val m = j.groupBy("lang").agg(sum(col("c")).as("n"),
+      sum(col("c") * col("rxd")).as("sx"), sum(col("c") * col("ryd")).as("sy"),
+      sum(col("c") * col("rxd") * col("rxd")).as("sxx"),
+      sum(col("c") * col("ryd") * col("ryd")).as("syy"),
+      sum(col("c") * col("rxd") * col("ryd")).as("sxy"))
     val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
       sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
     m.select(col("lang"), col("n"),

@@ -1218,6 +1218,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the grouped aggregate must combine map-side:\n$p")
   }
 
+  test("L144: Spearman touches the corpus once (joint histogram), ranks " +
+      "join back broadcast, and every Window is partitioned") {
+    val p = finalPlan(graft.queries.LlmQueries.l144_spearman)
+    // the joint histogram is checkpointed after its single corpus pass —
+    // the statistic's own plan re-reads CELLS (ExistingRDD), never parquet
+    assert(p.split("FileScan parquet").length - 1 == 0 &&
+      p.contains("ExistingRDD"),
+      s"everything after the one-pass histogram must run on cells:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank assignment must come back as a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-sized join strategy anywhere:\n$p")
+    // every Window must carry a partition spec (a bare global window
+    // funnels everything through one task)
+    p.split("\n").filter(_.trim.startsWith("Window ")).foreach { w =>
+      assert(w.contains("[lang"), s"unpartitioned window in the plan: $w")
+    }
+  }
+
+  test("L145: Kendall's pair enumeration runs on histogram cells — one " +
+      "corpus scan, a broadcast cell self-join, never n^2 over rows") {
+    val p = finalPlan(graft.queries.LlmQueries.l145_kendall_tau)
+    assert(p.split("FileScan parquet").length - 1 <= 1,
+      s"the joint histogram is the only corpus pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cell self-join must broadcast (value-domain-sized):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the C/D join is an equi-join on lang, never a nested loop:\n$p")
+  }
+
   test("C12: forward fill is a running frame over one hash exchange — " +
       "never a self-join against history") {
     val p = plan(graft.queries.ExtQueries.c12_forward_fill)
