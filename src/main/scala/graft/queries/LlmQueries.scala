@@ -10737,10 +10737,83 @@ object LlmQueries {
       .orderBy("digit")
   }
 
+  // ------------- Jensen–Shannon divergence matrix (l149)
+
+  /** L149: pairwise Jensen–Shannon divergence between source unigram
+    * distributions (Lin 1991) — the bounded, symmetric corpus-mix drift
+    * number: PSI (l52) needs binning choices and KL explodes on disjoint
+    * support; JSD(P‖Q) ∈ [0,1] in log₂, is defined on any support pair,
+    * and its square root is a metric — the standard "how different are
+    * these two sources, as distributions" input to mixture reweighting
+    * (the l31/l104 family decides WITH it).
+    *
+    * Determinism: p = c/total is one IEEE division of exact integers;
+    * each pairwise sum folds its ≤|vocab| terms in TOKEN ORDER on both
+    * engines (the l142/l62 sequential-fold convention — a parallel float
+    * SUM would be summation-order noise under round 6); zero-probability
+    * terms contribute exactly 0 by CASE, not by 0·log(0) luck.
+    *
+    * 100 TB posture: ONE corpus aggregate (source × token counts,
+    * map-combinable); the dense grid (|sources|·|vocab|), the pair join
+    * and the folds are metadata arithmetic — the divergence matrix of a
+    * 100 TB corpus costs one scan plus kilobytes. */
+  val l149_js_divergence = Q(
+    "l149_js_divergence",
+    """WITH tk AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      |            FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+      |grid AS (SELECT s.source, s.n, v.tok, coalesce(c.c, 0) AS c
+      |         FROM tot s CROSS JOIN (SELECT DISTINCT tok FROM c) v
+      |         LEFT JOIN c ON c.source = s.source AND c.tok = v.tok),
+      |p AS (SELECT source, tok, c * 1.0 / n AS p FROM grid),
+      |terms AS (SELECT a.source AS source_a, b.source AS source_b, a.tok,
+      |            (CASE WHEN a.p > 0
+      |               THEN 0.5 * a.p * log2(2.0 * a.p / (a.p + b.p)) ELSE 0 END)
+      |          + (CASE WHEN b.p > 0
+      |               THEN 0.5 * b.p * log2(2.0 * b.p / (a.p + b.p)) ELSE 0 END)
+      |            AS t
+      |          FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source)
+      |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_terms,
+      |       round(list_reduce(list_prepend(0.0, list(t ORDER BY tok)),
+      |             (x, y) -> x + y), 6) AS jsd
+      |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val tk = spread(documents(s, d))
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val c = tk.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds totals, vocab and the grid
+    val tot = c.groupBy("source").agg(sum("c").as("n"))
+    val vocab = c.select("tok").distinct()
+    val grid = tot.crossJoin(broadcast(vocab))
+      .join(c, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        (coalesce(col("c"), lit(0L)) * lit(1.0) / col("n")).as("p"))
+    val pairs = grid.as("a")
+      .join(broadcast(grid.as("b")),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.tok").as("tok"),
+        (when(col("a.p") > 0, lit(0.5) * col("a.p") *
+          log2(lit(2.0) * col("a.p") / (col("a.p") + col("b.p"))))
+          .otherwise(lit(0.0)) +
+         when(col("b.p") > 0, lit(0.5) * col("b.p") *
+          log2(lit(2.0) * col("b.p") / (col("a.p") + col("b.p"))))
+          .otherwise(lit(0.0))).as("t"))
+    pairs.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_terms"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("tok"), col("t")))),
+            x => x.getField("t")),
+          lit(0.0), (acc, v) => acc + v), 6).as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[Q] = Seq(
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
+    l149_js_divergence,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
