@@ -71,6 +71,39 @@ object MediaOps {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  final case class MediaHash(doc_id: Long, bands: Array[Int])
+
+  /** STUB perceptual hash (dHash — Krawetz's difference hash): a real
+    * implementation decodes, grayscales and box-resizes to an 8×9 grid,
+    * then sets bit (r,c) iff grid[r][c] > grid[r][c+1]. The fake keeps
+    * every step except the codec: the "resize" is the l23 stride sample
+    * (s = max(1, len/72); pix(j) = payload[min(j·s, len−1)]) and the 64
+    * comparison bits are the real dHash rule. Emitted as EIGHT 8-bit
+    * bands (band k = grid row k's comparisons) — the Hamming-join
+    * blocking key, and sidesteps the 2⁶³ sign bit entirely. */
+  private[ops] def dHashBands(payload: Array[Byte]): Array[Int] = {
+    val len = payload.length
+    require(len >= 1, "empty payload")
+    val s = math.max(1, len / 72)
+    def pix(j: Int): Int = payload(math.min(j * s, len - 1)) & 0xFF
+    Array.tabulate(8) { k =>
+      (0 until 8).foldLeft(0) { (acc, i) =>
+        if (pix(k * 9 + i) > pix(k * 9 + i + 1)) acc | (1 << i) else acc
+      }
+    }
+  }
+
+  /** The perceptual-hash operator: same per-partition decode session as
+    * [[decodeFeatures]] (a real build hashes the decoded luminance grid
+    * here), one (doc_id, 8×8-bit bands) row per payload. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.map(r => MediaHash(r.doc_id, dHashBands(r.payload)))
+    }.toDF()
+  }
+
   final case class ResizedFeatures(
       doc_id: Long, width: Int, height: Int,
       mean_byte: Option[Double], n_sampled: Int, lang: String)

@@ -10809,11 +10809,88 @@ object LlmQueries {
       .orderBy("source_a", "source_b")
   }
 
+  // ------------- perceptual-hash media near-dup (l150)
+
+  /** L150: perceptual-hash near-duplicate detection on the MEDIA payload
+    * (dHash — Krawetz's difference hash; banding per Norouzi et al.'s
+    * multi-index Hamming search pigeonhole) — the image half of the dedup
+    * family: l3 catches bit-identical payloads, THIS catches re-encoded /
+    * lightly-edited media, the "same photo, different JPEG" class. The
+    * hash runs through the SAME per-partition decode session as l10/l23
+    * (ops/MediaOps.perceptualHash — codec stubbed, documented; grid
+    * sampling, dHash comparison bits, banding and verify all real).
+    *
+    * Exactness contract (unlike l5's probabilistic banding): the 64-bit
+    * hash splits into 8 bands of 8 bits and candidates are band-equality
+    * matches; by pigeonhole ANY pair with Hamming ≤ 7 shares at least
+    * one exact band, so the τ=7 output is the COMPLETE Hamming-≤7 pair
+    * set — banded search here is lossless, not approximate (spec-pinned
+    * ≡ brute force with planted pairs at distances 0/3/7 found and 8
+    * excluded).
+    *
+    * Determinism: bands and popcounts are pure integers; the oracle
+    * replays the stride grid byte-for-byte (the l23 arithmetic).
+    *
+    * 100 TB posture: hashing is one decode-session scan; the band join
+    * shuffles on (k, v) like l5 — at real scale the 8-bit demo bands
+    * widen to 16 and the verify stays popcount-cheap; candidate volume
+    * per bucket is the standard multi-index Hamming trade (Norouzi
+    * TPAMI 2014), and the planted-pair audit (WorkRowAudit discipline)
+    * applies unchanged if a corpus saturates the band space. */
+  val l150_media_phash_neardup = Q(
+    "l150_media_phash_neardup",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |h AS (SELECT doc_id, len, greatest(1, len // 72) AS s, text FROM d),
+      |bands AS (SELECT doc_id, k,
+      |    list_sum(list_transform(range(8), i ->
+      |      CASE WHEN ascii(substr(text, least((k*9+i) * s, len-1) + 1, 1))
+      |             > ascii(substr(text, least((k*9+i+1) * s, len-1) + 1, 1))
+      |           THEN 1 << i ELSE 0 END)) AS v
+      |  FROM h CROSS JOIN (SELECT unnest(range(8)) AS k) ks),
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |         FROM bands a JOIN bands b
+      |           ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id),
+      |hm AS (SELECT c.i, c.j,
+      |         sum(bit_count(xor(ba.v, bb.v))) AS hamming
+      |       FROM cand c JOIN bands ba ON ba.doc_id = c.i
+      |                   JOIN bands bb ON bb.doc_id = c.j AND bb.k = ba.k
+      |       GROUP BY 1, 2)
+      |SELECT i, j, CAST(hamming AS BIGINT) AS hamming
+      |FROM hm WHERE hamming <= 7 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    hammingNearDup(
+      graft.ops.MediaOps.perceptualHash(mediaFrame(s, d)), tau = 7)
+      .orderBy("i", "j")
+  }
+
+  /** l150's banded Hamming engine over any (doc_id, bands) frame —
+    * factored so the spec can prove the pigeonhole-losslessness claim
+    * against brute force on engineered hashes (lossless exactly when
+    * tau ≤ nBands − 1: tau+1 ≤ nBands differing bits cannot touch every
+    * band). */
+  private[graft] def hammingNearDup(h: DataFrame, tau: Int): DataFrame = {
+    val hc = h.localCheckpoint(false) // feeds the band index + both verifies
+    val ex = hc.select(col("doc_id"), posexplode(col("bands")).as(Seq("k", "v")))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(hc.select(col("doc_id").as("i"), col("bands").as("ba")), Seq("i"))
+      .join(hc.select(col("doc_id").as("j"), col("bands").as("bb")), Seq("j"))
+      .select(col("i"), col("j"),
+        aggregate(zip_with(col("ba"), col("bb"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (a, b) => a + b).as("hamming"))
+      .filter(col("hamming") <= tau)
+  }
+
   val all: Seq[Q] = Seq(
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
-    l149_js_divergence,
+    l149_js_divergence, l150_media_phash_neardup,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

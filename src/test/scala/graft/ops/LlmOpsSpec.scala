@@ -3774,4 +3774,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got("alltied")._2 === None, "an all-tied signal must be null, never NaN")
     info(s"l145: noisy tau_b = ${got("noisy")._2.get}")
   }
+
+  test("l150 banded Hamming search is pigeonhole-LOSSLESS at tau=7: " +
+      "equals brute force, planted distances 0/3/7 found, 8 excluded") {
+    val rnd = new scala.util.Random(31)
+    def randBands(): Array[Int] = Array.fill(8)(rnd.nextInt(256))
+    // flip exactly m bits of a copy, spread round-robin across bands so
+    // the hardest layout (touching as many bands as possible) is the one
+    // planted
+    def flip(b: Array[Int], m: Int): Array[Int] = {
+      val out = b.clone()
+      (0 until m).foreach { f => out(f % 8) = out(f % 8) ^ (1 << (f / 8)) }
+      out
+    }
+    val base = (0L until 80L).map(i => i -> randBands()).toMap
+    val planted = Seq( // (new id, source id, bits flipped)
+      (1000L, 0L, 0), (1001L, 1L, 3), (1002L, 2L, 7), (1003L, 3L, 8))
+    val all = base.toSeq ++ planted.map { case (id, src, m) =>
+      id -> flip(base(src), m)
+    }
+    val df = all.toDF("doc_id", "bands")
+    val got = LlmQueries.hammingNearDup(df, tau = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver brute force over ALL pairs
+    def ham(a: Array[Int], b: Array[Int]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Integer.bitCount(x ^ y).toLong }.sum
+    val byId = all.toMap
+    val ids = all.map(_._1).sorted
+    val brute = (for {
+      ii <- ids.indices; jj <- ii + 1 until ids.size
+      d = ham(byId(ids(ii)), byId(ids(jj))) if d <= 7
+    } yield (ids(ii), ids(jj), d)).toSet
+    assert(got === brute,
+      "banded search must equal brute force exactly — the pigeonhole " +
+        "guarantee is a theorem, not a recall estimate")
+    assert(got.contains((0L, 1000L, 0L)) && got.contains((1L, 1001L, 3L)) &&
+      got.contains((2L, 1002L, 7L)),
+      "planted pairs at distances 0, 3 and 7 must all be found")
+    assert(!got.exists(p => p._1 == 3L && p._2 == 1003L),
+      "the distance-8 planted pair is past tau and must be excluded")
+    info(s"l150: ${got.size} pairs at tau=7, brute force agrees")
+  }
 }
