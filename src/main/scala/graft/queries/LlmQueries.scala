@@ -10870,13 +10870,7 @@ object LlmQueries {
     * band). */
   private[graft] def hammingNearDup(h: DataFrame, tau: Int): DataFrame = {
     val hc = h.localCheckpoint(false) // feeds the band index + both verifies
-    val ex = hc.select(col("doc_id"), posexplode(col("bands")).as(Seq("k", "v")))
-    val cand = ex.as("a").join(ex.as("b"),
-        col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
-    cand
+    hammingCandidates(hc)
       .join(hc.select(col("doc_id").as("i"), col("bands").as("ba")), Seq("i"))
       .join(hc.select(col("doc_id").as("j"), col("bands").as("bb")), Seq("j"))
       .select(col("i"), col("j"),
@@ -10884,6 +10878,19 @@ object LlmQueries {
           (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
           lit(0L), (a, b) => a + b).as("hamming"))
       .filter(col("hamming") <= tau)
+  }
+
+  /** l150's candidate stage alone (band-equality pairs, pre-popcount) —
+    * factored so WorkRowAudit counts the band join's REAL output: this
+    * family's blowup mode is band-space saturation (N ≫ bands·2^width),
+    * the same discipline the l4/l97 counters enforce. */
+  private[graft] def hammingCandidates(h: DataFrame): DataFrame = {
+    val ex = h.select(col("doc_id"), posexplode(col("bands")).as(Seq("k", "v")))
+    ex.as("a").join(ex.as("b"),
+        col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
   }
 
   val all: Seq[Q] = Seq(

@@ -81,6 +81,11 @@ object WorkRowAudit {
     docs.select(col("doc_id"),
       graft.ops.TextOps.shingleSet(graft.ops.TextOps.tokens(col("text")), 3).as("ss"))
 
+  private def phash(docs: DataFrame): DataFrame =
+    graft.ops.MediaOps.perceptualHash(docs.select(col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(col("lang"), col("source"), col("n_chars")).as("meta")))
+
   /** The l114 containment prefix-filter candidate count — the
     * NaiveContainmentControl shape, kept as the positive control the
     * saturated vocabulary is known to blow up (+3.69/decade measured in
@@ -154,7 +159,18 @@ object WorkRowAudit {
         (d: DataFrame) => containCandidates(d)),
       ("l139 df-capped Jaccard (cap=4, the valve)",
         (d: DataFrame) => LlmQueries.cappedJaccardCandidates(
-          sh(d), tau = 0.8, cap = 4).count()))
+          sh(d), tau = 0.8, cap = 4).count()),
+      ("l150 dHash band buckets (8x8 demo)",
+        (d: DataFrame) => LlmQueries.hammingCandidates(phash(d)).count()),
+      // the scaladoc's declared scale knob: the same 64 bits as 4x16-bit
+      // bands (guarantee drops to ham<=3; band space 256 -> 65536 values)
+      ("l150 dHash 4x16 bands (the scale knob)",
+        (d: DataFrame) => LlmQueries.hammingCandidates(
+          phash(d).select(col("doc_id"),
+            transform(sequence(lit(0), lit(3)), k =>
+              element_at(col("bands"), k * 2 + 1) +
+                element_at(col("bands"), k * 2 + 2) * 256).as("bands")))
+          .count()))
 
     val out = new StringBuilder
     out ++= "| family | " + docPoints.map(_._1).mkString(" | ") +
