@@ -10880,6 +10880,78 @@ object LlmQueries {
       .filter(col("hamming") <= tau)
   }
 
+  // ------------- dup-graph degree assortativity (l151)
+
+  /** L151: degree assortativity of the near-dup pair graph (Newman 2002
+    * — Pearson correlation of endpoint degrees over the directed edge
+    * list), completing the graph-audit family: l14 clusters it, l105
+    * ranks inside clusters, l117 counts triangles, THIS reads its
+    * topology class. Positive r = hub-to-hub wiring (template/boilerplate
+    * families duplicating each other — the transitive-closure blowup
+    * warning for l14's escalation); negative r = star wiring (one
+    * canonical with many orphan copies — the cheap case); the number a
+    * dedup pipeline checks before predicting cluster-growth behavior at
+    * the next crawl. Reported beside the degree profile (n_deg1,
+    * max_deg) so the r = null degenerate case (all-equal degrees, e.g. a
+    * pure pair-matching) still reads.
+    *
+    * Determinism: degrees and moments are exact integers (DECIMAL(38,0)
+    * sums, cast-before-multiply); r divides by √a·√b (the l144 headroom
+    * split); zero variance ⇒ null, never NaN.
+    *
+    * 100 TB posture: rides the cached exact-pair frame (near-dup-sparse
+    * ≪ corpus); one group-by for degrees, two equi-joins to annotate
+    * endpoints, one map-combinable moment row. */
+  val l151_assortativity = Q(
+    "l151_assortativity",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |ed AS (SELECT i AS a, j AS b FROM pr UNION ALL SELECT j AS a, i AS b FROM pr),
+       |dg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+       |ept AS (SELECT da.dg AS x, db.dg AS y
+       |        FROM ed JOIN dg da ON da.v = ed.a JOIN dg db ON db.v = ed.b),
+       |m AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+       |        sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM ept)
+       |SELECT CAST((SELECT count(*) FROM dg) AS BIGINT) AS n_nodes,
+       |       CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_edges,
+       |       CAST((SELECT count(*) FROM dg WHERE dg = 1) AS BIGINT) AS n_deg1,
+       |       CAST((SELECT max(dg) FROM dg) AS BIGINT) AS max_deg,
+       |       round(CAST(m*sxy - sx*sy AS DOUBLE)
+       |             / nullif(sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+       |                      * sqrt(CAST(m*syy - sy*sy AS DOUBLE)), 0.0), 6)
+       |         AS assortativity
+       |FROM m""".stripMargin
+  ) { (s, d) =>
+    assortativity(exactPairsCached(s, d).select(col("i"), col("j")))
+  }
+
+  /** l151's engine over any undirected (i, j) pair frame — factored so
+    * the spec can pin signed fixtures (star = −1, disjoint regular pairs
+    * = null, hub-hub chain > 0 vs star). */
+  private[graft] def assortativity(pairs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ed = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint(false) // feeds degrees + the annotated edge list
+    val dg = ed.groupBy(col("a").as("v")).agg(count(lit(1)).as("dg"))
+    val ex = ed
+      .join(dg.select(col("v").as("a"), col("dg").as("x")), Seq("a"))
+      .join(dg.select(col("v").as("b"), col("dg").as("y")), Seq("b"))
+      .select(col("x").cast(dec).as("x"), col("y").cast(dec).as("y"))
+    val m = ex.agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val den = sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+      sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))
+    val prof = dg.agg(count(lit(1)).as("n_nodes"),
+      sum((col("dg") === 1).cast("long")).as("n_deg1"),
+      max("dg").as("max_deg"))
+    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+    m.crossJoin(prof).crossJoin(nEdges)
+      .select(col("n_nodes"), col("n_edges"), col("n_deg1"), col("max_deg"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          when(den === 0.0, lit(null)).otherwise(den), 6).as("assortativity"))
+  }
+
   /** l150's candidate stage alone (band-equality pairs, pre-popcount) —
     * factored so WorkRowAudit counts the band join's REAL output: this
     * family's blowup mode is band-space saturation (N ≫ bands·2^width),
@@ -10897,7 +10969,7 @@ object LlmQueries {
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
-    l149_js_divergence, l150_media_phash_neardup,
+    l149_js_divergence, l150_media_phash_neardup, l151_assortativity,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

@@ -3815,4 +3815,42 @@ class LlmOpsSpec extends AnyFunSuite {
       "the distance-8 planted pair is past tau and must be excluded")
     info(s"l150: ${got.size} pairs at tau=7, brute force agrees")
   }
+
+  test("l151 assortativity: star = -1, disjoint pairs = null (not NaN), " +
+      "joined hubs beat the star, and the value matches a driver replay") {
+    def run(pairs: Seq[(Long, Long)]): (Long, Long, Long, Long, Option[Double]) = {
+      val r = LlmQueries.assortativity(pairs.toDF("i", "j")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    // independent replay: Pearson over the directed endpoint-degree list
+    def ref(pairs: Seq[(Long, Long)]): Option[Double] = {
+      val ed = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val dg = ed.groupBy(_._1).map { case (v, g) => v -> g.size.toLong }
+      val xy = ed.map { case (a, b) => (dg(a).toDouble, dg(b).toDouble) }
+      val m = xy.size.toDouble
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val den = math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+      if (den == 0.0) None
+      else Some(BigDecimal((m * sxy - sx * sy) / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val star = (1L to 5L).map(l => (0L, l))
+    val starGot = run(star)
+    assert(starGot === ((6L, 5L, 5L, 5L, Some(-1.0))),
+      "a star is perfectly disassortative and profiles as one hub")
+    val pairsOnly = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    assert(run(pairsOnly)._5 === None,
+      "an all-degree-1 graph has zero variance -> null, never NaN")
+    // two stars with their hubs joined: hub-hub edge pulls r above -1
+    val joined = star ++ (11L to 15L).map(l => (10L, l)) ++ Seq((0L, 10L))
+    val joinedGot = run(joined)
+    assert(joinedGot._5 === ref(joined), "engine must equal the replay")
+    assert(joinedGot._5.get > -1.0 && starGot._5.get === -1.0,
+      "the hub-hub edge must raise assortativity above the pure star's -1")
+    info(s"l151: star ${starGot._5.get}, joined hubs ${joinedGot._5.get}")
+  }
 }
