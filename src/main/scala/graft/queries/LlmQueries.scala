@@ -10880,6 +10880,83 @@ object LlmQueries {
       .filter(col("hamming") <= tau)
   }
 
+  // ------------- Kaplan–Meier user survival (l152)
+
+  /** L152: Kaplan–Meier survival over user activity spans (Kaplan &
+    * Meier 1958, the product-limit estimator) — what l128's cohort
+    * retention grid cannot give: a censoring-correct lifetime curve.
+    * A user's duration is whole weeks between first and last event;
+    * users still active in the final week-plus window are CENSORED
+    * (their lifetime is a lower bound, not a death) — dropping or
+    * death-counting them is the classic retention-analysis bias, and
+    * the estimator's whole point is using them in the risk set without
+    * counting them as events. Output per observed duration t: risk set,
+    * events, censored, Ŝ(t) = Π_{s≤t}(1 − d_s/n_s).
+    *
+    * Determinism: durations, risk sets and event counts are exact
+    * integers; each Ŝ(t) multiplies its ≤|durations| exact-ratio terms
+    * in DURATION ORDER on both engines (the l142/l149 sequential-fold
+    * convention — and NOT exp(Σln), which would put a transcendental
+    * under the 6-dp round).
+    *
+    * 100 TB posture: per-user spans are one map-combinable aggregate;
+    * everything after runs on the ≤|distinct durations| histogram
+    * (metadata — the reverse-cumulative risk window and the fold
+    * self-join are duration-domain-sized, the l144 discipline). */
+  val l152_kaplan_meier = Q(
+    "l152_kaplan_meier",
+    """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |           FROM events),
+      |mx AS (SELECT max(wk) AS mw FROM e),
+      |u AS (SELECT user_id, min(wk) AS fw, max(wk) AS lw FROM e GROUP BY 1),
+      |du AS (SELECT CAST((lw - fw) // 7 AS BIGINT) AS d,
+      |         CAST(lw >= mw - 7 AS BIGINT) AS cens FROM u, mx),
+      |hist AS (SELECT d, count(*) AS n,
+      |           sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END) AS ev,
+      |           sum(cens) AS cn
+      |         FROM du GROUP BY 1),
+      |km AS (SELECT d, ev, cn,
+      |         sum(n) OVER (ORDER BY d DESC) AS n_risk FROM hist)
+      |SELECT a.d AS duration_wk, CAST(a.n_risk AS BIGINT) AS n_risk,
+      |       CAST(a.ev AS BIGINT) AS n_events, CAST(a.cn AS BIGINT) AS n_censored,
+      |       round(list_reduce(list_prepend(1.0,
+      |         list(1.0 - b.ev * 1.0 / b.n_risk ORDER BY b.d)),
+      |         (x, y) -> x * y), 6) AS survival
+      |FROM km a JOIN km b ON b.d <= a.d
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+  ) { (s, d) => kaplanMeier(events(s, d).select(col("user_id"), col("ts"))) }
+
+  /** l152's engine over any (user_id, ts) frame — factored so the spec
+    * can pin a textbook fixture with hand-computed Ŝ(t) and prove the
+    * censoring rule (censored users inflate risk sets, never events). */
+  private[graft] def kaplanMeier(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("wk"))
+    val mx = e.agg(max("wk").as("mw"))
+    val du = e.groupBy("user_id").agg(min("wk").as("fw"), max("wk").as("lw"))
+      .crossJoin(broadcast(mx))
+      // floor division explicitly: DuckDB CAST(double AS BIGINT) ROUNDS
+      // where Spark's truncates — // vs floor keeps both engines exact
+      .select(floor(datediff(col("lw"), col("fw")) / 7).cast("long").as("d"),
+        (col("lw") >= date_sub(col("mw"), 7)).cast("long").as("cens"))
+    val hist = du.groupBy("d").agg(count(lit(1)).as("n"),
+      sum((col("cens") === 0).cast("long")).as("ev"), sum("cens").as("cn"))
+    // duration-domain window (≤ |distinct durations| rows — the l51/l144
+    // documented metadata-window class)
+    val km = hist.select(col("d"), col("ev"), col("cn"),
+        sum("n").over(Window.orderBy(col("d").desc)).as("n_risk"))
+      .localCheckpoint(false) // both sides of the fold self-join
+    km.as("a").join(km.as("b"), col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("duration_wk"), col("a.n_risk").as("n_risk"),
+        col("a.ev").as("n_events"), col("a.cn").as("n_censored"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("b.d"),
+          (lit(1.0) - col("b.ev") * lit(1.0) / col("b.n_risk")).as("t")))),
+          x => x.getField("t")),
+        lit(1.0), (x, y) => x * y), 6).as("survival"))
+      .orderBy("duration_wk")
+  }
+
   // ------------- dup-graph degree assortativity (l151)
 
   /** L151: degree assortativity of the near-dup pair graph (Newman 2002
@@ -10970,6 +11047,7 @@ object LlmQueries {
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
     l149_js_divergence, l150_media_phash_neardup, l151_assortativity,
+    l152_kaplan_meier,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

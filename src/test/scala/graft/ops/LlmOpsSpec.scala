@@ -3853,4 +3853,39 @@ class LlmOpsSpec extends AnyFunSuite {
       "the hub-hub edge must raise assortativity above the pure star's -1")
     info(s"l151: star ${starGot._5.get}, joined hubs ${joinedGot._5.get}")
   }
+
+  test("l152 Kaplan-Meier: hand-computed product-limit curve; censored " +
+      "users sit in the risk set but never count as events") {
+    // corpus window: weeks of 2024-01-01 (Mon) .. 2024-03-04; censor
+    // cutoff = last week minus 7d, so lw >= 2024-02-26 means censored.
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 10:00:00")
+    def user(id: Long, first: String, last: String) =
+      Seq((id, ts(first)), (id, ts(last)))
+    val ev =
+      user(1, "2024-01-01", "2024-01-01") ++ // d=0, death
+      user(2, "2024-01-01", "2024-01-03") ++ // d=0 (same week), death
+      user(3, "2024-01-01", "2024-01-08") ++ // d=1, death
+      user(4, "2024-01-01", "2024-01-15") ++ // d=2, death
+      user(5, "2024-01-01", "2024-03-04") ++ // d=9, censored (last week)
+      user(6, "2024-02-05", "2024-02-26") ++ // d=3, censored (>= cutoff)
+      user(7, "2024-01-08", "2024-01-22")    // d=2, death
+    val got = LlmQueries.kaplanMeier(ev.toDF("user_id", "ts")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // risk sets (users with d >= t): t=0:7, t=1:5, t=2:4, t=3:2, t=9:1
+    // S(0)=5/7; S(1)=5/7*4/5; S(2)=...*2/4; S(3)=S(2) (censor only);
+    // S(9)=S(3) (censor only)
+    val s0 = 5.0 / 7
+    val s1 = s0 * (1 - 1.0 / 5)
+    val s2 = s1 * (1 - 2.0 / 4)
+    assert(got(0L) === ((7L, 2L, 0L, r6(s0))))
+    assert(got(1L) === ((5L, 1L, 0L, r6(s1))))
+    assert(got(2L) === ((4L, 2L, 0L, r6(s2))))
+    assert(got(3L) === ((2L, 0L, 1L, r6(s2))),
+      "a censored duration keeps the curve FLAT and counts no event")
+    assert(got(9L) === ((1L, 0L, 1L, r6(s2))))
+    info(s"l152: S = ${Seq(0L,1L,2L,3L,9L).map(t => got(t)._4).mkString(", ")}")
+  }
 }
