@@ -10902,7 +10902,12 @@ object LlmQueries {
     * 100 TB posture: per-user spans are one map-combinable aggregate;
     * everything after runs on the ≤|distinct durations| histogram
     * (metadata — the reverse-cumulative risk window and the fold
-    * self-join are duration-domain-sized, the l144 discipline). */
+    * self-join are duration-domain-sized, the l144 discipline).
+    *
+    * On THIS corpus most spans are censored (synthetic users stay active
+    * to the corpus end — the c10/l131 uniform-data precedent), so the
+    * curve is short and high; the spec carries the semantics on a
+    * textbook fixture with real deaths at every step. */
   val l152_kaplan_meier = Q(
     "l152_kaplan_meier",
     """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
@@ -10955,6 +10960,126 @@ object LlmQueries {
           x => x.getField("t")),
         lit(1.0), (x, y) => x * y), 6).as("survival"))
       .orderBy("duration_wk")
+  }
+
+  // ------------- log-rank survival comparison (l153)
+
+  /** L153: log-rank test between two user cohorts (Mantel 1966; the
+    * standard KM-curve comparison) — l152's decision half: do purchasers
+    * and non-purchasers have the SAME lifetime distribution? At every
+    * death duration t the observed group-1 deaths are scored against the
+    * hypergeometric expectation E₁(t) = d·n₁/n with variance
+    * V(t) = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1); χ² = (O₁−E₁)²/V, 1 df. The
+    * censoring discipline is l152's (same spans, same cutoff) — censored
+    * users shape every risk set but never score.
+    *
+    * Determinism: risk sets and death counts are exact integers
+    * computed on the duration×group histogram; E₁ and V are sums of
+    * per-duration rationals folded in DURATION ORDER on both engines
+    * (the l142/l152 convention); the statistic is a float OUTPUT column
+    * (6-dp), not a flag — a log-rank flag would need rational-sum
+    * cross-multiplication, and the honest contract is reporting the
+    * statistic beside its 3.841 critical value in the scaladoc, not
+    * manufacturing a transcendental-adjacent boolean.
+    *
+    * 100 TB posture: one span aggregate + one membership semi-join per
+    * user (map-combinable), then everything runs on the ≤|durations|×2
+    * histogram — the l144/l152 metadata discipline.
+    *
+    * On THIS corpus the row is legitimately degenerate (the c10/l131
+    * sensitivity precedent): synthetic users are uniformly active to the
+    * corpus end, so every span is censored, no death terms exist, and
+    * χ² is null — the honest answer to "did anyone churn differently"
+    * when nobody churned. The spec carries the sensitivity proof: a
+    * separated fixture rejects at 0.05, an identical-cohort fixture
+    * scores exactly 0. */
+  val l153_logrank = Q(
+    "l153_logrank",
+    """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |             event_type FROM events),
+      |mx AS (SELECT max(wk) AS mw FROM e),
+      |g AS (SELECT user_id,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g1
+      |      FROM e GROUP BY 1),
+      |u AS (SELECT e.user_id, min(wk) AS fw, max(wk) AS lw FROM e GROUP BY 1),
+      |du AS (SELECT g.g1, CAST((lw - fw) // 7 AS BIGINT) AS d,
+      |         CAST(lw >= mw - 7 AS BIGINT) AS cens
+      |       FROM u JOIN g ON g.user_id = u.user_id, mx),
+      |hist AS (SELECT d, g1, count(*) AS n,
+      |           sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END) AS ev
+      |         FROM du GROUP BY 1, 2),
+      |dd AS (SELECT DISTINCT d FROM hist),
+      |grid AS (SELECT dd.d, gg.g1, coalesce(h.n, 0) AS n, coalesce(h.ev, 0) AS ev
+      |         FROM dd CROSS JOIN (SELECT 0 AS g1 UNION ALL SELECT 1) gg
+      |         LEFT JOIN hist h ON h.d = dd.d AND h.g1 = gg.g1),
+      |rk AS (SELECT d, g1, ev, sum(n) OVER (PARTITION BY g1 ORDER BY d DESC) AS nr
+      |       FROM grid),
+      |tm AS (SELECT a.d, a.nr AS n1, a.ev AS d1, a.nr + b.nr AS n,
+      |         a.ev + b.ev AS dt
+      |       FROM rk a JOIN rk b ON a.d = b.d AND a.g1 = 1 AND b.g1 = 0
+      |       WHERE a.ev + b.ev > 0 AND a.nr + b.nr > 1),
+      |f AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+      |        round(list_reduce(list_prepend(0.0,
+      |          list(dt * 1.0 * n1 / n ORDER BY d)), (x, y) -> x + y), 6) AS e1,
+      |        round(list_reduce(list_prepend(0.0,
+      |          list(dt * 1.0 * n1 / n * (1.0 - n1 * 1.0 / n)
+      |               * (n - dt) / (n - 1) ORDER BY d)), (x, y) -> x + y), 6) AS v
+      |      FROM tm)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM du WHERE g1 = 1) AS n_g1,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM du WHERE g1 = 0) AS n_g0,
+      |       o1, e1, v,
+      |       round((o1 - e1) * (o1 - e1) / nullif(v, 0.0), 6) AS chi2
+      |FROM f""".stripMargin
+  ) { (s, d) =>
+    val ev = events(s, d)
+    logRank(ev.select(col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "purchase").select("user_id").distinct())
+  }
+
+  /** l153's engine: spans from (user_id, ts), group 1 = membership in
+    * `g1Users`. Factored so the spec can replay a textbook fixture. */
+  private[graft] def logRank(ev: DataFrame, g1Users: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("wk"))
+    val mx = e.agg(max("wk").as("mw"))
+    val du = e.groupBy("user_id").agg(min("wk").as("fw"), max("wk").as("lw"))
+      .join(g1Users.select(col("user_id"), lit(1L).as("g1m")), Seq("user_id"), "left")
+      .crossJoin(broadcast(mx))
+      .select(coalesce(col("g1m"), lit(0L)).as("g1"),
+        floor(datediff(col("lw"), col("fw")) / 7).cast("long").as("d"),
+        (col("lw") >= date_sub(col("mw"), 7)).cast("long").as("cens"))
+      .localCheckpoint(false) // histogram + the two count scalars
+    val hist = du.groupBy("d", "g1").agg(count(lit(1)).as("n"),
+      sum((col("cens") === 0).cast("long")).as("ev"))
+    val grid = hist.select("d").distinct()
+      .crossJoin(broadcast(ev.sparkSession.range(2).select(col("id").as("g1"))))
+      .join(hist, Seq("d", "g1"), "left")
+      .select(col("d"), col("g1"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("ev"), lit(0L)).as("ev"))
+    val rk = grid.select(col("d"), col("g1"), col("ev"),
+      sum("n").over(Window.partitionBy("g1").orderBy(col("d").desc)).as("nr"))
+    val tm = rk.as("a").join(rk.as("b"),
+        col("a.d") === col("b.d") && col("a.g1") === 1 && col("b.g1") === 0)
+      .select(col("a.d").as("d"), col("a.nr").as("n1"), col("a.ev").as("d1"),
+        (col("a.nr") + col("b.nr")).as("n"), (col("a.ev") + col("b.ev")).as("dt"))
+      .filter(col("dt") > 0 && col("n") > 1)
+    def foldSum(term: Column): Column = round(aggregate(
+      transform(array_sort(collect_list(struct(col("d"), term.as("t")))),
+        x => x.getField("t")), lit(0.0), (x, y) => x + y), 6)
+    val f = tm.agg(sum("d1").as("o1"),
+      foldSum(col("dt") * lit(1.0) * col("n1") / col("n")).as("e1"),
+      foldSum(col("dt") * lit(1.0) * col("n1") / col("n")
+        * (lit(1.0) - col("n1") * lit(1.0) / col("n"))
+        * (col("n") - col("dt")) / (col("n") - 1)).as("v"))
+    // conditional sums, not filtered frames: an empty cohort must yield
+    // a 0 column, not an empty cross join (the oracle's scalar subqueries
+    // always return one row)
+    val counts = du.agg(sum((col("g1") === 1).cast("long")).as("n_g1"),
+      sum((col("g1") === 0).cast("long")).as("n_g0"))
+    f.crossJoin(broadcast(counts))
+      .select(col("n_g1"), col("n_g0"), col("o1"), col("e1"), col("v"),
+        round((col("o1") - col("e1")) * (col("o1") - col("e1")) /
+          when(col("v") === 0.0, lit(null)).otherwise(col("v")), 6).as("chi2"))
   }
 
   // ------------- dup-graph degree assortativity (l151)
@@ -11047,7 +11172,7 @@ object LlmQueries {
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
     l149_js_divergence, l150_media_phash_neardup, l151_assortativity,
-    l152_kaplan_meier,
+    l152_kaplan_meier, l153_logrank,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

@@ -3888,4 +3888,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(9L) === ((1L, 0L, 1L, r6(s2))))
     info(s"l152: S = ${Seq(0L,1L,2L,3L,9L).map(t => got(t)._4).mkString(", ")}")
   }
+
+  test("l153 log-rank: O/E/V equal a hand replay; a fast-dying cohort " +
+      "scores a large chi2 against a long-lived one; identical cohorts ~0") {
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 10:00:00")
+    def span(id: Long, first: String, last: String) =
+      Seq((id, ts(first)), (id, ts(last)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // group 1: dies at weeks 0-1; group 0: dies at weeks 3-4; one
+    // censored user per group per replica; 4 replicas for power (a
+    // 4-death cohort cannot clear 3.84 however separated)
+    val reps = 0 until 4
+    val g1 = reps.flatMap { r =>
+      val o = r * 100L
+      span(o + 1, "2024-01-01", "2024-01-01") ++
+        span(o + 2, "2024-01-01", "2024-01-02") ++
+        span(o + 3, "2024-01-01", "2024-01-08") ++
+        span(o + 4, "2024-01-01", "2024-01-10") ++
+        span(o + 5, "2024-01-01", "2024-03-04")
+    }
+    val g0 = reps.flatMap { r =>
+      val o = r * 100L
+      span(o + 11, "2024-01-01", "2024-01-22") ++
+        span(o + 12, "2024-01-01", "2024-01-24") ++
+        span(o + 13, "2024-01-01", "2024-01-29") ++
+        span(o + 14, "2024-01-01", "2024-01-31") ++
+        span(o + 15, "2024-01-01", "2024-02-26")
+    }
+    val ev = (g1 ++ g0).toDF("user_id", "ts")
+    val g1df = reps.flatMap(r => (1L to 5L).map(_ + r * 100L)).toDF("user_id")
+    val row = LlmQueries.logRank(ev, g1df).collect().head
+    // hand replay on (duration, group, censored), one entry per user
+    val durs = reps.flatMap(_ => Seq(
+      (0L,1,false),(0L,1,false),(1L,1,false),(1L,1,false),(9L,1,true),
+      (3L,0,false),(3L,0,false),(4L,0,false),(4L,0,false),(8L,0,true)))
+    val deathTimes = durs.filter(!_._3).map(_._1).distinct.sorted
+    var (e1, v) = (0.0, 0.0)
+    var o1 = 0L
+    deathTimes.foreach { t =>
+      val n1 = durs.count(x => x._2 == 1 && x._1 >= t).toDouble
+      val n = durs.count(_._1 >= t).toDouble
+      val dt = durs.count(x => !x._3 && x._1 == t).toDouble
+      val d1 = durs.count(x => !x._3 && x._1 == t && x._2 == 1).toLong
+      if (dt > 0 && n > 1) {
+        o1 += d1
+        e1 += dt * n1 / n
+        v += dt * n1 / n * (1.0 - n1 / n) * (n - dt) / (n - 1)
+      }
+    }
+    assert(row.getLong(0) === 20L && row.getLong(1) === 20L)
+    assert(row.getLong(2) === o1, "observed group-1 deaths")
+    assert(row.getDouble(3) === r6(e1), "expected deaths fold")
+    assert(row.getDouble(4) === r6(v), "variance fold")
+    val chi2 = row.getDouble(5)
+    assert(chi2 > 3.841459, s"separated cohorts must reject at 0.05: $chi2")
+    // identical cohorts: copy group 0's spans as a fake group 1
+    val evSame = (g0 ++ g0.map { case (id, t) => (id + 1000L, t) })
+      .toDF("user_id", "ts")
+    val sameRow = LlmQueries.logRank(evSame,
+      reps.flatMap(r => (11L to 15L).map(_ + r * 100L + 1000L)).toDF("user_id"))
+      .collect().head
+    assert(sameRow.getDouble(5) < 0.0001,
+      s"identical cohorts must score ~0: ${sameRow.getDouble(5)}")
+    info(s"l153: separated chi2 = $chi2, identical chi2 = ${sameRow.getDouble(5)}")
+  }
 }
