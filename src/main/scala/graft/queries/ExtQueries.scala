@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -429,6 +429,86 @@ object ExtQueries {
         round(col(s"${c}__sm") / col(s"${c}__nn"), 6).as("mean_v"))): _*)).as("p"))
       .select("p.*")
       .orderBy("col_name")
+  }
+
+  /** D23: exact weighted median per group — the sample-weights gap in the
+    * quantile family (d11/d12/d19 are unweighted): the lower weighted
+    * median (smallest x with 2·F(x) ≥ W) of price weighted by quantity,
+    * the estimator a reweighted corpus (l42's soft-dedup weights, l47's
+    * sampling weights) needs for any "median quality under weights"
+    * question.
+    *
+    * Scale design — the ops/Stats histogram-refinement shape, expressed
+    * declaratively in ONE level: (1) per-(group, value) DECIMAL weight
+    * histogram (map-combinable — the only corpus pass); (2) an 8192-
+    * bucket coarse cumulative per group (metadata window) locates the
+    * crossing bucket; (3) the in-bucket window runs ONLY over that
+    * bucket's distinct values (domain/8192 rows). No group ever funnels
+    * its full value set through one task — the thing a naive
+    * `PARTITION BY group ORDER BY x` cumsum does and d12's engine
+    * exists to avoid; adversarial distributions (all mass in one
+    * bucket's distinct values) recurse in ops/Stats — one level
+    * suffices on a bounded price lattice.
+    *
+    * Determinism: weights and cumulative sums are exact DECIMAL; the
+    * pick compare 2·cw ≥ W is decimal-exact (never a ratio); bucket
+    * routing is float but only ROUTES — the picked value is defined by
+    * the exact compare, so both engines agree even if a boundary value
+    * lands in a neighbor bucket (the crossing bucket is found by the
+    * same exact cumulative on both sides of the bucket edge). */
+  val d23_weighted_median = Q(
+    "d23_weighted_median",
+    """WITH h AS (SELECT l_returnflag AS flag, l_extendedprice AS x,
+      |             sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+      |           FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT flag, x,
+      |        sum(w) OVER (PARTITION BY flag ORDER BY x) AS cw,
+      |        sum(w) OVER (PARTITION BY flag) AS tw FROM h)
+      |SELECT flag, CAST(max(tw) AS DOUBLE) AS w_total,
+      |       CAST(min(CASE WHEN 2 * cw >= tw THEN x END) AS DOUBLE) AS w_median
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    weightedMedianByGroup(lineitem(s, d), col("l_returnflag"),
+      col("l_extendedprice"), col("l_quantity"))
+      .orderBy("flag")
+  }
+
+  /** d23's engine over any (group, x, weight) columns. Lower weighted
+    * median; exact DECIMAL compares; the two windows run over metadata-
+    * sized frames (8192 coarse buckets; one bucket's distinct values). */
+  private[graft] def weightedMedianByGroup(df: DataFrame, g: Column,
+      x: Column, w: Column): DataFrame = {
+    val h = df.select(g.as("flag"), x.cast("double").as("x"),
+        w.cast("decimal(18,2)").as("w"))
+      .groupBy("flag", "x").agg(sum("w").as("w"))
+      .localCheckpoint(false) // stats + coarse + in-bucket all read it
+    val st = h.groupBy("flag").agg(min("x").as("lo"), max("x").as("hi"),
+      sum("w").as("tw"))
+    val nb = 8192
+    def bucketOf(xc: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0)).otherwise(
+        least(lit(nb - 1), floor((xc - lo) / (hi - lo) * nb)).cast("int"))
+    val hb = h.join(broadcast(st), Seq("flag"))
+      .select(col("flag"), col("x"), col("w"), col("tw"),
+        bucketOf(col("x"), col("lo"), col("hi")).as("b"))
+    val coarse = hb.groupBy("flag", "b").agg(sum("w").as("bw"))
+      .select(col("flag"), col("b"), col("bw"),
+        (sum("bw").over(Window.partitionBy("flag").orderBy("b"))
+          - col("bw")).as("before"))
+    val target = coarse.join(broadcast(st.select(col("flag"), col("tw"))), Seq("flag"))
+      .filter(lit(2) * (col("before") + col("bw")) >= col("tw"))
+      .groupBy("flag").agg(min("b").as("tb"))
+    val inB = hb.join(broadcast(target), Seq("flag"))
+      .filter(col("b") === col("tb"))
+    val before = coarse.join(broadcast(target), Seq("flag"))
+      .filter(col("b") === col("tb")).select(col("flag"), col("before"))
+    inB.join(broadcast(before), Seq("flag"))
+      .select(col("flag"), col("x"), col("tw"),
+        (col("before") + sum("w").over(
+          Window.partitionBy("flag").orderBy("x"))).as("cw"))
+      .filter(lit(2) * col("cw") >= col("tw"))
+      .groupBy("flag").agg(max(col("tw")).cast("double").as("w_total"),
+        min("x").as("w_median"))
   }
 
   /** E9: shuffled-hash join — the third physical equi-join strategy,
@@ -1415,5 +1495,5 @@ object ExtQueries {
     f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
     d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers,
     d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join,
-    c13_scd2_history, c14_column_profile)
+    c13_scd2_history, c14_column_profile, d23_weighted_median)
 }

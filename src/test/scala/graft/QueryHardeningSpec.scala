@@ -306,4 +306,39 @@ class QueryHardeningSpec extends AnyFunSuite {
     val z = got("z")
     assert(z.getLong(2) === 0L && z.getLong(3) === 1L && z.getDouble(6) === 5.0)
   }
+
+  test("d23: the two-level weighted median equals the naive full-window " +
+      "form on random weighted data, and a hand fixture with an exact " +
+      "2F(x)=W boundary picks the boundary value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 4).flatMap { g =>
+      (1 to 300).map(_ => (s"g$g", rnd.nextInt(50) * 1.0 + rnd.nextInt(100),
+        1.0 + rnd.nextInt(9)))
+    }
+    val df = rows.toDF("grp", "x", "w")
+    val got = ExtQueries.weightedMedianByGroup(df, col("grp"), col("x"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // naive replay: per group, sort by x, first x with 2*cumw >= totw
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val byX = rs.groupBy(_._2).map { case (x, xs) =>
+        x -> BigDecimal(xs.map(_._3).sum).setScale(2)
+      }.toSeq.sortBy(_._1)
+      val tot = byX.map(_._2).sum
+      var cum = BigDecimal(0)
+      g -> byX.collectFirst {
+        case (x, w) if { cum += w; cum * 2 >= tot } => x
+      }.get
+    }
+    want.foreach { case (g, x) =>
+      assert(got(g) === x, s"group $g: two-level pick diverges from naive")
+    }
+    // exact boundary: weights 1,1 on values 10,20 -> 2F(10)=2=W picks 10
+    val edge = Seq(("e", 10.0, 1.0), ("e", 20.0, 1.0)).toDF("grp", "x", "w")
+    val eGot = ExtQueries.weightedMedianByGroup(
+      edge, col("grp"), col("x"), col("w")).collect().head
+    assert(eGot.getDouble(2) === 10.0,
+      "the LOWER weighted median takes the exact 2F(x)=W boundary value")
+  }
 }
