@@ -10880,6 +10880,103 @@ object LlmQueries {
       .filter(col("hamming") <= tau)
   }
 
+  // ------------- event-flow transition matrix (l154)
+
+  /** L154: first-order event-flow transition matrix — the Markov-chain
+    * view of user journeys (the "flow" report of product analytics, and
+    * the behavioral twin of l43's token bigram LM): per user, consecutive
+    * event pairs under the (ts, event_id) total order (the f2 tie
+    * discipline), aggregated to P(to | from) with exact integer counts
+    * and one post-aggregation ratio. Rows where a journey ENDS get the
+    * explicit '#end' sink so every from-row sums to 1 — absorbing-state
+    * bookkeeping, not a dropped edge.
+    *
+    * 100 TB posture: one shuffle on user_id, a per-user lead window
+    * (bounded by per-user activity), then a |types|² metadata aggregate.
+    * Determinism: counts exact; p = c/from_total is one IEEE division,
+    * 6-dp. */
+  val l154_event_flow = Q(
+    "l154_event_flow",
+    """WITH s AS (SELECT user_id, event_type AS f,
+      |             lead(event_type, 1, '#end') OVER
+      |               (PARTITION BY user_id ORDER BY ts, event_id) AS t
+      |           FROM events),
+      |c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+      |tot AS (SELECT f, sum(n) AS ft FROM c GROUP BY 1)
+      |SELECT c.f AS from_type, c.t AS to_type, c.n,
+      |       round(c.n * 1.0 / tot.ft, 6) AS p
+      |FROM c JOIN tot ON tot.f = c.f
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sq = events(s, d).select(col("user_id"), col("event_type").as("f"),
+      lead(col("event_type"), 1, "#end").over(w).as("t"))
+    val c = sq.groupBy("f", "t").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("f").agg(sum("n").as("ft"))
+    c.join(broadcast(tot), Seq("f"))
+      .select(col("f").as("from_type"), col("t").as("to_type"), col("n"),
+        round(col("n") * lit(1.0) / col("ft"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // ------------- effective sample size under soft-dedup weights (l155)
+
+  /** L155: Kish effective sample size of the soft-dedup-weighted corpus,
+    * per source (Kish 1965: ESS = (Σw)²/Σw²) — the number that says what
+    * l42's reweighting actually DID to each source's contribution: a
+    * source of N docs in big near-dup clusters collapses to few effective
+    * docs (ESS ≪ N), a clean source keeps ESS ≈ N; mixture design (l31/
+    * l104) should budget on THIS, not raw doc counts.
+    *
+    * Determinism — no float sum over docs: w = 1/csize takes few distinct
+    * values, so Σw = Σ_k n_k/k and Σw² = Σ_k n_k/k² fold over the
+    * (source, csize) HISTOGRAM in csize order (the l144/l152 metadata
+    * discipline) — both engines add identical doubles in identical
+    * order; ESS divides the unrounded folds, then rounds 6-dp.
+    *
+    * 100 TB posture: rides the cached cluster labels; one (source,
+    * csize) count is the only corpus-shaped work; folds and ratios run
+    * on ≤|sources|·|distinct csize| rows. */
+  val l155_effective_sample_size = Q(
+    "l155_effective_sample_size",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |cs AS (SELECT cluster, count(*) AS csize FROM lbl GROUP BY cluster),
+       |dw AS (SELECT d.source, coalesce(cs.csize, 1) AS k
+       |       FROM documents d
+       |       LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+       |       LEFT JOIN cs ON lbl.cluster = cs.cluster),
+       |h AS (SELECT source, k, count(*) AS nk FROM dw GROUP BY 1, 2),
+       |f AS (SELECT source, sum(nk) AS n_docs,
+       |        list_reduce(list_prepend(0.0, list(nk * 1.0 / k ORDER BY k)),
+       |          (a, b) -> a + b) AS sw,
+       |        list_reduce(list_prepend(0.0,
+       |          list(nk * 1.0 / (k * k) ORDER BY k)), (a, b) -> a + b) AS sw2
+       |      FROM h GROUP BY 1)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, round(sw, 6) AS sum_w,
+       |       round(sw * sw / sw2, 6) AS ess,
+       |       round(sw * sw / sw2 / n_docs, 6) AS ess_ratio
+       |FROM f ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val lbl = clusterLabelsCached(s, d).withColumnRenamed("node", "ldoc")
+    val cs = lbl.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val dw = documents(s, d).select(col("doc_id"), col("source"))
+      .join(lbl.join(cs, Seq("cluster")), col("doc_id") === col("ldoc"), "left")
+      .select(col("source"), coalesce(col("csize"), lit(1L)).as("k"))
+    val h = dw.groupBy("source", "k").agg(count(lit(1)).as("nk"))
+    def foldK(term: Column): Column = aggregate(
+      transform(array_sort(collect_list(struct(col("k"), term.as("t")))),
+        x => x.getField("t")), lit(0.0), (a, b) => a + b)
+    h.groupBy("source").agg(sum("nk").as("n_docs"),
+        foldK(col("nk") * lit(1.0) / col("k")).as("sw"),
+        foldK(col("nk") * lit(1.0) / (col("k") * col("k"))).as("sw2"))
+      .select(col("source"), col("n_docs"), round(col("sw"), 6).as("sum_w"),
+        round(col("sw") * col("sw") / col("sw2"), 6).as("ess"),
+        round(col("sw") * col("sw") / col("sw2") / col("n_docs"), 6)
+          .as("ess_ratio"))
+      .orderBy("source")
+  }
+
   // ------------- Kaplan–Meier user survival (l152)
 
   /** L152: Kaplan–Meier survival over user activity spans (Kaplan &
@@ -11172,7 +11269,8 @@ object LlmQueries {
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
     l149_js_divergence, l150_media_phash_neardup, l151_assortativity,
-    l152_kaplan_meier, l153_logrank,
+    l152_kaplan_meier, l153_logrank, l154_event_flow,
+    l155_effective_sample_size,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
