@@ -10880,6 +10880,83 @@ object LlmQueries {
       .filter(col("hamming") <= tau)
   }
 
+  // ------------- dedup-cluster purity audit (l156)
+
+  /** L156: near-dup cluster PURITY — the transitive-closure honesty audit
+    * l151 warns about, measured: l14's connected components glue pairs
+    * through chains (A≈B≈C with J(A,C) possibly far below τ), so every
+    * multi-doc cluster is scored by its FULL within-cluster pairwise
+    * exact Jaccard — min, mean, and an explicit has_chained_pair flag
+    * (min < τ) marking clusters whose membership rests on transitivity
+    * alone. The number that decides between "drop the whole cluster" and
+    * "keep one per chained sub-family" in a dedup policy — and the
+    * counterpart of l77's dup profile, which counts clusters but never
+    * looks inside them.
+    *
+    * Determinism: per-pair Jaccard is one IEEE division of exact integer
+    * counts (identical doubles both engines); min is exact; the mean
+    * folds pair terms in (i, j) order (the l142 convention); the flag
+    * compares identical doubles to the τ literal.
+    *
+    * 100 TB posture: within-cluster pairs are C(size,2) per cluster —
+    * bounded HERE by the Kiveris-escalated cluster sizes, and at scale
+    * the audit samples pairs per giant cluster (the l134/l30 declared-
+    * loss pattern) rather than materializing a quadratic star; rides the
+    * cached labels + shingle frames, adds two joins on the pair frame. */
+  val l156_cluster_purity = Q(
+    "l156_cluster_purity",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |cs2 AS (SELECT cluster, count(*) AS size FROM lbl GROUP BY 1),
+       |wp AS (SELECT a.cluster, a.doc_id AS i, b.doc_id AS j
+       |       FROM lbl a JOIN lbl b
+       |         ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+       |ix AS (SELECT wp.cluster, wp.i, wp.j, count(*) AS inter
+       |       FROM wp JOIN ex ea ON ea.doc_id = wp.i
+       |               JOIN ex eb ON eb.doc_id = wp.j AND eb.s = ea.s
+       |       GROUP BY 1, 2, 3),
+       |pj AS (SELECT wp.cluster, wp.i, wp.j,
+       |         coalesce(ix.inter, 0) * 1.0
+       |           / (si.n + sj.n - coalesce(ix.inter, 0)) AS jac
+       |       FROM wp LEFT JOIN ix ON ix.i = wp.i AND ix.j = wp.j
+       |       JOIN sz si ON si.doc_id = wp.i JOIN sz sj ON sj.doc_id = wp.j),
+       |f AS (SELECT cluster, count(*) AS n_pairs, min(jac) AS mn,
+       |        list_reduce(list_prepend(0.0, list(jac ORDER BY i, j)),
+       |          (a, b) -> a + b) AS sj
+       |      FROM pj GROUP BY 1)
+       |SELECT f.cluster, CAST(cs2.size AS BIGINT) AS size,
+       |       CAST(f.n_pairs AS BIGINT) AS n_pairs,
+       |       round(f.mn, 6) AS min_jac, round(f.sj / f.n_pairs, 6) AS mean_jac,
+       |       CAST(f.mn < $NearDupTau AS BIGINT) AS has_chained_pair
+       |FROM f JOIN cs2 ON cs2.cluster = f.cluster
+       |ORDER BY f.cluster""".stripMargin
+  ) { (s, d) =>
+    graft.functions.SetExprs.register(s)
+    val lbl = clusterLabelsCached(s, d)
+    val shS = shingledCached(s, d)
+      .select(col("doc_id"), sort_array(col("ss")).as("ss"))
+    val wp = lbl.as("a").join(lbl.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.node") < col("b.node"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.node").as("i"), col("b.node").as("j"))
+    val jac = TextOps.jaccardSorted(col("da.ss"), col("db.ss"))
+    val pj = wp.join(shS.as("da"), col("i") === col("da.doc_id"))
+      .join(shS.as("db"), col("j") === col("db.doc_id"))
+      .select(col("cluster"), col("i"), col("j"), jac.as("jac"))
+    val cs = lbl.groupBy("cluster").agg(count(lit(1)).as("size"))
+    pj.groupBy("cluster").agg(count(lit(1)).as("n_pairs"),
+        round(min("jac"), 6).as("min_jac"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("i"), col("j"),
+            col("jac").as("t")))), x => x.getField("t")),
+          lit(0.0), (a, b) => a + b) / count(lit(1)), 6).as("mean_jac"),
+        (min("jac") < NearDupTau).cast("long").as("has_chained_pair"))
+      .join(cs, Seq("cluster"))
+      .select(col("cluster"), col("size"), col("n_pairs"), col("min_jac"),
+        col("mean_jac"), col("has_chained_pair"))
+      .orderBy("cluster")
+  }
+
   // ------------- event-flow transition matrix (l154)
 
   /** L154: first-order event-flow transition matrix — the Markov-chain
@@ -11270,7 +11347,7 @@ object LlmQueries {
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
     l149_js_divergence, l150_media_phash_neardup, l151_assortativity,
     l152_kaplan_meier, l153_logrank, l154_event_flow,
-    l155_effective_sample_size,
+    l155_effective_sample_size, l156_cluster_purity,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
