@@ -8515,6 +8515,39 @@ object LlmQueries {
       .orderBy("user_id", "err_id")
   }
 
+  /** L157: click/error reconciliation — the stream-stream FULL OUTER
+    * interval join, closing the join-mode matrix (l22 inner, l118 left
+    * outer, l147 semi): attributed pairs PLUS both orphan sides (errors
+    * with no prior-hour click AND clicks that attributed nothing) in one
+    * pass — the "which side has orphans" reconciliation view. State
+    * holds unmatched rows from BOTH inputs until the watermark (the
+    * symmetric cost left-outer pays on one side), matched rows stream
+    * out immediately — see
+    * [[graft.streaming.StreamingOps.intervalJoinFullOuter]];
+    * StreamingSpec pins the MemoryStream run ≡ this batch body after
+    * sentinel-driven finalization. Sort keys are null-coalesced: Spark
+    * orders NULLS FIRST, DuckDB NULLS LAST — a bare ORDER BY on the
+    * nullable id columns would shuffle row order between engines. */
+  val l157_click_error_reconcile = Q(
+    "l157_click_error_reconcile",
+    """WITH er AS (SELECT user_id, event_id AS err_id, ts AS err_ts
+      |            FROM events WHERE event_type = 'error'),
+      |cl AS (SELECT user_id AS cuser, event_id AS click_id, ts AS click_ts
+      |       FROM events WHERE event_type = 'click')
+      |SELECT coalesce(er.user_id, cl.cuser) AS user_id, er.err_id, cl.click_id,
+      |       strftime(er.err_ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+      |       strftime(cl.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM er FULL OUTER JOIN cl
+      |  ON cl.cuser = er.user_id
+      | AND cl.click_ts >= er.err_ts - INTERVAL 1 HOUR
+      | AND cl.click_ts <= er.err_ts
+      |ORDER BY 1, coalesce(er.err_id, -1), coalesce(cl.click_id, -1)""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.intervalJoinFullOuter(events(s, d))
+      .orderBy(col("user_id"), coalesce(col("err_id"), lit(-1L)),
+        coalesce(col("click_id"), lit(-1L)))
+  }
+
   // -------------------- minhash estimator fidelity audit (l119)
 
   /** L119: MinHash estimator fidelity — the sketch-quality audit l73/l111
@@ -11348,6 +11381,7 @@ object LlmQueries {
     l149_js_divergence, l150_media_phash_neardup, l151_assortativity,
     l152_kaplan_meier, l153_logrank, l154_event_flow,
     l155_effective_sample_size, l156_cluster_purity,
+    l157_click_error_reconcile,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

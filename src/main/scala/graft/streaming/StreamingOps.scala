@@ -236,6 +236,37 @@ object StreamingOps {
         date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join — the fourth and last join
+    * mode (l22 inner, l118 left outer, l147 semi): every error with its
+    * prior-hour clicks, PLUS null rows for errors with no click AND for
+    * clicks that attributed no error — the reconciliation view (which
+    * side has orphans, in one stream). Both sides' null rows wait on the
+    * watermark (state holds unmatched rows from BOTH inputs — the
+    * symmetric cost left-outer pays on one side only); matched rows
+    * stream out immediately. Same body batch + stream; StreamingSpec
+    * pins stream ≡ batch after sentinel-driven finalization. */
+  def intervalJoinFullOuter(events: DataFrame, lookback: String = "1 hour",
+      watermark: String = "30 days"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", watermark)
+    errors.join(clicks,
+        col("click_user") === col("err_user") &&
+          col("click_ts") >= col("err_ts") - expr(s"INTERVAL $lookback") &&
+          col("click_ts") <= col("err_ts"),
+        "full_outer")
+      .select(coalesce(col("err_user"), col("click_user")).as("user_id"),
+        col("err_id"), col("click_id"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("click_ts"))
+  }
+
   /** Weekly PSI drift against a FROZEN reference distribution — the
     * streaming form of the l52 monitor, how production actually deploys
     * it: edges and reference proportions are FIT OFFLINE (a batch job

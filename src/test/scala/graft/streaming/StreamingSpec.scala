@@ -334,6 +334,49 @@ class StreamingSpec extends AnyFunSuite {
       s"rows, ${early.count(_(2) == null)} released pre-finalization")
   }
 
+  test("stream-stream FULL OUTER interval join: equals batch after the " +
+      "watermark finalizes; BOTH orphan sides emit null rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wm = "1 hour"
+    val real = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(_._2.getTime)
+    val maxTs = real.last._2.getTime
+    def sentinels(id: Long, offsetH: Int) = Seq(
+      (id, new java.sql.Timestamp(maxTs + offsetH * 3600L * 1000), -1L, "click"),
+      (id + 1, new java.sql.Timestamp(maxTs + offsetH * 3600L * 1000), -1L, "error"))
+    val batchDf = real.toSeq.toDF("event_id", "ts", "user_id", "event_type")
+    val expected = StreamingOps.intervalJoinFullOuter(batchDf, watermark = wm)
+      .collect().map(_.toSeq).toSet
+    val orphanErr = expected.count(r => r(2) == null)
+    val orphanClick = expected.count(r => r(1) == null)
+    assert(orphanErr > 0 && orphanClick > 0,
+      "fixture must exercise BOTH orphan sides or the mode is vacuous")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamingOps.intervalJoinFullOuter(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+        watermark = wm)
+      .writeStream.format("memory").queryName("foj_stream")
+      .outputMode("append").start()
+    real.grouped((real.length + 2) / 3).foreach { slice =>
+      mem.addData(slice.toIndexedSeq); q.processAllAvailable()
+    }
+    mem.addData(sentinels(900021L, 24)); q.processAllAvailable()
+    mem.addData(sentinels(900031L, 48)); q.processAllAvailable()
+    q.stop()
+    // sentinel rows all carry user_id = -1 (matched sentinel-vs-sentinel
+    // pairs included) and are excluded; everything real must equal batch
+    val got = spark.table("foj_stream").collect().map(_.toSeq)
+      .filter(_(0) != -1L).toSet
+    assert(got === expected,
+      "after finalization the stream must equal the batch full outer exactly")
+    info(s"l157 stream: ${expected.size} rows, $orphanErr orphan errors, " +
+      s"$orphanClick orphan clicks")
+  }
+
   test("stream-stream LEFT SEMI interval join: equals the batch EXISTS, " +
       "one row per error regardless of click fan-out, no null rows ever") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
