@@ -8492,7 +8492,7 @@ object LlmQueries {
   }
 
   /** L147: attributed errors — the stream-stream LEFT SEMI interval join,
-    * completing the l22/l118 join-mode matrix (inner / left outer / semi).
+    * with l22 (inner), l118 (left outer) and l157 (full outer) one of the four join modes.
     * Semi is the right mode when existence is the question: one row per
     * error with ≥1 click in its prior hour, emitted on FIRST match (no
     * click fan-out to deduplicate, no watermark wait, state = pending
@@ -10990,6 +10990,69 @@ object LlmQueries {
       .orderBy("cluster")
   }
 
+  // ------------- Gini concentration of token mass (l158)
+
+  /** L158: Gini coefficient of character mass across documents, per
+    * source (Lorenz 1905 / Gini 1912 — the inequality statistic, here
+    * answering "does 1% of this source's documents carry half its
+    * bytes?"): high concentration means a handful of giants dominate
+    * training exposure and sharding skew; the packing (l20/l40) and
+    * source-cap (l89) knobs act on exactly this shape. Formula over the
+    * ascending-sorted masses: G = (2·Σ r·x_r − (n+1)·Σx) / (n·Σx),
+    * rank-tie-stable (equal values commute in Σ r·x_r).
+    *
+    * Scale design — the l144 histogram discipline: Σ r·x_r NEVER ranks
+    * the corpus; for each distinct value v with count c and cumulative
+    * count cb below it, its rank block contributes
+    * v·(c·cb + c·(c+1)/2) — exact integers off the (source, value)
+    * histogram, one map-combinable corpus aggregate, cumulative window
+    * over ≤|distinct values| metadata rows.
+    *
+    * Determinism: every term is an exact DECIMAL(38,0) integer; G is one
+    * IEEE division of two exact casts, 6-dp; a single-doc or constant
+    * source yields G = 0 exactly (not null — zero inequality is a
+    * defined answer). */
+  val l158_gini_concentration = Q(
+    "l158_gini_concentration",
+    """WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |cw AS (SELECT source, v, c,
+      |         sum(c) OVER (PARTITION BY source ORDER BY v) - c AS cb
+      |       FROM h),
+      |m AS (SELECT source, sum(c) AS n, sum(v * c) AS sx,
+      |        sum(v * (2 * c * cb + c * (c + 1))) AS t2
+      |      FROM cw GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(sx AS BIGINT) AS total_chars,
+      |       round(CAST(t2 - (n + 1) * sx AS DOUBLE)
+      |             / CAST(n * sx AS DOUBLE), 6) AS gini
+      |FROM m ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    giniBySource(documents(s, d).select(col("source"),
+      col("n_chars").cast("long").as("v")))
+  }
+
+  /** l158's engine over any (source, v) positive-mass frame — factored so
+    * the spec can pin closed-form fixtures (constant → 0, one-holder →
+    * (n−1)/n, ≡ a sorted-rank driver replay under ties). */
+  private[graft] def giniBySource(t: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = t.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val cw = h.select(col("source"), col("v").cast(dec).as("v"),
+      col("c").cast(dec).as("c"),
+      (sum("c").over(Window.partitionBy("source").orderBy("v")) - col("c"))
+        .cast(dec).as("cb"))
+    val m = cw.groupBy("source").agg(sum("c").as("n"),
+      sum(col("v") * col("c")).as("sx"),
+      // 2·Σ rank·x as a pure integer — no division inside any sum
+      sum(col("v") * (lit(2) * col("c") * col("cb")
+        + col("c") * (col("c") + 1))).as("t2"))
+    m.select(col("source"), col("n").cast("long").as("n_docs"),
+        col("sx").cast("long").as("total_chars"),
+        round((col("t2") - (col("n") + 1) * col("sx")).cast("double")
+          / (col("n") * col("sx")).cast("double"), 6).as("gini"))
+      .orderBy("source")
+  }
+
   // ------------- event-flow transition matrix (l154)
 
   /** L154: first-order event-flow transition matrix — the Markov-chain
@@ -11381,7 +11444,7 @@ object LlmQueries {
     l149_js_divergence, l150_media_phash_neardup, l151_assortativity,
     l152_kaplan_meier, l153_logrank, l154_event_flow,
     l155_effective_sample_size, l156_cluster_purity,
-    l157_click_error_reconcile,
+    l157_click_error_reconcile, l158_gini_concentration,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

@@ -3953,4 +3953,32 @@ class LlmOpsSpec extends AnyFunSuite {
       s"identical cohorts must score ~0: ${sameRow.getDouble(5)}")
     info(s"l153: separated chi2 = $chi2, identical chi2 = ${sameRow.getDouble(5)}")
   }
+
+  test("l158 Gini: constant mass = 0, a single holder = (n-1)/n, and the " +
+      "histogram form equals a sorted-rank replay under heavy ties") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def refGini(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val n = s.size.toDouble
+      val sx = s.map(_.toDouble).sum
+      val srx = s.zipWithIndex.map { case (x, i) => (i + 1) * x.toDouble }.sum
+      r6((2 * srx - (n + 1) * sx) / (n * sx))
+    }
+    val rnd = new scala.util.Random(47)
+    val const = (1 to 30).map(_ => ("const", 50L))
+    // one doc holds everything meaningful is degenerate with zeros;
+    // approximate the single-holder limit with 1-vs-epsilon masses
+    val holder = ("hold", 10000L) +: (1 to 19).map(_ => ("hold", 1L))
+    val tied = (1 to 200).map(_ => ("tied", 1L + rnd.nextInt(5)))
+    val df = (const ++ holder ++ tied).toDF("source", "v")
+    val got = LlmQueries.giniBySource(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got("const") === ((30L, 0.0)), "zero inequality is exactly 0")
+    assert(got("hold")._2 === refGini(holder.map(_._2)) &&
+      got("hold")._2 > 0.85, "a near-single-holder source approaches 1")
+    assert(got("tied")._2 === refGini(tied.map(_._2)),
+      "histogram-form Gini must equal the sorted-rank replay under ties")
+    info(s"l158: hold ${got("hold")._2}, tied ${got("tied")._2}")
+  }
 }
