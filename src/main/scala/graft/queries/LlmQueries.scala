@@ -11053,6 +11053,71 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  // ------------- quantile normalization map (l159)
+
+  /** L159: discrete quantile-normalization map between two sources'
+    * length distributions (Bolstad et al. 2003's microarray technique,
+    * here the scorer-swap tool: when a pipeline replaces one quality
+    * scorer with another mid-run, thresholds tuned on the old score
+    * transfer by QUANTILE, not by value) — for every distinct value v of
+    * the target source, the mapped reference value is the discrete
+    * inverse-CDF match: the smallest reference value a with
+    * F_ref(a) ≥ F_tgt(v).
+    *
+    * Determinism: the quantile compare is the exact integer
+    * cross-multiplication n_tgt·cumRef(a) ≥ cumTgt(v)·n_ref — no CDF
+    * ratio is ever materialized as a float (the l131/l148 flag
+    * discipline applied to a JOIN predicate); every output column is an
+    * integer.
+    *
+    * 100 TB posture: two (source, value) histograms are the only
+    * corpus-shaped work (map-combinable); cumulative windows and the
+    * threshold join run on ≤|distinct values|² metadata cells — the
+    * l144/l145 value-domain discipline. */
+  val l159_quantile_map = Q(
+    "l159_quantile_map",
+    """WITH d2 AS (SELECT source, len(string_split(lower(text), ' ')) AS v
+      |            FROM documents WHERE source IN ('src0', 'src1')),
+      |h AS (SELECT source, v, count(*) AS c FROM d2 GROUP BY 1, 2),
+      |cw AS (SELECT source, v, c,
+      |         sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+      |         sum(c) OVER (PARTITION BY source) AS n FROM h),
+      |tgt AS (SELECT v, c, cum, n FROM cw WHERE source = 'src1'),
+      |ref AS (SELECT v, cum, n FROM cw WHERE source = 'src0'),
+      |mp AS (SELECT t.v, t.c, t.cum, min(r.v) AS mapped
+      |       FROM tgt t JOIN ref r ON t.n * r.cum >= t.cum * r.n
+      |       GROUP BY 1, 2, 3)
+      |SELECT CAST(v AS BIGINT) AS v, CAST(c AS BIGINT) AS n_docs,
+      |       CAST(cum AS BIGINT) AS cum, CAST(mapped AS BIGINT) AS mapped
+      |FROM mp ORDER BY v""".stripMargin
+  ) { (s, d) =>
+    val t = spread(documents(s, d))
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), size(TextOps.tokens(col("text"))).as("v"))
+    quantileMap(t, ref = "src0", tgt = "src1")
+  }
+
+  /** l159's engine over any (source, v) integer-signal frame — factored
+    * so the spec can pin a closed-form mapping (scaled uniforms) and the
+    * replay under uneven masses. */
+  private[graft] def quantileMap(t: DataFrame, ref: String, tgt: String): DataFrame = {
+    val h = t.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val cw = h.select(col("source"), col("v"), col("c"),
+        sum("c").over(Window.partitionBy("source").orderBy("v")).as("cum"),
+        sum("c").over(Window.partitionBy("source")).as("n"))
+      .localCheckpoint(false) // both sides of the threshold join
+    val tg = cw.filter(col("source") === tgt)
+      .select(col("v"), col("c"), col("cum"), col("n").as("nt"))
+    val rf = cw.filter(col("source") === ref)
+      .select(col("v").as("rv"), col("cum").as("rcum"), col("n").as("nr"))
+    tg.join(broadcast(rf), col("nt") * col("rcum") >= col("cum") * col("nr"))
+      .groupBy(col("v"), col("c"), col("cum"))
+      .agg(min("rv").as("mapped"))
+      .select(col("v").cast("long").as("v"), col("c").as("n_docs"),
+        col("cum").cast("long").as("cum"), col("mapped").cast("long").as("mapped"))
+      .orderBy("v")
+  }
+
   // ------------- event-flow transition matrix (l154)
 
   /** L154: first-order event-flow transition matrix — the Markov-chain
@@ -11444,7 +11509,7 @@ object LlmQueries {
     l149_js_divergence, l150_media_phash_neardup, l151_assortativity,
     l152_kaplan_meier, l153_logrank, l154_event_flow,
     l155_effective_sample_size, l156_cluster_purity,
-    l157_click_error_reconcile, l158_gini_concentration,
+    l157_click_error_reconcile, l158_gini_concentration, l159_quantile_map,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

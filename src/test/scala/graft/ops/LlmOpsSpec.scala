@@ -3981,4 +3981,33 @@ class LlmOpsSpec extends AnyFunSuite {
       "histogram-form Gini must equal the sorted-rank replay under ties")
     info(s"l158: hold ${got("hold")._2}, tied ${got("tied")._2}")
   }
+
+  test("l159 quantile map: scaled uniforms map k -> 10k exactly; uneven " +
+      "masses match an inverse-CDF replay; exact-boundary quantiles take " +
+      "the boundary value") {
+    // equal-mass uniforms: tgt {1,2,3,4}, ref {10,20,30,40} -> v maps 10v
+    val uni = (1 to 4).flatMap(k => (1 to 25).map(_ => ("t", k.toLong))) ++
+      (1 to 4).flatMap(k => (1 to 25).map(_ => ("r", k * 10L)))
+    val got1 = LlmQueries.quantileMap(uni.toDF("source", "v"), "r", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got1 === Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L),
+      "equal-mass uniform quantiles map by scaled rank exactly")
+    // uneven masses vs a driver inverse-CDF replay
+    val rnd = new scala.util.Random(53)
+    val tgt = (1 to 150).map(_ => ("t", 1L + rnd.nextInt(8)))
+    val ref = (1 to 97).map(_ => ("r", 5L + rnd.nextInt(12)))
+    val got2 = LlmQueries.quantileMap((tgt ++ ref).toDF("source", "v"), "r", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def cdf(xs: Seq[Long]): Seq[(Long, Long)] = {
+      val h = xs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      h.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) => (v, acc + c) }.drop(1)
+    }
+    val (ct, cr) = (cdf(tgt.map(_._2)), cdf(ref.map(_._2)))
+    val (nt, nr) = (tgt.size.toLong, ref.size.toLong)
+    ct.foreach { case (v, cum) =>
+      val want = cr.collectFirst { case (rv, rc) if nt * rc >= cum * nr => rv }.get
+      assert(got2(v) === want, s"inverse-CDF mismatch at target value $v")
+    }
+    info(s"l159: ${got2.size} target values mapped, replay agrees")
+  }
 }
