@@ -478,6 +478,61 @@ object ScaleQueries {
     * oracle is DuckDB's plain inequality join: two independent
     * formulations, row-identical — green certifies the bucketing is
     * lossless, not just plausible. */
+  /** E11: point-in-time join — the feature-store leakage guard, composed
+    * from two existing operators: C13's SCD2 history (each purchase opens
+    * a new [valid_from, valid_to) version of the user's value) probed by
+    * the error stream through E4's as-of machinery (ops/AsOf — union +
+    * running last, ONE shuffle, never the O(|L|·|R|)-per-key range
+    * blowup), so every error row sees the purchase-value version that
+    * was true AT ITS OWN TIMESTAMP — never a later one. This is THE
+    * training-data correctness operator: joining features "as of now"
+    * instead of "as of the label's time" leaks the future into training
+    * (Kaggle's classic leakage class), and the fix is exactly this join
+    * shape.
+    *
+    * Equal-timestamp version collisions pre-aggregate to the max
+    * version per (user, ts) — the AsOf determinism contract (right
+    * frame distinct on key+ts) AND the SCD2 empty-interval semantics
+    * ([vf, vf) matches nothing) agree on "the later version wins".
+    * Errors before any purchase attach nulls (left-outer). The oracle
+    * replays the interval form (vf ≤ ts < vt) — provably the same match
+    * as most-recent-prior when versions partition time. */
+  val e11_point_in_time = Q(
+    "e11_point_in_time",
+    """WITH c AS (SELECT user_id, event_id, ts, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |h AS (SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+      |        value, ts AS vf, lead(ts) OVER w AS vt
+      |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |e2 AS (SELECT user_id, event_id AS err_id, ts FROM events
+      |       WHERE event_type = 'error')
+      |SELECT e2.user_id, e2.err_id,
+      |       strftime(e2.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+      |       h.version, h.value AS purchase_value
+      |FROM e2 LEFT JOIN h ON h.user_id = e2.user_id AND h.vf <= e2.ts
+      |                   AND (h.vt IS NULL OR e2.ts < h.vt)
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val hist = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        struct(row_number().over(w).cast("long").as("version"),
+          col("value")).as("m"))
+      .groupBy("user_id", "ts").agg(max("m").as("m")) // later version wins
+      .select(col("user_id"), col("ts"),
+        col("m.version").as("version"), col("m.value").as("pvalue"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts"))
+    graft.ops.AsOf.join(errs, hist, "user_id", "ts",
+        Map("version" -> "version", "pvalue" -> "purchase_value"))
+      .select(col("user_id"), col("err_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+        col("version"), col("purchase_value"))
+      .orderBy("user_id", "err_id")
+  }
+
   val e10_band_join = Q(
     "e10_band_join",
     """WITH e AS (SELECT event_id, user_id, event_type, value FROM events),
@@ -577,5 +632,5 @@ object ScaleQueries {
   val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
     a9_dynamic_pruning, a10_zorder, a12_runtime_bloom, c11_partition_upsert,
     f4_salted_join, f8_aqe_skew_join, e4_asof_join, e5_range_join,
-    e10_band_join)
+    e10_band_join, e11_point_in_time)
 }
