@@ -1320,6 +1320,43 @@ object ExtQueries {
     * the join, and customer joining on the already-filtered orders.
     * PlanShapeSpec pins: pushed date filter, broadcast dims, no
     * cartesian. */
+  /** G8: relational division — Codd's "FOR ALL" operator, the one
+    * classical relational primitive the set family (G2–G6) still lacked:
+    * which suppliers ship EVERY part in a probe set (universal
+    * quantification over a join). SQL has no FORALL, so the standard
+    * rewrite is count-matching: group the semi-joined fact by supplier
+    * and compare distinct matched parts against the probe cardinality.
+    * Each supplier row reports its coverage (n_matched / n_probe) plus
+    * the division flag, so partial coverage reads too — and the flag is
+    * a pure integer equality, never a ratio.
+    *
+    * 100 TB posture: the probe set broadcasts (division probes are
+    * small by nature — membership lists, compliance part sets); one
+    * semi-filtered scan + one map-combinable distinct-count per
+    * supplier; the probe cardinality is a one-row broadcast. */
+  val g8_division = Q(
+    "g8_division",
+    """WITH probe AS (SELECT p_partkey FROM part WHERE p_partkey < 2),
+      |m AS (SELECT l_suppkey AS s, count(DISTINCT l_partkey) AS matched
+      |      FROM lineitem JOIN probe ON l_partkey = p_partkey GROUP BY 1),
+      |n AS (SELECT count(*) AS np FROM probe)
+      |SELECT m.s AS suppkey, CAST(matched AS BIGINT) AS n_matched,
+      |       CAST(np AS BIGINT) AS n_probe,
+      |       CAST(matched = np AS BIGINT) AS covers_all
+      |FROM m, n ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val probe = part(s, d).filter(col("p_partkey") < 2).select("p_partkey")
+    val np = probe.agg(count(lit(1)).as("n_probe"))
+    lineitem(s, d).select("l_suppkey", "l_partkey")
+      .join(broadcast(probe), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_matched"))
+      .crossJoin(broadcast(np))
+      .select(col("suppkey"), col("n_matched"), col("n_probe"),
+        (col("n_matched") === col("n_probe")).cast("long").as("covers_all"))
+      .orderBy("suppkey")
+  }
+
   val g7_star_join = Q(
     "g7_star_join",
     """SELECT n_name,
@@ -1495,5 +1532,6 @@ object ExtQueries {
     f7_range_frame, b15_json_extract, e8_null_safe_join, c9_winsorize,
     d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers,
     d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join,
-    c13_scd2_history, c14_column_profile, d23_weighted_median)
+    c13_scd2_history, c14_column_profile, d23_weighted_median,
+    g8_division)
 }
