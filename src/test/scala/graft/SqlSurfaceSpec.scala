@@ -26,7 +26,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "d9_rollup",
     "e1_left_join", "e6_anti_join", "e7_full_outer_join",
     "g2_union", "g3_except", "g4_intersect", "g5_except_all", "g6_intersect_all",
-    "d21_grouping_sets", "e9_shuffle_hash_join", "a17_corrupt_csv")
+    "d21_grouping_sets", "e9_shuffle_hash_join", "a17_corrupt_csv",
+    // round-15 additions whose oracle SQL is dialect-portable: the
+    // single-pass profile (UNION ALL + multi-distinct), the two-level
+    // weighted median (window sums + decimal compares), relational
+    // division (comma join + count-matching), the event-flow matrix
+    // (lead with default), and Gini (histogram window + integer sums)
+    "c14_column_profile", "d23_weighted_median", "g8_division",
+    "l154_event_flow", "l158_gini_concentration")
 
   /** Widen int-ish cells so an INT-vs-BIGINT dtype difference between the
     * two routes can't fail a value-equal comparison (Q.normalize widens
@@ -36,6 +43,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     case s: Short => s.toLong
     case b: Byte => b.toLong
     case f: Float => f.toDouble
+    // Spark SQL round(decimal, 6) stays DECIMAL where the DSL route
+    // rounds a DOUBLE (1.0 parses as DECIMAL(2,1) in SQL, lit(1.0) is a
+    // double) — same value, different runtime class
+    case d: java.math.BigDecimal => d.doubleValue
     case x => x
   }
 
@@ -46,6 +57,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     views.foreach { t =>
       Tables.table(spark, sf, t).createOrReplaceTempView(t)
     }
+    // events goes through its nanos-aware accessor, not the raw reader
+    Tables.events(spark, sf).createOrReplaceTempView("events")
     try {
       portable.foreach { name =>
         val oracle = SparkEntry.oracleSql.getOrElse(name,
@@ -57,6 +70,6 @@ class SqlSurfaceSpec extends AnyFunSuite {
           s"$name: the oracle SQL run through spark.sql diverges from the " +
             s"declared DataFrame route (${viaSql.length} vs ${viaDsl.length} rows)")
       }
-    } finally views.foreach(v => spark.catalog.dropTempView(v))
+    } finally (views :+ "events").foreach(v => spark.catalog.dropTempView(v))
   }
 }
