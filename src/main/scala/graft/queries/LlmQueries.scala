@@ -11417,6 +11417,83 @@ object LlmQueries {
           when(col("v") === 0.0, lit(null)).otherwise(col("v")), 6).as("chi2"))
   }
 
+  // ------------- Nelson–Aalen cumulative hazard (l160)
+
+  /** L160: Nelson–Aalen cumulative hazard over the l152 spans (Nelson
+    * 1972; Aalen 1978) — the survival triple's third member (l152
+    * estimates Ŝ, l153 tests cohorts, THIS estimates cumulative RISK):
+    * Ĥ(t) = Σ_{s≤t} d_s/n_s with variance Σ d_s/n_s², plus the
+    * Fleming–Harrington survival exp(−Ĥ) laid beside it — at small risk
+    * sets Ŝ_KM and exp(−Ĥ_NA) genuinely differ (the product clips to 0
+    * when a risk set empties; the hazard sum never does), and reporting
+    * both is how an analyst sees which tail assumption is biting.
+    *
+    * Determinism: the same duration-histogram machinery as l152 — exact
+    * integer risk sets and death counts, per-duration exact-ratio terms
+    * folded in DURATION ORDER on both engines; exp is applied ONCE to
+    * the folded sum (a float OUTPUT column, never a flag — and exp's
+    * cross-engine 1-ulp risk sits under the 6-dp round, the l62
+    * stance).
+    *
+    * 100 TB posture: identical to l152 — one span aggregate, then
+    * duration-domain metadata arithmetic. */
+  val l160_nelson_aalen = Q(
+    "l160_nelson_aalen",
+    """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |           FROM events),
+      |mx AS (SELECT max(wk) AS mw FROM e),
+      |u AS (SELECT user_id, min(wk) AS fw, max(wk) AS lw FROM e GROUP BY 1),
+      |du AS (SELECT CAST((lw - fw) // 7 AS BIGINT) AS d,
+      |         CAST(lw >= mw - 7 AS BIGINT) AS cens FROM u, mx),
+      |hist AS (SELECT d, count(*) AS n,
+      |           sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END) AS ev
+      |         FROM du GROUP BY 1),
+      |km AS (SELECT d, ev, sum(n) OVER (ORDER BY d DESC) AS n_risk FROM hist)
+      |SELECT a.d AS duration_wk, CAST(a.n_risk AS BIGINT) AS n_risk,
+      |       CAST(a.ev AS BIGINT) AS n_events,
+      |       round(list_reduce(list_prepend(0.0,
+      |         list(b.ev * 1.0 / b.n_risk ORDER BY b.d)), (x, y) -> x + y), 6)
+      |         AS cum_hazard,
+      |       round(list_reduce(list_prepend(0.0,
+      |         list(b.ev * 1.0 / (b.n_risk * b.n_risk) ORDER BY b.d)),
+      |         (x, y) -> x + y), 6) AS var_hazard,
+      |       round(exp(-list_reduce(list_prepend(0.0,
+      |         list(b.ev * 1.0 / b.n_risk ORDER BY b.d)), (x, y) -> x + y)), 6)
+      |         AS surv_fh
+      |FROM km a JOIN km b ON b.d <= a.d
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  ) { (s, d) => nelsonAalen(events(s, d).select(col("user_id"), col("ts"))) }
+
+  /** l160's engine — l152's histogram with additive folds. Factored for
+    * the spec's textbook replay. */
+  private[graft] def nelsonAalen(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("wk"))
+    val mx = e.agg(max("wk").as("mw"))
+    val du = e.groupBy("user_id").agg(min("wk").as("fw"), max("wk").as("lw"))
+      .crossJoin(broadcast(mx))
+      .select(floor(datediff(col("lw"), col("fw")) / 7).cast("long").as("d"),
+        (col("lw") >= date_sub(col("mw"), 7)).cast("long").as("cens"))
+    val hist = du.groupBy("d").agg(count(lit(1)).as("n"),
+      sum((col("cens") === 0).cast("long")).as("ev"))
+    val km = hist.select(col("d"), col("ev"),
+        sum("n").over(Window.orderBy(col("d").desc)).as("n_risk"))
+      .localCheckpoint(false) // both sides of the fold self-join
+    def fold(term: Column): Column = aggregate(
+      transform(array_sort(collect_list(struct(col("b.d"), term.as("t")))),
+        x => x.getField("t")), lit(0.0), (x, y) => x + y)
+    km.as("a").join(km.as("b"), col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("duration_wk"), col("a.n_risk").as("n_risk"),
+        col("a.ev").as("n_events"))
+      .agg(round(fold(col("b.ev") * lit(1.0) / col("b.n_risk")), 6)
+          .as("cum_hazard"),
+        round(fold(col("b.ev") * lit(1.0)
+          / (col("b.n_risk") * col("b.n_risk"))), 6).as("var_hazard"),
+        round(exp(-fold(col("b.ev") * lit(1.0) / col("b.n_risk"))), 6)
+          .as("surv_fh"))
+      .orderBy("duration_wk")
+  }
+
   // ------------- dup-graph degree assortativity (l151)
 
   /** L151: degree assortativity of the near-dup pair graph (Newman 2002
@@ -11510,6 +11587,7 @@ object LlmQueries {
     l152_kaplan_meier, l153_logrank, l154_event_flow,
     l155_effective_sample_size, l156_cluster_purity,
     l157_click_error_reconcile, l158_gini_concentration, l159_quantile_map,
+    l160_nelson_aalen,
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,

@@ -4010,4 +4010,39 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     info(s"l159: ${got2.size} target values mapped, replay agrees")
   }
+
+  test("l160 Nelson-Aalen: hazard sums match the l152 fixture replay, " +
+      "exp(-H) tracks but does not equal KM, censoring adds no hazard") {
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 10:00:00")
+    def user(id: Long, first: String, last: String) =
+      Seq((id, ts(first)), (id, ts(last)))
+    // the l152 fixture verbatim: deaths at d=0 (2/7), d=1 (1/5), d=2
+    // (2/4); censored at d=3 and d=9
+    val ev =
+      user(1, "2024-01-01", "2024-01-01") ++
+      user(2, "2024-01-01", "2024-01-03") ++
+      user(3, "2024-01-01", "2024-01-08") ++
+      user(4, "2024-01-01", "2024-01-15") ++
+      user(5, "2024-01-01", "2024-03-04") ++
+      user(6, "2024-02-05", "2024-02-26") ++
+      user(7, "2024-01-08", "2024-01-22")
+    val got = LlmQueries.nelsonAalen(ev.toDF("user_id", "ts")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(5))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h0 = 2.0 / 7
+    val h1 = h0 + 1.0 / 5
+    val h2 = h1 + 2.0 / 4
+    assert(got(0L)._1 === r6(h0) && got(1L)._1 === r6(h1) &&
+      got(2L)._1 === r6(h2))
+    assert(got(3L)._1 === r6(h2) && got(9L)._1 === r6(h2),
+      "censored durations must add zero hazard - the curve stays flat")
+    assert(got(2L)._2 === r6(math.exp(-h2)))
+    // KM at d=2 is 5/7*4/5*1/2 ~ 0.2857; exp(-H) ~ 0.3736 - the two
+    // estimators legitimately differ at small risk sets
+    val km = 5.0 / 7 * (1 - 1.0 / 5) * (1 - 2.0 / 4)
+    assert(math.abs(got(2L)._2 - km) > 0.05,
+      "exp(-H_NA) must NOT silently equal S_KM - they are different estimators")
+    info(s"l160: H = ${got(2L)._1}, exp(-H) = ${got(2L)._2}, KM = ${r6(km)}")
+  }
 }
