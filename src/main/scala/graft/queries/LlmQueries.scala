@@ -11579,7 +11579,143 @@ object LlmQueries {
       .distinct()
   }
 
+  // ------------- df-capped INCREMENTAL near-dup with declared ε (l161)
+
+  /** l161's candidate stage — l97's base-df-ordered incremental probe
+    * with l139's postings cap composed in: postings whose BASE document
+    * frequency exceeds `cap` never enter either side of the cross-era
+    * join, so the per-shingle join cost is bounded by cap² postings-pairs
+    * exactly as in [[cappedJaccardCandidates]]. STRING shingles and the
+    * (base-df, shingle) total order (the l139 convention) so the DuckDB
+    * oracle replays the EXACT candidate set; production runs the same
+    * pipeline over xxhash64 longs (order-insensitive theorem, pinned by
+    * CappedJaccardSpec's cap-off ≡ [[jaccardIncrementalFrom]] property).
+    * Like l139 — and unlike the uncapped [[incrementalCandidates]] — the
+    * length/positional filters are omitted: they only PRUNE candidates
+    * the exact verify would reject anyway, and dropping them keeps the
+    * oracle replay to one prefix predicate. */
+  private[graft] def cappedIncrementalCandidates(baseSh: DataFrame,
+      incSh: DataFrame, tau: Double, cap: Long): DataFrame = {
+    def ex(sh: DataFrame) = sh.filter(size(col("ss")) > 0)
+      .select(col("doc_id"), size(col("ss")).as("nf"), explode(col("ss")).as("s"))
+    val bex = ex(baseSh)
+    val bdf = bex.groupBy("s").agg(count(lit(1)).as("bdf"))
+    val byBaseRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    def prefixed(e: DataFrame) = e.join(bdf, Seq("s"), "left")
+      .withColumn("df", coalesce(col("bdf"), lit(0L)))
+      .withColumn("rk", row_number().over(byBaseRarity))
+      .filter(col("rk") <= col("nf") - ceil(lit(tau) * col("nf") - 1e-9) + 1 &&
+        col("df") <= cap)
+      .select(col("doc_id"), col("s"))
+    prefixed(bex).as("a").join(prefixed(ex(incSh)).as("b"), Seq("s"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** l161's full engine: capped cross-era candidates + l4's exact verify
+    * (a cap only removes candidates; survivors pay the same sorted-merge
+    * Jaccard, so capped output ⊆ exact output always). */
+  private[graft] def cappedIncrementalPairs(baseSh: DataFrame, incSh: DataFrame,
+      tau: Double, cap: Long): DataFrame =
+    verifyPairs(cappedIncrementalCandidates(baseSh, incSh, tau, cap),
+      baseSh.unionByName(incSh), tau)
+
+  /** L161: df-capped INCREMENTAL dedup with its miss rate DECLARED as
+    * data — VERDICT r15 #1, closing the suite's steepest remaining
+    * uncapped exponent: l97's continuous-crawl probe (the production
+    * ingest shape) measured +2.18 candidate rows/decade on the
+    * saturated-vocabulary corpus (WorkRowAudit r15), and its scaladoc
+    * promised l139's valve "runs unchanged" because the probe order is
+    * already df-in-the-base. This query IS that composition, priced: the
+    * same base split as l97 (even doc_ids = standing corpus, odd =
+    * arriving crawl), the base-df postings cap from l139, and the l139
+    * accounting row — exact cross-era pair count (blocking-free oracle),
+    * capped-engine pair count, missed, ε, and how many postings the cap
+    * refuses. ε is oracle-HASHED: the loss is a declared measurement,
+    * not an assumption (the l30/l134/l139 discipline). cap=4 is the demo
+    * knob that bites at every test SF on this corpus; a real-text ingest
+    * sets it orders of magnitude higher where it refuses only
+    * stopword-class shingles.
+    *
+    * 100 TB posture: identical machinery to l97 minus the unbounded hot
+    * posting lists — the Σ (base-df)² join term the audit measured
+    * becomes ≤ cap·|postings|; the exact-count column is test-SF
+    * bookkeeping (at scale ε is MONITORED on a sampled stratum, the l30
+    * pattern, while only the capped engine runs). */
+  val l161_capped_incremental = Q(
+    "l161_capped_incremental",
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(len(toks) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
+       |       FROM d),
+       |sz AS (SELECT doc_id, len(ss) AS n FROM sh WHERE len(ss) > 0),
+       |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE len(ss) > 0),
+       |bex AS (SELECT * FROM ex WHERE doc_id % 2 = 0),
+       |iex AS (SELECT * FROM ex WHERE doc_id % 2 = 1),
+       |bdf AS (SELECT s, count(*) AS df FROM bex GROUP BY 1),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM bex a JOIN iex b ON a.s = b.s GROUP BY 1, 2),
+       |jacx AS (SELECT p.i, p.j FROM p
+       |         JOIN sz si ON si.doc_id = p.i JOIN sz sj ON sj.doc_id = p.j
+       |         WHERE p.c * 1.0 / (si.n + sj.n - p.c) >= $NearDupTau),
+       |pb AS (SELECT e.doc_id, e.s, coalesce(bdf.df, 0) AS df, sz.n,
+       |         row_number() OVER (PARTITION BY e.doc_id
+       |                            ORDER BY coalesce(bdf.df, 0), e.s) AS rk
+       |       FROM bex e LEFT JOIN bdf USING (s) JOIN sz ON sz.doc_id = e.doc_id),
+       |pi AS (SELECT e.doc_id, e.s, coalesce(bdf.df, 0) AS df, sz.n,
+       |         row_number() OVER (PARTITION BY e.doc_id
+       |                            ORDER BY coalesce(bdf.df, 0), e.s) AS rk
+       |       FROM iex e LEFT JOIN bdf USING (s) JOIN sz ON sz.doc_id = e.doc_id),
+       |pfb AS (SELECT doc_id, s FROM pb
+       |        WHERE rk <= n - ceil($NearDupTau * n - 1e-9) + 1 AND df <= $JacCap),
+       |pfi AS (SELECT doc_id, s FROM pi
+       |        WHERE rk <= n - ceil($NearDupTau * n - 1e-9) + 1 AND df <= $JacCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM pfb a JOIN pfi b ON a.s = b.s),
+       |cp AS (SELECT cand.i, cand.j FROM cand
+       |       JOIN jacx ON jacx.i = cand.i AND jacx.j = cand.j),
+       |post AS (SELECT count(*) AS total,
+       |           sum(CASE WHEN coalesce(bdf.df, 0) <= $JacCap THEN 1 ELSE 0 END) AS kept
+       |         FROM ex LEFT JOIN bdf USING (s))
+       |SELECT CAST($JacCap AS BIGINT) AS cap,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM jacx) AS n_exact,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_capped,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM jacx)
+       |         - (SELECT CAST(count(*) AS BIGINT) FROM cp) AS missed,
+       |       round(((SELECT count(*) FROM jacx) - (SELECT count(*) FROM cp))
+       |             * 1.0 / nullif((SELECT count(*) FROM jacx), 0), 6) AS eps,
+       |       CAST(post.total AS BIGINT) AS postings_total,
+       |       CAST(post.kept AS BIGINT) AS postings_kept
+       |FROM post""".stripMargin
+  ) { (s, d) =>
+    val sh = shingledCached(s, d)
+    val base = sh.filter(col("doc_id") % 2 === 0)
+    val inc = sh.filter(col("doc_id") % 2 === 1)
+    val nExact = jaccardIncrementalFrom(base, inc).count()
+    val nCapped = cappedIncrementalPairs(base, inc, NearDupTau, JacCap).count()
+    val bdf = base.filter(size(col("ss")) > 0)
+      .select(explode(col("ss")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("bdf"))
+    val postRow = sh.filter(size(col("ss")) > 0)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .join(bdf, Seq("s"), "left")
+      .select(coalesce(col("bdf"), lit(0L)).as("df"))
+      .agg(count(lit(1)).as("total"),
+        sum((col("df") <= JacCap).cast("long")).as("kept")).collect()(0)
+    val missed = nExact - nCapped
+    import s.implicits._
+    Seq((JacCap.toLong, nExact, nCapped, missed,
+        if (nExact == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(BigDecimal(missed.toDouble / nExact)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        postRow.getLong(0), postRow.getLong(1)))
+      .toDF("cap", "n_exact", "n_capped", "missed", "eps",
+        "postings_total", "postings_kept")
+  }
+
   val all: Seq[Q] = Seq(
+    l161_capped_incremental,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

@@ -160,6 +160,10 @@ object WorkRowAudit {
       ("l139 df-capped Jaccard (cap=4, the valve)",
         (d: DataFrame) => LlmQueries.cappedJaccardCandidates(
           sh(d), tau = 0.8, cap = 4).count()),
+      ("l161 df-capped incremental (cap=4, the valve)",
+        (d: DataFrame) => LlmQueries.cappedIncrementalCandidates(
+          sh(d.filter(col("doc_id") % 2 === 0)),
+          sh(d.filter(col("doc_id") % 2 === 1)), tau = 0.8, cap = 4).count()),
       ("l150 dHash band buckets (8x8 demo)",
         (d: DataFrame) => LlmQueries.hammingCandidates(phash(d)).count()),
       // the scaladoc's declared scale knob: the same 64 bits as 4x16-bit

@@ -60,6 +60,54 @@ class CappedJaccardSpec extends AnyFunSuite {
       "every (1,2) prefix shingle has df >= 8 — the cap must make the pair undiscoverable")
   }
 
+  // ---- l161: the same cap composed into l97's incremental probe ----
+
+  private def parity(df: org.apache.spark.sql.DataFrame, even: Boolean) =
+    if (even) df.filter(col("doc_id") % 2 === 0)
+    else df.filter(col("doc_id") % 2 === 1)
+
+  test("l161 cap off: capped incremental ≡ l97's lossless incremental engine") {
+    val sh = shOf(hotFixture)
+    val (base, inc) = (parity(sh, even = true), parity(sh, even = false))
+    val exact = LlmQueries.jaccardIncrementalFrom(base, inc, tau)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = LlmQueries.cappedIncrementalPairs(base, inc, tau, cap = 1000000L)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === capped)
+    assert(exact.contains((2L, 1L)) && exact.contains((4L, 3L)),
+      s"both planted J=1 pairs are cross-parity and must survive: $exact")
+  }
+
+  test("l161 cap=2: the hot cross-era pair is provably lost, the rare pair kept") {
+    val sh = shOf(hotFixture)
+    val (base, inc) = (parity(sh, even = true), parity(sh, even = false))
+    val exact = LlmQueries.jaccardIncrementalFrom(base, inc, tau)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every hot shingle lives in base docs {2, 12, 14, 16} → base df = 4;
+    // the rare pair's shingles live only in base doc 4 → base df = 1
+    val capped = LlmQueries.cappedIncrementalPairs(base, inc, tau, cap = 2L)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((capped -- exact).isEmpty, "capped must never invent pairs")
+    assert(capped.contains((4L, 3L)), "base-df=1 prefixes survive a cap of 2")
+    assert(!capped.contains((2L, 1L)),
+      "every (2,1) prefix shingle has base df = 4 — cap 2 must make the pair undiscoverable")
+  }
+
+  test("l161 real corpus: capped ⊆ exact, and the declared audit row balances") {
+    val sf = "/root/testdata/sf0.001"
+    val row = LlmQueries.l161_capped_incremental.fn(spark, sf).collect()(0)
+    val (cap, nExact, nCapped, missed) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(cap === 4L)
+    assert(nCapped <= nExact && missed === nExact - nCapped)
+    assert(row.getLong(6) < row.getLong(5),
+      "the cap must bite (postings_kept < postings_total) on the saturated corpus")
+    if (nExact > 0) {
+      val eps = row.getDouble(4)
+      assert(math.abs(eps - missed.toDouble / nExact) < 1e-6)
+    }
+  }
+
   test("real corpus: capped ⊆ exact, and the declared audit row balances") {
     val sf = "/root/testdata/sf0.001"
     val row = LlmQueries.l139_capped_neardup.fn(spark, sf).collect()(0)
