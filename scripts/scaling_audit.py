@@ -71,7 +71,9 @@ def main(argv):
         if qs:
             print(f"{len(qs)} lines present {name} (no exponent, listed, "
                   f"not silently dropped): {', '.join(qs)}")
-    return len(flagged) + len(degenerate)
+    # POSIX exit codes wrap modulo 256 — clamp so 256 flagged lines can
+    # never read as exit 0 (ADVICE r15; the suite is past 270 lines).
+    return min(len(flagged) + len(degenerate), 255)
 
 
 if __name__ == "__main__":

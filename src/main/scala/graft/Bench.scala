@@ -76,8 +76,17 @@ object Bench {
     // already complete when the blocking action returns, only the bus
     // drain is being waited out. The drain happens OUTSIDE the timed
     // window; wall seconds are untouched.
+    // Ten counters per line. cpu_ms (executorCpuTime, actual CPU ns →
+    // ms) beside run_ms (task ELAPSED) is the CPU-starvation
+    // adjudicator VERDICT r15 #2 asked for: on a contended box run_ms
+    // stretches while cpu_ms stays flat (tasks queued off-core); a plan
+    // change moves both. fetch_wait_ms (shuffleFetchWaitTime) separates
+    // the third cause — tasks stalled on shuffle fetch, not on CPU.
+    // peak_task_mem_bytes is the MAX of per-task execution-memory peaks
+    // (ADVICE r15: the old += sum of per-task peaks was neither a peak
+    // nor a total; renamed so old artifacts aren't misread).
     object taskAgg extends org.apache.spark.scheduler.SparkListener {
-      private var m = Array.fill(8)(0L)
+      private var m = Array.fill(10)(0L)
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         synchronized {
@@ -85,15 +94,20 @@ object Bench {
           if (tm != null) {
             m(0) += tm.executorRunTime
             m(1) += tm.jvmGCTime
-            m(2) += tm.peakExecutionMemory
+            m(2) = math.max(m(2), tm.peakExecutionMemory)
             m(3) += tm.shuffleReadMetrics.totalBytesRead
             m(4) += tm.shuffleWriteMetrics.bytesWritten
             m(5) += tm.memoryBytesSpilled
             m(6) += tm.diskBytesSpilled
             m(7) += 1
+            m(8) += tm.executorCpuTime / 1000000L // ns → ms
+            m(9) += tm.shuffleReadMetrics.fetchWaitTime
           }
         }
       def snapshot(): Array[Long] = synchronized(m.clone())
+      // the peak slot is a max, not a sum — reset it per bench line so
+      // each line reports ITS peak, not the session's running one
+      def resetPeak(): Unit = synchronized { m(2) = 0L }
       def settled(): Array[Long] = {
         var prev = snapshot()
         var tries = 0
@@ -106,14 +120,19 @@ object Bench {
       }
     }
     spark.sparkContext.addSparkListener(taskAgg)
-    val jvmFields = Seq("run_ms", "gc_ms", "peak_mem_bytes", "shuffle_read_bytes",
-      "shuffle_write_bytes", "spill_mem_bytes", "spill_disk_bytes", "tasks")
+    val jvmFields = Seq("run_ms", "gc_ms", "peak_task_mem_bytes", "shuffle_read_bytes",
+      "shuffle_write_bytes", "spill_mem_bytes", "spill_disk_bytes", "tasks",
+      "cpu_ms", "fetch_wait_ms")
     val jvmLines = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
     def attributed[T](name: String)(thunk: => T): T = {
       val before = taskAgg.settled()
+      taskAgg.resetPeak()
       val out = thunk
       val after = taskAgg.settled()
-      jvmLines(name) = after.zip(before).map { case (a, b) => a - b }
+      jvmLines(name) = after.zip(before).zipWithIndex.map {
+        case ((a, _), 2) => a // per-line max, reset above, not a delta
+        case ((a, b), _) => a - b
+      }
       out
     }
     val cacheSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   * further than one ordinal apart, and ties at bucket boundaries fall in
   * the covered {−1, 0, +1} window); the final `abs(diff) <= δ` compare
   * runs on the raw input doubles, identical on any engine.
+  *
+  * Ulp-level boundary caveat (ADVICE r15): the ordinal argument treats
+  * `floor(v/δ)` as exact arithmetic, but the division itself rounds — a
+  * pair sitting EXACTLY at |l−r| = δ whose two quotients both land on
+  * round-to-nearest tie points can, in principle, straddle two ordinals
+  * and be missed. The exactness claim is therefore "lossless up to one
+  * ulp of the l/δ division at the closed boundary |l−r| = δ"; interior
+  * pairs (|l−r| < δ by ≥ 1 ulp·δ) are unconditionally covered. A caller
+  * that must include the degenerate boundary bit-exactly widens δ by one
+  * ulp in candidate generation (compare still runs at the caller's δ) —
+  * not the default, because the declared e10 semantics are over measured
+  * doubles where the exact-δ tie is measure-zero noise, not data.
   */
 object BandJoin {
   def join(left: DataFrame, right: DataFrame, key: String,

@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * count catches even that unless matched by equal-sized garbage), which
   * is the standard stats-based-validation trade, stated here rather than
   * hidden.
+  *
+  * Second declared trade (ADVICE r15): [[checkedRead]] validates in one
+  * eager job but returns a LAZY frame that re-lists and re-scans when the
+  * caller finally acts — a file swapped between validation and
+  * consumption is served unvalidated. That validate-then-read window is
+  * inherent to any manifest check over immutable-by-convention storage
+  * and is closed operationally (single-writer directories; a writer
+  * replaces the whole directory + sidecar atomically via rename), not by
+  * caching: pinning a 100 TB table into executor storage to freeze the
+  * validated snapshot would be the wrong trade at scale.
   */
 object Manifest {
   private val ManifestName = "_graft_manifest.tsv"
