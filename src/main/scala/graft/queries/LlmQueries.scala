@@ -2367,18 +2367,31 @@ object LlmQueries {
   private[graft] def editCandidates(s: DataFrame, k: Int = 2): DataFrame =
     editMatchRows(s, k).select("i", "j").distinct()
 
+  /** PassJoin's k+1 segment bounds over fixed length L — (sid, start,
+    * len), lengths L/(k+1) ±1 — factored so the lossless engine, the
+    * capped valve (l162) and its oracle SQL all derive from ONE
+    * computation. */
+  private[graft] def editSegBounds(k: Int, L: Int = 20): Seq[(Int, Int, Int)] = {
+    val base = L / (k + 1); val extra = L % (k + 1)
+    (0 to k).foldLeft(Seq.empty[(Int, Int, Int)]) { case (acc, i) =>
+      val st = acc.lastOption.map { case (_, s0, l0) => s0 + l0 }.getOrElse(1)
+      acc :+ ((i, st, base + (if (i < extra) 1 else 0)))
+    }
+  }
+
+  /** The shifted probe windows for [[editSegBounds]] — for segment
+    * (sid, st, ln), every start in [max(1, st−k), min(L−ln+1, st+k)]. */
+  private[graft] def editProbeBounds(k: Int, L: Int = 20): Seq[(Int, Int, Int)] =
+    editSegBounds(k, L).flatMap { case (i, st, ln) =>
+      (math.max(1, st - k) to math.min(L - ln + 1, st + k)).map(p => (i, p, ln))
+    }
+
   /** The PassJoin segment-match rows with the exact distance attached but
     * NOT yet filtered — shared by the production verify and the
     * candidate counter. */
   private def editMatchRows(s: DataFrame, k: Int): DataFrame = {
     val L = 20
-    val bounds = { // k+1 segments covering [1, L], lengths L/(k+1) ±1
-      val base = L / (k + 1); val extra = L % (k + 1)
-      (0 to k).foldLeft(Seq.empty[(Int, Int, Int)]) { case (acc, i) =>
-        val st = acc.lastOption.map { case (_, s0, l0) => s0 + l0 }.getOrElse(1)
-        acc :+ ((i, st, base + (if (i < extra) 1 else 0)))
-      }
-    }
+    val bounds = editSegBounds(k, L)
     val index = s.select(col("doc_id"), col("s20"),
       explode(array(bounds.map { case (i, st, ln) =>
         struct(lit(i).as("sid"), substring(col("s20"), st, ln).as("seg"))
@@ -11579,6 +11592,136 @@ object LlmQueries {
       .distinct()
   }
 
+  // ------------- segment-df-capped PassJoin with declared ε (l162)
+
+  private val EditCap = 4L
+
+  /** l162's candidate stage — l26's PassJoin segment filter with hot
+    * INDEX postings refused above the segment-df cap (VERDICT r15 #3:
+    * the PassJoin family's +2.00/decade candidate exponent had only
+    * prose valves). Capping the index side alone bounds the join: each
+    * (sid, seg) key contributes ≤ cap·df_probe match rows, so the
+    * Σ df² term becomes ≤ cap·Σ df_probe = cap·(k+1)(2k+1)·N — linear
+    * in the corpus. The probe side stays uncapped: a pair survives iff
+    * EITHER member still has a sub-cap untouched canonical segment the
+    * other can probe, which is exactly the PassJoin lemma's condition
+    * restricted to cool segments. */
+  private[graft] def cappedEditCandidates(s: DataFrame, k: Int,
+      cap: Long): DataFrame = {
+    val L = 20
+    val index = s.select(col("doc_id"), col("s20"),
+      explode(array(editSegBounds(k, L).map { case (i, st, ln) =>
+        struct(lit(i).as("sid"), substring(col("s20"), st, ln).as("seg"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.sid"), col("e.seg"))
+    val dfc = index.groupBy("sid", "seg").agg(count(lit(1)).as("df"))
+    val idxc = index.join(dfc, Seq("sid", "seg")).filter(col("df") <= cap)
+    val probe = s.select(col("doc_id"),
+      explode(array(editProbeBounds(k, L).map { case (i, p, ln) =>
+        struct(lit(i).as("sid"), substring(col("s20"), p, ln).as("seg"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.sid"), col("e.seg"))
+    idxc.as("a").join(probe.as("b"),
+        col("a.sid") === col("b.sid") && col("a.seg") === col("b.seg") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+      .distinct()
+  }
+
+  /** l162's full engine: capped candidates + the exact levenshtein
+    * verify (capped output ⊆ l26's exact output always). */
+  private[graft] def cappedEditNearDup(s: DataFrame, k: Int,
+      cap: Long): DataFrame =
+    cappedEditCandidates(s, k, cap)
+      .join(s.select(col("doc_id").as("i"), col("s20").as("si")), Seq("i"))
+      .join(s.select(col("doc_id").as("j"), col("s20").as("sj")), Seq("j"))
+      .filter(levenshtein(col("si"), col("sj")) <= k)
+      .select(col("i"), col("j"))
+
+  /** L162: segment-df-capped edit-distance near-dup with its miss rate
+    * DECLARED as data — the l139/l161 accounting row for the PassJoin
+    * family, closing VERDICT r15 #3. l26 measured +2.00 candidate
+    * rows/decade on the saturated corpus with its valves documented
+    * only in prose; this is the implemented one: segments whose
+    * inverted-list length exceeds the cap never index (the l134 df-cap
+    * transplanted from shingles to PassJoin segments), and the row
+    * declares exact pairs (l26's O(n²)-oracle-checked engine), capped
+    * pairs, missed, ε, and the postings refused. cap=4 bites on
+    * postings at every test SF (segment df max ≈ 22 on this corpus)
+    * while ε = 0 — the knee the l141-style curve would pick; a spec
+    * fixture proves the loss mode is real (every canonical segment of a
+    * pair hot ⇒ pair undiscoverable).
+    *
+    * 100 TB posture: identical machinery to l26 minus the unbounded hot
+    * segment lists (the b-side remains per-doc-bounded at
+    * (k+1)(2k+1) keys); at scale only the capped engine runs and ε is
+    * monitored on a sampled stratum (the l30/l161 pattern). */
+  val l162_capped_editjoin = Q(
+    "l162_capped_editjoin", {
+      val segb = editSegBounds(2).map { case (i, st, ln) => s"($i,$st,$ln)" }
+        .mkString(",")
+      val prbb = editProbeBounds(2).map { case (i, p, ln) => s"($i,$p,$ln)" }
+        .mkString(",")
+      s"""WITH s AS (SELECT doc_id, lower(substr(text, 1, 20)) AS s20 FROM documents),
+         |segb(sid, st, ln) AS (VALUES $segb),
+         |prbb(sid, st, ln) AS (VALUES $prbb),
+         |idx AS (SELECT doc_id, sid, substr(s20, st, ln) AS seg
+         |        FROM s CROSS JOIN segb),
+         |prb AS (SELECT doc_id, sid, substr(s20, st, ln) AS seg
+         |        FROM s CROSS JOIN prbb),
+         |dfc AS (SELECT sid, seg, count(*) AS df FROM idx GROUP BY 1, 2),
+         |idxc AS (SELECT idx.doc_id, idx.sid, idx.seg FROM idx
+         |         JOIN dfc USING (sid, seg) WHERE df <= $EditCap),
+         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS i,
+         |                greatest(a.doc_id, b.doc_id) AS j
+         |         FROM idxc a JOIN prb b
+         |           ON a.sid = b.sid AND a.seg = b.seg AND a.doc_id <> b.doc_id),
+         |ext AS (SELECT a.doc_id AS i, b.doc_id AS j
+         |        FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |        WHERE levenshtein(a.s20, b.s20) <= 2),
+         |cp AS (SELECT cand.i, cand.j FROM cand
+         |       JOIN ext ON ext.i = cand.i AND ext.j = cand.j),
+         |post AS (SELECT count(*) AS total,
+         |           sum(CASE WHEN df <= $EditCap THEN 1 ELSE 0 END) AS kept
+         |         FROM idx JOIN dfc USING (sid, seg))
+         |SELECT CAST($EditCap AS BIGINT) AS cap,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ext) AS n_exact,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_capped,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ext)
+         |         - (SELECT CAST(count(*) AS BIGINT) FROM cp) AS missed,
+         |       round(((SELECT count(*) FROM ext) - (SELECT count(*) FROM cp))
+         |             * 1.0 / nullif((SELECT count(*) FROM ext), 0), 6) AS eps,
+         |       CAST(post.total AS BIGINT) AS postings_total,
+         |       CAST(post.kept AS BIGINT) AS postings_kept
+         |FROM post""".stripMargin
+    }
+  ) { (s, d) =>
+    val frame = spread(documents(s, d)).select(col("doc_id"),
+      lower(substring(col("text"), 1, 20)).as("s20"))
+      .localCheckpoint(false) // index, probe, df and both verifies read it
+    val nExact = editNearDupFrom(frame).count()
+    val nCapped = cappedEditNearDup(frame, 2, EditCap).count()
+    val idx = frame.select(col("doc_id"),
+      explode(array(editSegBounds(2).map { case (i, st, ln) =>
+        struct(lit(i).as("sid"), substring(col("s20"), st, ln).as("seg"))
+      }: _*)).as("e"))
+      .select(col("e.sid").as("sid"), col("e.seg").as("seg"))
+    val dfc = idx.groupBy("sid", "seg").agg(count(lit(1)).as("df"))
+    val postRow = idx.join(dfc, Seq("sid", "seg"))
+      .agg(count(lit(1)).as("total"),
+        sum((col("df") <= EditCap).cast("long")).as("kept")).collect()(0)
+    val missed = nExact - nCapped
+    import s.implicits._
+    Seq((EditCap, nExact, nCapped, missed,
+        if (nExact == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(BigDecimal(missed.toDouble / nExact)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        postRow.getLong(0), postRow.getLong(1)))
+      .toDF("cap", "n_exact", "n_capped", "missed", "eps",
+        "postings_total", "postings_kept")
+  }
+
   // ------------- df-capped INCREMENTAL near-dup with declared ε (l161)
 
   /** l161's candidate stage — l97's base-df-ordered incremental probe
@@ -11715,7 +11858,7 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(
-    l161_capped_incremental,
+    l161_capped_incremental, l162_capped_editjoin,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

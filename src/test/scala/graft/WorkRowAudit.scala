@@ -160,6 +160,10 @@ object WorkRowAudit {
       ("l139 df-capped Jaccard (cap=4, the valve)",
         (d: DataFrame) => LlmQueries.cappedJaccardCandidates(
           sh(d), tau = 0.8, cap = 4).count()),
+      ("l162 df-capped PassJoin (cap=4, the valve)",
+        (d: DataFrame) => LlmQueries.cappedEditCandidates(
+          d.select(col("doc_id"), lower(substring(col("text"), 1, 20)).as("s20")),
+          k = 2, cap = 4).count()),
       ("l161 df-capped incremental (cap=4, the valve)",
         (d: DataFrame) => LlmQueries.cappedIncrementalCandidates(
           sh(d.filter(col("doc_id") % 2 === 0)),
