@@ -11003,6 +11003,112 @@ object LlmQueries {
       .orderBy("cluster")
   }
 
+  // ------------- sampled dedup-cluster purity (l163)
+
+  private val PurityPairCap = 2L
+
+  /** l163's engine over any (node, cluster) label frame + sorted-shingle
+    * frame: l156's within-cluster pairwise purity, but each cluster
+    * scores at most `cap` pairs — a DETERMINISTIC md5-pinned sample
+    * (pairs ranked by md5("i:j"), the l17/l30 hash-pick convention, so
+    * both engines and every re-run pick the identical pairs) — with the
+    * truncation DECLARED per row (n_pairs vs n_scored + the sampled
+    * flag). Sampling can only RAISE min_jac (a subset minimum), so a
+    * sampled has_chained_pair=1 is always real; what a sample can miss
+    * is a chained pair outside it — which is why the flag ships beside
+    * the declared n_pairs/n_scored truncation, not silently. */
+  private[graft] def sampledPurity(lbl: DataFrame, shS: DataFrame,
+      tau: Double, cap: Long): DataFrame = {
+    val wp = lbl.as("a").join(lbl.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.node") < col("b.node"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.node").as("i"), col("b.node").as("j"))
+    val jac = TextOps.jaccardSorted(col("da.ss"), col("db.ss"))
+    val pj = wp.join(shS.as("da"), col("i") === col("da.doc_id"))
+      .join(shS.as("db"), col("j") === col("db.doc_id"))
+      .select(col("cluster"), col("i"), col("j"), jac.as("jac"))
+      .localCheckpoint(false) // totals and the sampled slice both read it
+    val pairKey = md5(concat(col("i").cast("string"), lit(":"),
+      col("j").cast("string")).cast("binary"))
+    val rk = row_number().over(
+      Window.partitionBy("cluster").orderBy(pairKey, col("i"), col("j")))
+    val tot = pj.groupBy("cluster").agg(count(lit(1)).as("n_pairs"))
+    val cs = lbl.groupBy("cluster").agg(count(lit(1)).as("size"))
+    pj.withColumn("rk", rk).filter(col("rk") <= cap)
+      .groupBy("cluster").agg(count(lit(1)).as("n_scored"),
+        round(min("jac"), 6).as("min_jac"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("i"), col("j"),
+            col("jac").as("t")))), x => x.getField("t")),
+          lit(0.0), (a, b) => a + b) / count(lit(1)), 6).as("mean_jac"),
+        (min("jac") < tau).cast("long").as("has_chained_pair"))
+      .join(tot, Seq("cluster")).join(cs, Seq("cluster"))
+      .select(col("cluster"), col("size"), col("n_pairs"), col("n_scored"),
+        (col("n_pairs") > col("n_scored")).cast("long").as("sampled"),
+        col("min_jac"), col("mean_jac"), col("has_chained_pair"))
+      .orderBy("cluster")
+  }
+
+  /** L163: SAMPLED cluster-purity audit — VERDICT r15 #4, the scale
+    * posture l156's scaladoc promised made a declared query: within-
+    * cluster purity is C(size,2) pairs per cluster, quadratic in the one
+    * dimension CC clustering does not bound (one giant transitive-
+    * closure star at 100 TB = one quadratic hotspot), so above
+    * `PurityPairCap` pairs a cluster is scored on a deterministic
+    * md5-pinned pair sample and the row DECLARES the truncation
+    * (n_pairs, n_scored, sampled) — the l30/l134/l139 discipline:
+    * bounded work ships with its loss quantified per row, never
+    * silently. cap=2 is the demo knob (the sf corpora top out at 6-pair
+    * clusters, so the valve visibly bites at every SF); production sets
+    * it to the pair budget per cluster.
+    *
+    * 100 TB posture: the md5 rank window partitions BY CLUSTER (never
+    * one task), the sampled slice bounds downstream exact-Jaccard work
+    * to cap·|clusters| pairs, and SampledPuritySpec pins sample ≡ full
+    * on every under-cap cluster and subset-min monotonicity on the rest. */
+  val l163_sampled_purity = Q(
+    "l163_sampled_purity",
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |$clusterLabelCte,
+       |cs2 AS (SELECT cluster, count(*) AS size FROM lbl GROUP BY 1),
+       |wp AS (SELECT a.cluster, a.doc_id AS i, b.doc_id AS j
+       |       FROM lbl a JOIN lbl b
+       |         ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+       |ix AS (SELECT wp.cluster, wp.i, wp.j, count(*) AS inter
+       |       FROM wp JOIN ex ea ON ea.doc_id = wp.i
+       |               JOIN ex eb ON eb.doc_id = wp.j AND eb.s = ea.s
+       |       GROUP BY 1, 2, 3),
+       |pj AS (SELECT wp.cluster, wp.i, wp.j,
+       |         coalesce(ix.inter, 0) * 1.0
+       |           / (si.n + sj.n - coalesce(ix.inter, 0)) AS jac
+       |       FROM wp LEFT JOIN ix ON ix.i = wp.i AND ix.j = wp.j
+       |       JOIN sz si ON si.doc_id = wp.i JOIN sz sj ON sj.doc_id = wp.j),
+       |tot AS (SELECT cluster, count(*) AS n_pairs FROM pj GROUP BY 1),
+       |smp AS (SELECT *, row_number() OVER (PARTITION BY cluster
+       |          ORDER BY md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+       |                   i, j) AS rk
+       |        FROM pj),
+       |f AS (SELECT cluster, count(*) AS n_scored, min(jac) AS mn,
+       |        list_reduce(list_prepend(0.0, list(jac ORDER BY i, j)),
+       |          (a, b) -> a + b) AS sj
+       |      FROM smp WHERE rk <= $PurityPairCap GROUP BY 1)
+       |SELECT f.cluster, CAST(cs2.size AS BIGINT) AS size,
+       |       CAST(tot.n_pairs AS BIGINT) AS n_pairs,
+       |       CAST(f.n_scored AS BIGINT) AS n_scored,
+       |       CAST(tot.n_pairs > f.n_scored AS BIGINT) AS sampled,
+       |       round(f.mn, 6) AS min_jac, round(f.sj / f.n_scored, 6) AS mean_jac,
+       |       CAST(f.mn < $NearDupTau AS BIGINT) AS has_chained_pair
+       |FROM f JOIN cs2 ON cs2.cluster = f.cluster
+       |JOIN tot ON tot.cluster = f.cluster
+       |ORDER BY f.cluster""".stripMargin
+  ) { (s, d) =>
+    graft.functions.SetExprs.register(s)
+    val lbl = clusterLabelsCached(s, d)
+    val shS = shingledCached(s, d)
+      .select(col("doc_id"), sort_array(col("ss")).as("ss"))
+    sampledPurity(lbl, shS, NearDupTau, PurityPairCap)
+  }
+
   // ------------- Gini concentration of token mass (l158)
 
   /** L158: Gini coefficient of character mass across documents, per
@@ -11858,7 +11964,7 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(
-    l161_capped_incremental, l162_capped_editjoin,
+    l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
