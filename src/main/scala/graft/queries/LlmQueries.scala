@@ -11963,8 +11963,210 @@ object LlmQueries {
         "postings_total", "postings_kept")
   }
 
+  // ------------- k-group rank + variance tests (l164/l165) -------------
+
+  /** l164's engine over any (source, nt) frame — factored so the spec
+    * can pin the no-ties complete-separation closed form (H = 3.857142…
+    * for {1,2,3} vs {4,5,6}) and the identical-groups ≈ 0 case. */
+  private[graft] def kruskalWallis(tc: DataFrame): DataFrame = {
+    val callv = tc.groupBy("nt").agg(count(lit(1)).as("call"))
+    // global cumulative over the VALUE GRID — ≤ |distinct lengths| rows
+    // (metadata, not corpus), so the unpartitioned window is bounded
+    val cum = callv.withColumn("cb",
+      sum("call").over(Window.orderBy("nt")) - col("call"))
+    val cnt = tc.groupBy("source", "nt").agg(count(lit(1)).as("cs"))
+    // 2·R_g is exact: Σ cs·(2·cumbefore + call + 1) over the grid
+    val rg = cnt.join(cum, Seq("nt"))
+      .groupBy("source")
+      .agg(sum(col("cs") * (lit(2) * col("cb") + col("call") + 1)).as("s2"),
+        sum("cs").as("n1"))
+    val tot = tc.agg(count(lit(1)).as("n"))
+    val ties = callv.agg(
+      sum(col("call") * col("call") * col("call") - col("call")).as("tsum"))
+    val a = rg.agg(count(lit(1)).as("k"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("source"),
+          (col("s2") * col("s2") / col("n1").cast("double")).as("term")))),
+          x => x.getField("term")),
+        lit(0.0), (x, y) => x + y).as("av"))
+    val h = lit(3.0) * col("av") / (col("n").cast("double") * (col("n") + 1)) -
+      lit(3.0) * (col("n") + 1)
+    a.crossJoin(tot).crossJoin(ties)
+      .select(col("n").cast("long").as("n"), col("k").cast("long").as("k"),
+        round(h, 6).as("h"),
+        round(h / (lit(1.0) - col("tsum") /
+          (col("n").cast("double") * col("n") * col("n") - col("n"))), 6)
+          .as("h_tie_corrected"))
+  }
+
+  /** L164: Kruskal–Wallis H (Kruskal & Wallis 1952) over document length
+    * by source — the k-GROUP extension of l132's two-sample Mann–Whitney
+    * (which tests each source against the rest, k times, inviting
+    * multiple-comparison noise): ONE rank statistic answering "do the
+    * sources draw lengths from one distribution at all?", the gate a
+    * curation pipeline checks before bothering with l132's per-source
+    * attribution. Reported raw and tie-corrected (H / (1 − Σ(t³−t)/(N³−N))
+    * — lengths are heavily tied on a bounded-length corpus, so the
+    * correction is live, not decorative).
+    *
+    * Determinism (the l132 discipline): tie-averaged rank sums are exact
+    * integers off the (source × length) histogram — 2·R_g = Σ cs·(2·cb +
+    * call + 1) — so Σ R²/n enters floats only at one division per source,
+    * folded in source order (the l142 convention); ties and totals are
+    * exact longs. No significance flag: the χ²_{k−1} quantile is
+    * transcendental (the l133 rule — invert or omit; k varies, so omit).
+    *
+    * 100 TB posture: one corpus scan → two map-combinable histograms;
+    * the cumulative window runs over the ≤|distinct lengths| value grid
+    * (metadata); the fold is k rows. */
+  val l164_kruskal_wallis = Q(
+    "l164_kruskal_wallis",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |callv AS (SELECT nt, count(*) AS call FROM tc GROUP BY 1),
+      |cum AS (SELECT nt, call, sum(call) OVER (ORDER BY nt) - call AS cb
+      |        FROM callv),
+      |cnt AS (SELECT source, nt, count(*) AS cs FROM tc GROUP BY 1, 2),
+      |rg AS (SELECT source, sum(cs * (2 * cb + call + 1)) AS s2,
+      |         sum(cs) AS n1
+      |       FROM cnt JOIN cum USING (nt) GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM tc),
+      |ties AS (SELECT sum(call * call * call - call) AS tsum FROM callv),
+      |a AS (SELECT count(*) AS k,
+      |        list_reduce(list_prepend(0.0,
+      |          list(s2 * s2 / CAST(n1 AS DOUBLE) ORDER BY source)),
+      |          (x, y) -> x + y) AS av
+      |      FROM rg)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |       round(3.0 * av / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1), 6) AS h,
+      |       round((3.0 * av / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+      |             / (1.0 - tsum / (CAST(n AS DOUBLE) * n * n - n)), 6)
+      |         AS h_tie_corrected
+      |FROM a, tot, ties""".stripMargin
+  ) { (s, d) => kruskalWallis(lengthTc(s, d)) }
+
+  /** l165's engine over any (source, nt) frame — factored for the
+    * closed-form spec ({1,2,3} vs {4,5,6}: SSB 13.5, SSW 4, F 13.5). */
+  private[graft] def anovaF(tc: DataFrame): DataFrame = {
+    val rg = tc.groupBy("source").agg(count(lit(1)).as("n1"),
+      sum("nt").as("sg"), sum(col("nt") * col("nt")).as("qg"))
+    val tot = tc.agg(count(lit(1)).as("n"), sum("nt").as("s"),
+      sum(col("nt") * col("nt")).as("q"))
+    val a = rg.agg(count(lit(1)).as("k"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("source"),
+          (col("sg") * col("sg") / col("n1").cast("double")).as("term")))),
+          x => x.getField("term")),
+        lit(0.0), (x, y) => x + y).as("av"))
+    val ssb = col("av") - col("s").cast("double") * col("s") / col("n")
+    val ssw = col("q") - col("av")
+    a.crossJoin(tot)
+      .select(col("n").cast("long").as("n"), col("k").cast("long").as("k"),
+        round(ssb, 6).as("ssb"), round(ssw, 6).as("ssw"),
+        round((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))), 6)
+          .as("f"))
+  }
+
+  /** L165: one-way ANOVA F over document length by source (Fisher 1925)
+    * — the MOMENT-based companion to l164's rank test: KW detects any
+    * stochastic-order shift; F asks specifically whether between-source
+    * MEAN variance exceeds within-source variance, the number that
+    * decides if per-source length normalization (l63's batching, l20's
+    * packing) is worth a pass. Same decomposition a mixture designer
+    * reads as "how much length signal does source identity carry".
+    *
+    * Determinism: all moments (Σx, Σx², per group and total) are exact
+    * longs off integer token counts; floats enter at one division per
+    * source (Σ_g S_g²/n_g, folded in source order — the l142 convention)
+    * and the three output divisions. No F-quantile flag (transcendental
+    * boundary, the l133 rule).
+    *
+    * 100 TB posture: ONE map-combinable corpus aggregate per grouping
+    * level; the fold is k rows — this is the cheapest query in the
+    * statistics battery. */
+  val l165_anova_f = Q(
+    "l165_anova_f",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |rg AS (SELECT source, count(*) AS n1, sum(nt) AS sg,
+      |         sum(nt * nt) AS qg
+      |       FROM tc GROUP BY 1),
+      |tot AS (SELECT count(*) AS n, sum(nt) AS s, sum(nt * nt) AS q FROM tc),
+      |a AS (SELECT count(*) AS k,
+      |        list_reduce(list_prepend(0.0,
+      |          list(sg * sg / CAST(n1 AS DOUBLE) ORDER BY source)),
+      |          (x, y) -> x + y) AS av
+      |      FROM rg)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |       round(av - CAST(s AS DOUBLE) * s / n, 6) AS ssb,
+      |       round(q - av, 6) AS ssw,
+      |       round(((av - CAST(s AS DOUBLE) * s / n) / (k - 1))
+      |             / ((q - av) / (n - k)), 6) AS f
+      |FROM a, tot""".stripMargin
+  ) { (s, d) => anovaF(lengthTc(s, d)) }
+
+  // ------------- Theil inequality index per source (l166) -------------
+
+  /** l166's engine over any (source, v) positive-mass frame (the l158
+    * contract) — factored for the closed-form spec (constant → 0;
+    * {1,3} → ½·[½ln½ + 3/2·ln 3/2]). */
+  private[graft] def theilBySource(t: DataFrame): DataFrame = {
+    val h = t.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val m = h.groupBy("source").agg(sum("c").as("n"),
+      sum(col("v") * col("c")).as("sx"))
+    val term = col("c") * (col("v") / col("mu")) * log(col("v") / col("mu"))
+    h.join(m, Seq("source"))
+      .withColumn("mu", col("sx").cast("double") / col("n"))
+      .groupBy("source")
+      .agg(first("n").as("n_docs"), first("sx").as("total_chars"),
+        round(first("mu"), 6).as("mean_chars"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("v"),
+            term.as("term")))), x => x.getField("term")),
+          lit(0.0), (x, y) => x + y) / first("n"), 6).as("theil"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("total_chars").cast("long").as("total_chars"),
+        col("mean_chars"), col("theil"))
+      .orderBy("source")
+  }
+
+  /** L166: Theil T inequality index of character mass per source (Theil
+    * 1967) — the DECOMPOSABLE companion to l158's Gini: T = (1/n)·
+    * Σ (x/μ)·ln(x/μ) weights the giant-document tail more sharply than
+    * Gini's rank form and (unlike Gini) sums across sub-populations, so
+    * a sharded corpus can roll per-shard T up to corpus T without
+    * re-scanning — the property that makes it the concentration metric
+    * a DISTRIBUTED pipeline actually monitors. Same knobs downstream as
+    * l158 (packing l20/l40, source caps l89).
+    *
+    * Determinism: the l158 histogram discipline — per-(source, value)
+    * counts and Σv·c are exact longs; μ is one division; the per-value
+    * terms c·(v/μ)·ln(v/μ) fold in VALUE order (the l142 convention; ln
+    * is not correctly rounded, so it is a 6-dp float OUTPUT, never a
+    * flag — the l133 rule); constant sources read exactly 0 (every term
+    * ln(1) = 0). */
+  val l166_theil_index = Q(
+    "l166_theil_index",
+    """WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |m AS (SELECT source, sum(c) AS n, sum(v * c) AS sx FROM h GROUP BY 1),
+      |g AS (SELECT h.source, h.v, h.c, m.n, m.sx,
+      |        CAST(m.sx AS DOUBLE) / m.n AS mu
+      |      FROM h JOIN m ON m.source = h.source)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(sx AS BIGINT) AS total_chars,
+      |       round(mu, 6) AS mean_chars,
+      |       round(list_reduce(list_prepend(0.0,
+      |               list(c * (v / mu) * ln(v / mu) ORDER BY v)),
+      |             (x, y) -> x + y) / n, 6) AS theil
+      |FROM g GROUP BY source, n, sx, mu ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    theilBySource(documents(s, d).select(col("source"),
+      col("n_chars").cast("long").as("v")))
+  }
+
   val all: Seq[Q] = Seq(
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
+    l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,
