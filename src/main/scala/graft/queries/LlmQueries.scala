@@ -12164,9 +12164,228 @@ object LlmQueries {
       col("n_chars").cast("long").as("v")))
   }
 
+  // ------------- Mann–Kendall trend + Theil–Sen slope (l167) -------------
+
+  /** l167's engine over any (d, c) integer series frame (d = day index,
+    * c = count) — factored so the spec can pin the closed forms: strictly
+    * increasing n=5 ⇒ S = 10, V = 300, z = 9/√(300/18); constant ⇒ S = 0,
+    * z = 0; y = 2t ⇒ Sen slope exactly 2. */
+  private[graft] def mannKendall(wk: DataFrame): DataFrame = {
+    val w2 = wk.localCheckpoint(false) // pairs, ties and n all read it
+    val pr = w2.as("a").join(w2.as("b"), col("a.d") < col("b.d"))
+      .select((col("b.c") - col("a.c")).as("dc"),
+        (col("b.d") - col("a.d")).as("dd"))
+      .localCheckpoint(false) // S and the slope ranks both read it
+    val st = pr.agg(sum(when(col("dc") > 0, 1L).when(col("dc") < 0, -1L)
+      .otherwise(0L)).as("s"), count(lit(1)).as("m"))
+    val tot = w2.agg(count(lit(1)).as("n"))
+    val tie = w2.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+        lit(0L)).as("tt"))
+    val sl = pr.select((col("dc").cast("double") / col("dd")).as("sl"))
+      .withColumn("rk", row_number().over(Window.orderBy("sl")))
+    val md = sl.crossJoin(broadcast(st))
+      .filter(col("rk") === floor((col("m") + 1) / lit(2)).cast("long") ||
+        col("rk") === floor(col("m") / lit(2)).cast("long") + 1)
+      .agg(avg("sl").as("sen"))
+    val v = col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tt")
+    val z = when(col("s") > 0, (col("s") - 1) / sqrt(v / 18.0))
+      .when(col("s") < 0, (col("s") + 1) / sqrt(v / 18.0))
+      .otherwise(lit(0.0))
+    val sig = when(col("s") > 0,
+        (lit(180000L) * (col("s") - 1) * (col("s") - 1) > lit(38416L) * v)
+          .cast("long"))
+      .when(col("s") < 0,
+        (lit(180000L) * (col("s") + 1) * (col("s") + 1) > lit(38416L) * v)
+          .cast("long"))
+      .otherwise(lit(0L))
+    st.crossJoin(tot).crossJoin(tie).crossJoin(md)
+      .select(col("n").cast("long").as("n_weeks"), col("s").cast("long").as("s"),
+        v.cast("long").as("v"), round(z, 6).as("z"),
+        round(col("sen"), 6).as("sen_slope"), sig.as("significant"))
+  }
+
+  /** L167: Mann–Kendall trend test + Theil–Sen slope over the weekly
+    * event-count series (Mann 1945 / Kendall 1975; Theil 1950 / Sen
+    * 1968) — the MONOTONe-trend alarm beside l136's seasonality and
+    * l106's CUSUM changepoint: "is traffic drifting, and at what
+    * rate?", answered without assuming normal errors (the pairwise sign
+    * statistic) or fitting squares to outlier weeks (the median-of-
+    * slopes estimator a single bot-spike week cannot move). The weekly
+    * intake decision this feeds: a significant negative Sen slope on a
+    * source's arrivals is the re-crawl trigger.
+    *
+    * Determinism: S and the tie-corrected variance numerator V are exact
+    * longs; z enters floats at one sqrt division (6-dp output); the
+    * α=0.05 flag never floats — 180000·(S∓1)² > 38416·V is the exact
+    * integer cross-multiplication (1.96² = 38416/10⁴, the l131/l148
+    * discipline). Sen's slope: every pairwise slope is one IEEE division
+    * of exact integers, the median is picked by rank (identical value
+    * multiset ⇒ identical picks; the two-middle average is commutative).
+    *
+    * 100 TB posture: the corpus-scale work is ONE week-keyed count; the
+    * pairwise join, ranks and median run over the O(weeks²) METADATA
+    * grid (a decade of weeks = 520 rows → 135k pairs), never the corpus. */
+  val l167_mann_kendall = Q(
+    "l167_mann_kendall",
+    """WITH wk AS (SELECT CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE) AS we,
+      |              count(*) AS c
+      |            FROM events GROUP BY 1),
+      |wd AS (SELECT date_diff('day', DATE '1970-01-01', we) AS d, c FROM wk),
+      |pr AS (SELECT b.c - a.c AS dc, b.d - a.d AS dd
+      |       FROM wd a JOIN wd b ON a.d < b.d),
+      |st AS (SELECT sum(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1 ELSE 0 END) AS s,
+      |         count(*) AS m
+      |       FROM pr),
+      |tot AS (SELECT count(*) AS n FROM wd),
+      |tie AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tt
+      |        FROM (SELECT count(*) AS t FROM wd GROUP BY c)),
+      |sl AS (SELECT CAST(dc AS DOUBLE) / dd AS sl,
+      |         row_number() OVER (ORDER BY CAST(dc AS DOUBLE) / dd) AS rk
+      |       FROM pr),
+      |md AS (SELECT avg(sl) AS sen FROM sl, st
+      |       WHERE rk = (m + 1) // 2 OR rk = m // 2 + 1)
+      |SELECT CAST(n AS BIGINT) AS n_weeks, CAST(s AS BIGINT) AS s,
+      |       CAST(n * (n - 1) * (2 * n + 5) - tt AS BIGINT) AS v,
+      |       round(CASE WHEN s > 0 THEN (s - 1) / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+      |                  WHEN s < 0 THEN (s + 1) / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+      |                  ELSE 0.0 END, 6) AS z,
+      |       round(sen, 6) AS sen_slope,
+      |       CASE WHEN s > 0 THEN CAST(180000 * (s - 1) * (s - 1) > 38416 * (n * (n - 1) * (2 * n + 5) - tt) AS BIGINT)
+      |            WHEN s < 0 THEN CAST(180000 * (s + 1) * (s + 1) > 38416 * (n * (n - 1) * (2 * n + 5) - tt) AS BIGINT)
+      |            ELSE 0 END AS significant
+      |FROM st, tot, tie, md""".stripMargin
+  ) { (s, d) =>
+    val wk = events(s, d)
+      .select(date_add(date_trunc("week", col("ts")).cast("date"), 6).as("we"))
+      .groupBy("we").agg(count(lit(1)).as("c"))
+      .select(datediff(col("we"), lit("1970-01-01")).cast("long").as("d"),
+        col("c"))
+    mannKendall(wk)
+  }
+
+  // ------------- Herfindahl concentration per language (l168) -------------
+
+  /** l168's engine over any (lang, source, mass) frame. */
+  private[graft] def hhiByLang(t: DataFrame): DataFrame = {
+    val cs = t.groupBy("lang", "source").agg(sum("mass").as("c"))
+    val m = cs.groupBy("lang").agg(count(lit(1)).as("n_sources"),
+      sum("c").as("tc"), sum(col("c") * col("c")).as("sumsq"))
+    val hhi = col("sumsq").cast("double") /
+      (col("tc").cast("double") * col("tc"))
+    m.select(col("lang"), col("n_sources").cast("long").as("n_sources"),
+        col("tc").cast("long").as("total_chars"),
+        round(hhi, 6).as("hhi"),
+        round(when(col("n_sources") > 1,
+          (hhi - lit(1.0) / col("n_sources")) /
+            (lit(1.0) - lit(1.0) / col("n_sources")))
+          .otherwise(lit(null).cast("double")), 6).as("hhi_normalized"),
+        round(lit(1.0) / hhi, 6).as("effective_sources"))
+      .orderBy("lang")
+  }
+
+  /** L168: Herfindahl–Hirschman concentration of character mass across
+    * sources, per language (Hirschman 1945 / Herfindahl 1950) — the
+    * SOURCE-concentration companion to l158/l166 (which measure
+    * concentration across DOCUMENTS): HHI = Σ share² answers "is this
+    * language's corpus effectively one crawl?", and its reciprocal — the
+    * effective source count — is the number l31's domain-mix and l89's
+    * source caps are tuned against (a lang with 12 sources but effective
+    * 1.4 is a monoculture wearing a mixture's clothes). The normalized
+    * form (HHI − 1/n)/(1 − 1/n) removes the source-count floor so
+    * languages with different catalog sizes compare.
+    *
+    * Determinism: Σc and Σc² are exact longs (no fold needed — the share
+    * algebra collapses to Σc²/C², two IEEE ops from exact integers);
+    * single-source languages read hhi = 1 exactly and a NULL normalized
+    * form (0/0 is undefined, declared, not invented).
+    *
+    * 100 TB posture: two nested map-combinable aggregates; output is
+    * catalog-scale (#languages rows). */
+  val l168_hhi_concentration = Q(
+    "l168_hhi_concentration",
+    """WITH cs AS (SELECT lang, source, sum(n_chars) AS c
+      |            FROM documents GROUP BY 1, 2),
+      |m AS (SELECT lang, count(*) AS n_sources, sum(c) AS tc,
+      |        sum(c * c) AS sumsq
+      |      FROM cs GROUP BY 1)
+      |SELECT lang, CAST(n_sources AS BIGINT) AS n_sources,
+      |       CAST(tc AS BIGINT) AS total_chars,
+      |       round(CAST(sumsq AS DOUBLE) / (CAST(tc AS DOUBLE) * tc), 6) AS hhi,
+      |       round(CASE WHEN n_sources > 1
+      |             THEN (CAST(sumsq AS DOUBLE) / (CAST(tc AS DOUBLE) * tc)
+      |                   - 1.0 / n_sources) / (1.0 - 1.0 / n_sources)
+      |             ELSE NULL END, 6) AS hhi_normalized,
+      |       round(1.0 / (CAST(sumsq AS DOUBLE) / (CAST(tc AS DOUBLE) * tc)), 6)
+      |         AS effective_sources
+      |FROM m ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    hhiByLang(documents(s, d).select(col("lang"), col("source"),
+      col("n_chars").cast("long").as("mass")))
+  }
+
+  // ------------- Chao1 vocabulary-richness estimate (l169) -------------
+
+  /** l169's engine over any (source, tok) occurrence frame — factored
+    * for the closed-form spec ({a:1, b:1, c:2} ⇒ D=3, f1=2, f2=1,
+    * chao1 = 3.5). */
+  private[graft] def chao1BySource(t: DataFrame): DataFrame = {
+    val cnt = t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    cnt.groupBy("source").agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("f1"),
+        sum((col("c") === 2).cast("long")).as("f2"))
+      .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"),
+        col("f1").cast("long").as("f1"), col("f2").cast("long").as("f2"),
+        round(col("n_types") + col("f1") * (col("f1") - 1) /
+          (lit(2.0) * (col("f2") + 1)), 6).as("chao1"))
+      .orderBy("source")
+  }
+
+  /** L169: Chao1 richness estimate of the trigram-shingle vocabulary per
+    * source (Chao 1984, bias-corrected form) — the UNSEEN-vocabulary
+    * companion to l93 (Heaps growth) and l138 (coverage of a frozen
+    * vocab): from the singleton/doubleton counts alone, how many shingle
+    * types does this source HAVE, including the ones the crawl hasn't
+    * shown yet? Ĉ = D + f₁(f₁−1)/(2(f₂+1)). The acquisition question
+    * this answers: a source whose Chao1 ≈ its observed D is exhausted
+    * (more crawling buys duplicates — route the budget elsewhere);
+    * Chao1 ≫ D means the source still has tail to give. Bias-corrected
+    * so f₂ = 0 (common on a saturated corpus) stays defined.
+    *
+    * Determinism: D, f₁, f₂ and the occurrence totals are exact longs
+    * off one (source, shingle) histogram; chao1 adds one IEEE division
+    * (6-dp float output, never a flag).
+    *
+    * 100 TB posture: one explode → one two-level map-combinable
+    * aggregate; no joins, no windows. */
+  val l169_chao1_richness = Q(
+    "l169_chao1_richness",
+    """WITH d AS (SELECT source, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |ex AS (SELECT source, unnest(list_transform(range(len(toks) - 2),
+      |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS tok
+      |       FROM d),
+      |cnt AS (SELECT source, tok, count(*) AS c FROM ex GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |       round(count(*) + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+      |             * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+      |             / (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 6)
+      |         AS chao1
+      |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    chao1BySource(spread(documents(s, d)).select(col("source"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("tok")))
+  }
+
   val all: Seq[Q] = Seq(
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
+    l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

@@ -60,6 +60,54 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(math.abs(t("u").getDouble(4) - expected) < 1e-6)
   }
 
+  test("l167: strictly increasing series hits S = n(n−1)/2, z closed form, slope exact") {
+    import spark.implicits._
+    // y = 2t on days 0,7,14,21,28 — S = 10, no ties: V = 5·4·15 = 300
+    val wk = Seq((0L, 2L), (7L, 16L), (14L, 30L), (21L, 44L), (28L, 58L))
+      .toDF("d", "c")
+    val r = LlmQueries.mannKendall(wk).collect()(0)
+    assert(r.getLong(0) === 5L && r.getLong(1) === 10L && r.getLong(2) === 300L)
+    assert(math.abs(r.getDouble(3) - 9.0 / math.sqrt(300.0 / 18.0)) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-9, "Sen slope of y=2t must be exactly 2")
+    assert(r.getLong(5) === 1L, "z = 2.205 > 1.96 — the exact-integer flag must fire")
+  }
+
+  test("l167: constant series reads S = 0, z = 0, not significant") {
+    import spark.implicits._
+    val r = LlmQueries.mannKendall(
+      Seq((0L, 5L), (7L, 5L), (14L, 5L), (21L, 5L)).toDF("d", "c"))
+      .collect()(0)
+    assert(r.getLong(1) === 0L && r.getDouble(3) === 0.0 && r.getLong(5) === 0L)
+    assert(math.abs(r.getDouble(4)) < 1e-9)
+  }
+
+  test("l168: single source reads hhi = 1 + NULL normalized; even split reads 1/k") {
+    import spark.implicits._
+    val t = LlmQueries.hhiByLang(Seq(
+      ("mono", "s1", 100L), ("mono", "s1", 50L),
+      ("even", "s1", 10L), ("even", "s2", 10L), ("even", "s3", 10L), ("even", "s4", 10L))
+      .toDF("lang", "source", "mass"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(t("mono").getDouble(3) === 1.0 && t("mono").isNullAt(4))
+    assert(math.abs(t("mono").getDouble(5) - 1.0) < 1e-9)
+    assert(math.abs(t("even").getDouble(3) - 0.25) < 1e-9)
+    assert(math.abs(t("even").getDouble(4)) < 1e-9, "even split normalizes to 0")
+    assert(math.abs(t("even").getDouble(5) - 4.0) < 1e-9)
+  }
+
+  test("l169: {a:1, b:1, c:2} hits chao1 = 3.5; no singletons collapses to D") {
+    import spark.implicits._
+    val t = LlmQueries.chao1BySource(Seq(
+      ("u", "a"), ("u", "b"), ("u", "c"), ("u", "c"),
+      ("x", "p"), ("x", "p"), ("x", "q"), ("x", "q"), ("x", "q"))
+      .toDF("source", "tok"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(t("u").getLong(2) === 3L && t("u").getLong(3) === 2L && t("u").getLong(4) === 1L)
+    assert(math.abs(t("u").getDouble(5) - 3.5) < 1e-9)
+    assert(math.abs(t("x").getDouble(5) - 2.0) < 1e-9,
+      "f1 = 0 must collapse the estimate to the observed richness")
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
