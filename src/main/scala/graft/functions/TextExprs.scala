@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** graft_shingle_set(toks, n): the DISTINCT ordered-token n-gram set of an
@@ -561,6 +561,78 @@ case class BpeEncodeWords(left: Expression, right: Expression)
   * interpreted HOF lambda. Interpreted eval shares the same byte walk
   * (TextExprsSpec pins codegen ≡ interpreted ≡ a driver-side replay on
   * known vectors). */
+/** Jaro similarity of two strings (Jaro 1989: the record-linkage
+  * statistic — matches within a ⌊max(|a|,|b|)/2⌋−1 window, transposition
+  * count halved, (m/|a| + m/|b| + (m−t)/m)/3). Contract pinned to
+  * DuckDB's `jaro_similarity` so the oracle replays it: 0.0 when EITHER
+  * side is empty — including both-empty, where the textbook form says 1
+  * (TextExprsSpec pins this divergence explicitly). Operates on UTF-16
+  * chars of the decoded string — identical to codepoints on the ASCII
+  * corpus. Codegen emits one static call into [[JaroOps.sim]] (the
+  * two-array matching loop is stateful; a call keeps the expression
+  * inside whole-stage codegen without a 60-line inline splice). */
+case class JaroSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroSimilarity =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroOps.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroOps.sim($a, $b);")
+}
+
+/** The shared Jaro matching loop — called by both the interpreted and
+  * codegen paths of [[JaroSimilarity]] (and by the spec's replay). */
+object JaroOps {
+  def sim(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString; val s2 = b.toString
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0 // DuckDB parity, incl. both-empty
+    val md = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + md)
+      var j = math.max(0, i - md)
+      var found = false
+      while (!found && j <= hi) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0; i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val tr = t / 2
+    (m.toDouble / l1 + m.toDouble / l2 + (m - tr).toDouble / m) / 3.0
+  }
+}
+
 case class LuhnCheck(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -668,10 +740,18 @@ object TextExprs {
       LuhnCheck(exprs.head)
     })
 
+  val jaroInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro"),
+    new ExpressionInfo(classOf[JaroSimilarity].getName, "graft_jaro"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2, s"graft_jaro takes 2 arguments, got ${exprs.length}")
+      JaroSimilarity(exprs.head, exprs(1))
+    })
+
   /** Idempotent per-session registration, mirroring [[VectorExprs.register]]. */
   def register(spark: SparkSession): Unit = {
     Seq(shingleSetInfo, xxhash64ArrayInfo, winnowInfo, simhashInfo,
-      bpeEncodeInfo, luhnInfo).foreach {
+      bpeEncodeInfo, luhnInfo, jaroInfo).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -702,6 +782,11 @@ object TextExprs {
     * empty/non-digit, null on null). */
   def luhnCheck(s: Column): Column =
     call_function("graft_luhn_check", s)
+
+  /** Jaro similarity (double; 0.0 when either side is empty — DuckDB
+    * `jaro_similarity` parity; null on null). */
+  def jaroSimilarity(a: Column, b: Column): Column =
+    call_function("graft_jaro", a, b)
 
   /** Flattened per-doc BPE subwords of a word array under the given merge
     * rules (rank order), as the native one-pass encode. */

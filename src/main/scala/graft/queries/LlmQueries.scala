@@ -12382,10 +12382,181 @@ object LlmQueries {
       explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("tok")))
   }
 
+  // ------------- Jaro re-scoring of the edit near-dup pairs (l170) -------------
+
+  /** L170: Jaro similarity over l26's edit-distance near-dup pairs — the
+    * RECORD-LINKAGE scorer beside the edit family (Jaro 1989; Winkler's
+    * census dedup lineage): levenshtein charges a transposed token pair
+    * two full edits, Jaro charges half a transposition, so ranking the
+    * SAME pairs under both exposes which near-dups are typo-class
+    * (high Jaro) vs structurally different prefixes that happen to be
+    * 2 edits apart (the l123 agreement-audit discipline applied to two
+    * string measures). Scored with the native [[graft.functions.
+    * JaroSimilarity graft_jaro]] expression — one static-call codegen'd
+    * byte-walk, no UDF — whose empty-string contract is pinned to the
+    * oracle's jaro_similarity (TextExprsSpec, including the both-empty
+    * divergence from the textbook form).
+    *
+    * 100 TB posture: rides l26's PassJoin candidate machinery (never
+    * all-pairs); the scorer adds one O(|s|²)-bounded per-pair expression
+    * inside whole-stage codegen. The 6-dp round + checker isclose
+    * absorbs any ulp-level association difference between the two
+    * engines' floating sums (the l133 float-output rule). */
+  val l170_jaro_rescore = Q(
+    "l170_jaro_rescore",
+    """WITH s AS (SELECT doc_id, lower(substr(text, 1, 20)) AS s20 FROM documents)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |       CAST(levenshtein(a.s20, b.s20) AS BIGINT) AS dist,
+      |       round(jaro_similarity(a.s20, b.s20), 6) AS jaro
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.s20, b.s20) <= 2
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val frame = spread(documents(s, d)).select(col("doc_id"),
+      lower(substring(col("text"), 1, 20)).as("s20"))
+    editNearDupFrom(frame)
+      .join(frame.select(col("doc_id").as("i"), col("s20").as("si")), Seq("i"))
+      .join(frame.select(col("doc_id").as("j"), col("s20").as("sj")), Seq("j"))
+      .select(col("i"), col("j"), col("dist"),
+        round(graft.functions.TextExprs.jaroSimilarity(col("si"), col("sj")), 6)
+          .as("jaro"))
+      .orderBy("i", "j")
+  }
+
+  // ------------- autocorrelation of daily arrivals (l171) -------------
+
+  /** l171's engine over any (dd, y) integer daily series — factored for
+    * the closed-form spec (period-2 alternating series: r₁ < 0, r₂ ≈ 1
+    * scaled by the pair count; constant series → 0/0 declared NULL). */
+  private[graft] def dailyAcf(daily: DataFrame, maxLag: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("dd"), (col("n") * col("y") - col("s")).cast(dec).as("dv"))
+      .localCheckpoint(false) // the denominator and all lag joins read it
+    val den = dev.agg(sum(col("dv") * col("dv")).as("den"))
+    val lagged = dev.select(col("dd"), col("dv"),
+      explode(array((1 to maxLag).map(lit): _*)).as("lag"))
+    lagged.as("a").join(dev.as("b"), col("b.dd") === col("a.dd") + col("a.lag"))
+      .groupBy(col("a.lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.dv") * col("b.dv")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den").cast("double")), 6)
+          .as("acf"))
+      .orderBy("lag")
+  }
+
+  /** L171: autocorrelation of the daily event-count series at lags 1–7 —
+    * the SHAPE diagnostic beside l136 (which tests one fixed weekly
+    * period) and l167 (monotone drift): the full short-lag ACF profile
+    * says whether arrivals carry day-over-day momentum (r₁), a weekly
+    * echo (r₇), or nothing — the profile a capacity planner and the
+    * l33 shard-shuffler read before assuming i.i.d. arrivals. Lag pairs
+    * join on CALENDAR day (+k), so gap days are absent pairs, declared
+    * per row as n_pairs — never silently imputed zeros.
+    *
+    * Determinism: the mean never floats — deviations are N-scaled exact
+    * integers (n·y_t − S, the l151 DECIMAL(38,0) discipline), so
+    * numerator and denominator are exact DECIMAL sums and r_k is ONE
+    * IEEE division; a constant series reads NULL (0/0 declared
+    * undefined), never NaN.
+    *
+    * 100 TB posture: corpus work = one day-keyed count; the lag joins
+    * run over the ≤(365·years)·maxLag METADATA grid. */
+  val l171_daily_acf = Q(
+    "l171_daily_acf",
+    """WITH dy AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+      |            FROM events GROUP BY 1),
+      |dd AS (SELECT date_diff('day', DATE '1970-01-01', day) AS dd, y FROM dy),
+      |tot AS (SELECT count(*) AS n, sum(y) AS s FROM dd),
+      |dev AS (SELECT dd.dd, CAST(tot.n * dd.y - tot.s AS DECIMAL(38,0)) AS dv
+      |        FROM dd, tot),
+      |den AS (SELECT sum(dv * dv) AS den FROM dev),
+      |lags(lag) AS (VALUES (1),(2),(3),(4),(5),(6),(7)),
+      |num AS (SELECT l.lag, count(*) AS n_pairs, sum(a.dv * b.dv) AS num
+      |        FROM lags l
+      |        JOIN dev a ON true
+      |        JOIN dev b ON b.dd = a.dd + l.lag
+      |        GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       round(CASE WHEN den = 0 THEN NULL
+      |                  ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS acf
+      |FROM num, den ORDER BY lag""".stripMargin
+  ) { (s, d) =>
+    val daily = events(s, d)
+      .select(col("ts").cast("date").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("dd"),
+        col("y"))
+    dailyAcf(daily, 7)
+  }
+
+  // ------------- Simpson diversity of the token distribution (l172) -------------
+
+  /** l172's engine over any (source, tok) occurrence frame — factored
+    * for the closed-form spec (uniform k types ⇒ inverse Simpson = k;
+    * single-type ⇒ λ = 1, gini-Simpson = 0). */
+  private[graft] def simpsonBySource(t: DataFrame): DataFrame = {
+    val cnt = t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    cnt.groupBy("source").agg(sum("c").as("n"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("s2"),
+        sum(col("c") * col("c")).as("sq"))
+      .select(col("source"), col("n").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"),
+        round(col("s2").cast("double") /
+          (col("n").cast("double") * (col("n") - 1)), 6).as("simpson"),
+        round(lit(1.0) - col("s2").cast("double") /
+          (col("n").cast("double") * (col("n") - 1)), 6).as("gini_simpson"),
+        round((col("n").cast("double") * col("n")) / col("sq"), 6)
+          .as("inv_simpson"))
+      .orderBy("source")
+  }
+
+  /** L172: Simpson diversity of the unigram distribution per source
+    * (Simpson 1949) — the PAIR-COLLISION view of lexical diversity
+    * beside l102 (Shannon entropy, which weights the tail) and l103
+    * (distinct n-grams, which only counts it): λ = Σ c(c−1)/(n(n−1)) is
+    * the exact probability two tokens drawn without replacement
+    * coincide — the statistic behind boilerplate detection (a templated
+    * source's λ spikes long before its type count drops) — and its
+    * reciprocal is the "effective vocabulary" the temperature-sampling
+    * knob (l41) acts on. Unbiased form (without replacement), so
+    * single-occurrence types contribute exactly zero collisions.
+    *
+    * Determinism: Σc, Σc², Σc(c−1) exact longs off one (source, token)
+    * histogram; each output is ONE IEEE division (6-dp float outputs,
+    * never flags — the l133 rule).
+    *
+    * 100 TB posture: one explode → two-level map-combinable aggregate;
+    * no joins, no windows (the l169 shape). */
+  val l172_simpson_diversity = Q(
+    "l172_simpson_diversity",
+    """WITH d AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      |           FROM documents),
+      |cnt AS (SELECT source, tok, count(*) AS c FROM d GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       round(CAST(sum(c * (c - 1)) AS DOUBLE)
+      |             / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1)), 6) AS simpson,
+      |       round(1.0 - CAST(sum(c * (c - 1)) AS DOUBLE)
+      |             / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1)), 6) AS gini_simpson,
+      |       round((CAST(sum(c) AS DOUBLE) * sum(c)) / sum(c * c), 6)
+      |         AS inv_simpson
+      |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    simpsonBySource(spread(documents(s, d)).select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("tok")))
+  }
+
   val all: Seq[Q] = Seq(
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,
+    l170_jaro_rescore, l171_daily_acf, l172_simpson_diversity,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

@@ -281,4 +281,63 @@ class TextExprsSpec extends AnyFunSuite {
       .select(TextExprs.luhnCheck(col("s"))).collect()
     assert(nv.head.isNullAt(0), "null input must stay null")
   }
+
+  /** Independent Jaro reimplementation (textbook form EXCEPT the pinned
+    * DuckDB empty-contract) — the spec-local replay the codegen and
+    * interpreted paths are judged against. */
+  private def refJaro(s1: String, s2: String): Double = {
+    val (l1, l2) = (s1.length, s2.length)
+    if (l1 == 0 || l2 == 0) return 0.0
+    val md = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m2 = Array.fill(l2)(false)
+    val matches1 = (0 until l1).map { i =>
+      val j = (math.max(0, i - md) to math.min(l2 - 1, i + md))
+        .find(j => !m2(j) && s1(i) == s2(j))
+      j.foreach(m2(_) = true)
+      j.isDefined
+    }
+    val m = matches1.count(identity)
+    if (m == 0) return 0.0
+    val a = (0 until l1).filter(matches1)
+    val b = (0 until l2).filter(m2)
+    val t = a.zip(b).count { case (i, j) => s1(i) != s2(j) } / 2
+    (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+  }
+
+  test("jaro: known vectors, codegen = interpreted = replay, DuckDB empty contract") {
+    TextExprs.register(spark)
+    import org.apache.spark.unsafe.types.UTF8String
+    val known = Seq(
+      ("martha", "marhta", 17.0 / 18), // the Winkler paper's classic
+      ("dixon", "dicksonx", 0.7666666666666666),
+      ("crate", "trace", 0.7333333333333334),
+      ("abc", "abc", 1.0),
+      ("a", "b", 0.0),
+      // window ⌊2/2⌋−1 = 0: adjacent transposition at length 2 can never
+      // match — 0, not the "half transposition" intuition
+      ("ab", "ba", 0.0))
+    known.foreach { case (a, b, exp) =>
+      assert(math.abs(refJaro(a, b) - exp) < 1e-12, s"replay wrong on ($a,$b)")
+    }
+    val rnd = new scala.util.Random(17)
+    def randStr() = (0 until rnd.nextInt(13))
+      .map(_ => "abcde ".charAt(rnd.nextInt(6))).mkString
+    val pairs = known.map(k => (k._1, k._2)) ++
+      Seq(("", ""), ("a", ""), ("", "a")) ++
+      (0 until 400).map(_ => (randStr(), randStr()))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        TextExprs.jaroSimilarity(col("a"), col("b")).as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) === refJaro(a, b), s"codegen diverges from replay on ($a, $b)")
+      assert(JaroOps.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+        === refJaro(a, b), s"interpreted diverges from replay on ($a, $b)")
+    }
+    assert(got(("", "")) === 0.0,
+      "both-empty is 0 — the DuckDB-parity contract, NOT the textbook 1")
+    val nv = Seq((null: String, "x")).toDF("a", "b")
+      .select(TextExprs.jaroSimilarity(col("a"), col("b"))).collect()
+    assert(nv.head.isNullAt(0), "null input must stay null")
+  }
 }

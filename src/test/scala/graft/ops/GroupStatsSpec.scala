@@ -108,6 +108,38 @@ class GroupStatsSpec extends AnyFunSuite {
       "f1 = 0 must collapse the estimate to the observed richness")
   }
 
+  test("l171: alternating daily series reads acf(1) < 0 and acf(2) > 0; constant reads NULL") {
+    import spark.implicits._
+    // 1,9,1,9,... on 10 consecutive days
+    val alt = (0 until 10).map(t => (t.toLong, if (t % 2 == 0) 1L else 9L))
+      .toDF("dd", "y")
+    val r = LlmQueries.dailyAcf(alt, 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(2) < -0.8 && r(2L).getDouble(2) > 0.7)
+    assert(r(1L).getLong(1) === 9L && r(2L).getLong(1) === 8L)
+    val const = (0 until 6).map(t => (t.toLong, 4L)).toDF("dd", "y")
+    val rc = LlmQueries.dailyAcf(const, 2).collect()
+    assert(rc.forall(_.isNullAt(2)), "constant series must read NULL, never NaN")
+  }
+
+  test("l171: calendar gaps drop pairs, declared in n_pairs") {
+    import spark.implicits._
+    // days 0,1,2,5,6 — lag-1 pairs: (0,1),(1,2),(5,6) = 3, not 4
+    val gap = Seq((0L, 2L), (1L, 5L), (2L, 3L), (5L, 8L), (6L, 1L)).toDF("dd", "y")
+    val r = LlmQueries.dailyAcf(gap, 1).collect()(0)
+    assert(r.getLong(1) === 3L)
+  }
+
+  test("l172: uniform k types reads inverse Simpson = k; single type reads λ = 1") {
+    import spark.implicits._
+    val rows = (Seq.fill(5)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c") ++
+      Seq.fill(5)("d")).map(("u", _)) ++ Seq.fill(8)(("m", "only"))
+    val t = LlmQueries.simpsonBySource(rows.toDF("source", "tok"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(t("u").getDouble(5) - 4.0) < 1e-9)
+    assert(t("m").getDouble(3) === 1.0 && t("m").getDouble(4) === 0.0)
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
