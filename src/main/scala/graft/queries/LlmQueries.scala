@@ -12552,11 +12552,211 @@ object LlmQueries {
       explode(TextOps.tokens(col("text"))).as("tok")))
   }
 
+  // ------------- stationary distribution of the event-type chain (l173) -------------
+
+  private val StationaryRounds = 8
+
+  /** l173's engine over any (i, j, c) transition-count frame — factored
+    * so the spec can pin closed forms: a symmetric 2-cycle ⇒ uniform; a
+    * biased 2-state chain (a→b always, b→a 1/3) ⇒ π = (1/4, 3/4) to
+    * 8-round accuracy; and the TO ⊈ FROM guard raising by name. */
+  private[graft] def stationaryDist(t2: DataFrame, rounds: Int): DataFrame = {
+    val t2c = t2.localCheckpoint(false) // guard, pm, states, shares read it
+    // enforce a proper chain: every reachable state must have out-edges,
+    // else power-iteration mass silently leaks (the l131 declare-and-
+    // enforce posture — raise loudly, never return a wrong answer)
+    val dangling = t2c.select(col("j").as("s")).distinct()
+      .join(t2c.select(col("i").as("s")).distinct(), Seq("s"), "left_anti")
+      .limit(1).collect() // enum-scale: ≤ |event types| rows
+    require(dangling.isEmpty,
+      s"stationary distribution undefined: state '${dangling.headOption.map(_.get(0)).orNull}' " +
+        "has inbound transitions but no outbound — the chain is not stochastic")
+    val rt = t2c.groupBy("i").agg(sum("c").as("tot"))
+    val pm = t2c.join(rt, Seq("i"))
+      .select(col("i"), col("j"), (col("c").cast("double") / col("tot")).as("p"))
+      .localCheckpoint(false) // every power round reads it
+    val states = t2c.select(col("i").as("state")).distinct()
+    var x = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .select(col("state"), (lit(1.0) / col("k")).as("p"))
+    for (_ <- 1 to rounds) {
+      val xi = x.select(col("state"), col("p").as("xp"))
+      x = pm.join(xi, pm("i") === xi("state"))
+        .groupBy(col("j"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("i"),
+            (col("xp") * col("p")).as("term")))),
+            e => e.getField("term")),
+          lit(0.0), (a, b) => a + b).as("p"))
+        .withColumnRenamed("j", "state")
+    }
+    val emp = t2c.groupBy(col("i").as("state")).agg(sum("c").as("outs"))
+      .crossJoin(broadcast(t2c.agg(sum("c").as("n2"))))
+    x.join(emp, Seq("state"))
+      .select(col("state").as("event_type"), col("outs").cast("long").as("out_transitions"),
+        round(col("outs").cast("double") / col("n2"), 6).as("empirical_share"),
+        round(col("p"), 6).as("p_stationary"))
+      .orderBy("event_type")
+  }
+
+  /** L173: stationary distribution of the event-type Markov chain —
+    * where l154's flow matrix counts the EDGES, this answers the stock
+    * question "if behavior keeps its current transition structure, what
+    * fraction of the stream settles on each event type?" (π = πP, the
+    * long-run occupancy a capacity planner and l61's mixture interleave
+    * compare against today's empirical shares: π ≫ share means that
+    * type is still filling). Solved by POWER ITERATION — the l105
+    * PageRank machinery on l154's matrix without the damping teleport,
+    * fixed at 8 rounds (the l142 fixed-round convention: a declared
+    * deterministic artifact, not an unbounded float fixpoint), from the
+    * uniform start.
+    *
+    * Determinism: transition counts exact longs; P's rows are one IEEE
+    * division each; every round folds x·P in FROM-state order (the l142
+    * ordered-fold convention), so both engines execute the identical
+    * float sequence; 6-dp outputs. The TO ⊈ FROM degenerate case
+    * (a sink state would leak mass) RAISES by name — the l131
+    * declare-and-enforce posture — instead of returning a wrong vector.
+    *
+    * 100 TB posture: the corpus-scale work is ONE lead() window per user
+    * (the l98 session exchange) → an enum×enum count matrix; the 8
+    * rounds run on broadcast-size metadata. */
+  val l173_markov_stationary = Q(
+    "l173_markov_stationary", {
+      val rounds = (1 to StationaryRounds).map { r =>
+        s"""r$r AS (SELECT pm.j AS state,
+           |  list_reduce(list_prepend(0.0, list(r${r - 1}.p * pm.p ORDER BY pm.i)),
+           |              (a, b) -> a + b) AS p
+           |FROM r${r - 1} JOIN pm ON pm.i = r${r - 1}.state GROUP BY pm.j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT user_id, event_type,
+         |              lead(event_type) OVER (PARTITION BY user_id
+         |                                     ORDER BY ts, event_id) AS nxt
+         |            FROM events),
+         |t2 AS (SELECT event_type AS i, nxt AS j, count(*) AS c
+         |       FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT i, sum(c) AS tot FROM t2 GROUP BY 1),
+         |pm AS (SELECT t2.i, t2.j, CAST(t2.c AS DOUBLE) / rt.tot AS p
+         |       FROM t2 JOIN rt USING (i)),
+         |st AS (SELECT DISTINCT i AS state FROM t2),
+         |kk AS (SELECT count(*) AS k FROM st),
+         |r0 AS (SELECT state, 1.0 / k AS p FROM st, kk),
+         |$rounds,
+         |emp AS (SELECT i AS state, sum(c) AS outs FROM t2 GROUP BY 1),
+         |tot2 AS (SELECT sum(c) AS n2 FROM t2)
+         |SELECT r$StationaryRounds.state AS event_type,
+         |       CAST(emp.outs AS BIGINT) AS out_transitions,
+         |       round(CAST(emp.outs AS DOUBLE) / tot2.n2, 6) AS empirical_share,
+         |       round(r$StationaryRounds.p, 6) AS p_stationary
+         |FROM r$StationaryRounds JOIN emp USING (state), tot2
+         |ORDER BY event_type""".stripMargin
+    }
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t2 = events(s, d)
+      .select(col("event_type").as("i"),
+        lead("event_type", 1).over(w).as("j"))
+      .filter(col("j").isNotNull)
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    stationaryDist(t2, StationaryRounds)
+  }
+
+  // ------------- Tukey-fence outlier audit per source (l174) -------------
+
+  /** l174's engine over any (source, v) integer frame — factored for the
+    * closed-form spec ({1..8} ⇒ Q1 = 2, Q3 = 6, fences −4/12; a planted
+    * 100 counted high). */
+  private[graft] def tukeyFences(t: DataFrame): DataFrame = {
+    val h = t.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // quartile scan + outlier count both read it
+    val n = h.groupBy("source").agg(sum("c").as("n"))
+    val cum = h.withColumn("cum",
+      sum("c").over(Window.partitionBy("source").orderBy("v")))
+    // nearest-rank (type-1) quartiles: exact integer ranks, no floats
+    val q = cum.join(n, Seq("source"))
+      .withColumn("r1", floor((col("n") + 3) / lit(4)).cast("long"))
+      .withColumn("r3", floor((lit(3) * col("n") + 3) / lit(4)).cast("long"))
+      .groupBy("source")
+      .agg(first("n").as("n"),
+        min(when(col("cum") >= col("r1"), col("v"))).as("q1"),
+        min(when(col("cum") >= col("r3"), col("v"))).as("q3"))
+      // doubled fences stay integers: lo2 = 2q1 − 3·IQR, hi2 = 2q3 + 3·IQR
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo2", lit(2) * col("q1") - lit(3) * col("iqr"))
+      .withColumn("hi2", lit(2) * col("q3") + lit(3) * col("iqr"))
+    h.join(q, Seq("source"))
+      .groupBy("source")
+      .agg(first("n").as("n_docs"), first("q1").as("q1"), first("q3").as("q3"),
+        first("iqr").as("iqr"),
+        round(first("lo2") / 2.0, 6).as("lo_fence"),
+        round(first("hi2") / 2.0, 6).as("hi_fence"),
+        sum(when(lit(2) * col("v") < col("lo2"), col("c")).otherwise(lit(0L)))
+          .as("n_low"),
+        sum(when(lit(2) * col("v") > col("hi2"), col("c")).otherwise(lit(0L)))
+          .as("n_high"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("q1").cast("long").as("q1"), col("q3").cast("long").as("q3"),
+        col("iqr").cast("long").as("iqr"), col("lo_fence"), col("hi_fence"),
+        col("n_low").cast("long").as("n_low"),
+        col("n_high").cast("long").as("n_high"))
+      .orderBy("source")
+  }
+
+  /** L174: Tukey-fence outlier audit of document length per source
+    * (Tukey 1977's box-plot rule: beyond Q1 − 1.5·IQR / Q3 + 1.5·IQR) —
+    * the distribution-free outlier counter beside l15's fixed quality
+    * thresholds and l129's tail index: "how many documents does the
+    * standard box-plot rule flag, per source?" is the first question a
+    * data auditor asks of a new crawl, and the robust alternative to
+    * z-score rules the heavy tails l129 measures would break.
+    *
+    * Determinism — NOTHING floats until the printed fences: quartiles
+    * are nearest-rank (type 1) picks at exact integer ranks ⌈n/4⌉ =
+    * (n+3) div 4 off the per-source cumulative histogram; the ×2-scaled
+    * fences 2Q1 − 3·IQR stay integers, so every outlier flag is the
+    * exact integer compare 2v < lo2 (the l131/l148 no-float-boundary
+    * discipline); the printed fence is lo2/2.0, exact in binary (.0/.5).
+    *
+    * 100 TB posture: one histogram aggregate; the cumulative window
+    * partitions BY SOURCE over the value grid (metadata); outlier counts
+    * are conditional sums on the same histogram — the corpus is scanned
+    * once. */
+  val l174_tukey_fences = Q(
+    "l174_tukey_fences",
+    """WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |n AS (SELECT source, sum(c) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT source, v, c,
+      |          sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+      |        FROM h),
+      |q AS (SELECT cum.source, any_value(n.n) AS n,
+      |        min(CASE WHEN cum >= (n.n + 3) // 4 THEN v END) AS q1,
+      |        min(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN v END) AS q3
+      |      FROM cum JOIN n ON n.source = cum.source GROUP BY 1),
+      |f AS (SELECT source, n, q1, q3, q3 - q1 AS iqr,
+      |        2 * q1 - 3 * (q3 - q1) AS lo2, 2 * q3 + 3 * (q3 - q1) AS hi2
+      |      FROM q)
+      |SELECT h.source, CAST(any_value(f.n) AS BIGINT) AS n_docs,
+      |       CAST(any_value(f.q1) AS BIGINT) AS q1,
+      |       CAST(any_value(f.q3) AS BIGINT) AS q3,
+      |       CAST(any_value(f.iqr) AS BIGINT) AS iqr,
+      |       round(any_value(f.lo2) / 2.0, 6) AS lo_fence,
+      |       round(any_value(f.hi2) / 2.0, 6) AS hi_fence,
+      |       CAST(sum(CASE WHEN 2 * h.v < f.lo2 THEN h.c ELSE 0 END) AS BIGINT) AS n_low,
+      |       CAST(sum(CASE WHEN 2 * h.v > f.hi2 THEN h.c ELSE 0 END) AS BIGINT) AS n_high
+      |FROM h JOIN f ON f.source = h.source
+      |GROUP BY h.source ORDER BY h.source""".stripMargin
+  ) { (s, d) =>
+    tukeyFences(documents(s, d).select(col("source"),
+      col("n_chars").cast("long").as("v")))
+  }
+
   val all: Seq[Q] = Seq(
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,
     l170_jaro_rescore, l171_daily_acf, l172_simpson_diversity,
+    l173_markov_stationary, l174_tukey_fences,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

@@ -140,6 +140,45 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(t("m").getDouble(3) === 1.0 && t("m").getDouble(4) === 0.0)
   }
 
+  test("l173: biased 2-state chain converges to π = (1/4, 3/4); symmetric chain stays uniform") {
+    import spark.implicits._
+    // a→b always; b→a w.p. 1/3, b→b w.p. 2/3  ⇒  π = (1/4, 3/4)
+    val biased = Seq(("a", "b", 9L), ("b", "a", 3L), ("b", "b", 6L))
+      .toDF("i", "j", "c")
+    val pb = LlmQueries.stationaryDist(biased, 24)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(pb("a") - 0.25) < 1e-4 && math.abs(pb("b") - 0.75) < 1e-4)
+    val sym = Seq(("a", "b", 5L), ("b", "a", 5L)).toDF("i", "j", "c")
+    val ps = LlmQueries.stationaryDist(sym, 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ps("a") === 0.5 && ps("b") === 0.5)
+  }
+
+  test("l173: a sink state (inbound, no outbound) refuses by name") {
+    import spark.implicits._
+    val sink = Seq(("a", "b", 2L), ("b", "sink", 1L), ("b", "a", 1L))
+      .toDF("i", "j", "c")
+    val e = intercept[IllegalArgumentException] {
+      LlmQueries.stationaryDist(sink, 4).collect()
+    }
+    assert(e.getMessage.contains("sink") && e.getMessage.contains("not stochastic"))
+  }
+
+  test("l174: {1..8} hits Q1 = 2, Q3 = 6, fences −4/12; a planted 100 is counted high") {
+    import spark.implicits._
+    val t = LlmQueries.tukeyFences(
+      ((1L to 8L).map(("u", _)) ++ Seq(("o", 10L), ("o", 11L), ("o", 12L),
+        ("o", 13L), ("o", 100L))).toDF("source", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = t("u")
+    assert(u.getLong(2) === 2L && u.getLong(3) === 6L && u.getLong(4) === 4L)
+    assert(u.getDouble(5) === -4.0 && u.getDouble(6) === 12.0)
+    assert(u.getLong(7) === 0L && u.getLong(8) === 0L)
+    val o = t("o")
+    assert(o.getLong(8) === 1L && o.getLong(7) === 0L,
+      s"the planted 100 must be the one high outlier: $o")
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
