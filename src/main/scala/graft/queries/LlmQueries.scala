@@ -12751,12 +12751,321 @@ object LlmQueries {
       col("n_chars").cast("long").as("v")))
   }
 
+  // ------------- Brown–Forsythe variance-equality test (l175) -------------
+
+  /** l175's engine over any (source, nt) frame: [[anovaF]] on the
+    * absolute deviations from each source's LOWER median — factored for
+    * the closed-form spec (equal-spread groups ⇒ F = 0 under symmetric
+    * fixtures; a wide-vs-narrow pair ⇒ F large). The lower (type-1)
+    * median is a declared convention: it keeps every |x − med| an exact
+    * integer (the average-of-middles median would put a .5 into every
+    * deviation and float the moment sums). */
+  private[graft] def brownForsythe(tc: DataFrame): DataFrame = {
+    val cnt = tc.groupBy("source", "nt").agg(count(lit(1)).as("cs"))
+    val med = cnt
+      .withColumn("cums",
+        sum("cs").over(Window.partitionBy("source").orderBy("nt")))
+      .withColumn("n1", sum("cs").over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(min(when(col("cums") >= floor((col("n1") + 1) / lit(2)).cast("long"),
+        col("nt"))).as("med"))
+    anovaF(tc.join(med, Seq("source"))
+      .select(col("source"), abs(col("nt") - col("med")).as("nt")))
+  }
+
+  /** L175: Brown–Forsythe variance-equality test across sources (Brown &
+    * Forsythe 1974: Levene's test on deviations from the MEDIAN — the
+    * robust form) — the SPREAD companion completing the location triple
+    * (l164 ranks, l165 means, THIS variances): two sources can share a
+    * mean length and differ wildly in spread, which is exactly what
+    * breaks fixed-length packing (l20/l63) and makes l174's fences
+    * incomparable across sources. BF is the standard robust choice
+    * because the classic Bartlett test collapses under the non-normal
+    * heavy tails l129 measures.
+    *
+    * Determinism: the statistic IS [[anovaF]] applied to |x − med_g|
+    * with med_g the LOWER median — a declared convention keeping every
+    * deviation an exact long (scaladoc at [[brownForsythe]]), so the
+    * entire moment pipeline inherits l165's exactness; medians are
+    * nearest-rank integer picks off the per-source cumulative histogram
+    * (no float quantiles).
+    *
+    * 100 TB posture: one histogram + per-source value-grid windows
+    * (metadata) + l165's single-aggregate moment pass over the joined
+    * deviations. */
+  val l175_brown_forsythe = Q(
+    "l175_brown_forsythe",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |cnt AS (SELECT source, nt, count(*) AS cs FROM tc GROUP BY 1, 2),
+      |cm AS (SELECT source, nt,
+      |         sum(cs) OVER (PARTITION BY source ORDER BY nt) AS cums,
+      |         sum(cs) OVER (PARTITION BY source) AS n1
+      |       FROM cnt),
+      |md AS (SELECT source, min(CASE WHEN cums >= (n1 + 1) // 2 THEN nt END) AS med
+      |       FROM cm GROUP BY 1),
+      |zz AS (SELECT tc.source, abs(tc.nt - md.med) AS nt
+      |       FROM tc JOIN md ON md.source = tc.source),
+      |rg AS (SELECT source, count(*) AS n1, sum(nt) AS sg, sum(nt * nt) AS qg
+      |       FROM zz GROUP BY 1),
+      |tot AS (SELECT count(*) AS n, sum(nt) AS s, sum(nt * nt) AS q FROM zz),
+      |a AS (SELECT count(*) AS k,
+      |        list_reduce(list_prepend(0.0,
+      |          list(sg * sg / CAST(n1 AS DOUBLE) ORDER BY source)),
+      |          (x, y) -> x + y) AS av
+      |      FROM rg)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |       round(av - CAST(s AS DOUBLE) * s / n, 6) AS ssb,
+      |       round(q - av, 6) AS ssw,
+      |       round(((av - CAST(s AS DOUBLE) * s / n) / (k - 1))
+      |             / ((q - av) / (n - k)), 6) AS f
+      |FROM a, tot""".stripMargin
+  ) { (s, d) => brownForsythe(lengthTc(s, d)) }
+
+  // ------------- decile shift function vs the rest (l176) -------------
+
+  /** l176's engine over any (source, nt) frame. */
+  private[graft] def decileShift(tc: DataFrame): DataFrame = {
+    val (srcs, callv, cnt, tot) = lengthDistFrames(tc)
+    val grid = callv.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "nt"), "left")
+      .select(col("source"), col("n1"), col("nt"), col("call"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val w = Window.partitionBy("source").orderBy("nt")
+    val cum = grid.select(col("source"), col("n1"), col("nt"),
+      sum("cs").over(w).as("cums"), sum("call").over(w).as("cumall"))
+    val dec = cum.crossJoin(broadcast(tot))
+      .select(col("*"), explode(array((1 to 9).map(lit): _*)).as("q"))
+    dec.groupBy("source", "q")
+      .agg(first("n1").as("n_src"),
+        min(when(col("cums") >=
+          floor((col("q") * col("n1") + 9) / lit(10)).cast("long"),
+          col("nt"))).as("q_src"),
+        min(when(col("cumall") - col("cums") >=
+          floor((col("q") * (col("n") - col("n1")) + 9) / lit(10)).cast("long"),
+          col("nt"))).as("q_rest"))
+      .select(col("source"), col("q").cast("long").as("decile"),
+        col("n_src").cast("long").as("n_src"),
+        col("q_src").cast("long").as("q_src"),
+        col("q_rest").cast("long").as("q_rest"),
+        (col("q_src") - col("q_rest")).cast("long").as("shift"))
+      .orderBy("source", "decile")
+  }
+
+  /** L176: decile shift function per source vs the rest (Doksum 1974's
+    * shift function, on the nearest-rank grid) — WHERE a source's length
+    * distribution differs, not just whether (l131's KS) or by how much
+    * on average (l132's U): Q_src(q) − Q_rest(q) at q = 10%..90% reads
+    * directly as "this source runs 18 tokens longer at the third
+    * decile" — the distribution-shaped answer a packing/truncation
+    * policy (l20/l74) consumes, since those knobs act on specific
+    * quantiles, not means.
+    *
+    * Determinism — NOTHING floats, anywhere: nearest-rank deciles at
+    * exact integer ranks ⌈q·n/10⌉ = (q·n + 9) div 10 off the l131
+    * source×value cumulative grid (rest-side CDF = cumall − cums, the
+    * complement trick — no second scan), shifts are integer differences.
+    *
+    * 100 TB posture: one corpus scan → the three l131 histograms; the
+    * grid windows partition BY SOURCE; the decile explode adds ×9 on
+    * metadata rows only. */
+  val l176_decile_shift = Q(
+    "l176_decile_shift",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |callv AS (SELECT nt, count(*) AS call FROM tc GROUP BY 1),
+      |srcs AS (SELECT source, count(*) AS n1 FROM tc GROUP BY 1),
+      |cnt AS (SELECT source, nt, count(*) AS cs FROM tc GROUP BY 1, 2),
+      |grid AS (SELECT s.source, s.n1, v.nt, v.call, coalesce(c.cs, 0) AS cs
+      |         FROM callv v CROSS JOIN srcs s
+      |         LEFT JOIN cnt c ON c.source = s.source AND c.nt = v.nt),
+      |cum AS (SELECT source, n1, nt,
+      |          sum(cs) OVER (PARTITION BY source ORDER BY nt) AS cums,
+      |          sum(call) OVER (PARTITION BY source ORDER BY nt) AS cumall
+      |        FROM grid),
+      |tot AS (SELECT count(*) AS n FROM tc),
+      |dec(q) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9))
+      |SELECT cum.source, CAST(d.q AS BIGINT) AS decile,
+      |       CAST(any_value(n1) AS BIGINT) AS n_src,
+      |       CAST(min(CASE WHEN cums >= (d.q * n1 + 9) // 10 THEN nt END) AS BIGINT) AS q_src,
+      |       CAST(min(CASE WHEN (cumall - cums) >= (d.q * (t.n - n1) + 9) // 10 THEN nt END) AS BIGINT) AS q_rest,
+      |       CAST(min(CASE WHEN cums >= (d.q * n1 + 9) // 10 THEN nt END)
+      |         - min(CASE WHEN (cumall - cums) >= (d.q * (t.n - n1) + 9) // 10 THEN nt END) AS BIGINT) AS shift
+      |FROM cum CROSS JOIN dec d CROSS JOIN tot t
+      |GROUP BY cum.source, d.q ORDER BY cum.source, decile""".stripMargin
+  ) { (s, d) => decileShift(lengthTc(s, d)) }
+
+  // ------------- Fano factor / burstiness per event type (l177) -------------
+
+  /** l177's engine over any (event_type, day-index, c) daily-count frame
+    * plus the calendar span — factored for the closed-form spec (Poisson-
+    * flat fixture ⇒ Fano ≈ small; all-mass-on-one-day ⇒ Fano = mass). */
+  private[graft] def fanoFactor(daily: DataFrame): DataFrame = {
+    val span = daily.agg((max("dd") - min("dd") + 1).as("n"))
+    daily.groupBy("event_type")
+      .agg(sum("c").as("s"), sum(col("c") * col("c")).as("q"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("s").cast("long").as("n_events"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_per_day"),
+        round((col("n") * col("q") - col("s") * col("s")).cast("double") /
+          (col("n").cast("double") * col("n")) /
+          (col("s").cast("double") / col("n")), 6).as("fano"),
+        round((sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
+            (col("n").cast("double") * col("n"))) -
+          col("s").cast("double") / col("n")) /
+          (sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
+            (col("n").cast("double") * col("n"))) +
+            col("s").cast("double") / col("n")), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  /** L177: Fano factor + burstiness of daily arrivals per event type
+    * (Fano 1947; Goh & Barabási 2008's B = (σ−μ)/(σ+μ)) — the
+    * DISPERSION companion to l171 (which measures memory): a Poisson
+    * stream reads Fano ≈ 1 / B ≈ −…0; bursty bot traffic reads Fano ≫ 1
+    * and B → 1 — per event TYPE, because a bursty error stream under a
+    * flat view stream is invisible in the aggregate. The l126 quota and
+    * l33 shard-shuffle knobs assume non-bursty arrivals; this row is
+    * the check. Zero-event calendar days COUNT (variance over the full
+    * min..max span — computed from the Σc/Σc² moments without
+    * materializing zeros, since zero days add nothing to either sum).
+    *
+    * Determinism: S, Q exact longs; population variance as the N-scaled
+    * exact integer (n·Q − S²) before ONE division chain written
+    * identically on both engines; σ's sqrt is a float OUTPUT (6 dp,
+    * never a flag — the l133 rule).
+    *
+    * 100 TB posture: one (type, day) count → one moment aggregate per
+    * type; no windows, no joins beyond the broadcast span scalar. */
+  val l177_fano_burstiness = Q(
+    "l177_fano_burstiness",
+    """WITH dy AS (SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd,
+      |              count(*) AS c
+      |            FROM events GROUP BY 1, 2),
+      |span AS (SELECT max(dd) - min(dd) + 1 AS n FROM dy),
+      |m AS (SELECT event_type, sum(c) AS s, sum(c * c) AS q FROM dy GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS n_events,
+      |       round(CAST(s AS DOUBLE) / n, 6) AS mean_per_day,
+      |       round(CAST(n * q - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+      |             / (CAST(s AS DOUBLE) / n), 6) AS fano,
+      |       round((sqrt(CAST(n * q - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+      |              - CAST(s AS DOUBLE) / n)
+      |             / (sqrt(CAST(n * q - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+      |              + CAST(s AS DOUBLE) / n), 6) AS burstiness
+      |FROM m, span ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    fanoFactor(events(s, d)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long").as("dd"))
+      .groupBy("event_type", "dd").agg(count(lit(1)).as("c")))
+  }
+
+  // ------------- Wald–Wolfowitz runs test on daily arrivals (l178) -------------
+
+  /** l178's engine over any (dd, c) daily series — factored for the
+    * closed-form spec (alternating above/below ⇒ R = n, z > 0 maximal;
+    * fully sorted ⇒ R = 2, z < 0; the degenerate one-sided series ⇒
+    * declared NULL). */
+  private[graft] def runsTest(daily: DataFrame): DataFrame = {
+    val h = daily.groupBy("c").agg(count(lit(1)).as("cc"))
+    val med = h.withColumn("cm", sum("cc").over(Window.orderBy("c")))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+      .agg(min(when(col("cm") >= floor((col("nd") + 1) / lit(2)).cast("long"),
+        col("c"))).as("med"))
+    val sg = daily.crossJoin(broadcast(med))
+      .filter(col("c") =!= col("med"))
+      .select(col("dd"), (col("c") > col("med")).cast("int").as("s"))
+    val rr = sg.select(col("s"),
+      lag("s", 1).over(Window.orderBy("dd")).as("ps"))
+    val st = rr.agg(count(lit(1)).as("n"), sum("s").as("n1"),
+      (lit(1) + sum((col("ps").isNotNull && col("s") =!= col("ps"))
+        .cast("long"))).as("r"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val mu2 = lit(2L) * col("n1") * (col("n") - col("n1")) // 2·n1·n2
+    val a = col("n") * col("r") - mu2 - col("n") // n·(R − μ)
+    val z = (a.cast("double") / col("n")) /
+      sqrt(mu2.cast("double") * (mu2 - col("n")) /
+        (col("n").cast("double") * col("n") * (col("n") - 1)))
+    val sig = (dec(lit(10000L)) * dec(a) * dec(a) * dec(col("n") - 1) >
+      dec(lit(38416L)) * dec(mu2) * dec(mu2 - col("n"))).cast("long")
+    st.select(col("n").cast("long").as("n_days_used"),
+        col("n1").cast("long").as("n_above"),
+        (col("n") - col("n1")).cast("long").as("n_below"),
+        col("r").cast("long").as("runs"),
+        round(when(col("n1") === 0 || col("n1") === col("n"),
+          lit(null).cast("double")).otherwise(z), 6).as("z"),
+        when(col("n1") === 0 || col("n1") === col("n"), lit(0L))
+          .otherwise(sig).as("significant"))
+  }
+
+  /** L178: Wald–Wolfowitz runs test of the daily arrival series around
+    * its median (Wald & Wolfowitz 1940) — the RANDOMNESS test closing
+    * the arrival-diagnostics quartet (l167 monotone drift, l171 memory,
+    * l177 dispersion, THIS sequence structure): too FEW runs means
+    * regime clumping (weeks of above-median traffic — a migration or
+    * outage the mean hides), too MANY means oscillation (retry storms);
+    * either invalidates the i.i.d. reading of every mean-based monitor.
+    * Days equal to the median are excluded (the standard convention)
+    * and the exclusion is visible in n_days_used; the median is the
+    * lower nearest-rank pick (the l175 integer convention).
+    *
+    * Determinism: R, n₁, n₂ exact longs (the run count is one lag over
+    * the ordered METADATA day grid); z floats only at the final
+    * division/sqrt (6 dp); the α=0.05 flag NEVER floats —
+    * 10⁴·A²·(n−1) > 38416·2n₁n₂·(2n₁n₂−n) with A = n·R − 2n₁n₂ − n in
+    * DECIMAL(38,0) (the l131/l148/l167 exact-flag discipline); the
+    * one-sided degenerate series reads declared NULL/0.
+    *
+    * 100 TB posture: corpus work = one day-keyed count; median, signs,
+    * lag and the flag all run on the ≤(365·years)-row day grid. */
+  val l178_runs_test = Q(
+    "l178_runs_test",
+    """WITH dy AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd,
+      |              count(*) AS c
+      |            FROM events GROUP BY 1),
+      |h AS (SELECT c, count(*) AS cc FROM dy GROUP BY 1),
+      |n0 AS (SELECT count(*) AS nd FROM dy),
+      |med AS (SELECT min(CASE WHEN cm >= (nd + 1) // 2 THEN c END) AS med
+      |        FROM (SELECT c, sum(cc) OVER (ORDER BY c) AS cm FROM h), n0),
+      |sg AS (SELECT dd, CASE WHEN c > med THEN 1 ELSE 0 END AS s
+      |       FROM dy, med WHERE c <> med),
+      |rr AS (SELECT s, lag(s) OVER (ORDER BY dd) AS ps FROM sg),
+      |st AS (SELECT count(*) AS n, sum(s) AS n1,
+      |         1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 ELSE 0 END) AS r
+      |       FROM rr)
+      |SELECT CAST(n AS BIGINT) AS n_days_used, CAST(n1 AS BIGINT) AS n_above,
+      |       CAST(n - n1 AS BIGINT) AS n_below, CAST(r AS BIGINT) AS runs,
+      |       round(CASE WHEN n1 = 0 OR n1 = n THEN NULL
+      |                  ELSE (CAST(n * r - 2 * n1 * (n - n1) - n AS DOUBLE) / n)
+      |                       / sqrt(CAST(2 * n1 * (n - n1) AS DOUBLE)
+      |                              * (2 * n1 * (n - n1) - n)
+      |                              / (CAST(n AS DOUBLE) * n * (n - 1))) END, 6) AS z,
+      |       CASE WHEN n1 = 0 OR n1 = n THEN 0
+      |            ELSE CAST(CAST(10000 AS DECIMAL(38,0))
+      |                   * CAST(n * r - 2 * n1 * (n - n1) - n AS DECIMAL(38,0))
+      |                   * CAST(n * r - 2 * n1 * (n - n1) - n AS DECIMAL(38,0))
+      |                   * CAST(n - 1 AS DECIMAL(38,0))
+      |                 > CAST(38416 AS DECIMAL(38,0))
+      |                   * CAST(2 * n1 * (n - n1) AS DECIMAL(38,0))
+      |                   * CAST(2 * n1 * (n - n1) - n AS DECIMAL(38,0)) AS BIGINT)
+      |       END AS significant
+      |FROM st""".stripMargin
+  ) { (s, d) =>
+    runsTest(events(s, d)
+      .select(datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long")
+        .as("dd"))
+      .groupBy("dd").agg(count(lit(1)).as("c")))
+  }
+
   val all: Seq[Q] = Seq(
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,
     l170_jaro_rescore, l171_daily_acf, l172_simpson_diversity,
     l173_markov_stationary, l174_tukey_fences,
+    l175_brown_forsythe, l176_decile_shift, l177_fano_burstiness,
+    l178_runs_test,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

@@ -179,6 +179,73 @@ class GroupStatsSpec extends AnyFunSuite {
       s"the planted 100 must be the one high outlier: $o")
   }
 
+  test("l175: equal-spread symmetric groups read F = 0; wide-vs-narrow reads F large") {
+    // both groups symmetric around their (lower) medians with the SAME
+    // deviation multiset {0,1,1} ⇒ group deviation means equal ⇒ SSB = 0
+    val eq = LlmQueries.brownForsythe(tcOf(
+      Seq("a" -> 4L, "a" -> 5L, "a" -> 6L, "b" -> 40L, "b" -> 41L, "b" -> 42L)))
+      .collect()(0)
+    assert(math.abs(eq.getDouble(2)) < 1e-9, s"SSB must be 0: $eq")
+    // a: 12 constant points (deviations all 0); b: 12 points alternating
+    // {0, 20} (deviations all-0-or-20, mean 10) ⇒ SSB = 600, SSW = 1200,
+    // F = 600 / (1200/22) = 11
+    val wide = LlmQueries.brownForsythe(tcOf(
+      (1 to 12).map(_ => "a" -> 5L) ++
+        (1 to 12).map(i => "b" -> (if (i % 2 == 0) 20L else 0L))))
+      .collect()(0)
+    assert(math.abs(wide.getDouble(4) - 11.0) < 1e-6,
+      s"constant vs wide must score F = 11: $wide")
+  }
+
+  test("l176: a shifted source reads a constant positive shift at every decile") {
+    // source 'hi' = rest + exactly 100 at every rank (same shape)
+    val rows = (1L to 50L).map(v => ("lo", v)) ++ (1L to 50L).map(v => ("hi", v + 100L))
+    val t = LlmQueries.decileShift(tcOf(rows))
+      .collect().filter(_.getString(0) == "hi")
+    assert(t.length === 9)
+    t.foreach { r =>
+      assert(r.getLong(5) === 100L,
+        s"decile ${r.getLong(1)}: expected shift 100, got ${r.getLong(5)}")
+    }
+  }
+
+  test("l177: one-day mass burst reads Fano ≈ mass·(n−1)/n; flat series reads Fano ≈ 0") {
+    import spark.implicits._
+    // type 'burst': 100 events on one day of a 10-day span, zeros elsewhere:
+    // mean 10, pop-var = (10·10000 − 10000)/100 = 900, fano = 90
+    val daily = Seq(("burst", 0L, 100L), ("flat", 0L, 7L), ("flat", 9L, 7L))
+      .toDF("event_type", "dd", "c")
+    val t = LlmQueries.fanoFactor(daily)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(t("burst").getLong(1) === 10L)
+    assert(math.abs(t("burst").getDouble(4) - 90.0) < 1e-6)
+    // flat: 7 on 2 of 10 days — mean 1.4, var (10·98−196)/100 = 7.84, fano 5.6
+    assert(math.abs(t("flat").getDouble(4) - 5.6) < 1e-6)
+    assert(t("burst").getDouble(5) > t("flat").getDouble(5),
+      "burstiness must rank the one-day spike above the spread mass")
+  }
+
+  test("l178: alternating series maximizes runs (z > 0, significant); sorted halves minimize (R = 2)") {
+    import spark.implicits._
+    // distinct values alternating around 100; the lower median (99, day 0)
+    // is excluded as a tie, leaving 19 days in strict alternation
+    val alt = (0 until 20).map { t =>
+      (t.toLong, if (t % 2 == 0) 100L - (t + 1) else 100L + (t + 1))
+    }.toDF("dd", "c")
+    val ra = LlmQueries.runsTest(alt).collect()(0)
+    assert(ra.getLong(0) === 19L && ra.getLong(3) === 19L)
+    assert(ra.getDouble(4) > 1.96 && ra.getLong(5) === 1L)
+    // ascending halves: one below-run then one above-run (median day excluded)
+    val sorted = ((0 until 10).map(t => (t.toLong, t + 1L)) ++
+      (10 until 20).map(t => (t.toLong, t + 92L))).toDF("dd", "c")
+    val rs = LlmQueries.runsTest(sorted).collect()(0)
+    assert(rs.getLong(0) === 19L && rs.getLong(3) === 2L)
+    assert(rs.getDouble(4) < -1.96 && rs.getLong(5) === 1L)
+    // ties at the median are excluded and declared
+    val tied = Seq((0L, 5L), (1L, 5L), (2L, 1L), (3L, 9L)).toDF("dd", "c")
+    assert(LlmQueries.runsTest(tied).collect()(0).getLong(0) === 2L)
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
