@@ -629,8 +629,57 @@ object ScaleQueries {
       .orderBy("l_returnflag")
   }
 
+  /** E12: NEAREST as-of join (extension) — pandas `merge_asof(direction=
+    * 'nearest')`: each purchase picks the view minimizing |Δts| within
+    * the user, prior-on-tie (the pandas backward tie rule, declared in
+    * [[graft.ops.AsOf.nearest]]'s scaladoc) — the attribution shape
+    * where influence is symmetric in time (a view seconds AFTER a
+    * purchase is the same session; E4's backward-only join misses it).
+    * DuckDB has no nearest ASOF, so the oracle is the independent naive
+    * formulation — a correlated argmin over the full per-user view set
+    * (exact integer microsecond distance, ts tiebreak) — while the
+    * engine runs the two linear running-window passes sharing ONE
+    * exchange (AsOf.nearest): two different algorithms, row-identical
+    * output is the whole check.
+    *
+    * 100 TB posture: identical to E4 — one shuffle on user_id, linear
+    * per-key passes, never the O(|L|·|R|) per-key cross join the oracle
+    * deliberately uses at test SF. */
+  val e12_nearest_asof = Q(
+    "e12_nearest_asof",
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |      WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      |       p.value,
+      |       strftime(n.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+      |       n.value AS view_value
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT v.ts, v.value FROM v
+      |  WHERE v.user_id = p.user_id
+      |  ORDER BY abs(date_diff('microsecond', v.ts, p.ts)), v.ts
+      |  LIMIT 1) n ON true
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val v = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    graft.ops.AsOf.nearest(p, v, "user_id", "ts",
+        Map("ts" -> "view_ts", "value" -> "view_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("value"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+        col("view_value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
     a9_dynamic_pruning, a10_zorder, a12_runtime_bloom, c11_partition_upsert,
     f4_salted_join, f8_aqe_skew_join, e4_asof_join, e5_range_join,
-    e10_band_join, e11_point_in_time)
+    e10_band_join, e11_point_in_time, e12_nearest_asof)
 }

@@ -230,6 +230,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected the running-window form:\n$plan")
   }
 
+  test("nearest as-of: prior-on-tie fixture, forward/backward picks, one exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq(
+      (1L, "u", ts(100)), // equidistant: prior at 90, next at 110 → prior
+      (2L, "u", ts(205)), // nearest is NEXT (210 at Δ5 vs 90 at Δ115)
+      (3L, "u", ts(10)),  // before every right row → forward-only match (90)
+      (4L, "w", ts(50))   // key with no right rows → nulls
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u", ts(90), 9.0), ("u", ts(110), 11.0), ("u", ts(210), 21.0))
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.AsOf.nearest(left, right, "user_id", "ts",
+      Map("ts" -> "view_ts", "value" -> "view_value"))
+    val byId = got.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(4) === 9.0, "equidistant tie must pick the PRIOR")
+    assert(byId(2L).getDouble(4) === 21.0, "a closer following row must win")
+    assert(byId(3L).getDouble(4) === 9.0, "a left row before all right rows matches forward")
+    assert(byId(4L).isNullAt(3) && byId(4L).isNullAt(4), "no right rows → left-outer nulls")
+    // the two directional windows share one hash partitioning — exactly
+    // one shuffle, and never a pair blowup
+    val ev = graft.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val v = ev.filter(col("event_type") === "view").select("user_id", "ts", "value")
+    val corpus = graft.ops.AsOf.nearest(p, v, "user_id", "ts",
+      Map("ts" -> "view_ts", "value" -> "view_value"))
+    corpus.collect()
+    val plan = corpus.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nearest as-of must never plan a pair blowup:\n$plan")
+    // AQE's toString appends the pre-execution "Initial Plan" — count
+    // shuffles in the final section only
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(exchanges === 1,
+      s"both directional windows must share ONE exchange, found $exchanges:\n$finalPlan")
+  }
+
   test("range join equals the naive theta join, as a bucketed equi-join plan") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf)
