@@ -13058,6 +13058,189 @@ object LlmQueries {
       .groupBy("dd").agg(count(lit(1)).as("c")))
   }
 
+  // ------------- k-anonymity risk audit (l179) -------------
+
+  /** l179's engine over any (qi₁.., sz)-classed frame is inlined — the
+    * audit is two aggregates; factored only at the query level. */
+  private[graft] def kAnonymity(cls: DataFrame, ks: Seq[Int]): DataFrame = {
+    val tot = cls.agg(sum("sz").as("n_docs_total"),
+      count(lit(1)).as("n_classes"))
+    cls.select(explode(array(ks.map(lit): _*)).as("k"), col("sz"))
+      .groupBy("k")
+      .agg(sum((col("sz") < col("k")).cast("long")).as("n_classes_below"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L)))
+          .as("n_docs_below"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("long").as("k"),
+        col("n_classes").cast("long").as("n_classes"),
+        col("n_classes_below").cast("long").as("n_classes_below"),
+        col("n_docs_below").cast("long").as("n_docs_below"),
+        round(col("n_docs_below") * 1.0 / col("n_docs_total"), 6)
+          .as("pct_docs_below"))
+      .orderBy("k")
+  }
+
+  /** L179: k-anonymity risk audit over the quasi-identifier tuple
+    * (lang, source, ⌊n_chars/100⌋) (Sweeney 2002) — the privacy-side
+    * governance row beside l143 (PII content detection) and l109
+    * (takedown propagation): a document whose METADATA combination is
+    * rare is re-identifiable even after l16's content redaction, and
+    * "how many documents sit in equivalence classes smaller than k" is
+    * the number a release review reads before publishing a corpus
+    * datasheet (l54) with per-slice statistics. Reported at k ∈ {2, 5,
+    * 10} — the window from "unique" to the common publication bar.
+    *
+    * Determinism: class sizes and every threshold count are exact longs
+    * (the bucket edge is integer division, declared identically on both
+    * engines — the l152 floor/`//` discipline); one division for the
+    * percentage.
+    *
+    * 100 TB posture: one groupBy on the QI tuple (map-combinable), one
+    * ×|ks| explode over the CLASS frame (already ≪ corpus), one
+    * broadcast total. */
+  val l179_k_anonymity = Q(
+    "l179_k_anonymity",
+    """WITH cls AS (SELECT lang, source, n_chars // 100 AS nb,
+      |               count(*) AS sz
+      |             FROM documents GROUP BY 1, 2, 3),
+      |tot AS (SELECT sum(sz) AS n_docs_total, count(*) AS n_classes FROM cls),
+      |ks(k) AS (VALUES (2), (5), (10))
+      |SELECT CAST(k AS BIGINT) AS k,
+      |       CAST(any_value(t.n_classes) AS BIGINT) AS n_classes,
+      |       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+      |       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS n_docs_below,
+      |       round(sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 1.0
+      |             / any_value(t.n_docs_total), 6) AS pct_docs_below
+      |FROM cls CROSS JOIN ks CROSS JOIN tot t
+      |GROUP BY k ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    kAnonymity(documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / lit(100)).as("nb"))
+      .agg(count(lit(1)).as("sz")), Seq(2, 5, 10))
+  }
+
+  // ------------- Wilson intervals for per-source keep rates (l180) -------------
+
+  /** L180: Wilson 95% score intervals for each source's quality keep
+    * rate (Wilson 1927) — the UNCERTAINTY companion to l125 (which
+    * tests source-vs-rest) and l135 (which sizes the test): a point
+    * keep_rate of 0.64 on 25 docs and on 25 000 docs read identically
+    * in l15's output but support opposite decisions; the Wilson form is
+    * the standard small-n/extreme-p choice because the Wald interval
+    * collapses at p near 0/1 (and a curation pipeline lives at extreme
+    * p — that's what filters do). Interval bounds are what the l89
+    * source-cap and l76 router should consume instead of raw rates when
+    * sources differ wildly in size.
+    *
+    * Determinism: n and k are exact longs off the shared l15 quality
+    * frame (the qualityCached/qualityCte single source of truth); the
+    * interval arithmetic is pure float OUTPUT (6 dp, no flags — the
+    * l133 rule), written as the identical expression tree on both
+    * engines (z = 1.96, z² = 3.8416 as literals).
+    *
+    * 100 TB posture: rides the cached quality frame; adds one groupBy
+    * and per-source scalar arithmetic. */
+  val l180_wilson_intervals = Q(
+    "l180_wilson_intervals",
+    s"""WITH RECURSIVE d2 AS (SELECT doc_id, source FROM documents),
+       |$qualityCte,
+       |kk AS (SELECT d2.source,
+       |         count(*) AS n,
+       |         sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS k
+       |       FROM d2 LEFT JOIN q ON q.doc_id = d2.doc_id
+       |       GROUP BY 1)
+       |SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       |       round(k * 1.0 / n, 6) AS keep_rate,
+       |       round((k * 1.0 / n + 3.8416 / (2.0 * n)
+       |              - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+       |                            + 3.8416 / (4.0 * n * n)))
+       |             / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+       |       round((k * 1.0 / n + 3.8416 / (2.0 * n)
+       |              + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+       |                            + 3.8416 / (4.0 * n * n)))
+       |             / (1.0 + 3.8416 / n), 6) AS wilson_hi
+       |FROM kk ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val kk = spread(documents(s, d)).select(col("doc_id"), col("source"))
+      .join(qualityCached(s, d).select(col("doc_id"),
+        col("keep").as("qk")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("qk"), lit(0L))).as("k"))
+    val p = col("k") * 1.0 / col("n")
+    val half = lit(1.96) * sqrt(p * (lit(1) - p) / col("n") +
+      lit(3.8416) / (lit(4.0) * col("n") * col("n")))
+    val center = p + lit(3.8416) / (lit(2.0) * col("n"))
+    val denom = lit(1.0) + lit(3.8416) / col("n")
+    kk.select(col("source"), col("n"), col("k"),
+        round(p, 6).as("keep_rate"),
+        round((center - half) / denom, 6).as("wilson_lo"),
+        round((center + half) / denom, 6).as("wilson_hi"))
+      .orderBy("source")
+  }
+
+  // ------------- Atkinson inequality index (l181) -------------
+
+  /** l181's engine over any (source, v) positive-mass frame (the
+    * l158/l166 contract) — factored for the closed-form spec (constant
+    * → 0 exactly; {1, 4}: geomean 2, mean 2.5, A = 0.2). */
+  private[graft] def atkinsonBySource(t: DataFrame): DataFrame = {
+    val h = t.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val m = h.groupBy("source").agg(sum("c").as("n"),
+      sum(col("v") * col("c")).as("sx"))
+    h.join(m, Seq("source"))
+      .groupBy("source")
+      .agg(first("n").as("n_docs"),
+        round(first("sx").cast("double") / first("n"), 6).as("mean_chars"),
+        round(exp(aggregate(
+          transform(array_sort(collect_list(struct(col("v"),
+            (col("c") * log(col("v"))).as("term")))), x => x.getField("term")),
+          lit(0.0), (x, y) => x + y) / first("n")), 6).as("geomean_chars"),
+        round(lit(1.0) - exp(aggregate(
+          transform(array_sort(collect_list(struct(col("v"),
+            (col("c") * log(col("v"))).as("term")))), x => x.getField("term")),
+          lit(0.0), (x, y) => x + y) / first("n")) /
+          (first("sx").cast("double") / first("n")), 6).as("atkinson"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("mean_chars"), col("geomean_chars"), col("atkinson"))
+      .orderBy("source")
+  }
+
+  /** L181: Atkinson inequality index (ε = 1) of character mass per
+    * source (Atkinson 1970) — completing the inequality triple with an
+    * explicitly NORMATIVE member: Gini (l158) weights by rank, Theil
+    * (l166) by mass, Atkinson by a declared inequality-aversion ε; at
+    * ε = 1 it is 1 − geomean/mean, i.e. "what fraction of total
+    * character mass could be discarded if it were spread evenly with
+    * the same welfare" — the most direct "how much is the skew costing
+    * us" number for the packing/cap knobs (l20/l40/l89), and like Theil
+    * it is subgroup-decomposable for shard rollup.
+    *
+    * Determinism: the l166 histogram discipline verbatim — exact-long
+    * (source, value) counts; Σ c·ln v folds in VALUE order; exp/ln are
+    * 6-dp float OUTPUTS never flags (l133); constant sources read
+    * exactly 0 (geomean = mean). */
+  val l181_atkinson_index = Q(
+    "l181_atkinson_index",
+    """WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |m AS (SELECT source, sum(c) AS n, sum(v * c) AS sx FROM h GROUP BY 1),
+      |g AS (SELECT h.source, m.n, m.sx,
+      |        list_reduce(list_prepend(0.0, list(c * ln(v) ORDER BY v)),
+      |          (x, y) -> x + y) AS sl
+      |      FROM h JOIN m ON m.source = h.source
+      |      GROUP BY h.source, m.n, m.sx)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |       round(CAST(sx AS DOUBLE) / n, 6) AS mean_chars,
+      |       round(exp(sl / n), 6) AS geomean_chars,
+      |       round(1.0 - exp(sl / n) / (CAST(sx AS DOUBLE) / n), 6) AS atkinson
+      |FROM g ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    atkinsonBySource(documents(s, d).select(col("source"),
+      col("n_chars").cast("long").as("v")))
+  }
+
   val all: Seq[Q] = Seq(
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
@@ -13065,7 +13248,8 @@ object LlmQueries {
     l170_jaro_rescore, l171_daily_acf, l172_simpson_diversity,
     l173_markov_stationary, l174_tukey_fences,
     l175_brown_forsythe, l176_decile_shift, l177_fano_burstiness,
-    l178_runs_test,
+    l178_runs_test, l179_k_anonymity, l180_wilson_intervals,
+    l181_atkinson_index,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

@@ -246,6 +246,43 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(LlmQueries.runsTest(tied).collect()(0).getLong(0) === 2L)
   }
 
+  test("l179: planted unique class is below every k; saturated classes below none") {
+    import spark.implicits._
+    // 1 class of size 1 (the re-identifiable doc), 3 classes of size 20
+    val cls = (Seq(("en", "s0", 0L, 1L)) ++
+      (1 to 3).map(i => ("en", s"s$i", 0L, 20L)))
+      .toDF("lang", "source", "nb", "sz")
+    val r = LlmQueries.kAnonymity(cls, Seq(2, 5, 10, 30))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    Seq(2L, 5L, 10L).foreach { k =>
+      assert(r(k).getLong(2) === 1L && r(k).getLong(3) === 1L,
+        s"k=$k must flag exactly the planted singleton")
+    }
+    assert(r(30L).getLong(2) === 4L && r(30L).getLong(3) === 61L,
+      "a k above every class size must flag everything")
+    assert(math.abs(r(2L).getDouble(4) - 1.0 / 61) < 1e-6)
+  }
+
+  test("l180 on the corpus: intervals bracket the rate, widen as n shrinks, stay in [0,1]") {
+    val rows = LlmQueries.l180_wilson_intervals.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= p && p <= hi, s"interval must bracket the rate: $r")
+      assert(lo >= 0.0 && hi <= 1.0, s"Wilson stays in [0,1]: $r")
+    }
+  }
+
+  test("l181: constant mass reads Atkinson = 0 exactly; {1,4} hits geomean 2 / A = 0.2") {
+    import spark.implicits._
+    val t = LlmQueries.atkinsonBySource(
+      Seq(("c", 7L), ("c", 7L), ("u", 1L), ("u", 4L)).toDF("source", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(t("c").getDouble(4) === 0.0)
+    assert(math.abs(t("u").getDouble(3) - 2.0) < 1e-6)
+    assert(math.abs(t("u").getDouble(4) - 0.2) < 1e-6)
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
