@@ -13241,6 +13241,252 @@ object LlmQueries {
       col("n_chars").cast("long").as("v")))
   }
 
+  // ------------- Cochran–Armitage keep-rate trend (l182) -------------
+
+  /** l182's engine over any (x, n, k) scored-bucket frame — factored for
+    * the closed-form spec (a perfectly monotone keep gradient fires the
+    * flag with z > 0; a flat rate reads A = 0, z = 0). */
+  private[graft] def cochranArmitage(b: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = b.agg(sum("n").as("nn"), sum("k").as("kk"),
+      sum(col("x") * col("n")).as("sxn"), sum(col("x") * col("k")).as("sxk"),
+      sum(col("x") * col("x") * col("n")).as("sx2n"))
+    val a = col("nn") * col("sxk") - col("kk") * col("sxn")
+    val bb = col("nn") * col("sx2n") - col("sxn") * col("sxn")
+    val z = a.cast("double") /
+      sqrt(col("kk").cast("double") * (col("nn") - col("kk")) * bb / col("nn"))
+    val sig = (dec(lit(10000L)) * dec(col("nn")) * dec(a) * dec(a) >
+      dec(lit(38416L)) * dec(col("kk")) * dec(col("nn") - col("kk")) * dec(bb))
+      .cast("long")
+    m.select(col("nn").cast("long").as("n"), col("kk").cast("long").as("keep_total"),
+      a.cast("long").as("trend_num"),
+      round(when(col("kk") === 0 || col("kk") === col("nn") || bb === 0,
+        lit(null).cast("double")).otherwise(z), 6).as("z"),
+      when(col("kk") === 0 || col("kk") === col("nn") || bb === 0, lit(0L))
+        .otherwise(sig).as("significant"))
+  }
+
+  /** L182: Cochran–Armitage trend test of the quality keep rate across
+    * length buckets (Cochran 1954 / Armitage 1955) — the ORDERED
+    * companion to l133's unordered independence test: l133 can say
+    * "keep rate depends on length bucket" without saying HOW; this
+    * tests specifically for a monotone dose–response (longer documents
+    * systematically kept more/less), which is the actionable finding —
+    * a monotone keep gradient means the l15 filter is silently a length
+    * filter, biasing the corpus l63/l20 then pack. Buckets are
+    * fixed-width token-count scores x = min(⌊nt/10⌋, 9) (declared, the
+    * l179 integer-edge discipline).
+    *
+    * Determinism: all five moments (N, K, Σxn, Σxk, Σx²n) are exact
+    * longs off the shared l15 quality frame; the trend numerator
+    * A = N·Σxk − K·Σxn is an exact long; z floats only at the final
+    * division (6 dp); the α=0.05 flag NEVER floats — 10⁴·N·A² >
+    * 38416·K(N−K)·B in DECIMAL(38,0) (the l131/l148/l178 discipline);
+    * all-kept/none-kept/degenerate-bucket corpora read declared NULL/0.
+    *
+    * 100 TB posture: rides the cached quality frame; one bucket
+    * aggregate → one five-moment reduce. */
+  val l182_keep_rate_trend = Q(
+    "l182_keep_rate_trend",
+    s"""WITH RECURSIVE d2 AS (SELECT doc_id,
+       |         least(len(string_split(lower(text), ' ')) // 10, 9) AS x
+       |       FROM documents),
+       |$qualityCte,
+       |bk AS (SELECT d2.x, count(*) AS n,
+       |         sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS k
+       |       FROM d2 LEFT JOIN q ON q.doc_id = d2.doc_id
+       |       GROUP BY 1),
+       |m AS (SELECT sum(n) AS nn, sum(k) AS kk, sum(x * n) AS sxn,
+       |        sum(x * k) AS sxk, sum(x * x * n) AS sx2n
+       |      FROM bk)
+       |SELECT CAST(nn AS BIGINT) AS n, CAST(kk AS BIGINT) AS keep_total,
+       |       CAST(nn * sxk - kk * sxn AS BIGINT) AS trend_num,
+       |       round(CASE WHEN kk = 0 OR kk = nn OR nn * sx2n - sxn * sxn = 0 THEN NULL
+       |                  ELSE CAST(nn * sxk - kk * sxn AS DOUBLE)
+       |                       / sqrt(CAST(kk AS DOUBLE) * (nn - kk)
+       |                              * (nn * sx2n - sxn * sxn) / nn) END, 6) AS z,
+       |       CASE WHEN kk = 0 OR kk = nn OR nn * sx2n - sxn * sxn = 0 THEN 0
+       |            ELSE CAST(CAST(10000 AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0))
+       |                   * CAST(nn * sxk - kk * sxn AS DECIMAL(38,0))
+       |                   * CAST(nn * sxk - kk * sxn AS DECIMAL(38,0))
+       |                 > CAST(38416 AS DECIMAL(38,0)) * CAST(kk AS DECIMAL(38,0))
+       |                   * CAST(nn - kk AS DECIMAL(38,0))
+       |                   * CAST(nn * sx2n - sxn * sxn AS DECIMAL(38,0)) AS BIGINT)
+       |       END AS significant
+       |FROM m""".stripMargin
+  ) { (s, d) =>
+    val bk = spread(documents(s, d))
+      .select(col("doc_id"),
+        least(floor(size(TextOps.tokens(col("text"))) / lit(10)), lit(9))
+          .cast("long").as("x"))
+      .join(qualityCached(s, d).select(col("doc_id"), col("keep").as("qk")),
+        Seq("doc_id"), "left")
+      .groupBy("x").agg(count(lit(1)).as("n"),
+        sum(coalesce(col("qk"), lit(0L))).as("k"))
+    cochranArmitage(bk)
+  }
+
+  // ------------- G-test + uncertainty coefficients on lang×source (l183/l184) -------------
+
+  /** Shared (lang, source) contingency folds for l183/l184 — observed
+    * cells with marginals attached; absent cells are O = 0 and
+    * contribute exactly 0 to every Σ O·ln(·) fold, so only observed
+    * cells are materialized. */
+  private def contingency(t: DataFrame): DataFrame = {
+    val cells = t.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .localCheckpoint(false) // marginals + the fold read it
+    val rt = cells.groupBy("lang").agg(sum("o").as("rt"))
+    val ct = cells.groupBy("source").agg(sum("o").as("ct"))
+    val tot = cells.agg(sum("o").as("n"), countDistinct("lang").as("r"),
+      countDistinct("source").as("c"))
+    cells.join(rt, Seq("lang")).join(ct, Seq("source"))
+      .crossJoin(broadcast(tot))
+  }
+
+  /** l183's engine over any (lang, source) frame — factored for the
+    * closed-form spec (exact-independence table → G = 0; a diagonal
+    * table → G = 2N·ln 2 for the 2×2 case). */
+  private[graft] def gTest(t: DataFrame): DataFrame = {
+    val g = contingency(t)
+      .groupBy("n", "r", "c")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("lang"), col("source"),
+          (col("o") * log(col("o") * col("n") / (col("rt") * col("ct"))))
+            .as("term")))), x => x.getField("term")),
+        lit(0.0), (x, y) => x + y).as("sg"))
+    g.select(col("n").cast("long").as("n"), col("r").cast("long").as("r"),
+      col("c").cast("long").as("c"),
+      ((col("r") - 1) * (col("c") - 1)).cast("long").as("dof"),
+      round(lit(2.0) * col("sg"), 6).as("g"))
+  }
+
+  /** L183: G-test (log-likelihood ratio) of lang × source independence
+    * (Woolf 1957; Sokal & Rohlf's G) — the LIKELIHOOD companion to
+    * l133's Pearson χ² on the same table: the two agree asymptotically
+    * but DIVERGE exactly where corpus tables live (cells with O ≪ E —
+    * a lang a source barely touches), G being the deviance the
+    * log-linear/logistic modeling stack (l80) actually decomposes.
+    * Reading both numbers is the standard check that a significance
+    * call isn't an artifact of the statistic's small-cell behavior.
+    *
+    * Determinism: observed cells and marginals exact longs; each cell
+    * term O·ln(O·N/(R·C)) has its ratio formed from exact-long products
+    * (≤ N² — in double range) before ONE ln, folded in (lang, source)
+    * order (the l142 convention); absent cells contribute exactly 0 and
+    * are never materialized. G is a 6-dp float OUTPUT; the χ²-quantile
+    * flag is deliberately omitted (l133 already carries the flag for
+    * this table via its cube-inverted exact compare — the l133 rule).
+    *
+    * 100 TB posture: one cell count + two marginal aggregates; the fold
+    * runs over ≤ r·c metadata rows. */
+  val l183_g_test = Q(
+    "l183_g_test",
+    """WITH cells AS (SELECT lang, source, count(*) AS o
+      |               FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(o) AS n, count(DISTINCT lang) AS r,
+      |          count(DISTINCT source) AS c
+      |        FROM cells),
+      |j AS (SELECT cells.lang, cells.source, cells.o, rt.rt, ct.ct, t.n, t.r, t.c
+      |      FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+      |      CROSS JOIN tot t)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+      |       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+      |       round(2.0 * list_reduce(list_prepend(0.0,
+      |               list(o * ln(o * n / (rt * ct)) ORDER BY lang, source)),
+      |             (x, y) -> x + y), 6) AS g
+      |FROM j GROUP BY n, r, c""".stripMargin
+  ) { (s, d) => gTest(documents(s, d).select(col("lang"), col("source"))) }
+
+  /** l184's engine — factored for the closed-form spec (independent
+    * table → U = 0 both ways; a bijective table → U = 1 both ways). */
+  private[graft] def uncertaintyCoeff(t: DataFrame): DataFrame = {
+    val base = contingency(t)
+    val mi = base.groupBy("n", "r", "c")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("lang"), col("source"),
+          ((col("o") * 1.0 / col("n")) *
+            log(col("o") * col("n") / (col("rt") * col("ct")))).as("term")))),
+          x => x.getField("term")),
+        lit(0.0), (x, y) => x + y).as("mi"))
+    def marginalEntropy(keyCol: String): DataFrame = {
+      val tag = s"h_$keyCol"
+      t.groupBy(keyCol).agg(count(lit(1)).as("m"))
+        .agg(sum("m").as("nn"), collect_list(struct(col(keyCol), col("m"))).as("raw"))
+        .select(aggregate(
+          transform(array_sort(col("raw")),
+            x => {
+              val m = x.getField("m")
+              (m * lit(-1.0) / col("nn")) * log(m * lit(1.0) / col("nn"))
+            }),
+          lit(0.0), (x, y) => x + y).as(tag))
+    }
+    mi.crossJoin(broadcast(marginalEntropy("lang")))
+      .crossJoin(broadcast(marginalEntropy("source")))
+      .select(col("n").cast("long").as("n"),
+        round(col("h_lang"), 6).as("h_lang"),
+        round(col("h_source"), 6).as("h_source"),
+        round(col("mi"), 6).as("mutual_info"),
+        round(when(col("h_source") === 0, lit(null).cast("double"))
+          .otherwise(col("mi") / col("h_source")), 6).as("u_source_given_lang"),
+        round(when(col("h_lang") === 0, lit(null).cast("double"))
+          .otherwise(col("mi") / col("h_lang")), 6).as("u_lang_given_source"))
+  }
+
+  /** L184: uncertainty coefficients (Theil's U) on lang × source — the
+    * DIRECTIONAL association measure beside l133's symmetric Cramér's V:
+    * U(source|lang) = I(lang; source)/H(source) answers "how much of
+    * the source identity does knowing the language pin down", and the
+    * two directions legitimately differ (a lang may be one source's
+    * monopoly while every source is multilingual) — exactly the
+    * asymmetry the l31 mixture and l168 concentration views need to
+    * tell apart. Mutual information is the G-test's deviance rescaled
+    * (I = G/2N — l183 and this row are two readings of one quantity,
+    * which the spec pins).
+    *
+    * Determinism: the l183 fold discipline for I (cell order) and each
+    * marginal entropy (key order); ratios of two ordered folds, 6-dp
+    * float outputs; a single-valued marginal (H = 0) reads declared
+    * NULL — 0/0 is undefined, not invented.
+    *
+    * 100 TB posture: the same three aggregates as l183 plus two
+    * enum-sized marginal folds. */
+  val l184_uncertainty_coeff = Q(
+    "l184_uncertainty_coeff",
+    """WITH cells AS (SELECT lang, source, count(*) AS o
+      |               FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(o) AS n FROM cells),
+      |j AS (SELECT cells.lang, cells.source, cells.o, rt.rt, ct.ct, t.n
+      |      FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+      |      CROSS JOIN tot t),
+      |mi AS (SELECT any_value(n) AS n,
+      |         list_reduce(list_prepend(0.0,
+      |           list((o * 1.0 / n) * ln(o * n / (rt * ct)) ORDER BY lang, source)),
+      |           (x, y) -> x + y) AS mi
+      |       FROM j),
+      |hl AS (SELECT list_reduce(list_prepend(0.0,
+      |           list((rt * -1.0 / t.n) * ln(rt * 1.0 / t.n) ORDER BY lang)),
+      |           (x, y) -> x + y) AS h_lang
+      |       FROM rt CROSS JOIN tot t),
+      |hs AS (SELECT list_reduce(list_prepend(0.0,
+      |           list((ct * -1.0 / t.n) * ln(ct * 1.0 / t.n) ORDER BY source)),
+      |           (x, y) -> x + y) AS h_source
+      |       FROM ct CROSS JOIN tot t)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       round(h_lang, 6) AS h_lang, round(h_source, 6) AS h_source,
+      |       round(mi, 6) AS mutual_info,
+      |       round(CASE WHEN h_source = 0 THEN NULL ELSE mi / h_source END, 6)
+      |         AS u_source_given_lang,
+      |       round(CASE WHEN h_lang = 0 THEN NULL ELSE mi / h_lang END, 6)
+      |         AS u_lang_given_source
+      |FROM mi, hl, hs""".stripMargin
+  ) { (s, d) =>
+    uncertaintyCoeff(documents(s, d).select(col("lang"), col("source")))
+  }
+
   val all: Seq[Q] = Seq(
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
@@ -13249,7 +13495,8 @@ object LlmQueries {
     l173_markov_stationary, l174_tukey_fences,
     l175_brown_forsythe, l176_decile_shift, l177_fano_burstiness,
     l178_runs_test, l179_k_anonymity, l180_wilson_intervals,
-    l181_atkinson_index,
+    l181_atkinson_index, l182_keep_rate_trend, l183_g_test,
+    l184_uncertainty_coeff,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

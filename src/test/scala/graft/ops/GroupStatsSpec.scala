@@ -283,6 +283,56 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(math.abs(t("u").getDouble(4) - 0.2) < 1e-6)
   }
 
+  test("l182: a monotone keep gradient fires the exact flag; a flat rate reads A = 0") {
+    import spark.implicits._
+    // keep rate climbs 10% → 90% across buckets 0..8, 100 docs each
+    val trend = (0 to 8).map(x => (x.toLong, 100L, (x + 1) * 10L))
+      .toDF("x", "n", "k")
+    val rt = LlmQueries.cochranArmitage(trend).collect()(0)
+    assert(rt.getLong(2) > 0L && rt.getDouble(3) > 1.96 && rt.getLong(4) === 1L)
+    val flat = (0 to 8).map(x => (x.toLong, 100L, 40L)).toDF("x", "n", "k")
+    val rf = LlmQueries.cochranArmitage(flat).collect()(0)
+    assert(rf.getLong(2) === 0L && rf.getDouble(3) === 0.0 && rf.getLong(4) === 0L)
+    // degenerate: everything kept → declared NULL/0
+    val allk = (0 to 3).map(x => (x.toLong, 50L, 50L)).toDF("x", "n", "k")
+    val ra = LlmQueries.cochranArmitage(allk).collect()(0)
+    assert(ra.isNullAt(3) && ra.getLong(4) === 0L)
+  }
+
+  test("l183: exact independence reads G = 0; a 2×2 diagonal reads 2N·ln2") {
+    import spark.implicits._
+    // perfectly independent 2×2 with equal margins: O = E everywhere
+    val ind = (Seq.fill(25)(("a", "x")) ++ Seq.fill(25)(("a", "y")) ++
+      Seq.fill(25)(("b", "x")) ++ Seq.fill(25)(("b", "y")))
+      .toDF("lang", "source")
+    val gi = LlmQueries.gTest(ind).collect()(0)
+    assert(math.abs(gi.getDouble(4)) < 1e-9)
+    val diag = (Seq.fill(30)(("a", "x")) ++ Seq.fill(30)(("b", "y")))
+      .toDF("lang", "source")
+    val gd = LlmQueries.gTest(diag).collect()(0)
+    assert(math.abs(gd.getDouble(4) - 2 * 60 * math.log(2)) < 1e-6)
+    assert(gd.getLong(3) === 1L)
+  }
+
+  test("l184: independence reads U = 0; a bijection reads U = 1 both ways; I = G/2N") {
+    import spark.implicits._
+    val ind = (Seq.fill(25)(("a", "x")) ++ Seq.fill(25)(("a", "y")) ++
+      Seq.fill(25)(("b", "x")) ++ Seq.fill(25)(("b", "y")))
+      .toDF("lang", "source")
+    val ui = LlmQueries.uncertaintyCoeff(ind).collect()(0)
+    assert(math.abs(ui.getDouble(4)) < 1e-9 && math.abs(ui.getDouble(5)) < 1e-9)
+    val diag = (Seq.fill(30)(("a", "x")) ++ Seq.fill(30)(("b", "y")))
+      .toDF("lang", "source")
+    val ud = LlmQueries.uncertaintyCoeff(diag).collect()(0)
+    assert(math.abs(ud.getDouble(4) - 1.0) < 1e-9 && math.abs(ud.getDouble(5) - 1.0) < 1e-9)
+    // the deviance identity on the real corpus: I = G / (2N)
+    val sf = "/root/testdata/sf0.001"
+    val g = LlmQueries.l183_g_test.fn(spark, sf).collect()(0)
+    val u = LlmQueries.l184_uncertainty_coeff.fn(spark, sf).collect()(0)
+    assert(math.abs(u.getDouble(3) - g.getDouble(4) / (2.0 * g.getLong(0))) < 1e-5,
+      "mutual information must equal the G-test deviance / 2N")
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
