@@ -13241,6 +13241,258 @@ object LlmQueries {
       col("n_chars").cast("long").as("v")))
   }
 
+  // ------------- Mantel–Haenszel stratified odds ratio (l185) -------------
+
+  /** l185's engine over any (stratum, exposed, kept) long-flag frame —
+    * factored for the closed-form spec: a Simpson's-paradox fixture
+    * where the crude OR favors the exposed source while EVERY stratum's
+    * OR is 1 (the confounding is the language mix), so MH reads 1 while
+    * crude does not. */
+  private[graft] def mantelHaenszel(t: DataFrame): DataFrame = {
+    val cells = t.groupBy("stratum")
+      .agg(sum((col("exposed") === 1 && col("kept") === 1).cast("long")).as("a"),
+        sum((col("exposed") === 0 && col("kept") === 1).cast("long")).as("b"),
+        sum((col("exposed") === 1 && col("kept") === 0).cast("long")).as("c"),
+        sum((col("exposed") === 0 && col("kept") === 0).cast("long")).as("d"))
+      .withColumn("nn", col("a") + col("b") + col("c") + col("d"))
+    val folds = cells.agg(count(lit(1)).as("n_strata"),
+      sum("a").as("ta"), sum("b").as("tb"), sum("c").as("tc"), sum("d").as("td"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("stratum"),
+          (col("a") * col("d") / col("nn").cast("double")).as("t")))),
+          x => x.getField("t")),
+        lit(0.0), (x, y) => x + y).as("num"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("stratum"),
+          (col("b") * col("c") / col("nn").cast("double")).as("t")))),
+          x => x.getField("t")),
+        lit(0.0), (x, y) => x + y).as("den"))
+    folds.select(col("n_strata").cast("long").as("n_strata"),
+      col("ta").cast("long").as("kept_exposed"),
+      col("tb").cast("long").as("kept_unexposed"),
+      round(when(col("tb") * col("tc") === 0, lit(null).cast("double"))
+        .otherwise((col("ta") * col("td")).cast("double") /
+          (col("tb") * col("tc"))), 6).as("crude_or"),
+      round(when(col("den") === 0, lit(null).cast("double"))
+        .otherwise(col("num") / col("den")), 6).as("mh_or"))
+  }
+
+  /** L185: Mantel–Haenszel stratified odds ratio (Mantel & Haenszel
+    * 1959) — the CONFOUNDING-controlled version of l125's raw-rate
+    * comparison: "does src0 keep more than the rest?" answered
+    * WITHIN each language stratum and pooled, because a source whose
+    * language mix skews toward an easy-to-keep language can beat the
+    * rest on crude rate while losing in every language — Simpson's
+    * paradox, the standard trap of exactly the per-source dashboards
+    * l125/l180 feed. Reading crude_or beside mh_or IS the confounding
+    * check (they agree ⇒ language isn't driving the difference).
+    * Exposure = source 'src0' (the declared demo contrast; production
+    * parameterizes it).
+    *
+    * Determinism: every 2×2 cell count is an exact long off the shared
+    * l15 quality frame; Σ aᵢdᵢ/nᵢ and Σ bᵢcᵢ/nᵢ fold in STRATUM order
+    * (the l142 convention, one IEEE division per stratum); zero
+    * denominators read declared NULL.
+    *
+    * 100 TB posture: one groupBy on the stratum (enum-sized), folds
+    * over the strata metadata. */
+  val l185_mantel_haenszel = Q(
+    "l185_mantel_haenszel",
+    s"""WITH RECURSIVE d2 AS (SELECT doc_id, lang AS stratum,
+       |         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS exposed
+       |       FROM documents),
+       |$qualityCte,
+       |fl AS (SELECT d2.stratum, d2.exposed,
+       |         CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+       |       FROM d2 LEFT JOIN q ON q.doc_id = d2.doc_id),
+       |cells AS (SELECT stratum,
+       |            sum(CASE WHEN exposed = 1 AND kept = 1 THEN 1 ELSE 0 END) AS a,
+       |            sum(CASE WHEN exposed = 0 AND kept = 1 THEN 1 ELSE 0 END) AS b,
+       |            sum(CASE WHEN exposed = 1 AND kept = 0 THEN 1 ELSE 0 END) AS c,
+       |            sum(CASE WHEN exposed = 0 AND kept = 0 THEN 1 ELSE 0 END) AS d,
+       |            count(*) AS nn
+       |          FROM fl GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       |       CAST(sum(a) AS BIGINT) AS kept_exposed,
+       |       CAST(sum(b) AS BIGINT) AS kept_unexposed,
+       |       round(CASE WHEN sum(b) * sum(c) = 0 THEN NULL
+       |                  ELSE CAST(sum(a) * sum(d) AS DOUBLE) / (sum(b) * sum(c)) END, 6)
+       |         AS crude_or,
+       |       round(CASE WHEN list_reduce(list_prepend(0.0,
+       |                    list(b * c / CAST(nn AS DOUBLE) ORDER BY stratum)),
+       |                    (x, y) -> x + y) = 0 THEN NULL
+       |                  ELSE list_reduce(list_prepend(0.0,
+       |                         list(a * d / CAST(nn AS DOUBLE) ORDER BY stratum)),
+       |                         (x, y) -> x + y)
+       |                       / list_reduce(list_prepend(0.0,
+       |                         list(b * c / CAST(nn AS DOUBLE) ORDER BY stratum)),
+       |                         (x, y) -> x + y) END, 6) AS mh_or
+       |FROM cells""".stripMargin
+  ) { (s, d) =>
+    val fl = spread(documents(s, d))
+      .select(col("doc_id"), col("lang").as("stratum"),
+        (col("source") === "src0").cast("long").as("exposed"))
+      .join(qualityCached(s, d).select(col("doc_id"), col("keep").as("qk")),
+        Seq("doc_id"), "left")
+      .select(col("stratum"), col("exposed"),
+        coalesce(col("qk"), lit(0L)).as("kept"))
+    mantelHaenszel(fl)
+  }
+
+  // ------------- Cohen's d effect sizes per source (l186) -------------
+
+  /** l186's engine over any (source, nt) frame — factored for the
+    * closed-form spec (shifted-by-10 equal-variance groups ⇒ d = 10/s). */
+  private[graft] def cohensD(tc: DataFrame): DataFrame = {
+    val rg = tc.groupBy("source").agg(count(lit(1)).as("n1"),
+      sum("nt").as("s1"), sum(col("nt") * col("nt")).as("q1"))
+    val tot = tc.agg(count(lit(1)).as("n"), sum("nt").as("s"),
+      sum(col("nt") * col("nt")).as("q"))
+    val j = rg.crossJoin(broadcast(tot))
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("s2", col("s") - col("s1"))
+      .withColumn("q2", col("q") - col("q1"))
+    val m1 = col("s1").cast("double") / col("n1")
+    val m2 = col("s2").cast("double") / col("n2")
+    // (n−1)·s² as the exact-integer numerator (n·Σx² − S²)/n
+    val ss1 = (col("n1") * col("q1") - col("s1") * col("s1")).cast("double") / col("n1")
+    val ss2 = (col("n2") * col("q2") - col("s2") * col("s2")).cast("double") / col("n2")
+    val sp = sqrt((ss1 + ss2) / (col("n1") + col("n2") - 2))
+    val dEff = (m1 - m2) / sp
+    val gCorr = lit(1.0) - lit(3.0) / (lit(4.0) * (col("n1") + col("n2")) - 9)
+    j.select(col("source"), col("n1").cast("long").as("n_src"),
+        round(m1, 6).as("mean_src"), round(m2, 6).as("mean_rest"),
+        round(when(sp === 0.0, lit(null).cast("double")).otherwise(dEff), 6)
+          .as("cohens_d"),
+        round(when(sp === 0.0, lit(null).cast("double"))
+          .otherwise(dEff * gCorr), 6).as("hedges_g"))
+      .orderBy("source")
+  }
+
+  /** L186: Cohen's d / Hedges' g effect size of document length, per
+    * source vs the rest (Cohen 1969; Hedges 1981) — the MAGNITUDE
+    * companion the significance battery needs: at corpus n, l132/l164
+    * flag length differences that are real but operationally trivial
+    * (significance scales with √n, effect size doesn't), and "which
+    * sources differ by ≥ 0.5 pooled SDs" is the actual packing/mixture
+    * decision input. Hedges' g ships beside d because per-source n
+    * varies by orders of magnitude and the small-n bias correction is
+    * exactly the small-source case.
+    *
+    * Determinism: all moments exact longs; the rest-side moments are
+    * the TOTAL minus the source (one aggregate pass, no per-source
+    * rescan); (n−1)s² formed as the exact integer (nΣx² − S²)/n before
+    * floats; zero pooled variance reads declared NULL.
+    *
+    * 100 TB posture: ONE corpus aggregate + one broadcast total — the
+    * l165 shape. */
+  val l186_cohens_d = Q(
+    "l186_cohens_d",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |rg AS (SELECT source, count(*) AS n1, sum(nt) AS s1,
+      |         sum(nt * nt) AS q1
+      |       FROM tc GROUP BY 1),
+      |tot AS (SELECT count(*) AS n, sum(nt) AS s, sum(nt * nt) AS q FROM tc),
+      |j AS (SELECT rg.*, t.n - rg.n1 AS n2, t.s - rg.s1 AS s2, t.q - rg.q1 AS q2
+      |      FROM rg CROSS JOIN tot t)
+      |SELECT source, CAST(n1 AS BIGINT) AS n_src,
+      |       round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_src,
+      |       round(CAST(s2 AS DOUBLE) / n2, 6) AS mean_rest,
+      |       round(CASE WHEN sqrt((CAST(n1 * q1 - s1 * s1 AS DOUBLE) / n1
+      |                             + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / n2)
+      |                            / (n1 + n2 - 2)) = 0.0 THEN NULL
+      |                  ELSE (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      |                       / sqrt((CAST(n1 * q1 - s1 * s1 AS DOUBLE) / n1
+      |                               + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / n2)
+      |                              / (n1 + n2 - 2)) END, 6) AS cohens_d,
+      |       round(CASE WHEN sqrt((CAST(n1 * q1 - s1 * s1 AS DOUBLE) / n1
+      |                             + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / n2)
+      |                            / (n1 + n2 - 2)) = 0.0 THEN NULL
+      |                  ELSE ((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      |                       / sqrt((CAST(n1 * q1 - s1 * s1 AS DOUBLE) / n1
+      |                               + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / n2)
+      |                              / (n1 + n2 - 2)))
+      |                       * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)) END, 6) AS hedges_g
+      |FROM j ORDER BY source""".stripMargin
+  ) { (s, d) => cohensD(lengthTc(s, d)) }
+
+  // ------------- inter-arrival CV / burstiness per event type (l187) -------------
+
+  /** l187's engine over any (event_type, us) arrival frame — factored
+    * for the closed-form spec (perfectly periodic ⇒ CV = 0; a planted
+    * long silence inflates CV above the periodic control). */
+  private[graft] def interarrivalCv(t: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("event_type").orderBy("us", "tie")
+    val gaps = t.withColumn("nxt", lead("us", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type"), (col("nxt") - col("us")).cast(dec).as("g"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("g").as("sg"),
+        sum(col("g") * col("g")).as("qg"))
+      .filter(col("n") >= 2)
+      .select(col("event_type"), col("n").cast("long").as("n_gaps"),
+        round(col("sg").cast("double") / col("n") / 1000000.0, 6)
+          .as("mean_gap_sec"),
+        round(sqrt((col("n") * col("qg") - col("sg") * col("sg")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1))) /
+          (col("sg").cast("double") / col("n")), 6).as("cv"),
+        round((sqrt((col("n") * col("qg") - col("sg") * col("sg")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1))) -
+          col("sg").cast("double") / col("n")) /
+          (sqrt((col("n") * col("qg") - col("sg") * col("sg")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1))) +
+            col("sg").cast("double") / col("n")), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  /** L187: inter-arrival coefficient of variation per event type — the
+    * MICROSECOND-granularity companion to l177's daily-binned Fano: a
+    * Poisson process reads CV ≈ 1 (exponential gaps), machine-periodic
+    * traffic (crons, heartbeats) reads CV → 0, and bursty retry storms
+    * read CV ≫ 1 — binning at days (l177) cannot tell a cron from a
+    * Poisson stream, this can. Gaps are consecutive-arrival differences
+    * per type, GLOBALLY ordered by (ts, event_id) (the l98 tiebreak
+    * convention).
+    *
+    * Determinism: gaps are exact integer microseconds (unix_micros /
+    * epoch_us); Σg and Σg² accumulate in DECIMAL(38,0) (a 2-year gap is
+    * ~6·10¹³ µs — its square overflows a long, the l151 discipline);
+    * sample variance forms the exact N-scaled integer nQ − S² before
+    * the one division chain, written identically on both engines;
+    * sqrt is a 6-dp float OUTPUT (l133 rule).
+    *
+    * 100 TB posture: ONE window per type (the exchange l98's
+    * sessionization already pays) → one moment aggregate; no joins. */
+  val l187_interarrival_cv = Q(
+    "l187_interarrival_cv",
+    """WITH a AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |             event_id AS tie
+      |           FROM events),
+      |g AS (SELECT event_type,
+      |        CAST(lead(us) OVER (PARTITION BY event_type ORDER BY us, tie) - us
+      |             AS DECIMAL(38,0)) AS g
+      |      FROM a),
+      |m AS (SELECT event_type, count(*) AS n, sum(g) AS sg, sum(g * g) AS qg
+      |      FROM g WHERE g IS NOT NULL GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+      |       round(CAST(sg AS DOUBLE) / n / 1000000.0, 6) AS mean_gap_sec,
+      |       round(sqrt(CAST(n * qg - sg * sg AS DOUBLE)
+      |                  / (CAST(n AS DOUBLE) * (n - 1)))
+      |             / (CAST(sg AS DOUBLE) / n), 6) AS cv,
+      |       round((sqrt(CAST(n * qg - sg * sg AS DOUBLE)
+      |                   / (CAST(n AS DOUBLE) * (n - 1)))
+      |              - CAST(sg AS DOUBLE) / n)
+      |             / (sqrt(CAST(n * qg - sg * sg AS DOUBLE)
+      |                     / (CAST(n AS DOUBLE) * (n - 1)))
+      |                + CAST(sg AS DOUBLE) / n), 6) AS burstiness
+      |FROM m WHERE n >= 2 ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    interarrivalCv(events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id").as("tie")))
+  }
+
   // ------------- Cochran–Armitage keep-rate trend (l182) -------------
 
   /** l182's engine over any (x, n, k) scored-bucket frame — factored for
@@ -13496,7 +13748,8 @@ object LlmQueries {
     l175_brown_forsythe, l176_decile_shift, l177_fano_burstiness,
     l178_runs_test, l179_k_anonymity, l180_wilson_intervals,
     l181_atkinson_index, l182_keep_rate_trend, l183_g_test,
-    l184_uncertainty_coeff,
+    l184_uncertainty_coeff, l185_mantel_haenszel, l186_cohens_d,
+    l187_interarrival_cv,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

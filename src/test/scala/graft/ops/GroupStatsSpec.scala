@@ -333,6 +333,54 @@ class GroupStatsSpec extends AnyFunSuite {
       "mutual information must equal the G-test deviance / 2N")
   }
 
+  test("l185: a Simpson's-paradox fixture — crude OR ≠ 1 while MH OR = 1") {
+    import spark.implicits._
+    // stratum h (easy): everyone keeps at 80%, exposed overrepresented
+    // stratum e (hard): everyone keeps at 20%, exposed underrepresented
+    // within each stratum exposure does nothing (OR = 1), but the crude
+    // table pools more exposed mass into the easy stratum → crude OR > 1
+    def block(stratum: String, exposed: Long, kept: Long, n: Int) =
+      Seq.fill(n)((stratum, exposed, kept))
+    val rows =
+      block("h", 1L, 1L, 80) ++ block("h", 1L, 0L, 20) ++
+        block("h", 0L, 1L, 8) ++ block("h", 0L, 0L, 2) ++
+        block("e", 1L, 1L, 2) ++ block("e", 1L, 0L, 8) ++
+        block("e", 0L, 1L, 20) ++ block("e", 0L, 0L, 80)
+    val r = LlmQueries.mantelHaenszel(rows.toDF("stratum", "exposed", "kept"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9,
+      s"MH must read exactly 1 when every stratum's OR is 1: $r")
+    assert(r.getDouble(3) > 2.0,
+      s"the crude OR must show the confounded inflation: $r")
+  }
+
+  test("l186: a +10-shifted equal-variance source reads the hand-computed d") {
+    import spark.implicits._
+    // src {10,20,30} vs rest {20,30,40}: means 20/30, pooled s² = 100 ⇒ d = −1
+    val t = LlmQueries.cohensD(tcOf(Seq(
+      "a" -> 10L, "a" -> 20L, "a" -> 30L,
+      "b" -> 20L, "b" -> 30L, "b" -> 40L)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(t("a").getDouble(4) - (-1.0)) < 1e-9)
+    assert(math.abs(t("b").getDouble(4) - 1.0) < 1e-9)
+    // Hedges correction: 1 − 3/(4·6 − 9) = 0.8
+    assert(math.abs(t("b").getDouble(5) - 0.8) < 1e-9)
+  }
+
+  test("l187: a perfectly periodic type reads CV = 0; a planted silence inflates CV") {
+    import spark.implicits._
+    val periodic = (0 until 20).map(i => ("cron", i * 1000000L, i.toLong))
+    // bursty: 10 tight arrivals, a day of silence, 10 tight arrivals
+    val bursty = (0 until 10).map(i => ("burst", i * 1000L, 100L + i)) ++
+      (0 until 10).map(i => ("burst", 86400000000L + i * 1000L, 200L + i))
+    val t = LlmQueries.interarrivalCv(
+      (periodic ++ bursty).toDF("event_type", "us", "tie"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(t("cron").getDouble(3) === 0.0, "constant gaps must read CV = 0 exactly")
+    assert(t("burst").getDouble(3) > 2.0 &&
+      t("burst").getDouble(4) > t("cron").getDouble(4))
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
