@@ -33,7 +33,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // division (comma join + count-matching), the event-flow matrix
     // (lead with default), and Gini (histogram window + integer sums)
     "c14_column_profile", "d23_weighted_median", "g8_division",
-    "l154_event_flow", "l158_gini_concentration")
+    "l154_event_flow", "l158_gini_concentration",
+    // round-16 additions: HHI (pure aggregates over n_chars) and the
+    // capped PassJoin audit (VALUES-table segment bounds + substr +
+    // levenshtein + scalar subqueries — all ANSI/Spark-parseable)
+    "l168_hhi_concentration", "l162_capped_editjoin")
 
   /** Widen int-ish cells so an INT-vs-BIGINT dtype difference between the
     * two routes can't fail a value-equal comparison (Q.normalize widens
