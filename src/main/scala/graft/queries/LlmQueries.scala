@@ -13241,6 +13241,230 @@ object LlmQueries {
       col("n_chars").cast("long").as("v")))
   }
 
+  // ------------- per-source duplicate attribution (l188) -------------
+
+  /** L188: per-source near-dup attribution — WHERE l77's cluster
+    * histogram says how much duplication exists, this says WHO brings
+    * it: per source, how many of its documents sit in ≥1 verified
+    * near-dup pair (the cached l4 evidence), and whether its pairs stay
+    * within the source (template/boilerplate — fix with l30's span
+    * scrub) or cross into others (syndication/mirrors — fix with l14's
+    * cluster-level keep-one). The within/cross split is the treatment
+    * decision; the per-source dup_rate is the crawl-budget signal
+    * (a 40%-duplicated source is half as cheap as its row count says).
+    *
+    * Determinism: pair endpoints and source labels are exact joins on
+    * the hash-green l4 pair frame; counts exact longs; one division.
+    *
+    * 100 TB posture: rides the session pair cache (built once, shared
+    * by ~20 queries); adds two broadcast-size source-map joins and one
+    * aggregate — no new corpus scan beyond the doc→source projection. */
+  val l188_dup_attribution = Q(
+    "l188_dup_attribution",
+    s"""WITH $jaccardPairsCte,
+       |src AS (SELECT doc_id, source FROM documents),
+       |pe AS (SELECT pr.i, pr.j, si.source AS src_i, sj.source AS src_j
+       |       FROM pr JOIN src si ON si.doc_id = pr.i
+       |               JOIN src sj ON sj.doc_id = pr.j),
+       |docs_in AS (SELECT source, count(DISTINCT doc_id) AS docs_in_dup
+       |            FROM (SELECT i AS doc_id, src_i AS source FROM pe
+       |                  UNION ALL SELECT j, src_j FROM pe)
+       |            GROUP BY 1),
+       |wp AS (SELECT src_i AS source, count(*) AS within_pairs FROM pe
+       |       WHERE src_i = src_j GROUP BY 1),
+       |cp AS (SELECT source, count(*) AS cross_pairs
+       |       FROM (SELECT src_i AS source FROM pe WHERE src_i <> src_j
+       |             UNION ALL SELECT src_j FROM pe WHERE src_i <> src_j)
+       |       GROUP BY 1),
+       |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT nd.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+       |       CAST(coalesce(docs_in.docs_in_dup, 0) AS BIGINT) AS docs_in_dup,
+       |       round(coalesce(docs_in.docs_in_dup, 0) * 1.0 / nd.n_docs, 6)
+       |         AS dup_rate,
+       |       CAST(coalesce(wp.within_pairs, 0) AS BIGINT) AS within_pairs,
+       |       CAST(coalesce(cp.cross_pairs, 0) AS BIGINT) AS cross_pairs
+       |FROM nd LEFT JOIN docs_in ON docs_in.source = nd.source
+       |LEFT JOIN wp ON wp.source = nd.source
+       |LEFT JOIN cp ON cp.source = nd.source
+       |ORDER BY nd.source""".stripMargin
+  ) { (s, d) =>
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val pe = exactPairsCached(s, d).select(col("i"), col("j"))
+      .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), Seq("i"))
+      .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), Seq("j"))
+      .localCheckpoint(false) // the three attributions below all read it
+    val docsIn = pe.select(col("i").as("doc_id"), col("src_i").as("source"))
+      .unionByName(pe.select(col("j").as("doc_id"), col("src_j").as("source")))
+      .groupBy("source").agg(countDistinct("doc_id").as("docs_in_dup"))
+    val wp = pe.filter(col("src_i") === col("src_j"))
+      .groupBy(col("src_i").as("source")).agg(count(lit(1)).as("within_pairs"))
+    val cpx = pe.filter(col("src_i") =!= col("src_j"))
+    val cp = cpx.select(col("src_i").as("source"))
+      .unionByName(cpx.select(col("src_j").as("source")))
+      .groupBy("source").agg(count(lit(1)).as("cross_pairs"))
+    documents(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(docsIn, Seq("source"), "left")
+      .join(wp, Seq("source"), "left")
+      .join(cp, Seq("source"), "left")
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        coalesce(col("docs_in_dup"), lit(0L)).cast("long").as("docs_in_dup"),
+        round(coalesce(col("docs_in_dup"), lit(0L)) * 1.0 / col("n_docs"), 6)
+          .as("dup_rate"),
+        coalesce(col("within_pairs"), lit(0L)).cast("long").as("within_pairs"),
+        coalesce(col("cross_pairs"), lit(0L)).cast("long").as("cross_pairs"))
+      .orderBy("source")
+  }
+
+  // ------------- rich-club coefficient of the pair graph (l189) -------------
+
+  /** l189's engine over any undirected (i, j) pair frame — factored for
+    * the closed-form spec (a hub star reads φ undefined/empty at k ≥ 1
+    * among leaves; a clique reads φ = 1 at every k below its degree). */
+  private[graft] def richClub(pairs: DataFrame, ks: Seq[Int]): DataFrame = {
+    val p2 = pairs.localCheckpoint(false) // degrees + per-k edge filters
+    val dg = p2.select(col("i").as("v")).unionByName(p2.select(col("j").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val pk = p2
+      .join(dg.select(col("v").as("i"), col("dg").as("di")), Seq("i"))
+      .join(dg.select(col("v").as("j"), col("dg").as("dj")), Seq("j"))
+      .select(col("di"), col("dj"),
+        explode(array(ks.map(lit): _*)).as("k"))
+      .groupBy("k")
+      .agg(sum((col("di") > col("k") && col("dj") > col("k")).cast("long"))
+        .as("ek"))
+    val nk = dg.select(col("dg"), explode(array(ks.map(lit): _*)).as("k"))
+      .groupBy("k").agg(sum((col("dg") > col("k")).cast("long")).as("nk"))
+    nk.join(pk, Seq("k"))
+      .select(col("k").cast("long").as("k"), col("nk").cast("long").as("n_nodes"),
+        col("ek").cast("long").as("n_edges"),
+        round(when(col("nk") < 2, lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("ek") /
+            (col("nk").cast("double") * (col("nk") - 1))), 6).as("phi"))
+      .orderBy("k")
+  }
+
+  /** L189: rich-club coefficient of the near-dup pair graph (Zhou &
+    * Mondragón 2004) — the third graph-structure audit beside l151
+    * (assortativity: do hubs link hubs on average?) and l117
+    * (triangles: local closure): φ(k) = 2E_{>k}/(N_{>k}(N_{>k}−1))
+    * measures whether the HIGH-DEGREE documents — the boilerplate
+    * templates every crawl drags in — form their own densely
+    * interconnected club. A rising φ(k) means the duplication core is
+    * one tangled component (cluster-level dedup l14 will chain through
+    * it — check l156's purity before keep-one), a flat φ means hubs are
+    * independent stars (safe to treat per-cluster). k ∈ {1, 2, 3}
+    * spans this corpus's degree range.
+    *
+    * Determinism: degrees, club sizes and club edge counts are exact
+    * longs; φ is one IEEE division; clubs smaller than 2 read declared
+    * NULL.
+    *
+    * 100 TB posture: rides the cached pair frame; two broadcast degree
+    * joins + enum-k explodes on the PAIR frame (≪ corpus). */
+  val l189_rich_club = Q(
+    "l189_rich_club",
+    s"""WITH $jaccardPairsCte,
+       |e2 AS (SELECT i, j FROM pr),
+       |dg AS (SELECT v, count(*) AS dg FROM
+       |         (SELECT i AS v FROM e2 UNION ALL SELECT j FROM e2)
+       |       GROUP BY 1),
+       |ks(k) AS (VALUES (1), (2), (3)),
+       |pk AS (SELECT k.k, sum(CASE WHEN di.dg > k.k AND dj.dg > k.k
+       |                            THEN 1 ELSE 0 END) AS ek
+       |       FROM e2 JOIN dg di ON di.v = e2.i JOIN dg dj ON dj.v = e2.j
+       |       CROSS JOIN ks k GROUP BY 1),
+       |nk AS (SELECT k.k, sum(CASE WHEN dg.dg > k.k THEN 1 ELSE 0 END) AS nk
+       |       FROM dg CROSS JOIN ks k GROUP BY 1)
+       |SELECT CAST(nk.k AS BIGINT) AS k, CAST(nk.nk AS BIGINT) AS n_nodes,
+       |       CAST(pk.ek AS BIGINT) AS n_edges,
+       |       round(CASE WHEN nk.nk < 2 THEN NULL
+       |                  ELSE 2.0 * pk.ek / (CAST(nk.nk AS DOUBLE) * (nk.nk - 1))
+       |             END, 6) AS phi
+       |FROM nk JOIN pk ON pk.k = nk.k ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    richClub(exactPairsCached(s, d).select(col("i"), col("j")), Seq(1, 2, 3))
+  }
+
+  // ------------- IVF-PQ recall sweep over k (l190) -------------
+
+  /** L190: the recall@k CURVE of the declared IVF-PQ search — the l141
+    * knob-curve discipline applied to l140's single recall@5 reading:
+    * recall at k ∈ {1, 3, 5} against the exact ranking, because the
+    * knob a deployment actually tunes is "how deep do I trust the ANN"
+    * and the top-1/top-3/top-5 numbers routinely tell different stories
+    * (quantization hurts the argmin long before it hurts the top-5 set).
+    * One engine pass: both rankings are computed once to depth 5 and the
+    * sweep is conditional membership at each cut (the l141 annotate-
+    * once-sweep-as-metadata trick).
+    *
+    * Determinism: l140's footing verbatim — truth on the identical
+    * 6-dp-rounded per-subspace arithmetic the ADC approximates, ranked
+    * (d², vec_id); hits are exact joins; one division per k.
+    *
+    * 100 TB posture: rides the cached l107 ranking and the one
+    * brute-force truth scan l140 already declares (sampled-stratum at
+    * scale, the l30 pattern); the sweep adds metadata conditionals. */
+  val l190_pq_recall_sweep = Q(
+    "l190_pq_recall_sweep",
+    s"""WITH $ivfSearchCtes,
+       |$pqSearchCtes,
+       |xterm AS (SELECT b.vec_id, q.qid, b.s,
+       |            round(${l2sqSql("q.qs", "b.sub")}, 6) AS t
+       |          FROM psub b JOIN pqs q ON q.s = b.s
+       |          WHERE b.vec_id <> q.qid),
+       |xd AS (SELECT vec_id, qid,
+       |         round(list_reduce(list_prepend(0.0, list(t ORDER BY s)),
+       |                           (a, b) -> a + b), 6) AS d2
+       |       FROM xterm GROUP BY 1, 2),
+       |xr AS (SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
+       |       FROM xd),
+       |ks(kv) AS (VALUES (1), (3), (5)),
+       |xt AS (SELECT k.kv, qid, vec_id FROM xr CROSS JOIN ks k WHERE rk <= k.kv),
+       |pt AS (SELECT k.kv, qid, vec_id FROM pr2 CROSS JOIN ks k WHERE rk <= k.kv),
+       |jj2 AS (SELECT xt.kv, xt.qid,
+       |          CASE WHEN pt.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+       |        FROM xt LEFT JOIN pt ON pt.kv = xt.kv AND xt.qid = pt.qid
+       |                            AND xt.vec_id = pt.vec_id)
+       |SELECT CAST(kv AS BIGINT) AS k,
+       |       CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(sum(hit) AS BIGINT) AS n_hits,
+       |       round(sum(hit) * 1.0 / count(*), 6) AS recall
+       |FROM jj2 GROUP BY kv ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    val e = withNorm(embeddings(s, d))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val d2 = (0 until PqM).map { sC =>
+      round(l2sq(slice(col("v"), sC * PqSubDim + 1, PqSubDim),
+        slice(col("qv"), sC * PqSubDim + 1, PqSubDim)), 6)
+    }.reduce(_ + _)
+    val rk = row_number().over(
+      Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id")))
+    val ksCol = explode(array(Seq(1, 3, 5).map(lit): _*)).as("kv")
+    val truth = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(d2, 6).as("d2"))
+      .withColumn("rk", rk).filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), col("rk"), ksCol)
+      .filter(col("rk") <= col("kv"))
+    val pq = pqSearchCached(s, d)
+      .select(col("qid"), col("vec_id"), col("rank"), ksCol)
+      .filter(col("rank") <= col("kv"))
+      .select(col("kv"), col("qid"), col("vec_id"), lit(1).as("hit"))
+    truth.select(col("kv"), col("qid"), col("vec_id"))
+      .join(pq, Seq("kv", "qid", "vec_id"), "left")
+      .groupBy("kv")
+      .agg(countDistinct(col("qid")).cast("long").as("n_queries"),
+        count(lit(1)).cast("long").as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("recall"))
+      .select(col("kv").cast("long").as("k"), col("n_queries"),
+        col("n_truth"), col("n_hits"), col("recall"))
+      .orderBy("k")
+  }
+
   // ------------- Mantel–Haenszel stratified odds ratio (l185) -------------
 
   /** l185's engine over any (stratum, exposed, kept) long-flag frame —
@@ -13749,7 +13973,8 @@ object LlmQueries {
     l178_runs_test, l179_k_anonymity, l180_wilson_intervals,
     l181_atkinson_index, l182_keep_rate_trend, l183_g_test,
     l184_uncertainty_coeff, l185_mantel_haenszel, l186_cohens_d,
-    l187_interarrival_cv,
+    l187_interarrival_cv, l188_dup_attribution, l189_rich_club,
+    l190_pq_recall_sweep,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

@@ -381,6 +381,56 @@ class GroupStatsSpec extends AnyFunSuite {
       t("burst").getDouble(4) > t("cron").getDouble(4))
   }
 
+  test("l189: a 4-clique reads φ = 1 at every k < 3; a star's leaf club is empty") {
+    import spark.implicits._
+    val clique = (for {
+      i <- 1L to 4L; j <- (i + 1) to 4L
+    } yield (i, j)).toDF("i", "j")
+    val rc = LlmQueries.richClub(clique, Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // every node has degree 3: club(k<3) = all 4 nodes, all 6 edges → φ = 1
+    Seq(1L, 2L).foreach { k =>
+      assert(rc(k).getLong(1) === 4L && rc(k).getLong(2) === 6L &&
+        rc(k).getDouble(3) === 1.0, s"clique must read φ = 1 at k=$k: ${rc(k)}")
+    }
+    assert(rc(3L).getLong(1) === 0L && rc(3L).isNullAt(3),
+      "an empty club must read declared NULL")
+    // star: hub degree 4, leaves degree 1 → club(k=1) = {hub}, φ NULL
+    val star = (2L to 5L).map(l => (1L, l)).toDF("i", "j")
+    val rs = LlmQueries.richClub(star, Seq(1))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rs(1L).getLong(1) === 1L && rs(1L).getLong(2) === 0L && rs(1L).isNullAt(3))
+  }
+
+  test("l188 on the corpus: attribution balances against the pair frame") {
+    val rows = LlmQueries.l188_dup_attribution.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    // every pair contributes 1 within (one source) or 2 cross (one per side)
+    val within = rows.map(_.getLong(4)).sum
+    val cross = rows.map(_.getLong(5)).sum
+    assert(cross % 2 === 0L, "cross pairs are double-counted, once per side")
+    assert(within + cross / 2 > 0L, "the corpus has planted near-dup pairs")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"docs_in_dup cannot exceed n_docs: $r")
+    }
+  }
+
+  test("l190: recall is monotone in k and recall@5 reproduces l140") {
+    val sf = "/root/testdata/sf0.001"
+    val sweep = LlmQueries.l190_pq_recall_sweep.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(sweep.keySet === Set(1L, 3L, 5L))
+    // n_truth grows with k; hits can't shrink
+    assert(sweep(1L).getLong(2) < sweep(3L).getLong(2) &&
+      sweep(3L).getLong(2) < sweep(5L).getLong(2))
+    assert(sweep(1L).getLong(3) <= sweep(3L).getLong(3) &&
+      sweep(3L).getLong(3) <= sweep(5L).getLong(3))
+    val l140 = LlmQueries.l140_pq_recall.fn(spark, sf).collect()(0)
+    assert(sweep(5L).getLong(3) === l140.getLong(2) &&
+      sweep(5L).getDouble(4) === l140.getDouble(3),
+      "the k=5 cut must reproduce l140's declared recall@5 exactly")
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
