@@ -13241,6 +13241,160 @@ object LlmQueries {
       col("n_chars").cast("long").as("v")))
   }
 
+  // ------------- Hellinger distance per source (l191) -------------
+
+  /** l191's engine over any (source, nt) frame — factored for the
+    * closed-form spec (identical distributions → BC = 1 / H = 0 exactly
+    * via the clip; disjoint supports → BC = 0 / H = 1). */
+  private[graft] def hellingerBySource(tc: DataFrame): DataFrame = {
+    val (srcs, callv, cnt, tot) = lengthDistFrames(tc)
+    val grid = cnt.join(callv, Seq("nt")).join(srcs, Seq("source"))
+      .crossJoin(broadcast(tot))
+      // only cells where BOTH sides have mass contribute to Σ√(p·q);
+      // the rest-side count is the complement call − cs
+      .filter(col("call") > col("cs"))
+      .select(col("source"), col("n1"), col("nt"),
+        sqrt((col("cs") * 1.0 / col("n1")) *
+          ((col("call") - col("cs")) * 1.0 / (col("n") - col("n1"))))
+          .as("t"))
+    // a source with NO overlap cells must still report (BC = 0, H = 1),
+    // not vanish — join the fold back onto the full source list
+    srcs.join(
+        grid.groupBy("source").agg(aggregate(
+          transform(array_sort(collect_list(struct(col("nt"), col("t").as("t")))),
+            x => x.getField("t")),
+          lit(0.0), (x, y) => x + y).as("bc")),
+        Seq("source"), "left")
+      .select(col("source"), col("n1").cast("long").as("n_src"),
+        round(coalesce(col("bc"), lit(0.0)), 6).as("bhattacharyya"),
+        round(sqrt(greatest(lit(0.0),
+          lit(1.0) - coalesce(col("bc"), lit(0.0)))), 6).as("hellinger"))
+      .orderBy("source")
+  }
+
+  /** L191: Hellinger distance between each source's length distribution
+    * and the rest (Hellinger 1909; BC = Bhattacharyya 1943) — completing
+    * the divergence family with its only true METRIC member: PSI (l52)
+    * needs binning choices, KS (l131) sees only the worst point, JS
+    * (l149) is a divergence not a distance — Hellinger is bounded [0,1],
+    * symmetric, triangle-inequality-obeying, so per-source distances
+    * COMPARE and can feed a clustering of sources by shape (the l113
+    * split machinery). H² also lower-bounds total variation, making
+    * "H < 0.1" a defensible homogeneity gate.
+    *
+    * Determinism: one √(p·q) per shared grid cell from exact-long
+    * histogram counts (rest side = the complement call − cs, no second
+    * scan), folded in VALUE order (l142); 1 − BC is CLIPPED at 0 before
+    * the outer sqrt — identical distributions can float BC to 1 + ulp
+    * and a NaN here would be a determinism bug, so the clip is part of
+    * the declared semantics on both engines.
+    *
+    * 100 TB posture: the l131 grid histograms (one corpus scan), fold
+    * over per-source value-grid metadata. */
+  val l191_hellinger = Q(
+    "l191_hellinger",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |callv AS (SELECT nt, count(*) AS call FROM tc GROUP BY 1),
+      |srcs AS (SELECT source, count(*) AS n1 FROM tc GROUP BY 1),
+      |cnt AS (SELECT source, nt, count(*) AS cs FROM tc GROUP BY 1, 2),
+      |tot AS (SELECT count(*) AS n FROM tc),
+      |grid AS (SELECT cnt.source, srcs.n1, cnt.nt,
+      |           sqrt((cnt.cs * 1.0 / srcs.n1)
+      |                * ((callv.call - cnt.cs) * 1.0 / (t.n - srcs.n1))) AS t
+      |         FROM cnt JOIN callv USING (nt) JOIN srcs USING (source)
+      |         CROSS JOIN tot t
+      |         WHERE callv.call > cnt.cs),
+      |f AS (SELECT source,
+      |        list_reduce(list_prepend(0.0, list(t ORDER BY nt)),
+      |          (x, y) -> x + y) AS bc
+      |      FROM grid GROUP BY source)
+      |SELECT srcs.source, CAST(srcs.n1 AS BIGINT) AS n_src,
+      |       round(coalesce(f.bc, 0.0), 6) AS bhattacharyya,
+      |       round(sqrt(greatest(0.0, 1.0 - coalesce(f.bc, 0.0))), 6) AS hellinger
+      |FROM srcs LEFT JOIN f ON f.source = srcs.source
+      |ORDER BY srcs.source""".stripMargin
+  ) { (s, d) => hellingerBySource(lengthTc(s, d)) }
+
+  // ------------- exact Lorenz curve points per source (l192) -------------
+
+  /** l192's engine over any (source, v) positive-mass frame — factored
+    * for the closed-form spec (uniform mass ⇒ share = q/10 exactly at
+    * every decile; one giant holder ⇒ bottom-9-deciles share ≈ 0). */
+  private[graft] def lorenzCurve(t: DataFrame): DataFrame = {
+    val h = t.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val m = h.groupBy("source").agg(sum("c").as("n"),
+      sum(col("v") * col("c")).as("sx"))
+    val w = Window.partitionBy("source").orderBy("v")
+    val cum = h.select(col("source"), col("v"), col("c"))
+      .withColumn("cumc", sum("c").over(w))
+      .withColumn("cumm", sum(col("v") * col("c")).over(w))
+      .join(m, Seq("source"))
+    val dec = cum.select(col("*"),
+      explode(array((1 to 10).map(lit): _*)).as("q"))
+      .withColumn("rq", floor(col("q") * col("n") / lit(10)).cast("long"))
+    dec.groupBy("source", "q")
+      .agg(first("n").as("n"), first("sx").as("sx"), first("rq").as("rq"),
+        min(when(col("cumc") >= col("rq"),
+          struct(col("v"), col("cumc"), col("cumm")))).as("b"))
+      .select(col("source"), col("q").cast("long").as("decile"),
+        col("rq").cast("long").as("n_bottom"),
+        (col("b.cumm") - (col("b.cumc") - col("rq")) * col("b.v")).cast("long")
+          .as("bottom_chars"),
+        round((col("b.cumm") - (col("b.cumc") - col("rq")) * col("b.v"))
+          .cast("double") / col("sx"), 6).as("share"),
+        round(col("q") / 10.0 -
+          (col("b.cumm") - (col("b.cumc") - col("rq")) * col("b.v"))
+            .cast("double") / col("sx"), 6).as("equality_gap"))
+      .orderBy("source", "decile")
+  }
+
+  /** L192: exact Lorenz curve points per source (Lorenz 1905) — the
+    * PLOTTABLE companion to the scalar inequality triple (l158 Gini =
+    * the area this curve bounds, l166 Theil, l181 Atkinson): at each
+    * document decile, the share of the source's character mass held by
+    * the bottom q/10 of its documents, with the equality gap q/10 −
+    * share beside it. The shape, not the scalar, is what decides
+    * BETWEEN remedies: a curve flat to the 8th decile (giants) calls
+    * for l89's cap; a uniformly bowed one (broad skew) for l20's
+    * packing.
+    *
+    * Determinism — exact to the last partial document: the boundary
+    * value v* is the nearest-rank pick (min v with cumcount ≥ ⌊q·n/10⌋,
+    * carried with its cumulatives in ONE struct-min), and the bottom
+    * mass subtracts the overshoot (cumc − r_q)·v* as exact integers —
+    * no interpolation, no floats until the one share division.
+    *
+    * 100 TB posture: one histogram scan, per-source value-grid windows,
+    * ×10 explode on metadata rows (the l176 shape). */
+  val l192_lorenz_curve = Q(
+    "l192_lorenz_curve",
+    """WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |m AS (SELECT source, sum(c) AS n, sum(v * c) AS sx FROM h GROUP BY 1),
+      |cum AS (SELECT h.source, h.v, h.c,
+      |          sum(h.c) OVER (PARTITION BY h.source ORDER BY h.v) AS cumc,
+      |          sum(h.v * h.c) OVER (PARTITION BY h.source ORDER BY h.v) AS cumm,
+      |          m.n, m.sx
+      |        FROM h JOIN m ON m.source = h.source),
+      |dec(q) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)),
+      |g AS (SELECT cum.source, d.q, any_value(n) AS n, any_value(sx) AS sx,
+      |        (d.q * any_value(n)) // 10 AS rq,
+      |        min(CASE WHEN cumc >= (d.q * n) // 10
+      |                 THEN struct_pack(v := v, cumc := cumc, cumm := cumm) END) AS b
+      |      FROM cum CROSS JOIN dec d GROUP BY cum.source, d.q)
+      |SELECT source, CAST(q AS BIGINT) AS decile, CAST(rq AS BIGINT) AS n_bottom,
+      |       CAST(b.cumm - (b.cumc - rq) * b.v AS BIGINT) AS bottom_chars,
+      |       round(CAST(b.cumm - (b.cumc - rq) * b.v AS DOUBLE) / sx, 6) AS share,
+      |       round(q / 10.0
+      |             - CAST(b.cumm - (b.cumc - rq) * b.v AS DOUBLE) / sx, 6)
+      |         AS equality_gap
+      |FROM g ORDER BY source, decile""".stripMargin
+  ) { (s, d) =>
+    lorenzCurve(documents(s, d).select(col("source"),
+      col("n_chars").cast("long").as("v")))
+  }
+
   // ------------- per-source duplicate attribution (l188) -------------
 
   /** L188: per-source near-dup attribution — WHERE l77's cluster
@@ -13974,7 +14128,7 @@ object LlmQueries {
     l181_atkinson_index, l182_keep_rate_trend, l183_g_test,
     l184_uncertainty_coeff, l185_mantel_haenszel, l186_cohens_d,
     l187_interarrival_cv, l188_dup_attribution, l189_rich_club,
-    l190_pq_recall_sweep,
+    l190_pq_recall_sweep, l191_hellinger, l192_lorenz_curve,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

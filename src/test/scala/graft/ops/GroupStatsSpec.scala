@@ -431,6 +431,41 @@ class GroupStatsSpec extends AnyFunSuite {
       "the k=5 cut must reproduce l140's declared recall@5 exactly")
   }
 
+  test("l191: identical distributions read H = 0 via the clip; disjoint supports read H = 1") {
+    // 'same' mirrors its rest exactly: p = q on every value ⇒ BC folds to
+    // exactly 1 and the clip turns the ±ulp into H = 0, not NaN
+    val mirrored = (1L to 20L).flatMap(v => Seq("same" -> v, "other" -> v))
+    val tm = LlmQueries.hellingerBySource(tcOf(mirrored))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(tm("same").getDouble(3) === 0.0 && tm("same").getDouble(2) === 1.0,
+      s"an identical distribution must read BC = 1 / H = 0 exactly: ${tm("same")}")
+    // 'far' lives on values nobody shares ⇒ no overlap cells, yet the row
+    // must still appear and read the metric's maximum
+    val disjoint = (1L to 20L).map(v => "other" -> v) ++
+      (101L to 110L).map(v => "far" -> v)
+    val td = LlmQueries.hellingerBySource(tcOf(disjoint))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(td("far").getDouble(3) === 1.0 && td("far").getDouble(2) === 0.0)
+  }
+
+  test("l192: uniform mass reads share = q/10 exactly; a giant holder starves the bottom") {
+    import spark.implicits._
+    val uni = (1 to 100).map(_ => ("u", 7L))
+    val giant = (1 to 9).map(_ => ("g", 1L)) :+ (("g", 991L))
+    val t = LlmQueries.lorenzCurve((uni ++ giant).toDF("source", "v"))
+      .collect().groupBy(_.getString(0))
+    t("u").foreach { r =>
+      assert(math.abs(r.getDouble(4) - r.getLong(1) / 10.0) < 1e-9,
+        s"uniform mass must read share = q/10 exactly: $r")
+      assert(r.getDouble(5) === 0.0)
+    }
+    val g9 = t("g").find(_.getLong(1) === 9L).get
+    assert(g9.getLong(3) === 9L && math.abs(g9.getDouble(4) - 0.009) < 1e-9,
+      s"bottom 9 of 10 docs hold 9 of 1000 chars: $g9")
+    val g10 = t("g").find(_.getLong(1) === 10L).get
+    assert(g10.getDouble(4) === 1.0 && g10.getDouble(5) === 0.0)
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
