@@ -9516,14 +9516,21 @@ object LlmQueries {
     * Columns so DriftTestsSpec can drive the guard with literal counts
     * (10¹⁵-row inputs are not synthesizable). */
   private[graft] def ksSignificantExact(dnum: Column, n: Column,
+      n1: Column): Column = ksSignificantExactAt(1844164L)(dnum, n, n1)
+
+  /** The l131 exact KS flag at an arbitrary critical constant c(α)²·10⁶
+    * (1488400 / 1844164 / 2650384 at α = .10/.05/.01) — factored for
+    * l193's α ladder; the DECIMAL(38,0) headroom window and the
+    * raise-don't-null posture are unchanged from l131. */
+  private[graft] def ksSignificantExactAt(c2e6: Long)(dnum: Column, n: Column,
       n1: Column): Column = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val inWindow = n <= lit(1000000000000000L) &&
       dec(n1) * (n - n1) <= dec(lit(1000000000000000L))
     when(inWindow,
       (dec(dnum) * dnum * lit(1000000L) >
-        dec(lit(1844164L)) * n * n1 * (n - n1)).cast("long"))
-      .otherwise(raise_error(concat(lit("l131 exact KS flag out of its " +
+        dec(lit(c2e6)) * n * n1 * (n - n1)).cast("long"))
+      .otherwise(raise_error(concat(lit("exact KS flag out of its " +
         "DECIMAL(38,0) headroom window (max(n, n1*n2) <= 10^15); refusing " +
         "to null-flag silently: n="), n.cast("string"), lit(" n1="),
         n1.cast("string"))))
@@ -13241,6 +13248,83 @@ object LlmQueries {
       col("n_chars").cast("long").as("v")))
   }
 
+  // ------------- KS significance ladder over α (l193) -------------
+
+  private val KsAlphaLadder = Seq(("0.10", 1488400L), ("0.05", 1844164L),
+    ("0.01", 2650384L))
+
+  /** L193: the KS drift test's significance LADDER — l131's exact flag
+    * evaluated at α ∈ {0.10, 0.05, 0.01} per source (critical constants
+    * c(α)² = 1.4884 / 1.844164 / 2.650384, Smirnov's asymptotic form) —
+    * the l141/l120/l190 knob-curve discipline applied to the alert
+    * threshold itself: a drift DASHBOARD doesn't ask "significant at
+    * .05?" but "how deep into the ladder does this source's drift
+    * reach?", because .10-only hits are watchlist material while .01
+    * hits page someone. One statistic, three exact compares — the
+    * ladder costs nothing beyond l131's own grid.
+    *
+    * Determinism: the identical exact-integer machinery as l131
+    * ([[ksSignificantExactAt]] — D's numerator is an exact long off the
+    * cumulative grid; each flag is a DECIMAL(38,0) cross-multiplication
+    * against its constant; the headroom window raises, never
+    * null-flags). No float enters any flag; the reported ks value is
+    * l131's same 6-dp output.
+    *
+    * 100 TB posture: l131's one corpus scan + per-source value-grid
+    * windows; the ladder adds two more metadata-row compares. */
+  val l193_ks_alpha_ladder = Q(
+    "l193_ks_alpha_ladder", {
+      val flags = KsAlphaLadder.map { case (a, c) =>
+        s"""CAST(CAST(dnum AS DECIMAL(38,0)) * dnum * 1000000
+           |  > CAST($c AS DECIMAL(38,0)) * n * n1 * (n - n1) AS BIGINT)
+           |  AS sig_${a.replace("0.", "")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+         |            FROM documents),
+         |callv AS (SELECT nt, count(*) AS call FROM tc GROUP BY 1),
+         |srcs AS (SELECT source, count(*) AS n1 FROM tc GROUP BY 1),
+         |cnt AS (SELECT source, nt, count(*) AS cs FROM tc GROUP BY 1, 2),
+         |grid AS (SELECT s.source, s.n1, v.nt, v.call, coalesce(c.cs, 0) AS cs
+         |         FROM callv v CROSS JOIN srcs s
+         |         LEFT JOIN cnt c ON c.source = s.source AND c.nt = v.nt),
+         |cum AS (SELECT source, n1, nt,
+         |          sum(cs) OVER (PARTITION BY source ORDER BY nt) AS cums,
+         |          sum(call) OVER (PARTITION BY source ORDER BY nt) AS cumall
+         |        FROM grid),
+         |tot AS (SELECT count(*) AS n FROM tc),
+         |dd AS (SELECT source, n1, t.n,
+         |         max(abs(cums * (t.n - n1) - (cumall - cums) * n1)) AS dnum
+         |       FROM cum CROSS JOIN tot t GROUP BY 1, 2, 3)
+         |SELECT source, CAST(n1 AS BIGINT) AS n_src,
+         |       CAST(n - n1 AS BIGINT) AS n_rest,
+         |       round(dnum * 1.0 / (n1 * (n - n1)), 6) AS ks,
+         |$flags
+         |FROM dd ORDER BY source""".stripMargin
+    }
+  ) { (s, d) =>
+    val (srcs, callv, cnt, tot) = lengthDistFrames(lengthTc(s, d))
+    val grid = callv.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "nt"), "left")
+      .select(col("source"), col("n1"), col("nt"), col("call"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val w = Window.partitionBy("source").orderBy("nt")
+    val cum = grid.select(col("source"), col("n1"),
+      sum("cs").over(w).as("cums"), sum("call").over(w).as("cumall"))
+    val dd = cum.crossJoin(broadcast(tot))
+      .groupBy("source", "n1", "n")
+      .agg(max(abs(col("cums") * (col("n") - col("n1")) -
+        (col("cumall") - col("cums")) * col("n1"))).as("dnum"))
+    val flagCols = KsAlphaLadder.map { case (a, c) =>
+      ksSignificantExactAt(c)(col("dnum"), col("n"), col("n1"))
+        .as(s"sig_${a.replace("0.", "")}")
+    }
+    dd.select(Seq(col("source"), col("n1").as("n_src"),
+        (col("n") - col("n1")).as("n_rest"),
+        round(col("dnum") * 1.0 / (col("n1") * (col("n") - col("n1"))), 6)
+          .as("ks")) ++ flagCols: _*)
+      .orderBy("source")
+  }
+
   // ------------- Hellinger distance per source (l191) -------------
 
   /** l191's engine over any (source, nt) frame — factored for the
@@ -14129,6 +14213,7 @@ object LlmQueries {
     l184_uncertainty_coeff, l185_mantel_haenszel, l186_cohens_d,
     l187_interarrival_cv, l188_dup_attribution, l189_rich_club,
     l190_pq_recall_sweep, l191_hellinger, l192_lorenz_curve,
+    l193_ks_alpha_ladder,
     l133_chi2_independence, l139_capped_neardup, l140_pq_recall,
     l141_cap_sweep, l142_bradley_terry, l143_luhn_pii, l144_spearman,
     l145_kendall_tau, l146_benford, l147_attributed_errors, l148_mcnemar,

