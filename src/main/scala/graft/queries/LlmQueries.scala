@@ -14201,7 +14201,694 @@ object LlmQueries {
     uncertaintyCoeff(documents(s, d).select(col("lang"), col("source")))
   }
 
+  // ------------- 1-D Wasserstein (earth-mover) drift per source (l194)
+
+  /** l194's engine over any (source, nt) frame — factored for the
+    * closed-form spec (identical distributions ⇒ W1 = 0 exactly; a
+    * two-point mass shifted by +c against itself ⇒ W1 = c exactly —
+    * the transport reading, which KS cannot see past min(1, mass)). */
+  private[graft] def wassersteinBySource(tc: DataFrame): DataFrame = {
+    val (srcs, callv, cnt, tot) = lengthDistFrames(tc)
+    val grid = callv.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "nt"), "left")
+      .select(col("source"), col("n1"), col("nt"), col("call"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val w = Window.partitionBy("source").orderBy("nt")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = grid.select(col("source"), col("n1"), col("nt"),
+      sum("cs").over(w).as("cums"), sum("call").over(w).as("cumall"),
+      (lead("nt", 1).over(w) - col("nt")).as("gap"))
+    cum.filter(col("gap").isNotNull)
+      .crossJoin(broadcast(tot))
+      .groupBy("source", "n1", "n")
+      .agg(sum(abs(dec(col("cums")) * (col("n") - col("n1")) -
+        dec(col("cumall") - col("cums")) * col("n1")) * col("gap")).as("num"))
+      .select(col("source"), col("n1").cast("long").as("n_src"),
+        (col("n") - col("n1")).cast("long").as("n_rest"),
+        when(col("num") <= lit(1000000000000000L), col("num").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("exact W1 numerator out of its BIGINT headroom window " +
+              "(num <= 10^15); refusing to truncate silently: num="),
+            col("num").cast("string")))).as("w1_num"),
+        round(col("num").cast("double") /
+          (col("n1") * (col("n") - col("n1"))).cast("double"), 6).as("w1"))
+      .orderBy("source")
+  }
+
+  /** L194: 1-D Wasserstein-1 (earth-mover) drift per source vs rest over
+    * the token-length distribution — the TRANSPORT member completing the
+    * drift-test family (l131 KS = sup-norm of the CDF gap, l52 PSI and
+    * l149 JS = density-ratio divergences, l191 Hellinger = geometric):
+    * W1 = ∫|F₁−F₂| is the only one of them that answers "HOW FAR did the
+    * mass move" in the variable's own units (tokens), which is what a
+    * packing/budget consumer (l20, l63) actually needs — a whole-corpus
+    * +5-token shift reads W1 = 5 exactly while KS saturates at the
+    * overlap and PSI explodes on empty bins.
+    *
+    * Determinism — exact to the integer: on the shared l131 value grid,
+    * the CDF gap at each support point is the exact integer cross-
+    * difference cums·(n−n1) − (cumall−cums)·n1 (DECIMAL(38,0), the l193
+    * machinery), each weighted by the exact integer gap to the next
+    * support value; Σ is emitted as `w1_num` (BIGINT, headroom-guarded
+    * at 10^15 — raises loudly, never truncates, the l131 discipline)
+    * and the one division n1·(n−n1) happens at output under round(6).
+    *
+    * 100 TB posture: l131's exact shape — one corpus scan to the
+    * (source, nt) histogram, a #sources × #distinct-lengths metadata
+    * grid, per-source cumulative windows over grid rows, one
+    * map-combinable sum. The lead() gap adds nothing: same window, same
+    * partitioning. */
+  val l194_wasserstein_drift = Q(
+    "l194_wasserstein_drift",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |callv AS (SELECT nt, count(*) AS call FROM tc GROUP BY 1),
+      |srcs AS (SELECT source, count(*) AS n1 FROM tc GROUP BY 1),
+      |cnt AS (SELECT source, nt, count(*) AS cs FROM tc GROUP BY 1, 2),
+      |grid AS (SELECT s.source, s.n1, v.nt, v.call, coalesce(c.cs, 0) AS cs
+      |         FROM callv v CROSS JOIN srcs s
+      |         LEFT JOIN cnt c ON c.source = s.source AND c.nt = v.nt),
+      |cum AS (SELECT source, n1, nt,
+      |          sum(cs) OVER (PARTITION BY source ORDER BY nt) AS cums,
+      |          sum(call) OVER (PARTITION BY source ORDER BY nt) AS cumall,
+      |          lead(nt) OVER (PARTITION BY source ORDER BY nt) - nt AS gap
+      |        FROM grid),
+      |tot AS (SELECT count(*) AS n FROM tc),
+      |dd AS (SELECT source, n1, t.n,
+      |         sum(abs(CAST(cums AS DECIMAL(38,0)) * (t.n - n1)
+      |                 - CAST(cumall - cums AS DECIMAL(38,0)) * n1) * gap)
+      |           AS num
+      |       FROM cum CROSS JOIN tot t WHERE gap IS NOT NULL
+      |       GROUP BY 1, 2, 3)
+      |SELECT source, CAST(n1 AS BIGINT) AS n_src,
+      |       CAST(n - n1 AS BIGINT) AS n_rest,
+      |       CAST(num AS BIGINT) AS w1_num,
+      |       round(CAST(num AS DOUBLE) / (n1 * (n - n1)), 6) AS w1
+      |FROM dd ORDER BY source""".stripMargin
+  ) { (s, d) => wassersteinBySource(lengthTc(s, d)) }
+
+  // ------------- Welch's unequal-variance t per source (l195)
+
+  /** l195's engine over any (source, nt) frame — factored for the
+    * closed-form spec (identical groups ⇒ t = 0 and df = n−2 exactly
+    * under equal variances; extreme variance imbalance collapses df
+    * toward min(n)−1, Welch–Satterthwaite's defining behavior). */
+  private[graft] def welchT(tc: DataFrame): DataFrame = {
+    val rg = tc.groupBy("source").agg(count(lit(1)).as("n1"),
+      sum("nt").as("s1"), sum(col("nt") * col("nt")).as("q1"))
+    val tot = tc.agg(count(lit(1)).as("n"), sum("nt").as("s"),
+      sum(col("nt") * col("nt")).as("q"))
+    val j = rg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n1"), col("s1"), col("q1"),
+        (col("n") - col("n1")).as("n2"), (col("s") - col("s1")).as("s2"),
+        (col("q") - col("q1")).as("q2"))
+    val m1 = col("s1").cast("double") / col("n1")
+    val m2 = col("s2").cast("double") / col("n2")
+    val u1 = (col("n1") * col("q1") - col("s1") * col("s1")).cast("double") /
+      col("n1") / (col("n1") - 1) / col("n1")
+    val u2 = (col("n2") * col("q2") - col("s2") * col("s2")).cast("double") /
+      col("n2") / (col("n2") - 1) / col("n2")
+    val bad = col("n1") < 2 || col("n2") < 2 || (u1 + u2) === 0.0
+    j.select(col("source"), col("n1").cast("long").as("n_src"),
+        col("n2").cast("long").as("n_rest"),
+        round(m1, 6).as("mean_src"), round(m2, 6).as("mean_rest"),
+        round(when(bad, lit(null)).otherwise((m1 - m2) / sqrt(u1 + u2)), 6)
+          .as("welch_t"),
+        round(when(bad, lit(null)).otherwise(
+          (u1 + u2) * (u1 + u2) /
+            (u1 * u1 / (col("n1") - 1) + u2 * u2 / (col("n2") - 1))), 6)
+          .as("welch_df"))
+      .orderBy("source")
+  }
+
+  /** L195: Welch's unequal-variance t per source vs rest over token
+    * length (Welch 1947) — the SIGNIFICANCE companion to l186's effect
+    * size, on the same moment frames: Cohen's d says how big the shift
+    * is, Welch's t says whether the evidence supports it at this n, and
+    * the Welch–Satterthwaite df says how much the variance imbalance
+    * (a 25-doc source against a 475-doc rest is exactly that) erodes
+    * the effective sample — the pooled-variance t that l186's d
+    * implicitly assumes is the textbook mistake under 20:1 group-size
+    * skew, which is why the dashboard pairs them.
+    *
+    * Determinism: n, Σx, Σx² are exact integer aggregates (the l186
+    * frames); every derived float (means, per-group u = s²/n, t, df) is
+    * the identical division/√ expression tree on both engines, rounded
+    * at 6 dp — pure float OUTPUT, no flags (the l133 rule). Degenerate
+    * guards (group of 1, zero variance) emit null, never NaN.
+    *
+    * 100 TB posture: ONE map-combinable moment pass + a one-row
+    * broadcast total; per-source scalar arithmetic on metadata rows. */
+  val l195_welch_ttest = Q(
+    "l195_welch_ttest",
+    """WITH tc AS (SELECT source, len(string_split(lower(text), ' ')) AS nt
+      |            FROM documents),
+      |rg AS (SELECT source, count(*) AS n1, sum(nt) AS s1, sum(nt * nt) AS q1
+      |       FROM tc GROUP BY 1),
+      |tot AS (SELECT count(*) AS n, sum(nt) AS s, sum(nt * nt) AS q FROM tc),
+      |j AS (SELECT rg.source, rg.n1, rg.s1, rg.q1, t.n - rg.n1 AS n2,
+      |        t.s - rg.s1 AS s2, t.q - rg.q1 AS q2
+      |      FROM rg CROSS JOIN tot t),
+      |u AS (SELECT source, n1, n2,
+      |        CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+      |        CAST(n1 * q1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1 AS u1,
+      |        CAST(n2 * q2 - s2 * s2 AS DOUBLE) / n2 / (n2 - 1) / n2 AS u2
+      |      FROM j)
+      |SELECT source, CAST(n1 AS BIGINT) AS n_src, CAST(n2 AS BIGINT) AS n_rest,
+      |       round(m1, 6) AS mean_src, round(m2, 6) AS mean_rest,
+      |       round(CASE WHEN n1 < 2 OR n2 < 2 OR u1 + u2 = 0.0 THEN NULL
+      |                  ELSE (m1 - m2) / sqrt(u1 + u2) END, 6) AS welch_t,
+      |       round(CASE WHEN n1 < 2 OR n2 < 2 OR u1 + u2 = 0.0 THEN NULL
+      |                  ELSE (u1 + u2) * (u1 + u2)
+      |                       / (u1 * u1 / (n1 - 1) + u2 * u2 / (n2 - 1)) END,
+      |             6) AS welch_df
+      |FROM u ORDER BY source""".stripMargin
+  ) { (s, d) => welchT(lengthTc(s, d)) }
+
+  // ------------- local clustering coefficients on the dup graph (l196)
+
+  /** l196's engine over any undirected (i, j) pair frame — factored for
+    * the spec's closed-form fixtures (triangle ⇒ every coefficient 1;
+    * path/star ⇒ 0; triangle + pendant ⇒ the apex drops to 1/3). */
+  private[graft] def localClustering(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("i"), col("j"))
+    val ed = p.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(p.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint(false) // degrees + both wedge legs read it
+    val dg = ed.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val tri = ed.as("w").join(ed.as("x"),
+        col("w.a") === col("x.a") && col("w.b") < col("x.b"))
+      .join(p.select(col("i").as("tb"), col("j").as("tc")),
+        col("w.b") === col("tb") && col("x.b") === col("tc"))
+      .groupBy(col("w.a").as("v")).agg(count(lit(1)).as("tri"))
+    dg.join(tri, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg").cast("long").as("degree"),
+        coalesce(col("tri"), lit(0L)).cast("long").as("triangles"),
+        round(when(col("deg") < 2, lit(null)).otherwise(
+          coalesce(col("tri"), lit(0L)) * lit(2.0) /
+            (col("deg") * (col("deg") - 1))), 6).as("clustering_coeff"))
+      .orderBy("doc_id")
+  }
+
+  /** L196: per-node local clustering coefficient over the near-dup pair
+    * graph (Watts–Strogatz 1998: c_v = 2·t_v / deg_v(deg_v−1)) — the
+    * NODE-level topology row completing the graph-audit family: l117
+    * counts the corpus's triangles, l151 reads the wiring class, l189
+    * reads the hub core, THIS says per document whether its
+    * neighborhood is a clique (template family — safe to collapse to
+    * one canonical, l14's cheap case) or a hub of mutually-unrelated
+    * matches (a boilerplate shingle bridging unrelated docs — exactly
+    * the node a reviewer inspects before trusting transitive-closure
+    * dedup, the l156 trap localized to the node that causes it).
+    *
+    * Determinism: degrees and triangle counts are exact integers; the
+    * coefficient is one division of exact integers, rounded 6 dp
+    * (deg < 2 ⇒ null, never NaN).
+    *
+    * 100 TB posture: rides the cached exact-pair frame (near-dup-sparse
+    * ≪ corpus); degrees are one groupBy; wedges come from ONE self
+    * equi-join on the apex (never cartesian — the b < c guard halves
+    * it) closed by an equi-join against the (i < j)-oriented pair list,
+    * the standard wedge-check triangle shape whose cost is Σ deg² over
+    * the SPARSE graph (the hub-cap valve, if a corpus ever needs one,
+    * is l139's df-cap applied to apex postings — same machinery). */
+  val l196_local_clustering = Q(
+    "l196_local_clustering",
+    s"""WITH $jaccardPairsCte,
+       |ed AS (SELECT i AS a, j AS b FROM pr UNION ALL SELECT j, i FROM pr),
+       |dg AS (SELECT a AS v, count(*) AS deg FROM ed GROUP BY 1),
+       |tr AS (SELECT w.a AS v, count(*) AS tri
+       |       FROM ed w JOIN ed x ON x.a = w.a AND w.b < x.b
+       |       JOIN pr p ON p.i = w.b AND p.j = x.b
+       |       GROUP BY 1)
+       |SELECT dg.v AS doc_id, CAST(dg.deg AS BIGINT) AS degree,
+       |       CAST(coalesce(tr.tri, 0) AS BIGINT) AS triangles,
+       |       round(CASE WHEN dg.deg < 2 THEN NULL
+       |                  ELSE coalesce(tr.tri, 0) * 2.0
+       |                       / (dg.deg * (dg.deg - 1)) END, 6)
+       |         AS clustering_coeff
+       |FROM dg LEFT JOIN tr ON tr.v = dg.v
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) => localClustering(exactPairsCached(s, d)) }
+
+  // ------------- simplified silhouette per cluster (l197)
+
+  /** l197's engine over any embedding frame — factored for the spec's
+    * fixtures (two tight orthogonal clusters ⇒ mean silhouette near 1;
+    * every row's silhouette is ≥ 0 BY CONSTRUCTION because the argmax
+    * assignment makes a ≤ b — the law the spec pins). */
+  private[graft] def silhouetteByCluster(df: DataFrame): DataFrame = {
+    val ranked = rankedCents(col("cents"))
+    val sc = withNorm(df).crossJoin(broadcast(fitQuantizerCached(df, None)))
+      .select(col("vec_id"),
+        element_at(ranked, 1).getField("cl").as("bucket"),
+        element_at(ranked, 1).getField("cos").as("c1"),
+        element_at(ranked, 2).getField("cos").as("c2"))
+    val den = greatest(lit(1.0) - col("c1"), lit(1.0) - col("c2"))
+    val sil = when(den === 0.0, lit(0.0))
+      .otherwise((col("c1") - col("c2")) / den)
+    sc.groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(round(sil, 12).cast("decimal(28,12)")).as("ss"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n").cast("long").as("n_members"),
+        round(col("ss").cast("double") / col("n"), 6).as("mean_silhouette"))
+      .orderBy("bucket")
+  }
+
+  /** L197: simplified silhouette per cluster (Hruschka et al. 2004 —
+    * the centroid form of Rousseeuw 1987: a = distance to OWN centroid,
+    * b = distance to the nearest OTHER centroid, s = (b−a)/max(a,b),
+    * here in the 1−cos metric the quantizer itself ranks by) — the
+    * cluster-quality audit the k-means consumers (l87's balanced
+    * sample, l88's outlier prune, l113's clustered split) read before
+    * trusting bucket boundaries: a cluster whose mean silhouette ≈ 0
+    * is a quantizer artifact (its members sit as close to a neighbor
+    * centroid as to their own) and l88's "far tail" prune inside it is
+    * noise, not signal. The full-pairwise silhouette is O(N²) — the
+    * centroid form is THE deployment variant (it reads the same k dots
+    * per row the assignment already computed) and at nprobe ≥ 2 costs
+    * literally nothing new here: s derives from the cached ranking's
+    * top-2 entries.
+    *
+    * Determinism: both cosines are the assignment's own 6-dp-rounded
+    * values (identical doubles on both engines — the l6/l7 contract);
+    * s is one division of identical operands, accumulated via
+    * round(·,12)-into-DECIMAL(28,12) (order-free, the h15 discipline);
+    * the a = b = 0 degenerate emits 0 (Rousseeuw's own convention).
+    * s ≥ 0 always — argmax assignment forces a ≤ b; low means boundary.
+    *
+    * 100 TB posture: rides the cached quantizer fit + per-row ranking
+    * (zero added fit cost warm); one groupBy on bucket over skinny
+    * (bucket, s) rows. */
+  val l197_silhouette = Q(
+    "l197_silhouette",
+    s"""WITH $ivfSearchCtes,
+       |a3 AS (SELECT vec_id, cl, rcos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY rcos DESC, cl DESC) AS rk
+       |       FROM (SELECT e.vec_id, c2.cl,
+       |               round(list_dot_product(e.v, c2.cv) /
+       |                     (sqrt(list_dot_product(e.v, e.v))
+       |                      * sqrt(list_dot_product(c2.cv, c2.cv))), 6)
+       |                 AS rcos
+       |             FROM e CROSS JOIN c2)),
+       |scr AS (SELECT vec_id,
+       |          max(CASE WHEN rk = 1 THEN cl END) AS bucket,
+       |          max(CASE WHEN rk = 1 THEN rcos END) AS c1,
+       |          max(CASE WHEN rk = 2 THEN rcos END) AS c2c
+       |        FROM a3 WHERE rk <= 2 GROUP BY vec_id),
+       |sil AS (SELECT bucket,
+       |          CASE WHEN greatest(1.0 - c1, 1.0 - c2c) = 0.0 THEN 0.0
+       |               ELSE (c1 - c2c) / greatest(1.0 - c1, 1.0 - c2c)
+       |          END AS s
+       |        FROM scr)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_members,
+       |       round(CAST(sum(CAST(round(s, 12) AS DECIMAL(28,12))) AS DOUBLE)
+       |             / count(*), 6) AS mean_silhouette
+       |FROM sil GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) => silhouetteByCluster(embeddings(s, d)) }
+
+  // ------------- l-diversity audit over the k-anonymity classes (l198)
+
+  /** l198's engine over any (sz, div)-classed frame — two aggregates,
+    * the l179 shape with distinct-sensitive-count thresholds. */
+  private[graft] def lDiversity(cls: DataFrame, ls: Seq[Int]): DataFrame = {
+    val tot = cls.agg(sum("sz").as("n_docs_total"),
+      count(lit(1)).as("n_classes"))
+    cls.select(explode(array(ls.map(lit): _*)).as("l"), col("sz"), col("div"))
+      .groupBy("l")
+      .agg(sum((col("div") < col("l")).cast("long")).as("n_classes_below"),
+        sum(when(col("div") < col("l"), col("sz")).otherwise(lit(0L)))
+          .as("n_docs_below"))
+      .crossJoin(broadcast(tot))
+      .select(col("l").cast("long").as("l"),
+        col("n_classes").cast("long").as("n_classes"),
+        col("n_classes_below").cast("long").as("n_classes_below"),
+        col("n_docs_below").cast("long").as("n_docs_below"),
+        round(col("n_docs_below") * 1.0 / col("n_docs_total"), 6)
+          .as("pct_docs_below"))
+      .orderBy("l")
+  }
+
+  /** L198: distinct-l-diversity audit (Machanavajjhala et al. 2007) —
+    * the attribute-disclosure half of the privacy battery: l179 counts
+    * classes too SMALL to hide in, but a class of 50 documents all
+    * sharing one language still discloses that attribute to anyone who
+    * can place a document in the class (the homogeneity attack
+    * k-anonymity cannot see). Quasi-identifiers here are (source,
+    * ⌊n_chars/100⌋) and the sensitive attribute is lang — the release
+    * question is "does knowing a document's source and size bucket pin
+    * its language?", reported as classes/documents below l ∈ {2, 3}
+    * distinct sensitive values, the l179 ladder shape.
+    *
+    * Determinism: class sizes and distinct counts are exact longs
+    * (integer-division bucket edge, the l152 discipline); one division
+    * for the percentage.
+    *
+    * 100 TB posture: one groupBy on (QI, lang) collapsed to per-class
+    * (sz, div) — both map-combinable — then a ×|ls| explode over CLASS
+    * rows (≪ corpus) and a one-row broadcast total. */
+  val l198_l_diversity = Q(
+    "l198_l_diversity",
+    """WITH cls AS (SELECT source, n_chars // 100 AS nb, count(*) AS sz,
+      |               count(DISTINCT lang) AS div
+      |             FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT sum(sz) AS n_docs_total, count(*) AS n_classes FROM cls),
+      |ls(l) AS (VALUES (2), (3))
+      |SELECT CAST(l AS BIGINT) AS l,
+      |       CAST(any_value(t.n_classes) AS BIGINT) AS n_classes,
+      |       CAST(sum(CASE WHEN div < l THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_classes_below,
+      |       CAST(sum(CASE WHEN div < l THEN sz ELSE 0 END) AS BIGINT)
+      |         AS n_docs_below,
+      |       round(sum(CASE WHEN div < l THEN sz ELSE 0 END) * 1.0
+      |             / any_value(t.n_docs_total), 6) AS pct_docs_below
+      |FROM cls CROSS JOIN ls CROSS JOIN tot t
+      |GROUP BY l ORDER BY l""".stripMargin
+  ) { (s, d) =>
+    lDiversity(documents(s, d)
+      .groupBy(col("source"), floor(col("n_chars") / lit(100)).as("nb"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("lang")).as("div")),
+      Seq(2, 3))
+  }
+
+  // ------------- t-closeness audit with exact variation distance (l199)
+
+  /** L199: t-closeness audit (Li, Li & Venkatasubramanian 2007) with the
+    * equal-ground-distance EMD — which for a categorical sensitive
+    * attribute is exactly total variation distance ½·Σ|p_class − p_global|
+    * (their §4.1) — completing the privacy ladder: l179 says a class is
+    * big enough, l198 says it is varied enough, THIS says its sensitive
+    * DISTRIBUTION still leaks (a class that is 90% one language in a 40%
+    * corpus discloses by skew even at high l — the skewness attack). Per
+    * threshold t ∈ {1/5, 1/3, 1/2}: how many classes (and documents)
+    * exceed it, plus the corpus max t.
+    *
+    * Determinism — exact flags: per class, Σ_lang |cc·N − g·sz| is an
+    * exact DECIMAL(38,0) integer (the full class × lang grid, absent
+    * cells contribute g·sz), and each threshold compare cross-multiplies
+    * num·q > 2·p·sz·N in DECIMAL — no float touches any counted flag
+    * (the l193 ladder discipline); max_t is the one float OUTPUT, 6 dp.
+    *
+    * 100 TB posture: one groupBy on (QI, lang) (map-combinable), a
+    * #classes × #langs metadata grid, a broadcast lang-marginal and
+    * one-row total; the ladder is a ×3 explode over CLASS rows. */
+  val l199_t_closeness = Q(
+    "l199_t_closeness",
+    """WITH d2 AS (SELECT source, n_chars // 100 AS nb, lang FROM documents),
+      |cls AS (SELECT source, nb, count(*) AS sz FROM d2 GROUP BY 1, 2),
+      |cl AS (SELECT source, nb, lang, count(*) AS cc FROM d2 GROUP BY 1, 2, 3),
+      |g AS (SELECT lang, count(*) AS g FROM d2 GROUP BY 1),
+      |tot AS (SELECT count(*) AS nn FROM d2),
+      |grid AS (SELECT cls.source, cls.nb, cls.sz, g.lang, g.g,
+      |           coalesce(cl.cc, 0) AS cc
+      |         FROM cls CROSS JOIN g
+      |         LEFT JOIN cl ON cl.source = cls.source AND cl.nb = cls.nb
+      |           AND cl.lang = g.lang),
+      |tn AS (SELECT source, nb, sz, t.nn,
+      |         sum(abs(CAST(cc AS DECIMAL(38,0)) * t.nn
+      |                 - CAST(g AS DECIMAL(38,0)) * sz)) AS num
+      |       FROM grid CROSS JOIN tot t GROUP BY 1, 2, 3, 4),
+      |th(p, q) AS (VALUES (1, 5), (1, 3), (1, 2))
+      |SELECT CAST(p AS BIGINT) AS t_num, CAST(q AS BIGINT) AS t_den,
+      |       CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(sum(CASE WHEN CAST(num AS DECIMAL(38,0)) * q
+      |                          > CAST(2 AS DECIMAL(38,0)) * p * sz * nn
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_above,
+      |       CAST(sum(CASE WHEN CAST(num AS DECIMAL(38,0)) * q
+      |                          > CAST(2 AS DECIMAL(38,0)) * p * sz * nn
+      |                     THEN sz ELSE 0 END) AS BIGINT) AS n_docs_above,
+      |       round(sum(CASE WHEN CAST(num AS DECIMAL(38,0)) * q
+      |                           > CAST(2 AS DECIMAL(38,0)) * p * sz * nn
+      |                      THEN sz ELSE 0 END) * 1.0 / any_value(nn), 6)
+      |         AS pct_docs_above,
+      |       round(max(CAST(num AS DOUBLE) / (2.0 * sz * nn)), 6) AS max_t
+      |FROM tn CROSS JOIN th GROUP BY p, q ORDER BY t_num, t_den""".stripMargin
+  ) { (s, d) =>
+    tCloseness(documents(s, d).select(col("source"),
+      floor(col("n_chars") / lit(100)).as("nb"), col("lang")),
+      Seq((1, 2), (1, 3), (1, 5)))
+  }
+
+  /** l199's engine over any (source, nb, lang) row frame — factored for
+    * the spec's hand fixtures (a pure-skew class reads t = 1/2 exactly
+    * and the strict > at the 1/2 rung does NOT count it — boundary
+    * behavior pinned; a globally-proportional class reads t = 0). */
+  private[graft] def tCloseness(d2: DataFrame,
+      th: Seq[(Int, Int)]): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cls = d2.groupBy("source", "nb").agg(count(lit(1)).as("sz"))
+    val cl = d2.groupBy("source", "nb", "lang").agg(count(lit(1)).as("cc"))
+    val g = d2.groupBy("lang").agg(count(lit(1)).as("g"))
+    val tot = d2.agg(count(lit(1)).as("nn"))
+    val grid = cls.crossJoin(broadcast(g))
+      .join(cl, Seq("source", "nb", "lang"), "left")
+      .select(col("source"), col("nb"), col("sz"), col("g"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val tn = grid.crossJoin(broadcast(tot))
+      .groupBy("source", "nb", "sz", "nn")
+      .agg(sum(abs(dec(col("cc")) * col("nn") - dec(col("g")) * col("sz")))
+        .as("num"))
+    val above = dec(col("num")) * col("q") >
+      dec(lit(2)) * col("p") * col("sz") * col("nn")
+    tn.select(col("*"), explode(array(th.map { case (p, q) =>
+        struct(lit(p).as("p"), lit(q).as("q")) }: _*)).as("t"))
+      .select(col("source"), col("nb"), col("sz"), col("nn"), col("num"),
+        col("t.p").as("p"), col("t.q").as("q"))
+      .groupBy("p", "q")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(above.cast("long")).as("n_classes_above"),
+        sum(when(above, col("sz")).otherwise(lit(0L))).as("n_docs_above"),
+        first(col("nn")).as("nn"),
+        max(col("num").cast("double") /
+          (lit(2.0) * col("sz") * col("nn"))).as("mt"))
+      .select(col("p").cast("long").as("t_num"),
+        col("q").cast("long").as("t_den"),
+        col("n_classes").cast("long").as("n_classes"),
+        col("n_classes_above").cast("long").as("n_classes_above"),
+        col("n_docs_above").cast("long").as("n_docs_above"),
+        round(col("n_docs_above") * 1.0 / col("nn"), 6).as("pct_docs_above"),
+        round(col("mt"), 6).as("max_t"))
+      .orderBy("t_num", "t_den")
+  }
+
+  // ------------- Benjamini–Hochberg FDR over the source monitors (l200)
+
+  /** The BH critical ladder c²(i·q/m)·10⁶ for m = 20 sources at
+    * q = 0.05: c_i = Φ⁻¹(1 − i/800) (two-sided α_i = i·0.05/20),
+    * squared, scaled 10⁶ and rounded — pinned constants (stdlib
+    * NormalDist.inv_cdf, provenance in the scaladoc), the l193
+    * pinned-constant discipline. Rank 20 is 1.96² — the unadjusted
+    * rung, so sig_bh ⇒ sig_unadjusted is a theorem of the ladder. */
+  private val BhLadderC2e6 = Seq(9140593L, 7879439L, 7149139L, 6634897L,
+    6238533L, 5916468L, 5645523L, 5411894L, 5206700L, 5023886L, 4859143L,
+    4709292L, 4571926L, 4445175L, 4327558L, 4217885L, 4115180L, 4018640L,
+    3927589L, 3841459L)
+
+  /** l200's engine over any per-group (source, n, k) proportion frame —
+    * factored for the spec's step-up fixture (the DEFINING behavior: a
+    * rank whose own compare fails is still rejected when a later rank
+    * passes) and the guard fixtures. The ladder is a parameter; the
+    * declared query pins the m = 20 corpus ladder and REFUSES on any
+    * other m (a BH ladder is a function of m — running the 20-ladder on
+    * 19 sources would silently test at the wrong α_i). */
+  private[graft] def bhFdr(kk: DataFrame, c2e6: Seq[Long]): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = c2e6.size
+    val tot = kk.agg(sum("n").as("nt"), sum("k").as("kt"),
+      count(lit(1)).as("m"))
+    // z² for a two-proportion z-test is EXACTLY rational in the counts:
+    //   z² = (k·nt − kt·n)² · nt / (n·(nt−n)·kt·(nt−kt))
+    val j = kk.crossJoin(broadcast(tot)).select(col("*"),
+      (dec(col("k")) * col("nt") - dec(col("kt")) * col("n")).as("dnum"),
+      (dec(col("n")) * (col("nt") - col("n")) * col("kt") *
+        (col("nt") - col("kt"))).as("bden"))
+    val bad = col("m") =!= m || col("nt") > lit(1000000L)
+    val z2d = col("dnum").cast("double") * col("dnum").cast("double") *
+      col("nt") / col("bden").cast("double")
+    val wRank = Window.orderBy(col("z2d").desc, col("source"))
+    val ranked = j.select(col("source"), col("n"), col("k"), col("nt"),
+        when(bad, raise_error(concat(lit("BH ladder pinned for m=" +
+          s"$m sources within the nt <= 10^6 headroom window; refusing " +
+          "to mis-test silently: m="), col("m").cast("string"),
+          lit(" nt="), col("nt").cast("string"))))
+          .otherwise(signum(col("dnum").cast("double")) * sqrt(z2d)).as("z"),
+        col("dnum"), col("bden"), z2d.as("z2d"))
+      .withColumn("z_rank", row_number().over(wRank).cast("long"))
+    val cArr = array(c2e6.map(lit): _*)
+    val ownFlag = when(col("bden") === 0, lit(0L)).otherwise(
+      (dec(col("dnum")) * col("dnum") * col("nt") * lit(1000000L) >=
+        dec(element_at(cArr, col("z_rank").cast("int"))) * col("bden"))
+        .cast("long"))
+    val naive = when(col("bden") === 0, lit(0L)).otherwise(
+      (dec(col("dnum")) * col("dnum") * col("nt") * lit(1000000L) >=
+        dec(lit(c2e6.last)) * col("bden")).cast("long"))
+    val wUp = Window.orderBy(col("z_rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked.select(col("source"), col("n").cast("long").as("n"),
+        col("k").cast("long").as("k"), round(col("z"), 6).as("z"),
+        col("z_rank"), naive.as("sig_unadjusted"), ownFlag.as("own_flag"))
+      .withColumn("sig_bh", max("own_flag").over(wUp))
+      .drop("own_flag")
+      .orderBy("source")
+  }
+
+  /** L200: Benjamini–Hochberg step-up FDR control over the per-source
+    * keep-rate battery (Benjamini & Hochberg 1995) — the MULTIPLE-TESTING
+    * closure of the monitor family: l125 tests each source at α = .05,
+    * but 20 sources × weekly reruns means the dashboard FIRES on noise
+    * by design (expected one false alarm per run); BH sorts the 20 z²
+    * statistics and rejects up to the largest rank i with
+    * p_(i) ≤ i·q/m — the standard dashboard-wide false-discovery guard,
+    * reported beside the unadjusted flag so the reviewer sees exactly
+    * which l125 alarms survive adjustment.
+    *
+    * Determinism — exact flags (the l193 discipline): z² for a pooled
+    * two-proportion test is exactly rational in the counts
+    * ((k·nt − kt·n)²·nt over n(nt−n)kt(nt−kt)); every rung compares
+    * that rational against the pinned c²(i/400)·10⁶ ladder by
+    * DECIMAL(38,0) cross-multiplication — no float touches any flag;
+    * the rank sort key is the same rational evaluated as identical
+    * doubles on both engines (source tie-break); z is float OUTPUT
+    * only. The ladder is pinned for m = 20 and nt ≤ 10⁶ — anything
+    * else raises by name, never mis-tests (the l131 refusal posture).
+    * sig_bh ⇒ sig_unadjusted is structural: c²_i ≥ c²_20 = 1.96².
+    *
+    * 100 TB posture: rides the cached quality frame; one groupBy to 20
+    * metadata rows, a one-row broadcast total, and two windows over the
+    * 20-row frame (the documented metadata-window exception class). */
+  val l200_bh_fdr = Q(
+    "l200_bh_fdr", {
+      val ladder = BhLadderC2e6.zipWithIndex
+        .map { case (c, i) => s"(${i + 1}, ${c})" }.mkString(", ")
+      s"""WITH RECURSIVE d2 AS (SELECT doc_id, source FROM documents),
+         |$qualityCte,
+         |kk AS (SELECT d2.source, count(*) AS n,
+         |         sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS k
+         |       FROM d2 LEFT JOIN q ON q.doc_id = d2.doc_id
+         |       GROUP BY 1),
+         |tot AS (SELECT sum(n) AS nt, sum(k) AS kt, count(*) AS m FROM kk),
+         |j AS (SELECT kk.source, kk.n, kk.k, t.nt, t.kt, t.m,
+         |        CAST(kk.k AS DECIMAL(38,0)) * t.nt
+         |          - CAST(t.kt AS DECIMAL(38,0)) * kk.n AS dnum,
+         |        CAST(kk.n AS DECIMAL(38,0)) * (t.nt - kk.n) * t.kt
+         |          * (t.nt - t.kt) AS bden
+         |      FROM kk CROSS JOIN tot t),
+         |r AS (SELECT source, n, k, nt, m, dnum, bden,
+         |        CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE) * nt
+         |          / CAST(bden AS DOUBLE) AS z2d,
+         |        row_number() OVER (ORDER BY CAST(dnum AS DOUBLE)
+         |          * CAST(dnum AS DOUBLE) * nt / CAST(bden AS DOUBLE) DESC,
+         |          source) AS z_rank
+         |      FROM j),
+         |ld(i, c) AS (VALUES $ladder),
+         |f AS (SELECT r.source, r.n, r.k,
+         |        CASE WHEN r.m <> ${BhLadderC2e6.size} OR r.nt > 1000000
+         |             THEN error('BH ladder pinned for m=${BhLadderC2e6.size} within nt<=10^6')
+         |             ELSE CASE WHEN CAST(dnum AS DOUBLE) < 0 THEN -sqrt(z2d)
+         |                       WHEN CAST(dnum AS DOUBLE) > 0 THEN sqrt(z2d)
+         |                       ELSE 0.0 END END AS z,
+         |        z_rank,
+         |        CASE WHEN bden = 0 THEN 0
+         |             WHEN CAST(dnum AS DECIMAL(38,0)) * dnum * nt * 1000000
+         |                  >= CAST(${BhLadderC2e6.last} AS DECIMAL(38,0)) * bden
+         |             THEN 1 ELSE 0 END AS sig_unadjusted,
+         |        CASE WHEN bden = 0 THEN 0
+         |             WHEN CAST(dnum AS DECIMAL(38,0)) * dnum * nt * 1000000
+         |                  >= CAST(ld.c AS DECIMAL(38,0)) * bden
+         |             THEN 1 ELSE 0 END AS own_flag
+         |      FROM r JOIN ld ON ld.i = r.z_rank)
+         |SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+         |       round(z, 6) AS z, CAST(z_rank AS BIGINT) AS z_rank,
+         |       CAST(sig_unadjusted AS BIGINT) AS sig_unadjusted,
+         |       CAST(max(own_flag) OVER (ORDER BY z_rank
+         |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |         AS BIGINT) AS sig_bh
+         |FROM f ORDER BY source""".stripMargin
+    }
+  ) { (s, d) =>
+    val kk = spread(documents(s, d)).select(col("doc_id"), col("source"))
+      .join(qualityCached(s, d).select(col("doc_id"),
+        col("keep").as("qk")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("qk"), lit(0L))).as("k"))
+    bhFdr(kk, BhLadderC2e6)
+  }
+
+  // ------------- calendar coverage gaps per event type (l201)
+
+  /** l201's engine over any (g, d) group/date frame — factored for the
+    * spec's closed-form fixtures (a contiguous range reads zero missing;
+    * one plucked day reads missing = 1, longest = 1; two separated
+    * holes read their exact max run). */
+  private[graft] def coverageGaps(t: DataFrame): DataFrame = {
+    val w = Window.partitionBy("g").orderBy("d")
+    val obs = t.select(col("g"), col("d")).distinct()
+      .withColumn("nxt", lead("d", 1).over(w))
+    obs.groupBy("g")
+      .agg(min("d").as("first_day"), max("d").as("last_day"),
+        count(lit(1)).as("n_days_observed"),
+        max(when(col("nxt").isNotNull,
+          datediff(col("nxt"), col("d")) - 1)).as("lg"))
+      .select(col("g"), date_format(col("first_day"), "yyyy-MM-dd")
+          .as("first_day"),
+        date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long")
+          .as("n_days_span"),
+        col("n_days_observed").cast("long").as("n_days_observed"),
+        (datediff(col("last_day"), col("first_day")) + 1 -
+          col("n_days_observed")).cast("long").as("n_days_missing"),
+        coalesce(col("lg"), lit(0)).cast("long").as("longest_gap_days"))
+      .orderBy("g")
+  }
+
+  /** L201: calendar coverage gaps per event type — the date-spine
+    * completeness audit every ingestion dashboard runs before trusting
+    * ANY daily-grain monitor above it (l171's ACF, l136's seasonality,
+    * l106's CUSUM and l182's trend all silently degrade on missing
+    * days — l171 documents "calendar gaps drop pairs"; THIS is the row
+    * that says whether gaps exist, how many, and how long the worst
+    * outage ran). Missing-day count needs NO generated spine:
+    * span − observed is arithmetic, and the longest outage is the max
+    * consecutive-observed-day difference − 1 — one lead() per group
+    * instead of a generate_series anti-join, which at 100 TB is the
+    * difference between a window over observed DAYS (metadata) and
+    * materializing every calendar day × group.
+    *
+    * Determinism: all counts are exact date arithmetic on integer day
+    * ordinals; dates go out as ISO strings (the house dtype-parity
+    * rule); no floats anywhere.
+    *
+    * 100 TB posture: one distinct on (type, day) — map-combinable,
+    * output is days × types metadata — then one lead window and one
+    * groupBy sharing the partitioning. */
+  val l201_coverage_gaps = Q(
+    "l201_coverage_gaps",
+    """WITH od AS (SELECT DISTINCT event_type AS g,
+      |              CAST(ts AS DATE) AS d FROM events),
+      |nx AS (SELECT g, d,
+      |         lead(d) OVER (PARTITION BY g ORDER BY d) AS nxt
+      |       FROM od)
+      |SELECT g, strftime(min(d), '%Y-%m-%d') AS first_day,
+      |       strftime(max(d), '%Y-%m-%d') AS last_day,
+      |       CAST(max(d) - min(d) + 1 AS BIGINT) AS n_days_span,
+      |       CAST(count(*) AS BIGINT) AS n_days_observed,
+      |       CAST(max(d) - min(d) + 1 - count(*) AS BIGINT) AS n_days_missing,
+      |       CAST(coalesce(max(CASE WHEN nxt IS NOT NULL
+      |                              THEN nxt - d - 1 END), 0) AS BIGINT)
+      |         AS longest_gap_days
+      |FROM nx GROUP BY g ORDER BY g""".stripMargin
+  ) { (s, d) =>
+    coverageGaps(events(s, d).select(col("event_type").as("g"),
+      col("ts").cast("date").as("d")))
+  }
+
   val all: Seq[Q] = Seq(
+    l194_wasserstein_drift, l195_welch_ttest, l196_local_clustering,
+    l197_silhouette, l198_l_diversity, l199_t_closeness,
+    l200_bh_fdr, l201_coverage_gaps,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

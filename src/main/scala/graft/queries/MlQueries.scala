@@ -423,7 +423,182 @@ object MlQueries {
       .orderBy("decile")
   }
 
+  /** H17: Brier score with the GENERALIZED Murphy decomposition —
+    * reliability − resolution + uncertainty plus the two continuous-
+    * forecast extras, within-bin variance and −2·within-bin covariance
+    * (Murphy 1973; Stephenson, Coelho & Jolliffe 2008) — the forecast-
+    * verification row beside l86's calibration curve: l86 SHOWS the
+    * reliability diagram, this SCORES it, splitting the h15 brier into
+    * "how miscalibrated" (reliability), "how much the forecast separates
+    * outcomes" (resolution — the only term a better model can improve),
+    * and the outcome's own entropy (uncertainty — the floor no model
+    * beats). The two extra terms make the five-way identity EXACT for
+    * continuous forecasts, where the classic three-term form silently
+    * mis-adds (the 2008 paper's point); GoldenSpec pins the identity.
+    *
+    * Determinism: bins cut on the EXACT score x (= cents/1000, ≤1000
+    * distinct values — the h16 precedent; binning the OLS proba would
+    * put engine-wobbly floats on a floor() boundary), so every bin count
+    * is engine-exact; per-bin Σx, Σx², Σxy accumulate as
+    * round(·,12)-into-DECIMAL(28,12) (order-free, the h15 discipline);
+    * bin means divide identical operands, the ≤10 per-bin float terms
+    * fold through the same decimal discipline, and the one-row output
+    * rounds at 6 dp.
+    *
+    * 100 TB posture: ONE map-combinable groupBy over the scored frame
+    * (10 bins), then metadata-row arithmetic — no window, no sort, no
+    * second scan. */
+  val h17_brier_decomposition = Q(
+    "h17_brier_decomposition",
+    s"""WITH s AS ($scoredSql),
+       |b AS (SELECT CAST(least(floor(x * 10), 9) AS BIGINT) AS bin, x, label
+       |      FROM s),
+       |pb AS (SELECT bin, count(*) AS nk,
+       |         sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+       |         sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sq,
+       |         sum(CASE WHEN label = 1
+       |               THEN CAST(round(x, 12) AS DECIMAL(28,12))
+       |               ELSE CAST(0 AS DECIMAL(28,12)) END) AS sxy,
+       |         sum(label) AS sy
+       |       FROM b GROUP BY 1),
+       |g AS (SELECT sum(nk) AS n, sum(sy) AS y,
+       |        sum(sq) AS gsq, sum(sxy) AS gsxy
+       |      FROM pb),
+       |t AS (SELECT pb.bin, pb.nk, g.n, g.y * 1.0 / g.n AS ybar,
+       |        CAST(pb.sx AS DOUBLE) / pb.nk AS fbar,
+       |        pb.sy * 1.0 / pb.nk AS obar,
+       |        CAST(pb.sq AS DOUBLE) AS sq, CAST(pb.sxy AS DOUBLE) AS sxy
+       |      FROM pb CROSS JOIN g),
+       |terms AS (SELECT n, ybar,
+       |            sum(CAST(round(nk * (fbar - obar) * (fbar - obar), 12)
+       |                     AS DECIMAL(28,12))) AS rel,
+       |            sum(CAST(round(nk * (obar - ybar) * (obar - ybar), 12)
+       |                     AS DECIMAL(28,12))) AS res,
+       |            sum(CAST(round(sq - nk * fbar * fbar, 12)
+       |                     AS DECIMAL(28,12))) AS wbv,
+       |            sum(CAST(round(sxy - nk * fbar * obar, 12)
+       |                     AS DECIMAL(28,12))) AS wbc
+       |          FROM t GROUP BY n, ybar)
+       |SELECT CAST(n AS BIGINT) AS n, round(ybar, 6) AS base_rate,
+       |       round((CAST((SELECT gsq FROM g) AS DOUBLE)
+       |              - 2 * CAST((SELECT gsxy FROM g) AS DOUBLE)
+       |              + (SELECT y FROM g)) / n, 6) AS brier,
+       |       round(CAST(rel AS DOUBLE) / n, 6) AS reliability,
+       |       round(CAST(res AS DOUBLE) / n, 6) AS resolution,
+       |       round(ybar * (1.0 - ybar), 6) AS uncertainty,
+       |       round(CAST(wbv AS DOUBLE) / n, 6) AS wb_var,
+       |       round(CAST(wbc AS DOUBLE) / n, 6) AS wb_cov
+       |FROM terms""".stripMargin
+  ) { (s, d) => brierDecomposition(scored(s, d)) }
+
+  /** h17's engine over any (x ∈ [0,1), label ∈ {0,1}) frame — factored
+    * for GoldenSpec's hand fixture (one row per bin ⇒ wb terms vanish
+    * and the classic three-term identity reappears) and the five-way
+    * identity law brier = rel − res + unc + wbv − 2·wbc. */
+  private[graft] def brierDecomposition(sc: DataFrame): DataFrame = {
+    val dec12 = (c: org.apache.spark.sql.Column) =>
+      round(c, 12).cast("decimal(28,12)")
+    val b = sc.select(
+      least(floor(col("x") * 10), lit(9.0)).cast("long").as("bin"),
+      col("x"), col("label"))
+    val pb = b.groupBy("bin").agg(count(lit(1)).as("nk"),
+      sum(dec12(col("x"))).as("sx"),
+      sum(dec12(col("x") * col("x"))).as("sq"),
+      sum(when(col("label") === 1, dec12(col("x")))
+        .otherwise(lit(0).cast("decimal(28,12)"))).as("sxy"),
+      sum("label").as("sy"))
+    val g = pb.agg(sum("nk").as("n"), sum("sy").as("y"),
+      sum("sq").as("gsq"), sum("sxy").as("gsxy"))
+    val fbar = col("sx").cast("double") / col("nk")
+    val obar = col("sy") * lit(1.0) / col("nk")
+    val ybar = col("y") * lit(1.0) / col("n")
+    val terms = pb.crossJoin(broadcast(g))
+      .groupBy(col("n"), ybar.as("ybar"), col("gsq"), col("gsxy"), col("y"))
+      .agg(
+        sum(dec12(col("nk") * (fbar - obar) * (fbar - obar))).as("rel"),
+        sum(dec12(col("nk") * (obar - ybar) * (obar - ybar))).as("res"),
+        sum(dec12(col("sq").cast("double") - col("nk") * fbar * fbar))
+          .as("wbv"),
+        sum(dec12(col("sxy").cast("double") - col("nk") * fbar * obar))
+          .as("wbc"))
+    terms.select(col("n").cast("long").as("n"),
+      round(col("ybar"), 6).as("base_rate"),
+      round((col("gsq").cast("double") - lit(2) * col("gsxy").cast("double") +
+        col("y")) / col("n"), 6).as("brier"),
+      round(col("rel").cast("double") / col("n"), 6).as("reliability"),
+      round(col("res").cast("double") / col("n"), 6).as("resolution"),
+      round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"),
+      round(col("wbv").cast("double") / col("n"), 6).as("wb_var"),
+      round(col("wbc").cast("double") / col("n"), 6).as("wb_cov"))
+  }
+
+  /** H18: Matthews correlation coefficient at the 0.5 cut (Matthews
+    * 1975) — the single-number confusion summary the h-family still
+    * lacked: H8's accuracy saturates under imbalance and H11's per-class
+    * report needs reading, while MCC = (TP·TN − FP·FN)/√(ΠMarginals) is
+    * the Pearson correlation of the binary confusion and stays honest
+    * at any base rate (the reason bioinformatics and competition
+    * leaderboards default to it). Emitted WITH its four exact counts so
+    * a reviewer can recompute it by hand.
+    *
+    * Determinism: the four cells are exact integer aggregates off the
+    * shared h6 cut (ŷ > 0.5 on the broadcast OLS fit — same predicate,
+    * same fit, so h6/h8/h18 can never silently diverge); the numerator
+    * and the four marginals multiply in DECIMAL(38,0) before the one
+    * √ and division, rounded 6 dp (zero marginal ⇒ null, never NaN).
+    *
+    * 100 TB posture: ONE map-combinable aggregate over the scored
+    * frame (the d6 single-pass shape) — no window, no second scan. */
+  val h18_mcc = Q(
+    "h18_mcc",
+    s"""WITH s AS ($scoredSql),
+       |f AS (SELECT regr_slope(label, x) AS b, regr_intercept(label, x) AS a FROM s),
+       |p AS (SELECT label, CAST(a + b * x > 0.5 AS BIGINT) AS pred FROM s, f),
+       |c AS (SELECT
+       |        sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS tp,
+       |        sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS fp,
+       |        sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS tn,
+       |        sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS fn
+       |      FROM p)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       |       round(CASE WHEN (tp + fp) * (tp + fn) = 0
+       |                    OR (tn + fp) * (tn + fn) = 0 THEN NULL
+       |                  ELSE CAST(CAST(tp AS DECIMAL(38,0)) * tn
+       |                            - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+       |                       / sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0))
+       |                              * (tp + fn) * (tn + fp) * (tn + fn)
+       |                              AS DOUBLE)) END, 6) AS mcc
+       |FROM c""".stripMargin
+  ) { (s, d) =>
+    val sc = scored(s, d)
+    mcc(sc.crossJoin(broadcast(olsFit(sc)))
+      .select(col("label"),
+        (col("a") + col("b") * col("x") > 0.5).cast("long").as("pred")))
+  }
+
+  /** h18's engine over any (label, pred) ∈ {0,1}² frame — factored for
+    * BrierSpec's closed forms (perfect = 1, inverted = −1, one-class
+    * marginal = null never NaN). */
+  private[graft] def mcc(p: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val c = p.agg(
+      sum(when(col("pred") === 1 && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("label") === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("pred") === 0 && col("label") === 1, 1L).otherwise(0L)).as("fn"))
+    val deg = (col("tp") + col("fp")) * (col("tp") + col("fn")) === 0 ||
+      (col("tn") + col("fp")) * (col("tn") + col("fn")) === 0
+    c.select(col("tp"), col("fp"), col("tn"), col("fn"),
+      round(when(deg, lit(null)).otherwise(
+        (dec(col("tp")) * col("tn") - dec(col("fp")) * col("fn")).cast("double") /
+          sqrt((dec(col("tp") + col("fp")) * (col("tp") + col("fn")) *
+            (col("tn") + col("fp")) * (col("tn") + col("fn"))).cast("double"))),
+        6).as("mcc"))
+  }
+
   val all: Seq[Q] = Seq(
     h6_ols_scorer, h8_accuracy, h9_roc_auc, h10_avg_precision, h11_class_report,
-    h13_cv_folds, h15_regression_metrics, h16_lift_table)
+    h13_cv_folds, h15_regression_metrics, h16_lift_table,
+    h17_brier_decomposition, h18_mcc)
 }

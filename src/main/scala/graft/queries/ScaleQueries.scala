@@ -678,8 +678,70 @@ object ScaleQueries {
       .orderBy("event_id")
   }
 
+  /** E13: interval coalescing (merge overlapping validity windows) — the
+    * gaps-and-islands operator over genuine INTERVALS, distinct from
+    * point-sessionization (l13): each event opens a window whose length
+    * depends on its type (view 5 min, click 30 min, signup 10 min,
+    * purchase 2 h, error 1 min — declared literals), and overlapping or
+    * touching windows per user merge into one coalesced span. Because
+    * lengths are heterogeneous, a long interval can swallow many later
+    * short ones — the running MAX-END (not the previous row's end) is
+    * load-bearing, which is exactly what separates this from l13's
+    * fixed-gap sessions. The production shapes: takedown/license
+    * validity unions (l109's input), maintenance-window flattening,
+    * SCD2 (c13) range compaction.
+    *
+    * Determinism: all arithmetic in exact integer microseconds
+    * (unix_micros/epoch_us, the l187 idiom); island membership is
+    * order-invariant under (st, en) ties because identical-key rows
+    * can't open a new island against each other (an equal start is ≤
+    * the other's max-end by construction), so the per-island (min start,
+    * max end, count) aggregate is a pure function of the interval
+    * multiset.
+    *
+    * 100 TB posture: ONE hash exchange on user_id feeds both windows
+    * (running max-end and the island cumsum share partitioning and sort
+    * — one sort, two frames), then the groupBy reuses the same
+    * partitioning; no self-join, no corpus-wide window. */
+  val e13_interval_coalesce = Q(
+    "e13_interval_coalesce",
+    """WITH iv AS (SELECT user_id,
+      |              epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+      |              epoch_us(CAST(ts AS TIMESTAMP))
+      |                + CAST(1000000 AS BIGINT) * CASE event_type
+      |                WHEN 'view' THEN 300 WHEN 'click' THEN 1800
+      |                WHEN 'signup' THEN 600 WHEN 'purchase' THEN 7200
+      |                ELSE 60 END AS en
+      |            FROM events),
+      |mx AS (SELECT user_id, st, en,
+      |         max(en) OVER (PARTITION BY user_id ORDER BY st, en
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS pmax
+      |       FROM iv),
+      |isl AS (SELECT user_id, st, en,
+      |          sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY user_id ORDER BY st, en
+      |                  ROWS UNBOUNDED PRECEDING) AS island
+      |        FROM mx)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |       CAST(min(st) AS BIGINT) AS start_us,
+      |       CAST(max(en) AS BIGINT) AS end_us,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM isl GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin
+  ) { (s, d) =>
+    val dur = when(col("event_type") === "view", 300L)
+      .when(col("event_type") === "click", 1800L)
+      .when(col("event_type") === "signup", 600L)
+      .when(col("event_type") === "purchase", 7200L)
+      .otherwise(60L)
+    val iv = events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("st"),
+      (unix_micros(col("ts")) + lit(1000000L) * dur).as("en"))
+    graft.ops.Intervals.coalesce(iv).orderBy("user_id", "island")
+  }
+
   val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
     a9_dynamic_pruning, a10_zorder, a12_runtime_bloom, c11_partition_upsert,
     f4_salted_join, f8_aqe_skew_join, e4_asof_join, e5_range_join,
-    e10_band_join, e11_point_in_time, e12_nearest_asof)
+    e10_band_join, e11_point_in_time, e12_nearest_asof, e13_interval_coalesce)
 }

@@ -497,4 +497,185 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(kw.getLong(1) === f.getLong(1))
     assert(!kw.getDouble(3).isNaN && !f.getDouble(4).isNaN)
   }
+
+  test("l194: identical distributions read W1 = 0 exactly; a pure +7 shift " +
+      "reads W1 = 7 exactly — the transport units KS cannot report") {
+    // identical two-source corpus: both exact numerators must be 0
+    val flat = LlmQueries.wassersteinBySource(tcOf(
+      (1L to 60L).map(v => ("a", 10L + v % 3)) ++
+        (1L to 60L).map(v => ("b", 10L + v % 3)))).collect()
+    flat.foreach { r =>
+      assert(r.getLong(3) === 0L && r.getDouble(4) === 0.0,
+        s"identical sides must read exact zero: $r")
+    }
+    // all of s at 10, all of the rest at 17: every unit of mass moves 7
+    val shift = LlmQueries.wassersteinBySource(tcOf(
+      Seq("s" -> 10L, "s" -> 10L, "r" -> 17L, "r" -> 17L))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // support {10, 17}: gap 7, |cums·n2 − (cumall−cums)·n1| = 4 ⇒ num 28
+    assert(shift("s").getLong(3) === 28L)
+    assert(shift("s").getDouble(4) === 7.0, "W1 must read the shift in " +
+      "token units (KS saturates at 1 on any disjoint support)")
+    // split mass: s = {0, 1000} half-half vs rest at 500 ⇒ W1 = 500
+    val split = LlmQueries.wassersteinBySource(tcOf(
+      Seq("s" -> 0L, "s" -> 1000L, "r" -> 500L, "r" -> 500L))).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(split("s") === 500.0)
+  }
+
+  test("l194 headroom: a numerator past the 10^15 BIGINT window raises by " +
+      "name instead of truncating") {
+    // one doc at 0 vs one at 2·10^15: num = 1·1·gap = 2·10^15 > window
+    val boom = LlmQueries.wassersteinBySource(tcOf(
+      Seq("s" -> 0L, "r" -> 2000000000000000L)))
+    val e = intercept[Exception](boom.collect())
+    assert(e.getMessage.contains("headroom window"),
+      s"the refusal must name the declared window: ${e.getMessage}")
+  }
+
+  test("l195: equal-variance equal-size shift hits the pooled closed form " +
+      "(t = Δ/√(2s²/n), df = n1+n2−2 exactly); zero-variance side " +
+      "collapses df to n_other−1") {
+    val got = LlmQueries.welchT(tcOf(Seq(
+      "a" -> 10L, "a" -> 12L, "a" -> 14L,
+      "b" -> 20L, "b" -> 22L, "b" -> 24L))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // s² = 4 both sides, u = 4/3 each: t = −10/√(8/3), df = 4 = n−2
+    val a = got("a")
+    assert(math.abs(a.getDouble(5) - (-10.0 / math.sqrt(8.0 / 3.0))) < 1e-6)
+    assert(math.abs(a.getDouble(6) - 4.0) < 1e-6,
+      "equal variances and sizes must reproduce the pooled df exactly")
+    assert(math.abs(got("b").getDouble(5) + a.getDouble(5)) < 1e-9,
+      "the two vs-rest tests of a 2-source corpus are mirror images")
+    // degenerate guards: identical groups ⇒ zero t is not emitted as NaN
+    val same = LlmQueries.welchT(tcOf(Seq(
+      "a" -> 5L, "a" -> 5L, "b" -> 5L, "b" -> 5L))).collect()
+    same.foreach(r => assert(r.isNullAt(5) && r.isNullAt(6),
+      s"zero pooled variance must read null, never NaN: $r"))
+    // extreme imbalance: one side constant ⇒ df → n_varying − 1
+    val imb = LlmQueries.welchT(tcOf(
+      Seq("a" -> 0L, "a" -> 1000L) ++ (1 to 50).map(_ => "b" -> 500L)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(imb("a").getDouble(6) - 1.0) < 1e-6,
+      "Welch–Satterthwaite must collapse df toward min(n)−1 = 1 when " +
+        "all variance sits on the 2-doc side")
+  }
+
+  test("l198: a homogeneous class is below l = 2; a 2-lang class is below " +
+      "only l = 3; counts and percentages are exact") {
+    import spark.implicits._
+    val cls = Seq((10L, 1L), (5L, 2L), (3L, 3L)).toDF("sz", "div")
+    val got = LlmQueries.lDiversity(cls, Seq(2, 3)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(2L).getLong(2) === 1L && got(2L).getLong(3) === 10L)
+    assert(got(3L).getLong(2) === 2L && got(3L).getLong(3) === 15L)
+    assert(math.abs(got(3L).getDouble(4) - 15.0 / 18.0) < 1e-6)
+  }
+
+  test("l199: a pure-skew class reads t = 1/2 EXACTLY and the strict > at " +
+      "the 1/2 rung excludes it; a proportional class reads t = 0") {
+    import spark.implicits._
+    // global langs x:3 y:3; class A = {x,x} (t = 1/2), B = {x,y,y,y}
+    // (t = 1/4), C omitted
+    val d2 = Seq(
+      ("A", 0L, "x"), ("A", 0L, "x"),
+      ("B", 0L, "x"), ("B", 0L, "y"), ("B", 0L, "y"), ("B", 0L, "y"))
+      .toDF("source", "nb", "lang")
+    val got = LlmQueries.tCloseness(d2, Seq((1, 2), (1, 3), (1, 5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got((1L, 5L)).getLong(3) === 2L && got((1L, 5L)).getLong(4) === 6L,
+      "both classes exceed t = 1/5 (0.5 and 0.25)")
+    assert(got((1L, 3L)).getLong(3) === 1L && got((1L, 3L)).getLong(4) === 2L,
+      "only the skewed class exceeds t = 1/3")
+    assert(got((1L, 2L)).getLong(3) === 0L,
+      "t = 1/2 EXACTLY must not clear the strict > rung — the exact " +
+        "integer compare pins the boundary")
+    assert(got((1L, 2L)).getDouble(6) === 0.5, "max_t must read 1/2 exactly")
+    // a class proportional to the global marginal reads t = 0
+    val prop = Seq(("A", 0L, "x"), ("A", 0L, "y"), ("B", 0L, "x"),
+      ("B", 0L, "y")).toDF("source", "nb", "lang")
+    val z = LlmQueries.tCloseness(prop, Seq((1, 5))).collect()(0)
+    assert(z.getLong(3) === 0L && z.getDouble(6) === 0.0)
+  }
+
+  test("l200 BH: the DEFINING step-up behavior — a rank whose own compare " +
+      "fails is rejected when a later rank passes; equal rates reject " +
+      "nothing; ladder-size and headroom guards raise by name") {
+    import spark.implicits._
+    def kkOf(rows: Seq[(String, Long, Long)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("source", "n", "k")
+    // z² by hand: S1 36.75, S3 18.75, S2 3.0 (nt=300, kt=200); ladder
+    // c²·10⁶ = {50, 10, 5}·10⁶ ⇒ own flags (0, 1, 0) by rank ⇒ step-up
+    // rejects ranks 1..2 = S1 AND S3 — S1's own rung failed
+    val kk = kkOf(Seq(("S1", 100L, 90L), ("S2", 100L, 60L), ("S3", 100L, 50L)))
+    val got = LlmQueries.bhFdr(kk, Seq(50000000L, 10000000L, 5000000L))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // sig_unadjusted compares against the ladder's LAST rung (5·10⁶)
+    assert(got("S1") === ((1L, 1L, 1L)),
+      s"rank 1 fails its OWN rung (36.75 < 50) but IS rejected because " +
+        s"rank 2 passes — the step-up property: $got")
+    assert(got("S3") === ((2L, 1L, 1L)), s"rank 2 passes (18.75 >= 10): $got")
+    assert(got("S2") === ((3L, 0L, 0L)), s"rank 3 fails (3 < 5): $got")
+    // the step-up is observable: harden rank 2's rung past its z² and S1
+    // must flip to rejected-nowhere even though ITS ladder is unchanged
+    val hardened = LlmQueries.bhFdr(kk, Seq(50000000L, 20000000L, 5000000L))
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(hardened("S1") === 0L && hardened("S3") === 0L,
+      s"with rank 2's rung above 18.75 no rank passes its own rung above " +
+        s"S2, so the step-up has nothing to carry upward: $hardened")
+    // identical rates: z = 0 everywhere, nothing rejected at any ladder
+    val flat = LlmQueries.bhFdr(
+      kkOf(Seq(("a", 100L, 50L), ("b", 100L, 50L))), Seq(1000000L, 1000000L))
+      .collect()
+    flat.foreach { r =>
+      assert(r.getDouble(3) === 0.0 && r.getLong(6) === 0L,
+        s"equal rates must read z = 0 and reject nothing: $r")
+    }
+    // guards: a 3-rung ladder on 2 sources must refuse by name
+    val eWrongM = intercept[Exception](LlmQueries.bhFdr(
+      kkOf(Seq(("a", 100L, 50L), ("b", 100L, 60L))),
+      Seq(1L, 1L, 1L)).collect())
+    assert(eWrongM.getMessage.contains("BH ladder pinned"),
+      s"m mismatch must refuse: ${eWrongM.getMessage}")
+    val eBig = intercept[Exception](LlmQueries.bhFdr(
+      kkOf(Seq(("a", 2000000L, 50L), ("b", 100L, 60L))),
+      Seq(1L, 1L)).collect())
+    assert(eBig.getMessage.contains("headroom"),
+      s"past-window nt must refuse: ${eBig.getMessage}")
+  }
+
+  test("l200 on the corpus: sig_bh implies sig_unadjusted on every row " +
+      "(c²_i >= c²_20 = 1.96² is structural), ranks are a permutation") {
+    val rows = LlmQueries.l200_bh_fdr.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(6) <= r.getLong(5),
+        s"BH can only reject a subset of the unadjusted alarms: $r")
+    }
+    assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to 20L),
+      "z_rank must be a permutation of 1..m")
+  }
+
+  test("l201 coverage gaps: contiguous range reads zero missing; plucked " +
+      "days read exact counts and the longest outage") {
+    import spark.implicits._
+    import java.sql.Date
+    def dOf(g: String, days: Seq[Int]): Seq[(String, Date)] =
+      days.map(dd => (g, Date.valueOf(f"2024-01-$dd%02d")))
+    // a: 1..10 contiguous; b: 1..10 minus {4} minus {7,8,9} — 4 missing,
+    // longest run 3; c: duplicate observations collapse
+    val t = (dOf("a", 1 to 10) ++
+      dOf("b", Seq(1, 2, 3, 5, 6, 10)) ++
+      dOf("c", Seq(1, 1, 2))).toDF("g", "d")
+    val got = LlmQueries.coverageGaps(t).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("a") === (("2024-01-01", "2024-01-10", 10L, 10L, 0L, 0L)))
+    assert(got("b") === (("2024-01-01", "2024-01-10", 10L, 6L, 4L, 3L)),
+      s"one 1-day hole + one 3-day outage: ${got("b")}")
+    assert(got("c") === (("2024-01-01", "2024-01-02", 2L, 2L, 0L, 0L)),
+      "duplicate same-day observations must collapse before counting")
+  }
 }

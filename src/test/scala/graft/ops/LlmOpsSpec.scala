@@ -4045,4 +4045,54 @@ class LlmOpsSpec extends AnyFunSuite {
       "exp(-H_NA) must NOT silently equal S_KM - they are different estimators")
     info(s"l160: H = ${got(2L)._1}, exp(-H) = ${got(2L)._2}, KM = ${r6(km)}")
   }
+
+  test("l196 local clustering: triangle = 1 everywhere, star apex = 0, " +
+      "pendant-on-triangle drops the attachment node to 1/3, degree-1 " +
+      "nodes read null (never NaN)") {
+    def run(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long, Option[Double])] =
+      LlmQueries.localClustering(pairs.toDF("i", "j")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val tri = run(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(tri.values.forall(_ == ((2L, 1L, Some(1.0)))),
+      s"a triangle is a clique: every coefficient 1: $tri")
+    val star = run((1L to 5L).map(l => (0L, l)))
+    assert(star(0L) === ((5L, 0L, Some(0.0))),
+      "a star hub's neighborhood has no internal edge")
+    assert((1L to 5L).forall(star(_) === ((1L, 0L, None))),
+      "leaves have deg 1 -> undefined coefficient, emitted null")
+    // triangle {1,2,3} + pendant 4 on node 1: node 1 has deg 3, still 1
+    // triangle among its 3 wedge pairs -> 2*1/(3*2) = 1/3
+    val pend = run(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)))
+    assert(pend(1L) === ((3L, 1L, Some(0.333333))))
+    assert(pend(2L) === ((2L, 1L, Some(1.0))) &&
+      pend(3L) === ((2L, 1L, Some(1.0))))
+    assert(pend(4L) === ((1L, 0L, None)))
+  }
+
+  test("l197 silhouette: two tight orthogonal clusters read mean " +
+      "silhouette near 1; every mean obeys the 0 <= s <= 1 law the " +
+      "argmax assignment forces") {
+    // seeds are the 2 smallest-md5 vec_ids = 6 and 7 (k = floor(sqrt(8))
+    // = 2) - planted in DIFFERENT clusters so one Lloyd round lands the
+    // canonical two-cluster fit
+    val a = Seq(0L, 1L, 2L, 6L) // hugging e1
+    val b = Seq(3L, 4L, 5L, 7L) // hugging e2
+    val rows =
+      a.zipWithIndex.map { case (id, k) =>
+        (id, 0L, Seq(1.0, 0.05 * (k - 1), 0.0)) } ++
+      b.zipWithIndex.map { case (id, k) =>
+        (id, 0L, Seq(0.05 * (k - 1), 1.0, 0.0)) }
+    val got = LlmQueries.silhouetteByCluster(
+      rows.toDF("vec_id", "label", "embedding")).collect()
+    assert(got.length === 2 && got.map(_.getLong(1)).sum === 8L,
+      s"two clusters covering all 8 vectors: ${got.mkString(", ")}")
+    got.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= 0.0 && s <= 1.0,
+        s"argmax assignment forces a <= b so s in [0,1]: $r")
+      assert(s > 0.9,
+        s"orthogonal tight clusters must read near-perfect separation: $r")
+    }
+  }
 }

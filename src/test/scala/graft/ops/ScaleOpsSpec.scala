@@ -369,4 +369,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.max(zx, zy) < sy,
       s"z-order must beat the 1-D sort on the second dimension: $zx/$zy vs $sy")
   }
+
+  test("e13 interval coalesce: a long window swallows later short ones " +
+      "through the running max-end (the case previous-end sessionization " +
+      "gets wrong), touching windows merge, disjoint ones split") {
+    import spark.implicits._
+    def run(iv: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] =
+      Intervals.coalesce(iv.toDF("user_id", "st", "en")).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+    // chain only closed by the MAX end: [0,100) spans over [10,20) so
+    // [95,105) still overlaps, and [101,110) rides the extended end; a
+    // previous-row-end rule would split after [10,20)
+    val swallow = run(Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 95L, 105L),
+      (1L, 101L, 110L)))
+    assert(swallow === Seq((1L, 0L, 110L, 4L)),
+      s"the running max-end must keep the chain alive: $swallow")
+    // touching half-open windows share an endpoint -> one span
+    val touch = run(Seq((1L, 0L, 10L), (1L, 10L, 20L)))
+    assert(touch === Seq((1L, 0L, 20L, 2L)))
+    // a 1-unit gap splits
+    val gap = run(Seq((1L, 0L, 10L), (1L, 11L, 20L)))
+    assert(gap === Seq((1L, 0L, 10L, 1L), (2L, 11L, 20L, 1L)))
+    // keys never merge across users
+    val two = Intervals.coalesce(
+      Seq((1L, 0L, 10L), (2L, 5L, 15L)).toDF("user_id", "st", "en"))
+      .collect()
+    assert(two.length === 2)
+  }
+
+  test("e13 plan: one hash exchange on user_id feeds both windows and the " +
+      "island aggregate") {
+    val df = ScaleQueries.e13_interval_coalesce.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"the two windows and the groupBy must share ONE user_id exchange, " +
+        s"got $exchanges:\n$plan")
+    assert(df.count() > 0)
+  }
 }
