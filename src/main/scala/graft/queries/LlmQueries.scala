@@ -14885,10 +14885,181 @@ object LlmQueries {
       col("ts").cast("date").as("d")))
   }
 
+  // ------------- CUPED variance reduction (l202)
+
+  /** l202's engine over any per-user (x, y) integer-cents frame —
+    * factored for the spec's closed forms (y = x exactly ⇒ θ = 1 and
+    * 100% variance reduction; x ⟂ y ⇒ θ = 0 and var_cuped = var_y;
+    * constant x ⇒ null θ, never NaN). */
+  private[graft] def cuped(xy: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"),
+      sum(dec(col("x")) * col("y")).as("sxy"))
+    // population moments as exact integer cross-terms: cov·n² =
+    // n·Σxy − Σx·Σy, var·n² = n·Σxx − Σx² — one division each at output
+    val covn2 = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varxn2 = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varyn2 = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val n2 = (col("n") * col("n")).cast("double")
+    m.select(col("n").cast("long").as("n_users"),
+      round(col("sy").cast("double") / col("n"), 6).as("mean_y_cents"),
+      round(when(varxn2 === 0.0, lit(null)).otherwise(covn2 / varxn2), 6)
+        .as("theta"),
+      round(varyn2 / n2, 6).as("var_y"),
+      round(when(varxn2 === 0.0, varyn2 / n2)
+        .otherwise((varyn2 - covn2 * covn2 / varxn2) / n2), 6).as("var_cuped"),
+      round(when(varxn2 === 0.0 || varyn2 === 0.0, lit(null))
+        .otherwise(covn2 * covn2 / (varxn2 * varyn2)), 6)
+        .as("var_reduction"))
+  }
+
+  /** L202: CUPED variance reduction over per-user event value
+    * (Deng, Xu, Kohavi & Walker 2013, WSDM — "Improving the Sensitivity
+    * of Online Controlled Experiments by Utilizing Pre-Experiment
+    * Data") — the experimentation-platform operator every A/B readout
+    * runs before quoting a confidence interval: the post-period metric
+    * y is adjusted by the pre-period covariate x (same user, earlier
+    * window) as y − θ(x − x̄) with θ = cov/var_x, shrinking metric
+    * variance by exactly ρ² — which on real user metrics is routinely
+    * 30-50%, i.e. half the experiment duration for the same power.
+    * Pre/post split at the corpus time midpoint ((min+max) div 2 in
+    * exact epoch-micros); users with no pre-period mass sit at x = 0
+    * (the standard CUPED convention for new users).
+    *
+    * Determinism — exact to the last cent: per-row values quantize to
+    * integer cents (round(value·100), integral by data contract, both
+    * engines agree on the nearest integer); per-user sums and the five
+    * corpus moments are DECIMAL(38,0) integers; cov·n² and var·n² are
+    * exact integer cross-terms (the l151 moment discipline) with ONE
+    * division each at output under round(6); degenerate variances emit
+    * null, never NaN.
+    *
+    * 100 TB posture: one min/max broadcast, one map-combinable groupBy
+    * user (conditional sums — no second scan for the split), one
+    * one-row moment aggregate. */
+  val l202_cuped = Q(
+    "l202_cuped",
+    """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |sp AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+      |u AS (SELECT user_id,
+      |        sum(CASE WHEN us < mid THEN cents ELSE 0 END) AS x,
+      |        sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS y
+      |      FROM b CROSS JOIN sp GROUP BY 1),
+      |m AS (SELECT count(*) AS n,
+      |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |        sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |        sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |        sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |        sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |      FROM u)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |       round(CAST(sy AS DOUBLE) / n, 6) AS mean_y_cents,
+      |       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0.0 THEN NULL
+      |                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |                       / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
+      |         AS theta,
+      |       round(CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * n AS DOUBLE),
+      |             6) AS var_y,
+      |       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0.0
+      |                  THEN CAST(n * syy - sy * sy AS DOUBLE)
+      |                       / CAST(n * n AS DOUBLE)
+      |                  ELSE (CAST(n * syy - sy * sy AS DOUBLE)
+      |                        - CAST(n * sxy - sx * sy AS DOUBLE)
+      |                          * CAST(n * sxy - sx * sy AS DOUBLE)
+      |                          / CAST(n * sxx - sx * sx AS DOUBLE))
+      |                       / CAST(n * n AS DOUBLE) END, 6) AS var_cuped,
+      |       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0.0
+      |                    OR CAST(n * syy - sy * sy AS DOUBLE) = 0.0 THEN NULL
+      |                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |                       * CAST(n * sxy - sx * sy AS DOUBLE)
+      |                       / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |                          * CAST(n * syy - sy * sy AS DOUBLE)) END, 6)
+      |         AS var_reduction
+      |FROM m""".stripMargin
+  ) { (s, d) =>
+    val b = events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val sp = b.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val u = b.crossJoin(broadcast(sp)).groupBy("user_id")
+      .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+    cuped(u)
+  }
+
+  // ------------- sample-ratio-mismatch guardrail (l203)
+
+  /** l203's engine over any per-unit (arm ∈ {0,1}) frame — factored for
+    * the spec's closed forms (a perfect 50/50 reads χ² = 0 and no flag;
+    * a planted 60/40 on n = 1000 reads χ² = 40 exactly and fires). */
+  private[graft] def srmCheck(arms: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = arms.agg(count(lit(1)).as("n"),
+      sum(col("arm")).as("ob"))
+    // equal-split 1-df chi² = (o_a − o_b)²/n, exactly rational; flag
+    // cross-multiplies against c²(0.05, 1df)·10⁶ = 3841459 (the l200
+    // rank-20 constant — same test, same pin)
+    val diff = col("n") - lit(2) * col("ob")
+    m.select(col("n").cast("long").as("n_units"),
+      (col("n") - col("ob")).cast("long").as("n_arm_a"),
+      col("ob").cast("long").as("n_arm_b"),
+      round(diff.cast("double") * diff / col("n"), 6).as("chi2"),
+      (dec(diff) * diff * lit(1000000L) >= dec(lit(3841459L)) * col("n"))
+        .cast("long").as("srm_flag"))
+  }
+
+  /** L203: sample-ratio-mismatch guardrail on the deterministic A/B
+    * assignment (Fabijan et al. 2019, "Diagnosing Sample Ratio
+    * Mismatch" — the #1 trust check every experimentation platform runs
+    * before ANY readout): units hash into two arms (md5 parity — the
+    * l17/l87 salted-hash idiom, reproducible and attribute-blind), and
+    * the observed split is χ²-tested against the declared 50/50; an SRM
+    * flag means the assignment or logging pipeline is dropping units
+    * asymmetrically and every downstream metric (including l202's
+    * CUPED readout) is untrustworthy — the guardrail READS FIRST.
+    *
+    * Determinism — exact flag: the equal-split 1-df χ² is exactly
+    * (o_a − o_b)²/n; the flag cross-multiplies the integer numerator
+    * against the pinned c²(.05, 1df)·10⁶ = 3841459 (the l200 rank-20
+    * constant — same constant, same provenance) in DECIMAL(38,0); the
+    * md5 arm bit is engine-exact (both hash the same decimal string).
+    *
+    * 100 TB posture: one map-combinable distinct-user pass, one
+    * map-side hash bit, one one-row aggregate — no shuffle beyond the
+    * distinct. */
+  val l203_srm_check = Q(
+    "l203_srm_check",
+    """WITH uu AS (SELECT DISTINCT user_id FROM events),
+      |a AS (SELECT user_id,
+      |        CASE WHEN ascii(right(md5(user_id::VARCHAR), 1)) % 2 = 1
+      |             THEN 1 ELSE 0 END AS arm
+      |      FROM uu)
+      |SELECT CAST(count(*) AS BIGINT) AS n_units,
+      |       CAST(count(*) - sum(arm) AS BIGINT) AS n_arm_a,
+      |       CAST(sum(arm) AS BIGINT) AS n_arm_b,
+      |       round(CAST(count(*) - 2 * sum(arm) AS DOUBLE)
+      |             * (count(*) - 2 * sum(arm)) / count(*), 6) AS chi2,
+      |       CAST(CAST(count(*) - 2 * sum(arm) AS DECIMAL(38,0))
+      |              * (count(*) - 2 * sum(arm)) * 1000000
+      |            >= CAST(3841459 AS DECIMAL(38,0)) * count(*) AS BIGINT)
+      |         AS srm_flag
+      |FROM a""".stripMargin
+  ) { (s, d) =>
+    val uu = events(s, d).select(col("user_id")).distinct()
+    srmCheck(uu.select(col("user_id"),
+      (ascii(substring(md5(col("user_id").cast("string").cast("binary")),
+        -1, 1)) % 2 === 1).cast("long").as("arm")))
+  }
+
   val all: Seq[Q] = Seq(
     l194_wasserstein_drift, l195_welch_ttest, l196_local_clustering,
     l197_silhouette, l198_l_diversity, l199_t_closeness,
-    l200_bh_fdr, l201_coverage_gaps,
+    l200_bh_fdr, l201_coverage_gaps, l202_cuped, l203_srm_check,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

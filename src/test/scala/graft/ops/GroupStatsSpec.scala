@@ -678,4 +678,43 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(got("c") === (("2024-01-01", "2024-01-02", 2L, 2L, 0L, 0L)),
       "duplicate same-day observations must collapse before counting")
   }
+
+  test("l202 CUPED closed forms: y = x reads theta = 1 and 100% variance " +
+      "reduction; zero covariance reads theta = 0 and no reduction; " +
+      "constant covariate reads null theta, never NaN") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      LlmQueries.cuped(rows.toDF("x", "y")).collect()(0)
+    val same = run(Seq((10L, 10L), (20L, 20L), (30L, 30L)))
+    assert(same.getDouble(2) === 1.0 && same.getDouble(4) === 0.0,
+      s"a perfectly predictive covariate removes ALL variance: $same")
+    assert(same.getDouble(5) === 1.0)
+    // the 2x2 factorial has exactly zero covariance
+    val indep = run(Seq((0L, 0L), (0L, 10L), (10L, 0L), (10L, 10L)))
+    assert(indep.getDouble(2) === 0.0 && indep.getDouble(5) === 0.0)
+    assert(indep.getDouble(4) === indep.getDouble(3),
+      s"an uninformative covariate must change nothing: $indep")
+    assert(indep.getDouble(3) === 25.0, "population var of {0,0,10,10}")
+    val const = run(Seq((5L, 1L), (5L, 3L)))
+    assert(const.isNullAt(2) && const.getDouble(4) === const.getDouble(3),
+      s"constant covariate: null theta, variance passes through: $const")
+  }
+
+  test("l203 SRM: a perfect split reads chi2 = 0 and no flag; 600/400 on " +
+      "1000 reads chi2 = 40 exactly and fires; the exact-integer flag " +
+      "pins the 3.841459 boundary to the unit digit") {
+    import spark.implicits._
+    def run(nA: Int, nB: Int): org.apache.spark.sql.Row =
+      LlmQueries.srmCheck(
+        (Seq.fill(nA)(0L) ++ Seq.fill(nB)(1L)).toDF("arm")).collect()(0)
+    val even = run(500, 500)
+    assert(even.getDouble(3) === 0.0 && even.getLong(4) === 0L)
+    val skew = run(600, 400)
+    assert(skew.getDouble(3) === 40.0 && skew.getLong(4) === 1L,
+      s"(600-400)^2/1000 = 40: $skew")
+    // boundary: diff = 62 on n = 1000 -> chi2 = 3.844 >= 3.841459 fires;
+    // diff = 61 -> 3.721 does not — the integer compare decides exactly
+    assert(run(531, 469).getLong(4) === 1L)
+    assert(run(530, 469).getLong(4) === 0L)
+  }
 }
