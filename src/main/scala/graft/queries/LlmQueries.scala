@@ -14370,17 +14370,28 @@ object LlmQueries {
   /** l196's engine over any undirected (i, j) pair frame — factored for
     * the spec's closed-form fixtures (triangle ⇒ every coefficient 1;
     * path/star ⇒ 0; triangle + pendant ⇒ the apex drops to 1/3). */
-  private[graft] def localClustering(pairs: DataFrame): DataFrame = {
+  /** l196's wedge stage alone — factored so WorkRowAudit counts this
+    * family's REAL work frame: Σ deg(deg−1)/2 over the verified pair
+    * graph (the blowup mode is a hub node, the same class the l139
+    * df-cap valve answers — see the l196 scaladoc). */
+  private[graft] def wedgeCandidates(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("i"), col("j"))
     val ed = p.select(col("i").as("a"), col("j").as("b"))
       .unionByName(p.select(col("j").as("a"), col("i").as("b")))
-      .localCheckpoint(false) // degrees + both wedge legs read it
-    val dg = ed.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-    val tri = ed.as("w").join(ed.as("x"),
+      .localCheckpoint(false) // both wedge legs read it
+    ed.as("w").join(ed.as("x"),
         col("w.a") === col("x.a") && col("w.b") < col("x.b"))
+      .select(col("w.a").as("v"), col("w.b").as("b"), col("x.b").as("c"))
+  }
+
+  private[graft] def localClustering(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("i"), col("j"))
+    val dg = p.select(col("i").as("v")).unionByName(p.select(col("j").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = wedgeCandidates(p)
       .join(p.select(col("i").as("tb"), col("j").as("tc")),
-        col("w.b") === col("tb") && col("x.b") === col("tc"))
-      .groupBy(col("w.a").as("v")).agg(count(lit(1)).as("tri"))
+        col("b") === col("tb") && col("c") === col("tc"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
     dg.join(tri, Seq("v"), "left")
       .select(col("v").as("doc_id"), col("deg").cast("long").as("degree"),
         coalesce(col("tri"), lit(0L)).cast("long").as("triangles"),

@@ -37,7 +37,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // round-16 additions: HHI (pure aggregates over n_chars) and the
     // capped PassJoin audit (VALUES-table segment bounds + substr +
     // levenshtein + scalar subqueries — all ANSI/Spark-parseable)
-    "l168_hhi_concentration", "l162_capped_editjoin")
+    "l168_hhi_concentration", "l162_capped_editjoin",
+    // round-16 continuation: MCC (regr_slope/intercept fit CTE + CASE
+    // cells + DECIMAL(38,0) cross-products — all Spark-parseable)
+    "h18_mcc")
 
   /** Widen int-ish cells so an INT-vs-BIGINT dtype difference between the
     * two routes can't fail a value-equal comparison (Q.normalize widens

@@ -168,6 +168,9 @@ object WorkRowAudit {
         (d: DataFrame) => LlmQueries.cappedIncrementalCandidates(
           sh(d.filter(col("doc_id") % 2 === 0)),
           sh(d.filter(col("doc_id") % 2 === 1)), tau = 0.8, cap = 4).count()),
+      ("l196 wedge checks (on the verified pair graph)",
+        (d: DataFrame) => LlmQueries.wedgeCandidates(
+          LlmQueries.jaccardNearDupFrom(sh(d))).count()),
       ("l150 dHash band buckets (8x8 demo)",
         (d: DataFrame) => LlmQueries.hammingCandidates(phash(d)).count()),
       // the scaladoc's declared scale knob: the same 64 bits as 4x16-bit
