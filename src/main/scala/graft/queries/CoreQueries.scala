@@ -907,11 +907,61 @@ object CoreQueries {
     ).orderBy("o_orderkey")
   }
 
+  /** A21: size-targeted small-file compaction — the operational layout
+    * fix every long-lived 100 TB table needs (streaming sinks,
+    * per-partition upserts and per-task writers all fragment a table
+    * into thousands of KB-scale files; NameNode/manifest pressure and
+    * per-file open cost then dominate scans long before data volume
+    * does). The op: a deliberately fragmented 64-way write simulates
+    * the problem, the directory's REAL byte size (Hadoop
+    * getContentSummary, through the session's filesystem — the a19/a20
+    * sidecar discipline, so a non-local scratch URI works) sizes the
+    * rewrite at ⌈bytes / 32 MiB⌉ output files, and the compacted copy
+    * is read back. Declared output = content checksums (count + two
+    * exact integer column sums) proving compaction is LOSSLESS — the
+    * only thing a compactor must never change; CompactionSpec pins the
+    * mechanics (64 fragments in, the computed file count out, fewer
+    * files than fragments).
+    *
+    * Determinism: checksums are exact integer aggregates over integer
+    * columns, identical whatever the file layout — which is the point.
+    *
+    * 100 TB posture: compaction is one repartition(n) rewrite per
+    * partition-directory, embarrassingly parallel across partitions; n
+    * from the manifest's byte size, never from a row count (rows don't
+    * predict encoded size). At deployment the repartition is
+    * `rebalance` /AQE-coalesce so no single file exceeds the target
+    * even under skew. */
+  val a21_compaction = Q(
+    "a21_compaction",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(l_orderkey * 10 + l_linenumber) AS BIGINT) AS key_sum,
+      |       CAST(sum(l_partkey) + sum(l_suppkey) AS BIGINT) AS part_supp_sum
+      |FROM lineitem""".stripMargin
+  ) { (s, d) =>
+    val small = graft.Tables.scratchDir(s, d, "graft_compact_small")
+    val big = graft.Tables.scratchDir(s, d, "graft_compact_out")
+    lineitem(s, d).repartition(64).write.mode("overwrite").parquet(small)
+    val p = new org.apache.hadoop.fs.Path(small)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val target = 32L * 1024 * 1024
+    val nOut = math.max(1, ((bytes + target - 1) / target).toInt)
+    s.read.parquet(small).repartition(nOut)
+      .write.mode("overwrite").parquet(big)
+    s.read.parquet(big).agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      sum(col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+        .as("key_sum"),
+      (sum(col("l_partkey")) + sum(col("l_suppkey"))).cast("long")
+        .as("part_supp_sum"))
+  }
+
   val all: Seq[Q] = Seq(
     a1_csv_roundtrip, a3_parquet_scan, a4_date_parse, a8_json_roundtrip,
     a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge, a15_corrupt_json,
     a16_codec_roundtrip, a17_corrupt_csv, a18_xml_roundtrip,
-    a19_selective_ingest, a20_manifest_checked_read,
+    a19_selective_ingest, a20_manifest_checked_read, a21_compaction,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,

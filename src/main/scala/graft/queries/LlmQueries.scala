@@ -15067,10 +15067,103 @@ object LlmQueries {
         -1, 1)) % 2 === 1).cast("long").as("arm")))
   }
 
+  // ------------- Neyman allocation for stratified sampling (l204)
+
+  /** l204's engine over any per-stratum (g, n, s1, q1) integer-moment
+    * frame — factored for the spec's closed forms (equal sizes with sd
+    * ratio 3:1 allocate 75/25 of B = 100 exactly; a zero-variance
+    * stratum gets 0; Σalloc = B is the largest-remainder law). */
+  private[graft] def neymanAllocation(rg: DataFrame, budget: Long): DataFrame = {
+    // population sd per stratum from exact integer moments
+    val sd = sqrt((col("n") * col("q1") - col("s1") * col("s1")).cast("double")) /
+      col("n")
+    // Neyman weight a_h = N_h·σ_h; the cross-stratum total folds through
+    // round(·,12)-into-DECIMAL (order-free, the h15 discipline)
+    val w = rg.select(col("g"), col("n"), sd.as("sd"),
+      (col("n") * sd).as("ah"))
+    val tot = w.agg(sum(round(col("ah"), 12).cast("decimal(28,12)"))
+      .cast("double").as("t"))
+    val raw = col("ah") * budget / col("t")
+    val fl = w.crossJoin(broadcast(tot))
+      .select(col("g"), col("n"), col("sd"),
+        when(col("t") === 0.0, lit(0.0)).otherwise(raw).as("raw"),
+        when(col("t") === 0.0, lit(0L))
+          .otherwise(floor(raw).cast("long")).as("fl"))
+    // largest-remainder rounding: hand the leftover units to the largest
+    // fractional parts (g tie-break) — Σalloc = budget exactly
+    val wAll = Window.orderBy(lit(1))
+    val wFrac = Window.orderBy((col("raw") - col("fl")).desc, col("g"))
+    fl.withColumn("left", lit(budget) - sum("fl").over(
+        wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("frk", row_number().over(wFrac))
+      .select(col("g"), col("n").cast("long").as("n_stratum"),
+        round(col("sd"), 6).as("sd"),
+        round(col("raw"), 6).as("raw_alloc"),
+        (col("fl") + (col("frk") <= col("left")).cast("long")).as("alloc"))
+      .orderBy("g")
+  }
+
+  /** L204: Neyman allocation of a fixed audit budget across source
+    * strata (Neyman 1934) — the sampling-DESIGN operator beside the
+    * sampling EXECUTORS (l17 picks within declared strata, l47 by
+    * weight, l87 per cluster): when a human review budget of B = 100
+    * documents must be split across 20 sources, proportional allocation
+    * wastes reads on homogeneous sources — the variance-minimizing
+    * split is n_h ∝ N_h·σ_h (here σ over n_chars, the l186/l195 moment
+    * frames), which is what every survey-sampling and data-audit
+    * pipeline runs before drawing. Integerization is LARGEST-REMAINDER
+    * (Hamilton) — floor every share, hand the leftover units to the
+    * largest fractional parts — so Σalloc = B exactly, no drift.
+    *
+    * Determinism: per-stratum moments are exact integers; σ_h and the
+    * shares are identical expression trees on identical operands (the
+    * l6 rounded-rank class); the cross-stratum Σ(N_h·σ_h) folds through
+    * round(·,12)-into-DECIMAL (order-free); the remainder rank
+    * tie-breaks on the stratum key. Zero-variance strata get raw 0
+    * (Neyman's own answer: a constant stratum needs ONE probe, which
+    * the largest-remainder leftover can still grant it).
+    *
+    * 100 TB posture: one map-combinable moment pass; everything after
+    * is #strata metadata rows (the documented global-window exception
+    * class). */
+  val l204_neyman_allocation = Q(
+    "l204_neyman_allocation",
+    """WITH tc AS (SELECT source AS g, n_chars AS v FROM documents),
+      |rg AS (SELECT g, count(*) AS n, sum(v) AS s1, sum(v * v) AS q1
+      |       FROM tc GROUP BY 1),
+      |w AS (SELECT g, n,
+      |        sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)) / n AS sd,
+      |        n * (sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)) / n) AS ah
+      |      FROM rg),
+      |tot AS (SELECT CAST(sum(CAST(round(ah, 12) AS DECIMAL(28,12)))
+      |               AS DOUBLE) AS t FROM w),
+      |fl AS (SELECT g, n, sd,
+      |         CASE WHEN t.t = 0.0 THEN 0.0 ELSE ah * 100 / t.t END AS raw,
+      |         CASE WHEN t.t = 0.0 THEN 0
+      |              ELSE CAST(floor(ah * 100 / t.t) AS BIGINT) END AS fl
+      |       FROM w CROSS JOIN tot t),
+      |rk AS (SELECT *,
+      |         100 - sum(fl) OVER () AS lft,
+      |         row_number() OVER (ORDER BY raw - fl DESC, g) AS frk
+      |       FROM fl)
+      |SELECT g, CAST(n AS BIGINT) AS n_stratum, round(sd, 6) AS sd,
+      |       round(raw, 6) AS raw_alloc,
+      |       CAST(fl + CASE WHEN frk <= lft THEN 1 ELSE 0 END AS BIGINT)
+      |         AS alloc
+      |FROM rk ORDER BY g""".stripMargin
+  ) { (s, d) =>
+    val rg = documents(s, d).select(col("source").as("g"),
+        col("n_chars").as("v"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s1"),
+        sum(col("v") * col("v")).as("q1"))
+    neymanAllocation(rg, 100L)
+  }
+
   val all: Seq[Q] = Seq(
     l194_wasserstein_drift, l195_welch_ttest, l196_local_clustering,
     l197_silhouette, l198_l_diversity, l199_t_closeness,
     l200_bh_fdr, l201_coverage_gaps, l202_cuped, l203_srm_check,
+    l204_neyman_allocation,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

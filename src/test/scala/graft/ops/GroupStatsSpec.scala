@@ -717,4 +717,31 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(run(531, 469).getLong(4) === 1L)
     assert(run(530, 469).getLong(4) === 0L)
   }
+
+  test("l204 Neyman: equal sizes with sd ratio 3:1 allocate exactly 75/25 " +
+      "of B = 100; a zero-variance stratum gets 0; the largest-remainder " +
+      "law Sum(alloc) = B holds on the corpus") {
+    import spark.implicits._
+    def rgOf(rows: Seq[(String, Seq[Long])]): org.apache.spark.sql.DataFrame =
+      rows.map { case (g, vs) =>
+        (g, vs.size.toLong, vs.sum, vs.map(v => v * v).sum) }
+        .toDF("g", "n", "s1", "q1")
+    // A = {0,6,0,6} (sd 3), B = {0,2,0,2} (sd 1), equal Nh -> 75/25 exact
+    val got = LlmQueries.neymanAllocation(
+      rgOf(Seq("A" -> Seq(0L, 6L, 0L, 6L), "B" -> Seq(0L, 2L, 0L, 2L))), 100L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(4))))
+      .toMap
+    assert(got("A") === ((3.0, 75L)) && got("B") === ((1.0, 25L)), s"$got")
+    // a constant stratum carries zero Neyman weight
+    val z = LlmQueries.neymanAllocation(
+      rgOf(Seq("A" -> Seq(0L, 6L), "C" -> Seq(5L, 5L))), 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(z === Map("A" -> 10L, "C" -> 0L))
+    // corpus: the largest-remainder integerization must hit B exactly
+    val corpus = LlmQueries.l204_neyman_allocation
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(corpus.map(_.getLong(4)).sum === 100L,
+      "Sum(alloc) = B is the largest-remainder law")
+    assert(corpus.length === 20)
+  }
 }

@@ -398,6 +398,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(two.length === 2)
   }
 
+  test("a21 compaction mechanics: 64 fragments in, the size-computed file " +
+      "count out, strictly fewer files, content checksums preserved") {
+    import graft.queries.CoreQueries
+    val row = CoreQueries.a21_compaction.fn(spark, sf).collect()(0)
+    def parts(prefix: String): Array[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        graft.Tables.scratchDir(spark, sf, prefix))
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    }
+    val small = parts("graft_compact_small")
+    val big = parts("graft_compact_out")
+    assert(small.length === 64, s"the fragmented write must show the " +
+      s"problem: ${small.length} files")
+    val p = new org.apache.hadoop.fs.Path(
+      graft.Tables.scratchDir(spark, sf, "graft_compact_small"))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val want = math.max(1,
+      ((fs.getContentSummary(p).getLength + (32L << 20) - 1) / (32L << 20)).toInt)
+    assert(big.length === want && big.length < small.length,
+      s"compaction must hit the size-computed count: ${big.length} vs $want")
+    // losslessness: checksums equal the direct-table aggregates
+    import org.apache.spark.sql.functions._
+    val direct = graft.Tables.lineitem(spark, sf).agg(
+      count(lit(1)), sum(col("l_orderkey") * 10 + col("l_linenumber")),
+      sum(col("l_partkey")) + sum(col("l_suppkey"))).collect()(0)
+    assert(row.getLong(0) === direct.getLong(0) &&
+      row.getLong(1) === direct.getLong(1) &&
+      row.getLong(2) === direct.getLong(2))
+  }
+
   test("e13 plan: one hash exchange on user_id feeds both windows and the " +
       "island aggregate") {
     val df = ScaleQueries.e13_interval_coalesce.fn(spark, sf)
