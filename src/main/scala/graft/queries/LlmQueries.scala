@@ -15159,11 +15159,151 @@ object LlmQueries {
     neymanAllocation(rg, 100L)
   }
 
+  // ------------- the Neyman draw (l205): l204's design, executed
+
+  /** L205: the stratified DRAW executing l204's Neyman design — the
+    * composition row proving design and execution agree end to end:
+    * each source contributes exactly its l204 allocation, members picked
+    * inside each stratum by the corpus-wide deterministic hash order
+    * (smallest md5(doc_id) first — the l17/l87 idiom), so the audit
+    * sample is reproducible, attribute-blind within strata, and
+    * variance-minimizing across them. What a data-audit pipeline
+    * actually ships to reviewers is THIS frame, not the allocation
+    * table.
+    *
+    * Determinism: the allocation is l204's own engine (same moments,
+    * same largest-remainder integers); the within-stratum rank is the
+    * md5 string order both engines share; the join is a broadcast of
+    * 20 metadata rows.
+    *
+    * 100 TB posture: one moment pass (shared with l204 in a warm
+    * session), one per-stratum rank window with a rank ≤ alloc cut
+    * (WindowGroupLimit pushes the cap into the sort), the allocation
+    * broadcast back. */
+  val l205_neyman_draw = Q(
+    "l205_neyman_draw",
+    """WITH tc AS (SELECT source AS g, n_chars AS v FROM documents),
+      |rg AS (SELECT g, count(*) AS n, sum(v) AS s1, sum(v * v) AS q1
+      |       FROM tc GROUP BY 1),
+      |w AS (SELECT g, n,
+      |        sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)) / n AS sd,
+      |        n * (sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)) / n) AS ah
+      |      FROM rg),
+      |tot AS (SELECT CAST(sum(CAST(round(ah, 12) AS DECIMAL(28,12)))
+      |               AS DOUBLE) AS t FROM w),
+      |fl AS (SELECT g, n, sd,
+      |         CASE WHEN t.t = 0.0 THEN 0.0 ELSE ah * 100 / t.t END AS raw,
+      |         CASE WHEN t.t = 0.0 THEN 0
+      |              ELSE CAST(floor(ah * 100 / t.t) AS BIGINT) END AS fl
+      |       FROM w CROSS JOIN tot t),
+      |rk AS (SELECT *,
+      |         100 - sum(fl) OVER () AS lft,
+      |         row_number() OVER (ORDER BY raw - fl DESC, g) AS frk
+      |       FROM fl),
+      |al AS (SELECT g, fl + CASE WHEN frk <= lft THEN 1 ELSE 0 END AS alloc
+      |       FROM rk),
+      |sr AS (SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(doc_id::VARCHAR), doc_id) AS srank
+      |       FROM documents)
+      |SELECT sr.source, sr.doc_id, CAST(sr.srank AS BIGINT) AS samp_rank
+      |FROM sr JOIN al ON al.g = sr.source
+      |WHERE sr.srank <= al.alloc
+      |ORDER BY sr.source, sr.srank""".stripMargin
+  ) { (s, d) =>
+    val rg = documents(s, d).select(col("source").as("g"),
+        col("n_chars").as("v"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s1"),
+        sum(col("v") * col("v")).as("q1"))
+    val al = neymanAllocation(rg, 100L)
+      .select(col("g").as("source"), col("alloc"))
+    val mdKey = md5(col("doc_id").cast("string").cast("binary"))
+    val srank = row_number().over(
+      Window.partitionBy("source").orderBy(mdKey, col("doc_id")))
+    documents(s, d).select(col("source"), col("doc_id"))
+      .withColumn("samp_rank", srank.cast("long"))
+      .join(broadcast(al), Seq("source"))
+      .filter(col("samp_rank") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("samp_rank"))
+      .orderBy("source", "samp_rank")
+  }
+
+  // ------------- rendezvous resharding stability (l206)
+
+  /** l206's per-doc shard assignment under rendezvous (HRW) hashing with
+    * n shards — factored for the spec's structural law: adding a shard
+    * can only move a doc TO the new shard (the max over the old
+    * candidates is unchanged unless the new candidate beats it), which
+    * is the whole point of the scheme. Hash = md5 of "doc_id:shard" —
+    * a string both engines produce byte-identically; argmax by string
+    * order (md5 collisions would need 2^64+ docs to matter). */
+  private[graft] def rendezvousShard(n: Int): Column = {
+    val hs = transform(sequence(lit(0), lit(n - 1)), sh =>
+      md5(concat(col("doc_id").cast("string"), lit(":"),
+        sh.cast("string")).cast("binary")))
+    (array_position(hs, array_max(hs)) - 1).cast("long")
+  }
+
+  /** L206: resharding stability audit — rendezvous (highest-random-
+    * weight) hashing vs mod-hash when a shard is ADDED (Thaler &
+    * Ravishankar 1996; the property consistent hashing was invented
+    * for): a 100 TB corpus sharded mod-16 moves ~16/17 of every shard
+    * on the 16→17 rebalance (every cache, every co-located index
+    * invalidated), while rendezvous moves EXACTLY the ~1/17 that lands
+    * on the new shard — and nothing else, a structural theorem the
+    * spec pins per row. l33/l60 declare the shard layout and manifest;
+    * THIS is the number that decides whether growing the fleet is an
+    * overnight job or a month of re-replication.
+    *
+    * Determinism: shard ids are argmax over md5 strings both engines
+    * produce byte-identically (the l17 hash-order idiom applied to
+    * assignment); moved counts are exact integers; two divisions at
+    * output.
+    *
+    * 100 TB posture: pure per-row map work (n+1 hashes per doc, no
+    * shuffle at all before the one-row aggregate); at deployment the
+    * argmax is over shard ids, so adding capacity is a metadata
+    * change, not a reshuffle. */
+  val l206_rendezvous_resharding = Q(
+    "l206_rendezvous_resharding",
+    """WITH a AS (SELECT doc_id,
+      |    list_indexof(h16, list_max(h16)) - 1 AS s16,
+      |    list_indexof(h17, list_max(h17)) - 1 AS s17,
+      |    doc_id % 16 AS m16, doc_id % 17 AS m17
+      |  FROM (SELECT doc_id,
+      |          list_transform(range(0, 16),
+      |            sh -> md5(doc_id::VARCHAR || ':' || sh::VARCHAR)) AS h16,
+      |          list_transform(range(0, 17),
+      |            sh -> md5(doc_id::VARCHAR || ':' || sh::VARCHAR)) AS h17
+      |        FROM documents))
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS rv_moved,
+      |       round(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) * 1.0
+      |             / count(*), 6) AS rv_moved_frac,
+      |       CAST(sum(CASE WHEN m16 <> m17 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS mod_moved,
+      |       round(sum(CASE WHEN m16 <> m17 THEN 1 ELSE 0 END) * 1.0
+      |             / count(*), 6) AS mod_moved_frac
+      |FROM a""".stripMargin
+  ) { (s, d) =>
+    val a = spread(documents(s, d)).select(col("doc_id"),
+      rendezvousShard(16).as("s16"), rendezvousShard(17).as("s17"),
+      (col("doc_id") % 16).as("m16"), (col("doc_id") % 17).as("m17"))
+    a.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum((col("s16") =!= col("s17")).cast("long")).as("rv_moved"),
+      round(sum((col("s16") =!= col("s17")).cast("long")) * 1.0 /
+        count(lit(1)), 6).as("rv_moved_frac"),
+      sum((col("m16") =!= col("m17")).cast("long")).as("mod_moved"),
+      round(sum((col("m16") =!= col("m17")).cast("long")) * 1.0 /
+        count(lit(1)), 6).as("mod_moved_frac"))
+  }
+
   val all: Seq[Q] = Seq(
     l194_wasserstein_drift, l195_welch_ttest, l196_local_clustering,
     l197_silhouette, l198_l_diversity, l199_t_closeness,
     l200_bh_fdr, l201_coverage_gaps, l202_cuped, l203_srm_check,
-    l204_neyman_allocation,
+    l204_neyman_allocation, l205_neyman_draw, l206_rendezvous_resharding,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

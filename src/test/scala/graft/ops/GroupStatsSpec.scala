@@ -744,4 +744,44 @@ class GroupStatsSpec extends AnyFunSuite {
       "Sum(alloc) = B is the largest-remainder law")
     assert(corpus.length === 20)
   }
+
+  test("l205 draw executes l204's design exactly: per-stratum sample " +
+      "counts equal the allocations, ranks are 1..alloc_h, total = B") {
+    val sf = "/root/testdata/sf0.001"
+    val alloc = LlmQueries.l204_neyman_allocation.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val draw = LlmQueries.l205_neyman_draw.fn(spark, sf).collect()
+      .groupBy(_.getString(0))
+    draw.foreach { case (src, rows) =>
+      assert(rows.length.toLong === alloc(src),
+        s"$src must contribute exactly its allocation")
+      assert(rows.map(_.getLong(2)).sorted.toSeq ===
+        (1L to alloc(src)).toSeq, s"ranks must be 1..alloc at $src")
+    }
+    assert(draw.values.map(_.length).sum === 100)
+    // strata allocated zero must be absent from the draw
+    alloc.filter(_._2 === 0L).keys.foreach(src =>
+      assert(!draw.contains(src), s"zero-alloc stratum $src must not draw"))
+  }
+
+  test("l206 rendezvous law: adding a shard only moves docs TO the new " +
+      "shard (structural, every row), and the moved fraction sits near " +
+      "1/17 while mod-hash moves nearly everything") {
+    import org.apache.spark.sql.functions._
+    val a = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), LlmQueries.rendezvousShard(16).as("s16"),
+        LlmQueries.rendezvousShard(17).as("s17"))
+    val moved = a.filter(col("s16") =!= col("s17"))
+    assert(moved.filter(col("s17") =!= 16).count() === 0L,
+      "a doc that moves under rendezvous can ONLY land on the new shard")
+    val n = a.count().toDouble
+    val frac = moved.count() / n
+    assert(frac > 0.01 && frac < 0.15,
+      s"rendezvous movement must sit near 1/17: $frac")
+    val modFrac = a.filter(col("doc_id") % 16 =!= col("doc_id") % 17)
+      .count() / n
+    assert(modFrac > 0.8, s"mod-hash must move nearly everything: $modFrac")
+    assert(modFrac > 5 * frac,
+      "the gap IS the operator's value: rendezvous beats mod by >5x here")
+  }
 }
