@@ -15177,9 +15177,11 @@ object LlmQueries {
     * 20 metadata rows.
     *
     * 100 TB posture: one moment pass (shared with l204 in a warm
-    * session), one per-stratum rank window with a rank ≤ alloc cut
-    * (WindowGroupLimit pushes the cap into the sort), the allocation
-    * broadcast back. */
+    * session), one per-stratum rank window capped FIRST at the literal
+    * budget B (a rank-vs-LITERAL cut is what WindowGroupLimit can push
+    * into the sort — no task materializes a stratum's full hash order;
+    * the exact per-stratum alloc cut is a second filter after the
+    * 20-row broadcast join, correct because every alloc_h ≤ B). */
   val l205_neyman_draw = Q(
     "l205_neyman_draw",
     """WITH tc AS (SELECT source AS g, n_chars AS v FROM documents),
@@ -15222,6 +15224,7 @@ object LlmQueries {
       Window.partitionBy("source").orderBy(mdKey, col("doc_id")))
     documents(s, d).select(col("source"), col("doc_id"))
       .withColumn("samp_rank", srank.cast("long"))
+      .filter(col("samp_rank") <= 100L) // literal B → WindowGroupLimit
       .join(broadcast(al), Seq("source"))
       .filter(col("samp_rank") <= col("alloc"))
       .select(col("source"), col("doc_id"), col("samp_rank"))

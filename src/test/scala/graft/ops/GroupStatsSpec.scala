@@ -762,6 +762,12 @@ class GroupStatsSpec extends AnyFunSuite {
     // strata allocated zero must be absent from the draw
     alloc.filter(_._2 === 0L).keys.foreach(src =>
       assert(!draw.contains(src), s"zero-alloc stratum $src must not draw"))
+    // the literal-B cap must reach the sort: no task materializes a
+    // stratum's full hash order (the scaladoc's WindowGroupLimit claim)
+    val plan = LlmQueries.l205_neyman_draw.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rank <= 100 literal cut must push into the window sort:\n$plan")
   }
 
   test("l206 rendezvous law: adding a shard only moves docs TO the new " +
