@@ -15302,11 +15302,226 @@ object LlmQueries {
         count(lit(1)), 6).as("mod_moved_frac"))
   }
 
+  // ------------- O'Brien–Fleming sequential looks (l207)
+
+  /** The OBF boundary² · 10⁶ per look for K = 4 equally-spaced interim
+    * analyses at overall two-sided α = .05: z_k = c·√(K/k) with
+    * c = 2.024 (the standard O'Brien & Fleming 1979 table), so
+    * b²(k)·10⁶ = 4.096576·(4/k)·10⁶ — exact for k ∈ {1,2,4}, k = 3
+    * rounded. Look 4's 2.024 ≈ the fixed-test 1.96 plus the spent α. */
+  private[graft] val ObfB2e6 = Seq(16386304L, 8193152L, 5462101L, 4096576L)
+
+  /** l207's engine over any (arm, q, n, s, q2) per-(arm, look-quarter)
+    * integer-moment frame — factored for the spec's closed forms (a
+    * planted arm gap crosses at the FIRST look where the boundary has
+    * fallen far enough; a null split never crosses; boundaries are
+    * monotone decreasing). */
+  private[graft] def obfLooks(m: DataFrame, b2e6: Seq[Long]): DataFrame = {
+    val k = b2e6.size
+    val w = Window.partitionBy("arm").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = m.select(col("arm"), col("q"),
+      sum("n").over(w).as("n"), sum("s").over(w).as("s"),
+      sum("q2").over(w).as("q2"))
+    val a = cum.filter(col("arm") === 0).select(col("q"), col("n").as("n1"),
+      col("s").as("s1"), col("q2").as("w1"))
+    val b = cum.filter(col("arm") === 1).select(col("q"), col("n").as("n2"),
+      col("s").as("s2"), col("q2").as("w2"))
+    val j = a.join(b, Seq("q"))
+    val m1 = col("s1").cast("double") / col("n1")
+    val m2 = col("s2").cast("double") / col("n2")
+    val u1 = (col("n1") * col("w1") - col("s1") * col("s1")).cast("double") /
+      col("n1") / (col("n1") - 1) / col("n1")
+    val u2 = (col("n2") * col("w2") - col("s2") * col("s2")).cast("double") /
+      col("n2") / (col("n2") - 1) / col("n2")
+    val z = (m1 - m2) / sqrt(u1 + u2)
+    val bArr = array(b2e6.map(lit): _*)
+    val b2 = element_at(bArr, col("q").cast("int")).cast("double") / 1000000.0
+    val bad = col("n1") < 2 || col("n2") < 2 || (u1 + u2) === 0.0
+    j.filter(col("q") <= k)
+      .select(col("q").cast("long").as("look"),
+        col("n1").cast("long").as("n_a"), col("n2").cast("long").as("n_b"),
+        round(m1, 6).as("mean_a"), round(m2, 6).as("mean_b"),
+        round(when(bad, lit(null)).otherwise(z), 6).as("z"),
+        round(sqrt(b2), 6).as("z_boundary"),
+        when(bad, lit(0L)).otherwise((z * z >= b2).cast("long")).as("crossed"))
+      .orderBy("look")
+  }
+
+  /** L207: O'Brien–Fleming group-sequential looks over the hashed A/B
+    * arms (O'Brien & Fleming 1979; Pocock 1977 for the family) — the
+    * TEMPORAL closure of the experimentation battery: l203 guards the
+    * split, l202 shrinks the variance, l200 controls the dashboard's
+    * width, and THIS controls its LENGTH — peeking at a fixed-α test
+    * every week inflates false alarms exactly like 20 sources do, and
+    * OBF is the standard spend schedule (near-unrejectable early looks,
+    * ≈ the fixed test at the last). Four equally-spaced looks over the
+    * event-time range, metric = per-event value (cents), arms = l203's
+    * md5 parity — a null split by construction, so the corpus rows also
+    * serve as the guardrail's negative control.
+    *
+    * Determinism: look boundaries are exact integer-µs arithmetic
+    * ((span+1)·k div K, so look K provably covers max(ts)); per-(arm,
+    * look) moments are exact integer cents; z and the boundary compare
+    * are identical expression trees on identical operands (the l125/
+    * l133 float-flag class — the OBF boundary itself is a pinned
+    * rational, ObfB2e6); degenerate looks read null z and crossed = 0.
+    *
+    * 100 TB posture: one map-side look-index + arm bit per event, one
+    * map-combinable groupBy to 2·K rows, cumulative windows over
+    * metadata. */
+  val l207_obf_looks = Q(
+    "l207_obf_looks", {
+      val bvals = ObfB2e6.zipWithIndex
+        .map { case (c, i) => s"(${i + 1}, ${c})" }.mkString(", ")
+      s"""WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |             CAST(round(value * 100) AS BIGINT) AS cents
+         |           FROM events),
+         |sp AS (SELECT min(us) AS mn, max(us) AS mx FROM b),
+         |e AS (SELECT CASE WHEN ascii(right(md5(user_id::VARCHAR), 1)) % 2 = 1
+         |               THEN 1 ELSE 0 END AS arm,
+         |        least(4, 1 + ((us - mn) * 4) // (mx - mn + 1)) AS q,
+         |        cents
+         |      FROM b CROSS JOIN sp),
+         |m AS (SELECT arm, q, count(*) AS n, sum(cents) AS s,
+         |        sum(cents * cents) AS q2
+         |      FROM e GROUP BY 1, 2),
+         |cum AS (SELECT arm, q,
+         |          sum(n) OVER (PARTITION BY arm ORDER BY q) AS n,
+         |          sum(s) OVER (PARTITION BY arm ORDER BY q) AS s,
+         |          sum(q2) OVER (PARTITION BY arm ORDER BY q) AS q2
+         |        FROM m),
+         |j AS (SELECT a.q, a.n AS n1, a.s AS s1, a.q2 AS w1,
+         |        bb.n AS n2, bb.s AS s2, bb.q2 AS w2
+         |      FROM cum a JOIN cum bb ON bb.q = a.q AND bb.arm = 1
+         |      WHERE a.arm = 0),
+         |ld(i, c) AS (VALUES $bvals),
+         |u AS (SELECT j.*, ld.c,
+         |        CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+         |        CAST(n1 * w1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1 AS u1,
+         |        CAST(n2 * w2 - s2 * s2 AS DOUBLE) / n2 / (n2 - 1) / n2 AS u2
+         |      FROM j JOIN ld ON ld.i = j.q)
+         |SELECT CAST(q AS BIGINT) AS look,
+         |       CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+         |       round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+         |       round(CASE WHEN n1 < 2 OR n2 < 2 OR u1 + u2 = 0.0 THEN NULL
+         |                  ELSE (m1 - m2) / sqrt(u1 + u2) END, 6) AS z,
+         |       round(sqrt(CAST(c AS DOUBLE) / 1000000.0), 6) AS z_boundary,
+         |       CASE WHEN n1 < 2 OR n2 < 2 OR u1 + u2 = 0.0 THEN 0
+         |            WHEN (m1 - m2) / sqrt(u1 + u2)
+         |                 * ((m1 - m2) / sqrt(u1 + u2))
+         |                 >= CAST(c AS DOUBLE) / 1000000.0
+         |            THEN 1 ELSE 0 END AS crossed
+         |FROM u ORDER BY look""".stripMargin
+    }
+  ) { (s, d) =>
+    val b = events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val sp = b.agg(min("us").as("mn"), max("us").as("mx"))
+    val e = b.crossJoin(broadcast(sp)).select(
+      (ascii(substring(md5(col("user_id").cast("string").cast("binary")),
+        -1, 1)) % 2 === 1).cast("long").as("arm"),
+      least(lit(4L), lit(1L) +
+        expr("((us - mn) * 4) div (mx - mn + 1)")).as("q"),
+      col("cents"))
+    val m = e.groupBy("arm", "q").agg(count(lit(1)).as("n"),
+      sum("cents").as("s"), sum(col("cents") * col("cents")).as("q2"))
+    obfLooks(m, ObfB2e6)
+  }
+
+  // ------------- jackknife leave-one-source-out influence (l208)
+
+  /** l208's engine over any per-group (source, n, k) proportion frame —
+    * factored for the spec's closed forms (equal groups with equal
+    * rates ⇒ every delta 0 and SE 0; one deviant source carries the
+    * whole delta mass and its sign). */
+  private[graft] def jackknifeInfluence(kk: DataFrame): DataFrame = {
+    val tot = kk.agg(sum("n").as("nt"), sum("k").as("kt"),
+      count(lit(1)).as("m"))
+    val j = kk.crossJoin(broadcast(tot))
+    val full = col("kt").cast("double") / col("nt")
+    val loo = (col("kt") - col("k")).cast("double") /
+      (col("nt") - col("n"))
+    val base = j.select(col("source"), col("n"), col("k"), col("m"),
+      full.as("full_rate"), loo.as("loo"))
+    // jackknife SE = sqrt((m−1)/m · Σ(θ_(i) − θ̄_(·))²); the replicate
+    // mean and the squared deviations fold through round(·,12) decimals
+    // (order-free, the h15 discipline) over the m metadata rows
+    val thetaBar = base.agg(
+      (sum(round(col("loo"), 12).cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("tb"))
+    base.crossJoin(broadcast(thetaBar))
+      .withColumn("se", sqrt(lit(1.0) * (col("m") - 1) / col("m") *
+        sum(round((col("loo") - col("tb")) * (col("loo") - col("tb")), 12)
+          .cast("decimal(28,12)")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("double")))
+      .select(col("source"), col("n").cast("long").as("n"),
+        col("k").cast("long").as("k"),
+        round(col("loo"), 6).as("rate_without"),
+        round(col("full_rate") - col("loo"), 6).as("influence"),
+        round(col("se"), 6).as("jack_se"))
+      .orderBy("source")
+  }
+
+  /** L208: jackknife leave-one-source-out influence on the corpus keep
+    * rate (Quenouille 1956; Tukey 1958) — the INFLUENCE audit beside
+    * the l200 significance battery: before believing any corpus-level
+    * quality number, a release review asks "which single source moves
+    * it most if dropped?" (a +2-point influence from one crawl slice
+    * is a provenance bug, not a corpus property), and the jackknife SE
+    * over the 20 replicates is the classic variance estimate that
+    * needs no resampling randomness at all — the deterministic
+    * complement to l124's md5-pinned bootstrap.
+    *
+    * Determinism: every leave-one-out rate is one division of exact
+    * integers; the replicate mean and squared deviations fold through
+    * round(·,12)-into-DECIMAL over 20 metadata rows (order-free);
+    * outputs 6 dp, no flags.
+    *
+    * 100 TB posture: rides the cached quality frame; one groupBy to 20
+    * rows, two broadcasts, one metadata window (the documented
+    * exception class). */
+  val l208_jackknife_influence = Q(
+    "l208_jackknife_influence",
+    s"""WITH RECURSIVE d2 AS (SELECT doc_id, source FROM documents),
+       |$qualityCte,
+       |kk AS (SELECT d2.source, count(*) AS n,
+       |         sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS k
+       |       FROM d2 LEFT JOIN q ON q.doc_id = d2.doc_id
+       |       GROUP BY 1),
+       |tot AS (SELECT sum(n) AS nt, sum(k) AS kt, count(*) AS m FROM kk),
+       |base AS (SELECT kk.source, kk.n, kk.k, t.m,
+       |           CAST(t.kt AS DOUBLE) / t.nt AS full_rate,
+       |           CAST(t.kt - kk.k AS DOUBLE) / (t.nt - kk.n) AS loo
+       |         FROM kk CROSS JOIN tot t),
+       |tb AS (SELECT CAST(sum(CAST(round(loo, 12) AS DECIMAL(28,12)))
+       |              AS DOUBLE) / count(*) AS tb FROM base),
+       |se AS (SELECT sqrt(1.0 * (any_value(base.m) - 1) / any_value(base.m)
+       |         * CAST(sum(CAST(round((loo - tb.tb) * (loo - tb.tb), 12)
+       |                         AS DECIMAL(28,12))) AS DOUBLE)) AS se
+       |       FROM base CROSS JOIN tb)
+       |SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       |       round(loo, 6) AS rate_without,
+       |       round(full_rate - loo, 6) AS influence,
+       |       round(se.se, 6) AS jack_se
+       |FROM base CROSS JOIN se ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val kk = spread(documents(s, d)).select(col("doc_id"), col("source"))
+      .join(qualityCached(s, d).select(col("doc_id"),
+        col("keep").as("qk")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("qk"), lit(0L))).as("k"))
+    jackknifeInfluence(kk)
+  }
+
   val all: Seq[Q] = Seq(
     l194_wasserstein_drift, l195_welch_ttest, l196_local_clustering,
     l197_silhouette, l198_l_diversity, l199_t_closeness,
     l200_bh_fdr, l201_coverage_gaps, l202_cuped, l203_srm_check,
     l204_neyman_allocation, l205_neyman_draw, l206_rendezvous_resharding,
+    l207_obf_looks, l208_jackknife_influence,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

@@ -790,4 +790,58 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(modFrac > 5 * frac,
       "the gap IS the operator's value: rendezvous beats mod by >5x here")
   }
+
+  test("l207 OBF: constant-increment gap sized to z1 = 1.089 crosses ONLY " +
+      "at look 4 (z grows as sqrt(k) while the boundary falls as " +
+      "1/sqrt(k)); a null split never crosses; boundaries decrease") {
+    import spark.implicits._
+    def mOf(rows: Seq[(Long, Long, Long, Long, Long)]) =
+      rows.toDF("arm", "q", "n", "s", "q2")
+    // per look per arm 50 values: arm0 = {0,200}x25, arm1 = {22,222}x25
+    // -> z_k = -1.0889*sqrt(k) vs 4.048/sqrt(k): crossing exactly at k=4
+    val gap = (1L to 4L).flatMap(q => Seq(
+      (0L, q, 50L, 5000L, 1000000L),
+      (1L, q, 50L, 6100L, 1244200L)))
+    val got = LlmQueries.obfLooks(mOf(gap), LlmQueries.ObfB2e6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+    assert(got.map(_._2._3) === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L)
+      .values.toSet || (got(1L)._3, got(2L)._3, got(3L)._3, got(4L)._3) ===
+      ((0L, 0L, 0L, 1L)),
+      s"the gap must cross exactly at look 4: $got")
+    // z_4 = −22/√(2·10000·200/199/200) = −22/√(20000/199) = −2.194493
+    assert(math.abs(got(4L)._1 + 22.0 / math.sqrt(20000.0 / 199)) < 1e-5,
+      s"z_4: ${got(4L)}")
+    val bs = (1L to 4L).map(got(_)._2)
+    assert(bs === bs.sorted.reverse && bs.distinct.size === 4,
+      s"OBF boundaries must be strictly decreasing: $bs")
+    assert(math.abs(bs.last - 2.024) < 1e-6,
+      "the final look's boundary is the pinned 2.024")
+    // a perfectly null split never crosses at any look
+    val flat = (1L to 4L).flatMap(q => Seq(
+      (0L, q, 50L, 5000L, 1000000L), (1L, q, 50L, 5000L, 1000000L)))
+    LlmQueries.obfLooks(mOf(flat), LlmQueries.ObfB2e6).collect()
+      .foreach(r => assert(r.getDouble(5) === 0.0 && r.getLong(7) === 0L))
+  }
+
+  test("l208 jackknife: equal sources read zero influence and zero SE; a " +
+      "deviant source carries the signed delta (+0.1 exactly) and the " +
+      "rest split the complement") {
+    import spark.implicits._
+    def kkOf(rows: Seq[(String, Long, Long)]) = rows.toDF("source", "n", "k")
+    val same = LlmQueries.jackknifeInfluence(kkOf(
+      (1 to 4).map(i => (s"s$i", 100L, 50L)))).collect()
+    same.foreach { r =>
+      assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0,
+        s"identical sources: zero influence, zero SE: $r")
+    }
+    val dev = LlmQueries.jackknifeInfluence(kkOf(
+      Seq(("a", 100L, 50L), ("b", 100L, 50L), ("c", 100L, 50L),
+        ("hot", 100L, 90L)))).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    // full = 240/400 = 0.6; dropping hot -> 150/300 = 0.5 -> influence +0.1
+    assert(dev("hot") === ((0.5, 0.1)), s"$dev")
+    assert(math.abs(dev("a")._2 - (0.6 - 190.0 / 300)) < 1e-6,
+      "the flat sources each read the small negative complement")
+  }
 }
