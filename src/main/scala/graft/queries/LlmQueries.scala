@@ -15516,12 +15516,177 @@ object LlmQueries {
     jackknifeInfluence(kk)
   }
 
+  // ------------- the CUPED A/B readout (l209): the capstone composition
+
+  /** l209's engine over any per-unit (arm ∈ {0,1}, x, y) integer frame —
+    * factored for the spec's closed forms (a planted arm effect with a
+    * y ≈ x covariate: the adjusted variance collapses to the noise term
+    * and the adjusted z dwarfs the raw one; θ pooled across arms so a
+    * null effect stays null after adjustment). All outputs derive from
+    * per-arm exact integer moments — the per-unit adjusted values are
+    * never materialized, because mean and variance of y − θ(x − x̄) are
+    * closed forms in (Σy, Σx, Σy², Σx², Σxy):
+    *   mean_adj = ȳ_arm − θ(x̄_arm − x̄_pool)
+    *   var_adj  = var_y − 2θ·cov + θ²·var_x   (per arm, population). */
+  private[graft] def cupedReadout(axy: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = axy.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"),
+      sum(dec(col("x")) * col("y")).as("sxy"))
+    val tot = m.agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+      sum("sxx").as("sxx"), sum("syy").as("syy"), sum("sxy").as("sxy"))
+    // pooled θ = cov/var over ALL units (the standard CUPED fit — using
+    // a per-arm θ would bias the contrast); exact integer cross-terms
+    val j = m.crossJoin(broadcast(tot.select(
+      col("n").as("np"), col("sx").as("sxp"), col("sy").as("syp"),
+      col("sxx").as("sxxp"), col("syy").as("syyp"), col("sxy").as("sxyp"))))
+    val theta = (col("np") * col("sxyp") - col("sxp") * col("syp"))
+      .cast("double") /
+      (col("np") * col("sxxp") - col("sxp") * col("sxp")).cast("double")
+    val xbarP = col("sxp").cast("double") / col("np")
+    val mAdj = col("sy").cast("double") / col("n") -
+      theta * (col("sx").cast("double") / col("n") - xbarP)
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+      (col("n") * col("n")).cast("double")
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+      (col("n") * col("n")).cast("double")
+    val covXY = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("n")).cast("double")
+    val varAdj = varY - lit(2.0) * theta * covXY + theta * theta * varX
+    val arm = j.select(col("arm"), col("n"),
+      (col("sy").cast("double") / col("n")).as("mean_raw"),
+      mAdj.as("mean_adj"), varY.as("var_raw"), varAdj.as("var_adj"),
+      theta.as("theta"))
+    val a = arm.filter(col("arm") === 0).select(col("n").as("na"),
+      col("mean_raw").as("mra"), col("mean_adj").as("maa"),
+      col("var_raw").as("vra"), col("var_adj").as("vaa"), col("theta"))
+    val b = arm.filter(col("arm") === 1).select(col("n").as("nb"),
+      col("mean_raw").as("mrb"), col("mean_adj").as("mab"),
+      col("var_raw").as("vrb"), col("var_adj").as("vab"))
+    val r = a.crossJoin(b)
+    val seRaw = sqrt(col("vra") / col("na") + col("vrb") / col("nb"))
+    val seAdj = sqrt(col("vaa") / col("na") + col("vab") / col("nb"))
+    val dAdj = col("maa") - col("mab")
+    r.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"), round(col("theta"), 6).as("theta"),
+      round(col("mra") - col("mrb"), 6).as("diff_raw"),
+      round(seRaw, 6).as("se_raw"),
+      round(dAdj, 6).as("diff_cuped"), round(seAdj, 6).as("se_cuped"),
+      round(when(seAdj === 0.0, lit(null)).otherwise(dAdj / seAdj), 6)
+        .as("z_cuped"),
+      round(dAdj - lit(1.96) * seAdj, 6).as("ci_lo"),
+      round(dAdj + lit(1.96) * seAdj, 6).as("ci_hi"),
+      when(seAdj === 0.0, lit(0L)).otherwise(
+        ((dAdj / seAdj) * (dAdj / seAdj) >= lit(3.841459)).cast("long"))
+        .as("significant"))
+  }
+
+  /** L209: the CUPED-adjusted A/B readout — the CAPSTONE composing the
+    * whole experimentation battery (Deng, Xu, Kohavi & Walker 2013
+    * §3.2): l203's md5 arms, l202's pre/post covariate split and pooled
+    * θ, a Welch-style z on the ADJUSTED means with the 1.96 interval —
+    * the one table an experiment review actually reads, with the raw
+    * diff/se beside the adjusted pair so the variance reduction is
+    * visible in the artifact itself. The hashed split is null by
+    * construction, so the corpus row is simultaneously the negative
+    * control: diff_cuped ≈ 0, significant = 0.
+    *
+    * Determinism: per-arm and pooled moments are exact DECIMAL(38,0)
+    * integers off integer cents; every derived float (θ, adjusted
+    * means/variances via the closed forms — the per-unit adjusted
+    * values are NEVER materialized, mean/var of y − θ(x − x̄) are
+    * closed forms in the five sums) is the identical expression tree on
+    * identical operands; the significance flag is the l125/l133
+    * float-compare class against the pinned 3.841459.
+    *
+    * 100 TB posture: one conditional-sum groupBy(user) (the l202
+    * shape), one groupBy(arm) to TWO metadata rows, two broadcasts. */
+  val l209_cuped_readout = Q(
+    "l209_cuped_readout",
+    """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |sp AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+      |u AS (SELECT user_id,
+      |        CASE WHEN ascii(right(md5(user_id::VARCHAR), 1)) % 2 = 1
+      |             THEN 1 ELSE 0 END AS arm,
+      |        sum(CASE WHEN us < mid THEN cents ELSE 0 END) AS x,
+      |        sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS y
+      |      FROM b CROSS JOIN sp GROUP BY 1, 2),
+      |m AS (SELECT arm, count(*) AS n,
+      |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |        sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |        sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |        sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |        sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |      FROM u GROUP BY 1),
+      |tot AS (SELECT sum(n) AS np, sum(sx) AS sxp, sum(sy) AS syp,
+      |          sum(sxx) AS sxxp, sum(syy) AS syyp, sum(sxy) AS sxyp
+      |        FROM m),
+      |arm AS (SELECT m.arm, m.n,
+      |          CAST(m.sy AS DOUBLE) / m.n AS mean_raw,
+      |          CAST(m.sy AS DOUBLE) / m.n
+      |            - (CAST(t.np * t.sxyp - t.sxp * t.syp AS DOUBLE)
+      |               / CAST(t.np * t.sxxp - t.sxp * t.sxp AS DOUBLE))
+      |              * (CAST(m.sx AS DOUBLE) / m.n
+      |                 - CAST(t.sxp AS DOUBLE) / t.np) AS mean_adj,
+      |          CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)
+      |            / CAST(m.n * m.n AS DOUBLE) AS var_raw,
+      |          CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)
+      |            / CAST(m.n * m.n AS DOUBLE)
+      |          - 2.0 * (CAST(t.np * t.sxyp - t.sxp * t.syp AS DOUBLE)
+      |                   / CAST(t.np * t.sxxp - t.sxp * t.sxp AS DOUBLE))
+      |            * (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+      |               / CAST(m.n * m.n AS DOUBLE))
+      |          + (CAST(t.np * t.sxyp - t.sxp * t.syp AS DOUBLE)
+      |             / CAST(t.np * t.sxxp - t.sxp * t.sxp AS DOUBLE))
+      |            * (CAST(t.np * t.sxyp - t.sxp * t.syp AS DOUBLE)
+      |               / CAST(t.np * t.sxxp - t.sxp * t.sxp AS DOUBLE))
+      |            * (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+      |               / CAST(m.n * m.n AS DOUBLE)) AS var_adj,
+      |          CAST(t.np * t.sxyp - t.sxp * t.syp AS DOUBLE)
+      |            / CAST(t.np * t.sxxp - t.sxp * t.sxp AS DOUBLE) AS theta
+      |        FROM m CROSS JOIN tot t),
+      |r AS (SELECT a.n AS na, bb.n AS nb, a.theta,
+      |        a.mean_raw - bb.mean_raw AS draw,
+      |        sqrt(a.var_raw / a.n + bb.var_raw / bb.n) AS seraw,
+      |        a.mean_adj - bb.mean_adj AS dadj,
+      |        sqrt(a.var_adj / a.n + bb.var_adj / bb.n) AS seadj
+      |      FROM arm a JOIN arm bb ON a.arm = 0 AND bb.arm = 1)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |       round(theta, 6) AS theta,
+      |       round(draw, 6) AS diff_raw, round(seraw, 6) AS se_raw,
+      |       round(dadj, 6) AS diff_cuped, round(seadj, 6) AS se_cuped,
+      |       round(CASE WHEN seadj = 0.0 THEN NULL
+      |                  ELSE dadj / seadj END, 6) AS z_cuped,
+      |       round(dadj - 1.96 * seadj, 6) AS ci_lo,
+      |       round(dadj + 1.96 * seadj, 6) AS ci_hi,
+      |       CAST(CASE WHEN seadj = 0.0 THEN 0
+      |                 WHEN (dadj / seadj) * (dadj / seadj) >= 3.841459
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM r""".stripMargin
+  ) { (s, d) =>
+    val b = events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val sp = b.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val axy = b.crossJoin(broadcast(sp))
+      .groupBy(col("user_id"),
+        (ascii(substring(md5(col("user_id").cast("string").cast("binary")),
+          -1, 1)) % 2 === 1).cast("long").as("arm"))
+      .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+    cupedReadout(axy.select(col("arm"), col("x"), col("y")))
+  }
+
   val all: Seq[Q] = Seq(
     l194_wasserstein_drift, l195_welch_ttest, l196_local_clustering,
     l197_silhouette, l198_l_diversity, l199_t_closeness,
     l200_bh_fdr, l201_coverage_gaps, l202_cuped, l203_srm_check,
     l204_neyman_allocation, l205_neyman_draw, l206_rendezvous_resharding,
-    l207_obf_looks, l208_jackknife_influence,
+    l207_obf_looks, l208_jackknife_influence, l209_cuped_readout,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

@@ -844,4 +844,35 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(math.abs(dev("a")._2 - (0.6 - 190.0 / 300)) < 1e-6,
       "the flat sources each read the small negative complement")
   }
+
+  test("l209 CUPED readout: same diff, ~50x smaller se — a +50 effect " +
+      "invisible to the raw z is decisive after adjustment; a null " +
+      "effect stays exactly null") {
+    import spark.implicits._
+    // per arm 20 units: x in {0,1000} (10 each), e = +-10 independent of
+    // x; y = x + e (+50 on arm 1). theta = 1 exactly; var_adj = var(e)
+    def units(arm: Long, effect: Long): Seq[(Long, Long, Long)] =
+      for {
+        x <- Seq(0L, 1000L); ei <- 0 until 10
+      } yield (arm, x, x + effect + (if (ei % 2 == 0) 10L else -10L))
+    val r = LlmQueries.cupedReadout(
+      (units(0L, 0L) ++ units(1L, 50L)).toDF("arm", "x", "y")).collect()(0)
+    assert(r.getDouble(2) === 1.0, s"theta must be exactly 1: $r")
+    assert(r.getDouble(3) === -50.0 && r.getDouble(5) === -50.0,
+      s"adjustment must not move the unbiased diff: $r")
+    assert(math.abs(r.getDouble(6) - math.sqrt(10.0)) < 1e-6,
+      s"se_cuped = sqrt(100/20 + 100/20): $r")
+    assert(math.abs(r.getDouble(4) - math.sqrt(25010.0)) < 1e-3,
+      s"se_raw = sqrt(250100/20*2): $r")
+    assert(r.getDouble(4) > 40 * r.getDouble(6),
+      "the covariate removes ~all of the metric variance here")
+    assert(r.getLong(10) === 1L,
+      "the effect is decisive after adjustment (raw z is only 0.32)")
+    assert(math.abs(r.getDouble(3) / r.getDouble(4)) < 1.0,
+      "…while the RAW readout could never have called it")
+    // null effect: exactly zero diff, no flag
+    val z = LlmQueries.cupedReadout(
+      (units(0L, 0L) ++ units(1L, 0L)).toDF("arm", "x", "y")).collect()(0)
+    assert(z.getDouble(5) === 0.0 && z.getLong(10) === 0L)
+  }
 }
