@@ -341,4 +341,49 @@ class QueryHardeningSpec extends AnyFunSuite {
     assert(eGot.getDouble(2) === 10.0,
       "the LOWER weighted median takes the exact 2F(x)=W boundary value")
   }
+
+  test("e13 Intervals: exact-duplicate and equal-start intervals coalesce " +
+      "identically under any input order/partitioning (the scaladoc's " +
+      "multiset claim, not left to luck)") {
+    import spark.implicits._
+    // duplicates, an equal-start pair with different ends, a swallower,
+    // and a disjoint tail — the tie classes the order argument covers
+    val iv = Seq((1L, 0L, 50L), (1L, 0L, 50L), (1L, 0L, 10L),
+      (1L, 40L, 45L), (1L, 60L, 70L), (1L, 60L, 61L))
+    def run(rows: Seq[(Long, Long, Long)], parts: Int) =
+      graft.ops.Intervals.coalesce(
+        rows.toDF("user_id", "st", "en").repartition(parts))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1).toSeq
+    val base = run(iv, 1)
+    assert(base === Seq((1L, 0L, 50L, 4L), (2L, 60L, 70L, 2L)),
+      s"two islands, the second opened past the max-end: $base")
+    Seq(iv.reverse, scala.util.Random.shuffle(iv)).zipWithIndex.foreach {
+      case (perm, i) =>
+        assert(run(perm, 7) === base, s"permutation $i must not move islands")
+    }
+    // a single-interval user is one island of one event
+    assert(run(Seq((9L, 5L, 6L)), 3) === Seq((1L, 5L, 6L, 1L)))
+  }
+
+  test("l201 coverageGaps: a single-day group reads span 1, zero missing, " +
+      "zero longest gap — the lead() null edge") {
+    import spark.implicits._
+    import java.sql.Date
+    val one = Seq(("solo", Date.valueOf("2024-03-07"))).toDF("g", "d")
+    val r = graft.queries.LlmQueries.coverageGaps(one).collect()(0)
+    assert((r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6)) === (("2024-03-07", 1L, 1L, 0L, 0L)))
+  }
+
+  test("a21 compaction: rerunning the query is idempotent — the overwrite " +
+      "contract holds and checksums are bit-stable") {
+    val sf = "/root/testdata/sf0.001"
+    val first = graft.queries.CoreQueries.a21_compaction.fn(spark, sf)
+      .collect()(0)
+    val second = graft.queries.CoreQueries.a21_compaction.fn(spark, sf)
+      .collect()(0)
+    assert(first.toSeq === second.toSeq,
+      "a rerun over the same scratch paths must reproduce the checksums")
+  }
 }
