@@ -34,6 +34,24 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
+  /** The complement view: the GAPS between a key's coalesced islands —
+    * (key, after_island, gap_start, gap_end, gap_us). e14's engine; the
+    * idle-time/availability read of the same window machinery (a gap
+    * exists only between consecutive islands, so a key with one island
+    * emits nothing). One more lead() over the ISLAND frame (≪ input),
+    * sharing the key partitioning. */
+  def gaps(iv: DataFrame, key: String = "user_id",
+      st: String = "st", en: String = "en"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy("island")
+    coalesce(iv, key, st, en)
+      .withColumn("nxt_start", lead("start_us", 1).over(w))
+      .filter(col("nxt_start").isNotNull)
+      .select(col(key), col("island").as("after_island"),
+        col("end_us").as("gap_start_us"),
+        col("nxt_start").as("gap_end_us"),
+        (col("nxt_start") - col("end_us")).as("gap_us"))
+  }
+
   /** Coalesce [st, en) rows per `key` → (key, island, start, end,
     * n_events), island numbered 1.. in start order within each key. */
   def coalesce(iv: DataFrame, key: String = "user_id",

@@ -15516,6 +15516,78 @@ object LlmQueries {
     jackknifeInfluence(kk)
   }
 
+  // ------------- capture–recapture dedup-coverage estimate (l210)
+
+  /** l210's engine over three pair-set counts — factored for the spec's
+    * closed forms (two identical detectors ⇒ N̂ = n exactly with SE 0;
+    * the textbook 50/50 overlap fixture; m = 0 stays finite — the whole
+    * reason Chapman replaced Lincoln–Petersen). */
+  private[graft] def chapmanEstimate(nText: Long, nEmb: Long,
+      nBoth: Long): (Double, Double) = {
+    val est = (nText + 1.0) * (nEmb + 1.0) / (nBoth + 1.0) - 1.0
+    val se = math.sqrt((nText + 1.0) * (nEmb + 1.0) *
+      (nText - nBoth).toDouble * (nEmb - nBoth).toDouble /
+      ((nBoth + 1.0) * (nBoth + 1.0) * (nBoth + 2.0)))
+    (est, se)
+  }
+
+  /** L210: capture–recapture estimate of the TRUE near-dup pair count
+    * (Chapman 1951's bias-corrected Lincoln–Petersen) — the coverage
+    * question every dedup deployment eventually asks: "how many
+    * near-dup pairs do BOTH detectors miss?" Text-shingle (l4) and
+    * embedding-cosine (l11) dedup are the two capture occasions; the
+    * overlap m sizes the unseen mass, N̂ = (n₁+1)(n₂+1)/(m+1) − 1.
+    * HONESTY CAVEAT, stated because l123 MEASURED it: the estimator
+    * assumes independent captures, and on this corpus the two
+    * detectors' pair sets are disjoint (m = 0 — they see different
+    * phenomena, SemDeDup's premise), so N̂ here reads as the
+    * independence-assuming UPPER-bound diagnostic, not a point
+    * estimate; the number is still what a coverage review computes
+    * first, and the m = 0 degeneracy is exactly why Chapman's +1 form
+    * (finite at zero overlap) is the declared variant.
+    *
+    * Determinism: three exact pair counts (the cached l4 frame, the
+    * declared l11 threshold, one equi-join) feed closed-form float
+    * arithmetic on identical operands; the one-row driver fold is the
+    * l123 bounded-collect class.
+    *
+    * 100 TB posture: rides both cached pair frames; the overlap is one
+    * (i, j) equi-join of near-dup-sparse frames. */
+  val l210_capture_recapture = Q(
+    "l210_capture_recapture", {
+      val embCte = embedPairsCte
+        .replace("p AS (SELECT DISTINCT", "embp AS (SELECT DISTINCT")
+      s"""WITH $jaccardPairsCte,
+         |$embCte,
+         |tpr AS (SELECT i, j FROM pr),
+         |epr AS (SELECT i, j FROM embp WHERE cos >= 0.4),
+         |bt AS (SELECT count(*) AS m FROM tpr JOIN epr USING (i, j)),
+         |tt AS (SELECT count(*) AS n1 FROM tpr),
+         |et AS (SELECT count(*) AS n2 FROM epr)
+         |SELECT CAST(n1 AS BIGINT) AS n_text,
+         |       CAST(n2 AS BIGINT) AS n_emb,
+         |       CAST(m AS BIGINT) AS n_both,
+         |       round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6)
+         |         AS chapman_est,
+         |       round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+         |                  / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6)
+         |         AS chapman_se
+         |FROM tt, et, bt""".stripMargin
+    }
+  ) { (s, d) =>
+    val tpr = exactPairsCached(s, d).select(col("i"), col("j"))
+    val epr = embedNearDup(tau = 0.4)(embeddings(s, d))
+      .select(col("i"), col("j"))
+    val nBoth = tpr.join(epr, Seq("i", "j")).count()
+    val nText = tpr.count(); val nEmb = epr.count()
+    val (est, se) = chapmanEstimate(nText, nEmb, nBoth)
+    import s.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nText, nEmb, nBoth, r6(est), r6(se)))
+      .toDF("n_text", "n_emb", "n_both", "chapman_est", "chapman_se")
+  }
+
   // ------------- the CUPED A/B readout (l209): the capstone composition
 
   /** l209's engine over any per-unit (arm ∈ {0,1}, x, y) integer frame —
@@ -15687,6 +15759,7 @@ object LlmQueries {
     l200_bh_fdr, l201_coverage_gaps, l202_cuped, l203_srm_check,
     l204_neyman_allocation, l205_neyman_draw, l206_rendezvous_resharding,
     l207_obf_looks, l208_jackknife_influence, l209_cuped_readout,
+    l210_capture_recapture,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

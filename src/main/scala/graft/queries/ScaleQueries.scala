@@ -740,8 +740,69 @@ object ScaleQueries {
     graft.ops.Intervals.coalesce(iv).orderBy("user_id", "island")
   }
 
+  /** E14: interval gaps — the COMPLEMENT of E13 on the same window
+    * machinery: the idle spans between a user's coalesced activity
+    * islands (gap = previous island's max-end → next island's start).
+    * The availability/downtime read every ops dashboard needs
+    * ("longest quiet window per user/service"), and the reason the
+    * island frame is worth materializing once: both views are one
+    * lead() apart. A single-island user emits nothing — absence of a
+    * gap IS the datum.
+    *
+    * Determinism: inherits E13's exact-microsecond islands (the
+    * multiset-invariance argument carries over verbatim — gaps are a
+    * function of the island frame); one lead() per key.
+    *
+    * 100 TB posture: the gap pass runs on the ISLAND frame (≪ events)
+    * and shares E13's key partitioning — the plan is E13's one hash
+    * exchange plus one metadata-scale window, no new corpus scan. */
+  val e14_interval_gaps = Q(
+    "e14_interval_gaps",
+    """WITH iv AS (SELECT user_id,
+      |              epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+      |              epoch_us(CAST(ts AS TIMESTAMP))
+      |                + CAST(1000000 AS BIGINT) * CASE event_type
+      |                WHEN 'view' THEN 300 WHEN 'click' THEN 1800
+      |                WHEN 'signup' THEN 600 WHEN 'purchase' THEN 7200
+      |                ELSE 60 END AS en
+      |            FROM events),
+      |mx AS (SELECT user_id, st, en,
+      |         max(en) OVER (PARTITION BY user_id ORDER BY st, en
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS pmax
+      |       FROM iv),
+      |isl AS (SELECT user_id, st, en,
+      |          sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY user_id ORDER BY st, en
+      |                  ROWS UNBOUNDED PRECEDING) AS island
+      |        FROM mx),
+      |g AS (SELECT user_id, island, min(st) AS start_us, max(en) AS end_us
+      |      FROM isl GROUP BY 1, 2),
+      |gp AS (SELECT user_id, island, end_us,
+      |         lead(start_us) OVER (PARTITION BY user_id ORDER BY island)
+      |           AS nxt
+      |       FROM g)
+      |SELECT user_id, CAST(island AS BIGINT) AS after_island,
+      |       CAST(end_us AS BIGINT) AS gap_start_us,
+      |       CAST(nxt AS BIGINT) AS gap_end_us,
+      |       CAST(nxt - end_us AS BIGINT) AS gap_us
+      |FROM gp WHERE nxt IS NOT NULL
+      |ORDER BY user_id, after_island""".stripMargin
+  ) { (s, d) =>
+    val dur = when(col("event_type") === "view", 300L)
+      .when(col("event_type") === "click", 1800L)
+      .when(col("event_type") === "signup", 600L)
+      .when(col("event_type") === "purchase", 7200L)
+      .otherwise(60L)
+    val iv = events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("st"),
+      (unix_micros(col("ts")) + lit(1000000L) * dur).as("en"))
+    graft.ops.Intervals.gaps(iv).orderBy("user_id", "after_island")
+  }
+
   val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
     a9_dynamic_pruning, a10_zorder, a12_runtime_bloom, c11_partition_upsert,
     f4_salted_join, f8_aqe_skew_join, e4_asof_join, e5_range_join,
-    e10_band_join, e11_point_in_time, e12_nearest_asof, e13_interval_coalesce)
+    e10_band_join, e11_point_in_time, e12_nearest_asof, e13_interval_coalesce,
+    e14_interval_gaps)
 }

@@ -875,4 +875,20 @@ class GroupStatsSpec extends AnyFunSuite {
       (units(0L, 0L) ++ units(1L, 0L)).toDF("arm", "x", "y")).collect()(0)
     assert(z.getDouble(5) === 0.0 && z.getLong(10) === 0L)
   }
+
+  test("l210 Chapman closed forms: identical detectors read N-hat = n " +
+      "exactly with SE 0; the textbook 40/50/20 fixture; m = 0 stays " +
+      "finite — the reason Chapman replaced Lincoln-Petersen") {
+    val (same, sameSe) = LlmQueries.chapmanEstimate(30L, 30L, 30L)
+    assert(same === 30.0 && sameSe === 0.0,
+      "two detectors seeing the same 30 pairs estimate exactly 30")
+    val (tb, tbSe) = LlmQueries.chapmanEstimate(40L, 50L, 20L)
+    assert(math.abs(tb - (41.0 * 51 / 21 - 1)) < 1e-9, s"$tb")
+    assert(math.abs(tbSe - math.sqrt(41.0 * 51 * 20 * 30 /
+      (21.0 * 21 * 22))) < 1e-9, s"$tbSe")
+    val (zero, _) = LlmQueries.chapmanEstimate(10L, 20L, 0L)
+    assert(zero === 10.0 * 21 + 20,
+      "m = 0 reads (n1+1)(n2+1)-1 = 230 - finite, the estimator's point")
+    assert(!zero.isInfinite && !zero.isNaN)
+  }
 }

@@ -430,6 +430,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       row.getLong(2) === direct.getLong(2))
   }
 
+  test("e14 gaps: the complement tiles exactly — islands + gaps cover " +
+      "[first start, last end] with no overlap; single-island users " +
+      "emit nothing") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 10L), (1L, 20L, 30L), (1L, 40L, 41L),
+      (2L, 5L, 9L)).toDF("user_id", "st", "en")
+    val gaps = Intervals.gaps(iv).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(g => (g._1, g._2))
+    assert(gaps.toSeq === Seq((1L, 10L, 20L, 10L), (1L, 30L, 40L, 10L)),
+      s"two gaps between three islands, none for the single-island user: " +
+        s"${gaps.toSeq}")
+    // the tiling identity: island mass + gap mass = total span, per user
+    val isl = Intervals.coalesce(iv).collect()
+      .filter(_.getLong(0) === 1L)
+    val islandMass = isl.map(r => r.getLong(3) - r.getLong(2)).sum
+    val gapMass = gaps.filter(_._1 == 1L).map(_._4).sum
+    assert(islandMass + gapMass === 41L - 0L,
+      "islands and gaps must tile the user's span exactly")
+  }
+
   test("e13 plan: one hash exchange on user_id feeds both windows and the " +
       "island aggregate") {
     val df = ScaleQueries.e13_interval_coalesce.fn(spark, sf)
