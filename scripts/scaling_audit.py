@@ -27,14 +27,32 @@ import sys
 def load(path: str) -> dict:
     with open(path) as f:
         rec = json.loads(f.read().strip())
-    return rec["queries"]
+    return rec
+
+
+def describe_host(tag: str, rec: dict) -> None:
+    # VERDICT r16 #1: surface the embedded calibration so the exponent
+    # table is box-annotated from the artifact alone. Both logs come from
+    # one session normally, so this mostly proves they DID; a mismatch
+    # (e.g. one side rerun later on a loaded box) is visible immediately.
+    h = rec.get("host")
+    if not h:
+        print(f"{tag}: no host calibration block (pre-r17 artifact)")
+        return
+    s, e = h.get("start", {}), h.get("end", {})
+    print(f"{tag}: calib_cpu start={s.get('calib_cpu_ms')}ms "
+          f"end={e.get('calib_cpu_ms')}ms loadavg={s.get('loadavg')} "
+          f"cores={s.get('cores')} mhz={s.get('cpu_mhz_avg')}")
 
 
 def main(argv):
     lo_path, hi_path = argv[1], argv[2]
     flag_at = float(argv[argv.index("--flag") + 1]) if "--flag" in argv else 1.3
     floor = float(argv[argv.index("--floor") + 1]) if "--floor" in argv else 1.0
-    lo, hi = load(lo_path), load(hi_path)
+    lo_rec, hi_rec = load(lo_path), load(hi_path)
+    describe_host("sf-lo", lo_rec)
+    describe_host("sf-hi", hi_rec)
+    lo, hi = lo_rec["queries"], hi_rec["queries"]
     shared = sorted(set(lo) & set(hi))
     only_lo = sorted(set(lo) - set(hi))
     only_hi = sorted(set(hi) - set(lo))

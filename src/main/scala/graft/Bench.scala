@@ -23,7 +23,62 @@ import org.apache.spark.sql.SparkSession
   * datasource bring-up (~3 s of its 4-5 s in BENCH_r03-r06).
   */
 object Bench {
+  /** Host calibration (VERDICT r16 #1): the r16 driver artifact read
+    * 2.32× on byte-identical plans and was only adjudicable by a
+    * judge-side rerun. This pins a FIXED-WORK single-thread pure-JVM
+    * microbenchmark (no Spark, no allocation, no I/O) into the bench
+    * line itself: 2²⁷ xorshift64* steps, wall + thread-CPU ms, plus the
+    * fold checksum proving the work executed and is byte-identical
+    * across runs (BenchCalibSpec pins the constant). Interpreting the
+    * pair: calib CPU inflates only when the box itself is slower
+    * (frequency throttling, noisy neighbor stealing cycles mid-quantum);
+    * wall ≫ CPU means the thread sat off-core (scheduler contention).
+    * Dividing two rounds' per-line wall by their calib-CPU ratio gives
+    * the cross-box-comparable number (scripts/round_compare.py). */
+  private[graft] val CalibIters = 1L << 27
+  private[graft] def calibrate(): (Long, Long, Long) = {
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    val c0 = bean.getCurrentThreadCpuTime
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    while (i < CalibIters) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      acc += x * 0x2545F4914F6CDD1DL
+      i += 1L
+    }
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val cpuMs = (bean.getCurrentThreadCpuTime - c0) / 1000000L
+    (wallMs, cpuMs, acc)
+  }
+
+  /** One JSON object describing the host at this instant: the calibration
+    * triple, /proc/loadavg (1/5/15 min), core count, and the mean core
+    * MHz from /proc/cpuinfo (null where the kernel doesn't expose it) —
+    * captured at run START and END so a load ramp mid-run is visible. */
+  private def hostJson(): String = {
+    val (wall, cpu, sum) = calibrate()
+    val load =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "null" }
+    val mhz =
+      try {
+        val vals = scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+          .filter(_.startsWith("cpu MHz")).map(_.split(":")(1).trim.toDouble)
+          .toSeq
+        if (vals.isEmpty) "null"
+        else (math.round(vals.sum / vals.size * 10) / 10.0).toString
+      } catch { case _: Throwable => "null" }
+    val cores = Runtime.getRuntime.availableProcessors
+    s"""{"calib_wall_ms":$wall,"calib_cpu_ms":$cpu,""" +
+      s""""calib_checksum":"${java.lang.Long.toHexString(sum)}",""" +
+      s""""loadavg":$load,"cores":$cores,"cpu_mhz_avg":$mhz}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val hostStart = hostJson()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -197,8 +252,13 @@ object Bench {
       "\"" + k + "\":" + jvmFields.zip(v)
         .map { case (f, x) => "\"" + f + "\":" + x }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    // Second calibration AFTER the loop: a box that degraded mid-run
+    // (the r16 driver scenario) shows end calib_cpu_ms >> start.
+    val hostEnd = hostJson()
+    val hostReport =
+      s"""{"calib_iters":$CalibIters,"start":$hostStart,"end":$hostEnd}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cachereport":$report,"jvm":$jvmJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cachereport":$report,"jvm":$jvmJson,"host":$hostReport,"sf":"$sfDir"}"""
     println(line)
     // Also persist the COMPLETE line to a repo artifact: the driver's
     // BENCH_r{N}.json keeps only a 2000-char stdout tail, which truncated

