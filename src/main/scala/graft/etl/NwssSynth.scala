@@ -92,109 +92,147 @@ object NwssSynth {
       sqrt(lit(-2.0) * log(uOf(e, tag + "~1"))) * cos(lit(2.0 * math.Pi) * uOf(e, tag + "~2"))
 
     val df0 = spark.range(0L, cfg.rows, 1L, numPartitions)
-    // duplicate rows: a pDup fraction of ids clone their predecessor entirely
-    val base = when(uOf(col("id"), "dup") < cfg.pDup && col("id") > 0, col("id") - 1)
-      .otherwise(col("id"))
 
-    def u(tag: String): Column = uOf(base, tag)
-    def z(tag: String): Column = zOf(base, tag)
+    // ---- staged shared-column materialization (VERDICT r16 #2) ----------
+    // Every multiply-referenced non-cheap expression becomes a NAMED column
+    // in its own select. CollapseProject never inlines a non-cheap output
+    // that is referenced more than once, so the stages survive to the
+    // physical plan, and whole-stage codegen evaluates each shared value
+    // ONCE into a local instead of duplicating its entire hash/Box-Muller
+    // tree into every consumer. The old single-select form collapsed to a
+    // ~17k-line generated method that janino refused to compile — Spark
+    // fell back to INTERPRETED execution for the whole synth stage,
+    // silently (only an ERROR log line). CodegenHardeningSpec pins the
+    // compiled path; GoldenSpec pins that values are bit-identical (same
+    // expressions, same double ops — only the sharing structure changed).
+
+    // duplicate rows: a pDup fraction of ids clone their predecessor entirely
+    val s1 = df0.select(
+      when(uOf(col("id"), "dup") < cfg.pDup && col("id") > 0, col("id") - 1)
+        .otherwise(col("id")).as("gbase"))
+
+    def u(tag: String): Column = uOf(col("gbase"), tag)
+    def z(tag: String): Column = zOf(col("gbase"), tag)
 
     // --- entities: sewershed site → jurisdiction (sites nest in states) ----
-    val sid = pmod(xxhash64(base, lit(cfg.seed), lit("site")), lit(cfg.nSites.toLong))
-    val jid = pmod(xxhash64(sid, lit(cfg.seed), lit("jur")), lit(cfg.nJurisdictions.toLong))
-    val jurBase = lit(cfg.jurSd) * zOf(jid, "jbase")
-    // epidemic waves are near-synchronized across jurisdictions (flu season):
-    // ±4-week phase jitter keeps detection regimes bimodal — the fat head of
-    // the reference's score distribution (AP 0.805 at AUC 0.833) needs this
-    val jurPhase = (pmod(xxhash64(jid, lit(cfg.seed), lit("phase")), lit(9L)) - 4L).cast(DoubleType)
+    val s2 = s1.select(col("gbase"),
+      pmod(xxhash64(col("gbase"), lit(cfg.seed), lit("site")),
+        lit(cfg.nSites.toLong)).as("gsid"),
+      pmod(xxhash64(col("gbase"), lit(cfg.seed), lit("week")),
+        lit((cfg.days / 7).toLong)).as("gweek"))
+
+    val s3 = s2.select(col("*"),
+      pmod(xxhash64(col("gsid"), lit(cfg.seed), lit("jur")),
+        lit(cfg.nJurisdictions.toLong)).as("gjid"),
+      // the site-size factor: shared by population AND rec-eff's loading
+      zOf(col("gsid"), "pop").as("gzpop"))
 
     // population per site, log-normal-ish; pinned bin-edge sites (FIXTURES §1)
-    val popRaw = round(exp(lit(8.2) + lit(1.8) * zOf(sid, "pop")))
-    val pop = when(sid === 0, 20000L).when(sid === 1, 50000L).when(sid === 2, 200000L)
-      .otherwise(greatest(least(popRaw, lit(5000000.0)), lit(800.0)).cast(LongType))
-    val logPop = log1p(pop.cast(DoubleType))
+    val popRaw = round(exp(lit(8.2) + lit(1.8) * col("gzpop")))
+    val s4 = s3.select(col("*"),
+      when(col("gsid") === 0, 20000L).when(col("gsid") === 1, 50000L)
+        .when(col("gsid") === 2, 200000L)
+        .otherwise(greatest(least(popRaw, lit(5000000.0)), lit(800.0))
+          .cast(LongType)).as("gpop"),
+      // epidemic waves are near-synchronized across jurisdictions (flu
+      // season): ±4-week phase jitter keeps detection regimes bimodal
+      (pmod(xxhash64(col("gjid"), lit(cfg.seed), lit("phase")), lit(9L)) - 4L)
+        .cast(DoubleType).as("gphase"))
+
+    val recZ = lit(cfg.recPopCorr) * col("gzpop") +
+      lit(math.sqrt(1.0 - cfg.recPopCorr * cfg.recPopCorr)) * z("rec")
+    val s5 = s4.select(col("*"),
+      log1p(col("gpop").cast(DoubleType)).as("glogpop"),
+      round(lit(55.0) + lit(22.0) * recZ, 2).as("grecval")) // tail crosses 100 → clip bites
 
     // --- time ---------------------------------------------------------------
-    // sampling weekday follows plant size (big plants sample late-week):
-    // correlates collection_dayofweek with the population factor, like the
-    // operational reality that big utilities run fixed composite schedules
-    val weekIdxL = pmod(xxhash64(base, lit(cfg.seed), lit("week")), lit((cfg.days / 7).toLong))
-    val dowBase = least(lit(5.0), greatest(lit(0.0), floor((logPop - 7.5) * cfg.dowPopSlope)))
-    val dow = dowBase.cast(LongType) + pmod(xxhash64(base, lit(cfg.seed), lit("dowj")), lit(2L))
-    val dayIdx = weekIdxL * 7 + dow
+    // sampling weekday follows plant size (big plants sample late-week)
+    val dowBase = least(lit(5.0),
+      greatest(lit(0.0), floor((col("glogpop") - 7.5) * cfg.dowPopSlope)))
+    val dow = dowBase.cast(LongType) +
+      pmod(xxhash64(col("gbase"), lit(cfg.seed), lit("dowj")), lit(2L))
+    val dayIdx = col("gweek") * 7 + dow
     // 2022-01-03 is a Monday, so weekday(date) == dow (Mon=0)
-    val date = date_add(to_date(lit("2022-01-03")), dayIdx.cast(IntegerType))
-    val weekIdx = weekIdxL.cast(DoubleType)
-    val monthNo = month(date).cast(DoubleType)
-    val dateStr = date_format(date, "yyyy-MM-dd")
-    val collectDate = when(u("nulldate") < cfg.pNullDate, lit(null).cast(StringType))
-      .when(u("baddate") < cfg.pBadDate, concat(lit("x"), dateStr)) // leading junk → NaT
-      .otherwise(dateStr)
-
-    // --- auxiliary measures -------------------------------------------------
-    val flowVal = round(lit(0.004) * pow(pop.cast(DoubleType), 0.92) * exp(lit(0.10) * z("flow")), 3)
-    // wave is defined below; declare the surge indicator on the same formula
-    val surging = cos(lit(2.0 * math.Pi) *
-      (weekIdxL.cast(DoubleType) + (pmod(xxhash64(jid, lit(cfg.seed), lit("phase")), lit(9L)) - 4L).cast(DoubleType)) / 52.0) > 0.35
-    val pFlowNull = when(pop < 20000L, cfg.pFlowNullSmall).otherwise(cfg.pFlowNullBig) +
-      when(surging, cfg.winterMiss).otherwise(0.0)
-    val flow = when(u("flownull") < pFlowNull, lit(null).cast(DoubleType)).otherwise(flowVal)
-
-    val recZ = lit(cfg.recPopCorr) * zOf(sid, "pop") +
-      lit(math.sqrt(1.0 - cfg.recPopCorr * cfg.recPopCorr)) * z("rec")
-    val recVal = round(lit(55.0) + lit(22.0) * recZ, 2) // tail crosses 100 → clip bites
-    val rec = when(u("recnull") < cfg.pRecNull, lit(null).cast(DoubleType)).otherwise(recVal)
+    val s6 = s5.select(col("*"),
+      date_add(to_date(lit("2022-01-03")), dayIdx.cast(IntegerType)).as("gdate"))
 
     // --- latent detection propensity ---------------------------------------
-    val wave = cos(lit(2.0 * math.Pi) * (weekIdx + jurPhase) / 52.0) // winter peak
-    val season = cos(lit(2.0 * math.Pi) * (monthNo - 1.0) / 12.0)
-    val popDev = (logPop - 10.5) / 1.2
+    val jurBase = lit(cfg.jurSd) * zOf(col("gjid"), "jbase")
+    val wave = cos(lit(2.0 * math.Pi) *
+      (col("gweek").cast(DoubleType) + col("gphase")) / 52.0) // winter peak
+    val season = cos(lit(2.0 * math.Pi) *
+      (month(col("gdate")).cast(DoubleType) - 1.0) / 12.0)
+    val popDev = (col("glogpop") - 10.5) / 1.2
     val latent = jurBase +
       lit(cfg.waveAmp) * wave +
       lit(cfg.seasonAmp) * season +
-      lit(cfg.popLin) * (logPop - 10.0) +
+      lit(cfg.popLin) * (col("glogpop") - 10.0) +
       lit(cfg.popNl) * (exp(lit(-0.5) * popDev * popDev) - 0.5) +
-      lit(cfg.recLin) * coalesce((recVal - 55.0) / 22.0, lit(0.0)) +
+      lit(cfg.recLin) * coalesce((col("grecval") - 55.0) / 22.0, lit(0.0)) +
       lit(cfg.noise) * z("eps")
-    val pDet = lit(1.0) / (lit(1.0) + exp(lit(-cfg.slope) * (latent - cfg.threshold)))
-    val detected = u("det") < pDet &&
-      !(latent < cfg.missBelow && u("miss") < cfg.pMiss)
-    val conc = when(u("concnull") < cfg.pConcNull, lit(null).cast(DoubleType))
-      .when(detected, round(exp(lit(2.0) + lit(0.9) * greatest(latent, lit(cfg.concFloor)) + lit(cfg.concSd) * z("conc")), 4))
-      .otherwise(lit(0.0))
+    val s7 = s6.select(col("*"), latent.as("glatent"))
 
+    val pDet = lit(1.0) /
+      (lit(1.0) + exp(lit(-cfg.slope) * (col("glatent") - cfg.threshold)))
+    val detected = u("det") < pDet &&
+      !(col("glatent") < cfg.missBelow && u("miss") < cfg.pMiss)
+    val s8 = s7.select(col("*"),
+      when(u("concnull") < cfg.pConcNull, lit(null).cast(DoubleType))
+        .when(detected, round(exp(lit(2.0) +
+          lit(0.9) * greatest(col("glatent"), lit(cfg.concFloor)) +
+          lit(cfg.concSd) * z("conc")), 4))
+        .otherwise(lit(0.0)).as("gconc"))
+
+    // --- single-use columns, inlined in the final projection ----------------
+    val dateStr = date_format(col("gdate"), "yyyy-MM-dd")
+    val collectDate = when(u("nulldate") < cfg.pNullDate, lit(null).cast(StringType))
+      .when(u("baddate") < cfg.pBadDate, concat(lit("x"), dateStr)) // leading junk → NaT
+      .otherwise(dateStr)
+    val flowVal = round(lit(0.004) * pow(col("gpop").cast(DoubleType), 0.92) *
+      exp(lit(0.10) * z("flow")), 3)
+    val surging = cos(lit(2.0 * math.Pi) *
+      (col("gweek").cast(DoubleType) + col("gphase")) / 52.0) > 0.35
+    val pFlowNull = when(col("gpop") < 20000L, cfg.pFlowNullSmall)
+      .otherwise(cfg.pFlowNullBig) +
+      when(surging, cfg.winterMiss).otherwise(0.0)
+    val flow = when(u("flownull") < pFlowNull, lit(null).cast(DoubleType))
+      .otherwise(flowVal)
+    val rec = when(u("recnull") < cfg.pRecNull, lit(null).cast(DoubleType))
+      .otherwise(col("grecval"))
     val flowpop = when(u("fpnull") < cfg.pFlowpopNull, lit(null).cast(DoubleType))
-      .otherwise(round(coalesce(conc, lit(0.0)) * lit(1000.0) + lit(860.0), 3))
+      .otherwise(round(coalesce(col("gconc"), lit(0.0)) * lit(1000.0) + lit(860.0), 3))
     val lod = when(u("lodnull") < cfg.pLodNull, lit(null).cast(DoubleType))
       .otherwise(round(exp(lit(1.0) + lit(0.5) * z("lod")), 4))
 
     // --- categorical / string columns --------------------------------------
     def pick(tag: String, vs: Seq[String]): Column =
       vs.zipWithIndex.foldLeft(lit(vs.head)) { case (acc, (v, i)) =>
-        when(pmod(xxhash64(base, lit(cfg.seed), lit(tag)), lit(vs.size.toLong)) === i, v).otherwise(acc)
+        when(pmod(xxhash64(col("gbase"), lit(cfg.seed), lit(tag)),
+          lit(vs.size.toLong)) === i, v).otherwise(acc)
       }
-    val jurName = concat(lit("J"), lpad(jid.cast(StringType), 2, "0"))
+    val jurName = concat(lit("J"), lpad(col("gjid").cast(StringType), 2, "0"))
     val pasteurized = when(u("pastnull") < cfg.pPastNull, lit(null).cast(StringType))
       .when(u("past") < 0.85, "No").otherwise("Yes")
     val counties = when(u("ctynull") < cfg.pCountyNull, lit(null).cast(StringType))
-      .otherwise(concat(lit("County"), lpad(pmod(sid, lit(97L)).cast(StringType), 2, "0")))
+      .otherwise(concat(lit("County"),
+        lpad(pmod(col("gsid"), lit(97L)).cast(StringType), 2, "0")))
     val gene = when(u("genenull") < cfg.pGeneNull, lit(null).cast(StringType))
       .otherwise(pick("gene", Seq("n1", "n2", "n1/n2")))
 
-    df0.select(
-      sid.cast(IntegerType).as("sewershed_id"),
+    s8.select(
+      col("gsid").cast(IntegerType).as("sewershed_id"),
       jurName.as("wwtp_jurisdiction"),
-      lpad(pmod(xxhash64(sid, lit(cfg.seed), lit("fips")), lit(99999L)).cast(StringType), 5, "0").as("county_fips"),
+      lpad(pmod(xxhash64(col("gsid"), lit(cfg.seed), lit("fips")), lit(99999L)).cast(StringType), 5, "0").as("county_fips"),
       counties.as("counties_served"),
-      pop.as("population_served"),
-      md5(concat(lit("s"), base.cast(StringType), lit(cfg.seed))).as("sample_id"),
+      col("gpop").as("population_served"),
+      md5(concat(lit("s"), col("gbase").cast(StringType), lit(cfg.seed))).as("sample_id"),
       collectDate.as("sample_collect_date"),
       pick("stype", Seq("24-hr time-weighted composite", "grab")).as("sample_type"),
       pick("smatrix", Seq("raw wastewater", "post grit removal")).as("sample_matrix"),
       lit("wwtp").as("sample_location"),
       flow.as("flow_rate"),
       lit("flu a").as("pcr_target"),
-      conc.as("pcr_target_avg_conc"),
+      col("gconc").as("pcr_target_avg_conc"),
       flowpop.as("pcr_target_flowpop_lin"),
       round(u("mic") / 10000.0, 8).as("pcr_target_mic_lin"),
       gene.as("pcr_gene_target_agg"),
