@@ -1456,6 +1456,73 @@ object ExtQueries {
     }.toDF("pct", "n_rows", "exact_val", "rank_ok").orderBy("pct")
   }
 
+  /** D24: MERGEABLE one-pass quantile sketch (ops/QuantileSketch) — the
+    * third sketch family beside d13's HLL and d14's count-min, closing
+    * the VERDICT r16 #3 gap: d11/d12's exact engine is driver-
+    * coordinated multi-round refinement (right for batch exactness,
+    * unusable as shard/streaming state), and d20 audits Spark's built-in
+    * percentile_approx, whose GK buffer is neither md5-replayable nor
+    * order-free. This sketch IS state: the k = 4096 rows with the
+    * smallest md5 row digests (bottom-k coordinated sampling, Cohen &
+    * Kaplan 2007) — membership is a pure function of the row, so any
+    * partitioning merges to exactly the whole-data sketch
+    * (QuantileSketchProps pins associativity/commutativity/unit and
+    * the partition law), and the oracle replays the sketch ROW FOR
+    * ROW (same digests, same bottom-k, same integer rank arithmetic).
+    * The estimate is the sample order statistic at rank ⌈p·n_s⌉ (p as
+    * num/den — no float rank); the exact quantile sits beside it in the
+    * output so the sampling error is visible, the d13 convention. The
+    * deliberate trade vs KLL/REQ (coin-flip compactors: order-dependent,
+    * unreplayable cross-engine) is stated in the ops scaladoc with the
+    * DKW bound (ε ≈ 2.5% rank error at k = 4096, δ = 0.01);
+    * QuantileSketchSpec asserts the bound against d11's exact engine.
+    *
+    * 100 TB posture: per-partition bottom-k heaps (map-side combine,
+    * O(k) per task) under TakeOrderedAndProject; the treeAggregate valve
+    * for extreme partition counts is documented in the ops scaladoc;
+    * readout ranks ≤ k rows (metadata-window exception). */
+  val d24_mergeable_quantiles = Q(
+    "d24_mergeable_quantiles",
+    """WITH h AS (SELECT md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR
+      |             || ':' || CAST(round(l_extendedprice * 100) AS BIGINT)::VARCHAR) AS hx,
+      |             CAST(l_extendedprice AS DOUBLE) AS v
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |sk AS (SELECT hx, v FROM h ORDER BY hx, v LIMIT 4096),
+      |rk AS (SELECT v, hx, row_number() OVER (ORDER BY v, hx) AS r,
+      |              count(*) OVER () AS ns FROM sk),
+      |ps(num, den) AS (VALUES (1, 10), (1, 4), (1, 2), (3, 4), (9, 10)),
+      |pick AS (SELECT num, den, ns, v FROM ps JOIN rk
+      |         ON rk.r = greatest(1, (num * ns + den - 1) // den)),
+      |ex AS (SELECT 1 AS num, 10 AS den, quantile_cont(l_extendedprice, 0.1) AS exact FROM lineitem
+      |       UNION ALL SELECT 1, 4, quantile_cont(l_extendedprice, 0.25) FROM lineitem
+      |       UNION ALL SELECT 1, 2, quantile_cont(l_extendedprice, 0.5) FROM lineitem
+      |       UNION ALL SELECT 3, 4, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+      |       UNION ALL SELECT 9, 10, quantile_cont(l_extendedprice, 0.9) FROM lineitem)
+      |SELECT CAST(num AS DOUBLE) / den AS pct, CAST(ns AS BIGINT) AS n_sample,
+      |       round(v, 6) AS sk_est, round(exact, 6) AS exact
+      |FROM pick JOIN ex USING (num, den) ORDER BY pct""".stripMargin
+  ) { (s, d) =>
+    val li = lineitem(s, d)
+    val key = concat_ws(":", col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string"),
+      round(col("l_extendedprice") * 100, 0).cast("long").cast("string"))
+    val sk = graft.ops.QuantileSketch.sketch(li, key,
+      col("l_extendedprice"), 4096)
+    val ps = Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10))
+    val est = graft.ops.QuantileSketch.quantiles(sk, ps)
+    // exact quantiles from the SAME shared engine as d11 — one stats
+    // aggregate + one histogram + one pick job, bounded driver fold
+    val exactVals = graft.ops.Stats.exactQuantiles(li,
+      col("l_extendedprice"), ps.map { case (n, dn) => n.toDouble / dn })
+    import s.implicits._
+    val exDf = ps.zipWithIndex.map { case ((n, dn), i) =>
+      (n.toDouble / dn,
+        exactVals.map(v => BigDecimal(v(i)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble): Option[Double])
+    }.toDF("pct", "exact")
+    est.join(broadcast(exDf), Seq("pct")).orderBy("pct")
+  }
+
   /** D22: cardinality-SKETCH accuracy audit — the d20 contract pattern
     * applied to distinct counting: Spark's TWO native one-pass mergeable
     * estimators (`approx_count_distinct` = HyperLogLog++, Heule et al.
@@ -1533,5 +1600,6 @@ object ExtQueries {
     d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers,
     d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join,
     c13_scd2_history, c14_column_profile, d23_weighted_median,
+    d24_mergeable_quantiles,
     g8_division)
 }
