@@ -14423,8 +14423,9 @@ object LlmQueries {
     * equi-join on the apex (never cartesian — the b < c guard halves
     * it) closed by an equi-join against the (i < j)-oriented pair list,
     * the standard wedge-check triangle shape whose cost is Σ deg² over
-    * the SPARSE graph (the hub-cap valve, if a corpus ever needs one,
-    * is l139's df-cap applied to apex postings — same machinery). */
+    * the SPARSE graph (the hub-cap valve is DECLARED as l212 — l139's
+    * df-cap applied to apex postings, same machinery — with the
+    * hub-planted blowup measured in the r17 wedge audit). */
   val l196_local_clustering = Q(
     "l196_local_clustering",
     s"""WITH $jaccardPairsCte,
@@ -14443,6 +14444,94 @@ object LlmQueries {
        |FROM dg LEFT JOIN tr ON tr.v = dg.v
        |ORDER BY doc_id""".stripMargin
   ) { (s, d) => localClustering(exactPairsCached(s, d)) }
+
+  /** l196's hub-cap valve, factored for the wedge audit: per-apex
+    * adjacency postings capped at `cap` neighbors (deterministic pick —
+    * the cap smallest neighbor ids), so wedge work per apex is ≤ C(cap,2)
+    * and the Σ deg² term is bounded structurally — l139's df-cap applied
+    * to apex postings, exactly as the l196 scaladoc names. */
+  private[graft] def cappedWedgeCandidates(pairs: DataFrame,
+      cap: Int): DataFrame = {
+    val p = pairs.select(col("i"), col("j"))
+    val ed = p.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(p.select(col("j").as("a"), col("i").as("b")))
+    val byNb = Window.partitionBy("a").orderBy("b")
+    val capped = ed.withColumn("rk", row_number().over(byNb))
+      .filter(col("rk") <= cap).select(col("a"), col("b"))
+      .localCheckpoint(false) // both wedge legs read it
+    capped.as("w").join(capped.as("x"),
+        col("w.a") === col("x.a") && col("w.b") < col("x.b"))
+      .select(col("w.a").as("v"), col("w.b").as("b"), col("x.b").as("c"))
+  }
+
+  /** l212's engine: local clustering over the CAPPED neighborhood.
+    * Exact degree is kept beside the capped readout so the row is
+    * honest about where the cap bit; the coefficient is computed on
+    * the capped basis (2·tri_cap / deg_cap(deg_cap−1)), which is the
+    * clustering coefficient of the sampled neighborhood — for a clique
+    * node it stays exactly 1 under ANY cap ≥ 2 (every capped subset of
+    * a clique neighborhood is fully connected), the law the spec pins. */
+  private[graft] def cappedClustering(pairs: DataFrame, cap: Int): DataFrame = {
+    val p = pairs.select(col("i"), col("j"))
+    val dg = p.select(col("i").as("v")).unionByName(p.select(col("j").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = cappedWedgeCandidates(p, cap)
+      .join(p.select(col("i").as("tb"), col("j").as("tc")),
+        col("b") === col("tb") && col("c") === col("tc"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    val degCap = least(col("deg"), lit(cap.toLong))
+    dg.join(tri, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg").cast("long").as("degree"),
+        degCap.cast("long").as("deg_capped"),
+        coalesce(col("tri"), lit(0L)).cast("long").as("triangles_capped"),
+        round(when(degCap < 2, lit(null)).otherwise(
+          coalesce(col("tri"), lit(0L)) * lit(2.0) /
+            (degCap * (degCap - 1))), 6).as("coeff_capped"))
+      .orderBy("doc_id")
+  }
+
+  /** L212: df-capped local clustering — l196's declared hub valve
+    * (VERDICT r16 #5). The hub-planted wedge audit (WorkRowAudit,
+    * BENCHNOTES r17) measures the uncapped wedge frame growing ≳
+    * +3/decade once a boilerplate clique exists (wedges ≈ m³ in the
+    * cohort size), which is the l196 scaladoc's named blowup mode; the
+    * valve caps each apex's postings at the cap smallest neighbor ids
+    * (l139's df-cap machinery on the adjacency list), bounding wedge
+    * work per apex at C(cap,2) rows regardless of hub size. The exact
+    * degree ships beside the capped readout, so WHERE the cap bit is
+    * part of the hash — the l139 declared-loss discipline; cap = 8 is
+    * the demo knob (deg > 8 exists at test SF only in the planted-dup
+    * cliques, where the capped coefficient is provably still exact).
+    *
+    * Determinism: the capped pick is a rank over (apex, neighbor id) —
+    * integer total order, replayed verbatim by the oracle's window.
+    *
+    * 100 TB posture: degrees are one groupBy on the sparse pair frame;
+    * the wedge self-join touches only capped postings (≤ cap per apex),
+    * so a boilerplate hub of ANY size costs the same as a cap-clique —
+    * the structural bound the uncapped l196 lacks by declared design. */
+  val l212_capped_clustering = Q(
+    "l212_capped_clustering",
+    s"""WITH $jaccardPairsCte,
+       |ed AS (SELECT i AS a, j AS b FROM pr UNION ALL SELECT j, i FROM pr),
+       |cp AS (SELECT a, b FROM (SELECT a, b,
+       |               row_number() OVER (PARTITION BY a ORDER BY b) AS rk
+       |             FROM ed) WHERE rk <= 8),
+       |dg AS (SELECT a AS v, count(*) AS deg FROM ed GROUP BY 1),
+       |tr AS (SELECT w.a AS v, count(*) AS tri
+       |       FROM cp w JOIN cp x ON x.a = w.a AND w.b < x.b
+       |       JOIN pr p ON p.i = w.b AND p.j = x.b
+       |       GROUP BY 1)
+       |SELECT dg.v AS doc_id, CAST(dg.deg AS BIGINT) AS degree,
+       |       CAST(least(dg.deg, 8) AS BIGINT) AS deg_capped,
+       |       CAST(coalesce(tr.tri, 0) AS BIGINT) AS triangles_capped,
+       |       round(CASE WHEN least(dg.deg, 8) < 2 THEN NULL
+       |                  ELSE coalesce(tr.tri, 0) * 2.0
+       |                       / (least(dg.deg, 8) * (least(dg.deg, 8) - 1)) END,
+       |             6) AS coeff_capped
+       |FROM dg LEFT JOIN tr ON tr.v = dg.v
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) => cappedClustering(exactPairsCached(s, d), cap = 8) }
 
   // ------------- simplified silhouette per cluster (l197)
 
@@ -15870,6 +15959,7 @@ object LlmQueries {
     l204_neyman_allocation, l205_neyman_draw, l206_rendezvous_resharding,
     l207_obf_looks, l208_jackknife_influence, l209_cuped_readout,
     l210_capture_recapture, l211_capture_overlap,
+    l212_capped_clustering,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

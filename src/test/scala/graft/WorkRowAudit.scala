@@ -44,7 +44,8 @@ object WorkRowAudit {
 
   /** The sf1-equivalent documents slice: deterministic (hash-indexed —
     * no RNG state), same schema as the committed table. */
-  def genDocs(spark: SparkSession, path: String, nDocs: Long): Unit = {
+  def genDocs(spark: SparkSession, path: String, nDocs: Long,
+      plantHub: Boolean = false): Unit = {
     val vocabCol = array(Vocab.map(lit): _*)
     val base = spark.range(nDocs).select(col("id").as("doc_id"),
       when(col("id") % 200 === 1, col("id") - 1).otherwise(col("id")).as("src_id"),
@@ -57,7 +58,22 @@ object WorkRowAudit {
     // corpus's 'dup' cohort
     val toks2 = when(col("is_dup"),
       concat(slice(toks, lit(1), size(toks) - 1), array(lit("dup")))).otherwise(toks)
-    base.select(col("doc_id"), concat_ws(" ", toks2).as("text"),
+    // boilerplate hub cohort (VERDICT r16 #5, wedge audit only — never
+    // mixed into the slices the other families' committed series read):
+    // every 200th doc (id % 200 == 7, disjoint from the dup cohort)
+    // carries a SHARED 60-token template with only its last token
+    // per-doc — pairwise trigram J ≈ 0.9 ≫ τ, so the cohort is a
+    // mutual-near-dup clique whose size grows with the corpus, i.e. the
+    // l196 scaladoc's "boilerplate shingle bridging docs" blowup mode
+    val hubTemplate = transform(sequence(lit(1), lit(60)), pos =>
+      element_at(vocabCol, pmod(xxhash64(lit(-1L), pos), lit(30)).cast("int") + 1))
+    val hubToks = concat(slice(hubTemplate, lit(1), lit(59)),
+      array(element_at(vocabCol,
+        pmod(xxhash64(col("doc_id"), lit("hubvar")), lit(30)).cast("int") + 1)))
+    val toks3 = if (plantHub)
+      when(col("doc_id") % 200 === 7, hubToks).otherwise(toks2)
+    else toks2
+    base.select(col("doc_id"), concat_ws(" ", toks3).as("text"),
         lit("en").as("lang"),
         concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -196,6 +212,32 @@ object WorkRowAudit {
       out ++= s"| $name | " + cs.mkString(" | ") + s" | ${expStr(cs)} |\n"
       println(s"[audit] $name: ${cs.mkString(", ")}")
     }
+    // Wedge family on HUB-PLANTED slices (VERDICT r16 #5): the committed
+    // corpora's dup graph is a pure matching (0 wedges at every point),
+    // so l196's committed-series row above cannot show the blowup mode OR
+    // the cap working. These three generated points plant the boilerplate
+    // clique (cohort size n/200) at EVERY size, so the series is
+    // meaningful end to end: uncapped wedges grow ~ cohort³ (the ≥ +2
+    // exponent that triggered declaring l212), capped wedges grow ~ n.
+    val hubPoints = Seq(500L, 5000L, 50000L)
+    val hubDirs = hubPoints.map { n =>
+      val d = s"$genBase/hub_docs_$n.parquet"
+      genDocs(spark, d, n, plantHub = true)
+      (s"hub$n", d)
+    }
+    val wedgeFamilies: Seq[(String, DataFrame => Long)] = Seq(
+      ("l196 wedges (hub-planted)",
+        (d: DataFrame) => LlmQueries.wedgeCandidates(
+          LlmQueries.jaccardNearDupFrom(sh(d))).count()),
+      ("l212 capped wedges (cap=8, the valve)",
+        (d: DataFrame) => LlmQueries.cappedWedgeCandidates(
+          LlmQueries.jaccardNearDupFrom(sh(d)), cap = 8).count()))
+    wedgeFamilies.foreach { case (name, f) =>
+      val cs = hubDirs.map { case (_, p) => f(docsAt(p)) }
+      out ++= s"| $name | " + cs.mkString(" | ") + s" | ${expStr(cs)} |\n"
+      println(s"[audit] $name: ${cs.mkString(", ")}")
+    }
+
     // l29: embeddings, the query's own adaptive width per point
     val l29cs = embPoints.map { case (_, p) =>
       val e = spark.read.parquet(p)

@@ -4070,6 +4070,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pend(4L) === ((1L, 0L, None)))
   }
 
+  test("l212 capped clustering: a clique node reads coeff 1.0 under ANY " +
+      "cap >= 2; cap >= max degree is the l196 identity; the star hub " +
+      "stays 0, degree-1 nodes stay null, and the exact degree ships " +
+      "uncapped beside the capped basis") {
+    def run(pairs: Seq[(Long, Long)], cap: Int)
+        : Map[Long, (Long, Long, Long, Option[Double])] =
+      LlmQueries.cappedClustering(pairs.toDF("i", "j"), cap).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // K5 clique: every node deg 4; cap 2 keeps a fully-connected sampled
+    // neighborhood, so the capped coefficient is EXACTLY 1 — the law that
+    // makes the capped readout trustworthy on template families
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val capped = run(k5, 2)
+    assert(capped.values.forall { case (dg, dc, tc, c) =>
+      dg == 4L && dc == 2L && tc == 1L && c == Some(1.0) }, s"$capped")
+    // cap-off identity: cap >= max degree reproduces l196 exactly
+    val pend = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val uncapped = LlmQueries.localClustering(pend.toDF("i", "j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq.sortBy(_._1)
+    val wide = run(pend, 100).toSeq
+      .map { case (v, (dg, _, _, c)) => (v, dg, c) }.sortBy(_._1)
+    assert(wide == uncapped, "cap >= max degree must be the l196 identity")
+    // star: hub capped to 2 of its 5 leaves — still no internal edge
+    val star = run((1L to 5L).map(l => (0L, l)), 2)
+    assert(star(0L) === ((5L, 2L, 0L, Some(0.0))))
+    assert((1L to 5L).forall(star(_)._4.isEmpty))
+  }
+
   test("l197 silhouette: two tight orthogonal clusters read mean " +
       "silhouette near 1; every mean obeys the 0 <= s <= 1 law the " +
       "argmax assignment forces") {
