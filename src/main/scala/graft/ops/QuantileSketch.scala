@@ -86,6 +86,36 @@ object QuantileSketch {
       .orderBy("hx", "v")
       .limit(k)
 
+  /** The extreme-partition-count valve the scaladoc names, as code: the
+    * SAME bottom-k algebra through `treeAggregate` — per-partition
+    * bottom-k combine, then a depth-`depth` merge tree, so the driver
+    * fan-in is O(k·P^(1/depth)) instead of O(k·P). Value-identical to
+    * [[sketch]] by the partition law (QuantileSketchSpec pins it on
+    * frames); the DataFrame form stays the default because its plan is
+    * declarative and the readout composes — this is the deployment
+    * switch for 10⁵+-partition scans. */
+  def sketchTree(df: DataFrame, key: Column, value: Column, k: Int,
+      depth: Int = 2): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val entries = df.filter(value.isNotNull)
+      .select(md5(key.cast("string").cast("binary")).as("hx"),
+        value.cast("double").as("v"))
+      .as[(String, Double)]
+    // seqOp buffers up to 4k entries before compacting (amortizes the
+    // sort); the outer modelSketch re-truncates in case a lone partition
+    // never hit a combOp — ≤ k is a hard output contract
+    val merged = modelSketch(
+      entries.rdd.treeAggregate(Seq.empty[(String, Double)])(
+        (acc, e) => {
+          val b = acc :+ e
+          if (b.size > 4 * k) modelSketch(b, k) else b
+        },
+        (a, b) => modelMerge(a, b, k),
+        depth), k)
+    merged.toDF("hx", "v")
+  }
+
   /** Quantile readout over a (hx, v) sketch frame for rationals
     * num/den — pure integer rank arithmetic, identical on both engines.
     * Output: (pct, n_sample, sk_est). */

@@ -2522,6 +2522,52 @@ object LlmQueries {
       .orderBy("week_ending")
   }
 
+  /** L213: the streaming weekly QUANTILE estimates
+    * (StreamingOps.weeklyQuantileSketch — d24's bottom-k sketch as
+    * mapGroupsWithState state), declared on its batch body like l12/l12b.
+    * The third sketch family's streaming form: l12b streams cardinality
+    * (HLL registers), the count-min weekly form streams frequency, THIS
+    * streams the value distribution — median and p90 of event value per
+    * Mon..Sun week from ≤ k = 256 retained entries per window, the
+    * per-shard mergeable state the exact d11 engine cannot provide. The
+    * oracle replays the sketch GROUPED: per-week bottom-256 by md5
+    * digest, then the integer-rank order statistics — row for row, the
+    * d24 discipline. n_seen (all values offered) rides beside n_sample
+    * (retained) so the row shows exactly how much the sketch threw away.
+    *
+    * Determinism: bottom-k membership is a pure row function; ranks are
+    * integer arithmetic; estimates are sample values rounded 6 dp
+    * (BigDecimal HALF_UP ≡ DuckDB round away-from-zero on both signs).
+    *
+    * 100 TB posture: state is ≤ k entries per window — bounded by
+    * construction; stream ≡ batch under ANY micro-batch split because
+    * the fold is the associative/commutative algebra
+    * QuantileSketchProps pins (StreamingSpec asserts it end to end). */
+  val l213_stream_quantiles = Q(
+    "l213_stream_quantiles",
+    """WITH h AS (SELECT CAST(CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE) AS VARCHAR) AS week_ending,
+      |             md5(CAST(event_id AS VARCHAR)) AS hx, CAST(value AS DOUBLE) AS v
+      |           FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+      |sk AS (SELECT week_ending, hx, v FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY week_ending ORDER BY hx, v) AS rk
+      |         FROM h)
+      |       WHERE rk <= 256),
+      |ns AS (SELECT week_ending, count(*) AS n_seen FROM h GROUP BY 1),
+      |rk2 AS (SELECT week_ending, v,
+      |               row_number() OVER (PARTITION BY week_ending ORDER BY v, hx) AS r,
+      |               count(*) OVER (PARTITION BY week_ending) AS nsm
+      |        FROM sk)
+      |SELECT week_ending, CAST(ns.n_seen AS BIGINT) AS n_seen,
+      |       CAST(max(nsm) AS BIGINT) AS n_sample,
+      |       round(min(CASE WHEN r = greatest(1, (nsm + 1) // 2) THEN v END), 6) AS med_est,
+      |       round(min(CASE WHEN r = greatest(1, (9 * nsm + 9) // 10) THEN v END), 6) AS p90_est
+      |FROM rk2 JOIN ns USING (week_ending)
+      |GROUP BY week_ending, ns.n_seen ORDER BY week_ending""".stripMargin
+  ) { (s, d) =>
+    graft.streaming.StreamingOps.weeklyQuantileSketch(events(s, d))
+      .orderBy("week_ending")
+  }
+
   /** L13: per-user session windows (StreamingOps.sessionAgg — the merging
     * `session_window` aggregate, batch AND streaming). The oracle replays
     * the gap-split definition session_window implements: a new session
@@ -15983,7 +16029,8 @@ object LlmQueries {
     l1_token_stats, l2_lang_id, l3_hash_dedup, l4_jaccard_neardup,
     l5_minhash_lsh, l6_topk_cosine, l7_ann_ivf, l8_simhash_neardup,
     l9_fingerprints, l10_media_decode, l11_embed_neardup, l12_stream_weekly,
-    l12_stream_approx_distinct, l13_user_sessions, l14_dedup_clusters,
+    l12_stream_approx_distinct, l213_stream_quantiles,
+    l13_user_sessions, l14_dedup_clusters,
     l15_quality_filter, l16_normalize_redact, l17_stratified_sample,
     l18_tfidf_topterms, l19_lsh_history, l20_seq_pack, l21_curated_corpus,
     l22_interval_join, l23_media_resize, l24_media_frames, l25_feature_hash,

@@ -71,6 +71,18 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(k <= 4096L)
   }
 
+  test("the treeAggregate valve is value-identical to the DataFrame " +
+      "bottom-k — the deployment switch costs nothing in answer") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => (s"k$i", (i * 53 % 997).toDouble))
+    val df = rows.toDF("key", "v").repartition(16)
+    val viaPlan = QuantileSketch.sketch(df, col("key"), col("v"), 128)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaTree = QuantileSketch.sketchTree(df, col("key"), col("v"), 128)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq.sorted
+    assert(viaTree == viaPlan)
+  }
+
   test("degenerate inputs: empty and all-null frames yield an empty " +
       "sketch and an empty readout — never a throw") {
     import spark.implicits._

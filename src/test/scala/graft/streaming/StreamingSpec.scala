@@ -154,6 +154,22 @@ class StreamingSpec extends AnyFunSuite {
       s"the +shift era must latch the alarm through the streamed path: $rows")
   }
 
+  test("streaming weekly quantile sketch (l213 body) equals the batch " +
+      "fold — bottom-k state is order-free across micro-batches") {
+    val (dir, batch) = stage(dups = false)
+    val expected = StreamingOps.weeklyQuantileSketch(batch)
+      .collect().map(_.toSeq).toSet
+    val emitted = runStream(dir, StreamingOps.weeklyQuantileSketch(_),
+      "qsk_stream", "update").collect().map(_.toSeq)
+    // update mode emits once per (key, touched batch); n_seen is strictly
+    // monotone per key, so the final row per key is its max-n_seen row —
+    // the identifiability the op's scaladoc declares
+    val finals = emitted.groupBy(_.head).map { case (_, rows) =>
+      rows.maxBy(_(1).asInstanceOf[Long]) }.toSet
+    assert(finals === expected,
+      "the micro-batched fold must land on the batch bottom-k exactly")
+  }
+
   test("streaming dedup emits each event_id exactly once") {
     // files arrive in arbitrary (non-time) order, so the watermark must
     // exceed the table's time span or re-arrivals of old rows would be
