@@ -651,6 +651,60 @@ object ExtQueries {
       .orderBy("k")
   }
 
+  /** E15: coordinated-sample join — join STATISTICS from two tables at
+    * O(k) cost, the cross-table payoff of the d24/d25 digest discipline
+    * (Cohen & Kaplan 2007's coordinated sampling): because the sample is
+    * keyed by md5(join key), the SAME k orders are selected no matter
+    * which table, shard or snapshot materializes the sample, so the
+    * sampled fact rows are exactly the sampled dim keys' rows — an
+    * unbiased per-key sample of the JOIN. Two INDEPENDENT p-samples
+    * would overlap on ~p² of keys (at test SF: nearly nothing) and any
+    * fan-out estimate from them is garbage; the coordinated form's
+    * fan-out estimator is the sample mean of true per-key fan-outs
+    * (zero-fanout orders kept by the left join — dropping them biases
+    * the mean up). ScaleOpsSpec measures both claims on real data.
+    *
+    * Determinism: the k-set is a total order over (digest, key); counts
+    * are exact integers; quantity sums are exact (integer-valued
+    * doubles) under round(4).
+    *
+    * 100 TB posture: the k-key set is a TakeOrdered (per-partition
+    * bottom-k heaps) then a BROADCAST to the fact scan — one pass over
+    * each table, never the full join; the same digest column serves
+    * d24/d25's sketches, so value and join statistics ride ONE sampling
+    * pass at deployment. */
+  val e15_coordinated_join_sample = Q(
+    "e15_coordinated_join_sample",
+    """WITH ks AS (SELECT o_orderkey, o_orderstatus FROM (
+      |         SELECT o_orderkey, o_orderstatus,
+      |                row_number() OVER (ORDER BY md5(o_orderkey::VARCHAR),
+      |                                   o_orderkey) AS rk
+      |         FROM orders) WHERE rk <= 512),
+      |j AS (SELECT k.o_orderstatus, k.o_orderkey, l.l_orderkey AS lk,
+      |             l.l_quantity
+      |      FROM ks k LEFT JOIN lineitem l ON l.l_orderkey = k.o_orderkey)
+      |SELECT o_orderstatus,
+      |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders_sampled,
+      |       CAST(count(lk) AS BIGINT) AS n_lineitems_sampled,
+      |       round(count(lk) * 1.0 / count(DISTINCT o_orderkey), 6) AS avg_fanout,
+      |       round(coalesce(sum(l_quantity), 0), 4) AS sum_qty
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val ks = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        md5(col("o_orderkey").cast("string").cast("binary")).as("hx"))
+      .orderBy("hx", "o_orderkey").limit(512).drop("hx")
+    val j = broadcast(ks).join(
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+      col("o_orderkey") === col("l_orderkey"), "left")
+    j.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders_sampled"),
+        count(col("l_orderkey")).as("n_lineitems_sampled"),
+        round(count(col("l_orderkey")) * lit(1.0) /
+          countDistinct(col("o_orderkey")), 6).as("avg_fanout"),
+        round(coalesce(sum(col("l_quantity")), lit(0.0)), 4).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
   /** B14: unpivot / melt — wide measure columns to (metric, value) rows,
     * the long-format reshape (pandas `melt`). Spark's native `unpivot`
     * expands per-row with no shuffle; the oracle states the same thing as
@@ -1523,6 +1577,72 @@ object ExtQueries {
     est.join(broadcast(exDf), Seq("pct")).orderBy("pct")
   }
 
+  /** D25: the GROUPED mergeable quantile sketch — d24's bottom-k per
+    * group, completing the family exactly as d12 grouped d11: per
+    * l_returnflag, the k = 256 rows with the smallest md5 digests carry
+    * the group's value distribution; median and p90 read off at integer
+    * ranks with n_seen beside n_sample (how much each group discarded).
+    * Where d12's exact engine coordinates driver rounds per group, this
+    * is ONE shuffle on the group key: the rank-≤-k cut is a literal, so
+    * Catalyst plans WindowGroupLimit — every task keeps a k-row heap per
+    * group during the sort, never a group's full value set (the l205
+    * plan discipline; PlanShapeSpec pins the operator). Merge story as
+    * d24: any shard split of a group folds to the same k rows.
+    *
+    * 100 TB posture: one hash exchange on the group key; per-task state
+    * k rows per group (WindowGroupLimit); the readout windows run over
+    * ≤ k rows per group — the metadata exception class.
+    */
+  val d25_group_quantile_sketch = Q(
+    "d25_group_quantile_sketch",
+    """WITH h AS (SELECT l_returnflag AS flag,
+      |             md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR
+      |               || ':' || CAST(round(l_extendedprice * 100) AS BIGINT)::VARCHAR) AS hx,
+      |             CAST(l_extendedprice AS DOUBLE) AS v
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |sk AS (SELECT flag, hx, v FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY flag ORDER BY hx, v) AS rk
+      |         FROM h)
+      |       WHERE rk <= 256),
+      |ns AS (SELECT flag, count(*) AS n_seen FROM h GROUP BY 1),
+      |rk2 AS (SELECT flag, v,
+      |               row_number() OVER (PARTITION BY flag ORDER BY v, hx) AS r,
+      |               count(*) OVER (PARTITION BY flag) AS nsm
+      |        FROM sk)
+      |SELECT flag AS l_returnflag, CAST(ns.n_seen AS BIGINT) AS n_seen,
+      |       CAST(max(nsm) AS BIGINT) AS n_sample,
+      |       round(min(CASE WHEN r = greatest(1, (nsm + 1) // 2) THEN v END), 6) AS med_est,
+      |       round(min(CASE WHEN r = greatest(1, (9 * nsm + 9) // 10) THEN v END), 6) AS p90_est
+      |FROM rk2 JOIN ns USING (flag)
+      |GROUP BY flag, ns.n_seen ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val li = lineitem(s, d).filter(col("l_extendedprice").isNotNull)
+    val base = li.select(col("l_returnflag").as("flag"),
+      md5(concat_ws(":", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"),
+        round(col("l_extendedprice") * 100, 0).cast("long").cast("string"))
+        .cast("binary")).as("hx"),
+      col("l_extendedprice").cast("double").as("v"))
+    val wTop = Window.partitionBy("flag").orderBy("hx", "v")
+    val sk = base.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 256).drop("rk")
+    val wRead = Window.partitionBy("flag").orderBy("v", "hx")
+    val rk2 = sk.select(col("flag"), col("v"),
+      row_number().over(wRead).as("r"),
+      count(lit(1)).over(Window.partitionBy("flag")).as("nsm"))
+    val nSeen = base.groupBy("flag").agg(count(lit(1)).as("n_seen"))
+    rk2.groupBy("flag", "nsm")
+      .agg(round(min(when(col("r") === greatest(lit(1L),
+          expr("(nsm + 1) div 2")), col("v"))), 6).as("med_est"),
+        round(min(when(col("r") === greatest(lit(1L),
+          expr("(9 * nsm + 9) div 10")), col("v"))), 6).as("p90_est"))
+      .join(broadcast(nSeen), Seq("flag"))
+      .select(col("flag").as("l_returnflag"), col("n_seen"),
+        col("nsm").cast("long").as("n_sample"), col("med_est"),
+        col("p90_est"))
+      .orderBy("l_returnflag")
+  }
+
   /** D22: cardinality-SKETCH accuracy audit — the d20 contract pattern
     * applied to distinct counting: Spark's TWO native one-pass mergeable
     * estimators (`approx_count_distinct` = HyperLogLog++, Heule et al.
@@ -1592,7 +1712,7 @@ object ExtQueries {
   val all: Seq[Q] = Seq(
     d20_quantile_sketch_audit, d22_distinct_sketch_audit,
     g2_union, g3_except, g4_intersect, g5_except_all, g6_intersect_all,
-    e6_anti_join, e7_full_outer_join,
+    e6_anti_join, e7_full_outer_join, e15_coordinated_join_sample,
     f5_rolling_mean, c8_keep_latest, d9_rollup, d10_distinct_agg,
     d11_quantiles, d12_group_median, d13_hll_distinct, d14_heavy_hitters,
     b14_unpivot, d15_hopping_window, d16_cube, f6_ranking, d17_ewma,
@@ -1600,6 +1720,6 @@ object ExtQueries {
     d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers,
     d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join,
     c13_scd2_history, c14_column_profile, d23_weighted_median,
-    d24_mergeable_quantiles,
+    d24_mergeable_quantiles, d25_group_quantile_sketch,
     g8_division)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{CoreQueries, LlmQueries}
+import graft.queries.{CoreQueries, ExtQueries, LlmQueries}
 
 /** Physical-plan posture pins for the CORE declared queries — the scan/
   * shuffle/join properties the 100 TB story claims, asserted as plan-shape
@@ -450,6 +450,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"the sample aggregate must reuse the window's partitioning — " +
         s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("D25: the grouped quantile sketch's rank<=256 literal cut is " +
+      "WindowGroupLimit in Partial+Final — no task holds a group's full " +
+      "value set") {
+    val p = plan(ExtQueries.d25_group_quantile_sketch)
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank<=k filter must plan as a group-limit:\n$p")
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"group-limit must run map-side (Partial) before the exchange:\n$p")
   }
 
   test("L50: line-df map-combines; the frequent-line anti join broadcasts") {

@@ -461,4 +461,47 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"got $exchanges:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("e15 coordinated-sample join: the fan-out estimate tracks the true " +
+      "mean; an INDEPENDENT pair of key samples overlaps on ~p^2 of keys " +
+      "and the broadcast plan never materializes the full join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val spark2 = spark
+    val q = graft.queries.ExtQueries.e15_coordinated_join_sample
+    val rows = q.fn(spark2, sf).collect()
+    // truth: per-order fan-out mean per status, zero-fanout orders kept
+    val truth = graft.Tables.orders(spark2, sf)
+      .join(graft.Tables.lineitem(spark2, sf)
+        .select(col("l_orderkey"), lit(1L).as("one")),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderstatus")
+      .agg((count(col("one")) * 1.0 / countDistinct(col("o_orderkey")))
+        .as("fanout"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val est = r.getDouble(3)
+      val t = truth(r.getString(0))
+      assert(math.abs(est - t) < 0.5,
+        s"status ${r.getString(0)}: coordinated fanout $est vs true $t")
+    }
+    // the coordinated property: the SAME digest picks the SAME keys on
+    // any table; an independent (differently-salted) sample of the same
+    // size overlaps on only ~k^2/N keys
+    val ordKeys = graft.Tables.orders(spark2, sf).select(col("o_orderkey"))
+    def keySample(salt: String) = ordKeys
+      .orderBy(md5(concat(lit(salt), col("o_orderkey").cast("string"))
+        .cast("binary")), col("o_orderkey"))
+      .limit(512).collect().map(_.getLong(0)).toSet
+    val a = keySample("")
+    val b = keySample("independent:")
+    val n = ordKeys.count()
+    assert(a.size == 512 && (a intersect b).size < 300,
+      s"independent samples must overlap on ~512^2/$n keys, " +
+        s"got ${(a intersect b).size} — coordinated keeps all 512")
+    // plan posture: the sampled key set broadcasts to the fact scan
+    val plan = q.fn(spark2, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k-key set must broadcast, never shuffle the fact:\n$plan")
+  }
 }
