@@ -1643,6 +1643,63 @@ object ExtQueries {
       .orderBy("l_returnflag")
   }
 
+  /** D26: AMS F₂ (second frequency moment) sketch — the FOURTH sketch
+    * family (Alon, Matias & Szegedy 1996), estimating the self-join
+    * size Σ f_k² of a key column from 16 integer counters: Z_r =
+    * Σ_rows s_r(key) with s_r a ±1 four-wise-ish sign from
+    * md5("f2:r:key") (the l29 Rademacher discipline — hash-derived so
+    * ANSI SQL derives the identical signs), and E[Z_r²] = F₂ exactly.
+    * WHY a pipeline wants it: Σ f_k² is the size of a self-join and the
+    * skew denominator — the number that says whether a groupBy/join on
+    * this key will hot-spot — and this sketch reads it in ONE
+    * map-combinable pass over 16 counters, mergeable across shards by
+    * plain addition (counter sums commute; the partition law is the
+    * associativity of +). The exact Σ f_k² ships beside the estimate
+    * (the d13 convention), with the relative error as data.
+    *
+    * Determinism — exact INTEGER end to end: each Z_r is an integer sum
+    * of ±1; Z_r² and their Σ are integers; the mean over R = 16 is one
+    * division under round(4); no float enters until output. Both
+    * engines derive signs from the same md5 hex digit parity.
+    *
+    * 100 TB posture: the ×16 sign explode feeds one map-combinable
+    * groupBy(r) — 16 partials per task, a 16-row final frame; the exact
+    * side is the test-SF bookkeeping (at scale one runs the sketch and
+    * samples the exact on a stratum — the l30/l139 pattern). */
+  val d26_ams_f2 = Q(
+    "d26_ams_f2",
+    """WITH k AS (SELECT l_orderkey AS key FROM lineitem
+      |           WHERE l_orderkey IS NOT NULL),
+      |z AS (SELECT r,
+      |        sum(CASE WHEN (strpos('0123456789abcdef',
+      |               substr(md5('f2:' || r::VARCHAR || ':' || key::VARCHAR), 1, 1))
+      |               - 1) % 2 = 0 THEN 1 ELSE -1 END) AS zr
+      |      FROM k CROSS JOIN range(16) t(r) GROUP BY 1),
+      |est AS (SELECT sum(zr * zr) AS sq, count(*) AS rr FROM z),
+      |ex AS (SELECT sum(c) AS n_rows, count(*) AS n_keys, sum(c * c) AS f2
+      |       FROM (SELECT key, count(*) AS c FROM k GROUP BY 1))
+      |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(n_keys AS BIGINT) AS n_keys,
+      |       CAST(f2 AS BIGINT) AS f2_exact,
+      |       round(sq * 1.0 / rr, 4) AS f2_est,
+      |       round(abs(sq * 1.0 / rr - f2) / f2, 6) AS rel_err
+      |FROM est, ex""".stripMargin
+  ) { (s, d) =>
+    val k = lineitem(s, d).filter(col("l_orderkey").isNotNull)
+      .select(col("l_orderkey").as("key"))
+    val est = graft.ops.AmsF2.estimate(k, col("key"), 16)
+    val ex = k.groupBy("key").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("f2"))
+    ex.crossJoin(broadcast(est))
+      .select(col("n_rows").cast("long").as("n_rows"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("f2").cast("long").as("f2_exact"),
+        round(col("sq") * lit(1.0) / col("rr"), 4).as("f2_est"),
+        round(abs(col("sq") * lit(1.0) / col("rr") - col("f2")) / col("f2"),
+          6).as("rel_err"))
+  }
+
   /** D22: cardinality-SKETCH accuracy audit — the d20 contract pattern
     * applied to distinct counting: Spark's TWO native one-pass mergeable
     * estimators (`approx_count_distinct` = HyperLogLog++, Heule et al.
@@ -1720,6 +1777,6 @@ object ExtQueries {
     d18_sketch_union, g7_star_join, d19_quantile_disc, c10_mad_outliers,
     d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join,
     c13_scd2_history, c14_column_profile, d23_weighted_median,
-    d24_mergeable_quantiles, d25_group_quantile_sketch,
+    d24_mergeable_quantiles, d25_group_quantile_sketch, d26_ams_f2,
     g8_division)
 }
