@@ -29,20 +29,22 @@ def load(path):
 
 
 def calib(rec):
-    h = rec.get("host")
-    if not h:
-        return None
-    vals = [h[k]["calib_cpu_ms"] for k in ("start", "end")
-            if h.get(k) and h[k].get("calib_cpu_ms")]
+    h = rec.get("host") or {}
+    start, end = h.get("start") or {}, h.get("end") or {}
+    vals = [v for v in (start.get("calib_cpu_ms"), end.get("calib_cpu_ms"))
+            if v is not None]
+    # a 0 ms calibration is a broken measurement, not a missing one —
+    # treat it as absent so the divide below can't zero out
+    vals = [v for v in vals if v > 0]
     if not vals:
         return None
     return {
         "cpu_ms": sum(vals) / len(vals),
-        "start": h["start"].get("calib_cpu_ms"),
-        "end": h["end"].get("calib_cpu_ms"),
-        "loadavg": h["start"].get("loadavg"),
-        "cores": h["start"].get("cores"),
-        "mhz": h["start"].get("cpu_mhz_avg"),
+        "start": start.get("calib_cpu_ms"),
+        "end": end.get("calib_cpu_ms"),
+        "loadavg": start.get("loadavg"),
+        "cores": start.get("cores"),
+        "mhz": start.get("cpu_mhz_avg"),
     }
 
 
@@ -69,7 +71,7 @@ def main(argv):
     if box:
         print(f"box factor (calib cpu) {box:.2f}x -> CALIBRATED ratio "
               f"{raw / box:.2f}x")
-        if cn["end"] and cn["start"] and cn["end"] > 2 * cn["start"]:
+        if (cn.get("end") or 0) > 2 * (cn.get("start") or float("inf")):
             print("WARNING: new run's end calibration is >2x its start — "
                   "the box degraded mid-run; per-line ratios are suspect.")
     else:

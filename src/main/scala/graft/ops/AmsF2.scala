@@ -38,12 +38,15 @@ object AmsF2 {
     * column — one ×R explode into a map-combinable groupBy, then a
     * 16-row fold. Caller divides sq/rr for the estimate. */
   def estimate(df: DataFrame, key: Column, r: Int): DataFrame = {
+    // alias the key ONCE: an expression key (concat, cast, ...) would
+    // not re-resolve against the projected frame inside the aggregate
     val sign = when(
       (conv(substring(md5(concat(lit("f2:"), col("r").cast("string"),
-        lit(":"), key.cast("string")).cast("binary")), 1, 1), 16, 10)
+        lit(":"), col("k")).cast("binary")), 1, 1), 16, 10)
         .cast("int") % 2) === 0, lit(1L)).otherwise(lit(-1L))
     df.filter(key.isNotNull)
-      .select(key, explode(sequence(lit(0), lit(r - 1))).as("r"))
+      .select(key.cast("string").as("k"),
+        explode(sequence(lit(0), lit(r - 1))).as("r"))
       .groupBy("r").agg(sum(sign).as("zr"))
       .agg(sum(col("zr") * col("zr")).as("sq"), count(lit(1)).as("rr"))
   }

@@ -102,17 +102,30 @@ object QuantileSketch {
       .select(md5(key.cast("string").cast("binary")).as("hx"),
         value.cast("double").as("v"))
       .as[(String, Double)]
-    // seqOp buffers up to 4k entries before compacting (amortizes the
-    // sort); the outer modelSketch re-truncates in case a lone partition
-    // never hit a combOp — ≤ k is a hard output contract
+    // seqOp appends into a MUTABLE buffer and compacts in place past 4k
+    // entries (O(n) appends + amortized sorts — an immutable :+ here
+    // copies the whole buffer per row, quadratic-factor work exactly at
+    // the scale this valve exists for); the outer modelSketch
+    // re-truncates in case a lone partition never hit a combOp — ≤ k is
+    // a hard output contract
     val merged = modelSketch(
-      entries.rdd.treeAggregate(Seq.empty[(String, Double)])(
+      entries.rdd.treeAggregate(
+        scala.collection.mutable.ArrayBuffer.empty[(String, Double)])(
         (acc, e) => {
-          val b = acc :+ e
-          if (b.size > 4 * k) modelSketch(b, k) else b
+          acc += e
+          if (acc.size > 4 * k) {
+            val t = modelSketch(acc.toSeq, k)
+            acc.clear(); acc ++= t
+          }
+          acc
         },
-        (a, b) => modelMerge(a, b, k),
-        depth), k)
+        (a, b) => {
+          a ++= b
+          val t = modelSketch(a.toSeq, k)
+          a.clear(); a ++= t
+          a
+        },
+        depth).toSeq, k)
     merged.toDF("hx", "v")
   }
 

@@ -660,17 +660,21 @@ object ExtQueries {
     * unbiased per-key sample of the JOIN. Two INDEPENDENT p-samples
     * would overlap on ~p² of keys (at test SF: nearly nothing) and any
     * fan-out estimate from them is garbage; the coordinated form's
-    * fan-out estimator is the sample mean of true per-key fan-outs
-    * (zero-fanout orders kept by the left join — dropping them biases
-    * the mean up). ScaleOpsSpec measures both claims on real data.
+    * fan-out estimator is the sample mean of true per-key fan-outs —
+    * zero-fanout orders stay in the denominator via the k-row sample's
+    * own per-status counts (dropping them biases the mean up).
+    * ScaleOpsSpec measures both claims on real data.
     *
     * Determinism: the k-set is a total order over (digest, key); counts
     * are exact integers; quantity sums are exact (integer-valued
     * doubles) under round(4).
     *
     * 100 TB posture: the k-key set is a TakeOrdered (per-partition
-    * bottom-k heaps) then a BROADCAST to the fact scan — one pass over
-    * each table, never the full join; the same digest column serves
+    * bottom-k heaps) then a BROADCAST as the BUILD side of an INNER
+    * join with the fact scan (BuildLeft is only plannable for
+    * inner/semi joins — a left-outer here would silently degrade to a
+    * full fact shuffle at scale); one pass over each table, never the
+    * full join; the same digest column serves
     * d24/d25's sketches, so value and join statistics ride ONE sampling
     * pass at deployment. */
   val e15_coordinated_join_sample = Q(
@@ -680,28 +684,44 @@ object ExtQueries {
       |                row_number() OVER (ORDER BY md5(o_orderkey::VARCHAR),
       |                                   o_orderkey) AS rk
       |         FROM orders) WHERE rk <= 512),
-      |j AS (SELECT k.o_orderstatus, k.o_orderkey, l.l_orderkey AS lk,
-      |             l.l_quantity
-      |      FROM ks k LEFT JOIN lineitem l ON l.l_orderkey = k.o_orderkey)
-      |SELECT o_orderstatus,
-      |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders_sampled,
-      |       CAST(count(lk) AS BIGINT) AS n_lineitems_sampled,
-      |       round(count(lk) * 1.0 / count(DISTINCT o_orderkey), 6) AS avg_fanout,
-      |       round(coalesce(sum(l_quantity), 0), 4) AS sum_qty
-      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+      |ko AS (SELECT o_orderstatus, count(*) AS n_orders_sampled
+      |       FROM ks GROUP BY 1),
+      |m AS (SELECT k.o_orderstatus, count(*) AS n_li, sum(l.l_quantity) AS sq
+      |      FROM ks k JOIN lineitem l ON l.l_orderkey = k.o_orderkey
+      |      GROUP BY 1)
+      |SELECT ko.o_orderstatus,
+      |       CAST(ko.n_orders_sampled AS BIGINT) AS n_orders_sampled,
+      |       CAST(coalesce(m.n_li, 0) AS BIGINT) AS n_lineitems_sampled,
+      |       round(coalesce(m.n_li, 0) * 1.0 / ko.n_orders_sampled, 6)
+      |         AS avg_fanout,
+      |       round(coalesce(m.sq, 0), 4) AS sum_qty
+      |FROM ko LEFT JOIN m USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
   ) { (s, d) =>
+    // INNER join with the sampled keys on the BUILD side: Spark can only
+    // BuildLeft an inner/semi join (a LEFT OUTER preserves the left side,
+    // so broadcast(left) is unplannable and would silently degrade to a
+    // full fact shuffle at scale — review finding r17). Zero-fanout
+    // orders are recovered from the k-row sample itself, so the fan-out
+    // mean keeps them in the denominator exactly as before.
     val ks = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
         md5(col("o_orderkey").cast("string").cast("binary")).as("hx"))
       .orderBy("hx", "o_orderkey").limit(512).drop("hx")
-    val j = broadcast(ks).join(
-      lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
-      col("o_orderkey") === col("l_orderkey"), "left")
-    j.groupBy("o_orderstatus")
-      .agg(countDistinct(col("o_orderkey")).as("n_orders_sampled"),
-        count(col("l_orderkey")).as("n_lineitems_sampled"),
-        round(count(col("l_orderkey")) * lit(1.0) /
-          countDistinct(col("o_orderkey")), 6).as("avg_fanout"),
-        round(coalesce(sum(col("l_quantity")), lit(0.0)), 4).as("sum_qty"))
+      .localCheckpoint(false) // the 512-row sample feeds both aggregates
+    val ko = ks.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders_sampled"))
+    val m = broadcast(ks).join(
+        lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_li"), sum(col("l_quantity")).as("sq"))
+    ko.join(m, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"),
+        col("n_orders_sampled").cast("long").as("n_orders_sampled"),
+        coalesce(col("n_li"), lit(0L)).cast("long").as("n_lineitems_sampled"),
+        round(coalesce(col("n_li"), lit(0L)) * lit(1.0) /
+          col("n_orders_sampled"), 6).as("avg_fanout"),
+        round(coalesce(col("sq"), lit(0.0)), 4).as("sum_qty"))
       .orderBy("o_orderstatus")
   }
 

@@ -15812,12 +15812,17 @@ object LlmQueries {
        |FROM t1, t2, bo""".stripMargin
   ) { (s, d) =>
     val emb = embeddings(s, d)
+    // each detector materializes ONCE (three counting actions read the
+    // pair frames — without the checkpoint the SRP bucket self-join and
+    // the IVF bucket join would each run twice, review finding r17)
     val ivf = embedNearDup(tau = 0.3)(emb).select(col("i"), col("j"))
+      .localCheckpoint(false)
     // the l29 derived band geometry (integer rule, replayed by sprm)
     val n = emb.count()
     val rows = (4 to 8).find(r => (32L << r) >= n).getOrElse(8)
     val srp = srpNearDup(tau = 0.3, planes = 8 * rows, bands = 8,
       rows = rows)(emb).select(col("i"), col("j"))
+      .localCheckpoint(false)
     val nBoth = ivf.join(srp, Seq("i", "j")).count()
     val n1 = ivf.count(); val n2 = srp.count()
     val (est, se) = chapmanEstimate(n1, n2, nBoth)

@@ -499,9 +499,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.size == 512 && (a intersect b).size < 300,
       s"independent samples must overlap on ~512^2/$n keys, " +
         s"got ${(a intersect b).size} — coordinated keeps all 512")
-    // plan posture: the sampled key set broadcasts to the fact scan
+    // plan posture: the sampled key set is the BUILD side of the join
+    // (BuildLeft) — a bare BroadcastHashJoin assertion would pass even
+    // if the tiny test-SF fact side were the one broadcast
     val plan = q.fn(spark2, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the k-key set must broadcast, never shuffle the fact:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildLeft"),
+      s"the k-key set must be the broadcast BUILD side of an inner " +
+        s"join, never a shuffle of the fact:\n$plan")
   }
 }
