@@ -11290,6 +11290,95 @@ object LlmQueries {
       .orderBy("v")
   }
 
+  /** l214's engine over any (user_id, event_type, ts) frame and an
+    * ordered step list — factored for the spec's closed-form fixtures
+    * (full chain counts once per step; a later-step event BEFORE the
+    * earlier step does not count; an EQUAL timestamp does not advance
+    * the chain — strictly-after semantics, pinned; counts are
+    * monotonically non-increasing down the funnel by construction). */
+  private[graft] def funnel(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    val session = ev.sparkSession
+    // first-touch sequential funnel: u_k = users with a step-k event
+    // STRICTLY after their step-(k-1) first-touch; each stage joins a
+    // SHRINKING user set
+    val stageFrames = steps.zipWithIndex.scanLeft(
+        Option.empty[DataFrame]) { case (prev, (st, _)) =>
+      val cand = ev.filter(col("event_type") === st)
+        .select(col("user_id"), col("ts"))
+      val gated = prev match {
+        case None => cand
+        case Some(p) => cand.join(p.select(col("user_id"),
+            col("t").as("tprev")), Seq("user_id"))
+          .filter(col("ts") > col("tprev"))
+          .select(col("user_id"), col("ts"))
+      }
+      Some(gated.groupBy("user_id").agg(min(col("ts")).as("t")))
+    }.flatten
+    val counts = stageFrames.map(_.count())
+    import session.implicits._
+    steps.zipWithIndex.map { case (st, i) =>
+      val n = counts(i)
+      def r6(x: Double) = BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      ((i + 1).toLong, st, n,
+        if (counts.head == 0) 0.0 else r6(n.toDouble / counts.head),
+        if (i == 0) 1.0
+        else if (counts(i - 1) == 0) 0.0
+        else r6(n.toDouble / counts(i - 1)))
+    }.toDF("step", "step_type", "n_users", "pct_of_first", "pct_of_prev")
+      .orderBy("step")
+  }
+
+  /** L214: first-touch sequential funnel (view → click → purchase) —
+    * THE product-analytics conversion report, and the ORDERED
+    * complement of l154's transition matrix: l154 says where journeys
+    * flow edge-by-edge; this says how many users complete a specific
+    * ordered chain, with each step's first touch required STRICTLY
+    * after the previous step's (an equal microsecond does not advance
+    * the chain — the tie rule is declared, not lucky; a purchase
+    * BEFORE the first view does not count as conversion, which is
+    * exactly the ordering bug naive per-type min-timestamp funnels
+    * ship with).
+    *
+    * Determinism: first-touches are exact min() over microsecond
+    * timestamps (both engines truncate parquet nanos to micros — the
+    * l13 contract); counts are exact integers; the two ratios divide
+    * at output under round(6).
+    *
+    * 100 TB posture: step k is filter(type) → join the step-(k-1) user
+    * frame → groupBy(user) — each stage's user set SHRINKS, so the
+    * joins get cheaper down the funnel and broadcast once the cohort
+    * fits; never a per-user collect, never a full-history window. The
+    * k bounded counts are the l123 bounded-collect class. */
+  val l214_funnel_conversion = Q(
+    "l214_funnel_conversion",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+      |n AS (SELECT 1 AS step, 'view' AS step_type, count(*) AS n_users FROM s1
+      |      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      |SELECT CAST(step AS BIGINT) AS step, step_type,
+      |       CAST(n_users AS BIGINT) AS n_users,
+      |       round(n_users * 1.0 / (SELECT n_users FROM n WHERE step = 1), 6)
+      |         AS pct_of_first,
+      |       CASE WHEN step = 1 THEN 1.0
+      |            ELSE round(n_users * 1.0 /
+      |              (SELECT nn.n_users FROM n nn WHERE nn.step = n.step - 1), 6)
+      |       END AS pct_of_prev
+      |FROM n ORDER BY step""".stripMargin
+  ) { (s, d) =>
+    funnel(events(s, d).select(col("user_id"), col("event_type"), col("ts")),
+      Seq("view", "click", "purchase"))
+  }
+
   // ------------- event-flow transition matrix (l154)
 
   /** L154: first-order event-flow transition matrix — the Markov-chain
@@ -16010,7 +16099,7 @@ object LlmQueries {
     l204_neyman_allocation, l205_neyman_draw, l206_rendezvous_resharding,
     l207_obf_looks, l208_jackknife_influence, l209_cuped_readout,
     l210_capture_recapture, l211_capture_overlap,
-    l212_capped_clustering,
+    l212_capped_clustering, l214_funnel_conversion,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

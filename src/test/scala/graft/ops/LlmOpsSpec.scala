@@ -4100,6 +4100,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((1L to 5L).forall(star(_)._4.isEmpty))
   }
 
+  test("l214 funnel: the full chain converts; a later-step event BEFORE " +
+      "the earlier step does not count; an equal timestamp does not " +
+      "advance (strictly-after); counts are monotone down the funnel") {
+    val df = Seq(
+      // user 1: full ordered chain
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-02 00:00:00"),
+      (1L, "purchase", "2024-01-03 00:00:00"),
+      // user 2: view only
+      (2L, "view", "2024-01-01 00:00:00"),
+      // user 3: click BEFORE the first view — must not convert
+      (3L, "click", "2024-01-01 00:00:00"),
+      (3L, "view", "2024-01-02 00:00:00"),
+      // user 4: click at the SAME instant as the view — must not advance
+      (4L, "view", "2024-01-01 00:00:00"),
+      (4L, "click", "2024-01-01 00:00:00"))
+      .map { case (u, t, ts) => (u, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = LlmQueries.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (1L, "view", 4L, 1.0, 1.0),
+      (2L, "click", 1L, 0.25, 0.25),
+      (3L, "purchase", 1L, 0.25, 1.0)))
+    val ns = got.map(_._3)
+    assert(ns == ns.sorted.reverse, "funnel counts must be monotone")
+  }
+
   test("l197 silhouette: two tight orthogonal clusters read mean " +
       "silhouette near 1; every mean obeys the 0 <= s <= 1 law the " +
       "argmax assignment forces") {
