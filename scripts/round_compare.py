@@ -53,13 +53,22 @@ def main(argv):
     top = int(argv[argv.index("--top") + 1]) if "--top" in argv else 10
     co, cn = calib(old), calib(new)
     for tag, c, rec in (("old", co, old), ("new", cn, new)):
+        # provenance stamp (VERDICT r17 #6): who produced this line —
+        # mixed builder/driver comparisons must be visible up front
+        prov = (f"producer={rec.get('producer', 'UNSTAMPED (pre-r18)')} "
+                f"run_id={rec.get('run_id')}")
         if c:
-            print(f"{tag}: calib_cpu start={c['start']}ms end={c['end']}ms "
-                  f"loadavg={c['loadavg']} cores={c['cores']} "
-                  f"mhz={c['mhz']} sf={rec.get('sf')}")
+            print(f"{tag}: {prov} calib_cpu start={c['start']}ms "
+                  f"end={c['end']}ms loadavg={c['loadavg']} "
+                  f"cores={c['cores']} mhz={c['mhz']} sf={rec.get('sf')}")
         else:
-            print(f"{tag}: NO host calibration block (pre-r17 artifact) "
-                  f"sf={rec.get('sf')}")
+            print(f"{tag}: {prov} NO host calibration block "
+                  f"(pre-r17 artifact) sf={rec.get('sf')}")
+    po, pn = old.get("producer"), new.get("producer")
+    if po and pn and po != pn:
+        print("WARNING: MIXED PROVENANCE — the two lines came from "
+              "different invokers (likely different box states); treat "
+              "per-line ratios as indicative only.")
     box = (cn["cpu_ms"] / co["cpu_ms"]) if co and cn else None
     qo, qn = old["queries"], new["queries"]
     shared = sorted(set(qo) & set(qn))

@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
-"""Two-point scaling audit (VERDICT r13 #3): read two full-bench BENCHLOG
-JSON lines (sf0.01 and sf0.1), compute each query's empirical cost exponent
+"""Two-point scaling audit (VERDICT r13 #3), host-condition-aware
+(VERDICT r17 #1): read two full-bench BENCHLOG JSON lines (sf0.01 and
+sf0.1), compute each query's empirical cost exponent
 
     e = log10(t_sf0.1 / t_sf0.01)        (the SFs differ exactly 10x)
 
@@ -10,14 +11,57 @@ Sub-noise-floor lines (both timings under --floor seconds, default 1.0) are
 exponent-meaningless (fixed per-query session overhead dominates; the box
 noise band on such lines is +-50%) and are summarized, not flagged.
 
-No silent caps (ADVICE r14): a line with a zero/absent timing on either
-side cannot yield an exponent — such lines are FLAGGED explicitly (a zero
-wall-clock in a bench artifact is itself a finding, never a skip), and
-queries present in only one of the two logs are listed by name instead of
-being dropped by the set intersection.
+Host comparability (r17 #1 — the instrumentation r16 #1 embedded is now
+CONSUMED, not just printed): wall-clock exponents only measure the CODE
+when both runs saw equivalent host conditions. The r17 worktree pair
+(quiet builder sf0.01 vs contention-inflated driver sf0.1) read 9
+spurious wall flags led by d26 +2.43 where the same-code committed pair
+read +0.76 — and nothing in loadavg/calib can QUANTIFY stolen vCPUs
+(the driver run's calib_cpu stayed flat at ~307-326 ms while d26's wall
+inflated 47x). So the audit layers three mechanisms:
 
-Usage: scaling_audit.py BENCHLOG.sf001.json BENCHLOG.json [--flag 1.3] [--floor 1.0]
-Exit status: number of flagged lines (0 = clean), so the gate can chain it.
+ 1. COMPARABILITY: a pair hard-gates only when both records carry the
+    r18 `producer` stamp with the SAME value, the same core count, and a
+    calibration ratio inside [0.85, 1.20] (single-thread speed
+    equivalent). Mixed or unstamped provenance, calib drift, or a core
+    mismatch => the pair is declared NOT COMPARABLE, loudly, with the
+    reasons and both host blocks printed. Loadavg deltas are printed as
+    context but never drive the verdict: /proc/loadavg at run start
+    mostly carries the tail of whatever ran before (the committed CLEAN
+    r17 pair has a 4.2 start-load delta), and steal is invisible to it.
+
+ 2. CALIB CORRECTION: a `corrected` exponent column = raw exponent -
+    log10(calib_cpu ratio) is printed beside the raw one — it removes
+    genuine single-thread speed differences (throttling, slower box) and
+    is printed always; it canNOT remove scheduler contention (which the
+    calibration explicitly measures as absent-from-CPU), which is why
+    mechanism 3 exists.
+
+ 3. PLAN-FINGERPRINT ADJUDICATION (not-comparable pairs only): a wall
+    flag is EXPLAINED as environment inflation when the line's plan
+    fingerprint — tasks launched and shuffle bytes moved, both recorded
+    per line in the `jvm` block, both immune to contention AND to
+    interpreted-codegen fallback — scales at or below the flag
+    threshold: same tasks + same bytes + exploded wall = the plan did
+    identical work and the box delivered it slowly. A flag whose
+    fingerprint is ALSO superlinear is real no matter the host and stays
+    counted. A flagged line with no jvm block cannot be adjudicated and
+    stays counted (never silently excused). On the r17 worktree pair all
+    9 spurious lines adjudicate clean (fingerprints <= +1.02); a lost
+    broadcast or accidental cartesian would not (bytes explode).
+
+No silent caps (ADVICE r14): a line with a zero/absent timing on either
+side cannot yield an exponent — such lines are FLAGGED explicitly
+regardless of host state (a zero wall-clock in a bench artifact is itself
+a finding, never a skip), and queries present in only one of the two logs
+are listed by name instead of being dropped by the set intersection.
+
+Usage: scaling_audit.py BENCHLOG.sf001.json BENCHLOG.json
+         [--flag 1.3] [--floor 1.0] [--strict]
+--strict counts environment-explained flags in the exit status too (for
+a gate that refuses to pass on ANY mixed-provenance anomaly).
+Exit status: number of unexplained flagged lines (0 = clean), so the
+gate can chain it.
 """
 import json
 import math
@@ -30,29 +74,110 @@ def load(path: str) -> dict:
     return rec
 
 
-def describe_host(tag: str, rec: dict) -> None:
-    # VERDICT r16 #1: surface the embedded calibration so the exponent
-    # table is box-annotated from the artifact alone. Both logs come from
-    # one session normally, so this mostly proves they DID; a mismatch
-    # (e.g. one side rerun later on a loaded box) is visible immediately.
-    h = rec.get("host")
-    if not h:
-        print(f"{tag}: no host calibration block (pre-r17 artifact)")
+def hostinfo(rec: dict) -> dict:
+    h = rec.get("host") or {}
+    s, e = h.get("start") or {}, h.get("end") or {}
+    cal = [v for v in (s.get("calib_cpu_ms"), e.get("calib_cpu_ms"))
+           if v is not None and v > 0]
+    load_s = s.get("loadavg") or []
+    load_e = e.get("loadavg") or []
+    return {
+        "present": bool(h),
+        "calib": sum(cal) / len(cal) if cal else None,
+        "load1_start": load_s[0] if load_s else None,
+        "load1_end": load_e[0] if load_e else None,
+        "cores": s.get("cores"),
+        "producer": rec.get("producer"),
+        "run_id": rec.get("run_id"),
+    }
+
+
+def describe_host(tag: str, hi: dict) -> None:
+    prod = hi["producer"] or "UNSTAMPED (pre-r18)"
+    if not hi["present"]:
+        print(f"{tag}: no host calibration block (pre-r17 artifact); "
+              f"producer={prod}")
         return
-    s, e = h.get("start", {}), h.get("end", {})
-    print(f"{tag}: calib_cpu start={s.get('calib_cpu_ms')}ms "
-          f"end={e.get('calib_cpu_ms')}ms loadavg={s.get('loadavg')} "
-          f"cores={s.get('cores')} mhz={s.get('cpu_mhz_avg')}")
+    calib = f"{hi['calib']:.0f}ms" if hi["calib"] else "broken (0/absent)"
+    print(f"{tag}: producer={prod} run_id={hi['run_id']} "
+          f"calib_cpu_mean={calib} loadavg1 {hi['load1_start']} -> "
+          f"{hi['load1_end']} cores={hi['cores']}")
+
+
+def comparability(lo: dict, hi: dict):
+    """(comparable, hard_reasons, context_notes). Hard reasons break
+    comparability; context notes are printed but advisory."""
+    reasons, notes = [], []
+    if not (lo["producer"] and hi["producer"]):
+        reasons.append("unstamped provenance on at least one side "
+                       "(pre-r18 artifact) — host equivalence unverifiable")
+    elif lo["producer"] != hi["producer"]:
+        reasons.append(f"mixed provenance: {lo['producer']} vs "
+                       f"{hi['producer']} (different invokers, likely "
+                       f"different box states)")
+    if lo["calib"] and hi["calib"]:
+        r = hi["calib"] / lo["calib"]
+        if not (0.85 <= r <= 1.20):
+            reasons.append(f"calib_cpu ratio {r:.2f} outside [0.85, 1.20] "
+                           f"— single-thread speeds differ")
+    elif not (lo["present"] and hi["present"]):
+        reasons.append("host calibration block missing on at least one "
+                       "side (pre-r17 artifact)")
+    if lo["cores"] and hi["cores"] and lo["cores"] != hi["cores"]:
+        reasons.append(f"core counts differ: {lo['cores']} vs {hi['cores']}")
+    if (lo["load1_start"] is not None and hi["load1_start"] is not None
+            and abs(hi["load1_start"] - lo["load1_start"]) > 2.0):
+        notes.append(f"start loadavg1 differs ({lo['load1_start']} vs "
+                     f"{hi['load1_start']}) — advisory only (start loadavg "
+                     f"carries the previous run's tail; steal is invisible "
+                     f"to it)")
+    return (not reasons), reasons, notes
+
+
+def aux_exponent(jlo: dict, jhi: dict, *fields):
+    a = sum(jlo.get(f, 0) or 0 for f in fields)
+    b = sum(jhi.get(f, 0) or 0 for f in fields)
+    if a > 0 and b > 0:
+        return math.log10(b / a)
+    if a == 0 and b == 0:
+        return 0.0  # no work of this kind on either side: scales flat
+    return None
 
 
 def main(argv):
     lo_path, hi_path = argv[1], argv[2]
     flag_at = float(argv[argv.index("--flag") + 1]) if "--flag" in argv else 1.3
     floor = float(argv[argv.index("--floor") + 1]) if "--floor" in argv else 1.0
+    strict = "--strict" in argv
     lo_rec, hi_rec = load(lo_path), load(hi_path)
-    describe_host("sf-lo", lo_rec)
-    describe_host("sf-hi", hi_rec)
+    lo_host, hi_host = hostinfo(lo_rec), hostinfo(hi_rec)
+    describe_host("sf-lo", lo_host)
+    describe_host("sf-hi", hi_host)
+    comparable, reasons, notes = comparability(lo_host, hi_host)
+    box = (hi_host["calib"] / lo_host["calib"]
+           if lo_host["calib"] and hi_host["calib"] else None)
+    if box:
+        print(f"calib box factor (hi/lo single-thread cpu): {box:.2f}x — "
+              f"`corrected` column divides it out")
+    for n in notes:
+        print(f"note: {n}")
+    if not comparable:
+        print()
+        print("=" * 72)
+        print("HOST MISMATCH — this pair is NOT comparable for wall-clock "
+              "exponents:")
+        for r in reasons:
+            print(f"  - {r}")
+        print("Wall flags below are adjudicated against each line's plan "
+              "fingerprint")
+        print("(tasks + shuffle bytes — contention- and "
+              "interpreter-immune); fingerprint-clean")
+        print("flags are EXPLAINED (environment), not counted. Re-run both "
+              "SFs in one")
+        print("quiet session to hard-gate.")
+        print("=" * 72)
     lo, hi = lo_rec["queries"], hi_rec["queries"]
+    jlo, jhi = lo_rec.get("jvm", {}), hi_rec.get("jvm", {})
     shared = sorted(set(lo) & set(hi))
     only_lo = sorted(set(lo) - set(hi))
     only_hi = sorted(set(hi) - set(lo))
@@ -66,32 +191,61 @@ def main(argv):
     rows.sort(key=lambda r: -r[3])
     sub_floor = [r for r in rows if r[1] < floor and r[2] < floor]
     measurable = [r for r in rows if not (r[1] < floor and r[2] < floor)]
-    flagged = [r for r in measurable if r[3] > flag_at]
-    print(f"| query | sf0.01 s | sf0.1 s | exponent | flag |")
-    print(f"|---|---|---|---|---|")
+    flagged, explained = [], []
+    print(f"| query | sf-lo s | sf-hi s | exponent | corrected | flag |")
+    print(f"|---|---|---|---|---|---|")
     for q, tl, th, e in measurable:
-        mark = "**FLAG**" if e > flag_at else ""
-        print(f"| {q} | {tl:.2f} | {th:.2f} | {e:+.2f} | {mark} |")
+        corr = e - math.log10(box) if box else e
+        mark = ""
+        if (corr if box else e) > flag_at:
+            # adjudicate against the plan fingerprint when the pair is
+            # not host-comparable; a comparable pair's flag is real.
+            # A line with no per-line jvm block on either side canNOT be
+            # adjudicated (a zero-shuffle line still records tasks — an
+            # ABSENT entry means no fingerprint exists) and stays counted.
+            have_jvm = q in jlo and q in jhi
+            eb = aux_exponent(jlo.get(q, {}), jhi.get(q, {}),
+                              "shuffle_read_bytes", "shuffle_write_bytes")
+            et = aux_exponent(jlo.get(q, {}), jhi.get(q, {}), "tasks")
+            ec = aux_exponent(jlo.get(q, {}), jhi.get(q, {}), "cpu_ms")
+            fp = [x for x in (eb, et) if x is not None] if have_jvm else []
+            detail = (f"bytes={_f(eb)} tasks={_f(et)} cpu={_f(ec)}")
+            if not comparable and fp and all(x <= flag_at for x in fp):
+                explained.append((q, e, detail))
+                mark = f"EXPLAINED (environment: {detail})"
+            else:
+                flagged.append((q, e, detail))
+                mark = f"**FLAG** ({detail})"
+        print(f"| {q} | {tl:.2f} | {th:.2f} | {e:+.2f} | {corr:+.2f} "
+              f"| {mark} |")
     for q, tl, th in degenerate:
-        print(f"| {q} | {tl:.2f} | {th:.2f} | n/a | **FLAG (zero/absent "
-              f"timing — no exponent computable)** |")
+        print(f"| {q} | {tl:.2f} | {th:.2f} | n/a | n/a | **FLAG (zero/"
+              f"absent timing — no exponent computable)** |")
     print()
     print(f"{len(shared)} shared lines; {len(measurable)} above the "
           f"{floor:.1f}s noise floor at either SF; "
           f"{len(flagged) + len(degenerate)} flagged "
-          f"(exponent > {flag_at} or degenerate timing).")
+          f"(exponent > {flag_at} or degenerate timing)"
+          + (f"; {len(explained)} wall-only anomalies EXPLAINED by the "
+             f"host mismatch (plan fingerprints scale <= {flag_at})."
+             if explained else "."))
     if sub_floor:
         worst = max(sub_floor, key=lambda r: r[3])
         print(f"{len(sub_floor)} lines under the floor at BOTH SFs "
               f"(overhead-dominated; worst exponent among them: "
               f"{worst[0]} {worst[3]:+.2f}).")
-    for name, qs in (("sf0.01-only", only_lo), ("sf0.1-only", only_hi)):
+    for name, qs in (("sf-lo-only", only_lo), ("sf-hi-only", only_hi)):
         if qs:
             print(f"{len(qs)} lines present {name} (no exponent, listed, "
                   f"not silently dropped): {', '.join(qs)}")
+    n = len(flagged) + len(degenerate) + (len(explained) if strict else 0)
     # POSIX exit codes wrap modulo 256 — clamp so 256 flagged lines can
     # never read as exit 0 (ADVICE r15; the suite is past 270 lines).
-    return min(len(flagged) + len(degenerate), 255)
+    return min(n, 255)
+
+
+def _f(x):
+    return f"{x:+.2f}" if x is not None else "n/a"
 
 
 if __name__ == "__main__":

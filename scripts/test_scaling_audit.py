@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Fixture test for scaling_audit.py's host-comparability path (VERDICT
+r17 #1's "a spec/fixture exercises the mismatch path"). Builds synthetic
+BENCHLOG pairs and asserts, via subprocess, the exact contract the gate
+chains on:
+
+  1. stamped same-producer pair, genuinely superlinear line (wall AND
+     plan fingerprint superlinear)            -> exit 1, **FLAG**
+  2. stamped same-producer pair, clean        -> exit 0, no banner
+  3. MIXED-provenance pair, wall-inflated lines with linear fingerprints
+     (the r17 contended-driver shape)         -> exit 0, HOST MISMATCH
+     banner, EXPLAINED (environment) annotation
+  4. mixed-provenance pair where one line's fingerprint is ALSO
+     superlinear (a real regression under contention) -> exit 1: the
+     adjudication never excuses a plan that moved more bytes
+  5. zero timing                              -> counted always (exit 1),
+     host state irrelevant
+  6. unstamped flagged line with NO jvm block -> cannot adjudicate ->
+     stays counted (never silently excused)
+  7. --strict counts explained flags too
+
+Run: python3 scripts/test_scaling_audit.py   (exit 0 = all pass)
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+AUDIT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scaling_audit.py")
+
+
+def host(load1_start=1.0, load1_end=2.0, calib=310, cores=32):
+    blk = {"calib_wall_ms": calib, "calib_cpu_ms": calib,
+           "calib_checksum": "17f60f6d505fce59",
+           "loadavg": [load1_start, 1.0, 1.0], "cores": cores,
+           "cpu_mhz_avg": 2600.0}
+    end = dict(blk, loadavg=[load1_end, 1.0, 1.0])
+    return {"calib_iters": 1 << 27, "start": blk, "end": end}
+
+
+def rec(queries, jvm=None, producer="builder-gate", run_id=1,
+        with_host=True, **hostkw):
+    r = {"metric": "total", "value": sum(queries.values()), "unit": "sec",
+         "queries": queries, "sf": "synthetic"}
+    if producer is not None:
+        r["producer"] = producer
+        r["run_id"] = run_id
+    if jvm is not None:
+        r["jvm"] = jvm
+    if with_host:
+        r["host"] = host(**hostkw)
+    return r
+
+
+def jline(tasks, bytes_rw, cpu_ms):
+    return {"run_ms": cpu_ms, "gc_ms": 0, "peak_task_mem_bytes": 0,
+            "shuffle_read_bytes": bytes_rw, "shuffle_write_bytes": 0,
+            "spill_mem_bytes": 0, "spill_disk_bytes": 0, "tasks": tasks,
+            "cpu_ms": cpu_ms, "fetch_wait_ms": 0}
+
+
+def run(lo, hi, *extra):
+    with tempfile.TemporaryDirectory() as d:
+        lp, hp = os.path.join(d, "lo.json"), os.path.join(d, "hi.json")
+        for p, r in ((lp, lo), (hp, hi)):
+            with open(p, "w") as f:
+                f.write(json.dumps(r) + "\n")
+        p = subprocess.run([sys.executable, AUDIT, lp, hp, *extra],
+                           capture_output=True, text=True)
+        return p.returncode, p.stdout + p.stderr
+
+
+def check(name, cond, out):
+    if not cond:
+        print(f"FAIL: {name}\n--- audit output ---\n{out}")
+        sys.exit(1)
+    print(f"ok: {name}")
+
+
+def main():
+    # 1. same producer, one line scales 100x in wall AND bytes -> real flag
+    lo = rec({"q_lin": 2.0, "q_bad": 2.0},
+             {"q_lin": jline(10, 1000, 2000), "q_bad": jline(10, 1000, 2000)})
+    hi = rec({"q_lin": 20.0, "q_bad": 200.0},
+             {"q_lin": jline(100, 10000, 20000),
+              "q_bad": jline(1000, 100000, 200000)}, run_id=2)
+    code, out = run(lo, hi)
+    check("comparable pair: superlinear line flags (exit 1)",
+          code == 1 and "**FLAG**" in out and "HOST MISMATCH" not in out, out)
+
+    # 2. same producer, all linear -> clean
+    hi2 = rec({"q_lin": 20.0, "q_bad": 20.0},
+              {"q_lin": jline(100, 10000, 20000),
+               "q_bad": jline(100, 10000, 20000)}, run_id=2)
+    code, out = run(lo, hi2)
+    check("comparable pair: linear lines pass (exit 0, no banner)",
+          code == 0 and "HOST MISMATCH" not in out and "FLAG" not in out, out)
+
+    # 3. mixed provenance, wall inflated 100x but fingerprint linear ->
+    #    banner + EXPLAINED + exit 0 (the r17 contended-driver shape)
+    hi3 = rec({"q_lin": 20.0, "q_bad": 200.0},
+              {"q_lin": jline(100, 10000, 20000),
+               "q_bad": jline(100, 10000, 2000000)},
+              producer="driver", run_id=2, load1_start=6.0, load1_end=9.0)
+    code, out = run(lo, hi3)
+    check("mixed provenance + linear fingerprint: explained, exit 0",
+          code == 0 and "HOST MISMATCH" in out
+          and "EXPLAINED (environment" in out
+          and "mixed provenance" in out, out)
+
+    # 7. --strict counts the explained flag
+    code, out = run(lo, hi3, "--strict")
+    check("--strict counts explained flags (exit 1)", code == 1, out)
+
+    # 4. mixed provenance but the fingerprint is ALSO superlinear ->
+    #    the flag survives adjudication (a real regression under load)
+    hi4 = rec({"q_lin": 20.0, "q_bad": 200.0},
+              {"q_lin": jline(100, 10000, 20000),
+               "q_bad": jline(5000, 900000, 2000000)},
+              producer="driver", run_id=2)
+    code, out = run(lo, hi4)
+    check("mixed provenance + superlinear fingerprint: still flagged",
+          code == 1 and "**FLAG**" in out and "HOST MISMATCH" in out, out)
+
+    # 5. zero timing flags regardless of host state
+    hiz = rec({"q_lin": 20.0, "q_bad": 0.0},
+              {"q_lin": jline(100, 10000, 20000),
+               "q_bad": jline(100, 10000, 20000)}, run_id=2)
+    code, out = run(lo, hiz)
+    check("zero timing always flags (exit 1)",
+          code == 1 and "zero/absent timing" in out, out)
+
+    # 6. unstamped pair, flagged line with NO jvm block -> cannot
+    #    adjudicate -> stays counted
+    lo6 = rec({"q_bad": 2.0}, producer=None)
+    hi6 = rec({"q_bad": 200.0}, producer=None)
+    code, out = run(lo6, hi6)
+    check("unadjudicable flag (no jvm block) stays counted",
+          code == 1 and "**FLAG**" in out and "HOST MISMATCH" in out, out)
+
+    print("all scaling_audit fixture checks pass")
+
+
+if __name__ == "__main__":
+    main()

@@ -257,8 +257,20 @@ object Bench {
     val hostEnd = hostJson()
     val hostReport =
       s"""{"calib_iters":$CalibIters,"start":$hostStart,"end":$hostEnd}"""
+    // Provenance stamp (VERDICT r17 #6): the r17 adjudication had to
+    // infer from TOTALS that the worktree BENCHLOG pair mixed a builder
+    // gate run with a contended driver run. Every line now declares who
+    // produced it — the builder gate loop exports
+    // SPARK_GRAFT_PRODUCER=builder-gate; anything unstamped-by-env is the
+    // driver's own invocation — plus a monotonically-increasing run id
+    // (epoch ms at run start: strictly increasing across real runs, and
+    // two artifacts from ONE session share ordering). scaling_audit.py
+    // refuses to hard-gate mixed-provenance pairs; round_compare.py
+    // prints both stamps.
+    val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "driver")
+    val runId = System.currentTimeMillis()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cachereport":$report,"jvm":$jvmJson,"host":$hostReport,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","producer":"$producer","run_id":$runId,"queries":$qs,"cachereport":$report,"jvm":$jvmJson,"host":$hostReport,"sf":"$sfDir"}"""
     println(line)
     // Also persist the COMPLETE line to a repo artifact: the driver's
     // BENCH_r{N}.json keeps only a 2000-char stdout tail, which truncated

@@ -22,7 +22,22 @@ import org.apache.spark.sql.functions._
   * Mergeability: counters add — merging shard sketches is elementwise
   * integer +, associative/commutative trivially, so partial aggregation
   * IS the merge (no special state needed — this is the one sketch of
-  * the four whose algebra is literally `sum`).
+  * the four whose algebra is literally `sum`). The same law grouped:
+  * [[countersBy]] keys the counters by a caller-supplied BUCKET column
+  * (VERDICT r17 #4 — per-join-key-range self-join size is the number a
+  * join planner wants BEFORE shuffling, where f8's AQE skew pin only
+  * reacts after the map stage), and because a key lives in exactly one
+  * bucket while signs depend only on the key, summing bucket counters
+  * reproduces the global counters exactly (AmsF2Props: grouped merge
+  * law + bucket-partition law over [[modelCountersBy]]; AmsF2Spec pins
+  * the distributed form ≡ the model under any partitioning).
+  *
+  * Degenerate-input contract (ADVICE r17): empty or all-null input
+  * reads (sq = 0, rr = 0) from [[estimate]] — sq is coalesced, never
+  * NULL — with rr = 0 the declared "no data was sketched" signal a
+  * caller must guard before dividing sq/rr; [[estimateBy]] emits NO
+  * rows for buckets that do not exist, so a per-bucket consumer joins
+  * against nothing instead of dividing by zero (AmsF2Spec pins both).
   */
 object AmsF2 {
 
@@ -34,20 +49,57 @@ object AmsF2 {
     if ((((d(0) >> 4) & 0xF) % 2) == 0) 1 else -1
   }
 
+  /** Local model of the GROUPED counters: bucket → (Z_0 … Z_{r−1}).
+    * AmsF2Props proves the grouped merge + bucket-partition laws on
+    * this; AmsF2Spec pins [[countersBy]] ≡ this model, so the laws
+    * carry to the cluster form. */
+  def modelCountersBy(rows: Seq[(String, String)],
+      r: Int): Map[String, Seq[Long]] =
+    rows.groupBy(_._1).map { case (b, ks) =>
+      b -> (0 until r).map(i =>
+        ks.map { case (_, k) => modelSign(i, k).toLong }.sum)
+    }
+
+  // the distributed sign expression over projected columns k (key
+  // string) and r (counter index) — kept identical between the global
+  // and grouped forms so the oracle replay is one formula
+  private def signExpr: Column = when(
+    (conv(substring(md5(concat(lit("f2:"), col("r").cast("string"),
+      lit(":"), col("k")).cast("binary")), 1, 1), 16, 10)
+      .cast("int") % 2) === 0, lit(1L)).otherwise(lit(-1L))
+
   /** One-row frame (sq = Σ_r Z_r², rr = R) over the non-null `key`
     * column — one ×R explode into a map-combinable groupBy, then a
-    * 16-row fold. Caller divides sq/rr for the estimate. */
+    * 16-row fold. Caller divides sq/rr for the estimate, guarding
+    * rr = 0 (empty input — see the degenerate-input contract above). */
   def estimate(df: DataFrame, key: Column, r: Int): DataFrame = {
     // alias the key ONCE: an expression key (concat, cast, ...) would
     // not re-resolve against the projected frame inside the aggregate
-    val sign = when(
-      (conv(substring(md5(concat(lit("f2:"), col("r").cast("string"),
-        lit(":"), col("k")).cast("binary")), 1, 1), 16, 10)
-        .cast("int") % 2) === 0, lit(1L)).otherwise(lit(-1L))
     df.filter(key.isNotNull)
       .select(key.cast("string").as("k"),
         explode(sequence(lit(0), lit(r - 1))).as("r"))
-      .groupBy("r").agg(sum(sign).as("zr"))
-      .agg(sum(col("zr") * col("zr")).as("sq"), count(lit(1)).as("rr"))
+      .groupBy("r").agg(sum(signExpr).as("zr"))
+      .agg(coalesce(sum(col("zr") * col("zr")), lit(0L)).as("sq"),
+        count(lit(1)).as("rr"))
   }
+
+  /** Grouped counters (b, r, zr) — ONE map-combinable groupBy over the
+    * ×R explode; the bucket column is evaluated against the original
+    * frame alongside the key, so expression buckets (pmod, hash ranges)
+    * work. Counters add per bucket, so shard merge stays plain +. */
+  def countersBy(df: DataFrame, key: Column, bucket: Column,
+      r: Int): DataFrame =
+    df.filter(key.isNotNull)
+      .select(bucket.as("b"), key.cast("string").as("k"),
+        explode(sequence(lit(0), lit(r - 1))).as("r"))
+      .groupBy("b", "r").agg(sum(signExpr).as("zr"))
+
+  /** Per-bucket (b, sq, rr) fold of [[countersBy]] — B·R rows in, B
+    * rows out. Buckets with no (non-null-key) rows are ABSENT, per the
+    * degenerate-input contract. */
+  def estimateBy(df: DataFrame, key: Column, bucket: Column,
+      r: Int): DataFrame =
+    countersBy(df, key, bucket, r)
+      .groupBy("b")
+      .agg(sum(col("zr") * col("zr")).as("sq"), count(lit(1)).as("rr"))
 }

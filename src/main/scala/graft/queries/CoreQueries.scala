@@ -71,6 +71,33 @@ object CoreQueries {
     s.read.schema(schema).orc(tmp).orderBy("o_orderkey")
   }
 
+  /** A22: Avro source/sink roundtrip (VERDICT r17 #3) — the
+    * Kafka-ecosystem row-oriented interchange format, built on the Avro
+    * CORE library Spark ships because the `spark-avro` datasource is
+    * not on the zero-egress classpath (machinery + 100 TB posture in
+    * [[graft.ops.AvroIo]]). Same stance as a11: explicit schema on the
+    * read — never inference — and the oracle reads the ORIGINAL parquet
+    * table, so a green hash proves the Avro write+read is lossless for
+    * long / string / double columns including the float path (Avro is
+    * binary — doubles cross as IEEE bits, no text formatting). */
+  val a22_avro_roundtrip = Q(
+    "a22_avro_roundtrip",
+    """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+      |       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+  ) { (s, d) =>
+    val tmp = graft.Tables.scratchDir(s, d, "graft_avro_supplier")
+    val src = supplier(s, d).select(
+      col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+      col("s_acctbal").cast("double").as("s_acctbal"))
+    graft.ops.AvroIo.write(src, tmp)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_acctbal", DoubleType)))
+    graft.ops.AvroIo.read(s, tmp, schema).orderBy("s_suppkey")
+  }
+
   /** A18: XML source/sink roundtrip — Spark 4's BUILT-IN xml datasource
     * (SPARK-44265), the enterprise-feed format every ingest edge still
     * meets: one row element per record, `rowTag` addressing, explicit
@@ -962,6 +989,7 @@ object CoreQueries {
     a11_orc_roundtrip, a13_text_roundtrip, a14_schema_merge, a15_corrupt_json,
     a16_codec_roundtrip, a17_corrupt_csv, a18_xml_roundtrip,
     a19_selective_ingest, a20_manifest_checked_read, a21_compaction,
+    a22_avro_roundtrip,
     b1_projection, b2_derived, b3_filter, b4_null_flag, b5_log1p, b6_clip,
     b7_threshold_label, b10_date_parts,
     c1_fill_const, c2_fill_median, c3_fill_mode, c5_dedup_exact, c6_binning,

@@ -1720,6 +1720,69 @@ object ExtQueries {
           6).as("rel_err"))
   }
 
+  /** D27: GROUPED AMS F₂ — per-join-key-bucket self-join size / skew
+    * (VERDICT r17 #4), the d26 sketch applied the way d25 grouped d24:
+    * the 16 integer counters per pmod(l_orderkey, 8) bucket read each
+    * key RANGE's contribution to the self-join size. This is the
+    * PROACTIVE skew audit beside f8's reactive AQE pin: a planner
+    * reading per-bucket F₂ knows which ranges explode BEFORE shuffling
+    * 100 TB; AQE only reacts after the map stage materializes.
+    *
+    * Algebra (AmsF2Props): a key lives in exactly one bucket and signs
+    * depend only on the key, so bucket counters SUM to the global
+    * counters (bucketing loses nothing) and the grouped merge is plain
+    * per-bucket integer + (partial aggregation IS the merge, exactly
+    * the d26 law bucketwise). AmsF2Spec pins distributed ≡ model under
+    * any partitioning and that the buckets' exact F₂ sums to d26's
+    * global 30016 at sf0.001.
+    *
+    * Determinism: exact INTEGER end to end per bucket (the d26
+    * discipline); the oracle rebuilds every bucket's 16 counters from
+    * the same md5 parity. 100 TB posture: one ×16 explode into ONE
+    * map-combinable groupBy(b, r) — 16·8 partials per task, a 128-row
+    * frame folded to 8; the exact side is test-SF bookkeeping (at scale
+    * the sketch runs alone, the exact samples a stratum — l30/l139).
+    * The 8-row sketch joins the 8-row exact frame broadcast. */
+  val d27_group_ams_f2 = Q(
+    "d27_group_ams_f2",
+    """WITH k AS (SELECT l_orderkey AS key, l_orderkey % 8 AS b
+      |           FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |z AS (SELECT b, r,
+      |        sum(CASE WHEN (strpos('0123456789abcdef',
+      |               substr(md5('f2:' || r::VARCHAR || ':' || key::VARCHAR), 1, 1))
+      |               - 1) % 2 = 0 THEN 1 ELSE -1 END) AS zr
+      |      FROM k CROSS JOIN range(16) t(r) GROUP BY 1, 2),
+      |est AS (SELECT b, sum(zr * zr) AS sq, count(*) AS rr FROM z GROUP BY 1),
+      |ex AS (SELECT b, sum(c) AS n_rows, count(*) AS n_keys,
+      |              sum(c * c) AS f2
+      |       FROM (SELECT b, key, count(*) AS c FROM k GROUP BY 1, 2)
+      |       GROUP BY 1)
+      |SELECT CAST(ex.b AS BIGINT) AS bucket,
+      |       CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(n_keys AS BIGINT) AS n_keys,
+      |       CAST(f2 AS BIGINT) AS f2_exact,
+      |       round(sq * 1.0 / rr, 4) AS f2_est,
+      |       round(abs(sq * 1.0 / rr - f2) / f2, 6) AS rel_err
+      |FROM est JOIN ex ON ex.b = est.b ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val k = lineitem(s, d).filter(col("l_orderkey").isNotNull)
+      .select(col("l_orderkey").as("key"),
+        pmod(col("l_orderkey"), lit(8)).as("b"))
+    val est = graft.ops.AmsF2.estimateBy(k, col("key"), col("b"), 16)
+    val ex = k.groupBy("b", "key").agg(count(lit(1)).as("c"))
+      .groupBy("b").agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"), sum(col("c") * col("c")).as("f2"))
+    ex.join(broadcast(est), Seq("b"))
+      .select(col("b").cast("long").as("bucket"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("f2").cast("long").as("f2_exact"),
+        round(col("sq") * lit(1.0) / col("rr"), 4).as("f2_est"),
+        round(abs(col("sq") * lit(1.0) / col("rr") - col("f2")) / col("f2"),
+          6).as("rel_err"))
+      .orderBy("bucket")
+  }
+
   /** D22: cardinality-SKETCH accuracy audit — the d20 contract pattern
     * applied to distinct counting: Spark's TWO native one-pass mergeable
     * estimators (`approx_count_distinct` = HyperLogLog++, Heule et al.
@@ -1798,5 +1861,5 @@ object ExtQueries {
     d21_grouping_sets, c12_forward_fill, e9_shuffle_hash_join,
     c13_scd2_history, c14_column_profile, d23_weighted_median,
     d24_mergeable_quantiles, d25_group_quantile_sketch, d26_ams_f2,
-    g8_division)
+    d27_group_ams_f2, g8_division)
 }

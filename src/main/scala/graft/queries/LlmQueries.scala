@@ -11290,31 +11290,92 @@ object LlmQueries {
       .orderBy("v")
   }
 
-  /** l214's engine over any (user_id, event_type, ts) frame and an
+  /** l214/l215's SINGLE-PASS engine core (VERDICT r17 #2 — the r17
+    * shape built stage k by joining stage k−1's user frame and then ran
+    * k count() actions with no materialization, re-scanning events
+    * ~k(k+1)/2 times; this form reads it ONCE): filter to the funnel's
+    * event types, ONE shuffle on user_id, and a per-user chronological
+    * `aggregate()` fold over the sorted (unix_micros, type) list that
+    * appends step j's first touch exactly when the event's type matches
+    * step j (j = slots filled so far) and its timestamp lands strictly
+    * after step j−1's first touch — and, when `withinUs` is set,
+    * strictly before it plus the window (half-open (t, t+T), VERDICT
+    * r17 #5's bounded-conversion semantics, per STEP).
+    *
+    * Equivalence to the chained-min form (the oracle's CTE chain, so
+    * the driver hash proves it on real data): processing events in
+    * ascending-ts order, slot j−1 is final when set (no earlier event
+    * remains), and every candidate for slot j with ts strictly after
+    * t_{j−1} sorts strictly after the event that set t_{j−1} — so the
+    * FIRST matching in-window event encountered is the minimum, i.e.
+    * exactly `min(ts) WHERE type = step_j AND ts > t_{j−1} [AND ts <
+    * t_{j−1} + T]`. Equal-ts ties never matter: the gate compares ts
+    * VALUES strictly, so a same-microsecond later-step event fails the
+    * gate whichever side of the tie-sort it lands on.
+    *
+    * [[funnelTouches]] returns the raw per-user first-touch vector
+    * (user_id, touch array<long> of micros) — reused by l216's
+    * time-to-convert gaps; [[funnelCounts]] folds it to one row of k
+    * step counts (n1..nk, coalesced to 0 on an empty cohort), factored
+    * from [[funnel]] so PlanShapeSpec can pin the shape: ONE events
+    * scan, ZERO joins, partial_collect_list + partial_sum map-side
+    * combines. Per-user state is bounded by the user's own funnel-type
+    * event count (the l123 bounded-collect class — other event types
+    * never enter the list). */
+  private[graft] def funnelTouches(ev: DataFrame, steps: Seq[String],
+      withinUs: Option[Long]): DataFrame = {
+    val k = steps.length
+    val stepsLit = array(steps.map(lit): _*)
+    val perUser = ev
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("tu"),
+          col("event_type").as("et")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+    val fold = (acc: Column, e: Column) => {
+      val n = size(acc)
+      val tu = e.getField("tu")
+      val matches = e.getField("et") === element_at(stepsLit, n + 1)
+      // CaseWhen evaluates only the taken branch, so element_at(acc, -1)
+      // never runs against an empty accumulator
+      val gate = when(n === 0, lit(true)).otherwise(withinUs match {
+        case None => tu > element_at(acc, -1)
+        case Some(w) =>
+          tu > element_at(acc, -1) && tu < element_at(acc, -1) + lit(w)
+      })
+      when(n < k && matches && gate, concat(acc, array(tu))).otherwise(acc)
+    }
+    perUser.select(col("user_id"),
+      aggregate(col("evs"), lit(Array.empty[Long]), fold).as("touch"))
+  }
+
+  private[graft] def funnelCounts(ev: DataFrame, steps: Seq[String],
+      withinUs: Option[Long]): DataFrame = {
+    val k = steps.length
+    val reached = funnelTouches(ev, steps, withinUs)
+      .select(size(col("touch")).as("reached"))
+    reached.agg(
+      coalesce(sum(when(col("reached") >= 1, 1L).otherwise(0L)), lit(0L))
+        .as("n1"),
+      (2 to k).map(i =>
+        coalesce(sum(when(col("reached") >= i, 1L).otherwise(0L)), lit(0L))
+          .as(s"n$i")): _*)
+  }
+
+  /** l214/l215's engine over any (user_id, event_type, ts) frame and an
     * ordered step list — factored for the spec's closed-form fixtures
     * (full chain counts once per step; a later-step event BEFORE the
     * earlier step does not count; an EQUAL timestamp does not advance
     * the chain — strictly-after semantics, pinned; counts are
-    * monotonically non-increasing down the funnel by construction). */
-  private[graft] def funnel(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    * monotonically non-increasing down the funnel by construction;
+    * `withinUs` bounds each step's window — see [[funnelCounts]]). */
+  private[graft] def funnel(ev: DataFrame, steps: Seq[String],
+      withinUs: Option[Long] = None): DataFrame = {
     val session = ev.sparkSession
-    // first-touch sequential funnel: u_k = users with a step-k event
-    // STRICTLY after their step-(k-1) first-touch; each stage joins a
-    // SHRINKING user set
-    val stageFrames = steps.zipWithIndex.scanLeft(
-        Option.empty[DataFrame]) { case (prev, (st, _)) =>
-      val cand = ev.filter(col("event_type") === st)
-        .select(col("user_id"), col("ts"))
-      val gated = prev match {
-        case None => cand
-        case Some(p) => cand.join(p.select(col("user_id"),
-            col("t").as("tprev")), Seq("user_id"))
-          .filter(col("ts") > col("tprev"))
-          .select(col("user_id"), col("ts"))
-      }
-      Some(gated.groupBy("user_id").agg(min(col("ts")).as("t")))
-    }.flatten
-    val counts = stageFrames.map(_.count())
+    // ONE action over the single-pass engine: k bounded longs
+    val row = funnelCounts(ev, steps, withinUs).collect()(0)
+    val counts = steps.indices.map(row.getLong)
     import session.implicits._
     steps.zipWithIndex.map { case (st, i) =>
       val n = counts(i)
@@ -11345,11 +11406,16 @@ object LlmQueries {
     * l13 contract); counts are exact integers; the two ratios divide
     * at output under round(6).
     *
-    * 100 TB posture: step k is filter(type) → join the step-(k-1) user
-    * frame → groupBy(user) — each stage's user set SHRINKS, so the
-    * joins get cheaper down the funnel and broadcast once the cohort
-    * fits; never a per-user collect, never a full-history window. The
-    * k bounded counts are the l123 bounded-collect class. */
+    * 100 TB posture (SINGLE-PASS since r18, VERDICT r17 #2): ONE events
+    * scan → filter to the funnel's types → one shuffle on user_id →
+    * per-user chronological fold ([[funnelCounts]] — provably ≡ the
+    * oracle's chained-min CTE form, argued there) → k conditional sums
+    * in one map-combined global aggregate; never a per-user collect of
+    * foreign event types, never a full-history window, never a
+    * per-stage rejoin. PlanShapeSpec pins 1 scan / 0 joins / partial
+    * combines. The zero-cohort corner emits 0.0 on BOTH engines
+    * (ADVICE r17 — the SQL's nullif/coalesce guard mirrors the
+    * engine's explicit convention; LlmOpsSpec pins the engine side). */
   val l214_funnel_conversion = Q(
     "l214_funnel_conversion",
     """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -11367,16 +11433,147 @@ object LlmQueries {
       |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
       |SELECT CAST(step AS BIGINT) AS step, step_type,
       |       CAST(n_users AS BIGINT) AS n_users,
-      |       round(n_users * 1.0 / (SELECT n_users FROM n WHERE step = 1), 6)
+      |       coalesce(round(n_users * 1.0 / nullif(
+      |           (SELECT n_users FROM n WHERE step = 1), 0), 6), 0.0)
       |         AS pct_of_first,
       |       CASE WHEN step = 1 THEN 1.0
-      |            ELSE round(n_users * 1.0 /
-      |              (SELECT nn.n_users FROM n nn WHERE nn.step = n.step - 1), 6)
+      |            ELSE coalesce(round(n_users * 1.0 / nullif(
+      |              (SELECT nn.n_users FROM n nn WHERE nn.step = n.step - 1),
+      |              0), 6), 0.0)
       |       END AS pct_of_prev
       |FROM n ORDER BY step""".stripMargin
   ) { (s, d) =>
     funnel(events(s, d).select(col("user_id"), col("event_type"), col("ts")),
       Seq("view", "click", "purchase"))
+  }
+
+  /** L215: TIME-BOUNDED first-touch funnel (VERDICT r17 #5) — real
+    * conversion windows are bounded ("purchase within 7 days"): step
+    * k's first touch must land in the HALF-OPEN window
+    * (t_{k−1}, t_{k−1} + T), T = 7 days — strictly after the previous
+    * step's first touch (the l214 tie rule) AND strictly before it
+    * plus T, the window binding PER STEP (t₂ relative to t₁, t₃
+    * relative to t₂ — never one global window off t₁). Shares l214's
+    * fixed single-pass engine with one extra gate in the fold lambda.
+    *
+    * Determinism: the gate compares exact unix micros (tu < last +
+    * 604 800 000 000) ≡ DuckDB's `ts < t + INTERVAL 7 DAY` — both
+    * engines are micros-exact on timestamp+interval arithmetic. At
+    * sf0.01 the window excludes 12 of 150 full-chain conversions
+    * (144 clicks / 138 purchases vs the unbounded 150/150), so the
+    * hash demonstrably exercises the bound; LlmOpsSpec pins the
+    * out-of-window exclusion, the per-step window semantics, and the
+    * exact +T boundary (out — half-open). */
+  val l215_windowed_funnel = Q(
+    "l215_windowed_funnel",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t
+      |         AND e.ts < s1.t + INTERVAL 7 DAY GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      |         AND e.ts < s2.t + INTERVAL 7 DAY GROUP BY 1),
+      |n AS (SELECT 1 AS step, 'view' AS step_type, count(*) AS n_users FROM s1
+      |      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      |SELECT CAST(step AS BIGINT) AS step, step_type,
+      |       CAST(n_users AS BIGINT) AS n_users,
+      |       coalesce(round(n_users * 1.0 / nullif(
+      |           (SELECT n_users FROM n WHERE step = 1), 0), 6), 0.0)
+      |         AS pct_of_first,
+      |       CASE WHEN step = 1 THEN 1.0
+      |            ELSE coalesce(round(n_users * 1.0 / nullif(
+      |              (SELECT nn.n_users FROM n nn WHERE nn.step = n.step - 1),
+      |              0), 6), 0.0)
+      |       END AS pct_of_prev
+      |FROM n ORDER BY step""".stripMargin
+  ) { (s, d) =>
+    funnel(events(s, d).select(col("user_id"), col("event_type"), col("ts")),
+      Seq("view", "click", "purchase"), Some(7L * 24 * 3600 * 1000000L))
+  }
+
+  /** L216: time-to-convert gaps — the velocity companion of l214's
+    * conversion counts: per funnel transition (view→click,
+    * click→purchase), the distribution of time between consecutive
+    * first touches among the users who made that transition (median +
+    * mean seconds). The report that turns "138 users purchased" into
+    * "half of them within N hours" — what a growth team reads to SET
+    * l215's window T instead of guessing it.
+    *
+    * One more consumer of the shared single-pass fold engine: the
+    * per-user first-touch vector ([[funnelTouches]]) explodes its
+    * consecutive differences via transform(sequence(2, size)) — users
+    * below 2 touches are filtered BEFORE the sequence so the
+    * descending-sequence trap (sequence(2,1) = [2,1]) cannot fire —
+    * then ONE tiny groupBy(step). Still one events scan, one user_id
+    * shuffle, a |steps|-row aggregate.
+    *
+    * Determinism: gaps are exact integer micros (differences of the
+    * fold's exact first touches); median is linear-interpolated exact
+    * percentile on integers — Spark `percentile(du, 0.5)` and DuckDB
+    * `median` (= quantile_cont) share the lower + frac·(upper−lower)
+    * definition, and integer micros (and their midpoints) are exact in
+    * double; the mean's sum stays under 2^53 so its partials are exact
+    * in any order; both ratios round(6) at output. */
+  val l216_funnel_gaps = Q(
+    "l216_funnel_gaps",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+      |d AS (SELECT 2 AS step, epoch_us(s2.t) - epoch_us(s1.t) AS du
+      |      FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+      |      UNION ALL
+      |      SELECT 3, epoch_us(s3.t) - epoch_us(s2.t)
+      |      FROM s3 JOIN s2 ON s2.user_id = s3.user_id)
+      |SELECT CAST(step AS BIGINT) AS step,
+      |       CASE step WHEN 2 THEN 'view->click'
+      |                 ELSE 'click->purchase' END AS transition,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       round(median(du) / 1000000.0, 6) AS median_gap_s,
+      |       round(avg(du) / 1000000.0, 6) AS mean_gap_s
+      |FROM d GROUP BY step ORDER BY step""".stripMargin
+  ) { (s, d) =>
+    funnelGaps(
+      events(s, d).select(col("user_id"), col("event_type"), col("ts")),
+      Seq("view", "click", "purchase"))
+  }
+
+  /** l216's engine over any (user_id, event_type, ts) frame — factored
+    * for the spec's closed-form gap fixtures; semantics in
+    * [[l216_funnel_gaps]]'s scaladoc. */
+  private[graft] def funnelGaps(ev: DataFrame, steps: Seq[String],
+      withinUs: Option[Long] = None): DataFrame = {
+    val labels = array(
+      steps.sliding(2).map(p => lit(s"${p(0)}->${p(1)}")).toSeq: _*)
+    val gaps = funnelTouches(ev, steps, withinUs)
+      .filter(size(col("touch")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(touch)), i -> struct(i AS step, " +
+          "element_at(touch, i) - element_at(touch, i - 1) AS du))"))
+        .as("t"))
+      .select(col("t.step").as("step"), col("t.du").as("du"))
+    gaps.groupBy("step")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(du, 0.5)").as("med_us"),
+        avg(col("du")).as("mean_us"))
+      .select(col("step").cast("long").as("step"),
+        element_at(labels, col("step").cast("int") - 1).as("transition"),
+        col("n_pairs"),
+        round(col("med_us") / lit(1000000.0), 6).as("median_gap_s"),
+        round(col("mean_us") / lit(1000000.0), 6).as("mean_gap_s"))
+      .orderBy("step")
   }
 
   // ------------- event-flow transition matrix (l154)
@@ -16099,7 +16296,8 @@ object LlmQueries {
     l204_neyman_allocation, l205_neyman_draw, l206_rendezvous_resharding,
     l207_obf_looks, l208_jackknife_influence, l209_cuped_readout,
     l210_capture_recapture, l211_capture_overlap,
-    l212_capped_clustering, l214_funnel_conversion,
+    l212_capped_clustering, l214_funnel_conversion, l215_windowed_funnel,
+    l216_funnel_gaps,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

@@ -452,6 +452,32 @@ class PlanShapeSpec extends AnyFunSuite {
         s"expected exactly 1 hash exchange, got $exchanges:\n$p")
   }
 
+  test("L214/L215: the funnel engine is SINGLE-PASS (VERDICT r17 #2) — " +
+      "ONE events scan feeds every stage, no per-stage joins, and both " +
+      "the per-user fold input and the step counts combine map-side") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val df = LlmQueries.funnelCounts(ev, Seq("view", "click", "purchase"),
+      None)
+    df.collect()
+    // count in the FINAL plan only — the AQE string repeats the tree
+    // under "== Initial Plan ==" and would double every scan
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.split("FileScan parquet").length - 1 == 1,
+      s"the r17 stage-recompute shape re-scanned events ~k(k+1)/2 " +
+        s"times; the fold form reads it ONCE:\n$p")
+    assert(!fin.contains("Join"),
+      s"no per-stage joins — the chronological fold replaces the " +
+        s"shrinking-join chain:\n$p")
+    assert(fin.contains("partial_collect_list"),
+      s"the per-user event list must combine map-side:\n$p")
+    assert(fin.contains("partial_sum"),
+      s"the k step counts must combine map-side into one row:\n$p")
+    assert(fin.contains("PushedFilters: [In(event_type"),
+      s"the funnel-type filter must reach the parquet scan:\n$p")
+  }
+
   test("D25: the grouped quantile sketch's rank<=256 literal cut is " +
       "WindowGroupLimit in Partial+Final — no task holds a group's full " +
       "value set") {

@@ -45,6 +45,60 @@ class AmsF2Spec extends AnyFunSuite {
     assert((0 until 8).forall(r => zw(r) == za(r) + zb(r)))
   }
 
+  test("grouped distributed countersBy/estimateBy == the local model, " +
+      "any partitioning (licenses AmsF2Props' grouped laws for the " +
+      "cluster form)") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => (s"b${i % 3}", s"k${i % 53}"))
+    val model = AmsF2.modelCountersBy(rows, 8)
+    for (parts <- Seq(1, 5, 32)) {
+      val df = rows.toDF("b", "key").repartition(parts)
+      val got = AmsF2.countersBy(df, col("key"), col("b"), 8).collect()
+        .groupBy(_.getString(0)).map { case (b, rs) =>
+          b -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      assert(got == model, s"parts=$parts")
+      val est = AmsF2.estimateBy(df, col("key"), col("b"), 8).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val expect = model.toSeq.sortBy(_._1)
+        .map { case (b, zs) => (b, zs.map(z => z * z).sum, 8L) }
+      assert(est == expect, s"parts=$parts")
+    }
+  }
+
+  test("degenerate input contract (ADVICE r17): empty or all-null key " +
+      "reads sq = 0 with rr = 0 from estimate() — never a NULL sq — " +
+      "and estimateBy() emits NO bucket rows") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("key")
+    val g1 = AmsF2.estimate(empty, col("key"), 16).collect()
+    assert(g1.length == 1 && g1(0).getLong(0) == 0L && g1(0).getLong(1) == 0L,
+      s"empty input: ${g1.mkString(",")}")
+    val nulls = Seq[Option[String]](None, None).toDF("key")
+    val g2 = AmsF2.estimate(nulls, col("key"), 16).collect()
+    assert(g2.length == 1 && g2(0).getLong(0) == 0L && g2(0).getLong(1) == 0L,
+      s"all-null input: ${g2.mkString(",")}")
+    assert(AmsF2.estimateBy(nulls, col("key"), col("key"), 16)
+      .collect().isEmpty,
+      "no buckets exist on all-null input — a per-bucket consumer joins " +
+        "against nothing instead of dividing by zero")
+  }
+
+  test("d27 grouped F2: the 8 pmod buckets PARTITION the key space — " +
+      "per-bucket exact f2 sums to the global 30016 and every bucket " +
+      "carries the full 16-counter sketch") {
+    val rows = graft.queries.ExtQueries.d27_group_ams_f2
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 8, "all 8 orderkey buckets populated")
+    assert(rows.map(_.getLong(3)).sum === 30016L,
+      "self-join pairs live inside one key hence one bucket: " +
+        "sum of per-bucket exact F2 = d26's global exact F2")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0, s"estimate must be usable: $r")
+    }
+  }
+
   test("real-data error: the declared row's estimate lands within 10% " +
       "of the exact self-join size at sf0.001 (measured 0.93% — " +
       "deterministic, data and hash fixed)") {

@@ -4129,6 +4129,92 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ns == ns.sorted.reverse, "funnel counts must be monotone")
   }
 
+  test("l215 windowed funnel: an out-of-window conversion does not " +
+      "count, the window binds PER STEP (t_k relative to t_{k-1}, not " +
+      "to t_1), the window is half-open (exactly +T is out), and the " +
+      "same fixture converts fully unbounded") {
+    val df = Seq(
+      // user 1: click +2d after view, purchase +3d after click — in
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-03 00:00:00"),
+      (1L, "purchase", "2024-01-06 00:00:00"),
+      // user 2: click +10d after first view — OUT of the 7d window
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-11 00:00:00"),
+      // user 3: click in-window, purchase +8d after the CLICK — the
+      // window is relative to the PREVIOUS step's first touch
+      (3L, "view", "2024-01-01 00:00:00"),
+      (3L, "click", "2024-01-02 00:00:00"),
+      (3L, "purchase", "2024-01-10 00:00:00"),
+      // user 4: purchase +8d after the VIEW but +4d after the click —
+      // counts: per-step windows, not a global t1 window
+      (4L, "view", "2024-01-01 00:00:00"),
+      (4L, "click", "2024-01-05 00:00:00"),
+      (4L, "purchase", "2024-01-09 00:00:00"),
+      // user 5: click at EXACTLY view + 7d — half-open [t, t+T): out
+      (5L, "view", "2024-01-01 00:00:00"),
+      (5L, "click", "2024-01-08 00:00:00"))
+      .map { case (u, t, ts) => (u, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("user_id", "event_type", "ts")
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+    val got = LlmQueries.funnel(df, Seq("view", "click", "purchase"),
+      Some(sevenDaysUs))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (1L, "view", 5L, 1.0, 1.0),
+      (2L, "click", 3L, 0.6, 0.6),
+      (3L, "purchase", 2L, 0.4, 0.666667)))
+    // contrast: unbounded, the same fixture converts everyone who
+    // ordered correctly — the window is the ONLY difference
+    val unbounded = LlmQueries.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(_.getLong(2)).toSeq
+    assert(unbounded === Seq(5L, 5L, 3L))
+  }
+
+  test("funnel zero corner (ADVICE r17): a corpus with ZERO step-1 " +
+      "events reads n = 0 with pct_of_first 0.0 (never NULL/Inf); " +
+      "step 1's pct_of_prev stays 1.0 by convention") {
+    val df = Seq((1L, "error", java.sql.Timestamp.valueOf(
+        "2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = LlmQueries.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got === Seq((1L, 0L, 0.0, 1.0), (2L, 0L, 0.0, 0.0),
+      (3L, 0L, 0.0, 0.0)))
+  }
+
+  test("l216 gaps: per-transition median/mean over the CONVERTERS' " +
+      "first-touch differences — closed-form fixture; a user who never " +
+      "enters the funnel contributes no gap; a step with no converters " +
+      "emits no row") {
+    val df = Seq(
+      // user 1: full chain, gaps 3600 s then 5400 s
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:30:00"),
+      // user 2: view -> click gap 10800 s, no purchase
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-01 03:00:00"),
+      // user 3: click only — never enters the funnel
+      (3L, "click", "2024-01-01 00:00:00"))
+      .map { case (u, t, ts) => (u, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = LlmQueries.funnelGaps(df, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (2L, "view->click", 2L, 7200.0, 7200.0), // median of {3600, 10800}
+      (3L, "click->purchase", 1L, 5400.0, 5400.0)))
+    // no-converter corner: only views -> zero transitions, zero rows
+    val views = Seq((9L, "view", java.sql.Timestamp.valueOf(
+        "2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    assert(LlmQueries.funnelGaps(views, Seq("view", "click", "purchase"))
+      .collect().isEmpty)
+  }
+
   test("l197 silhouette: two tight orthogonal clusters read mean " +
       "silhouette near 1; every mean obeys the 0 <= s <= 1 law the " +
       "argmax assignment forces") {
