@@ -120,9 +120,12 @@ def comparability(lo: dict, hi: dict):
         if not (0.85 <= r <= 1.20):
             reasons.append(f"calib_cpu ratio {r:.2f} outside [0.85, 1.20] "
                            f"— single-thread speeds differ")
-    elif not (lo["present"] and hi["present"]):
-        reasons.append("host calibration block missing on at least one "
-                       "side (pre-r17 artifact)")
+    else:
+        # covers BOTH a missing host block (pre-r17) and a present block
+        # whose calib_cpu_ms is 0/absent (broken measurement) — either
+        # way there is no single-thread-speed evidence to hard-gate on
+        reasons.append("no usable calibration on at least one side "
+                       "(host block missing, or calib_cpu_ms zero/absent)")
     if lo["cores"] and hi["cores"] and lo["cores"] != hi["cores"]:
         reasons.append(f"core counts differ: {lo['cores']} vs {hi['cores']}")
     if (lo["load1_start"] is not None and hi["load1_start"] is not None
@@ -141,7 +144,13 @@ def aux_exponent(jlo: dict, jhi: dict, *fields):
         return math.log10(b / a)
     if a == 0 and b == 0:
         return 0.0  # no work of this kind on either side: scales flat
-    return None
+    if a == 0 and b > 0:
+        # 0 -> positive is the WORST scaling there is (a lost broadcast
+        # moves 0 bytes at sf-lo and GBs at sf-hi) — it must read as
+        # superlinear, never as "no fingerprint" (which the adjudicator
+        # would drop, excusing the exact regression it exists to catch)
+        return math.inf
+    return -math.inf  # positive -> 0: strictly sublinear, never excuses
 
 
 def main(argv):

@@ -124,6 +124,30 @@ def main():
     check("mixed provenance + superlinear fingerprint: still flagged",
           code == 1 and "**FLAG**" in out and "HOST MISMATCH" in out, out)
 
+    # 4b. mixed provenance, lost-broadcast shape: shuffle bytes 0 at
+    #     sf-lo (broadcast plan) -> GBs at sf-hi (fell back to shuffle).
+    #     The 0 -> positive jump must read superlinear, never drop out
+    #     of the fingerprint and get excused as environment.
+    hi4b = rec({"q_lin": 20.0, "q_bad": 200.0},
+               {"q_lin": jline(100, 10000, 20000),
+                "q_bad": jline(100, 900000000, 2000000)},
+               producer="driver", run_id=2)
+    lo4b = rec({"q_lin": 2.0, "q_bad": 2.0},
+               {"q_lin": jline(10, 1000, 2000),
+                "q_bad": jline(10, 0, 2000)})
+    code, out = run(lo4b, hi4b)
+    check("lost broadcast (bytes 0 -> GBs) stays flagged under mismatch",
+          code == 1 and "**FLAG**" in out, out)
+
+    # 4c. present host block but broken (zero) calibration -> the pair
+    #     must NOT be declared comparable
+    lo4c = rec({"q_bad": 2.0}, {"q_bad": jline(10, 1000, 2000)}, calib=0)
+    hi4c = rec({"q_bad": 200.0}, {"q_bad": jline(100, 10000, 20000)},
+               run_id=2, calib=0)
+    code, out = run(lo4c, hi4c)
+    check("zero calib breaks comparability (banner, flag adjudicated)",
+          "HOST MISMATCH" in out and "no usable calibration" in out, out)
+
     # 5. zero timing flags regardless of host state
     hiz = rec({"q_lin": 20.0, "q_bad": 0.0},
               {"q_lin": jline(100, 10000, 20000),

@@ -78,6 +78,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Provenance stamp (VERDICT r17 #6), taken at RUN START: epoch ms is
+    // monotonically increasing across sequential real runs; the producer
+    // value is sanitized to a JSON-safe identifier charset so no env
+    // value can corrupt the one-line artifact the gate parses.
+    val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "driver")
+      .replaceAll("[^A-Za-z0-9_.-]", "_")
+    val runId = System.currentTimeMillis()
     val hostStart = hostJson()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -257,18 +264,14 @@ object Bench {
     val hostEnd = hostJson()
     val hostReport =
       s"""{"calib_iters":$CalibIters,"start":$hostStart,"end":$hostEnd}"""
-    // Provenance stamp (VERDICT r17 #6): the r17 adjudication had to
-    // infer from TOTALS that the worktree BENCHLOG pair mixed a builder
-    // gate run with a contended driver run. Every line now declares who
-    // produced it — the builder gate loop exports
-    // SPARK_GRAFT_PRODUCER=builder-gate; anything unstamped-by-env is the
-    // driver's own invocation — plus a monotonically-increasing run id
-    // (epoch ms at run start: strictly increasing across real runs, and
-    // two artifacts from ONE session share ordering). scaling_audit.py
-    // refuses to hard-gate mixed-provenance pairs; round_compare.py
-    // prints both stamps.
-    val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "driver")
-    val runId = System.currentTimeMillis()
+    // The provenance fields (stamped at run start, above): the r17
+    // adjudication had to infer from TOTALS that the worktree BENCHLOG
+    // pair mixed a builder gate run with a contended driver run. Every
+    // line now declares who produced it — the builder gate loop exports
+    // SPARK_GRAFT_PRODUCER=builder-gate; anything unstamped-by-env is
+    // the driver's own invocation. scaling_audit.py refuses to
+    // hard-gate mixed-provenance pairs; round_compare.py prints both
+    // stamps.
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","producer":"$producer","run_id":$runId,"queries":$qs,"cachereport":$report,"jvm":$jvmJson,"host":$hostReport,"sf":"$sfDir"}"""
     println(line)

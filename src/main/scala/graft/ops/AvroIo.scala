@@ -31,20 +31,33 @@ import org.apache.spark.sql.types._
   * StructType — never inference — and the writer derives the Avro
   * record schema mechanically from the frame's StructType
   * (long/double/string, each nullable via the `["null", T]` union, so
-  * NULLs cross the format). Strings come back as Avro `Utf8` and are
-  * normalized at the boundary. All filesystem access goes through the
-  * Hadoop `FileSystem` of the path (the writeSidecar discipline —
-  * cluster-visible URIs work; plain java.io would silently write task-
-  * local disks). Reader file handles close on iterator exhaustion —
-  * Spark drains source iterators of a flatMap fully, and the files are
-  * re-listed per run, so no handle outlives its task. */
+  * NULLs cross the format; field names are validated against Avro's
+  * name grammar DRIVER-SIDE, failing fast instead of burning task
+  * retries on a per-executor SchemaParseException). Strings come back
+  * as Avro `Utf8` and are normalized at the boundary.
+  *
+  * Filesystem stance (r18 review finding): tasks resolve paths against
+  * the SESSION's Hadoop configuration, shipped to executors as a plain
+  * serializable property array — a bare `new Configuration()` on the
+  * executor would drop every `spark.hadoop.*` session setting
+  * (credentials, fs.defaultFS, endpoints) and could silently resolve a
+  * DIFFERENT filesystem than the driver's listing. Reader streams close
+  * via a task-completion listener, so a short-circuiting consumer
+  * (`limit`, `take`) cannot leak file handles on the exhaust-to-close
+  * path. */
 object AvroIo {
 
   /** Avro record schema JSON for a flat StructType of long/double/string
-    * fields, every field nullable via the ["null", T] union. */
+    * fields, every field nullable via the ["null", T] union. Fails fast
+    * driver-side on unsupported types AND on field names outside Avro's
+    * [A-Za-z_][A-Za-z0-9_]* grammar (which also keeps the hand-built
+    * JSON injection-safe). */
   private[graft] def avroSchemaJson(schema: StructType,
       name: String): String = {
     val fields = schema.fields.map { f =>
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"AvroIo field name '${f.name}' is not a legal Avro name " +
+          s"([A-Za-z_][A-Za-z0-9_]*) — rename the column before writing")
       val t = f.dataType match {
         case LongType => "\"long\""
         case DoubleType => "\"double\""
@@ -58,11 +71,29 @@ object AvroIo {
     s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}"""
   }
 
+  /** The session Hadoop conf as a serializable (key, value) array — the
+    * executor-side rebuild preserves every spark.hadoop.* setting. */
+  private def confProps(s: SparkSession): Array[(String, String)] = {
+    val conf = s.sessionState.newHadoopConf()
+    val it = conf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+
+  private def rebuild(props: Array[(String, String)])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Overwrite `dir` with one Avro container file per non-empty
     * partition of `df`. */
   def write(df: DataFrame, dir: String): Unit = {
     val schemaJson = avroSchemaJson(df.schema, "graft_row")
     val width = df.schema.length
+    val props = confProps(df.sparkSession)
     val target = new Path(dir)
     val fs = target.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
@@ -75,8 +106,7 @@ object AvroIo {
         val schema = new Schema.Parser().parse(schemaJson)
         val path = new Path(
           dir, "part-%05d.avro".format(TaskContext.getPartitionId()))
-        val pfs = path.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val pfs = path.getFileSystem(rebuild(props))
         val out = pfs.create(path, true)
         val w = new DataFileWriter(
           new GenericDatumWriter[GenericRecord](schema))
@@ -110,20 +140,21 @@ object AvroIo {
           .map(_.getPath.toString).sorted.toSeq
       else Seq.empty[String]
     val width = schema.length
+    val props = confProps(s)
     val rdd = s.sparkContext
       .parallelize(files, math.max(1, files.length))
       .flatMap { f =>
         val path = new Path(f)
-        val pfs = path.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val pfs = path.getFileSystem(rebuild(props))
         val reader = new DataFileStream[GenericRecord](
           pfs.open(path), new GenericDatumReader[GenericRecord]())
+        // close on task end, not only on exhaustion — a limit()/take()
+        // consumer stops pulling mid-file and would otherwise leak the
+        // stream until executor exit
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
         new Iterator[Row] {
-          def hasNext: Boolean = {
-            val h = reader.hasNext
-            if (!h) reader.close()
-            h
-          }
+          def hasNext: Boolean = reader.hasNext
           def next(): Row = {
             val rec = reader.next()
             Row.fromSeq((0 until width).map { i =>

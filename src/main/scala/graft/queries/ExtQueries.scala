@@ -1734,7 +1734,11 @@ object ExtQueries {
     * per-bucket integer + (partial aggregation IS the merge, exactly
     * the d26 law bucketwise). AmsF2Spec pins distributed ≡ model under
     * any partitioning and that the buckets' exact F₂ sums to d26's
-    * global 30016 at sf0.001.
+    * global 30016 at sf0.001. The oracle buckets via
+    * ((key % 8) + 8) % 8 — DuckDB's % is sign-preserving where Spark's
+    * pmod floors, so the double-mod keeps the two engines identical
+    * even on signed keys (orderkeys are positive; the formula is the
+    * declared reusable form).
     *
     * Determinism: exact INTEGER end to end per bucket (the d26
     * discipline); the oracle rebuilds every bucket's 16 counters from
@@ -1745,7 +1749,8 @@ object ExtQueries {
     * The 8-row sketch joins the 8-row exact frame broadcast. */
   val d27_group_ams_f2 = Q(
     "d27_group_ams_f2",
-    """WITH k AS (SELECT l_orderkey AS key, l_orderkey % 8 AS b
+    """WITH k AS (SELECT l_orderkey AS key,
+      |                  ((l_orderkey % 8) + 8) % 8 AS b
       |           FROM lineitem WHERE l_orderkey IS NOT NULL),
       |z AS (SELECT b, r,
       |        sum(CASE WHEN (strpos('0123456789abcdef',

@@ -11326,8 +11326,16 @@ object LlmQueries {
       withinUs: Option[Long]): DataFrame = {
     val k = steps.length
     val stepsLit = array(steps.map(lit): _*)
+    // Null hygiene is a DECLARED contract (r18 review finding): a
+    // NULL-ts event would fill a slot with a null micros value and
+    // permanently block the user's chain (every later `tu > null` gate
+    // is UNKNOWN), and a NULL-user_id group has no identity to funnel —
+    // both are dropped up front, and the oracle CTEs carry the matching
+    // WHERE, so the two engines agree BY CONSTRUCTION instead of by
+    // accident of null-free testdata.
     val perUser = ev
-      .filter(col("event_type").isin(steps: _*))
+      .filter(col("event_type").isin(steps: _*)
+        && col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"),
         struct(unix_micros(col("ts")).as("tu"),
           col("event_type").as("et")).as("e"))
@@ -11419,7 +11427,8 @@ object LlmQueries {
   val l214_funnel_conversion = Q(
     "l214_funnel_conversion",
     """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-      |           FROM events),
+      |           FROM events
+      |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |s1 AS (SELECT user_id, min(ts) AS t FROM e
       |       WHERE event_type = 'view' GROUP BY 1),
       |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
@@ -11467,7 +11476,8 @@ object LlmQueries {
   val l215_windowed_funnel = Q(
     "l215_windowed_funnel",
     """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-      |           FROM events),
+      |           FROM events
+      |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |s1 AS (SELECT user_id, min(ts) AS t FROM e
       |       WHERE event_type = 'view' GROUP BY 1),
       |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
@@ -11523,7 +11533,8 @@ object LlmQueries {
   val l216_funnel_gaps = Q(
     "l216_funnel_gaps",
     """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-      |           FROM events),
+      |           FROM events
+      |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |s1 AS (SELECT user_id, min(ts) AS t FROM e
       |       WHERE event_type = 'view' GROUP BY 1),
       |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e

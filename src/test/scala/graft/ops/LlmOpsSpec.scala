@@ -4185,6 +4185,27 @@ class LlmOpsSpec extends AnyFunSuite {
       (3L, 0L, 0.0, 0.0)))
   }
 
+  test("funnel null hygiene (r18 review finding): NULL-ts and " +
+      "NULL-user_id events are dropped up front — a null ts must never " +
+      "fill a slot and block the user's chain") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1: a NULL-ts view BESIDE a real chain — the null must not
+      // occupy the step-1 slot (it would block every later gate)
+      (Some(1L), "view", None: Option[java.sql.Timestamp]),
+      (Some(1L), "view", Some(ts("2024-01-01 00:00:00"))),
+      (Some(1L), "click", Some(ts("2024-01-02 00:00:00"))),
+      (Some(1L), "purchase", Some(ts("2024-01-03 00:00:00"))),
+      // a NULL-user_id full chain: no identity, never funnels
+      (None: Option[Long], "view", Some(ts("2024-01-01 00:00:00"))),
+      (None: Option[Long], "click", Some(ts("2024-01-02 00:00:00"))))
+      .toDF("user_id", "event_type", "ts")
+    val got = LlmQueries.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)),
+      "user 1 converts fully; the null rows contribute nothing")
+  }
+
   test("l216 gaps: per-transition median/mean over the CONVERTERS' " +
       "first-touch differences — closed-form fixture; a user who never " +
       "enters the funnel contributes no gap; a step with no converters " +
