@@ -74,10 +74,16 @@ object AmsF2 {
     * rr = 0 (empty input — see the degenerate-input contract above). */
   def estimate(df: DataFrame, key: Column, r: Int): DataFrame = {
     // alias the key ONCE: an expression key (concat, cast, ...) would
-    // not re-resolve against the projected frame inside the aggregate
-    df.filter(key.isNotNull)
-      .select(key.cast("string").as("k"),
-        explode(sequence(lit(0), lit(r - 1))).as("r"))
+    // not re-resolve against the projected frame inside the aggregate.
+    // spread BEFORE the ×R explode (r18): the ×16 md5 work is the cost,
+    // and a test-SF parquet is one input split — without it the whole
+    // sign pipeline ran on ≤2 cores (measured: d26 wall ≈ cpu ≈ 7.8 s
+    // at sf0.1). Counters are integer SUMS, so the round-robin shuffle
+    // cannot change a single bit of the result; at 100 TB the scan has
+    // ≥ cores splits and spread is a guarded no-op.
+    graft.Tables.spread(
+        df.filter(key.isNotNull).select(key.cast("string").as("k")))
+      .select(col("k"), explode(sequence(lit(0), lit(r - 1))).as("r"))
       .groupBy("r").agg(sum(signExpr).as("zr"))
       .agg(coalesce(sum(col("zr") * col("zr")), lit(0L)).as("sq"),
         count(lit(1)).as("rr"))
@@ -89,8 +95,12 @@ object AmsF2 {
     * work. Counters add per bucket, so shard merge stays plain +. */
   def countersBy(df: DataFrame, key: Column, bucket: Column,
       r: Int): DataFrame =
-    df.filter(key.isNotNull)
-      .select(bucket.as("b"), key.cast("string").as("k"),
+    // same spread-before-explode stance as estimate(), same exactness
+    // argument (per-bucket integer sums commute with any partitioning)
+    graft.Tables.spread(
+        df.filter(key.isNotNull)
+          .select(bucket.as("b"), key.cast("string").as("k")))
+      .select(col("b"), col("k"),
         explode(sequence(lit(0), lit(r - 1))).as("r"))
       .groupBy("b", "r").agg(sum(signExpr).as("zr"))
 
