@@ -800,9 +800,66 @@ object ScaleQueries {
     graft.ops.Intervals.gaps(iv).orderBy("user_id", "after_island")
   }
 
+  /** E16: interval-overlap join (extension, ops/OverlapJoin) — every
+    * same-user pair of a purchase attention window [p_ts, p_ts + 2 d)
+    * and a signup onboarding window [s_ts, s_ts + 3 d) that OVERLAP,
+    * with the overlap window itself emitted (greatest of starts, least
+    * of ends). The last member of the inequality-join family: e4 as-of
+    * (order), e5 point-in-interval (containment), e10 band (value
+    * tolerance), e12 nearest (distance) — this is two interval SETS
+    * against each other, the session-overlap / double-booking /
+    * validity-reconciliation shape.
+    *
+    * Plan: both interval sets explode into covered day buckets and the
+    * match is an equi-join on (user, bucket) + exact overlap filter —
+    * never a per-key nested loop. Overlapping pairs share MANY buckets,
+    * so the canonical-bucket rule (keep the pair only in the bucket of
+    * max(start_a, start_b) — the overlap's start, provably covered by
+    * both sides and unique) makes the output dup-free with NO distinct.
+    * The oracle is DuckDB's plain inequality join — an independent
+    * formulation, so a green hash certifies the bucketing + canonical
+    * rule are lossless AND dup-free, not just plausible. Half-open
+    * semantics: touching windows (end == start) do NOT match — the e13
+    * convention. Timestamps at microsecond fidelity (l13). */
+  val e16_interval_overlap = Q(
+    "e16_interval_overlap",
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  event_type FROM events),
+      |p AS (SELECT event_id AS p_id, user_id, ts AS p_s,
+      |             ts + INTERVAL 2 DAY AS p_e FROM e
+      |      WHERE event_type = 'purchase'),
+      |s AS (SELECT event_id AS s_id, user_id, ts AS s_s,
+      |             ts + INTERVAL 3 DAY AS s_e FROM e
+      |      WHERE event_type = 'signup')
+      |SELECT p.p_id, s.s_id, p.user_id,
+      |       strftime(greatest(p.p_s, s.s_s), '%Y-%m-%d %H:%M:%S.%f')
+      |         AS ov_start,
+      |       strftime(least(p.p_e, s.s_e), '%Y-%m-%d %H:%M:%S.%f')
+      |         AS ov_end
+      |FROM p JOIN s ON p.user_id = s.user_id
+      |              AND p.p_s < s.s_e AND s.s_s < p.p_e
+      |ORDER BY p_id, s_id""".stripMargin
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_s"), (col("ts") + expr("INTERVAL 2 DAYS")).as("p_e"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id"),
+        col("ts").as("s_s"), (col("ts") + expr("INTERVAL 3 DAYS")).as("s_e"))
+    graft.ops.OverlapJoin.intervalOverlap(
+        p, sg, "user_id", "p_s", "p_e", "s_s", "s_e")
+      .select(col("p_id"), col("s_id"), col("user_id"),
+        date_format(greatest(col("p_s"), col("s_s")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ov_start"),
+        date_format(least(col("p_e"), col("s_e")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ov_end"))
+      .orderBy("p_id", "s_id")
+  }
+
   val all: Seq[Q] = Seq(a6_bucketed_join, a7_partitioned_scan,
     a9_dynamic_pruning, a10_zorder, a12_runtime_bloom, c11_partition_upsert,
     f4_salted_join, f8_aqe_skew_join, e4_asof_join, e5_range_join,
     e10_band_join, e11_point_in_time, e12_nearest_asof, e13_interval_coalesce,
-    e14_interval_gaps)
+    e14_interval_gaps, e16_interval_overlap)
 }
