@@ -140,6 +140,18 @@ object WorkRowAudit {
       errors, signups, "user_id", "e_ts", "s_ts", "s_end").count()
   }
 
+  private def e16Candidates(spark: SparkSession, d: String): Long = {
+    val ev = Tables.events(spark, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_s"), (col("ts") + expr("INTERVAL 2 DAYS")).as("p_e"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id"),
+        col("ts").as("s_s"), (col("ts") + expr("INTERVAL 3 DAYS")).as("s_e"))
+    graft.ops.OverlapJoin.candidates(
+      p, sg, "user_id", "p_s", "p_e", "s_s", "s_e").count()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     val genBase = s"${System.getProperty("java.io.tmpdir")}/graft_sf1_audit"
@@ -255,6 +267,13 @@ object WorkRowAudit {
     out ++= s"| e5 range-join buckets (events sf0.001→0.1) | " +
       e5cs.mkString(" | ") + s" | ${expStr(e5cs)} |\n"
     println(s"[audit] e5: ${e5cs.mkString(", ")}")
+    // e16: canonical-bucket candidates (post-dedup-rule, pre-overlap
+    // filter) over the same three committed event decades
+    val e16cs = e5points.map(d => e16Candidates(spark, d))
+    out ++= s"| e16 overlap-join canonical candidates (events " +
+      s"sf0.001→0.1) | " + e16cs.mkString(" | ") +
+      s" | ${expStr(e16cs)} |\n"
+    println(s"[audit] e16: ${e16cs.mkString(", ")}")
     println()
     println("rows = docs 500 / 5000 / 50000*; vectors 500 / 2000 / 20000*; " +
       "* = generated audit slice (see scaladoc)")
