@@ -121,11 +121,18 @@ def comparability(lo: dict, hi: dict):
             reasons.append(f"calib_cpu ratio {r:.2f} outside [0.85, 1.20] "
                            f"— single-thread speeds differ")
     else:
-        # covers BOTH a missing host block (pre-r17) and a present block
-        # whose calib_cpu_ms is 0/absent (broken measurement) — either
-        # way there is no single-thread-speed evidence to hard-gate on
-        reasons.append("no usable calibration on at least one side "
-                       "(host block missing, or calib_cpu_ms zero/absent)")
+        # Broken/absent calibration is UNKNOWN host speed, not EVIDENCE
+        # of a host difference. Downgrading to fingerprint adjudication
+        # here would be the LENIENT direction (a wall-only CPU
+        # regression — interpreted fallback, worse expression eval —
+        # would be 'explained' away), so a same-producer stamped pair
+        # stays hard-gated and the missing correction is only WARNED
+        # about; the pair is non-comparable only when provenance is
+        # also mixed/unstamped (already a reason above).
+        notes.append("no usable calibration on at least one side (host "
+                     "block missing, or calib_cpu_ms zero/absent) — the "
+                     "corrected column equals the raw exponent and "
+                     "box-speed differences cannot be divided out")
     if lo["cores"] and hi["cores"] and lo["cores"] != hi["cores"]:
         reasons.append(f"core counts differ: {lo['cores']} vs {hi['cores']}")
     if (lo["load1_start"] is not None and hi["load1_start"] is not None
@@ -213,12 +220,20 @@ def main(argv):
             # adjudicated (a zero-shuffle line still records tasks — an
             # ABSENT entry means no fingerprint exists) and stays counted.
             have_jvm = q in jlo and q in jhi
-            eb = aux_exponent(jlo.get(q, {}), jhi.get(q, {}),
-                              "shuffle_read_bytes", "shuffle_write_bytes")
-            et = aux_exponent(jlo.get(q, {}), jhi.get(q, {}), "tasks")
-            ec = aux_exponent(jlo.get(q, {}), jhi.get(q, {}), "cpu_ms")
-            fp = [x for x in (eb, et) if x is not None] if have_jvm else []
-            detail = (f"bytes={_f(eb)} tasks={_f(et)} cpu={_f(ec)}")
+            if have_jvm:
+                eb = aux_exponent(jlo[q], jhi[q],
+                                  "shuffle_read_bytes",
+                                  "shuffle_write_bytes")
+                et = aux_exponent(jlo[q], jhi[q], "tasks")
+                ec = aux_exponent(jlo[q], jhi[q], "cpu_ms")
+                fp = [eb, et]
+                detail = f"bytes={_f(eb)} tasks={_f(et)} cpu={_f(ec)}"
+            else:
+                # no per-line jvm block on at least one side: there IS
+                # no fingerprint — never print a fabricated one (sums
+                # of {} read as 0 and would display as +inf)
+                fp = []
+                detail = "no jvm block on both sides — unadjudicable"
             if not comparable and fp and all(x <= flag_at for x in fp):
                 explained.append((q, e, detail))
                 mark = f"EXPLAINED (environment: {detail})"

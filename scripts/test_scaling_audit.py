@@ -139,14 +139,18 @@ def main():
     check("lost broadcast (bytes 0 -> GBs) stays flagged under mismatch",
           code == 1 and "**FLAG**" in out, out)
 
-    # 4c. present host block but broken (zero) calibration -> the pair
-    #     must NOT be declared comparable
+    # 4c. present host block but broken (zero) calibration on a SAME-
+    #     producer stamped pair: unknown speed is not evidence of a host
+    #     difference, and downgrading would be the LENIENT direction —
+    #     the pair stays hard-gated (flag counts, exit 1) with a loud
+    #     warning that no speed correction is possible
     lo4c = rec({"q_bad": 2.0}, {"q_bad": jline(10, 1000, 2000)}, calib=0)
     hi4c = rec({"q_bad": 200.0}, {"q_bad": jline(100, 10000, 20000)},
                run_id=2, calib=0)
     code, out = run(lo4c, hi4c)
-    check("zero calib breaks comparability (banner, flag adjudicated)",
-          "HOST MISMATCH" in out and "no usable calibration" in out, out)
+    check("zero calib on a stamped pair stays hard-gated + warned",
+          code == 1 and "**FLAG**" in out and "HOST MISMATCH" not in out
+          and "no usable calibration" in out, out)
 
     # 5. zero timing flags regardless of host state
     hiz = rec({"q_lin": 20.0, "q_bad": 0.0},
@@ -161,8 +165,10 @@ def main():
     lo6 = rec({"q_bad": 2.0}, producer=None)
     hi6 = rec({"q_bad": 200.0}, producer=None)
     code, out = run(lo6, hi6)
-    check("unadjudicable flag (no jvm block) stays counted",
-          code == 1 and "**FLAG**" in out and "HOST MISMATCH" in out, out)
+    check("unadjudicable flag (no jvm block) stays counted and prints " +
+          "'unadjudicable', never a fabricated fingerprint",
+          code == 1 and "**FLAG**" in out and "HOST MISMATCH" in out
+          and "unadjudicable" in out and "+inf" not in out, out)
 
     print("all scaling_audit fixture checks pass")
 

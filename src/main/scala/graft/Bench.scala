@@ -272,8 +272,11 @@ object Bench {
     // the driver's own invocation. scaling_audit.py refuses to
     // hard-gate mixed-provenance pairs; round_compare.py prints both
     // stamps.
+    // sf is a PATH (cannot be charset-sanitized like producer) — JSON-
+    // escape it so no env value can corrupt the one-line artifact
+    val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","producer":"$producer","run_id":$runId,"queries":$qs,"cachereport":$report,"jvm":$jvmJson,"host":$hostReport,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","producer":"$producer","run_id":$runId,"queries":$qs,"cachereport":$report,"jvm":$jvmJson,"host":$hostReport,"sf":"$sfJson"}"""
     println(line)
     // Also persist the COMPLETE line to a repo artifact: the driver's
     // BENCH_r{N}.json keeps only a 2000-char stdout tail, which truncated

@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Avro object-container source/sink (a22, VERDICT r17 #3) — the
   * Kafka-ecosystem row-oriented interchange format a streaming ingest
@@ -31,33 +32,38 @@ import org.apache.spark.sql.types._
   * StructType — never inference — and the writer derives the Avro
   * record schema mechanically from the frame's StructType
   * (long/double/string, each nullable via the `["null", T]` union, so
-  * NULLs cross the format; field names are validated against Avro's
-  * name grammar DRIVER-SIDE, failing fast instead of burning task
-  * retries on a per-executor SchemaParseException). Strings come back
+  * NULLs cross the format; field AND record names are validated against
+  * Avro's name grammar DRIVER-SIDE, failing fast instead of burning
+  * task retries on a per-executor SchemaParseException — which also
+  * keeps the hand-built schema JSON injection-safe). Strings come back
   * as Avro `Utf8` and are normalized at the boundary.
   *
-  * Filesystem stance (r18 review finding): tasks resolve paths against
-  * the SESSION's Hadoop configuration, shipped to executors as a plain
-  * serializable property array — a bare `new Configuration()` on the
-  * executor would drop every `spark.hadoop.*` session setting
-  * (credentials, fs.defaultFS, endpoints) and could silently resolve a
-  * DIFFERENT filesystem than the driver's listing. Reader streams close
-  * via a task-completion listener, so a short-circuiting consumer
-  * (`limit`, `take`) cannot leak file handles on the exhaust-to-close
-  * path. */
+  * Filesystem stance (r18 review findings): tasks resolve paths against
+  * the SESSION's Hadoop configuration, shipped to executors via Spark's
+  * own public [[SerializableConfiguration]] — a bare `new
+  * Configuration()` on the executor would drop every `spark.hadoop.*`
+  * session setting (credentials, fs.defaultFS, endpoints) and could
+  * silently resolve a DIFFERENT filesystem than the driver's listing.
+  * Stream hygiene: reader streams close via a task-completion listener
+  * (so a short-circuiting `limit`/`take` cannot leak handles) with
+  * close-on-exhaustion as the fallback outside a task context, and the
+  * raw input/output streams are closed on the construction-failure
+  * paths (corrupt header, disk-full on create) too. */
 object AvroIo {
 
   /** Avro record schema JSON for a flat StructType of long/double/string
     * fields, every field nullable via the ["null", T] union. Fails fast
-    * driver-side on unsupported types AND on field names outside Avro's
-    * [A-Za-z_][A-Za-z0-9_]* grammar (which also keeps the hand-built
-    * JSON injection-safe). */
+    * driver-side on unsupported types AND on field/record names outside
+    * Avro's [A-Za-z_][A-Za-z0-9_]* grammar. */
   private[graft] def avroSchemaJson(schema: StructType,
       name: String): String = {
+    val legal = "[A-Za-z_][A-Za-z0-9_]*"
+    require(name.matches(legal),
+      s"AvroIo record name '$name' is not a legal Avro name ($legal)")
     val fields = schema.fields.map { f =>
-      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      require(f.name.matches(legal),
         s"AvroIo field name '${f.name}' is not a legal Avro name " +
-          s"([A-Za-z_][A-Za-z0-9_]*) — rename the column before writing")
+          s"($legal) — rename the column before writing")
       val t = f.dataType match {
         case LongType => "\"long\""
         case DoubleType => "\"double\""
@@ -71,32 +77,15 @@ object AvroIo {
     s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}"""
   }
 
-  /** The session Hadoop conf as a serializable (key, value) array — the
-    * executor-side rebuild preserves every spark.hadoop.* setting. */
-  private def confProps(s: SparkSession): Array[(String, String)] = {
-    val conf = s.sessionState.newHadoopConf()
-    val it = conf.iterator()
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-    buf.toArray
-  }
-
-  private def rebuild(props: Array[(String, String)])
-      : org.apache.hadoop.conf.Configuration = {
-    val c = new org.apache.hadoop.conf.Configuration(false)
-    props.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
-
   /** Overwrite `dir` with one Avro container file per non-empty
     * partition of `df`. */
   def write(df: DataFrame, dir: String): Unit = {
     val schemaJson = avroSchemaJson(df.schema, "graft_row")
     val width = df.schema.length
-    val props = confProps(df.sparkSession)
-    val target = new Path(dir)
-    val fs = target.getFileSystem(
+    val sconf = new SerializableConfiguration(
       df.sparkSession.sessionState.newHadoopConf())
+    val target = new Path(dir)
+    val fs = target.getFileSystem(sconf.value)
     fs.delete(target, true)
     fs.mkdirs(target)
     df.rdd.foreachPartition { it =>
@@ -106,23 +95,30 @@ object AvroIo {
         val schema = new Schema.Parser().parse(schemaJson)
         val path = new Path(
           dir, "part-%05d.avro".format(TaskContext.getPartitionId()))
-        val pfs = path.getFileSystem(rebuild(props))
-        val out = pfs.create(path, true)
-        val w = new DataFileWriter(
-          new GenericDatumWriter[GenericRecord](schema))
-        w.setCodec(CodecFactory.snappyCodec())
-        w.create(schema, out)
+        val out = path.getFileSystem(sconf.value).create(path, true)
         try {
-          it.foreach { row =>
-            val rec = new GenericData.Record(schema)
-            var i = 0
-            while (i < width) {
-              rec.put(i, if (row.isNullAt(i)) null else row.get(i))
-              i += 1
+          val w = new DataFileWriter(
+            new GenericDatumWriter[GenericRecord](schema))
+          w.setCodec(CodecFactory.snappyCodec())
+          w.create(schema, out) // w owns `out` from here
+          try {
+            it.foreach { row =>
+              val rec = new GenericData.Record(schema)
+              var i = 0
+              while (i < width) {
+                rec.put(i, if (row.isNullAt(i)) null else row.get(i))
+                i += 1
+              }
+              w.append(rec)
             }
-            w.append(rec)
-          }
-        } finally w.close() // closes the FS stream too
+          } finally w.close() // closes the FS stream too
+        } catch {
+          case e: Throwable =>
+            // header-write failure path: `out` may still be open (a
+            // second close after w.close() is a no-op on FS streams)
+            try out.close() catch { case _: Throwable => () }
+            throw e
+        }
       }
     }
   }
@@ -132,7 +128,9 @@ object AvroIo {
     * file. */
   def read(s: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val sconf = new SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(sconf.value)
     val files =
       if (fs.exists(p))
         fs.listStatus(p)
@@ -140,21 +138,33 @@ object AvroIo {
           .map(_.getPath.toString).sorted.toSeq
       else Seq.empty[String]
     val width = schema.length
-    val props = confProps(s)
     val rdd = s.sparkContext
       .parallelize(files, math.max(1, files.length))
       .flatMap { f =>
         val path = new Path(f)
-        val pfs = path.getFileSystem(rebuild(props))
-        val reader = new DataFileStream[GenericRecord](
-          pfs.open(path), new GenericDatumReader[GenericRecord]())
-        // close on task end, not only on exhaustion — a limit()/take()
-        // consumer stops pulling mid-file and would otherwise leak the
-        // stream until executor exit
-        Option(TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => reader.close()))
+        val in = path.getFileSystem(sconf.value).open(path)
+        val reader =
+          try new DataFileStream[GenericRecord](in,
+            new GenericDatumReader[GenericRecord]())
+          catch {
+            case e: Throwable =>
+              // corrupt/truncated header: the ctor throws BEFORE any
+              // completion listener exists — close the raw stream here
+              try in.close() catch { case _: Throwable => () }
+              throw e
+          }
+        // close on task end (covers limit()/take() short-circuits);
+        // outside a task context (driver-side unit use) fall back to
+        // close-on-exhaustion
+        val ctx = TaskContext.get()
+        if (ctx != null)
+          ctx.addTaskCompletionListener[Unit](_ => reader.close())
         new Iterator[Row] {
-          def hasNext: Boolean = reader.hasNext
+          def hasNext: Boolean = {
+            val h = reader.hasNext
+            if (!h && ctx == null) reader.close()
+            h
+          }
           def next(): Row = {
             val rec = reader.next()
             Row.fromSeq((0 until width).map { i =>
