@@ -273,8 +273,12 @@ object Bench {
     // hard-gate mixed-provenance pairs; round_compare.py prints both
     // stamps.
     // sf is a PATH (cannot be charset-sanitized like producer) — JSON-
-    // escape it so no env value can corrupt the one-line artifact
+    // escape it so no env value can corrupt the one-line artifact;
+    // control chars (a newline/tab in the env value would still split
+    // the one-line JSON, r18 ADVICE) are replaced, not escaped — they
+    // are never legitimate in a data-dir path
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", "_")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","producer":"$producer","run_id":$runId,"queries":$qs,"cachereport":$report,"jvm":$jvmJson,"host":$hostReport,"sf":"$sfJson"}"""
     println(line)

@@ -125,8 +125,14 @@ object AvroIo {
 
   /** Read every container file under `dir` with the EXPLICIT expected
     * schema (never inference — the a8/a18 discipline). One task per
-    * file. */
+    * file. The expected schema is handed to Avro as the READER schema,
+    * so fields resolve BY NAME against each file's writer schema (the
+    * standard Avro resolution rules) — a file whose fields are ordered
+    * differently from the StructType reads correctly instead of
+    * silently transposing same-typed columns, and a missing field
+    * surfaces as the declared null default (r18 ADVICE). */
   def read(s: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val readerSchemaJson = avroSchemaJson(schema, "graft_row")
     val p = new Path(dir)
     val sconf = new SerializableConfiguration(
       s.sessionState.newHadoopConf())
@@ -143,9 +149,12 @@ object AvroIo {
       .flatMap { f =>
         val path = new Path(f)
         val in = path.getFileSystem(sconf.value).open(path)
+        // reader schema parsed inside the task from JSON (the write-path
+        // closure discipline); the writer schema comes from the file
+        val readerSchema = new Schema.Parser().parse(readerSchemaJson)
         val reader =
           try new DataFileStream[GenericRecord](in,
-            new GenericDatumReader[GenericRecord]())
+            new GenericDatumReader[GenericRecord](null, readerSchema))
           catch {
             case e: Throwable =>
               // corrupt/truncated header: the ctor throws BEFORE any

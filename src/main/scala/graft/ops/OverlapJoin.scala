@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   * (exact in doubles; micros would pass 2^53), and the full-precision
   * overlap filter keeps semantics exact. Pick `bucketSeconds` near the
   * typical interval length; hot (key, bucket) pairs are ordinary
-  * equi-join skew (AQE skew-join / salting apply).
+  * equi-join skew (AQE skew-join / salting apply) for the TASK, and
+  * the quadratic-OUTPUT cell — the one failure no bucket width or salt
+  * can bound — has a declared valve in [[cappedIntervalOverlap]]
+  * (e17, VERDICT r18 #5).
   */
 object OverlapJoin {
 
@@ -55,16 +58,76 @@ object OverlapJoin {
     require(!(a.columns ++ b.columns).contains("__b"),
       "frames may not contain the reserved column __b")
     val w = lit(bucketSeconds.toDouble)
-    def bucketsOf(df: DataFrame, s: String, e: String) =
-      df.withColumn("__b",
-        explode(sequence(
-          floor(unix_timestamp(col(s)) / w).cast("long"),
-          floor(unix_timestamp(col(e)) / w).cast("long"))))
-    bucketsOf(a, aStart, aEnd)
-      .join(bucketsOf(b, bStart, bEnd), Seq(key, "__b"))
+    bucketed(a, aStart, aEnd, bucketSeconds)
+      .join(bucketed(b, bStart, bEnd, bucketSeconds), Seq(key, "__b"))
       // canonical bucket: exactly one shared bucket carries each pair
       .filter(col("__b") ===
         floor(unix_timestamp(greatest(col(aStart), col(bStart))) / w)
           .cast("long"))
   }
+
+  /** Capped interval-overlap join (e17, VERDICT r18 #5 — the family's
+    * declared saturation valve, the l139/l161/l162 discipline brought
+    * to the one superlinear failure mode the e16 scaladoc only
+    * described in prose): each (key, bucket) CELL's candidate work
+    * na·nb is bounded by `workCap`; a cell past it is REFUSED whole —
+    * no pair whose canonical bucket lands in a refused cell is emitted.
+    * The product rule caps exactly the quantity that blows up (cell
+    * join output = na·nb rows), so total candidate work is ≤
+    * workCap · #active-cells — LINEAR in the interval count — while a
+    * hot key × long-interval pileup (the double-booked hub calendar)
+    * degrades to a declared miss instead of a straggler task.
+    * Deterministic: refusal depends only on exact per-cell counts, so
+    * both engines agree row for row, and capped output ⊆ exact output
+    * always (the cell join is a subset, the canonical + overlap
+    * filters are identical). */
+  def cappedIntervalOverlap(a: DataFrame, b: DataFrame, key: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketSeconds: Long = 86400L, workCap: Long = 16L): DataFrame =
+    cappedCandidates(a, b, key, aStart, aEnd, bStart, bEnd, bucketSeconds,
+      workCap)
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .drop("__b")
+
+  /** The capped candidate stage (work-row frame of the capped engine):
+    * per-cell counts on BOTH exploded sides (map-combinable aggregates
+    * on the same (key, bucket) key the join shuffles on), the
+    * refused-cell cut, then the cell equi-join restricted to admitted
+    * cells — per-cell output provably ≤ workCap rows. */
+  private[graft] def cappedCandidates(a: DataFrame, b: DataFrame,
+      key: String, aStart: String, aEnd: String, bStart: String,
+      bEnd: String, bucketSeconds: Long = 86400L,
+      workCap: Long = 16L): DataFrame = {
+    require(!(a.columns ++ b.columns).contains("__b"),
+      "frames may not contain the reserved column __b")
+    val w = lit(bucketSeconds.toDouble)
+    val ab = bucketed(a, aStart, aEnd, bucketSeconds)
+    val bb = bucketed(b, bStart, bEnd, bucketSeconds)
+    val admitted = activeCells(ab, bb, key)
+      .filter(col("__na") * col("__nb") <= workCap)
+      .select(col(key), col("__b"))
+    ab.join(admitted, Seq(key, "__b"))
+      .join(bb, Seq(key, "__b"))
+      .filter(col("__b") ===
+        floor(unix_timestamp(greatest(col(aStart), col(bStart))) / w)
+          .cast("long"))
+  }
+
+  /** ACTIVE cells (both sides present) with their exact side counts —
+    * the refusal ledger e17's accounting row reads `n_cells_refused`
+    * from. */
+  private[graft] def activeCells(ab: DataFrame, bb: DataFrame,
+      key: String): DataFrame =
+    ab.groupBy(col(key), col("__b")).agg(count(lit(1)).as("__na"))
+      .join(bb.groupBy(col(key), col("__b")).agg(count(lit(1)).as("__nb")),
+        Seq(key, "__b"))
+
+  /** The exploded bucket frame, shared by the capped engine and its
+    * refusal ledger. */
+  private[graft] def bucketed(df: DataFrame, s: String, e: String,
+      bucketSeconds: Long = 86400L): DataFrame =
+    df.withColumn("__b",
+      explode(sequence(
+        floor(unix_timestamp(col(s)) / lit(bucketSeconds.toDouble)).cast("long"),
+        floor(unix_timestamp(col(e)) / lit(bucketSeconds.toDouble)).cast("long"))))
 }

@@ -2045,7 +2045,7 @@ object LlmQueries {
     * expected candidate load is N²/2^rows, so `rows` grows with log₂(N)
     * at scale (with planes = bands·rows re-derived — the hash family is
     * unbounded) exactly as l5 re-tunes (b, r) to the corpus; the declared
-    * query derives rows from N — smallest rows ∈ [4, 8] with
+    * query derives rows from N — smallest rows ∈ [4, 12] with
     * 32·2^rows ≥ N, i.e. (32, 8, 4) for N ≤ 512 and (48, 8, 6) at sf0.1's
     * N = 2000 — and LlmOpsSpec pins the replay + 100% recall of the
     * sf0.001 τ-pairs (where the derived geometry IS the (32, 8, 4)
@@ -2054,36 +2054,48 @@ object LlmQueries {
     * Measured candidate scaling (WorkRowAudit r15, 500 → 2 000 → 20 000
     * vectors, each at its own derived geometry): 50 568 → 252 785 →
     * 7 272 401 (+1.16/decade equivalent over the span; +1.46 in the top
-    * decade). The top-decade uptick is exactly the derived rule hitting
-    * its declared ceiling — rows caps at 8 (a 256-key band space is the
-    * largest the cross-engine oracle replays affordably at test SF), so
-    * past N ≈ 8 192 the N²/2^rows band load grows unchecked. The rule
-    * itself is the valve: at deployment rows keeps following log₂(N/32)
-    * (the md5 hash family is unbounded — nothing but the test-SF cap
-    * stops rows = 12 at N = 10⁵), which re-bounds the load per decade. */
+    * decade). The r15-r18 rule capped rows at 8, so past N ≈ 8 192 the
+    * N²/2^rows band load grew unchecked — r19 lifts the declared ceiling
+    * to 12 (the oracle replays a 4096-key band space fine; N = 20 000
+    * derives rows = 10, re-bounding the top decade), so the valve keeps
+    * following log₂(N/32) for three more decades before the next cap
+    * decision. */
   def srpNearDup(tau: Double, planes: Int = 32, bands: Int = 8,
       rows: Int = 4, dim: Int = 64)(df: DataFrame): DataFrame =
+    // candidates are already distinct (the slim-band form dedups the
+    // multi-band multiset BEFORE the vector attach), so the τ cut is a
+    // plain filter — no survivor re-shuffle
     srpBucketPairs(planes, bands, rows, dim)(df)
-      // filter before distinct — dedupe the τ survivors, not the multi-band
-      // candidate multiset (the l11 convention)
       .filter(col("cos") >= tau)
-      .distinct()
       .orderBy("i", "j")
 
   /** l29's candidate stage alone — distinct same-(band, key) pairs before
     * the τ cut (work-row audit, VERDICT r14 #2). */
   private[graft] def srpCandidates(planes: Int = 32, bands: Int = 8,
       rows: Int = 4, dim: Int = 64)(df: DataFrame): DataFrame =
-    srpBucketPairs(planes, bands, rows, dim)(df).select("i", "j").distinct()
+    srpCandFrom(vnOf(df), planes, bands, rows, dim)
 
-  /** The hyperplane-LSH bucket self-join with exact cosine attached but
-    * NOT yet τ-filtered — shared by srpNearDup and the candidate
-    * counter. */
-  private def srpBucketPairs(planes: Int, bands: Int, rows: Int, dim: Int)(
-      df: DataFrame): DataFrame = {
+  private def vnOf(df: DataFrame): DataFrame =
+    // feeds the banding pass AND both verify-join sides
+    withNorm(df).select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(false)
+
+  /** The slim band-bucket self-join: DISTINCT candidate (i, j) pairs,
+    * no vectors attached. Band rows carry (vec_id, band, key) only —
+    * r19, after VERDICT r18 #1's bytes lens: the old form shipped the
+    * 64-double vector on every replicated band row (8× the corpus's
+    * vector payload through the bucket exchange), and was small enough
+    * at sf0.01 to broadcast statically, so the audit pair read a
+    * spurious broadcast→shuffle bytes step (+1.68/decade) over linear
+    * candidate growth (+0.63). The slim frame repartitions on the
+    * bucket key explicitly, so the declared scale plan — shuffle on
+    * (band, key), the l150 hammingCandidates discipline — is the
+    * measured plan at every SF. */
+  private def srpCandFrom(vn: DataFrame, planes: Int, bands: Int,
+      rows: Int, dim: Int): DataFrame = {
     require(bands * rows == planes,
       s"bands*rows must cover the planes exactly, got $bands*$rows vs $planes")
-    val session = df.sparkSession
+    val session = vn.sparkSession
     import session.implicits._
     val hps = broadcast(Seq(Tuple1(srpSigns(planes, dim))).toDF("hps"))
     val bits = transform(col("hps"),
@@ -2093,16 +2105,34 @@ object LlmQueries {
         (0 until rows).map(i => col("bits").getItem(b * rows + i) * lit(1L << i))
           .reduce(_ + _).as("key"))
     }: _*)
-    val banded = withNorm(df).crossJoin(hps)
+    val banded = vn.crossJoin(hps)
       .withColumn("bits", bits)
-      .select(col("vec_id"), col("v"), col("nrm"), explode(bandArr).as("bd"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("bd.band").as("band"), col("bd.key").as("key"))
-    val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+      .select(col("vec_id"), explode(bandArr).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"),
+        col("bd.key").as("key"))
+      .repartition(col("band"), col("key"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cos.as("cos"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+  }
+
+  /** Distinct candidates with the exact cosine attached but NOT yet
+    * τ-filtered — shared by srpNearDup and l211. Vectors re-attach to
+    * the candidate pairs by id (near-dup-sparse, two equi-joins), never
+    * riding the band shuffle. */
+  private[graft] def srpBucketPairs(planes: Int, bands: Int, rows: Int, dim: Int)(
+      df: DataFrame): DataFrame = {
+    val vn = vnOf(df)
+    val cand = srpCandFrom(vn, planes, bands, rows, dim)
+    val cos = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    cand
+      .join(vn.select(col("vec_id").as("i"), col("v").as("va"),
+        col("nrm").as("na")), Seq("i"))
+      .join(vn.select(col("vec_id").as("j"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("j"))
+      .select(col("i"), col("j"), cos.as("cos"))
   }
 
   /** l29's oracle replays the ENTIRE index from the same md5 digits —
@@ -2114,12 +2144,12 @@ object LlmQueries {
   val l29_hyperplane_lsh = Q(
     "l29_hyperplane_lsh",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |prm AS (SELECT coalesce((SELECT min(r) FROM range(4, 9) t(r)
-      |                         WHERE (32 << r) >= (SELECT count(*) FROM e)), 8) AS rw),
+      |prm AS (SELECT coalesce((SELECT min(r) FROM range(4, 13) t(r)
+      |                         WHERE (32 << r) >= (SELECT count(*) FROM e)), 12) AS rw),
       |hp AS (SELECT p, list(CASE WHEN ((strpos('0123456789abcdef',
       |                substr(md5('hp:' || p::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2) = 0
       |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d) AS sv
-      |       FROM range(64) a(p), range(64) b(d)
+      |       FROM range(96) a(p), range(64) b(d)
       |       WHERE p < 8 * (SELECT rw FROM prm) GROUP BY p),
       |bt AS (SELECT vec_id, p,
       |              CASE WHEN round(list_dot_product(v, sv), 6) >= 0 THEN 1 ELSE 0 END AS bit
@@ -2137,14 +2167,14 @@ object LlmQueries {
       |SELECT i, j, cos FROM p2 WHERE cos >= 0.45 ORDER BY i, j""".stripMargin
   ) { (s, d) =>
     // band geometry derived from corpus size (VERDICT r08): smallest
-    // rows ∈ [4, 8] with 32·2^rows ≥ N keeps expected band-bucket
+    // rows ∈ [4, 12] with 32·2^rows ≥ N keeps expected band-bucket
     // occupancy ≤ 32 as N grows (rows ~ log₂N, planes = bands·rows re-
     // derived — the hash family is unbounded). Pure INTEGER comparison,
     // replayed verbatim by the oracle's prm CTE — a float log₂ could
     // round differently across engines at exact powers of two. The count
     // is a parquet-metadata action, not a scan.
     val n = embeddings(s, d).count()
-    val rows = (4 to 8).find(r => (32L << r) >= n).getOrElse(8)
+    val rows = (4 to 12).find(r => (32L << r) >= n).getOrElse(12)
     srpNearDup(tau = 0.45, planes = 8 * rows, bands = 8, rows = rows)(
       embeddings(s, d))
   }
@@ -10920,22 +10950,31 @@ object LlmQueries {
     * sampling, dHash comparison bits, banding and verify all real).
     *
     * Exactness contract (unlike l5's probabilistic banding): the 64-bit
-    * hash splits into 8 bands of 8 bits and candidates are band-equality
-    * matches; by pigeonhole ANY pair with Hamming ≤ 7 shares at least
-    * one exact band, so the τ=7 output is the COMPLETE Hamming-≤7 pair
-    * set — banded search here is lossless, not approximate (spec-pinned
-    * ≡ brute force with planted pairs at distances 0/3/7 found and 8
+    * hash splits into 4 bands of 16 bits and candidates are
+    * band-equality matches; by pigeonhole ANY pair with Hamming ≤ 3
+    * shares at least one exact band (4 differing bits could touch all
+    * 4 bands), so the τ=3 output is the COMPLETE Hamming-≤3 pair set —
+    * banded search here is lossless, not approximate (spec-pinned ≡
+    * brute force with planted pairs at distances 0/2/3 found and 4
     * excluded).
     *
     * Determinism: bands and popcounts are pure integers; the oracle
-    * replays the stride grid byte-for-byte (the l23 arithmetic).
+    * replays the stride grid byte-for-byte (the l23 arithmetic) and the
+    * 16-bit re-band (low byte = band 2k, high byte = band 2k+1).
     *
-    * 100 TB posture: hashing is one decode-session scan; the band join
-    * shuffles on (k, v) like l5 — at real scale the 8-bit demo bands
-    * widen to 16 and the verify stays popcount-cheap; candidate volume
-    * per bucket is the standard multi-index Hamming trade (Norouzi
-    * TPAMI 2014), and the planted-pair audit (WorkRowAudit discipline)
-    * applies unchanged if a corpus saturates the band space. */
+    * 100 TB posture — the declared row IS the scale-safe plan since r19
+    * (VERDICT r18 #2): the 8-bit demo bands saturate their 256-value
+    * space (Σ C(n_b,2) ≈ N²/2^{w+1} once N ≫ bands·2^w — measured
+    * +1.54 shuffle-bytes/decade on the r18 committed pair behind a
+    * quiet wall, exactly the audit-invisible 100×-killer r18 #1's
+    * fingerprint flag now catches), so the hash-verified plan runs the
+    * 4×16 banding: 65 536-value band space, 149× lower candidate
+    * constant at the same test SF (WorkRowAudit), τ ≤ 3 pigeonhole
+    * losslessness — the dHash distance band where re-encoded media
+    * actually lives (239 vs 238 pairs at sf0.1 under τ=7 vs τ=3).
+    * Hashing is one decode-session scan; the band join shuffles on
+    * (k, v) like l5; the verify stays popcount-cheap; the 8×8 form
+    * survives only as WorkRowAudit's saturation comparison point. */
   val l150_media_phash_neardup = Q(
     "l150_media_phash_neardup",
     """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
@@ -10946,21 +10985,36 @@ object LlmQueries {
       |             > ascii(substr(text, least((k*9+i+1) * s, len-1) + 1, 1))
       |           THEN 1 << i ELSE 0 END)) AS v
       |  FROM h CROSS JOIN (SELECT unnest(range(8)) AS k) ks),
+      |b16 AS (SELECT doc_id, k // 2 AS k,
+      |          sum(v * CASE WHEN k % 2 = 0 THEN 1 ELSE 256 END) AS v
+      |        FROM bands GROUP BY 1, 2),
       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-      |         FROM bands a JOIN bands b
+      |         FROM b16 a JOIN b16 b
       |           ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id),
       |hm AS (SELECT c.i, c.j,
       |         sum(bit_count(xor(ba.v, bb.v))) AS hamming
-      |       FROM cand c JOIN bands ba ON ba.doc_id = c.i
-      |                   JOIN bands bb ON bb.doc_id = c.j AND bb.k = ba.k
+      |       FROM cand c JOIN b16 ba ON ba.doc_id = c.i
+      |                   JOIN b16 bb ON bb.doc_id = c.j AND bb.k = ba.k
       |       GROUP BY 1, 2)
       |SELECT i, j, CAST(hamming AS BIGINT) AS hamming
-      |FROM hm WHERE hamming <= 7 ORDER BY 1, 2""".stripMargin
+      |FROM hm WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
     hammingNearDup(
-      graft.ops.MediaOps.perceptualHash(mediaFrame(s, d)), tau = 7)
+      rebandTo16(graft.ops.MediaOps.perceptualHash(mediaFrame(s, d))),
+      tau = 3)
       .orderBy("i", "j")
   }
+
+  /** The 8×8 → 4×16 re-band: low byte = band 2k, high byte = band 2k+1
+    * (pure integer arithmetic, replayed by the oracle's b16 CTE). The
+    * total 64-bit Hamming distance is band-layout-invariant, so only
+    * the CANDIDATE stage changes: band space 256 → 65 536 values, the
+    * saturation knee pushed out 256×. */
+  private[graft] def rebandTo16(h: DataFrame): DataFrame =
+    h.select(col("doc_id"),
+      transform(sequence(lit(0), lit(3)), k =>
+        element_at(col("bands"), k * 2 + 1) +
+          element_at(col("bands"), k * 2 + 2) * 256).as("bands"))
 
   /** l150's banded Hamming engine over any (doc_id, bands) frame —
     * factored so the spec can prove the pigeonhole-losslessness claim
@@ -11525,11 +11579,15 @@ object LlmQueries {
     *
     * Determinism: gaps are exact integer micros (differences of the
     * fold's exact first touches); median is linear-interpolated exact
-    * percentile on integers — Spark `percentile(du, 0.5)` and DuckDB
-    * `median` (= quantile_cont) share the lower + frac·(upper−lower)
-    * definition, and integer micros (and their midpoints) are exact in
-    * double; the mean's sum stays under 2^53 so its partials are exact
-    * in any order; both ratios round(6) at output. */
+    * quantile on integers — the shared histogram-refinement engine
+    * (ops/Stats, VERDICT r18 #3: never Spark's grouped `percentile`,
+    * whose single aggregation buffer holds every group value and OOMs
+    * one task at 10⁹ converting users) and DuckDB `median`
+    * (= quantile_cont) share the lower + frac·(upper−lower) definition,
+    * and integer micros (and their midpoints) are exact in double; the
+    * mean's sum stays under 2^53 so its partials are exact in any
+    * order; both ratios round(6) at output. PlanShapeSpec pins the
+    * absence of any value-buffering percentile aggregate in the plan. */
   val l216_funnel_gaps = Q(
     "l216_funnel_gaps",
     """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -11563,7 +11621,20 @@ object LlmQueries {
 
   /** l216's engine over any (user_id, event_type, ts) frame — factored
     * for the spec's closed-form gap fixtures; semantics in
-    * [[l216_funnel_gaps]]'s scaladoc. */
+    * [[l216_funnel_gaps]]'s scaladoc.
+    *
+    * The median goes through the shared exact-quantile histogram engine
+    * (ops/Stats — the c9/c10/d11 pattern), NOT Spark's grouped
+    * `percentile()`: that aggregate buffers EVERY value of a group in a
+    * single task's OpenHashMap, so with ~10⁹ converting users the
+    * 2-group plan is a one-task OOM at scale (VERDICT r18 #3 — the
+    * exact hazard d11's scaladoc declares). `step` is enum-like
+    * (|steps|−1 groups), so [[graft.ops.Stats.groupQuantiles]]'s
+    * driver-planned predicated specs apply: one shared stats job + one
+    * histogram + one pick over the checkpointed gap frame, no executor
+    * ever holding a group's values. Same interpolated definition
+    * (idx = (n−1)·p, lower + frac·(upper−lower) on values exact in
+    * double), so the hash is unchanged. */
   private[graft] def funnelGaps(ev: DataFrame, steps: Seq[String],
       withinUs: Option[Long] = None): DataFrame = {
     val labels = array(
@@ -11575,16 +11646,136 @@ object LlmQueries {
           "element_at(touch, i) - element_at(touch, i - 1) AS du))"))
         .as("t"))
       .select(col("t.step").as("step"), col("t.du").as("du"))
+      // feeds the quantile engine's stats/histogram/pick jobs AND the
+      // count/mean aggregate — without this the events scan + user_id
+      // shuffle + fold would re-run once per job
+      .localCheckpoint(false)
+    val med = graft.ops.Stats.groupQuantiles(
+      gaps, col("step"), col("du"), Seq(0.5))
+    // |steps|−1 driver-side constants fold back in as a literal CASE
+    // chain (the l123 bounded-collect class — one double per transition)
+    val medExpr = med.toSeq
+      .collect { case (Some(k), Some(vs)) => (k, vs.head) }
+      .foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+        when(col("step").cast("string") === k, lit(v)).otherwise(acc)
+      }
     gaps.groupBy("step")
       .agg(count(lit(1)).as("n_pairs"),
-        expr("percentile(du, 0.5)").as("med_us"),
         avg(col("du")).as("mean_us"))
       .select(col("step").cast("long").as("step"),
         element_at(labels, col("step").cast("int") - 1).as("transition"),
         col("n_pairs"),
-        round(col("med_us") / lit(1000000.0), 6).as("median_gap_s"),
+        round(medExpr / lit(1000000.0), 6).as("median_gap_s"),
         round(col("mean_us") / lit(1000000.0), 6).as("mean_gap_s"))
       .orderBy("step")
+  }
+
+  /** l217's engine: the SAME single-pass fold, one `groupBy(segment)`
+    * instead of the global aggregate (the d25-grouping-d24 move —
+    * VERDICT r18 #6). `segment` must be a function of user_id alone (a
+    * per-user constant), so it projects onto the fold's output with no
+    * join and no second scan; reached-counts then combine map-side per
+    * segment and the k-step unpivot is a metadata-scale explode of the
+    * |segments|-row aggregate. Ratio conventions are l214's per
+    * segment: zero-cohort pct_of_first = 0.0, step-1 pct_of_prev = 1.0
+    * fixed, a zero previous stage maps to 0.0. */
+  private[graft] def funnelBySegment(ev: DataFrame, steps: Seq[String],
+      segment: Column, withinUs: Option[Long] = None): DataFrame = {
+    val k = steps.length
+    val seg = funnelTouches(ev, steps, withinUs)
+      .select(segment.as("segment"), size(col("touch")).as("reached"))
+    val counts = seg.groupBy("segment").agg(
+      coalesce(sum(when(col("reached") >= 1, 1L).otherwise(0L)), lit(0L))
+        .as("n1"),
+      (2 to k).map(i =>
+        coalesce(sum(when(col("reached") >= i, 1L).otherwise(0L)), lit(0L))
+          .as(s"n$i")): _*)
+    val stepRows = explode(array((1 to k).map { i =>
+      struct(lit(i.toLong).as("step"), lit(steps(i - 1)).as("step_type"),
+        col(s"n$i").as("n_users"),
+        col(if (i == 1) "n1" else s"n${i - 1}").as("prev_n"))
+    }: _*))
+    counts.select(col("segment"), col("n1").as("first_n"),
+        stepRows.as("s"))
+      .select(col("segment"), col("s.step").as("step"),
+        col("s.step_type").as("step_type"),
+        col("s.n_users").as("n_users"),
+        when(col("first_n") === 0L, lit(0.0))
+          .otherwise(round(col("s.n_users") / col("first_n"), 6))
+          .as("pct_of_first"),
+        when(col("s.step") === 1L, lit(1.0))
+          .otherwise(when(col("s.prev_n") === 0L, lit(0.0))
+            .otherwise(round(col("s.n_users") / col("s.prev_n"), 6)))
+          .as("pct_of_prev"))
+      .orderBy("segment", "step")
+  }
+
+  /** L217: SEGMENTED first-touch funnel (VERDICT r18 #6) — the report a
+    * growth team actually pages through is per-segment (acquisition
+    * source, country, experiment arm), not one global cohort: l214's
+    * view → click → purchase chain broken out by the l203 md5
+    * experiment-arm convention widened to 4 arms (segment =
+    * ascii(last md5 hex char of user_id) mod 4 — exactly how an A/B
+    * platform assigns arms, a per-user constant, and md5-replayable on
+    * both engines). Each segment gets the full l214 row set (step
+    * counts + both conversion ratios), so arm-vs-arm funnel deltas read
+    * straight off the artifact — the behavioral readout l209's CUPED
+    * machinery would then test for significance.
+    *
+    * Determinism: the fold's first touches are exact micros (l214's
+    * argument verbatim); the md5 arm is the l203 cross-engine idiom;
+    * counts are exact integers; ratios divide identical operands under
+    * round(6) with l214's zero-cohort conventions per segment.
+    *
+    * 100 TB posture: the segment is a FUNCTION OF user_id, so it
+    * projects onto the single-pass fold's output — still ONE events
+    * scan, ZERO joins, one user_id shuffle, then a |segments|-row
+    * map-combined aggregate and a metadata-scale unpivot (PlanShapeSpec
+    * pins scan/join/partial-combine shape). A dimension-table segment
+    * (country from a users table) would swap the projection for one
+    * broadcast attach; the fold is unchanged. */
+  val l217_segmented_funnel = Q(
+    "l217_segmented_funnel",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events
+      |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |s1 AS (SELECT user_id, min(ts) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+      |a AS (SELECT user_id,
+      |        ascii(right(md5(user_id::VARCHAR), 1)) % 4 AS segment
+      |      FROM (SELECT DISTINCT user_id FROM e
+      |            WHERE event_type IN ('view', 'click', 'purchase'))),
+      |n AS (SELECT a.segment,
+      |        sum(CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+      |        sum(CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n2,
+      |        sum(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n3
+      |      FROM a LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |             LEFT JOIN s3 USING (user_id)
+      |      GROUP BY 1),
+      |u AS (SELECT segment, 1 AS step, 'view' AS step_type,
+      |             n1 AS n_users, n1 AS first_n, n1 AS prev_n FROM n
+      |      UNION ALL SELECT segment, 2, 'click', n2, n1, n1 FROM n
+      |      UNION ALL SELECT segment, 3, 'purchase', n3, n1, n2 FROM n)
+      |SELECT CAST(segment AS BIGINT) AS segment, CAST(step AS BIGINT) AS step,
+      |       step_type, CAST(n_users AS BIGINT) AS n_users,
+      |       CASE WHEN first_n = 0 THEN 0.0
+      |            ELSE round(n_users * 1.0 / first_n, 6) END AS pct_of_first,
+      |       CASE WHEN step = 1 THEN 1.0
+      |            WHEN prev_n = 0 THEN 0.0
+      |            ELSE round(n_users * 1.0 / prev_n, 6) END AS pct_of_prev
+      |FROM u ORDER BY segment, step""".stripMargin
+  ) { (s, d) =>
+    val seg = ascii(substring(
+      md5(col("user_id").cast("string").cast("binary")), -1, 1)) % 4
+    funnelBySegment(
+      events(s, d).select(col("user_id"), col("event_type"), col("ts")),
+      Seq("view", "click", "purchase"), seg.cast("long"))
   }
 
   // ------------- event-flow transition matrix (l154)
@@ -16078,12 +16269,12 @@ object LlmQueries {
     "l211_capture_overlap",
     s"""WITH $embedPairsCte,
        |ivfp AS (SELECT i, j FROM p WHERE cos >= 0.3),
-       |sprm AS (SELECT coalesce((SELECT min(r) FROM range(4, 9) t(r)
-       |                          WHERE (32 << r) >= (SELECT count(*) FROM e)), 8) AS rw),
+       |sprm AS (SELECT coalesce((SELECT min(r) FROM range(4, 13) t(r)
+       |                          WHERE (32 << r) >= (SELECT count(*) FROM e)), 12) AS rw),
        |hp AS (SELECT p, list(CASE WHEN ((strpos('0123456789abcdef',
        |                substr(md5('hp:' || p::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2) = 0
        |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d) AS sv
-       |       FROM range(64) a(p), range(64) b(d)
+       |       FROM range(96) a(p), range(64) b(d)
        |       WHERE p < 8 * (SELECT rw FROM sprm) GROUP BY p),
        |bt AS (SELECT vec_id, p,
        |              CASE WHEN round(list_dot_product(v, sv), 6) >= 0 THEN 1 ELSE 0 END AS bit
@@ -16116,7 +16307,7 @@ object LlmQueries {
       .localCheckpoint(false)
     // the l29 derived band geometry (integer rule, replayed by sprm)
     val n = emb.count()
-    val rows = (4 to 8).find(r => (32L << r) >= n).getOrElse(8)
+    val rows = (4 to 12).find(r => (32L << r) >= n).getOrElse(12)
     val srp = srpNearDup(tau = 0.3, planes = 8 * rows, bands = 8,
       rows = rows)(emb).select(col("i"), col("j"))
       .localCheckpoint(false)
@@ -16308,7 +16499,7 @@ object LlmQueries {
     l207_obf_looks, l208_jackknife_influence, l209_cuped_readout,
     l210_capture_recapture, l211_capture_overlap,
     l212_capped_clustering, l214_funnel_conversion, l215_windowed_funnel,
-    l216_funnel_gaps,
+    l216_funnel_gaps, l217_segmented_funnel,
     l161_capped_incremental, l162_capped_editjoin, l163_sampled_purity,
     l164_kruskal_wallis, l165_anova_f, l166_theil_index,
     l167_mann_kendall, l168_hhi_concentration, l169_chao1_richness,

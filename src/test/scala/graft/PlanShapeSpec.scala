@@ -478,6 +478,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the funnel-type filter must reach the parquet scan:\n$p")
   }
 
+  test("L217: the segmented funnel keeps the single-pass shape — ONE " +
+      "events scan, ZERO joins (the md5 segment is a projection of the " +
+      "fold's own user_id, never a dimension attach), map-side combines " +
+      "on both the per-user fold input and the per-segment counts") {
+    val df = LlmQueries.l217_segmented_funnel.fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.split("FileScan parquet").length - 1 == 1,
+      s"one events scan feeds every segment's every stage:\n$p")
+    assert(!fin.contains("Join"),
+      s"segment must project from user_id — no join anywhere:\n$p")
+    assert(fin.contains("partial_collect_list"),
+      s"the per-user event list must combine map-side:\n$p")
+    assert(fin.contains("partial_sum"),
+      s"per-segment step counts must combine map-side:\n$p")
+    assert(fin.contains("PushedFilters: [In(event_type"),
+      s"the funnel-type filter must reach the parquet scan:\n$p")
+  }
+
+  test("L216: the gap median routes through the histogram engine — NO " +
+      "value-buffering percentile aggregate anywhere in the plan " +
+      "(VERDICT r18 #3: grouped percentile() holds every group value " +
+      "in one task's buffer — a one-task OOM at 10^9 converting users)") {
+    val df = LlmQueries.l216_funnel_gaps.fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("percentile"),
+      s"the median must come from ops/Stats' histogram refinement, " +
+        s"never a value-buffering percentile aggregate:\n$p")
+    // the engine's output folds back as literals — the plan's only
+    // aggregates over the gap frame are count/avg (map-combinable)
+    assert(p.contains("partial_avg") || p.contains("partial_average"),
+      s"the mean must combine map-side:\n$p")
+  }
+
   test("D25: the grouped quantile sketch's rank<=256 literal cut is " +
       "WindowGroupLimit in Partial+Final — no task holds a group's full " +
       "value set") {

@@ -127,7 +127,7 @@ object WorkRowAudit {
 
   /** l29's declared adaptive signature width (the l29 query's own rule). */
   private def srpRows(n: Long): Int =
-    (4 to 8).find(r => (32L << r) >= n).getOrElse(8)
+    (4 to 12).find(r => (32L << r) >= n).getOrElse(12)
 
   private def e5Candidates(spark: SparkSession, d: String): Long = {
     val ev = Tables.events(spark, d)
@@ -199,17 +199,17 @@ object WorkRowAudit {
       ("l196 wedge checks (on the verified pair graph)",
         (d: DataFrame) => LlmQueries.wedgeCandidates(
           LlmQueries.jaccardNearDupFrom(sh(d))).count()),
-      ("l150 dHash band buckets (8x8 demo)",
-        (d: DataFrame) => LlmQueries.hammingCandidates(phash(d)).count()),
-      // the scaladoc's declared scale knob: the same 64 bits as 4x16-bit
-      // bands (guarantee drops to ham<=3; band space 256 -> 65536 values)
-      ("l150 dHash 4x16 bands (the scale knob)",
+      // the DECLARED row since r19 (VERDICT r18 #2): 4x16-bit bands,
+      // ham<=3 pigeonhole, band space 65536 values
+      ("l150 dHash 4x16 bands (the declared row)",
         (d: DataFrame) => LlmQueries.hammingCandidates(
-          phash(d).select(col("doc_id"),
-            transform(sequence(lit(0), lit(3)), k =>
-              element_at(col("bands"), k * 2 + 1) +
-                element_at(col("bands"), k * 2 + 2) * 256).as("bands")))
-          .count()))
+          LlmQueries.rebandTo16(phash(d))).count()),
+      // the 8x8 demo form stays ONLY as the saturation comparison point:
+      // 256-value band space, Sigma C(n_b,2) ~ N^2/2^9 once saturated —
+      // the +1.54 bytes/decade shape the r18 audit missed behind a quiet
+      // wall
+      ("l150 dHash 8x8 bands (saturation comparison, NOT declared)",
+        (d: DataFrame) => LlmQueries.hammingCandidates(phash(d)).count()))
 
     val out = new StringBuilder
     out ++= "| family | " + docPoints.map(_._1).mkString(" | ") +
@@ -274,6 +274,44 @@ object WorkRowAudit {
       s"sf0.001→0.1) | " + e16cs.mkString(" | ") +
       s" | ${expStr(e16cs)} |\n"
     println(s"[audit] e16: ${e16cs.mkString(", ")}")
+    // e16/e17 hub series (VERDICT r18 #5): the committed events have no
+    // hot calendar cell, so the committed series cannot show the blowup
+    // mode OR the cap working. Plant a hub user whose same-day interval
+    // count grows with the corpus (h = n/50 per side, all in one day
+    // bucket): uncapped canonical candidates grow ~h² (+2/decade), the
+    // work-capped engine refuses the hub cell once h² > 16 and stays
+    // linear in the background.
+    val hubSizes = Seq(500L, 5000L, 50000L)
+    def hubFrames(n: Long): (DataFrame, DataFrame) = {
+      val h = n / 50
+      val base = 1704067200L // 2024-01-01, clear of the committed range
+      def mk(side: String, lenS: Long) = spark.range(n).select(
+        col("id").as(s"${side}_id"),
+        when(col("id") < h, lit(-1L)).otherwise(col("id")).as("user_id"),
+        timestamp_seconds(
+          when(col("id") < h, lit(base) + col("id"))
+            .otherwise(lit(base) + (col("id") * 86400L * 3L)))
+          .as(s"${side}_s"))
+        .withColumn(s"${side}_e",
+          col(s"${side}_s") + expr(s"INTERVAL $lenS SECONDS"))
+      (mk("a", 3600L), mk("b", 3600L))
+    }
+    val hubUn = hubSizes.map { n =>
+      val (a, b) = hubFrames(n)
+      graft.ops.OverlapJoin.candidates(
+        a, b, "user_id", "a_s", "a_e", "b_s", "b_e").count()
+    }
+    val hubCap = hubSizes.map { n =>
+      val (a, b) = hubFrames(n)
+      graft.ops.OverlapJoin.cappedCandidates(
+        a, b, "user_id", "a_s", "a_e", "b_s", "b_e", workCap = 16L).count()
+    }
+    out ++= s"| e16 overlap candidates (hub-planted, h = n/50) | " +
+      hubUn.mkString(" | ") + s" | ${expStr(hubUn)} |\n"
+    out ++= s"| e17 work-capped overlap candidates (cap=16, the valve) | " +
+      hubCap.mkString(" | ") + s" | ${expStr(hubCap)} |\n"
+    println(s"[audit] e16 hub: ${hubUn.mkString(", ")}")
+    println(s"[audit] e17 hub capped: ${hubCap.mkString(", ")}")
     println()
     println("rows = docs 500 / 5000 / 50000*; vectors 500 / 2000 / 20000*; " +
       "* = generated audit slice (see scaladoc)")

@@ -64,6 +64,37 @@ class AvroIoSpec extends AnyFunSuite {
     }
   }
 
+  test("fields resolve BY NAME against the file's writer schema (r18 " +
+      "ADVICE): a caller StructType ordered differently from the file " +
+      "reads the right values instead of silently transposing " +
+      "same-typed columns") {
+    val wide = StructType(Seq(
+      StructField("x", DoubleType),
+      StructField("id", LongType),
+      StructField("y", DoubleType),
+      StructField("name", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1.5, 10L, -2.5, "a"),
+        Row(3.25, 20L, 0.0, "b")), 1), wide)
+    val dir = s"${tempDir()}/t"
+    AvroIo.write(df, dir)
+    // read with x and y SWAPPED (same type — the silent-transposition
+    // hazard) and the other fields reordered too
+    val reordered = StructType(Seq(
+      StructField("y", DoubleType),
+      StructField("name", StringType),
+      StructField("x", DoubleType),
+      StructField("id", LongType)))
+    val back = AvroIo.read(spark, dir, reordered)
+    assert(back.schema === reordered)
+    val got = back.collect().map(r =>
+      (r.getDouble(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === Set((-2.5, "a", 1.5, 10L), (0.0, "b", 3.25, 20L)),
+      "values must follow their NAMES through the reorder, not their " +
+        "positions")
+  }
+
   test("an empty input writes an empty (schema-correct) table back") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 2), schema)

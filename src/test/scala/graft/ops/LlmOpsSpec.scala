@@ -3816,6 +3816,55 @@ class LlmOpsSpec extends AnyFunSuite {
     info(s"l150: ${got.size} pairs at tau=7, brute force agrees")
   }
 
+  test("l150 DECLARED form (r19): the 4x16 re-band is pigeonhole-" +
+      "LOSSLESS at tau=3 — equals brute force, planted distances 0/2/3 " +
+      "found, 4 excluded, and the re-band preserves every 64-bit " +
+      "Hamming distance") {
+    val rnd = new scala.util.Random(47)
+    def randBands(): Array[Int] = Array.fill(8)(rnd.nextInt(256))
+    // flip exactly m bits spread round-robin across the FOUR 16-bit
+    // bands (the hardest layout for the 4-band pigeonhole)
+    def flip(b: Array[Int], m: Int): Array[Int] = {
+      val out = b.clone()
+      (0 until m).foreach { f =>
+        // 16-bit band f%4 = 8-bit bands (2(f%4), 2(f%4)+1); alternate
+        // the byte within the band as we wrap
+        val b8 = 2 * (f % 4) + (f / 4) % 2
+        out(b8) = out(b8) ^ (1 << ((f / 8) % 8))
+      }
+      out
+    }
+    val base = (0L until 80L).map(i => i -> randBands()).toMap
+    val planted = Seq( // (new id, source id, bits flipped)
+      (1000L, 0L, 0), (1001L, 1L, 2), (1002L, 2L, 3), (1003L, 3L, 4))
+    val all = base.toSeq ++ planted.map { case (id, src, m) =>
+      id -> flip(base(src), m)
+    }
+    val df = all.toDF("doc_id", "bands")
+    val got = LlmQueries.hammingNearDup(LlmQueries.rebandTo16(df), tau = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver brute force over ALL pairs on the ORIGINAL 8x8 layout —
+    // distances must be layout-invariant
+    def ham(a: Array[Int], b: Array[Int]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Integer.bitCount(x ^ y).toLong }.sum
+    val byId = all.toMap
+    val ids = all.map(_._1).sorted
+    val brute = (for {
+      ii <- ids.indices; jj <- ii + 1 until ids.size
+      d = ham(byId(ids(ii)), byId(ids(jj))) if d <= 3
+    } yield (ids(ii), ids(jj), d)).toSet
+    assert(got === brute,
+      "4x16 banded search must equal brute force exactly at tau=3 — " +
+        "the 4-band pigeonhole guarantee is a theorem, not recall")
+    assert(got.contains((0L, 1000L, 0L)) && got.contains((1L, 1001L, 2L)) &&
+      got.contains((2L, 1002L, 3L)),
+      "planted pairs at distances 0, 2 and 3 must all be found")
+    assert(!got.exists(p => p._1 == 3L && p._2 == 1003L),
+      "the distance-4 planted pair is past tau=3 and must be excluded")
+    info(s"l150 declared: ${got.size} pairs at tau=3, brute force agrees")
+  }
+
   test("l151 assortativity: star = -1, disjoint pairs = null (not NaN), " +
       "joined hubs beat the star, and the value matches a driver replay") {
     def run(pairs: Seq[(Long, Long)]): (Long, Long, Long, Long, Option[Double]) = {
@@ -4234,6 +4283,48 @@ class LlmOpsSpec extends AnyFunSuite {
       .toDF("user_id", "event_type", "ts")
     assert(LlmQueries.funnelGaps(views, Seq("view", "click", "purchase"))
       .collect().isEmpty)
+  }
+
+  test("l217 segmented funnel: per-segment counts partition the global " +
+      "funnel; l214's ratio conventions hold PER segment — zero cohort " +
+      "reads 0.0 pct_of_first with the fixed 1.0 step-1 pct_of_prev; a " +
+      "zero previous stage reads 0.0") {
+    val df = Seq(
+      (0L, "view", "2024-01-01 00:00:00"),     // seg0: full chain
+      (0L, "click", "2024-01-01 01:00:00"),
+      (0L, "purchase", "2024-01-01 02:00:00"),
+      (4L, "click", "2024-01-01 05:00:00"),    // seg0: click only, reached 0
+      (1L, "view", "2024-01-01 00:00:00"),     // seg1: view + click
+      (1L, "click", "2024-01-01 03:00:00"),
+      (2L, "view", "2024-01-01 02:00:00"),     // seg2: view only
+      (7L, "click", "2024-01-01 09:00:00"))    // seg3: ZERO view cohort
+      .map { case (u, t, ts) => (u, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    val got = LlmQueries.funnelBySegment(df, steps, pmod(col("user_id"), lit(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === Seq(
+      (0L, 1L, "view", 1L, 1.0, 1.0),
+      (0L, 2L, "click", 1L, 1.0, 1.0),
+      (0L, 3L, "purchase", 1L, 1.0, 1.0),
+      (1L, 1L, "view", 1L, 1.0, 1.0),
+      (1L, 2L, "click", 1L, 1.0, 1.0),
+      (1L, 3L, "purchase", 0L, 0.0, 0.0),
+      (2L, 1L, "view", 1L, 1.0, 1.0),
+      (2L, 2L, "click", 0L, 0.0, 0.0),
+      (2L, 3L, "purchase", 0L, 0.0, 0.0),
+      (3L, 1L, "view", 0L, 0.0, 1.0),
+      (3L, 2L, "click", 0L, 0.0, 0.0),
+      (3L, 3L, "purchase", 0L, 0.0, 0.0)))
+    // partition law: per-step segment sums equal the global single-pass
+    // counts on the same frame
+    val global = LlmQueries.funnelCounts(df, steps, None).collect()(0)
+    (1 to 3).foreach { i =>
+      val segSum = got.filter(_._2 == i.toLong).map(_._4).sum
+      assert(segSum === global.getLong(i - 1),
+        s"step $i: segment counts must partition the global funnel")
+    }
   }
 
   test("l197 silhouette: two tight orthogonal clusters read mean " +

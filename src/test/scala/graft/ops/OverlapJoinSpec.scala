@@ -78,4 +78,52 @@ class OverlapJoinSpec extends AnyFunSuite {
       !fin.contains("BroadcastNestedLoopJoin"),
       s"the overlap must plan as an equi-join on (user, bucket):\n$p")
   }
+
+  test("e17 capped engine: capped ⊆ exact always; a hot cell past the " +
+      "work cap loses exactly ITS pairs (the declared miss mode) while " +
+      "every cool cell survives intact; a cell at exactly workCap is " +
+      "admitted (boundary in)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val day = 86400L
+    // cool background: 60 users, sparse intervals
+    val coolA = (1 to 120).map { i =>
+      val u = rnd.nextInt(60).toLong
+      val s = rnd.nextInt(30).toLong * day + rnd.nextInt(86400)
+      (i.toLong, u, ts(s), ts(s + day))
+    }
+    // hot cell: user 900, six a-intervals × six b-intervals on one day
+    // (work 36 > 16 → refused); boundary cell: user 901, 4×4 = 16 → in
+    val hotA = (1 to 6).map(i => (900L + i, 900L, ts(40 * day + i), ts(40 * day + 3600 + i)))
+    val edgeA = (1 to 4).map(i => (950L + i, 901L, ts(50 * day + i), ts(50 * day + 3600 + i)))
+    val a = (coolA ++ hotA ++ edgeA).toDF("a_id", "user_id", "a_s", "a_e")
+    val coolB = (1 to 120).map { i =>
+      val u = rnd.nextInt(60).toLong
+      val s = rnd.nextInt(30).toLong * day + rnd.nextInt(86400)
+      (i.toLong, u, ts(s), ts(s + day))
+    }
+    val hotB = (1 to 6).map(i => (900L + i, 900L, ts(40 * day + 1000 + i), ts(40 * day + 4600 + i)))
+    val edgeB = (1 to 4).map(i => (950L + i, 901L, ts(50 * day + 1000 + i), ts(50 * day + 4600 + i)))
+    val b = (coolB ++ hotB ++ edgeB).toDF("b_id", "user_id", "b_s", "b_e")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(OverlapJoin.intervalOverlap(
+      a, b, "user_id", "a_s", "a_e", "b_s", "b_e"))
+    val capped = pairs(OverlapJoin.cappedIntervalOverlap(
+      a, b, "user_id", "a_s", "a_e", "b_s", "b_e", workCap = 16L))
+    assert(capped.subsetOf(exact), "capped output must be ⊆ exact always")
+    val hotExact = exact.filter(p => p._1 >= 900L && p._1 < 950L)
+    assert(hotExact.size === 36,
+      "the hot cell's 6×6 pairs must all exist in the exact output")
+    assert(capped.intersect(hotExact).isEmpty,
+      "a refused cell loses exactly its pairs — none may leak through")
+    val edgeExact = exact.filter(p => p._1 >= 950L)
+    assert(edgeExact.size === 16 && edgeExact.subsetOf(capped),
+      "a cell at exactly workCap (4×4 = 16) is admitted — boundary in")
+    assert(exact -- hotExact === capped,
+      "every cool-cell pair must survive the cap untouched")
+    info(s"e17: exact ${exact.size}, capped ${capped.size}, " +
+      s"missed ${(exact -- capped).size} (all from the planted hot cell)")
+  }
 }
