@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimization instead of at week-2 of a 100 TB job — see [[ScaleGuardRule]]
     ext.injectOptimizerRule(_ => ScaleGuardRule)
     ext.injectFunction(VectorExprs.dotInfo)
+    ext.injectFunction(VectorExprs.l2sqInfo)
     ext.injectFunction(SetExprs.sortedIntersectCountInfo)
     ext.injectFunction(SketchExprs.minhashInfo)
     ext.injectFunction(TextExprs.shingleSetInfo)

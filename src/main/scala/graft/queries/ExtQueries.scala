@@ -410,26 +410,42 @@ object ExtQueries {
   ) { (s, d) => columnProfile(lineitem(s, d), ProfileCols) }
 
   /** c14's engine over any frame + numeric column list — factored so the
-    * hardening spec can feed an engineered frame WITH nulls. */
-  private[graft] def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}__nn"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("double").as(s"${c}__mn"),
-      max(col(c)).cast("double").as(s"${c}__mx"),
-      sum(col(c).cast("decimal(28,10)")).cast("double").as(s"${c}__sm")))
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(
+    * hardening spec can feed an engineered frame WITH nulls.
+    *
+    * r19 restructure (guide §1.2/§2.6): the single k-distinct aggregate
+    * planned as ONE Expand — (k+1) row replicas feeding one partial
+    * aggregate, which on a one-row-group test-SF scan ran entirely in a
+    * single task (measured: 8.2 s wall, 11 tasks, ~1 core busy at
+    * sf0.1). Now each column profiles in its own pair of branches (plain
+    * battery + exact distinct — the d22 split-pass lesson: a distinct
+    * beside other aggregates drags everything through the Expand), and
+    * the 2k independent single-task stages schedule CONCURRENTLY inside
+    * the one job, so wall ≈ the slowest single-column pass. Bytes read
+    * are unchanged on a columnar store: k single-column scans prune to
+    * exactly the k columns the old single scan read (this is the same
+    * I/O, not the row-store "k full scans" trap the old scaladoc warned
+    * about — that warning predates column pruning reaching the scan).
+    * Values are identical aggregate-by-aggregate; the mean stays
+    * exact-DECIMAL-sum → one IEEE division → round 6. Measured: 8.16 →
+    * ~2.5 s wall at sf0.1, Expand gone from the plan. */
+  private[graft] def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      val plain = df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as(s"__nn"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"),
+        sum(col(c).cast("decimal(28,10)")).cast("double").as(s"__sm"))
+      val dist = df.agg(countDistinct(col(c)).as("n_distinct"))
+      plain.crossJoin(dist).select(
         lit(c).as("col_name"),
         col("n_rows"),
-        (col("n_rows") - col(s"${c}__nn")).as("n_null"),
-        col(s"${c}__nd").as("n_distinct"),
-        col(s"${c}__mn").as("min_v"),
-        col(s"${c}__mx").as("max_v"),
-        round(col(s"${c}__sm") / col(s"${c}__nn"), 6).as("mean_v"))): _*)).as("p"))
-      .select("p.*")
-      .orderBy("col_name")
-  }
+        (col("n_rows") - col("__nn")).as("n_null"),
+        col("n_distinct"),
+        col("min_v"),
+        col("max_v"),
+        round(col("__sm") / col("__nn"), 6).as("mean_v"))
+    }.reduce(_ unionAll _).orderBy("col_name")
 
   /** D23: exact weighted median per group — the sample-weights gap in the
     * quantile family (d11/d12/d19 are unweighted): the lower weighted
@@ -1819,6 +1835,13 @@ object ExtQueries {
       |  FROM lineitem
       |) ORDER BY grp""".stripMargin
   ) { (s, d) =>
+    // NOT spread (r19 measurement): round-robin-ing the one-row-group
+    // test-SF scan before these aggregates was tried and REGRESSED
+    // (wall 5.9 → 9.2 s, cpu 5.9 → 80 s in an A/B at sf0.1): the
+    // partial dedup/sketch hash tables feed on the parquet's
+    // l_orderkey-clustered order, and destroying that locality costs
+    // far more CPU than the extra cores return — the opposite trade of
+    // d26's spread, whose per-row md5 work has no locality to lose.
     val li = lineitem(s, d).select("l_returnflag", "l_orderkey")
     // DELIBERATELY separate passes: count(DISTINCT) beside imperative
     // sketch buffers in ONE agg drags the sketches through the

@@ -7182,19 +7182,46 @@ object LlmQueries {
       |       CASE WHEN kc > 1 THEN round(hc / ln(kc), 6) ELSE 0.0 END AS evenness
       |FROM e ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    def entropyOf(arr: Column): Column = {
-      val n = size(arr).cast("double")
-      aggregate(array_sort(array_distinct(arr)), lit(0.0), (acc, x) => {
-        val p = size(filter(arr, y => y === x)) / n
-        acc - p * log(p)
-      })
+    // Entropy via run-length counts over the SORTED array instead of the
+    // old "per distinct symbol, count via filter()" form (r19): that form
+    // was O(k·len) interpreted work per row — O(len²) for token arrays,
+    // whose symbols are mostly distinct (measured 56 s CPU at sf0.1).
+    // Here: one array_sort, run boundaries (1 comparison per element),
+    // then the fold walks the ≤k runs. The fold is UNCHANGED in value and
+    // order — runs of a sorted array enumerate the distinct symbols in
+    // exactly the ascending order array_sort(array_distinct(…)) did, each
+    // term is the same int-count / double-n division, and the accumulator
+    // applies the same acc − p·ln p sequence from 0.0 — so the doubles
+    // are bit-identical and round(·,6) compares exactly (the determinism
+    // contract in the scaladoc above holds verbatim).
+    // sorted/bounds ride as PROJECTED columns, not lambda-captured
+    // expressions: a non-trivial expression captured in a HOF lambda body
+    // is re-evaluated on every element access (the l140 lesson), while a
+    // bound column reference is O(1) per access.
+    def addEntropy(df: DataFrame, arrName: String, out: String): DataFrame = {
+      val arr = col(arrName)
+      val srt = s"__srt_$arrName"
+      val bnd = s"__bnd_$arrName"
+      df.withColumn(srt, array_sort(arr))
+        .withColumn(bnd, concat(
+          filter(sequence(lit(0), size(arr) - 1), i =>
+            (i === 0) || (element_at(col(srt), i + 1) =!= element_at(col(srt), i))),
+          array(size(arr))))
+        .withColumn(out, when(size(arr) === 0, lit(0.0)).otherwise(
+          aggregate(sequence(lit(1), size(col(bnd)) - 1), lit(0.0), (acc, k) => {
+            val p = (element_at(col(bnd), k + 1) - element_at(col(bnd), k)) /
+              size(arr).cast("double")
+            acc - p * log(p)
+          })))
+        .drop(srt, bnd)
     }
     val base = spread(documents(s, d)).select(col("doc_id"),
       split(col("text"), "").as("chs"), TextOps.tokens(col("text")).as("toks"),
       length(col("text")).cast("long").as("n_chars"))
-    base.select(col("doc_id"), col("n_chars"),
+    addEntropy(addEntropy(base, "chs", "hc"), "toks", "ht")
+      .select(col("doc_id"), col("n_chars"),
         size(array_distinct(col("chs"))).cast("long").as("n_char_types"),
-        entropyOf(col("chs")).as("hc"), entropyOf(col("toks")).as("ht"))
+        col("hc"), col("ht"))
       .select(col("doc_id"), col("n_chars"), col("n_char_types"),
         round(col("hc"), 6).as("char_entropy"),
         round(col("ht"), 6).as("token_entropy"),
@@ -7429,21 +7456,41 @@ object LlmQueries {
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionAll(pairs.select(col("j").as("a"), col("i").as("b")))
     val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-    val nF = deg.agg(count(lit(1)).cast("double").as("n"))
+    // r19 iteration restructure (guide §2.4 — remove repeated shuffles):
+    // the old loop joined `edges` with `deg` INSIDE every round, so each
+    // of the 5 rounds re-derived the edge scan + degree aggregate + join
+    // (exchange reuse helps but the join still replans/requeues per
+    // round), and `ranks` grew a 5-deep recursive plan. Now the
+    // degree-annotated edge list materializes ONCE (lazy localCheckpoint
+    // — first round pays it, rounds 2..5 read the checkpoint blocks), the
+    // per-round plan is one join + one aggregate, and each round's ranks
+    // checkpoint cuts the recursion so round t's plan does not re-derive
+    // rounds 1..t−1. n folds in as a LITERAL off the one-row degree
+    // count (the l104/d3 bounded-collect contract — one row, never
+    // corpus data): same 1.0/n and 0.15/n IEEE divisions as the old
+    // broadcast crossJoin attached, so every rank double is unchanged.
+    // Measured (sf0.1, local[32]): 8.45 s → ~3 s, 1116 → ~500 tasks.
+    val ed = edges.join(deg, Seq("a")).localCheckpoint(false)
+    val n = deg.agg(count(lit(1)).cast("double").as("n")).head().getDouble(0)
     var ranks = deg.select(col("a").as("node"))
-      .crossJoin(broadcast(nF))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      .select(col("node"), (lit(1.0) / lit(n)).as("pr"))
     for (_ <- 1 to iters) {
-      ranks = edges.join(deg, Seq("a"))
-        .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
-        .select(col("b").as("node"), (col("pr") / col("deg")).as("c"))
-        .groupBy("node").agg(sum("c").as("sc"))
-        .crossJoin(broadcast(nF))
-        .select(col("node"),
-          round(lit(0.15) / col("n") + lit(0.85) * col("sc"), 12).as("pr"))
+      ranks = pagerankRound(ed, ranks, n).localCheckpoint(false)
     }
     ranks
   }
+
+  /** One PageRank round over the degree-annotated edge list — factored so
+    * PlanShapeSpec can pin the ROUND plan (equi-join + map-combined sum,
+    * no cartesian) now that the per-round localCheckpoint hides it from
+    * the final executed plan. */
+  private[graft] def pagerankRound(ed: DataFrame, ranks: DataFrame,
+      n: Double): DataFrame =
+    ed.join(ranks.withColumnRenamed("node", "a"), Seq("a"))
+      .select(col("b").as("node"), (col("pr") / col("deg")).as("c"))
+      .groupBy("node").agg(sum("c").as("sc"))
+      .select(col("node"),
+        round(lit(0.15) / lit(n) + lit(0.85) * col("sc"), 12).as("pr"))
 
   // ----------------------------- CUSUM drift detection (l106)
 
@@ -7541,11 +7588,22 @@ object LlmQueries {
 
   /** Deterministic squared-L2 over one subspace: both engines fold
     * (a_i−b_i)² from 0.0 in index order, so the doubles are
-    * bit-identical before the round(·,6) that argmin/rank consume. */
+    * bit-identical before the round(·,6) that argmin/rank consume.
+    * Runs on the NATIVE codegen'd graft_l2sq ([[graft.functions.L2SqOffset]])
+    * — bit-identical to the `aggregate(sequence(…))` HOF it replaced (same
+    * left-to-right IEEE fold), but compiled: the interpreted form re-evaluated
+    * any `slice()` captured in its lambda on every element access (r19
+    * measurement: l140's 40k-row truth join burned 122 s CPU in exactly
+    * that — ~64 slice materializations per 16-dim distance). */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(sequence(lit(1), lit(PqSubDim)), lit(0.0), (acc, i) =>
-      acc + (element_at(a, i) - element_at(b, i)) *
-        (element_at(a, i) - element_at(b, i)))
+    graft.functions.VectorExprs.l2sqOff(a, lit(0), b, lit(0), lit(PqSubDim))
+
+  /** Subspace sC (0-based) squared-L2 directly against the FULL vectors —
+    * no `slice()` materialization at all; offsets index into the backing
+    * arrays natively. */
+  private def l2sqSub(a: Column, aSub: Column, b: Column, bSub: Column): Column =
+    graft.functions.VectorExprs.l2sqOff(
+      a, aSub * lit(PqSubDim), b, bSub * lit(PqSubDim), lit(PqSubDim))
 
   private def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range($PqSubDim), " +
@@ -7570,8 +7628,8 @@ object LlmQueries {
     subv.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("s"), col("sub"),
         element_at(array_sort(transform(col("seeds"), c => struct(
-          round(l2sq(col("sub"),
-            slice(c.getField("sv"), col("s") * PqSubDim + 1, lit(PqSubDim))), 6)
+          round(graft.functions.VectorExprs.l2sqOff(col("sub"), lit(0),
+            c.getField("sv"), col("s") * lit(PqSubDim), lit(PqSubDim)), 6)
             .as("d"),
           c.getField("cl").as("cl")))), 1).getField("cl").as("cl"))
       .select(col("s"), col("cl"), posexplode(col("sub")))
@@ -7694,22 +7752,20 @@ object LlmQueries {
       .select(col("vec_id"), col("cb"),
         col("ranked").getItem(0).as("bucket"),
         transform(sequence(lit(0), lit(PqM - 1)), sC => {
-          val sub = slice(col("v"), sC * PqSubDim + 1, lit(PqSubDim))
           val cands = filter(col("cb"), cc => cc.getField("s") === sC)
           element_at(array_sort(transform(cands, cc => struct(
-            round(l2sq(sub, cc.getField("cv")), 6).as("d"),
+            round(l2sqSub(col("v"), sC, cc.getField("cv"), lit(0)), 6).as("d"),
             cc.getField("cl").as("cl")))), 1).getField("cl")
         }).as("codes"))
     val q = asg.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         slice(col("ranked"), 1, nprobe).as("probes"))
     val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, sC) => {
-      val qsub = slice(col("qv"), sC * PqSubDim + 1, lit(PqSubDim))
       val cv = element_at(filter(col("cb"),
         cc => cc.getField("s") === sC &&
           cc.getField("cl") === element_at(col("codes"), sC + 1)), 1)
         .getField("cv")
-      acc + round(l2sq(qsub, cv), 6)
+      acc + round(l2sqSub(col("qv"), sC, cv, lit(0)), 6)
     })
     val rk = row_number().over(
       Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id")))
@@ -7734,21 +7790,19 @@ object LlmQueries {
     val enc = e.crossJoin(broadcast(cbF))
       .select(col("vec_id"), col("cb"),
         transform(sequence(lit(0), lit(PqM - 1)), sC => {
-          val sub = slice(col("v"), sC * PqSubDim + 1, lit(PqSubDim))
           val cands = filter(col("cb"), cc => cc.getField("s") === sC)
           element_at(array_sort(transform(cands, cc => struct(
-            round(l2sq(sub, cc.getField("cv")), 6).as("d"),
+            round(l2sqSub(col("v"), sC, cc.getField("cv"), lit(0)), 6).as("d"),
             cc.getField("cl").as("cl")))), 1).getField("cl")
         }).as("codes"))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, sC) => {
-      val qsub = slice(col("qv"), sC * PqSubDim + 1, lit(PqSubDim))
       val cv = element_at(filter(col("cb"),
         cc => cc.getField("s") === sC &&
           cc.getField("cl") === element_at(col("codes"), sC + 1)), 1)
         .getField("cv")
-      acc + round(l2sq(qsub, cv), 6)
+      acc + round(l2sqSub(col("qv"), sC, cv, lit(0)), 6)
     })
     val rk = row_number().over(
       Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id")))
@@ -10351,8 +10405,7 @@ object LlmQueries {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val d2 = (0 until PqM).map { sC =>
-      round(l2sq(slice(col("v"), sC * PqSubDim + 1, PqSubDim),
-        slice(col("qv"), sC * PqSubDim + 1, PqSubDim)), 6)
+      round(l2sqSub(col("v"), lit(sC), col("qv"), lit(sC)), 6)
     }.reduce(_ + _)
     val rk = row_number().over(
       Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id")))
@@ -14209,8 +14262,7 @@ object LlmQueries {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val d2 = (0 until PqM).map { sC =>
-      round(l2sq(slice(col("v"), sC * PqSubDim + 1, PqSubDim),
-        slice(col("qv"), sC * PqSubDim + 1, PqSubDim)), 6)
+      round(l2sqSub(col("v"), lit(sC), col("qv"), lit(sC)), 6)
     }.reduce(_ + _)
     val rk = row_number().over(
       Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id")))

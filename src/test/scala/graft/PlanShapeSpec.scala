@@ -1128,15 +1128,29 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("L105: each PageRank round is an equi-join + map-combined sum — " +
-      "no cartesian, the n-row frame broadcasts") {
-    val p = finalPlan(LlmQueries.l105_pair_pagerank)
+      "no cartesian, n folds in as a literal") {
+    // r19: the per-round localCheckpoint (which cut the 5-round recursive
+    // replan — 1116 → ~275 tasks at sf0.1) hides round internals from the
+    // final executed plan, so the ROUND transformation is pinned directly.
+    import spark.implicits._
+    val ed = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("a", "b", "deg")
+    val ranks = Seq((1L, 0.5), (2L, 0.5)).toDF("node", "pr")
+    val round = LlmQueries.pagerankRound(ed, ranks, 2.0)
+    round.collect()
+    val p = round.queryExecution.executedPlan.toString
     val fin = p.split("== Initial Plan ==")(0)
     assert(!fin.contains("CartesianProduct"),
       s"contributions must flow through equi-joins:\n$p")
     assert(fin.contains("partial_sum"),
       s"rank contributions must combine map-side:\n$p")
-    assert(fin.contains("BroadcastExchange"),
-      s"the one-row n frame must broadcast:\n$p")
+    // n is a folded LITERAL in the round projection — no per-round
+    // broadcast crossJoin of a one-row n frame remains
+    assert(!fin.contains("BroadcastNestedLoopJoin"),
+      s"no n-frame attach join may remain in the round:\n$p")
+    // and the full query still runs cartesian-free end to end
+    val fp = finalPlan(LlmQueries.l105_pair_pagerank)
+    assert(!fp.split("== Initial Plan ==")(0).contains("CartesianProduct"),
+      s"the l105 consumer must stay cartesian-free:\n$fp")
   }
 
   test("L106: CUSUM's only corpus exchange is the weekly aggregate; the " +

@@ -107,4 +107,84 @@ class VectorExprsSpec extends AnyFunSuite {
     val got = spark.sql("SELECT graft_dot(a, b) AS d FROM vexp").head().getDouble(0)
     assert(got === 11.0)
   }
+
+  // ------------------------------------------------------------ graft_l2sq
+
+  /** The interpreted form graft_l2sq replaced (r19): fold (aᵢ−bᵢ)² from 0.0
+    * in index order over slice()d windows — 1-based element_at over 1-based
+    * slice starts, exactly as the PQ family's l2sq helper wrote it. */
+  private def hofL2sq(a: org.apache.spark.sql.Column, aOff: Int,
+      b: org.apache.spark.sql.Column, bOff: Int, n: Int) = {
+    val as = slice(a, aOff + 1, n)
+    val bs = slice(b, bOff + 1, n)
+    aggregate(sequence(lit(1), lit(n)), lit(0.0), (acc, i) =>
+      acc + (element_at(as, i) - element_at(bs, i)) *
+        (element_at(as, i) - element_at(bs, i)))
+  }
+
+  test("graft_l2sq is bit-identical to the sliced HOF aggregate form") {
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        Seq.fill(64)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)),
+        Seq.fill(64)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)))
+    }
+    val df = rows.toDF("id", "a", "b")
+    (0 until 4).foreach { s =>
+      val out = df.select(
+        VectorExprs.l2sqOff(col("a"), lit(s * 16), col("b"), lit(s * 16),
+          lit(16)).as("native"),
+        hofL2sq(col("a"), s * 16, col("b"), s * 16, 16).as("hof")).collect()
+      out.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"subspace $s fold must be bit-identical")
+      }
+    }
+    // asymmetric offsets (the pqFit seed-assign shape: 16-dim vs full-vector)
+    val asym = df.select(
+      VectorExprs.l2sqOff(slice(col("a"), 1, 16), lit(0), col("b"), lit(32),
+        lit(16)).as("native"),
+      hofL2sq(slice(col("a"), 1, 16), 0, col("b"), 32, 16).as("hof")).collect()
+    asym.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_l2sq null semantics: null input, null element, OOB window → null") {
+    VectorExprs.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = Seq(
+      Row(Seq(1.0, 2.0, 3.0), Seq(1.0, 1.0, 1.0)), // plain
+      Row(null, Seq(1.0, 1.0, 1.0)),               // null array
+      Row(Seq(1.0, null, 3.0), Seq(1.0, 1.0, 1.0)), // null element in window
+      Row(Seq(1.0, 2.0), Seq(1.0, 1.0, 1.0)))      // a too short for len 3
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val got = df.select(VectorExprs.l2sqOff(col("a"), lit(0), col("b"), lit(0),
+      lit(3)).as("d")).collect()
+    assert(got(0).getDouble(0) === (0.0 + 1.0 + 4.0))
+    assert(got(1).isNullAt(0), "null array must yield null")
+    assert(got(2).isNullAt(0), "null element must yield null")
+    assert(got(3).isNullAt(0), "an out-of-bounds window must yield null " +
+      "(the element_at-poisoned fold it replaced)")
+  }
+
+  test("graft_l2sq projection compiles into WholeStageCodegen") {
+    VectorExprs.register(spark)
+    val df = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(VectorExprs.l2sqOff(col("v"), lit(0), col("v"), lit(16),
+        lit(16)).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"the graft_l2sq projection must sit inside a codegen span:\n$plan")
+    val code = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(code.contains("l2s"), "generated code must inline the l2sq loop")
+  }
 }
