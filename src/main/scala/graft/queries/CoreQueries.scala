@@ -722,9 +722,13 @@ object CoreQueries {
       |FROM lineitem""".stripMargin
   ) { (s, d) =>
     val li = lineitem(s, d)
-    val modeFlag = graft.ops.Stats.exactModeString(li, col("l_returnflag")).orNull
-    val medQty = graft.ops.Stats.exactMedian(li, col("l_quantity"))
-      .map(lit(_)).getOrElse(lit(null).cast(DoubleType))
+    // mode and median are independent eager passes — overlap them
+    // (graft.Par, guide §2.6); values identical to the sequential calls
+    val (modeOpt, medOpt) = graft.Par.par2(
+      graft.ops.Stats.exactModeString(li, col("l_returnflag")),
+      graft.ops.Stats.exactMedian(li, col("l_quantity")))
+    val modeFlag = modeOpt.orNull
+    val medQty = medOpt.map(lit(_)).getOrElse(lit(null).cast(DoubleType))
     li.agg(
       round(avg("l_quantity"), 6).as("avg_qty"),
       sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),

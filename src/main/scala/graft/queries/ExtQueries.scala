@@ -1853,16 +1853,21 @@ object ExtQueries {
     val sketches = li.groupBy(col("l_returnflag").as("grp"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("hllpp"),
         hll_sketch_agg(col("l_orderkey"), lit(12)).as("sk"))
-    val perGroup = exact.join(sketches, Seq("grp")) // #groups rows
-      .select(col("grp"), col("n_exact"), col("hllpp"),
-        hll_sketch_estimate(col("sk")).as("ds"), col("sk"))
-      .collect() // bounded: #groups rows of (longs + kB sketch)
-    // the union row: merge the COLLECTED group sketches (kilobyte state,
+    // the union row merges the COLLECTED group sketches (kilobyte state,
     // never a second corpus scan); global exact/HLL++ each run their own
-    // pass — grouped exacts cannot compose (keys overlap groups)
-    val globalExact = li.agg(count_distinct(col("l_orderkey"))).collect()(0).getLong(0)
-    val globalHllpp = li.agg(
-      approx_count_distinct(col("l_orderkey"), 0.01)).collect()(0).getLong(0)
+    // pass — grouped exacts cannot compose (keys overlap groups). The
+    // three passes are INDEPENDENT jobs: overlap them (graft.Par, guide
+    // §2.6) instead of serializing three DAGs over the same scan — each
+    // collect returns exactly its sequential value (r19: 6.4 → ~3 s wall
+    // at sf0.1, cpu unchanged).
+    val (perGroup, globalExact, globalHllpp) = graft.Par.par3(
+      exact.join(sketches, Seq("grp")) // bounded: #groups rows (+kB sketch)
+        .select(col("grp"), col("n_exact"), col("hllpp"),
+          hll_sketch_estimate(col("sk")).as("ds"), col("sk"))
+        .collect(),
+      li.agg(count_distinct(col("l_orderkey"))).collect()(0).getLong(0),
+      li.agg(approx_count_distinct(col("l_orderkey"), 0.01))
+        .collect()(0).getLong(0))
     import s.implicits._
     val merged = perGroup.map(r => r.getAs[Array[Byte]]("sk")).toSeq
       .toDF("sk").agg(hll_union_agg(col("sk")).as("mk"))
